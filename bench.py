@@ -1,0 +1,56 @@
+"""Benchmark harness: runs the headline queries (``bench=True`` in the
+catalog) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is fully executed via a count-less ``collect()`` of the final
+(already-aggregated / limited) result — the same thing the driver's
+consumers would do — after a warm-up of the input file listing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from edgy_spark.catalog import QUERIES, load_all_registrations
+from edgy_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_all_registrations()
+    spark = get_spark("edgy-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_specs = [s for s in QUERIES.values() if s.bench]
+    # warm the JVM + file listing with one tiny action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for spec in bench_specs:
+        t0 = time.perf_counter()
+        rows = spec.fn(spark, sf_dir).collect()
+        timings[spec.name] = round(time.perf_counter() - t0, 4)
+        del rows
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Query catalog — the single registry behind ``__spark_entry__.queries()``,
+``bench.py``, and the oracle tests.
+
+Every implemented operator from SURVEY.md §2 registers here as a named query:
+a Spark callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible)
+the equivalent ANSI SQL for the DuckDB oracle.  Column names are aliased
+identically on both sides (the driver's compare hashes values after sorting
+columns by name).
+
+Determinism convention: float measures are cast to exact DECIMAL before any
+aggregation and the result cast back to double (see functions/exact.py), so
+values are bit-identical regardless of partitioning/reduction order — a
+requirement for a distributed engine to hash-match a single-threaded oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB, or None for rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = QuerySpec(name, fn, oracle, tags, bench)
+        return fn
+
+    return deco
+
+
+def load_all_registrations() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import edgy_spark.operators.relational  # noqa: F401
+    import edgy_spark.operators.graph_queries  # noqa: F401
+    import edgy_spark.operators.dedup  # noqa: F401
+    import edgy_spark.operators.similarity  # noqa: F401
+    import edgy_spark.operators.text  # noqa: F401
+    import edgy_spark.operators.asof  # noqa: F401
+    import edgy_spark.streaming.events  # noqa: F401

@@ -1,0 +1,56 @@
+"""Parquet sources for the driver's synthetic star schema (TESTDATA.md).
+
+Scale notes (100 TB stance):
+- Reads go through ``spark.read.parquet`` so Catalyst owns predicate
+  pushdown, column pruning, and partition pruning; nothing here ever
+  collects to the driver.
+- At cluster scale these would be partitioned table locations (e.g.
+  lineitem partitioned by ship date); the loader is path-based so the
+  same code serves both layouts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension-sized tables that should be broadcast when joined against the
+# fact tables (orders/lineitem/events).  At 100 TB the fact tables grow
+# 1000x while these stay small, so the hint stays valid.
+SMALL_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read it as long nanos and convert to a microsecond
+        # timestamp (floor — matching DuckDB's ns→µs truncation).  Set at
+        # read time so it works under any caller-provided SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
