@@ -1,0 +1,544 @@
+"""The 12-operation surface of the reference engine, Spark-first.
+
+Public API parity with /root/reference/src/Edgy.hs:12-46 — each operation
+cites its counterpart:
+
+=====================  =====================================================
+reference              here
+=====================  =====================================================
+runEdgy                ``Engine.run(fn)`` — retried atomic transaction
+getUniverse            implicit: the catalog; ``Transaction.all_nodes(T)``
+                       is the Universe existence-relation scan
+                       (Schema.hs:56-57, app/Main.hs:132-136)
+newNode                ``Transaction.new_node`` (Operations.hs:165-195)
+deleteNode             ``Transaction.delete_node`` — cascading edge cleanup
+                       (Operations.hs:197-218)
+getAttribute           ``Transaction.get_attribute`` (Operations.hs:220-244)
+setAttribute           ``Transaction.set_attribute`` (Operations.hs:246-271)
+getRelated             ``Transaction.get_related`` — cardinality-shaped
+                       (Operations.hs:273-287)
+isRelated              ``Transaction.is_related`` (Operations.hs:289-301)
+setRelated             ``Transaction.set_related`` (Operations.hs:303-319)
+addRelated             ``Transaction.add_related`` — prepend, parallel edges
+                       allowed (Operations.hs:321-334)
+removeRelated          ``Transaction.remove_related`` — removes ALL copies
+                       (Operations.hs:336-349)
+clearRelated           ``Transaction.clear_related`` (Operations.hs:351-365)
+=====================  =====================================================
+
+Semantics preserved (SURVEY §7.4):
+- parallel edges + prepend order: edges carry ``pos`` (order in src's
+  forward list) and ``ipos`` (order in dst's inverse list); a prepend is
+  min-1, so no existing row is rewritten;
+- cardinality checked on READ, not write (Operations.hs:284-287);
+- symmetric relations store both orientations, written atomically — one
+  logical edge, visible from both endpoints (Schema.hs:298-307);
+- transaction = snapshot-pinned reads + one atomic manifest publish;
+  conflicts retry like STM (Operations.hs:73-89);
+- deleteNode leaves no dangling edges (and unlike the reference, also no
+  orphaned adjacency refs — SURVEY §7.4 trap 5, deliberately cleaner).
+
+These are POINT operations (the reference's entire workload is point ops on
+a 9-node graph).  Set-at-a-time analytics over the same tables — scans,
+multi-hop joins, bag difference — live in ``edgy_spark.query``; at 100 TB
+you use that layer, and mutations arrive as DataFrame batches via
+``Transaction.bulk_*`` which never touch the driver row-by-row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from edgy_spark.schema import Cardinality, CardinalityError, GraphSchema
+from edgy_spark.storage import ConflictError, GraphStore, Snapshot
+
+
+@dataclass(frozen=True)
+class Node:
+    """Typed node handle (the reference's ``Node schema t``, Node.hs:39-41)."""
+
+    node_type: str
+    id: int
+
+
+class Transaction:
+    def __init__(self, engine: "Engine", snapshot: Snapshot):
+        self.engine = engine
+        self.schema = engine.schema
+        self.snap = snapshot
+        self._next_id = snapshot.manifest["next_id"]
+        # staged state
+        self._new_nodes: dict[str, list[dict]] = {}          # type -> rows
+        self._attr_updates: dict[str, dict[int, dict]] = {}  # type -> id -> {attr: v}
+        self._deleted: dict[str, set[int]] = {}              # type -> ids
+        self._edge_log: dict[str, list[tuple]] = {}          # table -> ops
+        self._dirty = False
+
+    # -- node ops ----------------------------------------------------------
+
+    def new_node(self, node_type: str, **attrs) -> Node:
+        nt = self.schema.node_type(node_type)
+        row: dict = {}
+        for a in nt.attrs:
+            if a.name in attrs:
+                row[a.name] = attrs.pop(a.name)
+            elif a.required:
+                # the Constructor type family makes required attrs mandatory
+                # arguments (Schema.hs:309-312) — enforce at creation time
+                raise TypeError(
+                    f"required attribute {a.name!r} of {node_type!r} not provided"
+                )
+            else:
+                row[a.name] = None  # default applied on read (mempty analogue)
+        if attrs:
+            nt.attr(next(iter(attrs)))  # raises UnknownAttributeError
+        nid = self._next_id
+        self._next_id += 1
+        row["id"] = nid
+        self._new_nodes.setdefault(node_type, []).append(row)
+        self._dirty = True
+        return Node(node_type, nid)
+
+    def delete_node(self, node: Node) -> None:
+        self._deleted.setdefault(node.node_type, set()).add(node.id)
+        self._attr_updates.get(node.node_type, {}).pop(node.id, None)
+        self._dirty = True
+
+    def get_attribute(self, node: Node, name: str):
+        attr = self.schema.node_type(node.node_type).attr(name)
+        upd = self._attr_updates.get(node.node_type, {}).get(node.id, {})
+        if name in upd:
+            return upd[name]
+        for row in self._new_nodes.get(node.node_type, []):
+            if row["id"] == node.id:
+                v = row.get(name)
+                return attr.default if v is None and not attr.required else v
+        rows = (
+            self.snap.nodes(node.node_type)
+            .filter(F.col("id") == node.id)
+            .select(name)
+            .collect()
+        )
+        if not rows:
+            raise KeyError(f"no {node.node_type} node with id {node.id}")
+        v = rows[0][0]
+        if v is None:
+            if attr.required:
+                # unset required attribute is a runtime error in the
+                # reference (Operations.hs:235-243)
+                raise ValueError(f"required attribute {name!r} unset on {node}")
+            return attr.default
+        return v
+
+    def set_attribute(self, node: Node, name: str, value) -> None:
+        self.schema.node_type(node.node_type).attr(name)
+        for row in self._new_nodes.get(node.node_type, []):
+            if row["id"] == node.id:
+                row[name] = value
+                return
+        self._attr_updates.setdefault(node.node_type, {}).setdefault(node.id, {})[
+            name
+        ] = value
+        self._dirty = True
+
+    def all_nodes(self, node_type: str) -> list[Node]:
+        """Universe existence-relation scan (app/Main.hs:132-136)."""
+        self.schema.node_type(node_type)
+        dead = self._deleted.get(node_type, set())
+        ids = [
+            r[0]
+            for r in self.snap.nodes(node_type).select("id").orderBy("id").collect()
+            if r[0] not in dead
+        ]
+        ids += [
+            row["id"] for row in self._new_nodes.get(node_type, []) if row["id"] not in dead
+        ]
+        return [Node(node_type, i) for i in ids]
+
+    # -- edge ops ----------------------------------------------------------
+
+    def _log(self, table: str, *entry) -> None:
+        self._edge_log.setdefault(table, []).append(entry)
+        self._dirty = True
+
+    def add_related(self, node: Node, rel_name: str, target: Node) -> None:
+        side = self._check_endpoints(node, rel_name, target)
+        if side.symmetric:
+            self._log(side.table, "add", node.id, target.id)
+            self._log(side.table, "add", target.id, node.id)
+        elif side.forward:
+            self._log(side.table, "add", node.id, target.id)
+        else:
+            self._log(side.table, "add", target.id, node.id)
+
+    def remove_related(self, node: Node, rel_name: str, target: Node) -> None:
+        side = self._check_endpoints(node, rel_name, target)
+        if side.symmetric:
+            self._log(side.table, "remove", node.id, target.id)
+            self._log(side.table, "remove", target.id, node.id)
+        elif side.forward:
+            self._log(side.table, "remove", node.id, target.id)
+        else:
+            self._log(side.table, "remove", target.id, node.id)
+
+    def clear_related(self, node: Node, rel_name: str) -> None:
+        side = self.schema.relation(rel_name)
+        if side.symmetric:
+            for other in self.get_related_list(node, rel_name):
+                self.remove_related(node, rel_name, other)
+        elif side.forward:
+            self._log(side.table, "clear_src", node.id)
+        else:
+            self._log(side.table, "clear_dst", node.id)
+
+    def set_related(self, node: Node, rel_name: str, targets: list[Node]) -> None:
+        """Replace the whole adjacency (Operations.hs:303-319)."""
+        side = self.schema.relation(rel_name)
+        if side.symmetric:
+            self.clear_related(node, rel_name)
+            for t in reversed(targets):  # prepends → final order == targets
+                self.add_related(node, rel_name, t)
+            return
+        for t in targets:
+            self._check_endpoints(node, rel_name, t)
+        if side.forward:
+            self._log(side.table, "set_src", node.id, [t.id for t in targets])
+        else:
+            self._log(side.table, "clear_dst", node.id)
+            for t in reversed(targets):
+                self._log(side.table, "add", t.id, node.id)
+
+    def get_related_list(self, node: Node, rel_name: str) -> list[Node]:
+        """Adjacency in list order (committed pos order + staged replay)."""
+        side = self.schema.relation(rel_name)
+        if side.source != node.node_type:
+            raise TypeError(
+                f"relation {rel_name!r} starts at {side.source!r}, not {node.node_type!r}"
+            )
+        df = self.snap.edge_table(side.table)
+        if side.forward or side.symmetric:
+            rows = (
+                df.filter(F.col("src") == node.id).orderBy("pos").select("dst").collect()
+            )
+            adj = [r[0] for r in rows]
+        else:
+            rows = (
+                df.filter(F.col("dst") == node.id).orderBy("ipos").select("src").collect()
+            )
+            adj = [r[0] for r in rows]
+        adj = self._replay(side, node.id, adj)
+        dead = self._deleted.get(side.target, set())
+        adj = [i for i in adj if i not in dead]
+        if node.node_type in self._deleted and node.id in self._deleted[node.node_type]:
+            adj = []
+        return [Node(side.target, i) for i in adj]
+
+    def get_related(self, node: Node, rel_name: str):
+        """Cardinality-shaped read; violation → CardinalityError on READ
+        (Operations.hs:284-287, Cardinality.hs:28-50)."""
+        side = self.schema.relation(rel_name)
+        lst = self.get_related_list(node, rel_name)
+        card = side.cardinality
+        if card is Cardinality.MANY:
+            return lst
+        if card is Cardinality.SOME:
+            if not lst:
+                raise CardinalityError(f"{rel_name}: Some relation is empty at {node}")
+            return lst
+        if card is Cardinality.OPTIONAL:
+            if len(lst) > 1:
+                raise CardinalityError(
+                    f"{rel_name}: Optional relation has {len(lst)} edges at {node}"
+                )
+            return lst[0] if lst else None
+        if len(lst) != 1:
+            raise CardinalityError(
+                f"{rel_name}: One relation has {len(lst)} edges at {node}"
+            )
+        return lst[0]
+
+    def is_related(self, node: Node, rel_name: str, target: Node) -> bool:
+        return any(t.id == target.id for t in self.get_related_list(node, rel_name))
+
+    def _replay(self, side, key: int, adj: list[int]) -> list[int]:
+        """Apply this txn's staged ops to one committed adjacency list."""
+        for entry in self._edge_log.get(side.table, []):
+            op = entry[0]
+            if side.forward or side.symmetric:
+                if op == "add" and entry[1] == key:
+                    adj = [entry[2]] + adj
+                elif op == "remove" and entry[1] == key:
+                    adj = [d for d in adj if d != entry[2]]
+                elif op == "clear_src" and entry[1] == key:
+                    adj = []
+                elif op == "set_src" and entry[1] == key:
+                    adj = list(entry[2])
+                elif op == "clear_dst":
+                    adj = [d for d in adj if d != entry[1]]
+            else:
+                if op == "add" and entry[2] == key:
+                    adj = [entry[1]] + adj
+                elif op == "remove" and entry[2] == key:
+                    adj = [s for s in adj if s != entry[1]]
+                elif op == "clear_dst" and entry[1] == key:
+                    adj = []
+                elif op == "clear_src" and entry[1] == key:
+                    pass
+                elif op == "clear_src":
+                    adj = [s for s in adj if s != entry[1]]
+                elif op == "set_src":
+                    adj = [s for s in adj if s != entry[1]]
+                    if key in entry[2]:
+                        # appears once per occurrence in the new list
+                        adj = [entry[1]] * entry[2].count(key) + adj
+        return adj
+
+    def _check_endpoints(self, node: Node, rel_name: str, target: Node):
+        side = self.schema.relation(rel_name)
+        if side.source != node.node_type or side.target != target.node_type:
+            raise TypeError(
+                f"relation {rel_name!r} is {side.source!r}→{side.target!r}; "
+                f"got {node.node_type!r}→{target.node_type!r}"
+            )
+        return side
+
+    # -- bulk (the 100 TB path) -------------------------------------------
+
+    def bulk_add_edges(self, table: str, edges_df: DataFrame) -> None:
+        """Append an edge batch (src, dst) as a DataFrame — distributed end
+        to end; pos/ipos are assigned set-at-a-time at commit."""
+        side = self.schema.relation(table)  # raises UnknownRelationError
+        self._log(side.table, "bulk", edges_df.select("src", "dst"))
+
+    # -- commit ------------------------------------------------------------
+
+    def _commit(self) -> Snapshot:
+        if not self._dirty:
+            return self.snap
+        changed: dict[str, DataFrame] = {}
+        spark = self.engine.spark
+
+        all_deleted = self._deleted
+        for node_type, nt in ((n.name, n) for n in self.schema.node_types):
+            base = self.snap.nodes(node_type)
+            touched = False
+            df = base
+            dead = all_deleted.get(node_type, set())
+            if dead:
+                df = df.filter(~F.col("id").isin(list(dead)))
+                touched = True
+            updates = self._attr_updates.get(node_type, {})
+            if updates:
+                upd_rows = [
+                    {"id": i, **{a.name: vals.get(a.name) for a in nt.attrs}}
+                    for i, vals in updates.items()
+                ]
+                upd_set = {a for vals in updates.values() for a in vals}
+                from pyspark.sql import types as T
+
+                nullable_struct = T.StructType(
+                    [T.StructField(f.name, f.dataType, True) for f in nt.struct_type().fields]
+                )
+                upd = spark.createDataFrame(upd_rows, nullable_struct).select(
+                    F.col("id").alias("_uid"),
+                    *[F.col(a.name).alias(f"_u_{a.name}") for a in nt.attrs],
+                )
+                df = df.join(upd, df.id == upd._uid, "left").select(
+                    "id",
+                    *[
+                        (
+                            F.when(
+                                F.col("_uid").isNotNull() & F.lit(a.name in upd_set),
+                                F.col(f"_u_{a.name}"),
+                            )
+                            .otherwise(F.col(a.name))
+                            .alias(a.name)
+                            if a.name in upd_set
+                            else F.col(a.name)
+                        )
+                        for a in nt.attrs
+                    ],
+                )
+                touched = True
+            new_rows = [
+                r for r in self._new_nodes.get(node_type, []) if r["id"] not in dead
+            ]
+            if new_rows:
+                df = df.unionByName(spark.createDataFrame(new_rows, nt.struct_type()))
+                touched = True
+            if touched:
+                changed[f"n_{node_type}"] = df
+
+        for table in self.schema.edge_tables:
+            df = self._rebuild_edges(table)
+            if df is not None:
+                changed[f"e_{table}"] = df
+
+        return self.engine.store.commit(self.snap, changed, next_id=self._next_id)
+
+    def _rebuild_edges(self, table: str) -> DataFrame | None:
+        """Fold the op log into the edge table with pure DataFrame transforms."""
+        log = self._edge_log.get(table, [])
+        # cascade delete: endpoints of this table's relation
+        fwd = next(
+            r
+            for r in self.schema._rels.values()
+            if r.table == table and (r.forward or r.symmetric)
+        )
+        src_dead = self._deleted.get(fwd.source, set())
+        dst_dead = self._deleted.get(fwd.target, set())
+        if not log and not src_dead and not dst_dead:
+            return None
+        df = self.snap.edge_table(table)
+
+        # current mins for prepend positions (only staged keys — small)
+        add_srcs = {e[1] for e in log if e[0] in ("add", "set_src")}
+        add_dsts = {e[2] for e in log if e[0] == "add"} | {
+            d for e in log if e[0] == "set_src" for d in e[2]
+        }
+        min_pos: dict[int, int] = {}
+        min_ipos: dict[int, int] = {}
+        if add_srcs:
+            for r in (
+                df.filter(F.col("src").isin(list(add_srcs)))
+                .groupBy("src")
+                .agg(F.min("pos"))
+                .collect()
+            ):
+                min_pos[r[0]] = r[1]
+        if add_dsts:
+            for r in (
+                df.filter(F.col("dst").isin(list(add_dsts)))
+                .groupBy("dst")
+                .agg(F.min("ipos"))
+                .collect()
+            ):
+                min_ipos[r[0]] = r[1]
+
+        new_rows: list[tuple[int, int, int, int]] = []
+
+        def next_pos(s: int) -> int:
+            p = min_pos.get(s, 1) - 1
+            min_pos[s] = p
+            return p
+
+        def next_ipos(d: int) -> int:
+            p = min_ipos.get(d, 1) - 1
+            min_ipos[d] = p
+            return p
+
+        conds = []  # removal predicates accumulated into one filter
+        bulk_dfs: list[DataFrame] = []
+        for entry in log:
+            op = entry[0]
+            if op == "add":
+                _, s, d = entry
+                new_rows = [r for r in new_rows]  # keep order
+                new_rows.append((s, d, next_pos(s), next_ipos(d)))
+            elif op == "remove":
+                _, s, d = entry
+                conds.append((F.col("src") == s) & (F.col("dst") == d))
+                new_rows = [r for r in new_rows if not (r[0] == s and r[1] == d)]
+            elif op == "clear_src":
+                s = entry[1]
+                conds.append(F.col("src") == s)
+                new_rows = [r for r in new_rows if r[0] != s]
+            elif op == "clear_dst":
+                d = entry[1]
+                conds.append(F.col("dst") == d)
+                new_rows = [r for r in new_rows if r[1] != d]
+            elif op == "set_src":
+                _, s, dsts = entry
+                conds.append(F.col("src") == s)
+                new_rows = [r for r in new_rows if r[0] != s]
+                for i, d in enumerate(dsts):
+                    new_rows.append((s, d, i, next_ipos(d)))
+            elif op == "bulk":
+                bulk_dfs.append(entry[1])
+
+        for cond in conds:
+            df = df.filter(~cond)
+        if src_dead:
+            df = df.filter(~F.col("src").isin(list(src_dead)))
+        if dst_dead:
+            df = df.filter(~F.col("dst").isin(list(dst_dead)))
+        new_rows = [
+            r for r in new_rows if r[0] not in src_dead and r[1] not in dst_dead
+        ]
+        if new_rows:
+            add_df = self.engine.spark.createDataFrame(
+                [
+                    {"src": s, "dst": d, "pos": p, "ipos": ip}
+                    for s, d, p, ip in new_rows
+                ],
+                "src long, dst long, pos long, ipos long",
+            )
+            df = df.unionByName(add_df)
+        for b in bulk_dfs:
+            # distributed position assignment: new batch rows get pos/ipos
+            # below any existing edge, ordered within the batch by (src,dst)
+            b2 = b.withColumn(
+                "pos",
+                -F.row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long"),
+            ).withColumn(
+                "ipos",
+                -F.row_number().over(Window.partitionBy("dst").orderBy("src")).cast("long"),
+            )
+            df = df.unionByName(b2.select("src", "dst", "pos", "ipos"))
+        return df
+
+
+class Engine:
+    """DB handle + transaction runner (the reference's ``DB`` + ``runEdgy``)."""
+
+    def __init__(self, spark: SparkSession, root: str, schema: GraphSchema):
+        self.spark = spark
+        self.schema = schema
+        self.store = GraphStore(spark, root, schema)
+
+    def run(self, fn, retries: int = 3):
+        """Run ``fn(txn)`` atomically; retry on write conflict (STM analogue)."""
+        for attempt in range(retries + 1):
+            txn = Transaction(self, self.store.snapshot())
+            result = fn(txn)
+            try:
+                txn._commit()
+                return result
+            except ConflictError:
+                if attempt == retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def snapshot(self) -> Snapshot:
+        return self.store.snapshot()
+
+    def read(self):
+        """Read-only transaction pinned to the current snapshot."""
+        return Transaction(self, self.store.snapshot())
+
+    # -- constraint scan (SURVEY §2.3 cardinality row) ---------------------
+
+    def check_cardinality(self, rel_name: str) -> DataFrame:
+        """Write/commit-time enforcement scan: DataFrame of (id, n_edges)
+        violating the declared cardinality.  Distributed — a groupBy count
+        joined against the node table; empty result = constraint holds."""
+        side = self.schema.relation(rel_name)
+        snap = self.snapshot()
+        edges = snap.edge_table(side.table)
+        key = "src" if (side.forward or side.symmetric) else "dst"
+        counts = edges.groupBy(F.col(key).alias("id")).agg(
+            F.count(F.lit(1)).alias("n_edges")
+        )
+        nodes = snap.nodes(side.source).select("id")
+        full = nodes.join(counts, "id", "left").fillna(0, subset=["n_edges"])
+        card = side.cardinality
+        if card is Cardinality.OPTIONAL:
+            return full.filter(F.col("n_edges") > 1)
+        if card is Cardinality.ONE:
+            return full.filter(F.col("n_edges") != 1)
+        if card is Cardinality.SOME:
+            return full.filter(F.col("n_edges") < 1)
+        return full.filter(F.lit(False))

@@ -1,0 +1,142 @@
+"""Versioned snapshot storage — the engine's analogue of the reference's
+STM atomicity + write-behind persistence
+(/root/reference/src/Edgy/Operations.hs:73-89, app/Main.hs:163-164).
+
+Layout under a root directory::
+
+    root/
+      CURRENT                 # text file: the committed version number
+      manifest.v3.json        # {"version":3, "next_id":17, "tables":{name:relpath}}
+      data/<table>.v3.parquet # immutable parquet per table-version
+
+A transaction reads the manifest named by CURRENT (snapshot pinning: all
+reads inside one transaction see one version — parity with
+app/Main.hs:175-179's read-your-own-scan atomicity), stages mutations,
+writes only the *changed* tables as new parquet versions, writes a new
+manifest, and atomically publishes it by os.replace on CURRENT.  Readers
+never see a partial commit; unchanged tables are shared across versions
+(manifest points at the old files).
+
+Scale stance: this is the same manifest-pointer-swap design as
+Delta/Iceberg commit protocols — mutation batches are DataFrame-sized
+(never driver loops), table files are parquet and can be partitioned;
+only the tiny manifest is driver-side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from edgy_spark.schema import GraphSchema
+
+EDGE_STRUCT = T.StructType(
+    [
+        T.StructField("src", T.LongType(), False),
+        T.StructField("dst", T.LongType(), False),
+        T.StructField("pos", T.LongType(), False),
+        T.StructField("ipos", T.LongType(), False),
+    ]
+)
+
+
+class Snapshot:
+    """An immutable, pinned view of one committed version."""
+
+    def __init__(self, store: "GraphStore", manifest: dict):
+        self._store = store
+        self.manifest = manifest
+        self.version: int = manifest["version"]
+
+    def nodes(self, node_type: str) -> DataFrame:
+        nt = self._store.schema.node_type(node_type)
+        rel = self.manifest["tables"].get(f"n_{node_type}")
+        if rel is None:
+            return self._store.spark.createDataFrame([], nt.struct_type())
+        return self._store.spark.read.parquet(os.path.join(self._store.root, rel))
+
+    def edge_table(self, table: str) -> DataFrame:
+        rel = self.manifest["tables"].get(f"e_{table}")
+        if rel is None:
+            return self._store.spark.createDataFrame([], EDGE_STRUCT)
+        return self._store.spark.read.parquet(os.path.join(self._store.root, rel))
+
+
+class GraphStore:
+    def __init__(self, spark: SparkSession, root: str, schema: GraphSchema):
+        self.spark = spark
+        self.root = root
+        self.schema = schema
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        if not os.path.exists(self._current_path):
+            self._write_manifest({"version": 0, "next_id": 1, "tables": {}})
+            self._publish(0)
+
+    # -- manifest plumbing -------------------------------------------------
+
+    @property
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, f"manifest.v{version}.json")
+
+    def _write_manifest(self, manifest: dict) -> None:
+        with open(self._manifest_path(manifest["version"]), "w") as f:
+            json.dump(manifest, f)
+
+    def _publish(self, version: int) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root)
+        with os.fdopen(fd, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._current_path)  # atomic pointer swap
+
+    def current_version(self) -> int:
+        with open(self._current_path) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        with open(self._manifest_path(v)) as f:
+            return Snapshot(self, json.load(f))
+
+    # -- commit ------------------------------------------------------------
+
+    def commit(
+        self,
+        base: Snapshot,
+        changed_tables: dict[str, DataFrame],
+        next_id: int | None = None,
+    ) -> Snapshot:
+        """Write changed tables as new versions and publish atomically.
+
+        Optimistic concurrency (the reference's STM retry): if CURRENT moved
+        past ``base`` since the transaction began, raise ConflictError and
+        let the caller re-run.
+        """
+        if self.current_version() != base.version:
+            raise ConflictError(
+                f"snapshot {base.version} is stale (current={self.current_version()})"
+            )
+        new_version = base.version + 1
+        tables = dict(base.manifest["tables"])
+        for key, df in changed_tables.items():
+            relpath = os.path.join("data", f"{key}.v{new_version}.parquet")
+            df.write.mode("overwrite").parquet(os.path.join(self.root, relpath))
+            tables[key] = relpath
+        manifest = {
+            "version": new_version,
+            "next_id": next_id if next_id is not None else base.manifest["next_id"],
+            "tables": tables,
+        }
+        self._write_manifest(manifest)
+        self._publish(new_version)
+        return Snapshot(self, manifest)
+
+
+class ConflictError(Exception):
+    """Concurrent commit beat this transaction — re-run it (STM retry analogue)."""

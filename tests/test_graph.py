@@ -1,0 +1,315 @@
+"""End-to-end parity tests: the reference demo graph and workload
+(/root/reference/app/Main.hs) plus the §7.4 semantic traps.
+
+Covers all 12 operations, the golden missingTools outputs (FIXTURES.md §1),
+mutation scenarios (buy/discard/friend/unfriend/marry/divorce), cascade
+delete, bidirectional consistency, cardinality-on-read, parallel edges,
+and snapshot atomicity.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from edgy_spark.graph import Engine, Node
+from edgy_spark.query import LookupError_, NodeSet
+from edgy_spark.schema import Cardinality, CardinalityError
+from edgy_spark.storage import ConflictError
+from tests.test_schema import demo_schema
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "db"), demo_schema())
+
+
+def big_bang(txn):
+    """The bigBang fixture (/root/reference/app/Main.hs:79-116)."""
+    bob = txn.new_node("Person", name="Bob", age=20)
+    jane = txn.new_node("Person", name="Jane", age=21)
+    jose = txn.new_node("Person", name="Jose", age=22)
+    poker = txn.new_node("Activity", name="Poker")
+    hiking = txn.new_node("Activity", name="Hiking")
+    cards = txn.new_node("Object", name="Deck of Cards")
+    chips = txn.new_node("Object", name="Poker Chips")
+    poles = txn.new_node("Object", name="Trekking Poles")
+    trailmap = txn.new_node("Object", name="Trail Map")
+
+    txn.add_related(bob, "spouse", jane)
+    txn.add_related(bob, "friend", jane)
+    txn.add_related(bob, "friend", jose)
+    txn.add_related(jose, "friend", bob)
+    txn.add_related(jane, "friend", jose)
+    txn.add_related(bob, "hobby", poker)
+    txn.add_related(bob, "hobby", hiking)
+    txn.add_related(jane, "hobby", poker)
+    txn.add_related(jose, "hobby", hiking)
+    txn.add_related(bob, "possession", trailmap)
+    txn.add_related(jane, "possession", cards)
+    txn.add_related(jose, "possession", poles)
+    txn.add_related(poker, "tool", cards)
+    txn.add_related(poker, "tool", chips)
+    txn.add_related(hiking, "tool", poles)
+    txn.add_related(hiking, "tool", trailmap)
+    return {
+        "bob": bob, "jane": jane, "jose": jose, "poker": poker, "hiking": hiking,
+        "cards": cards, "chips": chips, "poles": poles, "trailmap": trailmap,
+    }
+
+
+@pytest.fixture()
+def populated(engine):
+    nodes = engine.run(big_bang)
+    return engine, nodes
+
+
+def lookup_person(engine, name: str) -> dict:
+    """lookupByName (/root/reference/app/Main.hs:118-140): scan + filter +
+    assert-unique, as a pushdown scan instead of an O(N) loop."""
+    snap = engine.snapshot()
+    return NodeSet.scan(snap, engine.schema, "Person").filter(name=name).unique()
+
+
+def missing_tools(engine, person_name: str) -> set[str]:
+    """missingTools (/root/reference/app/Main.hs:148-157):
+    (p.hobby.tool) bag-minus (p.friend.possession ++ p.possession)."""
+    snap = engine.snapshot()
+    p = NodeSet.scan(snap, engine.schema, "Person").filter(name=person_name)
+    needed = p.hop("hobby").hop("tool")
+    available = p.hop("friend").hop("possession").union(p.hop("possession"))
+    missing = needed.minus_bag(available).rehydrate()
+    return {r["name"] for r in missing.df.select("name").collect()}
+
+
+# -- golden workload ------------------------------------------------------
+
+def test_missing_tools_bob(populated):
+    engine, _ = populated
+    # Bob: needed={Cards,Chips,Poles,TrailMap}; available={Cards(Jane),
+    # Poles(Jose), TrailMap(own)} → {Poker Chips}  (FIXTURES.md §1)
+    assert missing_tools(engine, "Bob") == {"Poker Chips"}
+
+
+def test_missing_tools_jane(populated):
+    engine, _ = populated
+    # Jane: hobby=Poker → needed={Cards,Chips}; friends={Jose}→{Poles},
+    # own={Cards} → missing={Chips}
+    assert missing_tools(engine, "Jane") == {"Poker Chips"}
+
+
+def test_lookup_unique_contract(populated):
+    engine, _ = populated
+    assert lookup_person(engine, "Bob")["age"] == 20
+    with pytest.raises(LookupError_):
+        lookup_person(engine, "Nobody")
+    engine.run(lambda t: t.new_node("Person", name="Bob", age=99))
+    with pytest.raises(LookupError_):
+        lookup_person(engine, "Bob")  # >1 match is an error too
+
+
+# -- the 12 operations ----------------------------------------------------
+
+def test_get_set_attribute(populated):
+    engine, n = populated
+    t = engine.read()
+    assert t.get_attribute(n["bob"], "name") == "Bob"
+    engine.run(lambda t: t.set_attribute(n["bob"], "age", 33))
+    assert engine.read().get_attribute(n["bob"], "age") == 33
+
+
+def test_required_attr_missing_at_creation(engine):
+    with pytest.raises(TypeError, match="required attribute"):
+        engine.run(lambda t: t.new_node("Person", name="NoAge"))
+
+
+def test_get_related_order_is_prepend(populated):
+    # addRelated prepends (Operations.hs:332-334): Bob's friends were added
+    # Jane then Jose → list order [Jose, Jane]
+    engine, n = populated
+    t = engine.read()
+    friends = t.get_related_list(n["bob"], "friend")
+    names = [t.get_attribute(f, "name") for f in friends]
+    assert names == ["Jose", "Jane"]
+
+
+def test_inverse_relation_view(populated):
+    # friendOf is a swapped view of the same table — bidirectional
+    # consistency by construction (Operations.hs:314-319)
+    engine, n = populated
+    t = engine.read()
+    back = t.get_related_list(n["jose"], "friendOf")  # who befriended Jose?
+    names = sorted(t.get_attribute(p, "name") for p in back)
+    assert names == ["Bob", "Jane"]
+
+
+def test_is_related(populated):
+    engine, n = populated
+    t = engine.read()
+    assert t.is_related(n["bob"], "friend", n["jane"])
+    assert not t.is_related(n["jane"], "friend", n["bob"])  # directed!
+
+
+def test_symmetric_spouse(populated):
+    # marry inserts ONE logical edge visible from both ends (Schema.hs:298-307)
+    engine, n = populated
+    t = engine.read()
+    assert t.get_related(n["bob"], "spouse") == n["jane"]
+    assert t.get_related(n["jane"], "spouse") == n["bob"]
+
+
+def test_divorce_and_remarry(populated):
+    engine, n = populated
+    engine.run(lambda t: t.remove_related(n["bob"], "spouse", n["jane"]))
+    t = engine.read()
+    assert t.get_related(n["bob"], "spouse") is None
+    assert t.get_related(n["jane"], "spouse") is None
+    engine.run(lambda t: t.add_related(n["jane"], "spouse", n["jose"]))
+    assert engine.read().get_related(n["jose"], "spouse") == n["jane"]
+
+
+def test_parallel_edges_and_remove_all(populated):
+    # addRelated has no dedup; removeRelated removes ALL copies
+    # (Operations.hs:332-334, 347-349 — SURVEY §7.4 trap 2)
+    engine, n = populated
+
+    def dup(t):
+        t.add_related(n["jane"], "friend", n["jose"])  # second copy
+    engine.run(dup)
+    t = engine.read()
+    assert [f.id for f in t.get_related_list(n["jane"], "friend")] == [
+        n["jose"].id, n["jose"].id,
+    ]
+    engine.run(lambda t: t.remove_related(n["jane"], "friend", n["jose"]))
+    assert engine.read().get_related_list(n["jane"], "friend") == []
+
+
+def test_set_related_replaces(populated):
+    engine, n = populated
+    engine.run(
+        lambda t: t.set_related(n["bob"], "hobby", [n["hiking"]])
+    )
+    t = engine.read()
+    assert [h.id for h in t.get_related_list(n["bob"], "hobby")] == [n["hiking"].id]
+    # inverse view updated too
+    assert [p.id for p in t.get_related_list(n["poker"], "enthusiast")] == [
+        n["jane"].id
+    ]
+
+
+def test_clear_related(populated):
+    engine, n = populated
+    engine.run(lambda t: t.clear_related(n["bob"], "friend"))
+    t = engine.read()
+    assert t.get_related_list(n["bob"], "friend") == []
+    # Jose's inverse no longer sees Bob
+    assert [p.id for p in t.get_related_list(n["jose"], "friendOf")] == [n["jane"].id]
+
+
+def test_delete_node_cascades(populated):
+    # deleteNode patches every neighbor's inverse list (Operations.hs:197-218)
+    # and leaves no dangling edges in any table (§7.4 trap 5)
+    engine, n = populated
+    engine.run(lambda t: t.delete_node(n["jane"]))
+    t = engine.read()
+    assert [p.id for p in t.get_related_list(n["bob"], "friend")] == [n["jose"].id]
+    assert t.get_related(n["bob"], "spouse") is None
+    assert [p.id for p in t.get_related_list(n["poker"], "enthusiast")] == [n["bob"].id]
+    snap = engine.snapshot()
+    for table in engine.schema.edge_tables:
+        df = snap.edge_table(table)
+        assert df.filter(
+            (df.src == n["jane"].id) | (df.dst == n["jane"].id)
+        ).count() == 0
+
+
+def test_cardinality_checked_on_read_not_write(populated):
+    # Nothing stops addRelated from growing Optional past one edge; the
+    # violation surfaces on getRelated (Operations.hs:284-287, §7.4 trap 3)
+    engine, n = populated
+    engine.run(lambda t: t.add_related(n["bob"], "spouse", n["jose"]))
+    t = engine.read()
+    with pytest.raises(CardinalityError):
+        t.get_related(n["bob"], "spouse")
+    assert len(t.get_related_list(n["bob"], "spouse")) == 2
+
+
+def test_cardinality_enforcement_scan(populated):
+    engine, n = populated
+    assert engine.check_cardinality("spouse").count() == 0
+    engine.run(lambda t: t.add_related(n["bob"], "spouse", n["jose"]))
+    bad = engine.check_cardinality("spouse").collect()
+    assert [r["id"] for r in bad] == [n["bob"].id]
+
+
+# -- transaction semantics ------------------------------------------------
+
+def test_atomic_read_modify_write(populated):
+    # lookup + mutation in one txn, one snapshot (app/Main.hs:175-179)
+    engine, n = populated
+
+    def buy(t):
+        people = [p for p in t.all_nodes("Person") if t.get_attribute(p, "name") == "Jose"]
+        objs = [o for o in t.all_nodes("Object") if t.get_attribute(o, "name") == "Trail Map"]
+        t.add_related(people[0], "possession", objs[0])
+    engine.run(buy)
+    t = engine.read()
+    names = [t.get_attribute(o, "name") for o in t.get_related_list(n["jose"], "possession")]
+    assert names == ["Trail Map", "Trekking Poles"]  # prepend order
+
+
+def test_read_your_own_writes_in_txn(engine):
+    def fn(t):
+        a = t.new_node("Person", name="A", age=1)
+        b = t.new_node("Person", name="B", age=2)
+        t.add_related(a, "friend", b)
+        assert t.is_related(a, "friend", b)       # staged edge visible
+        assert t.get_attribute(b, "name") == "B"  # staged node visible
+        t.set_attribute(b, "name", "B2")
+        assert t.get_attribute(b, "name") == "B2"
+        return (a, b)
+    a, b = engine.run(fn)
+    assert engine.read().get_attribute(b, "name") == "B2"
+
+
+def test_conflict_detection(populated):
+    engine, n = populated
+    txn = engine.store.snapshot()
+    from edgy_spark.graph import Transaction
+
+    t1 = Transaction(engine, engine.store.snapshot())
+    t1.set_attribute(n["bob"], "age", 50)
+    # a second txn commits first
+    engine.run(lambda t: t.set_attribute(n["bob"], "age", 60))
+    with pytest.raises(ConflictError):
+        t1._commit()
+    # Engine.run retries and succeeds
+    engine.run(lambda t: t.set_attribute(n["bob"], "age", 70))
+    assert engine.read().get_attribute(n["bob"], "age") == 70
+
+
+def test_snapshot_isolation(populated):
+    engine, n = populated
+    old = engine.snapshot()
+    engine.run(lambda t: t.set_attribute(n["bob"], "age", 99))
+    assert old.nodes("Person").filter("name = 'Bob'").collect()[0]["age"] == 20
+    assert engine.snapshot().nodes("Person").filter("name = 'Bob'").collect()[0]["age"] == 99
+
+
+# -- bag vs set semantics (§7.4 trap 1) -----------------------------------
+
+def test_bag_difference_vs_anti_join(populated):
+    engine, n = populated
+    # give Bob a second Poker hobby edge → needed has duplicate Cards/Chips
+    engine.run(lambda t: t.add_related(n["bob"], "hobby", n["poker"]))
+    snap = engine.snapshot()
+    p = NodeSet.scan(snap, engine.schema, "Person").filter(name="Bob")
+    needed = p.hop("hobby").hop("tool")
+    available = p.hop("friend").hop("possession").union(p.hop("possession"))
+    bag = sorted(needed.minus_bag(available).ids())
+    anti = sorted(needed.anti(available).ids())
+    # bag: one Cards occurrence removed per availability; the duplicate survives
+    assert bag.count(n["cards"].id) == 1
+    assert bag.count(n["chips"].id) == 2
+    # anti: ALL occurrences of available ids removed
+    assert anti.count(n["cards"].id) == 0
+    assert anti.count(n["chips"].id) == 2
