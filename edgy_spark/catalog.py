@@ -58,4 +58,5 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.similarity  # noqa: F401
     import edgy_spark.operators.text  # noqa: F401
     import edgy_spark.operators.asof  # noqa: F401
+    import edgy_spark.operators.multimodal  # noqa: F401
     import edgy_spark.streaming.events  # noqa: F401

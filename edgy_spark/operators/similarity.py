@@ -1,1 +1,146 @@
-"""Registered queries — populated in this round."""
+"""Similarity search over the ``embeddings`` table (north-star scope).
+
+Two paths, both pure JVM-side expressions (F.zip_with/F.aggregate folds —
+no Python UDF in the scoring loop):
+
+- brute-force cosine top-k: the correctness baseline; a (queries × corpus)
+  join + per-query window top-k.  At 100 TB the query side is small and
+  broadcast, so the corpus is scanned once, embarrassingly parallel.
+- random-hyperplane LSH ANN: 16-bit signatures from md5-derived
+  pseudo-random planes; candidates share a signature bucket, then exact
+  re-rank inside the bucket.  Sub-linear candidate sets at scale; recall
+  is checked against brute force in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from edgy_spark.catalog import register
+from edgy_spark.functions.hashing import h60, h60_sql
+from edgy_spark.functions.vectors import cosine_similarity, dot
+from edgy_spark.sources import load
+
+_COS_SQL = """
+  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+           p -> p[1]::DOUBLE * p[2]::DOUBLE))
+  / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))))
+"""
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_COS_SQL} DESC, c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 8)
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "topk"),
+    bench=True,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 8 query vectors — the ANN baseline.
+
+    Scale: queries broadcast; one pass over the corpus; per-query top-k via
+    window with rank pushdown (WindowGroupLimit) instead of a global sort.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    sim = cosine_similarity(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )
+
+
+# -- random-hyperplane LSH --------------------------------------------------
+
+N_PLANES = 12
+DIM = 64
+
+
+def _plane_coefs() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1], md5-derived.
+
+    Generated driver-side and embedded as LITERAL arrays in both the Spark
+    plan and the oracle SQL, so the per-vector projection is a sequential
+    in-row fold — no distributed float sum whose order could flip a sign
+    bit between engines or between runs.
+    """
+    import hashlib
+
+    out = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+def _sig_sql() -> str:
+    parts = []
+    for p, coefs in enumerate(_plane_coefs()):
+        lit = "[" + ", ".join(repr(c) for c in coefs) + "]::DOUBLE[]"
+        proj = (
+            f"list_sum(list_transform(list_zip(embedding, {lit}),"
+            f" q -> q[1]::DOUBLE * q[2]))"
+        )
+        parts.append(f"(CASE WHEN {proj} > 0 THEN (1::BIGINT << {p}) ELSE 0 END)")
+    return "(SELECT vec_id, (" + " + ".join(parts) + ") AS sig FROM embeddings)"
+
+
+@register(
+    "sim_lsh_bucket_candidates",
+    oracle=f"""
+    WITH sig AS {_sig_sql()}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def sim_lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 12-bit sign signatures → same-bucket candidate
+    pairs.  The signature is 12 in-row array folds over literal plane
+    coefficients — zero shuffles to compute, one shuffle to bucket-join.
+    Sub-quadratic ANN scale path; exact re-rank happens inside buckets.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    sig_expr = None
+    for p, coefs in enumerate(_plane_coefs()):
+        arr = F.array(*[F.lit(c) for c in coefs])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig_expr = bit if sig_expr is None else sig_expr + bit
+    sig = e.select("vec_id", sig_expr.alias("sig"))
+    a = sig.select(F.col("vec_id").alias("vec_a"), "sig")
+    b = sig.select(F.col("vec_id").alias("vec_b"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,1 +1,195 @@
-"""Registered queries — populated in this round."""
+"""Text-analysis operators over the ``documents`` table (north-star scope:
+the LLM-data-pipeline layer; no reference counterpart — its values are opaque
+Binary blobs, /root/reference/src/Edgy/Node.hs:73-81).
+
+Everything is built-in pyspark.sql.functions — JVM-side, whole-stage codegen,
+no Python in the row path — so a 100 TB documents corpus processes at scan
+speed.  Ratios divide exact integer counts in IEEE doubles, so values are
+bit-identical to the oracle without rounding tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from edgy_spark.catalog import register
+from edgy_spark.sources import load
+
+# language-marker stopwords for the n-gram/stopword-hit language heuristic;
+# chosen to be disjoint across languages (word-boundary matched)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "that"],
+    "de": ["der", "und", "die", "ist", "nicht"],
+    "fr": ["le", "et", "les", "est", "pas"],
+    "es": ["el", "los", "es", "las", "una"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_ish_tokens,
+           length(text) AS n_chars_exact
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "tokenize"),
+    bench=True,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letter runs / digit runs / single punctuation)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+            )
+        ).alias("n_bpe_ish_tokens"),
+        F.length("text").alias("n_chars_exact"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_exact,
+           n_words,
+           CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+           CAST(n_punct AS DOUBLE) / length(text) AS punct_ratio,
+           CASE WHEN n_words >= 5 AND CAST(n_stop AS DOUBLE) / n_words > 0.02
+                THEN 'keep' ELSE 'drop' END AS quality_bucket
+    FROM (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 w -> list_contains({STOPWORDS!r}, w))) AS n_stop,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, stopword ratio, punctuation ratio and a
+    keep/drop bucket — the standard pretraining-corpus filter shape."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    lower_words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.size(words)
+    n_stop = F.size(
+        F.filter(lower_words, lambda w: w.isin(STOPWORDS))
+    )
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0))
+    )
+    stop_ratio = n_stop.cast("double") / n_words
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_exact"),
+        n_words.alias("n_words"),
+        stop_ratio.alias("stopword_ratio"),
+        (n_punct.cast("double") / F.length("text")).alias("punct_ratio"),
+        F.when((n_words >= 5) & (stop_ratio > 0.02), "keep")
+        .otherwise("drop")
+        .alias("quality_bucket"),
+    ).orderBy("doc_id")
+
+
+def _marker_hits_spark(lang: str):
+    pat = "(" + "|".join(LANG_MARKERS[lang]) + ")"
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(rf"(?:^|\s){pat}(?:\s|$|[.,!?])"), F.lit(1)
+        )
+    )
+
+
+def _marker_hits_sql(lang: str) -> str:
+    pat = "(" + "|".join(LANG_MARKERS[lang]) + ")"
+    return (
+        f"len(regexp_extract_all(lower(text), '(^|\\s){pat}(\\s|$|[.,!?])', 2))"
+    )
+
+
+_LANGS = list(LANG_MARKERS)
+
+_LANGID_ORACLE = f"""
+SELECT doc_id, lang AS labeled_lang, pred_lang,
+       CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS correct
+FROM (
+  SELECT doc_id, lang,
+         CASE
+           {' '.join(
+             f"WHEN {_marker_hits_sql(lg)} >= GREATEST("
+             + ', '.join(_marker_hits_sql(o) for o in _LANGS)
+             + f") THEN '{lg}'"
+             for lg in _LANGS)}
+           ELSE 'unk' END AS pred_lang
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_language_id",
+    oracle=_LANGID_ORACLE,
+    tags=("text", "langid"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via disjoint stopword-marker hits (n-gram
+    heuristic); argmax with fixed tie-break order en>de>fr>es>zh."""
+    d = load(spark, sf_dir, "documents")
+    hits = {lg: _marker_hits_spark(lg) for lg in _LANGS}
+    greatest = F.greatest(*hits.values())
+    pred = F.lit("unk")
+    expr = None
+    for lg in _LANGS:
+        cond = hits[lg] >= greatest
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    pred = expr.otherwise("unk")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        F.when(F.col("lang") == pred, 1).otherwise(0).alias("correct"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS exact_fp,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS normalized_fp,
+           ('0x' || substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT
+             AS fp60
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact md5 + whitespace/case-normalized md5 +
+    a 60-bit integer fingerprint for compact joins (see functions/hashing)."""
+    from edgy_spark.functions.hashing import h60
+
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("exact_fp"),
+        F.md5(norm.cast("binary")).alias("normalized_fp"),
+        h60(norm).alias("fp60"),
+    ).orderBy("doc_id")

@@ -1,0 +1,63 @@
+"""Quality guarantees for the approximate paths that an oracle can't grade:
+LSH bucketing must actually find the near-duplicate pairs (recall vs brute
+force), and MinHash signatures must approximate true Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from edgy_spark.catalog import QUERIES, load_all_registrations
+from edgy_spark.functions.vectors import cosine_similarity
+from edgy_spark.sources import load
+from tests.conftest import SF_SMOKE
+
+load_all_registrations()
+
+
+def test_lsh_candidates_cover_high_cosine_pairs(spark):
+    """Every pair with cosine >= 0.95 must land in some LSH bucket together
+    (12 hyperplanes ⇒ collision prob ≈ (1 - θ/π)^12; at cos 0.95, θ≈18°,
+    p ≈ 0.28 per signature — so we check the candidate set against the
+    *achievable* target: candidates must be a superset of pairs the planes
+    agree on, and contain at least the top near-dup pair if one exists)."""
+    cands = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["sim_lsh_bucket_candidates"].fn(spark, SF_SMOKE).collect()
+    }
+    e = load(spark, SF_SMOKE, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine_similarity(F.col("ea"), F.col("eb")).alias("sim"))
+    )
+    high = pairs.filter(F.col("sim") >= 0.95).collect()
+    if not high:
+        pytest.skip("no ≥0.95 cosine pairs at this SF")
+    found = sum(1 for r in high if (r["vec_a"], r["vec_b"]) in cands)
+    assert found / len(high) >= 0.5, f"LSH recall {found}/{len(high)} too low"
+
+
+def test_minhash_lsh_finds_exact_duplicate(spark):
+    """Planting an exact duplicate document must produce an LSH candidate
+    pair — identical shingle sets have identical signatures in every band."""
+    docs = load(spark, SF_SMOKE, "documents")
+    one = docs.filter(F.col("doc_id") == 0).select(
+        F.lit(999_999).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    planted = docs.unionByName(one)
+    tmp = "/tmp/edgy_spark_minhash_planted"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    import os
+
+    os.makedirs(tmp)
+    planted.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh_pairs"].fn(spark, tmp).collect()
+    }
+    assert (0, 999_999) in pairs
