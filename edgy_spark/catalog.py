@@ -53,6 +53,7 @@ def register(
 def load_all_registrations() -> None:
     """Import every module that registers queries (idempotent)."""
     import edgy_spark.operators.relational  # noqa: F401
+    import edgy_spark.operators.tpch_more  # noqa: F401
     import edgy_spark.operators.graph_queries  # noqa: F401
     import edgy_spark.operators.dedup  # noqa: F401
     import edgy_spark.operators.similarity  # noqa: F401

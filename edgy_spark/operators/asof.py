@@ -176,8 +176,8 @@ def range_join_signup_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sessions AS (
       SELECT user_id, ts, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM flagged)
     SELECT user_id, session_no,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

@@ -302,7 +302,7 @@ N_SIMHASH_BITS = 32
       FROM h, (SELECT unnest(range({N_SIMHASH_BITS})) AS i) b
       GROUP BY doc_id, b.i)
     SELECT doc_id,
-           SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id ORDER BY doc_id
     """,
     tags=("dedup", "simhash"),

@@ -71,14 +71,22 @@ def decode_features(media_df: DataFrame) -> DataFrame:
     """mapInPandas decode: binary → (doc_id, n_bytes, content_md5, width,
     height).  Arrow-batched; one Python roundtrip for the whole pipeline."""
 
+    # NOTE: the closure must be self-contained (no references to module-level
+    # edgy_spark functions): cloudpickle serializes those by reference, and
+    # Spark's Python workers don't have edgy_spark on sys.path when the
+    # driver runs from outside the repo.
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        def fake_dims(md5_hex: str) -> tuple[int, int]:
+            h = int(md5_hex[:15], 16)
+            return (h % 640 + 1, (h // 640) % 480 + 1)
 
         for pdf in batches:
             digests = [
                 hashlib.md5(bytes(p)).hexdigest() for p in pdf["media"]
             ]
-            dims = [_fake_dims(d) for d in digests]
+            dims = [fake_dims(d) for d in digests]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
