@@ -55,6 +55,7 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.relational  # noqa: F401
     import edgy_spark.operators.tpch_more  # noqa: F401
     import edgy_spark.operators.graph_queries  # noqa: F401
+    import edgy_spark.operators.graph_algos  # noqa: F401
     import edgy_spark.operators.dedup  # noqa: F401
     import edgy_spark.operators.similarity  # noqa: F401
     import edgy_spark.operators.text  # noqa: F401
