@@ -60,15 +60,27 @@ _UND_CTES = f"""
 
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical (src < dst) co-purchase edges over parts."""
+    """Canonical (src < dst) co-purchase edges over parts.
+
+    Posting-list formulation (same shape as the dedup pair generator): ONE
+    scan of lineitem, one shuffle to group parts per order, pairs exploded
+    from each order's list.  A self-join would scan and shuffle the fact
+    table twice; per-order lists are bounded by order size, so the explode
+    cannot blow up.
+    """
     l = (
         load(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= QTY_THRESHOLD)
         .select("l_orderkey", "l_partkey")
     )
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    return a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    per_order = l.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    return (
+        per_order.filter(F.size("parts") >= 2)
+        .select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
 
 
 def undirect(edges: DataFrame) -> DataFrame:
@@ -78,48 +90,96 @@ def undirect(edges: DataFrame) -> DataFrame:
     )
 
 
+# Vertex-state partition count for iteration steps.  The co-purchase graph
+# is orders of magnitude smaller than the fact table it derives from, so the
+# default shuffle width would schedule mostly-empty tasks each round; at
+# cluster scale this should be sized ~ |V| / target-partition-rows (AQE
+# coalescing achieves the same effect on the shuffle side).
+ITER_PARTITIONS = 8
+
+
 def _checkpoint(df: DataFrame) -> DataFrame:
-    """Materialize iteration state and truncate lineage."""
-    return df.localCheckpoint(eager=True)
+    """Materialize iteration state (few partitions) and truncate lineage."""
+    return df.coalesce(ITER_PARTITIONS).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
 # Connected components (hash-min label propagation)
 # ---------------------------------------------------------------------------
 
-def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def _hint(df: DataFrame, broadcast_state: bool) -> DataFrame:
+    """Broadcast hint for vertex-state joins.
+
+    Checkpointed DataFrames lose Catalyst size statistics (a LogicalRDD
+    reports the default huge sizeInBytes), so WITHOUT an explicit hint every
+    per-round join becomes a full shuffle exchange of a few-thousand-row
+    state — stage latency, not data volume, then dominates the loop.  The
+    derived graph here is orders of magnitude smaller than its source fact
+    table, so broadcasting is right; for a graph whose vertex state exceeds
+    executor memory pass ``broadcast_state=False`` to fall back to shuffled
+    hash joins (the message pattern is identical).
+    """
+    return F.broadcast(df) if broadcast_state else df
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 30, broadcast_state: bool = True
+) -> DataFrame:
     """(node, component) with component = min node id in the component.
 
-    Hash-min: every node repeatedly adopts the smallest label among itself
-    and its neighbors; fixpoint in O(diameter) rounds, detected by an
-    empty change-set.
+    Hash-min with pointer jumping: each round every node adopts the
+    smallest label among itself and its neighbors (hash-min, O(diameter)
+    alone), then follows its label's OWN label one step (path compression).
+    Labels only ever decrease toward the component minimum, so the fixpoint
+    is unchanged, but long chains collapse exponentially — rounds scale
+    ~O(log diameter), the same effect the large-star/small-star algorithm
+    achieves.  Fixpoint detected by an empty change-set.
     """
-    und = undirect(edges).persist()
+    und = _checkpoint(undirect(edges)).persist()
     labels = (
         und.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     )
     labels = _checkpoint(labels)
-    for _ in range(max_iter):
+
+    def step(lbl: DataFrame) -> DataFrame:
         nbr_min = (
-            und.join(labels, und.src == labels.node)
+            und.join(_hint(lbl, broadcast_state), und.src == lbl.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
+        cand = (
+            lbl.select("node", "label")
+            .join(_hint(nbr_min, broadcast_state), "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
             )
         )
-        new_labels = _checkpoint(new_labels)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
+        # pointer jumping: label <- label(label); the parent lookup uses the
+        # input round's labels, which is sound because any label value is
+        # an upper bound of its own component minimum.
+        parent = lbl.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
+        return (
+            cand.join(_hint(parent, broadcast_state), cand.label == F.col("p_node"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("p_label", F.col("label"))).alias("label"),
+            )
         )
-        labels = new_labels
+
+    for _ in range(max_iter):
+        # two propagation steps per materialization round: halves the
+        # checkpoint + convergence-check overhead per label hop, which
+        # dominates when the vertex state is small
+        old = labels.select("node", F.col("label").alias("old"))
+        new_labels = (
+            step(step(labels)).join(_hint(old, broadcast_state), "node")
+            .select("node", "label", (F.col("label") != F.col("old")).alias("chg"))
+        )
+        new_labels = _checkpoint(new_labels)
+        # change detection on the already-materialized state — no extra join
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     und.unpersist()
@@ -154,7 +214,9 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 BFS_MAX_DEPTH = 12
 
 
-def bfs_distances(edges: DataFrame, max_depth: int = BFS_MAX_DEPTH) -> DataFrame:
+def bfs_distances(
+    edges: DataFrame, max_depth: int = BFS_MAX_DEPTH, broadcast_state: bool = True
+) -> DataFrame:
     """(node, dist) minimum hop counts from the smallest node id in the
     graph; nodes unreachable within max_depth are omitted.
 
@@ -163,7 +225,7 @@ def bfs_distances(edges: DataFrame, max_depth: int = BFS_MAX_DEPTH) -> DataFrame
     oracle's depth-capped recursive CTE; a converged (unchanged) state is
     a fixpoint, so stopping early cannot change the result.
     """
-    und = undirect(edges).persist()
+    und = _checkpoint(undirect(edges)).persist()
     source = und.agg(F.min("src").alias("s"))
     dist = (
         und.select(F.col("src").alias("node")).distinct()
@@ -174,10 +236,13 @@ def bfs_distances(edges: DataFrame, max_depth: int = BFS_MAX_DEPTH) -> DataFrame
     prev_reached = 1
     for _ in range(max_depth):
         cand = (
-            und.join(dist, und.src == dist.node)
+            und.join(_hint(dist, broadcast_state), und.src == dist.node)
             .groupBy(F.col("dst").alias("node"))
             .agg((F.min("dist") + 1).alias("cand"))
         )
+        # full outer keeps both already-settled and newly-reached nodes;
+        # full outer cannot broadcast, but both sides are post-aggregation
+        # state-sized so this is the round's one small shuffle
         dist = (
             dist.join(cand, "node", "full_outer")
             .select(
@@ -223,7 +288,9 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PageRank (scaled-integer, undirected)
 # ---------------------------------------------------------------------------
 
-def pagerank_scaled(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+def pagerank_scaled(
+    edges: DataFrame, iters: int = PR_ITERS, broadcast_state: bool = True
+) -> DataFrame:
     """(node, rank) after ``iters`` synchronous PageRank rounds with
     damping 0.85, in BIGINT units of 1/PR_SCALE.
 
@@ -233,7 +300,7 @@ def pagerank_scaled(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     is independent of partitioning AND matches the oracle's unrolled SQL
     exactly — the reason this engine's PageRank is scaled-integer.
     """
-    und = undirect(edges).persist()
+    und = _checkpoint(undirect(edges)).persist()
     verts = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     n_df = verts.agg(F.count(F.lit(1)).alias("n"))
     state = (
@@ -244,13 +311,13 @@ def pagerank_scaled(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     for _ in range(iters):
         contrib = state.select(F.col("node").alias("cnode"), F.expr("rank div deg").alias("c"))
         msgs = (
-            und.join(contrib, und.src == F.col("cnode"))
+            und.join(_hint(contrib, broadcast_state), und.src == F.col("cnode"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("s"))
         )
         state = (
             state.drop("rank")
-            .join(msgs, "node", "left")
+            .join(_hint(msgs, broadcast_state), "node", "left")
             .select(
                 "node", "deg", "n",
                 (
