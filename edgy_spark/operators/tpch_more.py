@@ -743,3 +743,201 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("p_partkey"), to_dbl(F.col("v")).alias("part_value"))
         .orderBy(F.desc("part_value"), F.asc("p_partkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: multi-join profit by nation and year
+# ---------------------------------------------------------------------------
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(ROUND(SUM(
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(6,4)))
+             - CAST(p_retailprice AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(0.5 AS DECIMAL(1,1))
+           ), 2) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY n_name, o_year DESC
+    """,
+    tags=("join", "aggregation"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on one product family by supplier nation and
+    order year (partsupp absent — cost is modeled as half the part's retail
+    price per unit, keeping the 5-way join + signed-measure aggregation).
+
+    Scale: part/supplier/nation broadcast (part is pre-filtered by the name
+    predicate, pushed to its scan); the one wide shuffle is
+    lineitem ⋈ orders on orderkey, then a narrow (nation, year) agg with
+    map-side partials.  Profit stays exact-decimal end to end.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    half = F.lit(0.5).cast("decimal(1,1)")
+    profit = _rev() - _dec2("p_retailprice") * _dec2("l_quantity") * half
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(to_dbl(F.sum(profit)).alias("profit"))
+        .orderBy(F.asc("n_name"), F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: top supplier via scalar-MAX subquery
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, SUM({_REV}) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON l_suppkey = s_suppkey
+    WHERE total = (SELECT MAX(total) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    tags=("subquery", "aggregation"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue,
+    compared in exact decimal so ties and equality are bit-reproducible.
+
+    Scale: ONE suppkey aggregation feeds both the per-supplier revenue and
+    the 1-row MAX, which broadcasts back; supplier broadcasts for the name
+    lookup.  No second lineitem scan.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total"))
+    mx = rev.agg(F.max("total").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", to_dbl(F.col("total")).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: NOT IN anti-join + COUNT(DISTINCT)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("anti-join", "distinct-aggregation"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part class, excluding
+    a blacklist of suppliers via NOT IN (the supplier link is lineitem —
+    partsupp is absent; negative account balance plays "complaints").
+
+    Scale: the blacklist and the filtered part dim both broadcast (anti +
+    inner); COUNT(DISTINCT) expands to a two-phase agg on (class, suppkey)
+    — partial dedup map-side, so the wide shuffle carries pre-deduped keys.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: nested aggregate semi-join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q20_excess_shippers",
+    oracle="""
+    WITH pq AS (
+      SELECT l_suppkey,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                      THEN CAST(l_quantity AS DECIMAL(12,2))
+                      ELSE CAST(0 AS DECIMAL(1,0)) END) AS qty97,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red %'
+      GROUP BY l_suppkey, l_partkey)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier JOIN pq ON l_suppkey = s_suppkey
+    WHERE 2 * qty97 > total_qty AND qty97 > 0 AND s_nationkey < 10
+    ORDER BY s_suppkey
+    """,
+    tags=("semi-join", "subquery"),
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who concentrated more than half of their
+    all-time shipments of a part family into one year (partsupp absent —
+    the availqty>half-of-shipped predicate becomes year-share-of-shipped),
+    semi-joined against a nation filter.
+
+    Scale: conditional + total SUM come from ONE (suppkey, partkey) agg of
+    the part-filtered fact (part broadcasts); the share predicate is
+    division-free exact decimal; the qualifying suppkeys collapse via
+    DISTINCT before a broadcast join to supplier.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("red %"))
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 10)
+    qty = _dec2("l_quantity")
+    in97 = (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    pq = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in97, qty).otherwise(F.lit(0).cast("decimal(1,0)"))).alias("qty97"),
+            F.sum(qty).alias("total_qty"),
+        )
+        .filter((F.lit(2) * F.col("qty97") > F.col("total_qty")) & (F.col("qty97") > 0))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(pq, s.s_suppkey == pq.l_suppkey)
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
