@@ -62,3 +62,4 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.asof  # noqa: F401
     import edgy_spark.operators.multimodal  # noqa: F401
     import edgy_spark.streaming.events  # noqa: F401
+    import edgy_spark.streaming.stateful  # noqa: F401

@@ -1,0 +1,151 @@
+"""Custom stateful streaming operator: per-user threshold-crossing detector.
+
+The reference has no streaming at all (its whole surface is the 12 STM
+operations, /root/reference/src/Edgy.hs:12-46); this is north-star scope —
+the "custom stateful operator" row of SURVEY.md §2.3, realized the idiomatic
+Structured-Streaming way: ``applyInPandasWithState`` with an explicit,
+bounded per-key state schema.
+
+Semantics: for each user, emit ONE row at the first event where the user's
+cumulative ``value`` reaches THRESHOLD.  This is deliberately not expressible
+as a windowed aggregation — it needs ordered per-key running state that
+survives across micro-batches — which is exactly what the GroupState API is
+for.
+
+Both forms exist with the same semantics:
+
+- ``stream_first_threshold_crossing`` — batch form (window cumsum), oracle-
+  checked by the driver against DuckDB;
+- ``threshold_crossing_stream`` — the stateful streaming form, asserted
+  equal to the batch form in tests/test_streaming.py, including a 2-batch
+  replay that proves state carries across micro-batches.
+
+Exactness: cumulative sums are kept in integer cents (int64) in the stream
+and DECIMAL(18,2) in batch/oracle — bit-identical, order-independent per
+the engine's exact-decimal convention (functions/exact.py).
+
+Scale: state is one (int64, bool) pair per user — ~17 bytes/key, so 1e9
+users ≈ 17 GB spread across the cluster's state stores; the shuffle is the
+same single exchange on user_id a session-window would need.  Once a key
+crosses, its state stops changing; a production variant would add a state
+TTL (GroupStateTimeout) to retire idle keys — kept NoTimeout here so the
+batch equivalence is exact.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from edgy_spark.catalog import register
+from edgy_spark.functions.exact import dec, to_dbl
+from edgy_spark.sources import load
+
+THRESHOLD = 1000  # cumulative `value` units that trigger the crossing event
+
+
+@register(
+    "stream_first_threshold_crossing",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, ts,
+             SUM(CAST(value AS DECIMAL(18,2))) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM events)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS cross_ts,
+           CAST(ROUND(MIN(cum), 2) AS DOUBLE) AS cum_at_cross
+    FROM c WHERE cum >= {THRESHOLD}
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_first_threshold_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful operator: first event per user whose
+    running total reaches THRESHOLD.
+
+    ``value`` is strictly positive in this dataset, so the cumulative sum is
+    strictly increasing per user and MIN(ts)/MIN(cum) over crossed rows are
+    exactly the first crossing — no argmin needed, which keeps the reduction
+    a plain (map-side-partial) MIN in both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select("user_id", "ts", F.sum(dec("value", 2, 18)).over(w).alias("cum"))
+        .filter(F.col("cum") >= THRESHOLD)
+        .groupBy("user_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("cross_ts"),
+            to_dbl(F.min("cum")).alias("cum_at_cross"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_OUT_SCHEMA = "user_id long, cross_ts string, cum_at_cross double"
+_STATE_SCHEMA = "cum_cents long, crossed boolean"
+
+
+def _detect_crossings(
+    key: Tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user GroupState function (runs inside an Arrow-batched worker).
+
+    State = (cumulative value in integer cents, crossed flag).  Within a
+    micro-batch events are sorted by (ts, event_id); across batches the
+    replayed source delivers per-user time order (test harness guarantee —
+    a production deployment would put a watermark+sort upstream or accept
+    bounded disorder).
+    """
+    import numpy as np
+
+    cum, crossed = (state.get if state.exists else (0, False))
+    for pdf in pdf_iter:
+        if crossed or pdf.empty:
+            # still must drain the iterator and fold the sum so a late
+            # restart resumes with the true total
+            cents = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
+            cum += int(cents.sum())
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cents = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
+        running = cum + cents.cumsum()
+        cum = int(running[-1]) if len(running) else cum
+        hits = np.nonzero(running >= THRESHOLD * 100)[0]
+        if len(hits):
+            i = int(hits[0])
+            crossed = True
+            ts = pdf["ts"].iloc[i]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "cross_ts": [ts.strftime("%Y-%m-%d %H:%M:%S")],
+                    "cum_at_cross": [running[i] / 100.0],
+                }
+            )
+    state.update((cum, crossed))
+
+
+def threshold_crossing_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming form: one output row per user at the micro-batch
+    where their running total first reaches THRESHOLD."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _detect_crossings,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -45,3 +45,71 @@ def test_session_stream_equals_batch(spark):
     want = QUERIES["stream_session_windows"].fn(spark, SF_SMOKE)
     cols = ["user_id", "session_start", "n_events"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def _run_append_stream(spark, stream_df, name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_stateful_threshold_stream_equals_batch(spark):
+    from edgy_spark.streaming.stateful import threshold_crossing_stream
+
+    stream = threshold_crossing_stream(read_events_stream(spark, SF_SMOKE))
+    got = _run_append_stream(spark, stream, "threshold_test")
+    want = QUERIES["stream_first_threshold_crossing"].fn(spark, SF_SMOKE)
+    cols = ["user_id", "cross_ts", "cum_at_cross"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stateful_state_survives_micro_batches(spark, tmp_path):
+    """Split the events into three time-ordered files replayed one per
+    micro-batch: most users cross mid-replay, so a correct result REQUIRES
+    the cumulative state to carry across batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from edgy_spark.sources import load
+    from edgy_spark.streaming.stateful import threshold_crossing_stream
+
+    ev = load(spark, SF_SMOKE, "events").orderBy("ts", "event_id")
+    rows = ev.collect()
+    cuts = [len(rows) // 5, (2 * len(rows)) // 5, len(rows)]
+    stream_dir = str(tmp_path / "events_stream")
+    os.makedirs(stream_dir)
+    start = 0
+    for i, end in enumerate(cuts):
+        chunk = spark.createDataFrame(rows[start:end], ev.schema)
+        part = str(tmp_path / f"chunk{i}")
+        chunk.coalesce(1).write.parquet(part)
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(stream_dir, f"{i:03d}.parquet")
+        os.rename(os.path.join(part, src), dst)
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+        start = end
+
+    schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    got = _run_append_stream(
+        spark, threshold_crossing_stream(stream), "threshold_multibatch_test"
+    )
+    # sanity: the replay really was incremental — some user crossed after
+    # the first cut (cum at cut1 < THRESHOLD for at least one emitted user)
+    want = QUERIES["stream_first_threshold_crossing"].fn(spark, SF_SMOKE)
+    cols = ["user_id", "cross_ts", "cum_at_cross"]
+    assert _rows(got, cols) == _rows(want, cols)
+    first_cut_ts = rows[cuts[0] - 1]["ts"]
+    late = [r for r in want.collect() if r["cross_ts"] > str(first_cut_ts)]
+    assert late, "test split too late: every user crossed in micro-batch 1"
