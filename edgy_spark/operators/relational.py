@@ -610,3 +610,91 @@ def priciest_parts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("p_partkey", "p_name", "p_retailprice").orderBy(
         F.desc("p_retailprice"), F.asc("p_partkey")
     ).limit(15)
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (explicit set list, distinct from cube/rollup above)
+# ---------------------------------------------------------------------------
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY gid, returnflag, linestatus
+    """,
+    tags=("aggregation", "grouping-sets"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-returnflag, per-linestatus, and grand
+    totals in ONE pass (cube/rollup are the degenerate cases; this is the
+    general form).
+
+    Scale: Catalyst expands the sets via Expand (3 rows per input row
+    pre-aggregation, combined map-side), so the fact table is scanned once
+    — vs 3 scans for the UNION ALL equivalent.  grouping() disambiguates
+    real NULL group keys from roll-up rows.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [[F.col("l_returnflag")], [F.col("l_linestatus")], []],
+            F.col("l_returnflag"), F.col("l_linestatus"),
+        )
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+            to_dbl(F.sum(_dec2("l_extendedprice"))).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "gid", "revenue",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions: lag / lead / ntile
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+    SELECT o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           date_diff('day',
+                     LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS days_since_prev,
+           NTILE(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS recency_quartile
+    FROM orders
+    WHERE o_custkey < 200
+    ORDER BY o_custkey, order_date, days_since_prev
+    """,
+    tags=("window", "analytic"),
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer inter-order gaps (LAG) and order-recency quartiles
+    (NTILE) — the analytic-window family the ranking/cumsum queries above
+    don't touch.
+
+    Scale: one shuffle on custkey serves both window functions (same
+    partitioning + ordering); the custkey filter pushes to the scan.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+            F.ntile(4).over(w).alias("recency_quartile"),
+        )
+        .orderBy("o_custkey", "order_date", "days_since_prev")
+    )
