@@ -1,0 +1,119 @@
+"""Generic source/sink surface: parquet / CSV / JSON readers and writers.
+
+The reference's only "source/sink" is its write-behind file persistence
+(/root/reference/app/Main.hs:163-164 via persistent-stm); queries never
+leave the host program.  A Spark engine needs a real IO boundary, so this
+module defines it once:
+
+- ``read_table`` — format-dispatched reader returning a lazy DataFrame.
+  Parquet is the native path (columnar, predicate/column pushdown, the
+  TIMESTAMP(NANOS) legacy flag the driver's fixtures need).  CSV/JSON take
+  an explicit schema by default — schema inference is a full extra pass
+  over the data, which at 100 TB is a job in itself (``infer=True`` opts
+  in for exploration).
+- ``write_table`` — sink with Hive-style ``partition_by`` layout; readers
+  of a partitioned layout get partition pruning for free (the partition
+  column moves into directory names).
+- ``write_bucketed`` — pre-shuffled, sorted bucket layout registered in the
+  session catalog.  Two tables bucketed on the same key with the same
+  bucket count join WITHOUT an exchange (tests/test_io.py pins the
+  no-Exchange plan) — at 100 TB this converts every recurring fact-fact
+  join on the bucket key from a full shuffle into a local zip of sorted
+  buckets, the single biggest repeated-cost saving this engine offers.
+
+Parquet files are written zstd-compressed (session default) and should be
+sized by tuning ``spark.sql.files.maxPartitionBytes`` at read and AQE
+coalescing at write — not by hand-picking file counts.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+__all__ = ["read_table", "write_table", "write_bucketed"]
+
+_FORMATS = ("parquet", "csv", "json")
+
+
+def _check_format(fmt: str) -> None:
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {_FORMATS}")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """Read ``path`` as a DataFrame.  CSV/JSON require ``schema`` unless
+    ``infer=True`` (inference is an extra full scan — fine for exploration,
+    wrong as a pipeline default)."""
+    _check_format(fmt)
+    if fmt == "parquet":
+        # the driver's fixtures carry TIMESTAMP(NANOS); map to long→ts like
+        # sources.tables.load does for any parquet written that way
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+    if schema is None and not infer:
+        raise ValueError(f"{fmt} read needs an explicit schema (or infer=True)")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        return reader.option("header", "true").option(
+            "inferSchema", str(infer and schema is None).lower()
+        ).csv(path)
+    return reader.json(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Write ``df`` to ``path``; ``partition_by`` produces Hive-style
+    ``col=value`` directories so downstream filters on those columns prune
+    whole directories instead of reading files."""
+    _check_format(fmt)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` bucketed (and optionally sorted) on ``bucket_cols``
+    as session-catalog table ``table``.
+
+    Join two tables bucketed on the same key with equal ``n_buckets`` and
+    Catalyst plans a SortMergeJoin with NO Exchange on either side — the
+    shuffle was paid once at write time.  Pick ``n_buckets`` so one bucket
+    of the LARGER table fits an executor core's working memory at target
+    scale (e.g. 100 TB / 4096 buckets ≈ 25 GB per bucket pre-compression).
+    """
+    writer = df.write.mode(mode).bucketBy(int(n_buckets), *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)

@@ -1,0 +1,87 @@
+"""Source/sink round-trips and the bucketed no-shuffle join guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edgy_spark.sources import load
+from edgy_spark.sources.io import read_table, write_bucketed, write_table
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, tmp_path):
+    ev = load(spark, SF_SMOKE, "events").select("event_id", "event_type", "value")
+    path = str(tmp_path / "ev_parquet")
+    write_table(ev, path, "parquet", partition_by=["event_type"])
+    back = read_table(spark, path)
+    assert _rows(back, ["event_id", "event_type", "value"]) == _rows(
+        ev, ["event_id", "event_type", "value"]
+    )
+    # partition pruning: a filter on the partition column reads a subset
+    pruned = read_table(spark, path).filter(F.col("event_type") == "click")
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    ev = load(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "ev_csv")
+    write_table(ev, path, "csv")
+    back = read_table(spark, path, "csv", schema="event_id long, user_id long, value double")
+    assert _rows(back, ["event_id", "user_id", "value"]) == _rows(
+        ev, ["event_id", "user_id", "value"]
+    )
+
+
+def test_csv_requires_schema(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="schema"):
+        read_table(spark, str(tmp_path), "csv")
+
+
+def test_json_roundtrip(spark, tmp_path):
+    ev = load(spark, SF_SMOKE, "events").select("event_id", "event_type")
+    path = str(tmp_path / "ev_json")
+    write_table(ev, path, "json")
+    back = read_table(spark, path, "json", schema="event_id long, event_type string")
+    assert _rows(back, ["event_id", "event_type"]) == _rows(ev, ["event_id", "event_type"])
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key → SortMergeJoin with zero
+    Exchange operators: the shuffle was paid at write time."""
+    o = load(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "t_orders_b", ["o_orderkey"], 4, sort_cols=["o_orderkey"],
+                   path=str(tmp_path / "orders_b"))
+    write_bucketed(l, "t_lineitem_b", ["l_orderkey"], 4, sort_cols=["l_orderkey"],
+                   path=str(tmp_path / "lineitem_b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at test scale both sides fit the broadcast threshold, which would
+        # mask the bucketing; at real scale neither side broadcasts
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        ob = spark.table("t_orders_b")
+        lb = spark.table("t_lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and it still computes the right thing
+        expected = o.join(l, o.o_orderkey == l.l_orderkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
