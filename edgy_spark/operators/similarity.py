@@ -144,3 +144,112 @@ def sim_lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
     )
+
+
+# -- IVF (inverted-file) ANN ------------------------------------------------
+
+K_CELLS = 16   # coarse cells; production: sqrt(N) k-means centroids
+N_PROBE = 4    # cells searched per query
+N_QUERIES = 8
+TOP_K = 10
+
+
+def _cos2(x: str, y: str) -> str:
+    return f"""
+      list_sum(list_transform(list_zip({x}, {y}), p -> p[1]::DOUBLE * p[2]::DOUBLE))
+      / (sqrt(list_sum(list_transform({x}, v -> v::DOUBLE * v::DOUBLE)))
+         * sqrt(list_sum(list_transform({y}, v -> v::DOUBLE * v::DOUBLE))))
+    """
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cell, embedding AS cemb FROM embeddings WHERE vec_id < {K_CELLS}),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos2('e.embedding', 'c.cemb')} DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_cos2('q.embedding', 'c.cemb')} DESC, c.cell) AS rn
+        FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < {N_QUERIES}) WHERE rn <= {N_PROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_cos2('q.embedding', 'n.embedding')} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                ORDER BY {_cos2('q.embedding', 'n.embedding')} DESC,
+                                         a.vec_id) AS rank
+      FROM probe p
+      JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings n ON n.vec_id = a.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM scored WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k: coarse-quantize the corpus into K_CELLS cells,
+    search only each query's N_PROBE nearest cells, exact cosine re-rank
+    inside them.
+
+    Cells here are seeded deterministically by the first K_CELLS vectors
+    (so the whole pipeline — assignment, probing, ranking — is replicated
+    bit-for-bit in the oracle); a production deployment would swap in
+    k-means centroids without touching the query path.
+
+    Scale: centroids broadcast everywhere.  Cell assignment is a broadcast
+    nested-loop + map-side partial max_by — the ONE wide shuffle carries a
+    single (vec_id, cell) row per vector.  Queries probe N_PROBE/K_CELLS
+    of the corpus (~25% here; ~sqrt(N) cells at production K), making the
+    scan per query sub-linear — the classic IVF trade: recall vs probes is
+    checked in tests/test_similarity.py.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cemb")
+    )
+    cs = cosine_similarity(F.col("embedding"), F.col("cemb"))
+    # argmax(cos, tie -> smallest cell) via struct-ordered max_by: same
+    # selection the oracle's ROW_NUMBER(ORDER BY cos DESC, cell) makes
+    asg = (
+        e.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(cs.alias("cs"), (-F.col("cell")).alias("nc"))
+            ).alias("cell")
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    qcs = cosine_similarity(F.col("qemb"), F.col("cemb"))
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cell"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qemb", "cell", qcs.alias("qc"))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qemb", "cell")
+    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nemb"))
+    sim = cosine_similarity(F.col("qemb"), F.col("nemb"))
+    wrank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probe)
+        .join(asg.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(n, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

@@ -61,3 +61,14 @@ def test_minhash_lsh_finds_exact_duplicate(spark):
         for r in QUERIES["dedup_minhash_lsh_pairs"].fn(spark, tmp).collect()
     }
     assert (0, 999_999) in pairs
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with N_PROBE/K_CELLS = 1/4 of the corpus must keep high recall
+    against the exact top-k (measured 0.90 on the fixtures)."""
+    from edgy_spark.operators.similarity import sim_bruteforce_topk, sim_ivf_topk
+    from tests.conftest import SF_SMOKE
+
+    bf = {(r.query_id, r.neighbor_id) for r in sim_bruteforce_topk(spark, SF_SMOKE).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in sim_ivf_topk(spark, SF_SMOKE).collect()}
+    assert len(bf & ivf) / len(bf) >= 0.8
