@@ -220,53 +220,53 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sub-quadratic at scale: only docs sharing a band bucket ever meet.
     The k=16 family derives from TWO md5 hashes per shingle via double
-    hashing (h1 + i*h2 mod 2^60) — 2 md5s per shingle instead of 16.  The
-    per-i values come from a 16-way explode of narrow (doc_id, h1, h2) rows
-    with per-(doc, i) map-side partial min: small codegen units that JIT
-    well.  (A single groupBy with 16 min(pmod(..)) aggregates is one giant
-    generated method — measured 2x slower cold AND warm.)  Pairs come from
-    bucket posting lists, so the signature pipeline executes once (a
-    self-join would run it twice).  Bit-reproducible in the oracle
-    end-to-end.
+    hashing (h1 + i*h2 mod 2^60) — 2 md5s per shingle instead of 16 — and
+    the ENTIRE signature is computed in-row (array_min over zip_with of the
+    per-shingle hash arrays): zero shuffles and zero row explosion before
+    band bucketing, vs 16x explode + (doc, i) shuffle for the aggregate
+    formulation (measured 3x slower) or one giant 16-min groupBy codegen
+    method (measured 6x slower).  Pairs come from bucket posting lists, so
+    the signature pipeline executes once (a self-join would run it twice).
+    Bit-reproducible in the oracle end-to-end.
     """
     d = _spread(spark, load(spark, sf_dir, "documents"))
-    ex = (
+    hashed = (
         d.select("doc_id", _shingles().alias("sh"))
         .filter(F.size("sh") > 0)
-        .select("doc_id", F.explode("sh").alias("s"))
         .select(
             "doc_id",
-            h60(F.col("s")).alias("h1"),
-            F.pmod(h60(F.concat(F.lit("x"), F.col("s"))), F.lit(_H2_MOD)).alias("h2"),
+            F.transform("sh", lambda s: h60(s)).alias("h1s"),
+            F.transform(
+                "sh", lambda s: F.pmod(h60(F.concat(F.lit("x"), s)), F.lit(_H2_MOD))
+            ).alias("h2s"),
         )
     )
-    sig = (
-        ex.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("i"),
-            "h1", "h2",
-        )
-        .select(
-            "doc_id", "i",
-            F.pmod(F.col("h1") + F.col("i") * F.col("h2"), F.lit(_MH_MOD)).alias("v"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("v").alias("mh"))
-    )
+    # whole signature in-row: minhash i = min over shingles of (h1+i*h2)%M.
+    # The two md5s per shingle are computed ONCE into h1s/h2s; the 16
+    # family members are cheap integer passes over those arrays — no row
+    # explosion, no (doc, i) shuffle at all.
+    def _mh(i: int):
+        return F.array_min(
+            F.zip_with("h1s", "h2s", lambda a, b: F.pmod(a + F.lit(i) * b, F.lit(_MH_MOD)))
+        ).alias(f"mh{i}")
+
+    mh = [_mh(i) for i in range(N_HASHES)]
+    sig = hashed.select("doc_id", *mh)
     rpb = N_HASHES // N_BANDS
-    bands = (
-        sig.withColumn("band", (F.col("i") / rpb).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda x: x["mh"].cast("string"),
-                ),
-            ).alias("bucket_key")
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).cast("long").alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"mh{bi * rpb + j}").cast("string") for j in range(rpb)]
+                ).alias("bucket_key"),
+            )
+            for bi in range(N_BANDS)
+        ]
     )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket_key").alias("bucket_key"))
     buckets = (
         bands.groupBy("band", "bucket_key")
         .agg(F.collect_list("doc_id").alias("docs"))
