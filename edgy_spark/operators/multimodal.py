@@ -169,3 +169,75 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         sample, "doc_id long, frame_idx long, frame_md5 string"
     ).orderBy("doc_id", "frame_idx")
+
+
+WIN_CHARS = 256     # fake "audio window" size, in chars (mirrors FRAME_BYTES)
+ENERGY_MOD = 100000
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(length(text)::DOUBLE / {WIN_CHARS}) AS BIGINT))) AS win_idx,
+             text
+      FROM documents),
+    e AS (
+      SELECT doc_id, win_idx,
+             ('0x' || substr(md5(substring(text, win_idx * {WIN_CHARS} + 1, {WIN_CHARS})), 1, 15))::BIGINT
+               % {ENERGY_MOD} AS energy
+      FROM w)
+    SELECT doc_id, win_idx, energy,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id) * energy
+             - SUM(energy) OVER (PARTITION BY doc_id) AS BIGINT) AS dev_scaled
+    FROM e ORDER BY doc_id, win_idx
+    """,
+    tags=("multimodal", "audio", "pandas-udf"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Audio' windowed energy with per-track normalization via grouped
+    applyInPandas (the grouped-map UDF form; the two ops above are the
+    ungrouped mapInPandas form).
+
+    Each document payload is windowed into {WIN_CHARS}-char "audio windows";
+    a window's energy is md5-derived (deterministic fake of an RMS level —
+    a real pipeline would decode PCM here) and then centered against the
+    WHOLE track's mean.  The centering is what makes this a genuine grouped
+    computation: a window's output depends on every other window of its
+    track.  It is emitted scale-free as ``n*energy - total`` — pure int64
+    arithmetic, so Spark and the oracle's window functions agree exactly
+    with no float-summation-order hazard.
+
+    Scale: one shuffle on doc_id; each group is one track (bounded memory);
+    Arrow batches carry text in, int64 rows out.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def energy_windows(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+        import math
+
+        ids, idxs, energies = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            n_win = math.ceil(len(text) / WIN_CHARS)
+            for i in range(n_win):
+                chunk = text[i * WIN_CHARS:(i + 1) * WIN_CHARS].encode()
+                h = int(hashlib.md5(chunk).hexdigest()[:15], 16)
+                ids.append(doc_id)
+                idxs.append(i)
+                energies.append(h % ENERGY_MOD)
+        out = pd.DataFrame({"doc_id": ids, "win_idx": idxs, "energy": energies})
+        # per-track centering (int64-exact): n*e - sum(e)
+        g = out.groupby("doc_id")["energy"]
+        out["dev_scaled"] = g.transform("size") * out["energy"] - g.transform("sum")
+        return out
+
+    return (
+        docs.groupBy("doc_id")
+        .applyInPandas(
+            energy_windows,
+            "doc_id long, win_idx long, energy long, dev_scaled long",
+        )
+        .orderBy("doc_id", "win_idx")
+    )
