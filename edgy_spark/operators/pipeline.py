@@ -1,0 +1,176 @@
+"""Training-corpus pipeline compositions: CDC-style keep-latest, corpus
+statistics, and the end-to-end clean-corpus query that chains quality
+filtering with canonical dedup.
+
+These are the glue ops a 100 TB pretraining pipeline runs between the
+primitive operators (text scoring, dedup families) and the final corpus
+write. No reference counterpart (cdsmith/edgy's full API is
+src/Edgy.hs:12-46); scope comes from BASELINE.json's north-star list.
+
+Scale notes:
+- keep-latest: one shuffle on the dedup key; row_number + count over the
+  same window share a single sort — no second shuffle.
+- percentiles: exact percentile over int64 (interpolation at k/4 fractions
+  is binary-exact, so a distributed sort-based percentile hash-matches the
+  single-threaded oracle).
+- clean pipeline: quality scoring is per-row (no shuffle); canonicalization
+  shuffles a 16-byte digest per surviving doc, never the text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from edgy_spark.catalog import register
+from edgy_spark.operators.text import STOPWORDS
+from edgy_spark.sources import load
+
+# ---------------------------------------------------------------------------
+# CDC-style keep-latest dedup (the "compaction" read of an append-only log)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_keep_latest",
+    oracle="""
+    SELECT user_id, event_type,
+           event_id AS last_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           n_versions
+    FROM (SELECT user_id, event_type, event_id, ts,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+          FROM events)
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    tags=("dedup", "cdc", "window"),
+)
+def events_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the newest row per (user_id, event_type) — the standard
+    CDC / upsert-compaction read over an append-only log.
+
+    Scale: one shuffle on the dedup key; ``row_number`` and the group count
+    share one window sort.  At 100 TB this is the shape Delta/Iceberg
+    MERGE readers use; tie-break on event_id makes replays deterministic.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "ts")
+    w = Window.partitionBy("user_id", "event_type")
+    wo = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n_versions", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "n_versions",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact distribution statistics (corpus length percentiles per language)
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_length_percentiles",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS p25_chars,
+           quantile_cont(n_chars, 0.50) AS p50_chars,
+           quantile_cont(n_chars, 0.75) AS p75_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("aggregation", "percentile", "text"),
+)
+def corpus_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles (p25/p50/p75) over int64 chars.
+
+    Exact ``percentile`` (not approx) so the distributed sort-based result
+    hash-matches the oracle: linear interpolation between two int64 ranks at
+    k/4 fractions is binary-exact double arithmetic.  At 100 TB one would
+    flip to ``percentile_approx`` (t-digest-style mergeable sketch) and
+    accept a tolerance — kept exact here because the driver compare is exact.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.percentile("n_chars", 0.25).alias("p25_chars"),
+            F.percentile("n_chars", 0.50).alias("p50_chars"),
+            F.percentile("n_chars", 0.75).alias("p75_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus cleaning: quality filter -> canonical dedup -> keep set
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 w -> list_contains({STOPWORDS!r}, w))) AS n_stop
+      FROM documents),
+    kept AS (
+      SELECT doc_id, lang, n_words, {_NORM_SQL} AS fp
+      FROM scored
+      WHERE n_words >= 5 AND CAST(n_stop AS DOUBLE) / n_words > 0.02),
+    canon AS (
+      SELECT doc_id, lang, n_words,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM kept)
+    SELECT doc_id, lang, n_words
+    FROM canon WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "text", "pipeline"),
+    bench=True,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleaning read: quality-filter (length + stopword
+    ratio) then keep one canonical doc per normalized-text group.
+
+    This is the query a pretraining ingest job runs end-to-end; it exists to
+    prove the primitives (text scoring, exact dedup) compose into one plan.
+
+    Scale: the quality filter is per-row and cuts the corpus BEFORE the
+    dedup shuffle, so the only shuffle moves (16-byte fp, doc_id, lang,
+    n_words) for surviving docs; text never leaves the scan stage.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    lower_words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(lower_words, lambda w: w.isin(STOPWORDS)))
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    kept = (
+        d.select("doc_id", "lang", n_words.alias("n_words"), n_stop.alias("n_stop"), fp.alias("fp"))
+        .filter((F.col("n_words") >= 5) & (F.col("n_stop").cast("double") / F.col("n_words") > 0.02))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_words")
+        .orderBy("doc_id")
+    )

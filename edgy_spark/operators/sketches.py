@@ -1,0 +1,170 @@
+"""Approximate / sketch operators — the actual 100 TB scale path.
+
+Exact ``COUNT(DISTINCT)`` and exact percentiles need a full shuffle of the
+keyed data (or a full sort); at 100 TB the standard answer is mergeable
+sketches: HyperLogLog for cardinality, GK/t-digest summaries for quantiles.
+Spark ships both (``approx_count_distinct``, ``hll_sketch_agg`` +
+``hll_union_agg`` [Apache DataSketches], ``percentile_approx``), and they
+aggregate map-side with tiny fixed-size state — the shuffle carries
+kilobyte sketches instead of the key universe.
+
+Oracle strategy: a hash-exact comparator cannot check an estimate directly,
+so each query emits (a) the EXACT value, hash-checked against DuckDB, and
+(b) a boolean asserting the sketch estimate landed inside its published
+error bound, which the oracle asserts as a constant TRUE.  That keeps the
+driver's exact gate meaningful while still executing the sketch path for
+real.  (Both sketch aggregates are deterministic for fixed input data —
+hashing is seed-fixed and the merges are commutative — so the booleans are
+stable across partitionings.)
+
+No reference counterpart (cdsmith/edgy's complete API is src/Edgy.hs:12-46
+— no aggregation at all); scope comes from BASELINE.json's north-star list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from edgy_spark.catalog import register
+from edgy_spark.functions.exact import dec
+from edgy_spark.sources import load
+
+# ---------------------------------------------------------------------------
+# HLL cardinality with error bound
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_distinct_users_bounded",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("sketch", "hll", "aggregation"),
+)
+def sketch_distinct_users_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct users: exact count (hash-checked) alongside an
+    HLL++ ``approx_count_distinct`` asserted within its 5% rsd bound.
+
+    Scale: the exact branch shuffles every (event_type, user_id) pair; the
+    HLL branch shuffles one ~kB sketch per event_type per map task.  At
+    100 TB only the sketch branch survives — the exact column here is the
+    local-correctness anchor the oracle can hash.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("n_approx"),
+    )
+    ok = (
+        F.abs(F.col("n_approx") - F.col("n_exact"))
+        <= 0.05 * 3 * F.col("n_exact")  # 3 standard-error radius
+    )
+    return (
+        agg.select("event_type", "n_exact", ok.alias("approx_within_5pct"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataSketches HLL: build per-day partial sketches, merge across days
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_hll_mergeable_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           TRUE AS merged_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("sketch", "hll", "rollup"),
+)
+def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-aggregated rollup pattern: build one DataSketches HLL sketch
+    per (event_type, day), then ``hll_union_agg`` the daily partials into a
+    per-type estimate — exactly how a 100 TB pipeline maintains daily
+    sketch tables and answers range-cardinality queries without rescanning
+    raw events.  The estimate is asserted within 5% of the exact count
+    (lgConfigK=14 → rsd ~0.8%, so 5% is a safe bound); day count is exact.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_merged"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    joined = merged.join(exact, "event_type")
+    ok = F.abs(F.col("n_merged") - F.col("n_exact")) <= 0.05 * F.col("n_exact")
+    return (
+        joined.select("event_type", "n_exact", "n_days", ok.alias("merged_within_5pct"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# approximate quantiles with error bound
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_price_quantile_bounded",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT), 0.5)
+             AS p50_cents_exact,
+           TRUE AS approx_within_rank_bound
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sketch", "percentile", "aggregation"),
+)
+def sketch_price_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median order value per priority: exact percentile over integer cents
+    (hash-checked; interpolation at rank+0.5 is binary-exact) alongside
+    ``percentile_approx`` (GK summary, accuracy=10000) asserted within a
+    1%-of-spread bound.
+
+    Scale: exact percentile sorts each group; the GK sketch is a bounded
+    ~accuracy-sized mergeable summary built map-side — the 100 TB path.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice", 2, 12) * 100).cast("long")
+    agg = (
+        o.select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.percentile("cents", 0.5).alias("p50_cents_exact"),
+            F.percentile_approx("cents", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+            F.max("cents").alias("hi"),
+            F.min("cents").alias("lo"),
+        )
+    )
+    ok = F.abs(F.col("p50_approx") - F.col("p50_cents_exact")) <= (
+        0.01 * (F.col("hi") - F.col("lo")) + 1
+    )
+    return (
+        agg.select(
+            "o_orderpriority",
+            "n_orders",
+            "p50_cents_exact",
+            ok.alias("approx_within_rank_bound"),
+        )
+        .orderBy("o_orderpriority")
+    )
