@@ -68,3 +68,40 @@ def test_grouping_sets_single_scan(spark):
     assert "Expand" in plan
     # one physical file scan (each scan prints one Location line)
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_clean_pipeline_filters_before_shuffle(spark):
+    plan = _plan(spark, "corpus_clean_pipeline")
+    # rank-limit pushdown: rn=1 becomes WindowGroupLimit partial+final,
+    # so each shuffle side only keeps one candidate row per fp group
+    assert "WindowGroupLimit" in plan
+    # text is consumed in the scan stage (fp/word expressions); only the
+    # three needed columns are read
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text", "lang"}
+
+
+def test_keep_latest_single_shuffle_shared_sort(spark):
+    plan = _plan(spark, "events_keep_latest")
+    # row_number and the group count share one hash exchange + one sort;
+    # the only other exchange is the final presentation orderBy
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert plan.count("Window") >= 2
+
+
+def test_sketch_distinct_partial_aggregation(spark):
+    plan = _plan(spark, "sketch_distinct_users_bounded")
+    # exact distinct expands to two-key partial agg; HLL must combine
+    # map-side (partial approx_count_distinct) — never a raw-row shuffle
+    assert "partial_approx_count_distinct" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_hll_rollup_merges_sketches(spark):
+    plan = _plan(spark, "sketch_hll_mergeable_rollup")
+    # DataSketches partials are ObjectHashAggregate map-side; the exact
+    # branch (dim-sized after agg) broadcasts into the comparison join
+    assert "ObjectHashAggregate" in plan
+    assert "hll_union_agg" in plan
+    assert "BroadcastHashJoin" in plan
