@@ -241,3 +241,76 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "win_idx")
     )
+
+
+TARGET_BINS = 4  # fixed-size "thumbnail" length for the resize path
+
+
+@register(
+    "multimodal_thumbnail_resize",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(length(text)::DOUBLE / {FRAME_BYTES}) AS BIGINT))) AS f_idx,
+             CAST(ceil(length(text)::DOUBLE / {FRAME_BYTES}) AS BIGINT) AS n_frames,
+             text
+      FROM documents),
+    px AS (
+      SELECT doc_id, n_frames,
+             (f_idx * {TARGET_BINS}) // n_frames AS bin_idx,
+             ('0x' || substr(md5(substring(text, f_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})), 1, 15))::BIGINT
+               % {ENERGY_MOD} AS pixel
+      FROM w)
+    SELECT doc_id, bin_idx,
+           CAST(SUM(pixel) AS BIGINT) AS pixel_sum,
+           COUNT(*) AS n_src_frames
+    FROM px GROUP BY doc_id, bin_idx
+    ORDER BY doc_id, bin_idx
+    """,
+    tags=("multimodal", "resize", "pandas-udf"),
+)
+def multimodal_thumbnail_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize / area-downsample: collapse each document's frame sequence to a
+    fixed {TARGET_BINS}-bin thumbnail by integer area pooling (bin =
+    frame_idx * bins // n_frames — the index map every nearest/area image
+    resizer uses along each axis).  Frame "pixel" values are md5-derived
+    (deterministic stand-in for decoded pixels; a real pipeline would
+    decode + box-filter here) and pooled as exact int64 sums.
+
+    Scale: ungrouped mapInPandas — a frame's bin depends only on its own
+    doc's frame count, so there is NO shuffle at all: every doc emits its
+    thumbnail rows from the scan stage, and the only exchange is the
+    presentation orderBy.  Compare multimodal_audio_energy, whose per-track
+    normalization genuinely needs the groupBy(doc_id) shuffle.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            ids, bins, sums, counts = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_frames = math.ceil(len(text) / FRAME_BYTES)
+                acc: dict[int, list[int]] = {}
+                for f in range(n_frames):
+                    chunk = text[f * FRAME_BYTES:(f + 1) * FRAME_BYTES].encode()
+                    px = int(hashlib.md5(chunk).hexdigest()[:15], 16) % ENERGY_MOD
+                    b = (f * TARGET_BINS) // n_frames
+                    if b not in acc:
+                        acc[b] = [0, 0]
+                    acc[b][0] += px
+                    acc[b][1] += 1
+                for b in sorted(acc):
+                    ids.append(doc_id)
+                    bins.append(b)
+                    sums.append(acc[b][0])
+                    counts.append(acc[b][1])
+            yield pd.DataFrame(
+                {"doc_id": ids, "bin_idx": bins, "pixel_sum": sums, "n_src_frames": counts}
+            )
+
+    return docs.mapInPandas(
+        pool, "doc_id long, bin_idx long, pixel_sum long, n_src_frames long"
+    ).orderBy("doc_id", "bin_idx")
