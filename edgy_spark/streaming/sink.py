@@ -1,0 +1,56 @@
+"""Streaming sinks: checkpointed, idempotent parquet output — the
+operational half of a production stream (the queries are in
+edgy_spark.streaming.events / .stateful).
+
+Exactly-once story (the standard Structured Streaming recipe):
+- the CHECKPOINT (write-ahead offset log + commit log) makes batch replay
+  deterministic: after a crash the engine re-runs only uncommitted batches
+  with exactly the same input offsets;
+- the SINK must be idempotent per batch so a re-run batch overwrites what a
+  half-finished attempt wrote instead of appending twice.  ``foreachBatch``
+  writing each micro-batch to its own ``batch_id=N`` partition directory
+  with ``mode("overwrite")`` gives that: replay rewrites the same directory.
+  (Delta/Iceberg get the same effect with txn-log commits; plain parquet
+  needs the directory convention.)
+
+At 100 TB the same pattern holds per-trigger: the partition directory write
+is executor-parallel, nothing passes through the driver, and downstream
+batch readers see the output as an ordinary partitioned parquet table
+(partition pruning on batch_id included).
+
+No reference counterpart (cdsmith/edgy is interactive/transactional only;
+its complete API is src/Edgy.hs:12-46); scope from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_stream_exactly_once(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain a bounded stream to parquet with exactly-once semantics.
+
+    Runs with ``trigger(availableNow=True)`` (process everything pending,
+    then stop).  Restarting with the same checkpoint after the stream is
+    drained is a no-op: every batch is in the commit log, so no directory
+    is rewritten and no rows duplicate.
+    """
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_stream_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the sink's output back as one table (batch_id becomes an
+    auto-discovered partition column; drop it for value comparisons)."""
+    return spark.read.parquet(out_dir).drop("batch_id")
