@@ -54,3 +54,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Expose every fixture table as a SQL temp view so queries can run
+    through ``spark.sql`` directly — the full Spark SQL dialect (ANSI joins,
+    window functions, grouping sets, lateral views) becomes the user-facing
+    query language with zero engine code.
+
+    Views are lazy: each still reads through :func:`load`, so predicate
+    pushdown / column pruning apply per-query, and registering all ten
+    tables costs one schema read each, no data scan.
+    """
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(f"{t}{suffix}")

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from edgy_spark.sources import load
@@ -85,3 +87,34 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_sql_views_match_dataframe_plan(spark):
+    """spark.sql over registered views == the DataFrame formulation, and the
+    view indirection still pushes filters into the parquet scan."""
+    from edgy_spark.sources.tables import load, register_views
+
+    register_views(spark, SF_SMOKE)
+    sql_rows = spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 0
+        GROUP BY n.n_name ORDER BY n.n_name
+        """
+    ).collect()
+    n = load(spark, SF_SMOKE, "nation")
+    c = load(spark, SF_SMOKE, "customer").filter("c_acctbal > 0")
+    df_rows = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name").count().withColumnRenamed("count", "n_customers")
+        .orderBy("n_name")
+    ).collect()
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
+
+    q = spark.sql("SELECT c_custkey FROM customer WHERE c_acctbal > 100")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m and "c_acctbal" in m.group(1), plan
