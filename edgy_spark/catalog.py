@@ -63,5 +63,6 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.multimodal  # noqa: F401
     import edgy_spark.operators.pipeline  # noqa: F401
     import edgy_spark.operators.sketches  # noqa: F401
+    import edgy_spark.operators.udx  # noqa: F401
     import edgy_spark.streaming.events  # noqa: F401
     import edgy_spark.streaming.stateful  # noqa: F401

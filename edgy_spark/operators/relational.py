@@ -698,3 +698,50 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "order_date", "days_since_prev")
     )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT (wide conditional aggregation)
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_COLS = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+@register(
+    "pivot_orders_priority_by_year",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           {', '.join(
+               f"COALESCE(COUNT(*) FILTER (WHERE o_orderpriority = '{p}'), 0) AS {c}"
+               for p, c in zip(_PRIORITIES, _PRIORITY_COLS))}
+    FROM orders
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+    tags=("aggregation", "pivot"),
+)
+def pivot_orders_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per year, one column per priority.
+
+    The value list is EXPLICIT — with an implicit list Spark runs an extra
+    distinct-collect job to discover pivot columns and the output schema
+    becomes data-dependent, which breaks at scale (a driver-side collect
+    over the key universe) and breaks schema stability.  Explicit values
+    compile to one pass of conditional aggregation: a single scan + single
+    shuffle, identical to the oracle's FILTER clauses.
+    """
+    o = load(spark, sf_dir, "orders")
+    wide = (
+        o.select(F.year("o_orderdate").cast("long").alias("order_year"), "o_orderpriority")
+        .groupBy("order_year")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, subset=None)
+    )
+    renamed = wide.select(
+        "order_year",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(c)
+          for p, c in zip(_PRIORITIES, _PRIORITY_COLS)],
+    )
+    return renamed.orderBy("order_year")
