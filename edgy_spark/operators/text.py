@@ -193,3 +193,46 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm.cast("binary")).alias("normalized_fp"),
         h60(norm).alias("fp60"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_sentences",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, '.'), x -> trim(x)),
+                         x -> x <> '') AS sents
+      FROM documents),
+    e AS (
+      SELECT doc_id, unnest(range(0, len(sents))) AS sent_idx, sents
+      FROM p)
+    SELECT doc_id, sent_idx, sents[sent_idx + 1] AS sentence
+    FROM e
+    ORDER BY doc_id, sent_idx
+    """,
+    tags=("text", "explode", "udtf-equivalent"),
+)
+def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation as a 1→N expansion: split on '.', trim, drop
+    empties, emit (doc_id, sent_idx, sentence) per sentence.
+
+    This is the UDTF shape (one input row → many output rows) expressed
+    NATIVELY: transform/filter/posexplode run inside whole-stage codegen, no
+    Python worker — a row-at-a-time Python UDTF doing the same thing ships
+    every row through Arrow for work a JVM expression does in-place.  The
+    Python escape hatch for genuinely non-expressible expansions is
+    mapInPandas (see operators/multimodal.py's frame sampler).
+
+    Scale: per-row, shuffle-free (the orderBy is presentation-only); column
+    pruning keeps the scan at (doc_id, text).
+    """
+    d = load(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"\."), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    return (
+        d.select("doc_id", F.posexplode(sents).alias("sent_idx", "sentence"))
+        .select("doc_id", F.col("sent_idx").cast("long").alias("sent_idx"), "sentence")
+        .orderBy("doc_id", "sent_idx")
+    )
