@@ -189,10 +189,10 @@ _H2_MOD = 1 << 58  # keep h1 + 15*h2 < 2^63 (no int64 overflow, ANSI-safe)
 _MH_MOD = 1 << 60
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+# shared CTE chain: shingles → double-hash family → in-row signatures →
+# band buckets → candidate pairs (used by the pairs query and the cluster op)
+_MINHASH_PAIR_CTES = f"""
+    sh AS ({_SHINGLES_SQL}),
     ex AS (SELECT doc_id, {h60_sql('unnest(shingles)')} AS h1,
                   {h60_sql("'x' || unnest(shingles)")} % {_H2_MOD} AS h2
            FROM sh WHERE len(shingles) > 0),
@@ -205,11 +205,20 @@ _MH_MOD = 1 << 60
              CASE b.band
                {' '.join(f"WHEN {bi} THEN mh{bi*4}::VARCHAR || ',' || mh{bi*4+1}::VARCHAR || ',' || mh{bi*4+2}::VARCHAR || ',' || mh{bi*4+3}::VARCHAR" for bi in range(N_BANDS))}
              END AS bucket_key
-      FROM sig, (SELECT unnest(range({N_BANDS})) AS band) b)
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bucket_key = b.bucket_key
-         AND a.doc_id < b.doc_id
+      FROM sig, (SELECT unnest(range({N_BANDS})) AS band) b),
+    cand_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket_key = b.bucket_key
+           AND a.doc_id < b.doc_id)
+"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_MINHASH_PAIR_CTES}
+    SELECT doc_a, doc_b FROM cand_pairs
     ORDER BY doc_a, doc_b
     """,
     tags=("dedup", "minhash", "lsh"),
@@ -229,6 +238,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signature pipeline executes once (a self-join would run it twice).
     Bit-reproducible in the oracle end-to-end.
     """
+    return _minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered LSH candidate pairs (shared by the pairs query and the
+    cluster-keeper op, which feeds them into connected components)."""
     d = _spread(spark, load(spark, sf_dir, "documents"))
     hashed = (
         d.select("doc_id", _shingles().alias("sh"))
@@ -278,7 +293,50 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_minhash_cluster_keepers",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    und AS (SELECT doc_a AS s, doc_b AS d FROM cand_pairs
+            UNION SELECT doc_b, doc_a FROM cand_pairs),
+    reach(node, label) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM und)
+      UNION
+      SELECT u.d, r.label FROM reach r JOIN und u ON u.s = r.node)
+    SELECT node AS doc_id, MIN(label) AS keeper_doc_id
+    FROM reach GROUP BY node
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "minhash", "graph", "pipeline"),
+)
+def dedup_minhash_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal map: LSH candidate pairs → connected
+    components over the pair graph → per-doc canonical keeper (component
+    minimum).  Docs in no candidate pair are their own keeper and are
+    omitted (identity rows add nothing).
+
+    This is the capstone composition a pretraining corpus dedup actually
+    ships: transitively-connected near-dup groups collapse to ONE keeper
+    even when A~B and B~C but A!~C (single-pair filters keep A and C —
+    wrong for corpus dedup).
+
+    Scale: the pair graph is orders of magnitude smaller than the corpus
+    (only bucket-colliding docs), so the iterative CC runs on a
+    broadcast-sized vertex state while the heavy lifting stays in the
+    one-pass signature/banding pipeline.  Oracle: same pair CTEs + a
+    recursive-CTE transitive closure.
+    """
+    from edgy_spark.operators.graph_algos import connected_components
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comps = connected_components(edges)
+    return (
+        comps.select(F.col("node").alias("doc_id"), F.col("component").alias("keeper_doc_id"))
+        .orderBy("doc_id")
     )
 
 
