@@ -33,7 +33,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-__all__ = ["read_table", "write_table", "write_bucketed"]
+__all__ = ["read_table", "write_table", "write_bucketed", "compact_table"]
 
 _FORMATS = ("parquet", "csv", "json")
 
@@ -117,3 +117,39 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def compact_table(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_mb: int = 512,
+    sort_by: Sequence[str] = (),
+) -> int:
+    """Rewrite a parquet location into ~``target_file_mb``-sized files,
+    optionally sorted by ``sort_by`` — the small-files maintenance job
+    every long-running 100 TB pipeline needs (streaming sinks and
+    per-trigger appends accumulate kB-sized files whose per-file open/
+    footer-read overhead eventually dwarfs the data read).
+
+    Sizing is derived from the INPUT's real bytes (no data scan — just
+    file metadata), so the job adapts to compression ratios.  With
+    ``sort_by`` the rewrite also lays rows out for min/max row-group
+    skipping on those columns: a filtered read touches only the row
+    groups whose stats overlap the predicate.
+
+    Returns the number of output partitions written.
+    """
+    df = read_table(spark, in_path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jvm_path).getLength()
+    n = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
+    if sort_by:
+        # repartitionByRange + sortWithinPartitions = globally range-
+        # clustered layout (each file owns a disjoint key range)
+        out = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.coalesce(n) if df.rdd.getNumPartitions() > n else df.repartition(n)
+    out.write.mode("overwrite").parquet(out_path)
+    return n

@@ -118,3 +118,36 @@ def test_sql_views_match_dataframe_plan(spark):
     )
     m = re.search(r"PushedFilters: \[(.*?)\]", plan)
     assert m and "c_acctbal" in m.group(1), plan
+
+
+def test_compact_table_roundtrip_and_layout(spark, tmp_path):
+    """Compaction preserves data exactly, produces the computed file count,
+    and a sort_by layout range-clusters rows (disjoint per-file key ranges)."""
+    import glob
+
+    from edgy_spark.sources.io import compact_table, read_table
+
+    src = str(tmp_path / "frag")
+    # simulate a fragmented streaming sink: 20 tiny files
+    ev = load(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    ev.repartition(20).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 20
+
+    out = str(tmp_path / "compact")
+    n = compact_table(spark, src, out, target_file_mb=512, sort_by=["event_id"])
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == n  # tiny input → 1 file
+    before = sorted(tuple(r) for r in ev.collect())
+    after = sorted(tuple(r) for r in read_table(spark, out).collect())
+    assert before == after
+
+    # range clustering: per-file [min,max] of the sort key must not overlap
+    ranges = []
+    for f in sorted(files):
+        pdf = spark.read.parquet(f).agg(
+            F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+        ).collect()[0]
+        ranges.append((pdf.lo, pdf.hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
