@@ -127,6 +127,7 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              COUNT(*) AS n_common, ANY_VALUE(a.n) AS n_a, ANY_VALUE(b.n) AS n_b
       FROM ex a JOIN ex b ON a.hs = b.hs AND a.doc_id < b.doc_id
+       AND 2 * a.n >= b.n AND 2 * b.n >= a.n
       GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b,
            CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
@@ -145,6 +146,12 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the shingle pipeline, shuffles carry only (60-bit hash, doc_id,
     doc_len) — the oracle joins on the same md5-derived hash so both engines
     see identical buckets.
+
+    Length prefilter (lossless): J(A,B) <= min(n)/max(n), so J >= 0.5
+    requires the shingle counts within 2x of each other; pairs violating
+    that are dropped BEFORE the per-pair count shuffle.  At web scale doc
+    lengths are heavy-tailed, so this prunes most of the quadratic bucket
+    blowup around stop-shingle posting lists.
     """
     d = _spread(spark, load(spark, sf_dir, "documents"))
     sh = (
@@ -160,7 +167,12 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         posting.select(F.explode("docs").alias("x"), "docs")
         .select("x", F.explode("docs").alias("y"))
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .filter(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            # lossless length prefilter for tau=0.5 (see docstring)
+            & (2 * F.col("x.n") >= F.col("y.n"))
+            & (2 * F.col("y.n") >= F.col("x.n"))
+        )
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"),
             F.col("x.n").alias("n_a"), F.col("y.n").alias("n_b"),
