@@ -105,3 +105,19 @@ def test_hll_rollup_merges_sketches(spark):
     assert "ObjectHashAggregate" in plan
     assert "hll_union_agg" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_jaccard_single_scan_no_self_join(spark):
+    plan = _plan(spark, "dedup_ngram_jaccard_pairs")
+    # posting-list pair generation: ONE pass over the shingle pipeline —
+    # a self-join formulation would show two parquet scans and a join
+    assert plan.count("Scan parquet") // 2 == 1, plan.count("Scan parquet")
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan
+
+
+def test_minhash_single_scan_no_self_join(spark):
+    plan = _plan(spark, "dedup_minhash_lsh_pairs")
+    assert plan.count("Scan parquet") // 2 == 1, plan.count("Scan parquet")
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan
