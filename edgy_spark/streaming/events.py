@@ -186,3 +186,88 @@ def session_stream(events: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream join: click → purchase attribution
+# ---------------------------------------------------------------------------
+
+ATTRIB_WINDOW_MIN = 30
+
+
+@register(
+    "stream_click_purchase_attribution",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS micros_between
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+    ORDER BY purchase_id, click_id
+    """,
+    tags=("streaming", "join", "temporal"),
+)
+def stream_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution join (batch twin): every click by the same user in the
+    30 minutes before a purchase.  The streaming form below is the
+    stream-stream inner join with watermarks on BOTH sides — the time-range
+    condition is what lets Structured Streaming expire buffered rows, so
+    per-side state is bounded by (watermark + window) regardless of stream
+    length: the property that makes this run forever on a 100 TB/day feed.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts >= p.p_ts - F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("micros_between"),
+    ).orderBy("purchase_id", "click_id")
+
+
+def attribution_stream(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Streaming twin: stream-stream inner join.  Both inputs are streams;
+    watermarks (1h) plus the ts range condition bound each side's join
+    state — Spark drops buffered clicks once the purchase-side watermark
+    passes click.ts + 30min."""
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts >= p.p_ts - F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("micros_between"),
+    )

@@ -150,3 +150,18 @@ def test_exactly_once_parquet_sink_restart(spark, tmp_path):
         )
     )
     assert first == batch
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Stream-stream attribution join (watermarked both sides) replays to
+    exactly the batch join's pairs."""
+    from edgy_spark.streaming.events import attribution_stream
+
+    src = read_events_stream(spark, SF_SMOKE)
+    stream = attribution_stream(
+        src.filter("event_type = 'purchase'"), src.filter("event_type = 'click'")
+    )
+    got = _run_append_stream(spark, stream, "attrib_stream")
+    want = QUERIES["stream_click_purchase_attribution"].fn(spark, SF_SMOKE)
+    cols = ["purchase_id", "click_id", "user_id", "micros_between"]
+    assert _rows(got, cols) == _rows(want, cols)
