@@ -313,3 +313,38 @@ def test_bag_difference_vs_anti_join(populated):
     # anti: ALL occurrences of available ids removed
     assert anti.count(n["cards"].id) == 0
     assert anti.count(n["chips"].id) == 2
+
+
+def test_snapshot_diff_cdc(engine):
+    """snapshot_diff reports exactly the rows that changed between versions,
+    as insert/delete pairs, across non-adjacent versions too."""
+    from edgy_spark.storage import snapshot_diff
+
+    v0 = engine.snapshot()
+    created = engine.run(
+        lambda txn: (
+            txn.new_node("Person", name="Alice", age=30),
+            txn.new_node("Person", name="Bob", age=40),
+        )
+    )
+    alice = created[0]
+    v1 = engine.snapshot()
+    engine.run(lambda txn: txn.set_attribute(alice, "name", "Alicia"))
+    v2 = engine.snapshot()
+
+    d01 = snapshot_diff(v0, v1, "Person")
+    assert sorted(
+        (r["name"], r["_change"]) for r in d01.collect()
+    ) == [("Alice", "insert"), ("Bob", "insert")]
+
+    # update = delete old row + insert new row; Bob unchanged → absent
+    d12 = snapshot_diff(v1, v2, "Person")
+    assert sorted(
+        (r["name"], r["_change"]) for r in d12.collect()
+    ) == [("Alice", "delete"), ("Alicia", "insert")]
+
+    # spanning diff collapses intermediate churn
+    d02 = snapshot_diff(v0, v2, "Person")
+    assert sorted(
+        (r["name"], r["_change"]) for r in d02.collect()
+    ) == [("Alicia", "insert"), ("Bob", "insert")]
