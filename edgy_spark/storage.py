@@ -161,3 +161,18 @@ def snapshot_diff(old: Snapshot, new: Snapshot, node_type: str) -> DataFrame:
     added = n.exceptAll(o).withColumn("_change", F.lit("insert"))
     removed = o.exceptAll(n).withColumn("_change", F.lit("delete"))
     return added.unionAll(removed)
+
+
+def snapshot_diff_edges(old: Snapshot, new: Snapshot, table: str) -> DataFrame:
+    """Edge-table counterpart of :func:`snapshot_diff` (same contract:
+    full row + ``_change``).  Edge churn dominates graph workloads — the
+    reference's own mutations are mostly edge writes — so incremental
+    consumers (e.g. re-running only affected components of an iterative
+    algorithm) diff the edge tables, not the node tables."""
+    o = old.edge_table(table)
+    n = new.edge_table(table)
+    from pyspark.sql import functions as F
+
+    added = n.exceptAll(o).withColumn("_change", F.lit("insert"))
+    removed = o.exceptAll(n).withColumn("_change", F.lit("delete"))
+    return added.unionAll(removed)

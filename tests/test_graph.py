@@ -348,3 +348,20 @@ def test_snapshot_diff_cdc(engine):
     assert sorted(
         (r["name"], r["_change"]) for r in d02.collect()
     ) == [("Alicia", "insert"), ("Bob", "insert")]
+
+
+def test_snapshot_diff_edges_cdc(engine):
+    """Edge CDC: adding then removing a friendship shows up as exactly the
+    inserted/deleted edge rows (both directions of the symmetric pair)."""
+    from edgy_spark.storage import snapshot_diff_edges
+
+    eng, nodes = engine, engine.run(big_bang)
+    v1 = eng.snapshot()
+    bob, jane = nodes["bob"], nodes["jane"]
+    eng.run(lambda txn: txn.remove_related(bob, "friend", jane))
+    v2 = eng.snapshot()
+    d = snapshot_diff_edges(v1, v2, "friend")
+    rows = [(r["src"], r["dst"], r["_change"]) for r in d.collect()]
+    assert all(c == "delete" for _, _, c in rows)
+    assert len(rows) >= 1  # at least the (bob→jane) adjacency row went away
+    assert (bob.id, jane.id, "delete") in rows
