@@ -271,3 +271,18 @@ def attribution_stream(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
         "user_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("micros_between"),
     )
+
+
+def sliding_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of stream_sliding_window_counts (1h windows sliding
+    15min, watermark 10min).  Each event maps to 4 windows map-side; state
+    holds only windows newer than the watermark."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )

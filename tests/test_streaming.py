@@ -165,3 +165,13 @@ def test_stream_stream_join_equals_batch(spark):
     want = QUERIES["stream_click_purchase_attribution"].fn(spark, SF_SMOKE)
     cols = ["purchase_id", "click_id", "user_id", "micros_between"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sliding_stream_equals_batch(spark):
+    from edgy_spark.streaming.events import sliding_stream
+
+    stream = sliding_stream(read_events_stream(spark, SF_SMOKE))
+    got = _run_stream_to_memory(spark, stream, "sliding_stream")
+    want = QUERIES["stream_sliding_window_counts"].fn(spark, SF_SMOKE)
+    cols = ["window_start", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
