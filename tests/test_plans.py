@@ -121,3 +121,13 @@ def test_minhash_single_scan_no_self_join(spark):
     assert plan.count("Scan parquet") // 2 == 1, plan.count("Scan parquet")
     for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert join not in plan
+
+
+def test_bruteforce_ann_broadcasts_probes_and_limits_topk(spark):
+    plan = _plan(spark, "sim_bruteforce_topk")
+    # the probe set broadcasts into a nested-loop join against the corpus
+    # (brute force IS all-pairs — the baseline; IVF/LSH are the scale path),
+    # and rank<=k compiles to partial+final WindowGroupLimit so each
+    # partition ships only its local top-k to the per-probe sort
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("WindowGroupLimit") >= 2
