@@ -35,7 +35,7 @@ from pyspark.sql.types import StructType
 
 __all__ = ["read_table", "write_table", "write_bucketed", "compact_table"]
 
-_FORMATS = ("parquet", "csv", "json")
+_FORMATS = ("parquet", "orc", "csv", "json", "text")
 
 
 def _check_format(fmt: str) -> None:
@@ -59,6 +59,13 @@ def read_table(
         # sources.tables.load does for any parquet written that way
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
+    if fmt == "orc":
+        # columnar like parquet: pushdown/pruning apply, schema travels with
+        # the files — no explicit schema needed
+        return spark.read.orc(path)
+    if fmt == "text":
+        # raw corpora: one string row per line, fixed schema (value: string)
+        return spark.read.text(path)
     if schema is None and not infer:
         raise ValueError(f"{fmt} read needs an explicit schema (or infer=True)")
     reader = spark.read
@@ -89,6 +96,10 @@ def write_table(
         writer.option("header", "true").csv(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
+    elif fmt == "text":
+        writer.text(path)  # single string column required
     else:
         writer.parquet(path)
 

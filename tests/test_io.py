@@ -151,3 +151,28 @@ def test_compact_table_roundtrip_and_layout(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    ev = load(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "ev_orc")
+    write_table(ev, path, "orc")
+    back = read_table(spark, path, "orc")
+    assert _rows(back, ["event_id", "user_id", "value"]) == _rows(
+        ev, ["event_id", "user_id", "value"]
+    )
+    q = read_table(spark, path, "orc").filter(F.col("event_id") < 100)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m and "event_id" in m.group(1)
+
+
+def test_text_roundtrip(spark, tmp_path):
+    docs = load(spark, SF_SMOKE, "documents").select(
+        F.regexp_replace("text", "\n", " ").alias("value")
+    )
+    path = str(tmp_path / "docs_text")
+    write_table(docs, path, "text")
+    back = read_table(spark, path, "text")
+    assert back.columns == ["value"]
+    assert back.count() == docs.count()
