@@ -174,3 +174,51 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_words")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic shard assignment (training-data split)
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+
+@register(
+    "pipeline_shard_assignment",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % {N_SHARDS} AS shard
+      FROM documents)
+    SELECT shard, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    tags=("pipeline", "sharding"),
+)
+def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard split: shard = md5(doc_id) % {N_SHARDS},
+    summarized per shard.
+
+    Hash-based (not round-robin or random) so the assignment is STABLE
+    across runs, partitionings, and engines — re-running ingestion never
+    moves a document between shards, which is what makes incremental
+    training-data refreshes and cross-run experiment comparisons sound.
+    The md5 derivation is the engine's standard oracle-replicable hash;
+    a production variant writes shards with partitionBy("shard").
+    """
+    from edgy_spark.functions.hashing import h60
+
+    d = load(spark, sf_dir, "documents")
+    shard = F.pmod(h60(F.col("doc_id").cast("string")), F.lit(N_SHARDS))
+    return (
+        d.select("doc_id", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
