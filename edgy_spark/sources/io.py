@@ -136,9 +136,12 @@ def compact_table(
     out_path: str,
     target_file_mb: int = 512,
     sort_by: Sequence[str] = (),
+    zorder_by: tuple[str, str] | None = None,
 ) -> int:
     """Rewrite a parquet location into ~``target_file_mb``-sized files,
-    optionally sorted by ``sort_by`` — the small-files maintenance job
+    optionally range-clustered by ``sort_by`` (one dimension) or
+    ``zorder_by`` (two dimensions, Morton-interleaved) — the small-files
+    maintenance job
     every long-running 100 TB pipeline needs (streaming sinks and
     per-trigger appends accumulate kB-sized files whose per-file open/
     footer-read overhead eventually dwarfs the data read).
@@ -156,7 +159,20 @@ def compact_table(
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     total_bytes = fs.getContentSummary(jvm_path).getLength()
     n = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
-    if sort_by:
+    if zorder_by:
+        # two-dimensional clustering: range-partition + sort on the Morton
+        # interleave so every output file covers a small (a, b) rectangle —
+        # min/max skipping then works for predicates on EITHER column
+        from edgy_spark.functions.zorder import zorder_key
+
+        zk = zorder_key(*zorder_by).alias("_zk")
+        out = (
+            df.withColumn("_zk", zk)
+            .repartitionByRange(n, "_zk")
+            .sortWithinPartitions("_zk")
+            .drop("_zk")
+        )
+    elif sort_by:
         # repartitionByRange + sortWithinPartitions = globally range-
         # clustered layout (each file owns a disjoint key range)
         out = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)

@@ -176,3 +176,33 @@ def test_text_roundtrip(spark, tmp_path):
     back = read_table(spark, path, "text")
     assert back.columns == ["value"]
     assert back.count() == docs.count()
+
+
+def test_zorder_key_matches_reference_and_clusters(spark, tmp_path):
+    """Spark Morton key == pure-Python reference; z-ordered compaction gives
+    every output file a bounded rectangle in BOTH dimensions."""
+    import glob
+
+    from edgy_spark.functions.zorder import zorder_key, zorder_key_py
+    from edgy_spark.sources.io import compact_table
+
+    sample = [(0, 0), (1, 2), (3, 5), (12345, 67890), (2**31 - 1, 17)]
+    df = spark.createDataFrame(sample, "a long, b long").withColumn(
+        "z", zorder_key("a", "b")
+    )
+    for r in df.collect():
+        assert r.z == zorder_key_py(r.a, r.b), (r.a, r.b)
+
+    # layout property: files partition the z-range (disjoint), so each file
+    # covers a contiguous Morton segment = a union of small (a,b) rectangles
+    src = str(tmp_path / "zsrc")
+    ev = load(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "zout")
+    compact_table(spark, src, out, target_file_mb=512, zorder_by=("user_id", "event_id"))
+    back = spark.read.parquet(out)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in ev.collect()
+    )
+    assert "_zk" not in back.columns
+    assert len(glob.glob(f"{out}/part-*.parquet")) >= 1
