@@ -44,7 +44,7 @@ def main() -> None:
     # scheduling jitter run-to-run, and min-of-N is the standard
     # noise-resistant estimator of a query's true cost
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for pass_no in range(2):
         for spec in bench_specs:
             t0 = time.perf_counter()
             rows = spec.fn(spark, sf_dir).collect()
@@ -52,6 +52,11 @@ def main() -> None:
             if spec.name not in timings or elapsed < timings[spec.name]:
                 timings[spec.name] = elapsed
             del rows
+        # guard the harness's own wall budget: on a degraded host one pass
+        # is already slow — a second would risk the caller's timeout without
+        # improving the estimate much
+        if pass_no == 0 and sum(timings.values()) > 120:
+            break
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
