@@ -745,3 +745,37 @@ def pivot_orders_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame
           for p, c in zip(_PRIORITIES, _PRIORITY_COLS)],
     )
     return renamed.orderBy("order_year")
+
+
+@register(
+    "repeat_buyers_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ORDER BY o_custkey
+    """,
+    tags=("setop", "intersect"),
+)
+def repeat_buyers_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each customer appears min(n96, n97)
+    times — with the bag EXCEPT/UNION queries this completes the multiset
+    algebra the engine's NodeSet layer is built on.
+
+    Scale: Catalyst rewrites intersect-all as a count-compare aggregate —
+    one shuffle per side on the key, no raw-row self-join.
+    """
+    o = load(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.intersectAll(y97).orderBy("o_custkey")
