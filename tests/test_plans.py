@@ -131,3 +131,12 @@ def test_bruteforce_ann_broadcasts_probes_and_limits_topk(spark):
     # partition ships only its local top-k to the per-probe sort
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_pivot_single_scan_single_shuffle(spark):
+    plan = _plan(spark, "pivot_orders_priority_by_year")
+    # explicit pivot values compile to one conditional-agg pass: one scan,
+    # one hash exchange (plus the presentation sort) — an implicit value
+    # list would add a distinct-collect job and a data-dependent schema
+    assert plan.count("Scan parquet") // 2 == 1
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
