@@ -102,15 +102,23 @@ _SHINGLES_SQL = """
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Rebalance a coarsely-partitioned scan before CPU-heavy per-row work.
+    """Rebalance a coarsely-partitioned scan before CPU-heavy per-row work —
+    ONLY when the scan is under-parallel.
 
     The documents table is one small parquet file locally (1 input split);
     shingling is the dominant CPU cost, so a round-robin repartition to the
-    session's shuffle width keeps all cores busy.  At 100 TB the scan already
-    has thousands of splits and this becomes a cheap no-op-ish rebalance that
-    still protects against doc-length skew.
+    session's shuffle width keeps all cores busy.  At 100 TB the scan
+    already has thousands of splits, and an unconditional ``repartition``
+    would shuffle the ENTIRE text payload once before shingling — pure
+    waste, and a violation of this module's "shuffles carry keys, never
+    payloads" rule.  So: repartition only when the scan has fewer splits
+    than the session's shuffle width (tests/test_properties.py pins the
+    at-scale no-op).
     """
-    return df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 # ---------------------------------------------------------------------------

@@ -39,7 +39,7 @@ from edgy_spark.sources import load
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS n_exact,
-           TRUE AS approx_within_5pct
+           TRUE AS approx_within_3se
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -48,7 +48,9 @@ from edgy_spark.sources import load
 )
 def sketch_distinct_users_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type distinct users: exact count (hash-checked) alongside an
-    HLL++ ``approx_count_distinct`` asserted within its 5% rsd bound.
+    HLL++ ``approx_count_distinct`` (rsd=0.05) asserted within a
+    3-standard-error radius (3 x 5% = 15% of exact — the ~99.7% band
+    for the estimator; the column name says what is actually asserted).
 
     Scale: the exact branch shuffles every (event_type, user_id) pair; the
     HLL branch shuffles one ~kB sketch per event_type per map task.  At
@@ -62,10 +64,10 @@ def sketch_distinct_users_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     ok = (
         F.abs(F.col("n_approx") - F.col("n_exact"))
-        <= 0.05 * 3 * F.col("n_exact")  # 3 standard-error radius
+        <= 0.05 * 3 * F.col("n_exact")  # 3 standard-error radius (rsd=0.05)
     )
     return (
-        agg.select("event_type", "n_exact", ok.alias("approx_within_5pct"))
+        agg.select("event_type", "n_exact", ok.alias("approx_within_3se"))
         .orderBy("event_type")
     )
 

@@ -45,6 +45,12 @@ def get_spark(app_name: str = "edgy-spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # the driver's fixture parquet carries TIMESTAMP(NANOS); read as
+        # long nanos everywhere (sources.tables.load converts to µs ts).
+        # Set here once so generic readers (sources.io.read_table) don't
+        # mutate session state as a side effect; sources.tables.load still
+        # sets it at read time for driver-owned plain sessions.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -55,9 +55,12 @@ def read_table(
     wrong as a pipeline default)."""
     _check_format(fmt)
     if fmt == "parquet":
-        # the driver's fixtures carry TIMESTAMP(NANOS); map to long→ts like
-        # sources.tables.load does for any parquet written that way
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # TIMESTAMP(NANOS) parquet (the driver's fixtures) needs
+        # spark.sql.legacy.parquet.nanosAsLong=true — set at session build
+        # (edgy_spark.session.get_spark), NOT mutated here, so a read never
+        # has session-wide side effects.  Plain sessions reading nanos
+        # files get Spark's explicit unsupported-type error pointing at
+        # that flag.
         return spark.read.parquet(path)
     if fmt == "orc":
         # columnar like parquet: pushdown/pruning apply, schema travels with

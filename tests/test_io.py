@@ -186,12 +186,16 @@ def test_zorder_key_matches_reference_and_clusters(spark, tmp_path):
     from edgy_spark.functions.zorder import zorder_key, zorder_key_py
     from edgy_spark.sources.io import compact_table
 
-    sample = [(0, 0), (1, 2), (3, 5), (12345, 67890), (2**31 - 1, 17)]
+    sample = [(0, 0), (1, 2), (3, 5), (12345, 67890), (2**31 - 1, 17),
+              (17, 2**31 - 1), (2**31 - 1, 2**31 - 1), (2**32 + 5, 2**33 + 9)]
     df = spark.createDataFrame(sample, "a long, b long").withColumn(
         "z", zorder_key("a", "b")
     )
     for r in df.collect():
-        assert r.z == zorder_key_py(r.a, r.b), (r.a, r.b)
+        assert r.z == zorder_key_py(r.a & 0x7FFFFFFF, r.b & 0x7FFFFFFF), (r.a, r.b)
+        # signed-BIGINT safety: the 62-bit key must never go negative,
+        # even at the top of the 31-bit input range
+        assert r.z >= 0, (r.a, r.b, r.z)
 
     # layout property: files partition the z-range (disjoint), so each file
     # covers a contiguous Morton segment = a union of small (a,b) rectangles
