@@ -105,7 +105,31 @@ def _sig_sql() -> str:
             f" q -> q[1]::DOUBLE * q[2]))"
         )
         parts.append(f"(CASE WHEN {proj} > 0 THEN (1::BIGINT << {p}) ELSE 0 END)")
-    return "(SELECT vec_id, (" + " + ".join(parts) + ") AS sig FROM embeddings)"
+    return (
+        "(SELECT vec_id, embedding, (" + " + ".join(parts) + ") AS sig FROM embeddings)"
+    )
+
+
+def hyperplane_signature() -> "F.Column":
+    """The 12-bit random-hyperplane sign signature of ``embedding`` as a
+    Column — 12 in-row array folds over literal plane coefficients, zero
+    shuffles.  Shared with operators.dedup, which uses it as the
+    self-contained blocking key for embedding near-dup (no ground-truth
+    column needed at scale)."""
+    sig_expr = None
+    for p, coefs in enumerate(_plane_coefs()):
+        arr = F.array(*[F.lit(c) for c in coefs])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig_expr = bit if sig_expr is None else sig_expr + bit
+    return sig_expr
+
+
+SIG_BUCKETS_SQL = _sig_sql()
 
 
 @register(
@@ -125,17 +149,7 @@ def sim_lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sub-quadratic ANN scale path; exact re-rank happens inside buckets.
     """
     e = load(spark, sf_dir, "embeddings")
-    sig_expr = None
-    for p, coefs in enumerate(_plane_coefs()):
-        arr = F.array(*[F.lit(c) for c in coefs])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), arr, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig_expr = bit if sig_expr is None else sig_expr + bit
-    sig = e.select("vec_id", sig_expr.alias("sig"))
+    sig = e.select("vec_id", hyperplane_signature().alias("sig"))
     a = sig.select(F.col("vec_id").alias("vec_a"), "sig")
     b = sig.select(F.col("vec_id").alias("vec_b"), "sig")
     return (

@@ -40,14 +40,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as long nanos and convert to a microsecond
-        # timestamp (floor — matching DuckDB's ns→µs truncation).  Set at
-        # read time so it works under any caller-provided SparkSession.
+        # events.ts arrives as either parquet TIMESTAMP(NANOS) (older
+        # fixtures — Spark's vectorized reader rejects it, so read as long
+        # nanos and floor to µs, matching DuckDB's ns→µs truncation) or as
+        # TIMESTAMP(MICROS) without UTC adjustment (current fixtures —
+        # Spark 4 infers TIMESTAMP_NTZ).  Normalize both to a plain
+        # TIMESTAMP with the session pinned to UTC, so downstream operators
+        # (unix_micros, watermarks, window()) see ONE type under any
+        # caller-provided SparkSession.  Set at read time so it works for
+        # driver-owned plain sessions too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
