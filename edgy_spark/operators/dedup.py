@@ -37,6 +37,176 @@ from edgy_spark.functions.vectors import cosine_similarity
 from edgy_spark.sources import load
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup (self-contained hyperplane-LSH blocking)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           p -> p[1]::DOUBLE * p[2]::DOUBLE))
+  / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+"""
+
+# Band layout over similarity.hyperplane_signature()'s 12-bit signature:
+# 3 bands x 4 bits.  Candidates share >= 1 band (classic LSH OR-of-ANDs);
+# at cos >= 0.95 the per-band collision prob is (1 - theta/pi)^4 ~ 0.65, so
+# >=1-of-3 bands fires with p ~ 0.96 (checked by the planted-near-dup test).
+# A production corpus raises N_PLANES/band width (e.g. 64 planes, 4x16-bit
+# bands -> 65k buckets per band) without touching the query shape.
+EMB_N_BANDS = 3
+EMB_BAND_BITS = 4
+# The synthetic fixture has no true near-duplicates (max pair cosine ~ 0.51
+# at sf0.01), so the registered query uses tau=0.3 to exercise the full
+# blocking + re-rank path on non-empty output; embedding_neardup_pairs()
+# defaults to the production threshold 0.9.
+EMB_FIXTURE_TAU = 0.3
+
+
+def _emb_pair_ctes(tau: float) -> str:
+    """Oracle CTE chain mirroring the Spark blocking bit-for-bit:
+    12-bit signature → band keys → distinct same-band pairs → exact cosine."""
+    from edgy_spark.operators.similarity import _sig_sql
+
+    mask = (1 << EMB_BAND_BITS) - 1
+    return f"""
+    esig AS {_sig_sql()},
+    ebands AS (
+      SELECT vec_id, b.band, (sig >> (b.band * {EMB_BAND_BITS})) & {mask} AS key
+      FROM esig, (SELECT unnest(range({EMB_N_BANDS})) AS band) b),
+    ecand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM ebands x JOIN ebands y
+        ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+    epairs AS (
+      SELECT vec_a, vec_b, {_COS_SQL} AS cos_sim
+      FROM ecand
+      JOIN embeddings a ON a.vec_id = vec_a
+      JOIN embeddings b ON b.vec_id = vec_b
+      WHERE {_COS_SQL} >= {tau})
+"""
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = 0.9,
+    n_bands: int = EMB_N_BANDS,
+    band_bits: int = EMB_BAND_BITS,
+) -> DataFrame:
+    """Embedding near-duplicates with self-contained LSH blocking: slice the
+    random-hyperplane signature (similarity.hyperplane_signature) into
+    ``n_bands`` bit-bands, emit candidate pairs per band bucket, exact-cosine
+    re-rank, keep pairs with cosine >= ``tau``.
+
+    No ground-truth column is consulted — this runs on any corpus with an
+    ``embedding`` column.  Scale: the signature is 12 in-row folds (zero
+    shuffles); banding shuffles (band, key, vec_id) triples only; embeddings
+    are re-joined ONLY for surviving candidate pairs, so the all-pairs join
+    never materializes.  Same posting-list pair emission as the MinHash path
+    (single scan of the bucket table, no self-join).
+    """
+    from edgy_spark.operators.similarity import hyperplane_signature
+
+    e = load(spark, sf_dir, "embeddings")
+    mask = (1 << band_bits) - 1
+    sig = e.select("vec_id", hyperplane_signature().alias("sig"))
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.shiftright(F.col("sig"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select("vec_id", F.explode(band_arr).alias("b")).select(
+        "vec_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list("vec_id").alias("vecs"))
+        .filter(F.size("vecs") >= 2)
+    )
+    cand = (
+        buckets.select(F.explode("vecs").alias("vec_a"), "vecs")
+        .select("vec_a", F.explode("vecs").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .distinct()
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= tau)
+    )
+
+
+@register(
+    "dedup_embedding_neardup_pairs",
+    oracle=f"""
+    WITH {_emb_pair_ctes(EMB_FIXTURE_TAU)}
+    SELECT vec_a, vec_b, cos_sim FROM epairs
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs over hyperplane-signature band blocking —
+    see :func:`embedding_neardup_pairs`.  Registered at the fixture
+    threshold (EMB_FIXTURE_TAU) so the oracle row is non-trivial on the
+    synthetic corpus; production calls use the 0.9 default.
+    """
+    return embedding_neardup_pairs(
+        spark, sf_dir, tau=EMB_FIXTURE_TAU
+    ).orderBy("vec_a", "vec_b")
+
+
+@register(
+    "dedup_embedding_cluster_keepers",
+    oracle=f"""
+    WITH RECURSIVE {_emb_pair_ctes(EMB_FIXTURE_TAU)},
+    und AS (SELECT vec_a AS s, vec_b AS d FROM epairs
+            UNION SELECT vec_b, vec_a FROM epairs),
+    reach(node, label) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM und)
+      UNION
+      SELECT u.d, r.label FROM reach r JOIN und u ON u.s = r.node)
+    SELECT node AS vec_id, MIN(label) AS keeper_vec_id
+    FROM reach GROUP BY node
+    ORDER BY vec_id
+    """,
+    tags=("dedup", "embedding", "graph", "pipeline"),
+)
+def dedup_embedding_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding dedup map: signature-blocked near-dup pairs →
+    connected components over the pair graph → per-vector canonical keeper
+    (component minimum) — the embedding twin of
+    :func:`dedup_minhash_cluster_keepers`, and the shape a real corpus
+    dedup ships (transitive near-dup groups collapse to one keeper).
+
+    Scale: the pair graph is a tiny fraction of the corpus (band-colliding,
+    cosine-passing pairs only), so CC iterates on a broadcast-sized vertex
+    state; the heavy work stays in the one-pass signature/banding pipeline.
+    """
+    from edgy_spark.operators.graph_algos import connected_components
+
+    pairs = embedding_neardup_pairs(spark, sf_dir, tau=EMB_FIXTURE_TAU)
+    edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    comps = connected_components(edges)
+    return (
+        comps.select(
+            F.col("node").alias("vec_id"), F.col("component").alias("keeper_vec_id")
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
@@ -409,45 +579,3 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return votes.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
-
-
-# ---------------------------------------------------------------------------
-# embedding-cosine near-dup
-# ---------------------------------------------------------------------------
-
-_COS_SQL = """
-  list_sum(list_transform(list_zip(a.embedding, b.embedding),
-           p -> p[1]::DOUBLE * p[2]::DOUBLE))
-  / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
-"""
-
-@register(
-    "dedup_embedding_neardup_pairs",
-    oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_COS_SQL} >= 0.9
-    ORDER BY vec_a, vec_b
-    """,
-    tags=("dedup", "embedding"),
-)
-def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicates: cosine ≥ 0.9 within label blocks.
-
-    Blocking on ``label`` stands in for an ANN/IVF partition at scale — the
-    pair join is per-block, not global.  Double-precision JVM fold matches
-    the oracle bit-for-bit (see functions/vectors).
-    """
-    e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb"))
-    sim = cosine_similarity(F.col("ea"), F.col("eb"))
-    return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.9)
-        .orderBy("vec_a", "vec_b")
-    )

@@ -105,15 +105,13 @@ def _sig_sql() -> str:
             f" q -> q[1]::DOUBLE * q[2]))"
         )
         parts.append(f"(CASE WHEN {proj} > 0 THEN (1::BIGINT << {p}) ELSE 0 END)")
-    return (
-        "(SELECT vec_id, embedding, (" + " + ".join(parts) + ") AS sig FROM embeddings)"
-    )
+    return "(SELECT vec_id, (" + " + ".join(parts) + ") AS sig FROM embeddings)"
 
 
 def hyperplane_signature() -> "F.Column":
     """The 12-bit random-hyperplane sign signature of ``embedding`` as a
     Column — 12 in-row array folds over literal plane coefficients, zero
-    shuffles.  Shared with operators.dedup, which uses it as the
+    shuffles.  operators.dedup slices it into band keys as the
     self-contained blocking key for embedding near-dup (no ground-truth
     column needed at scale)."""
     sig_expr = None
@@ -127,9 +125,6 @@ def hyperplane_signature() -> "F.Column":
         bit = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         sig_expr = bit if sig_expr is None else sig_expr + bit
     return sig_expr
-
-
-SIG_BUCKETS_SQL = _sig_sql()
 
 
 @register(

@@ -35,29 +35,57 @@ TABLES = (
 SMALL_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the fixtures' ``ts`` column to a plain ``TIMESTAMP``.
+
+    ``events.ts`` arrives as either parquet TIMESTAMP(NANOS) (older fixtures
+    — Spark's vectorized reader rejects it, so it is read as long nanos via
+    the ``nanosAsLong`` conf and floored to µs, matching DuckDB's ns→µs
+    truncation) or TIMESTAMP(MICROS) without UTC adjustment (current
+    fixtures — Spark 4 infers TIMESTAMP_NTZ).  The single shared
+    normalization point for the batch loader and the streaming reader, so a
+    fixture format change can never make batch and streaming diverge.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def ensure_utc_events_session(spark: SparkSession) -> None:
+    """Pin the two confs the events table's ts semantics depend on.
+
+    NTZ→TIMESTAMP casting, ``window()`` alignment, and ``date_format``
+    output all read ``spark.sql.session.timeZone``; this engine defines
+    event-time semantics in UTC (and the DuckDB oracle formats naively, so
+    any other zone hash-mismatches).  Sessions built by
+    :func:`edgy_spark.session.get_spark` already pin both confs at build
+    time, making this a no-op; for a caller-provided session each conf is
+    set ONLY when it differs — a documented side effect of reading the
+    events table, kept deliberately minimal (see ADVICE: no blanket
+    session mutation on every read).
+    """
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table.
+
+    Side effect (events only): pins ``spark.sql.session.timeZone=UTC`` and
+    ``nanosAsLong`` on the session if not already set — event-time semantics
+    are UTC by contract (see :func:`ensure_utc_events_session`).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts arrives as either parquet TIMESTAMP(NANOS) (older
-        # fixtures — Spark's vectorized reader rejects it, so read as long
-        # nanos and floor to µs, matching DuckDB's ns→µs truncation) or as
-        # TIMESTAMP(MICROS) without UTC adjustment (current fixtures —
-        # Spark 4 infers TIMESTAMP_NTZ).  Normalize both to a plain
-        # TIMESTAMP with the session pinned to UTC, so downstream operators
-        # (unix_micros, watermarks, window()) see ONE type under any
-        # caller-provided SparkSession.  Set at read time so it works for
-        # driver-owned plain sessions too.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(path)
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        ensure_utc_events_session(spark)
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

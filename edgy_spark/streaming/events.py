@@ -136,9 +136,13 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the events parquet as a bounded stream (1 file per trigger)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """Replay the events parquet as a bounded stream (1 file per trigger),
+    with the SAME ts normalization as the batch loader
+    (sources.tables.normalize_event_ts) so the replay-equivalence tests
+    compare like with like under any fixture format."""
+    from edgy_spark.sources.tables import ensure_utc_events_session, normalize_event_ts
+
+    ensure_utc_events_session(spark)
     import os
 
     path = os.path.join(sf_dir, "events.parquet")
@@ -151,14 +155,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # same normalization as sources.tables.load: fixtures carry
-        # non-UTC-adjusted µs timestamps that Spark 4 reads as NTZ
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def tumbling_stream(events: DataFrame) -> DataFrame:

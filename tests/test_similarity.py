@@ -63,6 +63,43 @@ def test_minhash_lsh_finds_exact_duplicate(spark):
     assert (0, 999_999) in pairs
 
 
+def test_embedding_banding_finds_planted_neardups(spark):
+    """Near-duplicate vectors planted at cosine ~0.9998 must be caught by the
+    hyperplane-signature band blocking (no ground-truth column involved):
+    expected >=1-of-3-band collision prob is ~0.99998 per pair at that
+    angle, so >=90% of 20 planted pairs is a safe deterministic bound."""
+    import numpy as np
+
+    from edgy_spark.operators.dedup import embedding_neardup_pairs
+
+    base = load(spark, SF_SMOKE, "embeddings")
+    originals = base.filter(F.col("vec_id") < 20).collect()
+    rng = np.random.default_rng(7)
+    planted_rows = []
+    for r in originals:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        noise = rng.normal(0.0, 0.02 * float(np.linalg.norm(v)) / np.sqrt(v.size), v.size)
+        planted_rows.append(
+            (int(r["vec_id"]) + 1_000_000, [float(x) for x in v + noise], int(r["label"]))
+        )
+    planted = spark.createDataFrame(
+        planted_rows, schema="vec_id bigint, embedding array<float>, label int"
+    )
+    corpus = base.unionByName(planted)
+    tmp = "/tmp/edgy_spark_emb_planted"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    corpus.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(spark, tmp, tau=0.9).collect()
+    }
+    expected = {(i, i + 1_000_000) for i in range(20)}
+    assert found <= expected, f"false positives at tau=0.9: {found - expected}"
+    assert len(found & expected) / 20 >= 0.9, f"recall {len(found & expected)}/20"
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """IVF with N_PROBE/K_CELLS = 1/4 of the corpus must keep high recall
     against the exact top-k (measured 0.90 on the fixtures)."""
