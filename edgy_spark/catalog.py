@@ -56,25 +56,25 @@ def load_all_registrations() -> None:
     ORDER MATTERS for external verification: the driver's correctness gate
     checks registrations in insertion order (first 50).  The driver set
     rotates across rounds so every family gets periodically re-verified:
-    r01 checked relational/TPC-H/graph, r02/r03 checked the LLM-pipeline
-    families, r04 puts relational/TPC-H/graph FIRST again (their shared
-    ``load()`` and session config changed since r01), followed by the
-    round-4 dedup additions.
+    r01 checked relational/TPC-H/graph, r02/r03 the LLM-pipeline families,
+    r04 relational/TPC-H/graph again.  r05 rotates the LLM-pipeline +
+    streaming families (35 queries) FIRST — the round-4 embedding-dedup
+    rework and round-5 additions have never been driver-verified — then
+    graph (9), with relational/TPC-H (driver-green r04) filling the tail.
     """
-    # r04 priority: last driver-verified in round 1; shared code changed since
-    import edgy_spark.operators.relational  # noqa: F401
-    import edgy_spark.operators.tpch_more  # noqa: F401
-    import edgy_spark.operators.graph_queries  # noqa: F401
-    import edgy_spark.operators.graph_algos  # noqa: F401
-    # round-4 new/changed: embedding near-dup rework
+    # r05 priority: round-4/5 new or reworked, driver-verified r03 at latest
     import edgy_spark.operators.dedup  # noqa: F401
     import edgy_spark.operators.similarity  # noqa: F401
-    # driver-verified green in r03
+    import edgy_spark.streaming.events  # noqa: F401
+    import edgy_spark.streaming.stateful  # noqa: F401
     import edgy_spark.operators.text  # noqa: F401
     import edgy_spark.operators.asof  # noqa: F401
     import edgy_spark.operators.multimodal  # noqa: F401
     import edgy_spark.operators.pipeline  # noqa: F401
     import edgy_spark.operators.sketches  # noqa: F401
     import edgy_spark.operators.udx  # noqa: F401
-    import edgy_spark.streaming.events  # noqa: F401
-    import edgy_spark.streaming.stateful  # noqa: F401
+    # driver-verified green in r04
+    import edgy_spark.operators.graph_queries  # noqa: F401
+    import edgy_spark.operators.graph_algos  # noqa: F401
+    import edgy_spark.operators.relational  # noqa: F401
+    import edgy_spark.operators.tpch_more  # noqa: F401

@@ -47,7 +47,7 @@ _COS_SQL = """
      * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
 """
 
-# Band layout over similarity.hyperplane_signature()'s 12-bit signature:
+# Band layout over functions.lsh.hyperplane_signature()'s 12-bit signature:
 # 3 bands x 4 bits.  Candidates share >= 1 band (classic LSH OR-of-ANDs);
 # at cos >= 0.95 the per-band collision prob is (1 - theta/pi)^4 ~ 0.65, so
 # >=1-of-3 bands fires with p ~ 0.96 (checked by the planted-near-dup test).
@@ -65,7 +65,7 @@ EMB_FIXTURE_TAU = 0.3
 def _emb_pair_ctes(tau: float) -> str:
     """Oracle CTE chain mirroring the Spark blocking bit-for-bit:
     12-bit signature → band keys → distinct same-band pairs → exact cosine."""
-    from edgy_spark.operators.similarity import _sig_sql
+    from edgy_spark.functions.lsh import sig_sql as _sig_sql
 
     mask = (1 << EMB_BAND_BITS) - 1
     return f"""
@@ -94,7 +94,7 @@ def embedding_neardup_pairs(
     band_bits: int = EMB_BAND_BITS,
 ) -> DataFrame:
     """Embedding near-duplicates with self-contained LSH blocking: slice the
-    random-hyperplane signature (similarity.hyperplane_signature) into
+    random-hyperplane signature (functions.lsh.hyperplane_signature) into
     ``n_bands`` bit-bands, emit candidate pairs per band bucket, exact-cosine
     re-rank, keep pairs with cosine >= ``tau``.
 
@@ -105,7 +105,7 @@ def embedding_neardup_pairs(
     never materializes.  Same posting-list pair emission as the MinHash path
     (single scan of the bucket table, no self-join).
     """
-    from edgy_spark.operators.similarity import hyperplane_signature
+    from edgy_spark.functions.lsh import hyperplane_signature
 
     e = load(spark, sf_dir, "embeddings")
     mask = (1 << band_bits) - 1

@@ -71,60 +71,11 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- random-hyperplane LSH --------------------------------------------------
+# Signature machinery lives in functions/lsh.py (single source of truth,
+# shared with operators.dedup's embedding blocking — importing it never
+# triggers catalog registration, keeping insertion order deterministic).
 
-N_PLANES = 12
-DIM = 64
-
-
-def _plane_coefs() -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes in [-1, 1], md5-derived.
-
-    Generated driver-side and embedded as LITERAL arrays in both the Spark
-    plan and the oracle SQL, so the per-vector projection is a sequential
-    in-row fold — no distributed float sum whose order could flip a sign
-    bit between engines or between runs.
-    """
-    import hashlib
-
-    out = []
-    for p in range(N_PLANES):
-        row = []
-        for d in range(DIM):
-            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
-            row.append((h % 2001 - 1000) / 1000.0)
-        out.append(row)
-    return out
-
-
-def _sig_sql() -> str:
-    parts = []
-    for p, coefs in enumerate(_plane_coefs()):
-        lit = "[" + ", ".join(repr(c) for c in coefs) + "]::DOUBLE[]"
-        proj = (
-            f"list_sum(list_transform(list_zip(embedding, {lit}),"
-            f" q -> q[1]::DOUBLE * q[2]))"
-        )
-        parts.append(f"(CASE WHEN {proj} > 0 THEN (1::BIGINT << {p}) ELSE 0 END)")
-    return "(SELECT vec_id, (" + " + ".join(parts) + ") AS sig FROM embeddings)"
-
-
-def hyperplane_signature() -> "F.Column":
-    """The 12-bit random-hyperplane sign signature of ``embedding`` as a
-    Column — 12 in-row array folds over literal plane coefficients, zero
-    shuffles.  operators.dedup slices it into band keys as the
-    self-contained blocking key for embedding near-dup (no ground-truth
-    column needed at scale)."""
-    sig_expr = None
-    for p, coefs in enumerate(_plane_coefs()):
-        arr = F.array(*[F.lit(c) for c in coefs])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), arr, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig_expr = bit if sig_expr is None else sig_expr + bit
-    return sig_expr
+from edgy_spark.functions.lsh import hyperplane_signature, sig_sql as _sig_sql  # noqa: E402
 
 
 @register(
