@@ -75,7 +75,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared with operators.dedup's embedding blocking — importing it never
 # triggers catalog registration, keeping insertion order deterministic).
 
-from edgy_spark.functions.lsh import hyperplane_signature, sig_sql as _sig_sql  # noqa: E402
+from edgy_spark.functions.lsh import DIM, hyperplane_signature, sig_sql as _sig_sql  # noqa: E402
 
 
 @register(
@@ -120,6 +120,50 @@ def _cos2(x: str, y: str) -> str:
       / (sqrt(list_sum(list_transform({x}, v -> v::DOUBLE * v::DOUBLE)))
          * sqrt(list_sum(list_transform({y}, v -> v::DOUBLE * v::DOUBLE))))
     """
+
+
+def _ivf_search(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """IVF search given a (cell, cemb) centroid table: assign the corpus to
+    nearest cells (broadcast nested-loop + map-side partial max_by — the one
+    wide shuffle carries a single (vec_id, cell) row per vector), probe each
+    query's N_PROBE nearest cells, exact cosine re-rank inside them."""
+    cs = cosine_similarity(F.col("embedding"), F.col("cemb"))
+    # argmax(cos, tie -> smallest cell) via struct-ordered max_by: same
+    # selection the oracle's ROW_NUMBER(ORDER BY cos DESC, cell) makes
+    asg = (
+        e.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(cs.alias("cs"), (-F.col("cell")).alias("nc"))
+            ).alias("cell")
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    qcs = cosine_similarity(F.col("qemb"), F.col("cemb"))
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cell"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qemb", "cell", qcs.alias("qc"))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qemb", "cell")
+    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nemb"))
+    sim = cosine_similarity(F.col("qemb"), F.col("nemb"))
+    wrank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probe)
+        .join(asg.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(n, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
 
 
 @register(
@@ -176,40 +220,163 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") < K_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cemb")
     )
-    cs = cosine_similarity(F.col("embedding"), F.col("cemb"))
-    # argmax(cos, tie -> smallest cell) via struct-ordered max_by: same
-    # selection the oracle's ROW_NUMBER(ORDER BY cos DESC, cell) makes
-    asg = (
-        e.crossJoin(F.broadcast(cent))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cell", F.struct(cs.alias("cs"), (-F.col("cell")).alias("nc"))
-            ).alias("cell")
+    return _ivf_search(e, cent)
+
+
+# -- trained IVF (fixed-seed Lloyd k-means) ---------------------------------
+
+KM_ROUNDS = 2   # Lloyd refinement rounds (unrolled in the oracle SQL too)
+FP_BITS = 20    # fixed-point quantum for the integer-stable centroid mean
+_FPQ = 1 << FP_BITS
+
+
+def _nearest_cell(cents: list[tuple[int, list[float]]]) -> "F.Column":
+    """In-row argmax cell over literal centroids: one struct (cos, -cell) per
+    centroid, array_max picks (max cos, tie -> smallest cell) — identical
+    selection to the oracle's ROW_NUMBER(ORDER BY cos DESC, cell).
+
+    Zero extra rows and zero joins: assignment is a pure map, so each Lloyd
+    round costs one corpus scan plus one map-side-combined groupBy(cell)
+    shuffle of k x DIM longs.  At production k (~sqrt(N)) the literals would
+    be swapped for a broadcast join without changing the query shape.
+    """
+    structs = []
+    for cell, cemb in cents:
+        arr = F.array(*[F.lit(c) for c in cemb])
+        cs = cosine_similarity(F.col("embedding"), arr)
+        structs.append(
+            F.struct(cs.alias("cs"), F.lit(-cell).cast("long").alias("nc"))
         )
+    return (-F.array_max(F.array(*structs)).getField("nc")).cast("long")
+
+
+def train_ivf_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CELLS,
+    rounds: int = KM_ROUNDS,
+) -> list[tuple[int, list[float]]]:
+    """Fixed-seed Lloyd k-means over ``embeddings``, pure DataFrame-side.
+
+    Init = the first ``k`` vectors by vec_id (deterministic seed); each round
+    reassigns every vector to its max-cosine cell (in-row argmax over literal
+    centroids — no join) and recomputes cell means.  Only the k tiny centroid
+    rows are collected per round; the corpus never leaves the executors.
+
+    The mean is integer-stable: elements are quantized to round(v * 2^20) as
+    BIGINT (dyadic scaling of a double is exact, and round-half-away on
+    identical doubles agrees across engines), summed exactly (order-free),
+    and divided back in double.  This makes centroids bit-identical between
+    Spark and the DuckDB oracle regardless of partitioning — a plain float
+    mean would drift in the low bits and flip downstream argmax ties.
+    Quantization loss is ~1e-6 relative, irrelevant for coarse cells; sums
+    stay under 2^53 up to ~2^40 rows per cell (raise FP_BITS' budget by
+    sharding the sum if a cell ever exceeds that).
+
+    Empty cells drop out (both engines drop them identically); k shrinks
+    rather than resampling, keeping the unrolled oracle expressible.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["cemb"]])
+        for r in e.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cemb"))
+        .collect()
+    ]
+    dim = len(cents[0][1])
+    for _ in range(rounds):
+        asg = e.select("vec_id", "embedding", _nearest_cell(cents).alias("cell"))
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(
+                F.round(F.col("embedding")[i].cast("double") * _FPQ, 0).cast("long")
+            ).alias(f"s{i}")
+            for i in range(dim)
+        ]
+        rows = asg.groupBy("cell").agg(*aggs).collect()
+        cents = sorted(
+            (
+                int(r["cell"]),
+                [(float(r[f"s{i}"]) / _FPQ) / r["n"] for i in range(dim)],
+            )
+            for r in rows
+        )
+    return cents
+
+
+def _km_ctes() -> str:
+    """Oracle CTE chain mirroring train_ivf_centroids round-for-round:
+    cent_0 = first-K seed; asg_r = argmax-cosine assignment vs cent_r;
+    cent_{r+1} = per-cell elementwise mean via the same fixed-point
+    (round(v * 2^20) BIGINT) sums, so every round's centroids are
+    bit-identical to the Spark side."""
+    ctes = [
+        f"""cent_0 AS (
+      SELECT vec_id AS cell, embedding AS cemb FROM embeddings WHERE vec_id < {K_CELLS})"""
+    ]
+    for r in range(KM_ROUNDS + 1):
+        ctes.append(f"""asg_{r} AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos2('e.embedding', 'c.cemb')} DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cent_{r} c) WHERE rn = 1)""")
+        if r == KM_ROUNDS:
+            break
+        ctes.append(f"""cent_{r + 1} AS (
+      SELECT cell, list(m ORDER BY pos) AS cemb FROM (
+        SELECT a.cell, i.pos,
+               (CAST(SUM(CAST(ROUND(CAST(e.embedding[i.pos] AS DOUBLE) * {_FPQ}, 0) AS BIGINT)) AS DOUBLE)
+                / {float(_FPQ)}) / COUNT(*) AS m
+        FROM asg_{r} a JOIN embeddings e USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS pos) i
+        GROUP BY a.cell, i.pos)
+      GROUP BY cell)""")
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "sim_ivf_trained_topk",
+    oracle=f"""
+    WITH {_km_ctes()},
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_cos2('q.embedding', 'c.cemb')} DESC, c.cell) AS rn
+        FROM embeddings q CROSS JOIN cent_{KM_ROUNDS} c WHERE q.vec_id < {N_QUERIES}) WHERE rn <= {N_PROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_cos2('q.embedding', 'n.embedding')} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                ORDER BY {_cos2('q.embedding', 'n.embedding')} DESC,
+                                         a.vec_id) AS rank
+      FROM probe p
+      JOIN asg_{KM_ROUNDS} a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings n ON n.vec_id = a.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM scored WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k over TRAINED centroids: fixed-seed Lloyd k-means
+    (train_ivf_centroids, KM_ROUNDS rounds, integer-stable means) followed
+    by the same probe-limited search as :func:`sim_ivf_topk`.
+
+    This is the production ANN path — the seeded variant exists so the full
+    pipeline stays oracle-expressible without iteration, while this one
+    unrolls the k-means rounds into the oracle SQL (possible because the
+    fixed-point centroid means are bit-identical across engines).
+
+    Scale: training is rounds x (corpus map + one k x DIM-long shuffle);
+    search probes N_PROBE/k of the corpus.  Recall vs brute force is pinned
+    in tests/test_similarity.py.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(spark, sf_dir)
+    cent = spark.createDataFrame(
+        [(c, emb) for c, emb in cents], schema="cell bigint, cemb array<double>"
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
-    )
-    qcs = cosine_similarity(F.col("qemb"), F.col("cemb"))
-    wprobe = Window.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cell"))
-    probe = (
-        q.crossJoin(F.broadcast(cent))
-        .select("query_id", "qemb", "cell", qcs.alias("qc"))
-        .withColumn("rn", F.row_number().over(wprobe))
-        .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", "qemb", "cell")
-    )
-    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nemb"))
-    sim = cosine_similarity(F.col("qemb"), F.col("nemb"))
-    wrank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        F.broadcast(probe)
-        .join(asg.withColumnRenamed("vec_id", "neighbor_id"), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(n, "neighbor_id")
-        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(wrank))
-        .filter(F.col("rank") <= TOP_K)
-        .orderBy("query_id", "rank")
-    )
+    return _ivf_search(e, cent)

@@ -40,7 +40,7 @@ def test_lsh_candidates_cover_high_cosine_pairs(spark):
     assert found / len(high) >= 0.5, f"LSH recall {found}/{len(high)} too low"
 
 
-def test_minhash_lsh_finds_exact_duplicate(spark):
+def test_minhash_lsh_finds_exact_duplicate(spark, tmp_path):
     """Planting an exact duplicate document must produce an LSH candidate
     pair — identical shingle sets have identical signatures in every band."""
     docs = load(spark, SF_SMOKE, "documents")
@@ -48,13 +48,7 @@ def test_minhash_lsh_finds_exact_duplicate(spark):
         F.lit(999_999).alias("doc_id"), "text", "lang", "source", "n_chars"
     )
     planted = docs.unionByName(one)
-    tmp = "/tmp/edgy_spark_minhash_planted"
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
-    import os
-
-    os.makedirs(tmp)
+    tmp = str(tmp_path)
     planted.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
     pairs = {
         (r["doc_a"], r["doc_b"])
@@ -63,7 +57,7 @@ def test_minhash_lsh_finds_exact_duplicate(spark):
     assert (0, 999_999) in pairs
 
 
-def test_embedding_banding_finds_planted_neardups(spark):
+def test_embedding_banding_finds_planted_neardups(spark, tmp_path):
     """Near-duplicate vectors planted at cosine ~0.9998 must be caught by the
     hyperplane-signature band blocking (no ground-truth column involved):
     expected >=1-of-3-band collision prob is ~0.99998 per pair at that
@@ -86,10 +80,7 @@ def test_embedding_banding_finds_planted_neardups(spark):
         planted_rows, schema="vec_id bigint, embedding array<float>, label int"
     )
     corpus = base.unionByName(planted)
-    tmp = "/tmp/edgy_spark_emb_planted"
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = str(tmp_path)
     corpus.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
     found = {
         (r["vec_a"], r["vec_b"])
@@ -109,3 +100,29 @@ def test_ivf_recall_vs_bruteforce(spark):
     bf = {(r.query_id, r.neighbor_id) for r in sim_bruteforce_topk(spark, SF_SMOKE).collect()}
     ivf = {(r.query_id, r.neighbor_id) for r in sim_ivf_topk(spark, SF_SMOKE).collect()}
     assert len(bf & ivf) / len(bf) >= 0.8
+
+
+def test_trained_ivf_recall_at_least_matches_seeded(spark):
+    """The production path (Lloyd-trained centroids) must keep recall vs
+    exact top-k at least as high as the required bound for the seeded
+    variant — training must not cost recall."""
+    from edgy_spark.operators.similarity import (
+        sim_bruteforce_topk,
+        sim_ivf_trained_topk,
+    )
+    from tests.conftest import SF_SMOKE
+
+    bf = {(r.query_id, r.neighbor_id) for r in sim_bruteforce_topk(spark, SF_SMOKE).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in sim_ivf_trained_topk(spark, SF_SMOKE).collect()}
+    assert len(bf & ivf) / len(bf) >= 0.8
+
+
+def test_trained_centroids_deterministic(spark):
+    """Two independent trainings produce bit-identical centroids — the
+    integer-stable mean makes the result partition-order-free."""
+    from edgy_spark.operators.similarity import train_ivf_centroids
+    from tests.conftest import SF_SMOKE
+
+    a = train_ivf_centroids(spark, SF_SMOKE)
+    b = train_ivf_centroids(spark, SF_SMOKE)
+    assert a == b
