@@ -26,10 +26,16 @@ the engine's exact-decimal convention (functions/exact.py).
 
 Scale: state is one (int64, bool) pair per user — ~17 bytes/key, so 1e9
 users ≈ 17 GB spread across the cluster's state stores; the shuffle is the
-same single exchange on user_id a session-window would need.  Once a key
-crosses, its state stops changing; a production variant would add a state
-TTL (GroupStateTimeout) to retire idle keys — kept NoTimeout here so the
-batch equivalence is exact.
+same single exchange on user_id a session-window would need.  On an OPEN
+key universe that still grows without bound, so the production path passes
+``ttl_minutes`` to retire idle keys via ProcessingTimeTimeout: a key idle
+longer than the TTL is removed from the store, and exactly-once emission
+holds for any key whose event gaps stay inside the TTL horizon (a key
+returning after retirement restarts its sum — the standard streaming-state
+trade, sized so the TTL comfortably exceeds real inter-event gaps).
+``ttl_minutes=None`` keeps NoTimeout, making batch equivalence exact for
+bounded replays; tests/test_streaming.py proves both: long-TTL replay ==
+batch, and a tiny TTL really retires an idle key's state.
 """
 
 from __future__ import annotations
@@ -97,55 +103,84 @@ _OUT_SCHEMA = "user_id long, cross_ts string, cum_at_cross double"
 _STATE_SCHEMA = "cum_cents long, crossed boolean"
 
 
-def _detect_crossings(
-    key: Tuple,
-    pdf_iter: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-user GroupState function (runs inside an Arrow-batched worker).
+def _make_detector(ttl_ms: int | None):
+    """Build the per-user GroupState function (runs inside an Arrow-batched
+    worker).
 
     State = (cumulative value in integer cents, crossed flag).  Within a
     micro-batch events are sorted by (ts, event_id); across batches the
     replayed source delivers per-user time order (test harness guarantee —
     a production deployment would put a watermark+sort upstream or accept
     bounded disorder).
+
+    With ``ttl_ms`` set, every state write re-arms a processing-time timeout;
+    a key idle past the TTL is handed back with ``hasTimedOut`` and its
+    state removed — the state store holds only recently-active keys.
     """
-    import numpy as np
 
-    cum, crossed = (state.get if state.exists else (0, False))
-    for pdf in pdf_iter:
-        if crossed or pdf.empty:
-            # still must drain the iterator and fold the sum so a late
-            # restart resumes with the true total
+    def _detect_crossings(
+        key: Tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle past TTL: retire the key entirely (no data to process —
+            # Spark only times out keys with no rows in this batch)
+            state.remove()
+            return
+        cum, crossed = (state.get if state.exists else (0, False))
+        for pdf in pdf_iter:
+            if crossed or pdf.empty:
+                # still must drain the iterator and fold the sum so a late
+                # restart resumes with the true total
+                cents = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
+                cum += int(cents.sum())
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
             cents = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
-            cum += int(cents.sum())
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"])
-        cents = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
-        running = cum + cents.cumsum()
-        cum = int(running[-1]) if len(running) else cum
-        hits = np.nonzero(running >= THRESHOLD * 100)[0]
-        if len(hits):
-            i = int(hits[0])
-            crossed = True
-            ts = pdf["ts"].iloc[i]
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "cross_ts": [ts.strftime("%Y-%m-%d %H:%M:%S")],
-                    "cum_at_cross": [running[i] / 100.0],
-                }
-            )
-    state.update((cum, crossed))
+            running = cum + cents.cumsum()
+            cum = int(running[-1]) if len(running) else cum
+            hits = np.nonzero(running >= THRESHOLD * 100)[0]
+            if len(hits):
+                i = int(hits[0])
+                crossed = True
+                ts = pdf["ts"].iloc[i]
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "cross_ts": [ts.strftime("%Y-%m-%d %H:%M:%S")],
+                        "cum_at_cross": [running[i] / 100.0],
+                    }
+                )
+        state.update((cum, crossed))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return _detect_crossings
 
 
-def threshold_crossing_stream(events: DataFrame) -> DataFrame:
+def threshold_crossing_stream(
+    events: DataFrame, ttl_minutes: float | None = None
+) -> DataFrame:
     """Stateful streaming form: one output row per user at the micro-batch
-    where their running total first reaches THRESHOLD."""
+    where their running total first reaches THRESHOLD.
+
+    ``ttl_minutes`` enables the production state-TTL path (see module
+    docstring): idle keys retire after the TTL, bounding the state store on
+    an open key universe.  ``None`` keeps state forever (exact batch
+    equivalence on bounded replays).
+    """
+    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
     return events.groupBy("user_id").applyInPandasWithState(
-        _detect_crossings,
+        _make_detector(ttl_ms),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -69,39 +69,51 @@ def test_stateful_threshold_stream_equals_batch(spark):
     assert _rows(got, cols) == _rows(want, cols)
 
 
-def test_stateful_state_survives_micro_batches(spark, tmp_path):
-    """Split the events into three time-ordered files replayed one per
-    micro-batch: most users cross mid-replay, so a correct result REQUIRES
-    the cumulative state to carry across batches."""
+def _write_replay_chunks(spark, tmp_path, chunks):
+    """Write each chunk DataFrame as one parquet file in a shared dir, named
+    and mtime-ordered so maxFilesPerTrigger=1 replays them as sequential
+    micro-batches.  Returns a bounded readStream over the dir."""
     import os
 
-    from pyspark.sql import functions as F
-
-    from edgy_spark.sources import load
-    from edgy_spark.streaming.stateful import threshold_crossing_stream
-
-    ev = load(spark, SF_SMOKE, "events").orderBy("ts", "event_id")
-    rows = ev.collect()
-    cuts = [len(rows) // 5, (2 * len(rows)) // 5, len(rows)]
     stream_dir = str(tmp_path / "events_stream")
     os.makedirs(stream_dir)
-    start = 0
-    for i, end in enumerate(cuts):
-        chunk = spark.createDataFrame(rows[start:end], ev.schema)
+    for i, chunk in enumerate(chunks):
         part = str(tmp_path / f"chunk{i}")
         chunk.coalesce(1).write.parquet(part)
         src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
         dst = os.path.join(stream_dir, f"{i:03d}.parquet")
         os.rename(os.path.join(part, src), dst)
         os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
-        start = end
-
     schema = spark.read.parquet(stream_dir).schema
-    stream = (
+    return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
     )
+
+
+def _event_chunks_by_time(spark, n_early=1, n_total=3):
+    """The sf-smoke events split into time-ordered chunks (1/5, 1/5, 3/5)."""
+    from edgy_spark.sources import load
+
+    ev = load(spark, SF_SMOKE, "events").orderBy("ts", "event_id")
+    rows = ev.collect()
+    cuts = [len(rows) // 5, (2 * len(rows)) // 5, len(rows)]
+    chunks, start = [], 0
+    for end in cuts:
+        chunks.append(spark.createDataFrame(rows[start:end], ev.schema))
+        start = end
+    return chunks, rows, cuts
+
+
+def test_stateful_state_survives_micro_batches(spark, tmp_path):
+    """Split the events into three time-ordered files replayed one per
+    micro-batch: most users cross mid-replay, so a correct result REQUIRES
+    the cumulative state to carry across batches."""
+    from edgy_spark.streaming.stateful import threshold_crossing_stream
+
+    chunks, rows, cuts = _event_chunks_by_time(spark)
+    stream = _write_replay_chunks(spark, tmp_path, chunks)
     got = _run_append_stream(
         spark, threshold_crossing_stream(stream), "threshold_multibatch_test"
     )
@@ -113,6 +125,64 @@ def test_stateful_state_survives_micro_batches(spark, tmp_path):
     first_cut_ts = rows[cuts[0] - 1]["ts"]
     late = [r for r in want.collect() if r["cross_ts"] > str(first_cut_ts)]
     assert late, "test split too late: every user crossed in micro-batch 1"
+
+
+def test_stateful_ttl_long_horizon_equals_batch(spark, tmp_path):
+    """Production TTL path, TTL far above the replay duration: identical to
+    the batch twin — every crossed key emits exactly once, none retire
+    mid-replay."""
+    from edgy_spark.streaming.stateful import threshold_crossing_stream
+
+    chunks, _, _ = _event_chunks_by_time(spark)
+    stream = _write_replay_chunks(spark, tmp_path, chunks)
+    got = _run_append_stream(
+        spark,
+        threshold_crossing_stream(stream, ttl_minutes=60),
+        "threshold_ttl_long_test",
+    )
+    want = QUERIES["stream_first_threshold_crossing"].fn(spark, SF_SMOKE)
+    cols = ["user_id", "cross_ts", "cum_at_cross"]
+    got_rows = _rows(got, cols)
+    assert got_rows == _rows(want, cols)
+    assert len({r[0] for r in got_rows}) == len(got_rows), "duplicate emission"
+
+
+def test_stateful_ttl_retires_idle_keys(spark, tmp_path):
+    """A tiny TTL must actually retire an idle key: user 1 accumulates 600
+    in batch 1, is absent in batch 2 (timeout fires, state removed), and
+    accumulates 600 more in batch 3 — with state retired the restarted sum
+    never reaches 1000, so user 1 must NOT emit; with NoTimeout it must.
+    User 2 crosses in batch 2 and has more events in batch 3: still exactly
+    one emission (keys with data in a batch are never timed out)."""
+    import datetime as dt
+
+    def ev(eid, uid, minute, value):
+        return (eid, uid, dt.datetime(2024, 1, 1, 0, minute), float(value))
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    chunks = [
+        spark.createDataFrame([ev(1, 1, 0, 600.0), ev(2, 2, 1, 100.0)], schema),
+        spark.createDataFrame([ev(3, 2, 10, 950.0)], schema),
+        spark.createDataFrame([ev(4, 1, 20, 600.0), ev(5, 2, 21, 50.0)], schema),
+    ]
+    from edgy_spark.streaming.stateful import threshold_crossing_stream
+
+    stream = _write_replay_chunks(spark, tmp_path, chunks)
+    got = _run_append_stream(
+        spark,
+        threshold_crossing_stream(stream, ttl_minutes=0.00005),  # 3 ms
+        "threshold_ttl_tiny_test",
+    ).collect()
+    emitted = sorted(r["user_id"] for r in got)
+    assert emitted == [2], f"expected only user 2 (exactly once), got {emitted}"
+
+    nott_dir = tmp_path / "nott"
+    nott_dir.mkdir()
+    stream2 = _write_replay_chunks(spark, nott_dir, chunks)
+    got2 = _run_append_stream(
+        spark, threshold_crossing_stream(stream2), "threshold_nott_control_test"
+    ).collect()
+    assert sorted(r["user_id"] for r in got2) == [1, 2], "control: NoTimeout keeps state"
 
 
 def test_exactly_once_parquet_sink_restart(spark, tmp_path):
