@@ -42,16 +42,24 @@ def main() -> None:
 
     # two timed passes, per-query MIN: the host VM shows multi-second
     # scheduling jitter run-to-run, and min-of-N is the standard
-    # noise-resistant estimator of a query's true cost
+    # noise-resistant estimator of a query's true cost.  Per-pass times are
+    # recorded in the JSON so round-over-round drift can be attributed to
+    # jitter vs code (r03->r04's +10.7% was smeared across untouched queries
+    # and vanished in r05 on unchanged code — host jitter, confirming the
+    # r04 events-loader refactor was not the cause).
+    pass_times: list[dict[str, float]] = []
     timings: dict[str, float] = {}
     for pass_no in range(2):
+        this_pass: dict[str, float] = {}
         for spec in bench_specs:
             t0 = time.perf_counter()
             rows = spec.fn(spark, sf_dir).collect()
             elapsed = round(time.perf_counter() - t0, 4)
+            this_pass[spec.name] = elapsed
             if spec.name not in timings or elapsed < timings[spec.name]:
                 timings[spec.name] = elapsed
             del rows
+        pass_times.append(this_pass)
         # guard the harness's own wall budget: on a degraded host one pass
         # is already slow — a second would risk the caller's timeout without
         # improving the estimate much
@@ -67,6 +75,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "passes": len(pass_times),
+                "estimator": "min",
+                "pass_times": pass_times,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )
