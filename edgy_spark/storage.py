@@ -57,13 +57,45 @@ class Snapshot:
         rel = self.manifest["tables"].get(f"n_{node_type}")
         if rel is None:
             return self._store.spark.createDataFrame([], nt.struct_type())
-        return self._store.spark.read.parquet(os.path.join(self._store.root, rel))
+        df = self._store.spark.read.parquet(os.path.join(self._store.root, rel))
+        return _reconcile_to_schema(df, nt)
 
     def edge_table(self, table: str) -> DataFrame:
         rel = self.manifest["tables"].get(f"e_{table}")
         if rel is None:
             return self._store.spark.createDataFrame([], EDGE_STRUCT)
         return self._store.spark.read.parquet(os.path.join(self._store.root, rel))
+
+
+def _reconcile_to_schema(df: DataFrame, nt) -> DataFrame:
+    """Schema-evolution-tolerant decode: project a stored node table onto the
+    CURRENT NodeType, the reference's load semantics
+    (/root/reference/src/Edgy/Node.hs:181-189 — the attr map is keyed by
+    (name, typeRep): unknown keys are dropped on load, missing keys read as
+    the attribute default).
+
+    - attribute added since the file was written → literal default column
+      (optional attrs carry their mempty-analogue default; required attrs
+      get NULL, which the point-read path rejects at get time — same lazy
+      "unset required attribute" error as the reference);
+    - attribute removed → stored column dropped;
+    - attribute re-typed → old (name, oldType) is an unknown key: dropped,
+      and the new-typed attribute reads as default.
+
+    A pure projection, so Catalyst still prunes the parquet scan to the
+    surviving columns; old versions never need rewriting (the manifest keeps
+    pointing at the original immutable files).
+    """
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    cols = [F.col("id")]
+    for a in nt.attrs:
+        if by_name.get(a.name) == a.spark_type():
+            cols.append(F.col(a.name))
+        else:
+            cols.append(F.lit(a.default).cast(a.spark_type()).alias(a.name))
+    return df.select(*cols)
 
 
 class GraphStore:

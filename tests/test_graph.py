@@ -365,3 +365,71 @@ def test_snapshot_diff_edges_cdc(engine):
     assert all(c == "delete" for _, _, c in rows)
     assert len(rows) >= 1  # at least the (bob→jane) adjacency row went away
     assert (bob.id, jane.id, "delete") in rows
+
+
+# -- schema evolution ------------------------------------------------------
+
+def test_schema_evolution_reads_old_versions(spark, tmp_path):
+    """Reference load semantics (/root/reference/src/Edgy/Node.hs:181-189):
+    the attr map is keyed by (name, type) — unknown keys drop on load,
+    missing keys read as the default.  Adding attributes to a NodeType must
+    therefore read OLD snapshot versions: new optional attr → default, new
+    required attr → lazy unset error at get, dropped attr → gone; and a
+    commit under the evolved schema round-trips."""
+    from edgy_spark.schema import Attr, GraphSchema, NodeType, optional
+
+    root = str(tmp_path / "db")
+    v1_schema = GraphSchema((NodeType("Person", (Attr("name"), Attr("age", "long"))),))
+    e1 = Engine(spark, root, v1_schema)
+    bob = e1.run(lambda t: t.new_node("Person", name="Bob", age=20))
+
+    # evolve: add an optional attr (with default), add a required attr
+    v2_schema = GraphSchema(
+        (
+            NodeType(
+                "Person",
+                (
+                    Attr("name"),
+                    Attr("age", "long"),
+                    optional("nickname", "string", default="(none)"),
+                    Attr("email"),
+                ),
+            ),
+        )
+    )
+    e2 = Engine(spark, root, v2_schema)
+    t = e2.read()
+    assert t.get_attribute(bob, "name") == "Bob"          # untouched attr
+    assert t.get_attribute(bob, "nickname") == "(none)"   # added optional → default
+    with pytest.raises(ValueError, match="required attribute 'email' unset"):
+        t.get_attribute(bob, "email")                     # added required → lazy error
+
+    # commit under the evolved schema: set the new attrs, create a new node
+    def fill(txn):
+        txn.set_attribute(bob, "email", "bob@example.com")
+        txn.set_attribute(bob, "nickname", "Bobby")
+        return txn.new_node("Person", name="Ann", age=30, email="ann@example.com")
+
+    ann = e2.run(fill)
+    t2 = e2.read()
+    assert t2.get_attribute(bob, "email") == "bob@example.com"
+    assert t2.get_attribute(bob, "nickname") == "Bobby"
+    assert t2.get_attribute(ann, "email") == "ann@example.com"
+
+    # drop an attribute: age disappears from reads; stored column is ignored
+    v3_schema = GraphSchema((NodeType("Person", (Attr("name"),)),))
+    e3 = Engine(spark, root, v3_schema)
+    t3 = e3.read()
+    assert t3.get_attribute(bob, "name") == "Bob"
+    assert "age" not in e3.snapshot().nodes("Person").columns
+    from edgy_spark.schema import UnknownAttributeError
+
+    with pytest.raises(UnknownAttributeError):
+        t3.get_attribute(bob, "age")
+
+    # re-type an attribute: old (name, type) key is unknown → reads default
+    v4_schema = GraphSchema(
+        (NodeType("Person", (Attr("name"), optional("age", "string", default="?"))),)
+    )
+    e4 = Engine(spark, root, v4_schema)
+    assert e4.read().get_attribute(bob, "age") == "?"
