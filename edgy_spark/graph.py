@@ -494,10 +494,19 @@ class Transaction:
 class Engine:
     """DB handle + transaction runner (the reference's ``DB`` + ``runEdgy``)."""
 
-    def __init__(self, spark: SparkSession, root: str, schema: GraphSchema):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema: GraphSchema,
+        bucket_edges: int | None = None,
+    ):
+        """``bucket_edges=N`` turns on the bucketed edge layout: point
+        adjacency reads prune to one bucket instead of scanning the whole
+        edge table (see GraphStore)."""
         self.spark = spark
         self.schema = schema
-        self.store = GraphStore(spark, root, schema)
+        self.store = GraphStore(spark, root, schema, bucket_edges=bucket_edges)
 
     def run(self, fn, retries: int = 3):
         """Run ``fn(txn)`` atomically; retry on write conflict (STM analogue)."""

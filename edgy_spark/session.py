@@ -44,6 +44,12 @@ def get_spark(app_name: str = "edgy-spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # keep bucketed scans on even when no join/agg consumes the
+        # distribution: the graph store's point adjacency reads rely on
+        # bucket PRUNING (filter on the bucket key -> scan 1/N buckets,
+        # tests/test_plans.py pins SelectedBucketsCount), which the
+        # auto-bucketed-scan heuristic would silently turn off
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # the driver's fixture parquet carries TIMESTAMP(NANOS); read as
         # long nanos everywhere (sources.tables.load converts to µs ts).

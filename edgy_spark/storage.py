@@ -64,6 +64,15 @@ class Snapshot:
         rel = self.manifest["tables"].get(f"e_{table}")
         if rel is None:
             return self._store.spark.createDataFrame([], EDGE_STRUCT)
+        tbl = self.manifest.get("bucketed", {}).get(f"e_{table}")
+        if tbl is not None and self._store.spark.catalog.tableExists(tbl):
+            # bucketed-by-src catalog table: a point read filtering on src
+            # prunes to ONE bucket file (SelectedBucketsCount 1/N in the
+            # scan), and src-equi-joins need no Exchange.  Falls back to the
+            # plain parquet files (same bytes, just unpruned) when the
+            # session catalog doesn't know the table (e.g. a fresh session
+            # reading an existing store root).
+            return self._store.spark.table(tbl)
         return self._store.spark.read.parquet(os.path.join(self._store.root, rel))
 
 
@@ -99,10 +108,23 @@ def _reconcile_to_schema(df: DataFrame, nt) -> DataFrame:
 
 
 class GraphStore:
-    def __init__(self, spark: SparkSession, root: str, schema: GraphSchema):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema: GraphSchema,
+        bucket_edges: int | None = None,
+    ):
+        """``bucket_edges=N`` writes edge tables bucketed (and sorted) by
+        ``src`` into N buckets via the session catalog: point adjacency
+        reads (get_related/is_related) then scan one bucket instead of the
+        whole table, and src-keyed joins skip their Exchange.  Pick N so one
+        bucket of the largest edge table fits an executor core's working
+        memory at target scale (see sources/io.write_bucketed)."""
         self.spark = spark
         self.root = root
         self.schema = schema
+        self.bucket_edges = bucket_edges
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         if not os.path.exists(self._current_path):
             self._write_manifest({"version": 0, "next_id": 1, "tables": {}})
@@ -126,6 +148,14 @@ class GraphStore:
         with os.fdopen(fd, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._current_path)  # atomic pointer swap
+
+    def _bucket_table_name(self, key: str, version: int) -> str:
+        """Session-catalog name for a bucketed edge-table version, unique
+        per store root so two stores in one session never collide."""
+        import hashlib
+
+        h = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        return f"edgy_{h}_{key}_v{version}"
 
     def current_version(self) -> int:
         with open(self._current_path) as f:
@@ -156,14 +186,31 @@ class GraphStore:
             )
         new_version = base.version + 1
         tables = dict(base.manifest["tables"])
+        bucketed = dict(base.manifest.get("bucketed", {}))
         for key, df in changed_tables.items():
             relpath = os.path.join("data", f"{key}.v{new_version}.parquet")
-            df.write.mode("overwrite").parquet(os.path.join(self.root, relpath))
+            if self.bucket_edges and key.startswith("e_"):
+                from edgy_spark.sources.io import write_bucketed
+
+                tbl = self._bucket_table_name(key, new_version)
+                write_bucketed(
+                    df,
+                    tbl,
+                    ["src"],
+                    self.bucket_edges,
+                    sort_cols=["src", "pos"],
+                    path=os.path.join(self.root, relpath),
+                )
+                bucketed[key] = tbl
+            else:
+                df.write.mode("overwrite").parquet(os.path.join(self.root, relpath))
+                bucketed.pop(key, None)
             tables[key] = relpath
         manifest = {
             "version": new_version,
             "next_id": next_id if next_id is not None else base.manifest["next_id"],
             "tables": tables,
+            "bucketed": bucketed,
         }
         self._write_manifest(manifest)
         self._publish(new_version)

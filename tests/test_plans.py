@@ -140,3 +140,50 @@ def test_pivot_single_scan_single_shuffle(spark):
     # list would add a distinct-collect job and a data-dependent schema
     assert plan.count("Scan parquet") // 2 == 1
     assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_point_read_prunes_to_one_bucket(spark, tmp_path):
+    """Engine(bucket_edges=N): a get_related-style point read filters the
+    bucketed edge table on src and must scan exactly ONE bucket — the scan
+    says so explicitly via SelectedBucketsCount.  This is the layout that
+    makes point adjacency reads O(1/N of the table) at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from edgy_spark.graph import Engine
+    from tests.test_graph import big_bang
+    from tests.test_schema import demo_schema
+
+    engine = Engine(spark, str(tmp_path / "db"), demo_schema(), bucket_edges=8)
+    nodes = engine.run(big_bang)
+    snap = engine.snapshot()
+    df = snap.edge_table("friend").filter(F.col("src") == nodes["bob"].id)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"no bucket pruning in plan:\n{plan}"
+    assert m.group(1) == "1" and m.group(2) == "8"
+    # and the point read itself still returns the right adjacency
+    assert {r["dst"] for r in df.collect()} == {
+        nodes["jane"].id, nodes["jose"].id
+    }
+
+
+def test_bucketed_engine_point_ops_correct(spark, tmp_path):
+    """The bucketed layout is a pure physical change: get_related /
+    is_related semantics (order, cardinality) are identical to the plain
+    layout."""
+    from edgy_spark.graph import Engine
+    from tests.test_graph import big_bang
+    from tests.test_schema import demo_schema
+
+    engine = Engine(spark, str(tmp_path / "db"), demo_schema(), bucket_edges=8)
+    nodes = engine.run(big_bang)
+    t = engine.read()
+    names = [
+        t.get_attribute(f, "name") for f in t.get_related_list(nodes["bob"], "friend")
+    ]
+    assert names == ["Jose", "Jane"]  # prepend order, parity with plain layout
+    assert t.is_related(nodes["bob"], "friend", nodes["jane"])
+    assert not t.is_related(nodes["jane"], "friend", nodes["jane"])
+    assert t.get_attribute(t.get_related(nodes["bob"], "spouse"), "name") == "Jane"
