@@ -10,7 +10,10 @@ are STUBBED behind an import-try (``_real_image_decode`` raises
 NotImplementedError when PIL is absent) and a deterministic fake decode
 stands in: every Spark-side piece — schema, binary handling, Arrow batch
 shape, partitioning — is real and oracle-checked, only the pixel math is
-fake (md5-derived, hence reproducible in SQL).
+fake (md5-derived, hence reproducible in SQL).  The PIL-backed path
+(``decode_features_real``) shares the plumbing and is exercised by
+``pytest.importorskip`` tests (tests/test_multimodal_real.py) wherever the
+library exists.
 
 There is no media fixture in the driver's testdata, so binary payloads are
 synthesized from ``documents.text`` (utf-8 bytes) — stable and realistic
@@ -94,6 +97,43 @@ def decode_features(media_df: DataFrame) -> DataFrame:
                     "content_md5": digests,
                     "width": [w for w, _ in dims],
                     "height": [h for _, h in dims],
+                }
+            )
+
+    return media_df.mapInPandas(
+        decode,
+        "doc_id long, n_bytes long, content_md5 string, width long, height long",
+    )
+
+
+def decode_features_real(media_df: DataFrame) -> DataFrame:
+    """Real-decoder twin of :func:`decode_features`: PIL ``Image.open`` over
+    the binary payload, actual (width, height) from the decoded image.  Same
+    output schema, same Arrow-batched mapInPandas shape — swapping fake for
+    real decode changes ONE closure, nothing in the plan.
+
+    The container ships without PIL, so this path is exercised by a
+    ``pytest.importorskip("PIL")`` test (tests/test_multimodal_real.py) that
+    runs wherever the library exists; calling it without PIL raises
+    ImportError inside the Python workers.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["media"]]
+            sizes = [Image.open(io.BytesIO(p)).size for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "content_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "width": [w for w, _ in sizes],
+                    "height": [h for _, h in sizes],
                 }
             )
 
