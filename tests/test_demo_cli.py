@@ -1,0 +1,45 @@
+"""The runnable demo CLI (python -m edgy_spark.demo) — the reference's
+executable (/root/reference/app/Main.hs:161-205) end to end: create, query,
+and every mutation command, against a temp store."""
+
+from __future__ import annotations
+
+from edgy_spark.demo import main
+
+
+def _query(capsys, spark, root, name):
+    assert main(["--root", root, "query", name], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == f"{name} is missing:"
+    return out[1:]
+
+
+def test_demo_cli_full_workload(spark, tmp_path, capsys):
+    root = str(tmp_path / "demo.db")
+    assert main(["--root", root, "create"], spark=spark) == 0
+
+    # golden query outputs (FIXTURES.md §1)
+    assert _query(capsys, spark, root, "Bob") == ["Poker Chips"]
+    assert _query(capsys, spark, root, "Jane") == ["Poker Chips"]
+
+    # buy: Bob acquires the chips -> nothing missing
+    assert main(["--root", root, "buy", "Bob", "Poker Chips"], spark=spark) == 0
+    assert _query(capsys, spark, root, "Bob") == []
+    # ...and Jane's friends still don't own them (friend = Jose only)
+    assert _query(capsys, spark, root, "Jane") == ["Poker Chips"]
+
+    # friend: Jane befriends Bob -> Bob's chips become available to her
+    assert main(["--root", root, "friend", "Jane", "Bob"], spark=spark) == 0
+    assert _query(capsys, spark, root, "Jane") == []
+
+    # unfriend + discard round-trip back to missing
+    assert main(["--root", root, "unfriend", "Jane", "Bob"], spark=spark) == 0
+    assert main(["--root", root, "discard", "Bob", "Poker Chips"], spark=spark) == 0
+    assert _query(capsys, spark, root, "Bob") == ["Poker Chips"]
+
+    # marry / divorce execute cleanly (spouse is Optional-cardinality)
+    assert main(["--root", root, "divorce", "Bob", "Jane"], spark=spark) == 0
+    assert main(["--root", root, "marry", "Bob", "Jane"], spark=spark) == 0
+
+    # bad usage
+    assert main(["--root", root, "frobnicate"], spark=spark) == 1

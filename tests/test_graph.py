@@ -23,38 +23,9 @@ def engine(spark, tmp_path):
     return Engine(spark, str(tmp_path / "db"), demo_schema())
 
 
-def big_bang(txn):
-    """The bigBang fixture (/root/reference/app/Main.hs:79-116)."""
-    bob = txn.new_node("Person", name="Bob", age=20)
-    jane = txn.new_node("Person", name="Jane", age=21)
-    jose = txn.new_node("Person", name="Jose", age=22)
-    poker = txn.new_node("Activity", name="Poker")
-    hiking = txn.new_node("Activity", name="Hiking")
-    cards = txn.new_node("Object", name="Deck of Cards")
-    chips = txn.new_node("Object", name="Poker Chips")
-    poles = txn.new_node("Object", name="Trekking Poles")
-    trailmap = txn.new_node("Object", name="Trail Map")
-
-    txn.add_related(bob, "spouse", jane)
-    txn.add_related(bob, "friend", jane)
-    txn.add_related(bob, "friend", jose)
-    txn.add_related(jose, "friend", bob)
-    txn.add_related(jane, "friend", jose)
-    txn.add_related(bob, "hobby", poker)
-    txn.add_related(bob, "hobby", hiking)
-    txn.add_related(jane, "hobby", poker)
-    txn.add_related(jose, "hobby", hiking)
-    txn.add_related(bob, "possession", trailmap)
-    txn.add_related(jane, "possession", cards)
-    txn.add_related(jose, "possession", poles)
-    txn.add_related(poker, "tool", cards)
-    txn.add_related(poker, "tool", chips)
-    txn.add_related(hiking, "tool", poles)
-    txn.add_related(hiking, "tool", trailmap)
-    return {
-        "bob": bob, "jane": jane, "jose": jose, "poker": poker, "hiking": hiking,
-        "cards": cards, "chips": chips, "poles": poles, "trailmap": trailmap,
-    }
+# the workload lives in the runnable CLI module (single source); tests
+# exercise the same functions the CLI runs
+from edgy_spark.demo import big_bang  # noqa: E402, F401
 
 
 @pytest.fixture()
@@ -64,21 +35,17 @@ def populated(engine):
 
 
 def lookup_person(engine, name: str) -> dict:
-    """lookupByName (/root/reference/app/Main.hs:118-140): scan + filter +
-    assert-unique, as a pushdown scan instead of an O(N) loop."""
-    snap = engine.snapshot()
-    return NodeSet.scan(snap, engine.schema, "Person").filter(name=name).unique()
+    """demo.lookup for a Person (/root/reference/app/Main.hs:118-140)."""
+    from edgy_spark.demo import lookup
+
+    return lookup(engine, "Person", name)
 
 
 def missing_tools(engine, person_name: str) -> set[str]:
-    """missingTools (/root/reference/app/Main.hs:148-157):
-    (p.hobby.tool) bag-minus (p.friend.possession ++ p.possession)."""
-    snap = engine.snapshot()
-    p = NodeSet.scan(snap, engine.schema, "Person").filter(name=person_name)
-    needed = p.hop("hobby").hop("tool")
-    available = p.hop("friend").hop("possession").union(p.hop("possession"))
-    missing = needed.minus_bag(available).rehydrate()
-    return {r["name"] for r in missing.df.select("name").collect()}
+    """demo.missing_tools (/root/reference/app/Main.hs:148-157) as a set."""
+    from edgy_spark.demo import missing_tools as demo_missing_tools
+
+    return set(demo_missing_tools(engine, person_name))
 
 
 # -- golden workload ------------------------------------------------------

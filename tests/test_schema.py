@@ -21,22 +21,9 @@ from edgy_spark.schema import (
 )
 
 
-def demo_schema() -> GraphSchema:
-    """The demo MySchema (/root/reference/app/Main.hs:47-75)."""
-    return GraphSchema(
-        node_types=(
-            NodeType("Person", (Attr("name"), Attr("age", "long"))),
-            NodeType("Activity", (Attr("name"),)),
-            NodeType("Object", (Attr("name"),)),
-        ),
-        relations=(
-            Symmetric("spouse", Cardinality.OPTIONAL, "Person"),
-            Directed("friend", Cardinality.MANY, "Person", "Person", "friendOf"),
-            Directed("hobby", Cardinality.MANY, "Person", "Activity", "enthusiast"),
-            Directed("possession", Cardinality.MANY, "Person", "Object", "owner"),
-            Directed("tool", Cardinality.MANY, "Activity", "Object", "application"),
-        ),
-    )
+# single source of the demo schema: the runnable CLI module (re-exported
+# here because the graph/plan parity tests import it from this module)
+from edgy_spark.demo import demo_schema  # noqa: F401
 
 
 def test_valid_schema_builds():
