@@ -551,3 +551,97 @@ class Engine:
         if card is Cardinality.SOME:
             return full.filter(F.col("n_edges") < 1)
         return full.filter(F.lit(False))
+
+
+class WriteBehindError(Exception):
+    """One or more queued transactions failed; carries (index, exception)
+    pairs in ``failures``."""
+
+    def __init__(self, failures: list[tuple[int, Exception]]):
+        self.failures = failures
+        super().__init__(
+            f"{len(failures)} queued transaction(s) failed: "
+            + "; ".join(f"#{i}: {e!r}" for i, e in failures[:3])
+        )
+
+
+class WriteBehind:
+    """Admission-bounded asynchronous transaction runner — the analogue of
+    the reference's write-behind persistence queue: ``runEdgy`` blocks new
+    transactions until the persister's backlog drops below 10,000 queued
+    writes (/root/reference/src/Edgy/Operations.hs:76-79,
+    ``waitForMaxBacklog db maxQueue``).
+
+    ``submit(fn)`` enqueues a transaction function and returns immediately;
+    a single worker thread drains the queue through ``Engine.run`` (serial
+    commits — no self-inflicted write conflicts).  When ``max_queued``
+    transactions are pending, ``submit`` BLOCKS until the worker catches up:
+    that is the backpressure contract, verbatim from the reference.
+
+    ``flush()`` waits for the queue to drain and raises
+    :class:`WriteBehindError` if any queued transaction failed (errors
+    never disappear silently into the background thread).  Use as a context
+    manager for deterministic shutdown.
+
+    Scale stance: this is the HIGH-RATE POINT-MUTATION path; DataFrame-sized
+    batches should go through ``Transaction.bulk_add_edges`` inside one
+    transaction instead of many queued point writes.
+    """
+
+    def __init__(self, engine: "Engine", max_queued: int = 10_000):
+        import queue
+        import threading
+
+        self.engine = engine
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_queued)
+        self._failures: list[tuple[int, Exception]] = []
+        self._n_submitted = 0
+        self._closed = False
+        self._worker = threading.Thread(
+            target=self._drain, name="edgy-write-behind", daemon=True
+        )
+        self._worker.start()
+
+    def submit(self, fn) -> None:
+        """Enqueue ``fn(txn)``; blocks while ``max_queued`` are pending."""
+        if self._closed:
+            raise RuntimeError("WriteBehind is closed")
+        self._q.put((self._n_submitted, fn))
+        self._n_submitted += 1
+
+    def _drain(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            i, fn = item
+            try:
+                self.engine.run(fn)
+            except Exception as e:  # surfaced on flush/close, never lost
+                self._failures.append((i, e))
+            finally:
+                self._q.task_done()
+
+    def flush(self) -> None:
+        """Block until every queued transaction committed; raise if any failed."""
+        self._q.join()
+        if self._failures:
+            failures, self._failures = self._failures, []
+            raise WriteBehindError(failures)
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        try:
+            self.flush()
+        finally:
+            self._closed = True
+            self._q.put(None)
+            self._worker.join()
+
+    def __enter__(self) -> "WriteBehind":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.close()

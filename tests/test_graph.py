@@ -400,3 +400,57 @@ def test_schema_evolution_reads_old_versions(spark, tmp_path):
     )
     e4 = Engine(spark, root, v4_schema)
     assert e4.read().get_attribute(bob, "age") == "?"
+
+
+# -- write-behind / backpressure ------------------------------------------
+
+def test_write_behind_applies_queued_mutations_in_order(spark, tmp_path):
+    """The async admission-bounded runner (Operations.hs:76-79 analogue)
+    must produce exactly the state sequential commits would."""
+    from edgy_spark.demo import demo_schema
+    from edgy_spark.graph import Engine, WriteBehind
+
+    engine = Engine(spark, str(tmp_path / "db"), demo_schema())
+    nodes = engine.run(big_bang)
+    bob, chips, cards = nodes["bob"], nodes["chips"], nodes["cards"]
+    with WriteBehind(engine, max_queued=4) as wb:
+        wb.submit(lambda t: t.add_related(bob, "possession", chips))
+        wb.submit(lambda t: t.add_related(bob, "possession", cards))
+        wb.submit(lambda t: t.set_attribute(bob, "age", 21))
+        wb.submit(lambda t: t.remove_related(bob, "possession", cards))
+        wb.flush()
+        t = engine.read()
+        names = sorted(
+            t.get_attribute(o, "name")
+            for o in t.get_related_list(bob, "possession")
+        )
+        assert names == ["Poker Chips", "Trail Map"]
+        assert t.get_attribute(bob, "age") == 21
+
+
+def test_write_behind_surfaces_failures_on_flush(spark, tmp_path):
+    """Background failures must not vanish: flush raises WriteBehindError
+    carrying the failed transaction's index and exception, and the other
+    queued transactions still commit."""
+    import pytest as _pytest
+
+    from edgy_spark.demo import demo_schema
+    from edgy_spark.graph import Engine, WriteBehind, WriteBehindError
+
+    engine = Engine(spark, str(tmp_path / "db"), demo_schema())
+    nodes = engine.run(big_bang)
+    bob, chips = nodes["bob"], nodes["chips"]
+
+    def bad(t):
+        raise RuntimeError("boom")
+
+    with WriteBehind(engine) as wb:
+        wb.submit(lambda t: t.add_related(bob, "possession", chips))
+        wb.submit(bad)
+        wb.submit(lambda t: t.set_attribute(bob, "age", 44))
+        with _pytest.raises(WriteBehindError) as ei:
+            wb.flush()
+        assert [i for i, _ in ei.value.failures] == [1]
+    t = engine.read()
+    assert t.get_attribute(bob, "age") == 44
+    assert t.is_related(bob, "possession", chips)
