@@ -222,3 +222,53 @@ def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# -- stratified sampling ----------------------------------------------------
+# per-source sampling rates out of 100 (a training-data mixing recipe:
+# over-sample the high-quality strata, down-sample the bulk)
+SAMPLE_RATES = {"src0": 50, "src1": 50, "src2": 50, "src3": 25, "src4": 25}
+DEFAULT_RATE = 10
+SAMPLE_SALT = "|strat1"
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE (('0x' || substr(md5(doc_id::VARCHAR || '{SAMPLE_SALT}'), 1, 15))::BIGINT % 100)
+          < (CASE
+               {' '.join(f"WHEN source = '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items()))}
+               ELSE {DEFAULT_RATE} END)
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "sampling"),
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each document keeps or drops
+    itself by ``md5(doc_id + salt) % 100 < rate(source)`` — the per-stratum
+    mixing step of a training-data pipeline (over-sample curated sources,
+    down-sample bulk crawl).
+
+    Hash-based (not ``df.sample``) so membership is a pure function of
+    (doc_id, salt, rates): stable across runs, partitionings, engines, and
+    incremental refreshes — re-sampling a grown corpus never flips the
+    decision for an existing document, so downstream shards only ever gain
+    rows.  Pure map over the scan (no shuffle but the presentation sort);
+    changing the salt draws an independent sample.
+    """
+    from edgy_spark.functions.hashing import h60
+
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(DEFAULT_RATE)
+    for s, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    bucket = F.pmod(
+        h60(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))), F.lit(100)
+    )
+    return (
+        d.filter(bucket < rate)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )

@@ -236,3 +236,59 @@ def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("sent_idx").cast("long").alias("sent_idx"), "sentence")
         .orderBy("doc_id", "sent_idx")
     )
+
+
+# -- PII scrubbing ----------------------------------------------------------
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
+# identically, so the scrub is bit-reproducible in the oracle.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+_PII_SQL_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_SQL_IPV4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+_PII_SQL_PHONE = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+
+def scrub_pii(col):
+    """Redact emails → [EMAIL], IPv4s → [IP], phone numbers → [PHONE] in a
+    fixed order (email first, so an address's digits can't be half-eaten by
+    the phone pattern).  Pure JVM regexp_replace — scan-speed at 100 TB."""
+    out = F.regexp_replace(col, PII_EMAIL, "[EMAIL]")
+    out = F.regexp_replace(out, PII_IPV4, "[IP]")
+    return F.regexp_replace(out, PII_PHONE, "[PHONE]")
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_SQL_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PII_SQL_IPV4}')) AS n_ips,
+           len(regexp_extract_all(text, '{_PII_SQL_PHONE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_PII_SQL_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PII_SQL_IPV4}', '[IP]', 'g'),
+                 '{_PII_SQL_PHONE}', '[PHONE]', 'g')) AS scrubbed_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "pii", "pipeline"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus: per-document counts of
+    emails / IPv4s / phone numbers and the md5 of the scrubbed text (the
+    hash, not the text, so the result stays narrow at scale — downstream
+    writers apply :func:`scrub_pii` to the text column directly).
+
+    A training-data pipeline runs exactly this shape as a cleaning stage;
+    tests/test_text_pii.py plants known PII and checks the redactions.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_IPV4), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.md5(scrub_pii(F.col("text")).cast("binary")).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
