@@ -272,3 +272,72 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")
     )
+
+
+# -- sequence packing -------------------------------------------------------
+BLOCK_TOKENS = 512   # training block size (tokens per packed sequence)
+PACK_SHARDS = 8      # packing is per-shard so the cumsum window parallelizes
+
+
+@register(
+    "pipeline_pack_blocks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {PACK_SHARDS} AS shard,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS tok_before
+      FROM t)
+    SELECT doc_id, shard, n_tokens,
+           tok_before // {BLOCK_TOKENS} AS first_block,
+           (tok_before + n_tokens - 1) // {BLOCK_TOKENS} AS last_block,
+           tok_before % {BLOCK_TOKENS} AS offset_in_block
+    FROM c
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "packing"),
+)
+def pipeline_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate each shard's documents in
+    doc_id order and chunk the token stream into fixed BLOCK_TOKENS(=512)-token
+    training blocks — documents may span a block boundary (the standard
+    concat-and-chunk recipe).  Emits each document's placement:
+    (first_block, last_block, offset_in_block) per shard.
+
+    Scale: packing an ordered stream is inherently sequential, so the
+    corpus is hash-sharded FIRST (PACK_SHARDS=8 here, thousands at 100 TB)
+    and the running-token cumsum window runs per shard — no global
+    single-partition window, each shard packs independently in parallel.
+    Token counts are whitespace counts (text_token_counts' n_ws_tokens);
+    swapping in a real tokenizer's counts changes one expression.
+    """
+    from edgy_spark.functions.hashing import h60
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.pmod(h60(F.col("doc_id").cast("string")), F.lit(PACK_SHARDS)).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn(
+        "tok_before", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("tok_before") / BLOCK_TOKENS).alias("first_block"),
+        F.floor((F.col("tok_before") + F.col("n_tokens") - 1) / BLOCK_TOKENS).alias(
+            "last_block"
+        ),
+        F.pmod(F.col("tok_before"), F.lit(BLOCK_TOKENS)).alias("offset_in_block"),
+    ).orderBy("doc_id")
