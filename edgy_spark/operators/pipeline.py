@@ -341,3 +341,122 @@ def pipeline_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.pmod(F.col("tok_before"), F.lit(BLOCK_TOKENS)).alias("offset_in_block"),
     ).orderBy("doc_id")
+
+
+# -- the end-to-end training-data pipeline ----------------------------------
+
+def _scrub_sql(col: str) -> str:
+    from edgy_spark.operators.text import _PII_SQL_EMAIL, _PII_SQL_IPV4, _PII_SQL_PHONE
+
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({col}, "
+        f"'{_PII_SQL_EMAIL}', '[EMAIL]', 'g'), "
+        f"'{_PII_SQL_IPV4}', '[IP]', 'g'), "
+        f"'{_PII_SQL_PHONE}', '[PHONE]', 'g')"
+    )
+
+
+@register(
+    "pipeline_training_end2end",
+    oracle=f"""
+    WITH scrubbed AS (
+      SELECT doc_id, source, lang, {_scrub_sql('text')} AS text
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source, lang, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 w -> list_contains({STOPWORDS!r}, w))) AS n_stop
+      FROM scrubbed),
+    kept AS (
+      SELECT doc_id, source, lang, n_tokens,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM scored
+      WHERE n_tokens >= 5 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.02),
+    canon AS (
+      SELECT doc_id, source, lang, n_tokens,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM kept),
+    sampled AS (
+      SELECT doc_id, source, lang, n_tokens
+      FROM canon
+      WHERE rn = 1
+        AND (('0x' || substr(md5(doc_id::VARCHAR || '{SAMPLE_SALT}'), 1, 15))::BIGINT % 100)
+            < (CASE
+                 {' '.join(f"WHEN source = '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items()))}
+                 ELSE {DEFAULT_RATE} END)),
+    packed AS (
+      SELECT doc_id, source, lang, n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {PACK_SHARDS} AS shard,
+             CAST(SUM(n_tokens) OVER (
+                 PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {PACK_SHARDS}
+                 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS tok_before
+      FROM sampled)
+    SELECT doc_id, source, lang, n_tokens, shard,
+           tok_before // {BLOCK_TOKENS} AS first_block,
+           tok_before % {BLOCK_TOKENS} AS offset_in_block
+    FROM packed
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "pii", "dedup", "sampling", "packing"),
+)
+def pipeline_training_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pretraining ingest as one composed Catalyst plan:
+    PII-scrub → quality filter (length + stopword ratio) → exact dedup
+    (canonical keeper per normalized fingerprint) → stratified source
+    sampling → per-shard sequence packing.  Every stage is one of this
+    module's/text.py's primitives, composed — proving the pipeline operators
+    fuse into a single job rather than five materialized passes.
+
+    Scale: the scrub/score/filter stages are per-row in the scan stage (text
+    never shuffles); the dedup window moves only (fp, ids); sampling is a
+    map; packing windows per shard.  Two data shuffles total (fp window,
+    shard window) plus the presentation sort, for a five-stage pipeline —
+    verified: 3 Exchanges, WindowGroupLimit on the dedup rank, and a scan
+    reading only (doc_id, text, lang, source).
+    """
+    from edgy_spark.functions.hashing import h60
+    from edgy_spark.operators.text import scrub_pii
+
+    d = load(spark, sf_dir, "documents")
+    text = scrub_pii(F.col("text"))
+    words = F.split(F.trim(text), r"\s+")
+    lower_words = F.split(F.lower(F.trim(text)), r"\s+")
+    n_tokens = F.size(words)
+    n_stop = F.size(F.filter(lower_words, lambda w: w.isin(STOPWORDS)))
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")).cast("binary"))
+    kept = d.select(
+        "doc_id", "source", "lang",
+        n_tokens.alias("n_tokens"), n_stop.alias("n_stop"), fp.alias("fp"),
+    ).filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_stop").cast("double") / F.col("n_tokens") > 0.02)
+    )
+    wcanon = Window.partitionBy("fp").orderBy("doc_id")
+    canon = (
+        kept.withColumn("rn", F.row_number().over(wcanon))
+        .filter(F.col("rn") == 1)
+    )
+    rate = F.lit(DEFAULT_RATE)
+    for s, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    bucket = F.pmod(
+        h60(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))), F.lit(100)
+    )
+    sampled = canon.filter(bucket < rate).select(
+        "doc_id", "source", "lang", "n_tokens"
+    )
+    shard = F.pmod(h60(F.col("doc_id").cast("string")), F.lit(PACK_SHARDS))
+    wpack = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sampled.withColumn("shard", shard).withColumn(
+        "tok_before", (F.sum("n_tokens").over(wpack) - F.col("n_tokens")).cast("long")
+    )
+    return packed.select(
+        "doc_id", "source", "lang", "n_tokens", "shard",
+        F.floor(F.col("tok_before") / BLOCK_TOKENS).alias("first_block"),
+        F.pmod(F.col("tok_before"), F.lit(BLOCK_TOKENS)).alias("offset_in_block"),
+    ).orderBy("doc_id")
