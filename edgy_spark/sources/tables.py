@@ -66,6 +66,12 @@ def ensure_utc_events_session(spark: SparkSession) -> None:
     set ONLY when it differs — a documented side effect of reading the
     events table, kept deliberately minimal (see ADVICE: no blanket
     session mutation on every read).
+
+    A set-then-restore around the load would NOT be sounder: the returned
+    DataFrame is lazy, and ``session.timeZone`` is read at EXECUTION time —
+    restoring it after ``load()`` returns would silently flip event-time
+    semantics for every later action on the DataFrame.  Persisting the two
+    confs is the only way a lazy plan can carry the UTC contract.
     """
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
