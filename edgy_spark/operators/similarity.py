@@ -206,8 +206,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cells here are seeded deterministically by the first K_CELLS vectors
     (so the whole pipeline — assignment, probing, ranking — is replicated
-    bit-for-bit in the oracle); a production deployment would swap in
-    k-means centroids without touching the query path.
+    bit-for-bit in the oracle); :func:`sim_ivf_trained_topk` is the
+    production variant with Lloyd-trained centroids on the same query path.
 
     Scale: centroids broadcast everywhere.  Cell assignment is a broadcast
     nested-loop + map-side partial max_by — the ONE wide shuffle carries a
