@@ -218,3 +218,90 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+# -- funnel analysis --------------------------------------------------------
+FUNNEL_GAP_DAYS = 7
+
+
+@register(
+    "events_funnel_conversion",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS view_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.view_ts
+        AND e.ts <= v.view_ts + INTERVAL {FUNNEL_GAP_DAYS} DAY
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.click_ts
+        AND e.ts <= c.click_ts + INTERVAL {FUNNEL_GAP_DAYS} DAY
+      GROUP BY e.user_id)
+    SELECT v.user_id,
+           strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT
+                AS BIGINT) AS steps_completed
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY v.user_id
+    """,
+    tags=("temporal", "funnel", "events"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: first view → earliest click within
+    FUNNEL_GAP_DAYS of it → earliest purchase within FUNNEL_GAP_DAYS of the
+    click, per user — the product-analytics step-matching query (each step
+    must occur strictly AFTER the previous step, not merely co-occur).
+
+    Scale: three conditional MIN aggregations and two left joins, every one
+    keyed on user_id — co-partitioned, so AQE reuses one exchange layout;
+    no window over the full event stream and event rows are filtered to
+    their step's type before any shuffle.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    gap = F.expr(f"INTERVAL {FUNNEL_GAP_DAYS} DAYS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("view_ts")) & (F.col("ts") <= F.col("view_ts") + gap))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("click_ts")) & (F.col("ts") <= F.col("click_ts") + gap))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    steps = (
+        F.lit(1)
+        + F.col("click_ts").isNotNull().cast("int")
+        + F.col("purchase_ts").isNotNull().cast("int")
+    ).cast("long")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            steps.alias("steps_completed"),
+        )
+        .orderBy("user_id")
+    )
