@@ -579,3 +579,86 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return votes.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# shingle containment (subset-duplicate detection)
+# ---------------------------------------------------------------------------
+
+CONT_TAU = 0.8   # containment threshold wrt the smaller document
+CONT_MAX_DF = 100  # stop-shingle cap: drop shingles appearing in > this many docs
+
+
+@register(
+    "dedup_shingle_containment_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, {h60_sql('unnest(shingles)')} AS hs FROM sh),
+    df AS (SELECT hs FROM ex GROUP BY hs
+           HAVING COUNT(*) BETWEEN 2 AND {CONT_MAX_DF}),
+    kept AS (SELECT e.doc_id, e.hs FROM ex e JOIN df USING (hs)),
+    nsz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM kept a JOIN kept b ON a.hs = b.hs AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / na.n AS cont_a,
+           CAST(n_common AS DOUBLE) / nb.n AS cont_b
+    FROM common
+    JOIN nsz na ON na.doc_id = doc_a
+    JOIN nsz nb ON nb.doc_id = doc_b
+    WHERE GREATEST(CAST(n_common AS DOUBLE) / na.n,
+                   CAST(n_common AS DOUBLE) / nb.n) >= {CONT_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT:
+    cont(A→B) = |S_A ∩ S_B| / |S_A| — catches a document embedded inside a
+    larger one (quotes, boilerplate wrappers, concatenated dumps), which
+    symmetric Jaccard misses because the size imbalance caps J at
+    |small|/|big|.  Emits unordered pairs whose max-direction containment
+    reaches CONT_TAU, with both directions' scores.
+
+    No lossless length prefilter exists for containment (that asymmetry is
+    the point), so the scale control is the stop-shingle DF cap: shingles in
+    more than CONT_MAX_DF documents are dropped from the universe (both the
+    intersection AND the denominators, keeping the metric internally
+    consistent) — the classic inverted-index mitigation that bounds every
+    posting list, hence every pair-emission bucket.  Shuffles carry
+    (60-bit hash, doc_id) only; same posting-list pair emission as the
+    Jaccard/MinHash paths, never a self-join of the corpus.
+    """
+    d = _spread(spark, load(spark, sf_dir, "documents"))
+    ex = (
+        d.select("doc_id", _shingles().alias("sh"))
+        .select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", h60(F.col("s")).alias("hs"))
+    )
+    posting = (
+        ex.groupBy("hs")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= CONT_MAX_DF))
+    )
+    kept = posting.select(F.explode("docs").alias("doc_id"), "hs")
+    nsz = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        posting.select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = nsz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = nsz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont_a = F.col("n_common").cast("double") / F.col("na")
+    cont_b = F.col("n_common").cast("double") / F.col("nb")
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cont_a.alias("cont_a"), cont_b.alias("cont_b"))
+        .filter(F.greatest("cont_a", "cont_b") >= CONT_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
