@@ -779,3 +779,47 @@ def repeat_buyers_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select("o_custkey")
     return y96.intersectAll(y97).orderBy("o_custkey")
+
+
+# -- skew-toolkit demonstration (oracle-verified salted join) ----------------
+
+@register(
+    "skew_salted_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY mktsegment
+    """,
+    tags=("skew", "join", "aggregation"),
+)
+def skew_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment order revenue computed through the SALTED join path
+    (plans/skew.salted_join) with a deliberately low hot threshold so every
+    key takes the salt-and-replicate route — proving the skew machinery is
+    value-exact against the plain-join oracle (row multiplicity included),
+    not just plan-shaped.  At 100 TB this is the join you'd salt when one
+    customer owns a pathological share of orders and the build side is too
+    large to broadcast.
+    """
+    from edgy_spark.functions.exact import dec, to_dbl
+    from edgy_spark.plans.skew import salted_join
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, "custkey", n_salts=8, hot_threshold_rows=5)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            to_dbl(F.sum(dec("o_totalprice", 2, 18))).alias("total_price"),
+        )
+        .orderBy("mktsegment")
+    )
