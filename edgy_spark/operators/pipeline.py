@@ -460,3 +460,48 @@ def pipeline_training_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("tok_before") / BLOCK_TOKENS).alias("first_block"),
         F.pmod(F.col("tok_before"), F.lit(BLOCK_TOKENS)).alias("offset_in_block"),
     ).orderBy("doc_id")
+
+
+# -- balanced per-group sampling --------------------------------------------
+BALANCED_K = 20  # documents kept per language
+BALANCE_SALT = "|bal1"
+
+
+@register(
+    "pipeline_balanced_sample_per_lang",
+    oracle=f"""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR || '{BALANCE_SALT}'), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {BALANCED_K}
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "sampling"),
+)
+def pipeline_balanced_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-group subset: exactly BALANCED_K documents per language,
+    chosen by ranking each group on a salted hash — a deterministic stand-in
+    for per-group uniform sampling (equal representation regardless of how
+    skewed the language distribution is; the multilingual-eval-set builder).
+
+    Scale: one shuffle on lang; the rank filter compiles to
+    WindowGroupLimit, so each map task forwards at most K candidate rows
+    per group instead of sorting whole partitions.  Unlike
+    ``df.sampleBy``, membership is reproducible across runs and engines
+    (hash order, not RNG state), and changing the salt redraws the sample.
+    """
+    from edgy_spark.functions.hashing import h60  # noqa: F401  (doc parity)
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(BALANCE_SALT)).cast("binary")),
+        "doc_id",
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= BALANCED_K)
+        .orderBy("doc_id")
+    )
