@@ -57,14 +57,23 @@ def load_all_registrations() -> None:
     checks registrations in insertion order (first 50).  The driver set
     rotates across rounds so every family gets periodically re-verified:
     r01 checked relational/TPC-H/graph, r02/r03 the LLM-pipeline families,
-    r04 relational/TPC-H/graph again.  r05 rotates the LLM-pipeline +
-    streaming families (35 queries) FIRST — the round-4 embedding-dedup
-    rework and round-5 additions have never been driver-verified — then
-    graph (9), with relational/TPC-H (driver-green r04) filling the tail.
+    r04 relational/TPC-H/graph again, r05 the LLM-pipeline + streaming
+    families (all 50 green).  r06 rotates the relational/TPC-H tail FIRST:
+    (a) ``skew_salted_segment_revenue`` (relational, the one query never in
+    a driver window) gets its CORRECTNESS row, (b) the 43 entries last
+    checked in r04 are re-verified under the r05 session config
+    (autoBucketedScan changed after their check), and (c) this round's new
+    graph-algos + similarity queries land inside the window too:
+    22 relational + 18 tpch_more + graph_algos + leading similarity ≈ 50.
     """
-    # r05 priority: round-4/5 new or reworked, driver-verified r03 at latest
-    import edgy_spark.operators.dedup  # noqa: F401
+    # r06 priority: stale-since-r04 + never-driver-checked + new-this-round
+    import edgy_spark.operators.relational  # noqa: F401
+    import edgy_spark.operators.tpch_more  # noqa: F401
+    import edgy_spark.operators.graph_algos  # noqa: F401
     import edgy_spark.operators.similarity  # noqa: F401
+    # driver-verified green in r05
+    import edgy_spark.operators.graph_queries  # noqa: F401
+    import edgy_spark.operators.dedup  # noqa: F401
     import edgy_spark.streaming.events  # noqa: F401
     import edgy_spark.streaming.stateful  # noqa: F401
     import edgy_spark.operators.text  # noqa: F401
@@ -73,8 +82,3 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.pipeline  # noqa: F401
     import edgy_spark.operators.sketches  # noqa: F401
     import edgy_spark.operators.udx  # noqa: F401
-    # driver-verified green in r04
-    import edgy_spark.operators.graph_queries  # noqa: F401
-    import edgy_spark.operators.graph_algos  # noqa: F401
-    import edgy_spark.operators.relational  # noqa: F401
-    import edgy_spark.operators.tpch_more  # noqa: F401

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edgy_spark.catalog import register
-from edgy_spark.operators.text import STOPWORDS
+from edgy_spark.functions.textprep import STOPWORDS, scrub_pii, scrub_pii_sql
 from edgy_spark.sources import load
 
 # ---------------------------------------------------------------------------
@@ -346,14 +346,7 @@ def pipeline_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- the end-to-end training-data pipeline ----------------------------------
 
 def _scrub_sql(col: str) -> str:
-    from edgy_spark.operators.text import _PII_SQL_EMAIL, _PII_SQL_IPV4, _PII_SQL_PHONE
-
-    return (
-        f"regexp_replace(regexp_replace(regexp_replace({col}, "
-        f"'{_PII_SQL_EMAIL}', '[EMAIL]', 'g'), "
-        f"'{_PII_SQL_IPV4}', '[IP]', 'g'), "
-        f"'{_PII_SQL_PHONE}', '[PHONE]', 'g')"
-    )
+    return scrub_pii_sql(col)
 
 
 @register(
@@ -416,7 +409,6 @@ def pipeline_training_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading only (doc_id, text, lang, source).
     """
     from edgy_spark.functions.hashing import h60
-    from edgy_spark.operators.text import scrub_pii
 
     d = load(spark, sf_dir, "documents")
     text = scrub_pii(F.col("text"))

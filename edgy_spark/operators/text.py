@@ -14,19 +14,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from edgy_spark.catalog import register
+from edgy_spark.functions.textprep import (
+    LANG_MARKERS,
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+    PII_SQL_EMAIL,
+    PII_SQL_IPV4,
+    PII_SQL_PHONE,
+    STOPWORDS,
+    scrub_pii,
+)
 from edgy_spark.sources import load
-
-# language-marker stopwords for the n-gram/stopword-hit language heuristic;
-# chosen to be disjoint across languages (word-boundary matched)
-LANG_MARKERS = {
-    "en": ["the", "and", "of", "is", "that"],
-    "de": ["der", "und", "die", "ist", "nicht"],
-    "fr": ["le", "et", "les", "est", "pas"],
-    "es": ["el", "los", "es", "las", "una"],
-    "zh": ["的", "是", "了", "在", "和"],
-}
-
-STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
 @register(
@@ -239,37 +238,21 @@ def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- PII scrubbing ----------------------------------------------------------
-# Patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
-# identically, so the scrub is bit-reproducible in the oracle.
-PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
-PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
-
-_PII_SQL_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_SQL_IPV4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-_PII_SQL_PHONE = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
-
-
-def scrub_pii(col):
-    """Redact emails → [EMAIL], IPv4s → [IP], phone numbers → [PHONE] in a
-    fixed order (email first, so an address's digits can't be half-eaten by
-    the phone pattern).  Pure JVM regexp_replace — scan-speed at 100 TB."""
-    out = F.regexp_replace(col, PII_EMAIL, "[EMAIL]")
-    out = F.regexp_replace(out, PII_IPV4, "[IP]")
-    return F.regexp_replace(out, PII_PHONE, "[PHONE]")
+# Patterns + scrub expression live in functions/textprep.py (shared with the
+# fused pipeline without operator-to-operator import-time coupling).
 
 
 @register(
     "text_pii_scrub",
     oracle=f"""
     SELECT doc_id,
-           len(regexp_extract_all(text, '{_PII_SQL_EMAIL}')) AS n_emails,
-           len(regexp_extract_all(text, '{_PII_SQL_IPV4}')) AS n_ips,
-           len(regexp_extract_all(text, '{_PII_SQL_PHONE}')) AS n_phones,
+           len(regexp_extract_all(text, '{PII_SQL_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{PII_SQL_IPV4}')) AS n_ips,
+           len(regexp_extract_all(text, '{PII_SQL_PHONE}')) AS n_phones,
            md5(regexp_replace(regexp_replace(regexp_replace(text,
-                 '{_PII_SQL_EMAIL}', '[EMAIL]', 'g'),
-                 '{_PII_SQL_IPV4}', '[IP]', 'g'),
-                 '{_PII_SQL_PHONE}', '[PHONE]', 'g')) AS scrubbed_md5
+                 '{PII_SQL_EMAIL}', '[EMAIL]', 'g'),
+                 '{PII_SQL_IPV4}', '[IP]', 'g'),
+                 '{PII_SQL_PHONE}', '[PHONE]', 'g')) AS scrubbed_md5
     FROM documents
     ORDER BY doc_id
     """,

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from edgy_spark.operators.text import PII_EMAIL, PII_IPV4, PII_PHONE, scrub_pii  # noqa: F401
+from edgy_spark.functions.textprep import PII_EMAIL, PII_IPV4, PII_PHONE, scrub_pii  # noqa: F401
 
 
 def test_scrub_pii_redacts_planted_values(spark):
