@@ -3,38 +3,52 @@ reference is a graph DATABASE with point traversals —
 /root/reference/src/Edgy/Operations.hs:273-287 — but ships no graph
 ALGORITHMS; BASELINE.json's spark_approach calls for GraphX-style analytics).
 
-Implemented GraphFrames/Pregel-style, but engine-native: each algorithm is a
-loop of DataFrame joins ("aggregateMessages" = join edges to vertex state,
-groupBy destination, aggregate), with ``localCheckpoint`` per iteration to
-truncate lineage — the standard pattern for iterative algorithms on Spark.
+Built on two user-facing primitives (the GraphX surface, engine-native):
+
+- :func:`aggregate_messages` — one superstep: join edge list to source-vertex
+  state, emit per-edge message expressions to the destination, combine per
+  destination.  GraphX's ``aggregateMessages`` as one join + one groupBy.
+- :func:`run_fixpoint` — the iterate/checkpoint/convergence-detect loop every
+  iterative algorithm needs (``localCheckpoint`` per round to truncate
+  lineage, change-set convergence when ``compare_cols`` is given, fixed
+  rounds when not).
+
+Connected components, BFS, PageRank, triangle-free SSSP and label-style
+propagation are all ~15-line ``step`` functions over these two primitives —
+a user writing a NEW algorithm (weighted SSSP below is written exactly this
+way) composes them rather than copying a 70-line loop.  The reference's
+analogue is free-form monadic traversal composition
+(/root/reference/app/Main.hs:148-157).
 
 Determinism stance (oracle parity): every algorithm is either integer-only
-(hash-min CC labels, BFS hop counts, triangle counts) or runs in SCALED
-INTEGER arithmetic (PageRank: ranks are BIGINT micro-units, contributions
-use integer division) — sums of integers are order-independent, so a
-distributed reduction matches DuckDB's single-threaded recursive CTE /
-unrolled-iteration SQL bit-for-bit.  Float PageRank would differ in low
-bits per partitioning; scaled-integer PageRank cannot.
+(hash-min CC labels, BFS hop counts, weighted-SSSP integer distances,
+triangle counts) or runs in SCALED INTEGER arithmetic (PageRank: ranks are
+BIGINT micro-units, contributions use integer division) — sums/mins of
+integers are order-independent, so a distributed reduction matches DuckDB's
+single-threaded recursive CTE / unrolled-iteration SQL bit-for-bit.
 
 Test graph: the part co-purchase graph — an undirected edge between two
 parts when some order contains both with quantity >= 48 (sparse by
 construction: ~650 vertices / ~430 edges at sf0.01, component diameter < 12).
 
 Scale notes:
-- Edge generation self-joins lineitem on orderkey — one shuffle, and the
-  per-order pair explosion is bounded by order size (AQE splits stragglers).
-- Hash-min CC converges in O(diameter) rounds; each round is one join +
-  one groupBy(min) on (node, label) pairs — narrow rows.  (For graphs with
-  huge diameters the two-phase large-star/small-star variant converges in
-  O(log n) rounds; the message pattern below is the same, so swapping the
-  update rule is local.)
+- Edge generation groups parts per order (posting-list shape) — one shuffle,
+  pair explosion bounded by order size (AQE splits stragglers).
+- Hash-min CC + pointer jumping converges in ~O(log diameter) rounds; each
+  round is one join + one groupBy(min) on (node, label) pairs — narrow rows.
 - localCheckpoint materializes each round's state, preventing the
   exponential lineage/replan blowup that kills naive iterative Spark jobs.
+- Vertex-state joins broadcast by default (checkpointed state loses Catalyst
+  size stats and would shuffle every round otherwise); pass
+  ``broadcast_state=False`` for vertex states beyond executor memory.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from collections.abc import Callable, Mapping, Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from edgy_spark.catalog import register
@@ -43,6 +57,8 @@ from edgy_spark.sources import load
 QTY_THRESHOLD = 48
 PR_SCALE = 10**12  # PageRank unit: 1.0 == 10^12 (BIGINT micro-ranks)
 PR_ITERS = 5
+BFS_MAX_DEPTH = 12
+SSSP_MAX_DEPTH = 16  # Bellman-Ford rounds == oracle's path-length cap
 
 _EDGES_SQL = f"""
   SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
@@ -84,9 +100,13 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def undirect(edges: DataFrame) -> DataFrame:
-    """Expand canonical edges to both directions (symmetric adjacency)."""
-    return edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    """Expand canonical edges to both directions (symmetric adjacency).
+
+    Extra edge columns (weights etc.) are carried through unchanged.
+    """
+    extra = [c for c in edges.columns if c not in ("src", "dst")]
+    return edges.select("src", "dst", *extra).union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), *extra)
     )
 
 
@@ -103,10 +123,6 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     return df.coalesce(ITER_PARTITIONS).localCheckpoint(eager=True)
 
 
-# ---------------------------------------------------------------------------
-# Connected components (hash-min label propagation)
-# ---------------------------------------------------------------------------
-
 def _hint(df: DataFrame, broadcast_state: bool) -> DataFrame:
     """Broadcast hint for vertex-state joins.
 
@@ -121,6 +137,104 @@ def _hint(df: DataFrame, broadcast_state: bool) -> DataFrame:
     """
     return F.broadcast(df) if broadcast_state else df
 
+
+# ---------------------------------------------------------------------------
+# The two user-facing primitives
+# ---------------------------------------------------------------------------
+
+def aggregate_messages(
+    edges: DataFrame,
+    state: DataFrame,
+    msg: Mapping[str, Column],
+    aggs: Sequence[Column],
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """One message superstep (GraphX ``aggregateMessages``, engine-native).
+
+    Joins ``edges`` (``src``, ``dst``, + any edge-attribute columns such as
+    weights) to the source vertex's ``state`` (``node`` + state columns),
+    evaluates each ``msg`` expression — which may reference both edge and
+    source-state columns — per edge, sends it to ``dst``, and combines the
+    messages per destination with ``aggs``.
+
+    Returns one row per destination that received >= 1 message:
+    ``(node, <agg columns>)``.  For send-to-src semantics on a directed
+    graph, pass the edge list with src/dst swapped; for undirected graphs
+    pass :func:`undirect`'s doubled edge list and send-to-dst covers both
+    directions.
+
+    Physical shape: ONE join (broadcast of the vertex state by default) +
+    ONE groupBy — messages are never materialized wider than the selected
+    msg columns, so a 100 TB-scale edge list shuffles only
+    (dst, msg-columns), not edge payloads.
+    """
+    j = edges.join(_hint(state, broadcast_state), edges["src"] == state["node"])
+    msgs = j.select(
+        F.col("dst").alias("node"), *[m.alias(k) for k, m in msg.items()]
+    )
+    return msgs.groupBy("node").agg(*aggs)
+
+
+def run_fixpoint(
+    state: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    *,
+    max_iter: int,
+    compare_cols: Sequence[str] | None = None,
+    substeps: int = 1,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """Iterate ``state = step(state)`` with per-round checkpointing and
+    optional change-set convergence — the loop shared by every iterative
+    algorithm here (and the one a user would otherwise copy).
+
+    - ``state`` must carry a ``node`` key column; ``step`` returns the next
+      state (it may grow the node set, e.g. a BFS frontier).
+    - ``compare_cols``: state columns whose stability defines convergence.
+      After each round the new state is joined (left) to the previous one on
+      ``node``; a node that is new, or whose compared column changed, marks
+      the round as changed.  ``None`` runs exactly ``max_iter`` rounds
+      (fixed-iteration algorithms like PageRank).
+    - ``substeps`` applies ``step`` several times between materializations —
+      checkpoint + convergence-check overhead dominates when vertex state is
+      small, so e.g. connected components double-steps per round.
+
+    Every round's state is ``localCheckpoint``-materialized on few
+    partitions: lineage stays O(1) across rounds, and the convergence count
+    reads the already-materialized result (no recompute, no extra job).
+    """
+    state = _checkpoint(state)
+    for _ in range(max_iter):
+        new = state
+        for _ in range(substeps):
+            new = step(new)
+        if compare_cols is None:
+            state = _checkpoint(new)
+            continue
+        old = state.select(
+            "node", *[F.col(c).alias(f"__old_{c}") for c in compare_cols]
+        )
+        chg = reduce(
+            lambda a, b: a | b,
+            [
+                F.col(f"__old_{c}").isNull() | (F.col(c) != F.col(f"__old_{c}"))
+                for c in compare_cols
+            ],
+        )
+        merged = _checkpoint(
+            new.join(_hint(old, broadcast_state), "node", "left")
+            .withColumn("__chg", chg)
+        )
+        changed = merged.filter("__chg").limit(1).count()
+        state = merged.drop("__chg", *[f"__old_{c}" for c in compare_cols])
+        if changed == 0:
+            break
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Connected components (hash-min label propagation + pointer jumping)
+# ---------------------------------------------------------------------------
 
 def connected_components(
     edges: DataFrame, max_iter: int = 30, broadcast_state: bool = True
@@ -137,15 +251,16 @@ def connected_components(
     """
     und = _checkpoint(undirect(edges)).persist()
     labels = (
-        und.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+        und.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
     )
-    labels = _checkpoint(labels)
 
     def step(lbl: DataFrame) -> DataFrame:
-        nbr_min = (
-            und.join(_hint(lbl, broadcast_state), und.src == lbl.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nbr_min"))
+        nbr_min = aggregate_messages(
+            und, lbl,
+            msg={"m": F.col("label")},
+            aggs=[F.min("m").alias("nbr_min")],
+            broadcast_state=broadcast_state,
         )
         cand = (
             lbl.select("node", "label")
@@ -167,21 +282,14 @@ def connected_components(
             )
         )
 
-    for _ in range(max_iter):
-        # two propagation steps per materialization round: halves the
-        # checkpoint + convergence-check overhead per label hop, which
-        # dominates when the vertex state is small
-        old = labels.select("node", F.col("label").alias("old"))
-        new_labels = (
-            step(step(labels)).join(_hint(old, broadcast_state), "node")
-            .select("node", "label", (F.col("label") != F.col("old")).alias("chg"))
-        )
-        new_labels = _checkpoint(new_labels)
-        # change detection on the already-materialized state — no extra join
-        changed = new_labels.filter("chg").limit(1).count()
-        labels = new_labels.select("node", "label")
-        if changed == 0:
-            break
+    # two propagation steps per materialization round: halves the
+    # checkpoint + convergence-check overhead per label hop, which
+    # dominates when the vertex state is small
+    labels = run_fixpoint(
+        labels, step,
+        max_iter=max_iter, compare_cols=["label"], substeps=2,
+        broadcast_state=broadcast_state,
+    )
     und.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
@@ -211,9 +319,6 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BFS / single-source shortest hop distances
 # ---------------------------------------------------------------------------
 
-BFS_MAX_DEPTH = 12
-
-
 def bfs_distances(
     edges: DataFrame, max_depth: int = BFS_MAX_DEPTH, broadcast_state: bool = True
 ) -> DataFrame:
@@ -227,38 +332,34 @@ def bfs_distances(
     """
     und = _checkpoint(undirect(edges)).persist()
     source = und.agg(F.min("src").alias("s"))
-    dist = (
+    dist0 = (
         und.select(F.col("src").alias("node")).distinct()
         .join(F.broadcast(source), F.col("node") == F.col("s"), "left_semi")
         .withColumn("dist", F.lit(0).cast("long"))
     )
-    dist = _checkpoint(dist)
-    prev_reached = 1
-    for _ in range(max_depth):
-        cand = (
-            und.join(_hint(dist, broadcast_state), und.src == dist.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg((F.min("dist") + 1).alias("cand"))
+
+    def step(dist: DataFrame) -> DataFrame:
+        cand = aggregate_messages(
+            und, dist,
+            msg={"m": F.col("dist") + 1},
+            aggs=[F.min("m").alias("cand")],
+            broadcast_state=broadcast_state,
         )
         # full outer keeps both already-settled and newly-reached nodes;
         # full outer cannot broadcast, but both sides are post-aggregation
         # state-sized so this is the round's one small shuffle
-        dist = (
-            dist.join(cand, "node", "full_outer")
-            .select(
-                "node",
-                F.least(
-                    F.coalesce("dist", F.col("cand")), F.coalesce("cand", F.col("dist"))
-                ).alias("dist"),
-            )
+        return dist.join(cand, "node", "full_outer").select(
+            "node",
+            F.least(
+                F.coalesce("dist", F.col("cand")), F.coalesce("cand", F.col("dist"))
+            ).alias("dist"),
         )
-        dist = _checkpoint(dist)
-        # BFS frontiers only ever grow the reached set; a round that reaches
-        # no new node has converged (all shortest distances are final).
-        reached = dist.count()
-        if reached == prev_reached:
-            break
-        prev_reached = reached
+
+    dist = run_fixpoint(
+        dist0, step,
+        max_iter=max_depth, compare_cols=["dist"],
+        broadcast_state=broadcast_state,
+    )
     und.unpersist()
     return dist
 
@@ -303,19 +404,19 @@ def pagerank_scaled(
     und = _checkpoint(undirect(edges)).persist()
     verts = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     n_df = verts.agg(F.count(F.lit(1)).alias("n"))
-    state = (
+    state0 = (
         verts.crossJoin(F.broadcast(n_df))
         .select("node", "deg", "n", F.expr(f"{PR_SCALE} div n").alias("rank"))
     )
-    state = _checkpoint(state)
-    for _ in range(iters):
-        contrib = state.select(F.col("node").alias("cnode"), F.expr("rank div deg").alias("c"))
-        msgs = (
-            und.join(_hint(contrib, broadcast_state), und.src == F.col("cnode"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("s"))
+
+    def step(state: DataFrame) -> DataFrame:
+        msgs = aggregate_messages(
+            und, state,
+            msg={"c": F.expr("rank div deg")},
+            aggs=[F.sum("c").alias("s")],
+            broadcast_state=broadcast_state,
         )
-        state = (
+        return (
             state.drop("rank")
             .join(_hint(msgs, broadcast_state), "node", "left")
             .select(
@@ -326,7 +427,11 @@ def pagerank_scaled(
                 ).alias("rank"),
             )
         )
-        state = _checkpoint(state)
+
+    state = run_fixpoint(
+        state0, step, max_iter=iters, compare_cols=None,
+        broadcast_state=broadcast_state,
+    )
     und.unpersist()
     return state.select("node", "rank")
 
@@ -397,3 +502,116 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the co-purchase graph (wedge join + closure
     semi-join — the scalable formulation; no per-node adjacency collection)."""
     return triangle_count(copurchase_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (NEW algorithm, written as a user
+# of aggregate_messages + run_fixpoint would write it)
+# ---------------------------------------------------------------------------
+
+def copurchase_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical co-purchase edges with an integer distance weight:
+    w = greatest(1, 10 - #co-purchasing orders) — strongly co-purchased
+    parts are "closer".  Same posting-list generation as
+    :func:`copurchase_edges` but keeping per-pair order counts."""
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= QTY_THRESHOLD)
+        .select("l_orderkey", "l_partkey")
+    )
+    per_order = l.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    pairs = (
+        per_order.filter(F.size("parts") >= 2)
+        .select("l_orderkey", F.explode("parts").alias("src"), "parts")
+        .select("l_orderkey", "src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+    )
+    return pairs.groupBy("src", "dst").agg(
+        F.greatest(F.lit(1), F.lit(10) - F.count_distinct("l_orderkey"))
+        .cast("long")
+        .alias("w")
+    )
+
+
+HUB_DEGREE = 3  # multi-source seeds: nodes with undirected degree >= this
+
+
+def sssp_weighted(
+    wedges: DataFrame,
+    max_iter: int = SSSP_MAX_DEPTH,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """(node, dist) minimum WEIGHTED distance to the nearest "hub" (any node
+    of degree >= HUB_DEGREE — multi-source Bellman-Ford, the
+    nearest-facility shape), over paths of at most ``max_iter`` edges.
+    After k rounds every distance achievable in <= k hops is exact, so the
+    bound matches a depth-capped recursive-CTE oracle exactly; early
+    convergence is a fixpoint and cannot change the result.
+
+    This is the primitive-composition showcase: the entire algorithm is the
+    ~10 lines below — a seed set, a message expression (``dist + w``), a
+    min combiner, a relaxation update, and the shared loop.
+    """
+    und = _checkpoint(undirect(wedges)).persist()
+    dist0 = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= HUB_DEGREE)
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+
+    def step(dist: DataFrame) -> DataFrame:
+        cand = aggregate_messages(
+            und, dist,
+            msg={"m": F.col("dist") + F.col("w")},  # edge weight + source state
+            aggs=[F.min("m").alias("cand")],
+            broadcast_state=broadcast_state,
+        )
+        return dist.join(cand, "node", "full_outer").select(
+            "node",
+            F.least(
+                F.coalesce("dist", F.col("cand")), F.coalesce("cand", F.col("dist"))
+            ).alias("dist"),
+        )
+
+    dist = run_fixpoint(
+        dist0, step,
+        max_iter=max_iter, compare_cols=["dist"],
+        broadcast_state=broadcast_state,
+    )
+    und.unpersist()
+    return dist
+
+
+@register(
+    "graph_sssp_weighted",
+    oracle=f"""
+    WITH RECURSIVE
+    wedges AS (
+      SELECT l1.l_partkey AS src, l2.l_partkey AS dst,
+             GREATEST(1, 10 - COUNT(DISTINCT l1.l_orderkey)) AS w
+      FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       AND l1.l_partkey < l2.l_partkey
+      WHERE l1.l_quantity >= {QTY_THRESHOLD} AND l2.l_quantity >= {QTY_THRESHOLD}
+      GROUP BY l1.l_partkey, l2.l_partkey),
+    undw AS (SELECT src, dst, w FROM wedges
+             UNION ALL SELECT dst, src, w FROM wedges),
+    hubs AS (SELECT src AS node FROM undw GROUP BY src
+             HAVING COUNT(*) >= {HUB_DEGREE}),
+    walk(node, dist, depth) AS (
+      SELECT node, CAST(0 AS BIGINT), 0 FROM hubs
+      UNION
+      SELECT u.dst, w.dist + u.w, w.depth + 1
+      FROM walk w JOIN undw u ON u.src = w.node
+      WHERE w.depth < {SSSP_MAX_DEPTH})
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node ORDER BY node
+    """,
+    tags=("graph", "iterative", "sssp", "pregel-primitive"),
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted nearest-hub distances over the co-purchase graph, built
+    purely on the aggregate_messages + run_fixpoint primitives (integer
+    weights, so the distributed min-reduction is bit-identical to the
+    oracle's depth-capped recursive CTE)."""
+    return sssp_weighted(copurchase_weighted_edges(spark, sf_dir)).orderBy("node")

@@ -11,12 +11,18 @@ Graph (canonical src<dst edges):
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from edgy_spark.operators.graph_algos import (
     PR_SCALE,
+    aggregate_messages,
     bfs_distances,
     connected_components,
     pagerank_scaled,
+    run_fixpoint,
+    sssp_weighted,
     triangle_count,
+    undirect,
 )
 
 EDGES = [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11)]
@@ -56,3 +62,55 @@ def test_pagerank_scaled_properties(spark):
     # little mass; teleport re-injects it)
     total = sum(ranks.values())
     assert 0.8 * PR_SCALE < total < 1.05 * PR_SCALE
+
+
+# -- the user-facing primitives ---------------------------------------------
+
+
+def test_aggregate_messages_one_superstep(spark):
+    """Degree count written directly as one aggregate_messages superstep."""
+    und = undirect(_edges_df(spark))
+    state = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "one", F.lit(1)
+    )
+    deg = aggregate_messages(
+        und, state, msg={"m": F.col("one")}, aggs=[F.sum("m").alias("deg")]
+    )
+    got = {(r.node, r.deg) for r in deg.collect()}
+    assert got == {(1, 2), (2, 2), (3, 3), (4, 1), (10, 1), (11, 1)}
+
+
+def test_aggregate_messages_sees_edge_columns(spark):
+    """Message expressions may mix edge attributes with source state."""
+    wedges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 7)], "src long, dst long, w long"
+    )
+    state = spark.createDataFrame([(1, 100), (2, 200)], "node long, x long")
+    out = aggregate_messages(
+        wedges, state, msg={"m": F.col("x") + F.col("w")},
+        aggs=[F.min("m").alias("m")],
+    )
+    assert {(r.node, r.m) for r in out.collect()} == {(2, 105), (3, 207)}
+
+
+def test_run_fixpoint_converges_and_stops(spark):
+    """A decrement-to-zero loop must stop at the fixpoint, not max_iter."""
+    state = spark.createDataFrame([(1, 3), (2, 1)], "node long, v long")
+
+    def step(s):
+        return s.select("node", F.greatest(F.col("v") - 1, F.lit(0)).alias("v"))
+
+    out = run_fixpoint(state, step, max_iter=50, compare_cols=["v"])
+    assert {(r.node, r.v) for r in out.collect()} == {(1, 0), (2, 0)}
+
+
+def test_sssp_weighted_nearest_hub(spark):
+    """Hand-checkable weighted distances: hub = degree>=3 node (only 3)."""
+    wedges = spark.createDataFrame(
+        [(1, 2, 9), (2, 3, 2), (1, 3, 4), (3, 4, 1), (10, 11, 5)],
+        "src long, dst long, w long",
+    )
+    got = {(r.node, r.dist) for r in sssp_weighted(wedges).collect()}
+    # node 3 is the only hub; 1 via 3 (4), 2 via 3 (2), 4 via 3 (1);
+    # component B has no hub -> absent
+    assert got == {(3, 0), (1, 4), (2, 2), (4, 1)}
