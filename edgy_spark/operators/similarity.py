@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from edgy_spark.catalog import register
 from edgy_spark.functions.hashing import h60, h60_sql
-from edgy_spark.functions.vectors import cosine_similarity, dot
+from edgy_spark.functions.vectors import cosine_similarity, dot, l2_norm
 from edgy_spark.sources import load
 
 _COS_SQL = """
@@ -122,15 +122,15 @@ def _cos2(x: str, y: str) -> str:
     """
 
 
-def _ivf_search(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """IVF search given a (cell, cemb) centroid table: assign the corpus to
-    nearest cells (broadcast nested-loop + map-side partial max_by — the one
-    wide shuffle carries a single (vec_id, cell) row per vector), probe each
-    query's N_PROBE nearest cells, exact cosine re-rank inside them."""
+def _assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell): assign every corpus vector to its max-cosine cell
+    (broadcast nested-loop + map-side partial max_by — the one wide shuffle
+    carries a single (vec_id, cell) row per vector).
+
+    argmax(cos, tie -> smallest cell) via struct-ordered max_by: same
+    selection the oracle's ROW_NUMBER(ORDER BY cos DESC, cell) makes."""
     cs = cosine_similarity(F.col("embedding"), F.col("cemb"))
-    # argmax(cos, tie -> smallest cell) via struct-ordered max_by: same
-    # selection the oracle's ROW_NUMBER(ORDER BY cos DESC, cell) makes
-    asg = (
+    return (
         e.crossJoin(F.broadcast(cent))
         .groupBy("vec_id")
         .agg(
@@ -139,18 +139,30 @@ def _ivf_search(e: DataFrame, cent: DataFrame) -> DataFrame:
             ).alias("cell")
         )
     )
+
+
+def _probe_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(query_id, qemb, cell): each query's N_PROBE nearest cells."""
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
     )
     qcs = cosine_similarity(F.col("qemb"), F.col("cemb"))
     wprobe = Window.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cell"))
-    probe = (
+    return (
         q.crossJoin(F.broadcast(cent))
         .select("query_id", "qemb", "cell", qcs.alias("qc"))
         .withColumn("rn", F.row_number().over(wprobe))
         .filter(F.col("rn") <= N_PROBE)
         .select("query_id", "qemb", "cell")
     )
+
+
+def _ivf_search(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """IVF search given a (cell, cemb) centroid table: assign the corpus to
+    nearest cells, probe each query's N_PROBE nearest cells, exact cosine
+    re-rank inside them."""
+    asg = _assign_cells(e, cent)
+    probe = _probe_cells(e, cent)
     n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nemb"))
     sim = cosine_similarity(F.col("qemb"), F.col("nemb"))
     wrank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -380,6 +392,131 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(c, emb) for c, emb in cents], schema="cell bigint, cemb array<double>"
     )
     return _ivf_search(e, cent)
+
+
+# -- IVF-PQ: trained cells + int8 asymmetric scoring + exact re-rank --------
+
+SHORTLIST = 24  # approximate-score candidates kept per query for exact re-rank
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH {_km_ctes()},
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_cos2('q.embedding', 'c.cemb')} DESC, c.cell) AS rn
+        FROM embeddings q CROSS JOIN cent_{KM_ROUNDS} c WHERE q.vec_id < {N_QUERIES}) WHERE rn <= {N_PROBE}),
+    codes AS (
+      SELECT e.vec_id,
+             list_transform(e.embedding,
+               x -> CAST(ROUND(x::DOUBLE / s.scale * 127.0, 0) AS BIGINT)) AS codes
+      FROM embeddings e JOIN (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+        FROM embeddings) s ON s.vec_id = e.vec_id),
+    codesn AS (
+      SELECT vec_id, codes,
+             sqrt(list_sum(list_transform(codes, c -> c::DOUBLE * c::DOUBLE))) AS code_norm
+      FROM codes),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                 (list_sum(list_transform(list_zip(q.embedding, c.codes),
+                           pr -> pr[1]::DOUBLE * pr[2]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(q.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                     * c.code_norm)) DESC,
+                 a.vec_id) AS rn
+        FROM probe p
+        JOIN asg_{KM_ROUNDS} a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN codesn c ON c.vec_id = a.vec_id) WHERE rn <= {SHORTLIST}),
+    scored AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_cos2('q.embedding', 'n.embedding')} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                ORDER BY {_cos2('q.embedding', 'n.embedding')} DESC,
+                                         s.neighbor_id) AS rank
+      FROM shortlist s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings n ON n.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM scored WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "quantization"),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k — the actual 100 TB ANN architecture, composing the
+    trained coarse quantizer with int8 fine scoring:
+
+    1. Lloyd-trained cells (:func:`train_ivf_centroids`) + N_PROBE probing,
+       exactly as :func:`sim_ivf_trained_topk`.
+    2. ASYMMETRIC int8 scoring inside probed cells: the query stays float,
+       candidates are symmetric max-abs int8 codes.  Per-vector scaling
+       makes the scale CANCEL in cosine — approx_cos = Σ(qᵢ·codeᵢ) /
+       (‖q‖·√Σcodeᵢ²) — so scoring touches only the 4×-smaller integer
+       codes, never the float embeddings.
+    3. Exact re-rank of the SHORTLIST best approximate candidates per query
+       against their true float vectors (TOP_K of SHORTLIST).
+
+    Scale: the memory-bound candidate scan (step 2) reads int8 codes —
+    4× the vectors per byte of bandwidth — while the float embeddings are
+    fetched for only SHORTLIST rows per query (a point-lookup join).
+    Determinism: codes are integers; approximate scores fold in array order
+    on both engines; ties break by vec_id.  Quantization recall vs brute
+    force is pinned in tests/test_similarity.py.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(spark, sf_dir)
+    cent = spark.createDataFrame(
+        [(c, emb) for c, emb in cents], schema="cell bigint, cemb array<double>"
+    )
+    asg = _assign_cells(e, cent)
+    probe = _probe_cells(e, cent)
+
+    xd = lambda c: c.cast("double")  # noqa: E731
+    scale = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(xd(x))))
+    code_arr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(xd(x) / F.col("scale") * 127.0, 0).cast("long"),
+    )
+    codes = (
+        e.select(F.col("vec_id").alias("neighbor_id"), scale.alias("scale"), "embedding")
+        .select("neighbor_id", code_arr.alias("codes"))
+        .select("neighbor_id", "codes", l2_norm(F.col("codes")).alias("code_norm"))
+    )
+
+    approx = dot(F.col("qemb"), F.col("codes")) / (
+        l2_norm(F.col("qemb")) * F.col("code_norm")
+    )
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        F.broadcast(probe)
+        .join(asg.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(codes, "neighbor_id")
+        .select("query_id", "qemb", "neighbor_id", approx.alias("approx"))
+        .withColumn("rn", F.row_number().over(wshort))
+        .filter(F.col("rn") <= SHORTLIST)
+        .select("query_id", "qemb", "neighbor_id")
+    )
+
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nemb"))
+    sim = cosine_similarity(F.col("qemb"), F.col("nemb"))
+    wrank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(n, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
 
 
 # -- int8 embedding quantization --------------------------------------------

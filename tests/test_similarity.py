@@ -117,6 +117,39 @@ def test_trained_ivf_recall_at_least_matches_seeded(spark):
     assert len(bf & ivf) / len(bf) >= 0.8
 
 
+def test_ivfpq_recall_vs_bruteforce(spark):
+    """IVF-PQ (int8 asymmetric scoring + exact re-rank of the shortlist)
+    must keep recall vs the exact top-k: the int8 approximation only
+    REORDERS candidates into/out of the 24-wide shortlist, so it can cost
+    at most the tail of the trained-IVF recall."""
+    from edgy_spark.operators.similarity import sim_bruteforce_topk, sim_ivfpq_topk
+    from tests.conftest import SF_SMOKE
+
+    bf = {(r.query_id, r.neighbor_id) for r in sim_bruteforce_topk(spark, SF_SMOKE).collect()}
+    pq = {(r.query_id, r.neighbor_id) for r in sim_ivfpq_topk(spark, SF_SMOKE).collect()}
+    assert len(bf & pq) / len(bf) >= 0.8
+
+
+def test_ivfpq_shortlist_rerank_is_exact_cosine(spark):
+    """Re-ranked scores must be TRUE cosines (not quantized scores): every
+    (query, neighbor) pair that IVF-PQ and trained-IVF share must carry an
+    identical cos_sim — both re-rank against the float vectors."""
+    from edgy_spark.operators.similarity import sim_ivf_trained_topk, sim_ivfpq_topk
+    from tests.conftest import SF_SMOKE
+
+    ivf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in sim_ivf_trained_topk(spark, SF_SMOKE).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in sim_ivfpq_topk(spark, SF_SMOKE).collect()
+    }
+    shared = set(ivf) & set(pq)
+    assert shared, "no overlap between IVF and IVF-PQ results"
+    assert all(ivf[k] == pq[k] for k in shared)
+
+
 def test_trained_centroids_deterministic(spark):
     """Two independent trainings produce bit-identical centroids — the
     integer-stable mean makes the result partition-order-free."""
