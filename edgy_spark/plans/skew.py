@@ -72,7 +72,10 @@ def salted_join(
     1. profile: aggregate probe-side key counts, keep keys above
        ``hot_threshold_rows`` — by construction a tiny set (at most
        total_rows / threshold keys), safe to broadcast;
-    2. salt: hot probe rows get ``salt = pmod(hash(whole row id-ish), n)``,
+    2. salt: hot probe rows get ``salt = pmod(xxhash64(*all columns), n)``
+       — a pure function of the row, so the physical layout is
+       bit-reproducible across retries and AQE replans (a random salt is
+       result-equivalent but re-deals rows to different salts per run);
        cold rows get salt 0; build rows matching a hot key are replicated
        to all ``n_salts`` salts (explode of a literal range — only hot
        build rows replicate), cold build rows keep salt 0;
@@ -100,7 +103,7 @@ def salted_join(
             "__salt",
             F.when(
                 F.col("__hot").isNotNull(),
-                (F.rand(seed=42) * n_salts).cast("int"),
+                F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(n_salts)).cast("int"),
             ).otherwise(F.lit(0)),
         )
         .drop("__hot")

@@ -51,11 +51,25 @@ def test_salted_join_actually_salts(spark):
         probe.groupBy("k").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 100)
     )
     assert hot.count() == 1  # sanity: exactly one hot key (7)
-    p_salted = probe.withColumn("__salt", (F.rand(seed=42) * 8).cast("int"))
+    p_salted = probe.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(8)).cast("int"),
+    )
     n_buckets = (
         p_salted.filter(F.col("k") == 7).select("__salt").distinct().count()
     )
     assert n_buckets > 1
+
+
+def test_salt_assignment_is_reproducible(spark):
+    """The salt is a pure function of the row (pmod(xxhash64(*cols), n)) —
+    two independent evaluations deal identical rows to identical salts, so
+    retries/AQE replans rebuild the same physical layout."""
+    probe, _ = _skewed_frames(spark)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(8)).cast("int")
+    a = sorted(map(tuple, probe.withColumn("__salt", salt).collect()))
+    b = sorted(map(tuple, probe.withColumn("__salt", salt).collect()))
+    assert a == b
 
 
 def test_skew_profile_finds_heavy_hitter(spark):
