@@ -103,7 +103,7 @@ _OUT_SCHEMA = "user_id long, cross_ts string, cum_at_cross double"
 _STATE_SCHEMA = "cum_cents long, crossed boolean"
 
 
-def _make_detector(ttl_ms: int | None):
+def _make_detector(ttl_ms: int | None, event_time: bool = False):
     """Build the per-user GroupState function (runs inside an Arrow-batched
     worker).
 
@@ -113,9 +113,17 @@ def _make_detector(ttl_ms: int | None):
     a production deployment would put a watermark+sort upstream or accept
     bounded disorder).
 
-    With ``ttl_ms`` set, every state write re-arms a processing-time timeout;
-    a key idle past the TTL is handed back with ``hasTimedOut`` and its
-    state removed — the state store holds only recently-active keys.
+    With ``ttl_ms`` set and ``event_time=False``, every state write re-arms
+    a processing-time timeout; a key idle past the TTL is handed back with
+    ``hasTimedOut`` and its state removed — the state store holds only
+    recently-active keys.
+
+    With ``event_time=True`` the horizon is EVENT time: each write arms the
+    timeout at ``max(event ts seen for this key) + ttl``, and retirement
+    fires when the stream's WATERMARK passes that horizon — wall-clock
+    speed is irrelevant, so a historical backfill replayed at any pace
+    retires exactly the keys a live run would have retired (the
+    deterministic-replay property processing-time TTL cannot give).
     """
 
     def _detect_crossings(
@@ -131,7 +139,12 @@ def _make_detector(ttl_ms: int | None):
             state.remove()
             return
         cum, crossed = (state.get if state.exists else (0, False))
+        last_ts_ms = 0
         for pdf in pdf_iter:
+            if len(pdf):
+                last_ts_ms = max(
+                    last_ts_ms, int(pdf["ts"].max().value // 1_000_000)
+                )
             if crossed or pdf.empty:
                 # still must drain the iterator and fold the sum so a late
                 # restart resumes with the true total
@@ -156,13 +169,25 @@ def _make_detector(ttl_ms: int | None):
                 )
         state.update((cum, crossed))
         if ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)
+            if event_time:
+                # Spark rejects a timeout at/below the current watermark, so
+                # a key whose events lag the global watermark arms at wm+1 —
+                # it retires on the next batch, the earliest legal horizon.
+                horizon = last_ts_ms + ttl_ms
+                state.setTimeoutTimestamp(
+                    max(horizon, state.getCurrentWatermarkMs() + 1)
+                )
+            else:
+                state.setTimeoutDuration(ttl_ms)
 
     return _detect_crossings
 
 
 def threshold_crossing_stream(
-    events: DataFrame, ttl_minutes: float | None = None
+    events: DataFrame,
+    ttl_minutes: float | None = None,
+    event_time_ttl: bool = False,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Stateful streaming form: one output row per user at the micro-batch
     where their running total first reaches THRESHOLD.
@@ -171,16 +196,29 @@ def threshold_crossing_stream(
     docstring): idle keys retire after the TTL, bounding the state store on
     an open key universe.  ``None`` keeps state forever (exact batch
     equivalence on bounded replays).
+
+    ``event_time_ttl=True`` switches the TTL clock from processing time to
+    EVENT time: a watermark (``watermark_delay`` behind max event ts) is
+    attached and a key retires when the watermark passes
+    ``last event ts + ttl``.  Backfills and live runs then retire the same
+    keys at the same event-time horizons regardless of replay speed —
+    processing-time TTL is wall-clock-dependent, which is fine live but
+    wrong for replaying historical data.
     """
     ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+    if event_time_ttl:
+        if ttl_ms is None:
+            raise ValueError("event_time_ttl requires ttl_minutes")
+        events = events.withWatermark("ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    elif ttl_ms is None:
+        timeout = GroupStateTimeout.NoTimeout
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return events.groupBy("user_id").applyInPandasWithState(
-        _make_detector(ttl_ms),
+        _make_detector(ttl_ms, event_time=event_time_ttl),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if ttl_ms is None
-            else GroupStateTimeout.ProcessingTimeTimeout
-        ),
+        timeoutConf=timeout,
     )

@@ -185,6 +185,97 @@ def test_stateful_ttl_retires_idle_keys(spark, tmp_path):
     assert sorted(r["user_id"] for r in got2) == [1, 2], "control: NoTimeout keeps state"
 
 
+def _event_ttl_chunks(spark):
+    """Four micro-batches engineered so an 8-minute EVENT-time TTL retires
+    user 1 between its two bursts (watermark passes 0:08 while user 1 is
+    idle) but never touches the continuously-active user 2:
+
+      b1: u1@0:00 600, u2@0:01 100   (wm after: 0:01)
+      b2: u2@0:10 950  -> u2 crosses (wm after: 0:10 > u1 horizon 0:08)
+      b3: u2@0:15 50   -> u1 times out here (no data for it this batch)
+      b4: u1@0:20 600 (fresh state, 600 < 1000 -> silent), u2@0:21 10
+    """
+    import datetime as dt
+
+    def ev(eid, uid, minute, value):
+        return (eid, uid, dt.datetime(2024, 1, 1, 0, minute), float(value))
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    return [
+        spark.createDataFrame([ev(1, 1, 0, 600.0), ev(2, 2, 1, 100.0)], schema),
+        spark.createDataFrame([ev(3, 2, 10, 950.0)], schema),
+        spark.createDataFrame([ev(4, 2, 15, 50.0)], schema),
+        spark.createDataFrame([ev(5, 1, 20, 600.0), ev(6, 2, 21, 10.0)], schema),
+    ]
+
+
+def _run_append_stream_paced(spark, stream_df, name: str, interval: str):
+    """Like _run_append_stream but with a processing-time trigger, so
+    micro-batches are separated by real wall-clock gaps."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime=interval)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"select * from {name}")
+
+
+def test_stateful_event_time_ttl_retires_at_watermark(spark, tmp_path):
+    """EVENT-time TTL: user 1's state must retire when the WATERMARK passes
+    last-event-ts + TTL, so its second burst restarts from zero and never
+    emits; user 2 (active within the TTL) emits exactly once."""
+    from edgy_spark.streaming.stateful import threshold_crossing_stream
+
+    stream = _write_replay_chunks(spark, tmp_path, _event_ttl_chunks(spark))
+    got = _run_append_stream(
+        spark,
+        threshold_crossing_stream(stream, ttl_minutes=8, event_time_ttl=True),
+        "threshold_evttl_test",
+    ).collect()
+    assert sorted(r["user_id"] for r in got) == [2]
+    assert got[0]["cross_ts"] == "2024-01-01 00:10:00"
+
+
+def test_stateful_event_time_ttl_is_replay_speed_invariant(spark, tmp_path):
+    """The same backfill replayed fast (availableNow, back-to-back batches)
+    and slow (processing-time trigger, ~1s wall-clock between batches) must
+    retire the same keys and emit identical rows — the event-time horizon,
+    not the wall clock, drives retirement.  (A processing-time TTL of under
+    a second would emit user 1 in the fast run and drop it in the slow one.)
+    """
+    from edgy_spark.streaming.stateful import threshold_crossing_stream
+
+    fast_dir = tmp_path / "fast"
+    fast_dir.mkdir()
+    fast = _run_append_stream(
+        spark,
+        threshold_crossing_stream(
+            _write_replay_chunks(spark, fast_dir, _event_ttl_chunks(spark)),
+            ttl_minutes=8,
+            event_time_ttl=True,
+        ),
+        "threshold_evttl_fast_test",
+    )
+    slow_dir = tmp_path / "slow"
+    slow_dir.mkdir()
+    slow = _run_append_stream_paced(
+        spark,
+        threshold_crossing_stream(
+            _write_replay_chunks(spark, slow_dir, _event_ttl_chunks(spark)),
+            ttl_minutes=8,
+            event_time_ttl=True,
+        ),
+        "threshold_evttl_slow_test",
+        interval="1 second",
+    )
+    cols = ["user_id", "cross_ts", "cum_at_cross"]
+    assert _rows(fast, cols) == _rows(slow, cols) == [(2, "2024-01-01 00:10:00", 1050.0)]
+
+
 def test_exactly_once_parquet_sink_restart(spark, tmp_path):
     """Checkpointed foreachBatch sink: drain → restart with same checkpoint
     → byte-identical output (no duplicate batches, no new rows)."""
