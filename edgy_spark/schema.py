@@ -74,6 +74,10 @@ _DTYPES: dict[str, T.DataType] = {
     "double": T.DoubleType(),
     "boolean": T.BooleanType(),
     "timestamp": T.TimestampType(),
+    # opaque host payloads: the reference accepts ANY Typeable+Binary type
+    # as an attribute (Schema.hs:148-155); a `binary` attr gives the same
+    # latitude here — callers serialize (e.g. pickle) and the engine stores
+    # the bytes untouched through commits and snapshots.
     "binary": T.BinaryType(),
     "array<float>": T.ArrayType(T.FloatType()),
     "array<double>": T.ArrayType(T.DoubleType()),
@@ -107,7 +111,13 @@ class Attr:
 
 def optional(name: str, dtype: str = "string", default: object | None = None) -> Attr:
     if default is None:
-        default = {"string": "", "long": 0, "int": 0, "double": 0.0}.get(dtype)
+        default = {
+            "string": "",
+            "long": 0,
+            "int": 0,
+            "double": 0.0,
+            "binary": b"",
+        }.get(dtype)
     return Attr(name, dtype, required=False, default=default)
 
 

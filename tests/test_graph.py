@@ -454,3 +454,48 @@ def test_write_behind_surfaces_failures_on_flush(spark, tmp_path):
     t = engine.read()
     assert t.get_attribute(bob, "age") == 44
     assert t.is_related(bob, "possession", chips)
+
+
+def test_binary_attribute_roundtrip_through_commit_and_snapshot(spark, tmp_path):
+    """Opaque host payloads: a `binary` attribute (the reference's arbitrary
+    Typeable+Binary latitude, Schema.hs:148-155) must round-trip bytes —
+    including a pickled Python object — unchanged through new_node/commit,
+    set_attribute on a later version, and reads pinned to OLD snapshots."""
+    import pickle
+
+    from edgy_spark.schema import Attr, GraphSchema, NodeType, optional
+
+    schema = GraphSchema(
+        node_types=(
+            NodeType(
+                "Blob",
+                (
+                    Attr("name"),
+                    Attr("payload", "binary"),
+                    optional("note_blob", "binary"),
+                ),
+            ),
+        ),
+    )
+    engine = Engine(spark, str(tmp_path / "db"), schema)
+    obj = {"weights": [1.5, -2.25], "tag": ("x", 7)}
+    raw = b"\x00\xffbinary\x00bytes"
+
+    def create(t):
+        return t.new_node("Blob", name="a", payload=pickle.dumps(obj))
+
+    node = engine.run(create)
+    old = engine.snapshot()
+
+    t = engine.read()
+    assert pickle.loads(t.get_attribute(node, "payload")) == obj
+    # optional binary defaults to b"" (the bytes mempty)
+    assert t.get_attribute(node, "note_blob") == b""
+
+    engine.run(lambda t: t.set_attribute(node, "payload", raw))
+    assert engine.read().get_attribute(node, "payload") == raw
+    # the pinned old snapshot still decodes the original pickled payload
+    from edgy_spark.graph import Transaction
+
+    t_old = Transaction(engine, old)
+    assert pickle.loads(t_old.get_attribute(node, "payload")) == obj
