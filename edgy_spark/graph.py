@@ -500,13 +500,23 @@ class Engine:
         root: str,
         schema: GraphSchema,
         bucket_edges: int | None = None,
+        compact_every: int | None = None,
+        retain_versions: int = 2,
     ):
         """``bucket_edges=N`` turns on the bucketed edge layout: point
         adjacency reads prune to one bucket instead of scanning the whole
-        edge table (see GraphStore)."""
+        edge table; ``compact_every=K`` turns on every-K-commits
+        compact+vacuum maintenance (see GraphStore)."""
         self.spark = spark
         self.schema = schema
-        self.store = GraphStore(spark, root, schema, bucket_edges=bucket_edges)
+        self.store = GraphStore(
+            spark,
+            root,
+            schema,
+            bucket_edges=bucket_edges,
+            compact_every=compact_every,
+            retain_versions=retain_versions,
+        )
 
     def run(self, fn, retries: int = 3):
         """Run ``fn(txn)`` atomically; retry on write conflict (STM analogue)."""

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -114,17 +115,31 @@ class GraphStore:
         root: str,
         schema: GraphSchema,
         bucket_edges: int | None = None,
+        compact_every: int | None = None,
+        compact_target_file_mb: int = 128,
+        retain_versions: int = 2,
     ):
         """``bucket_edges=N`` writes edge tables bucketed (and sorted) by
         ``src`` into N buckets via the session catalog: point adjacency
         reads (get_related/is_related) then scan one bucket instead of the
         whole table, and src-keyed joins skip their Exchange.  Pick N so one
         bucket of the largest edge table fits an executor core's working
-        memory at target scale (see sources/io.write_bucketed)."""
+        memory at target scale (see sources/io.write_bucketed).
+
+        ``compact_every=K`` turns on automatic maintenance: every K-th
+        commit first folds fragmented current-version tables through the
+        small-files compactor (:meth:`compact`), then garbage-collects
+        versions older than ``retain_versions`` (:meth:`vacuum`) — the
+        OPTIMIZE + VACUUM pair every long-running versioned store needs.
+        Total on-disk state is then O(tables × retain_versions), not
+        O(commits)."""
         self.spark = spark
         self.root = root
         self.schema = schema
         self.bucket_edges = bucket_edges
+        self.compact_every = compact_every
+        self.compact_target_file_mb = compact_target_file_mb
+        self.retain_versions = retain_versions
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         if not os.path.exists(self._current_path):
             self._write_manifest({"version": 0, "next_id": 1, "tables": {}})
@@ -173,12 +188,17 @@ class GraphStore:
         base: Snapshot,
         changed_tables: dict[str, DataFrame],
         next_id: int | None = None,
+        _maintenance: bool = False,
     ) -> Snapshot:
         """Write changed tables as new versions and publish atomically.
 
         Optimistic concurrency (the reference's STM retry): if CURRENT moved
         past ``base`` since the transaction began, raise ConflictError and
         let the caller re-run.
+
+        When ``compact_every`` is set, every K-th user commit triggers the
+        compact+vacuum maintenance pass afterwards (``_maintenance`` guards
+        the compactor's own internal commit from re-triggering it).
         """
         if self.current_version() != base.version:
             raise ConflictError(
@@ -214,7 +234,113 @@ class GraphStore:
         }
         self._write_manifest(manifest)
         self._publish(new_version)
-        return Snapshot(self, manifest)
+        snap = Snapshot(self, manifest)
+        if (
+            not _maintenance
+            and self.compact_every
+            and new_version % self.compact_every == 0
+        ):
+            snap = self.compact(self.compact_target_file_mb) or snap
+            self.vacuum(self.retain_versions)
+        return snap
+
+    # -- maintenance (OPTIMIZE + VACUUM) -----------------------------------
+
+    def _table_file_stats(self, relpath: str) -> tuple[int, int]:
+        """(data-file count, total bytes) for one table-version location —
+        file metadata only, no data scan.  Uses the Hadoop FileSystem API so
+        the same code works when ``root`` is on HDFS/S3A on a cluster."""
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path(
+            os.path.join(self.root, relpath)
+        )
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        n = total = 0
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith("part-"):
+                n += 1
+                total += st.getLen()
+        return n, total
+
+    def compact(
+        self, target_file_mb: int | None = None, min_files: int = 9
+    ) -> "Snapshot | None":
+        """OPTIMIZE: rewrite fragmented current tables into ~target-sized
+        files as ONE new maintenance commit; returns the new snapshot, or
+        None if nothing was fragmented.
+
+        Every commit writes one parquet location per changed table with as
+        many part-files as the writing DataFrame had partitions — kB-sized
+        files under local[32] / per-trigger appends.  A table is rewritten
+        when its file count exceeds ``max(min_files, 2 × the count its
+        bytes actually need)``; healthy tables keep their existing files
+        (the manifest simply re-points at them), so maintenance cost is
+        proportional to fragmentation, not to store size.  Bucketed edge
+        tables are re-bucketed by the normal commit path — compaction never
+        degrades their layout, it just folds multi-file buckets."""
+        target_file_mb = target_file_mb or self.compact_target_file_mb
+        snap = self.snapshot()
+        changed: dict[str, DataFrame] = {}
+        for key, rel in snap.manifest["tables"].items():
+            n_files, total_bytes = self._table_file_stats(rel)
+            needed = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
+            if n_files >= max(min_files, 2 * needed):
+                df = (
+                    snap.nodes(key[2:])
+                    if key.startswith("n_")
+                    else snap.edge_table(key[2:])
+                )
+                changed[key] = df.coalesce(needed)
+        if not changed:
+            return None
+        return self.commit(
+            snap, changed, next_id=snap.manifest["next_id"], _maintenance=True
+        )
+
+    def vacuum(self, retain_versions: int | None = None) -> list[str]:
+        """Garbage-collect table versions (and their session-catalog bucket
+        tables, and manifests) referenced only by snapshots older than the
+        newest ``retain_versions`` — the VACUUM half of maintenance.
+
+        Returns the deleted data relpaths.  Like Delta's VACUUM, a reader
+        still pinned to a pre-horizon snapshot version would break — size
+        the retention to cover the longest-running transaction.  The
+        superseded ``edgy_<hash>_e_*_vN`` catalog entries are dropped here
+        too, so session-catalog metadata stays bounded across commits
+        (DROP TABLE on these external tables removes only metadata; the
+        data files are deleted by the relpath sweep)."""
+        retain = (
+            self.retain_versions if retain_versions is None else retain_versions
+        )
+        current = self.current_version()
+        horizon = max(0, current - max(1, retain) + 1)
+        referenced_rel: set[str] = set()
+        referenced_tbl: set[str] = set()
+        for v in range(horizon, current + 1):
+            path = self._manifest_path(v)
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                m = json.load(f)
+            referenced_rel.update(m["tables"].values())
+            referenced_tbl.update(m.get("bucketed", {}).values())
+        removed: list[str] = []
+        data_dir = os.path.join(self.root, "data")
+        for name in sorted(os.listdir(data_dir)):
+            rel = os.path.join("data", name)
+            if rel not in referenced_rel:
+                shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
+                removed.append(rel)
+        prefix = self._bucket_table_name("", 0).rsplit("_v", 1)[0].rstrip("_") + "_"
+        for tbl in self.spark.catalog.listTables():
+            if tbl.name.startswith(prefix) and tbl.name not in referenced_tbl:
+                self.spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+        for v in range(0, horizon):
+            try:
+                os.remove(self._manifest_path(v))
+            except FileNotFoundError:
+                pass
+        return removed
 
 
 class ConflictError(Exception):

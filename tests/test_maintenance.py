@@ -1,0 +1,124 @@
+"""Store maintenance: small-files compaction (OPTIMIZE) + version GC
+(VACUUM) wired into GraphStore.commit.
+
+The reference's write-behind persister rewrites one binary file per node
+(/root/reference/src/Edgy/Persistence.hs), so its on-disk state is naturally
+bounded; a versioned parquet store instead accumulates a table-version
+directory per commit and must fold/garbage-collect them.  These tests pin
+the contract: file count stays bounded across 2N commits, reads are
+unchanged, and superseded bucketed-edge catalog tables are dropped.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from edgy_spark.demo import demo_schema
+from edgy_spark.graph import Engine
+from edgy_spark.storage import GraphStore
+
+
+def _data_dirs(root: str) -> list[str]:
+    return sorted(os.listdir(os.path.join(root, "data")))
+
+
+def _manifests(root: str) -> list[str]:
+    return sorted(n for n in os.listdir(root) if n.startswith("manifest."))
+
+
+def test_auto_maintenance_bounds_disk_state_across_commits(spark, tmp_path):
+    """compact_every=3, retain_versions=2, 2N=8 commits: version directories
+    and manifests stay bounded by the retention window (not O(commits)) and
+    every committed row is still readable afterwards."""
+    root = str(tmp_path / "db")
+    engine = Engine(
+        spark, root, demo_schema(), compact_every=3, retain_versions=2
+    )
+    for i in range(8):
+        engine.run(lambda t, i=i: t.new_node("Person", name=f"P{i}", age=i))
+
+    names = {r["name"] for r in engine.snapshot().nodes("Person").collect()}
+    assert names == {f"P{i}" for i in range(8)}
+
+    # bounded window: at most retain_versions survivors of the last vacuum
+    # plus up to compact_every commits since (+1 slack for a compaction
+    # commit) — O(retain + compact_every), NOT O(commits)
+    bound = 2 + 3 + 1
+    current = engine.store.current_version()
+    kept = {int(m.split(".v")[1].split(".json")[0]) for m in _manifests(root)}
+    assert len(kept) <= bound
+    assert min(kept) >= current - bound + 1  # nothing ancient survives
+    # table-version dirs: ≤ tables-per-manifest × the same window
+    n_tables = len(engine.snapshot().manifest["tables"])
+    assert len(_data_dirs(root)) <= bound * n_tables
+
+
+def test_compact_folds_fragmented_table_with_identical_reads(spark, tmp_path):
+    """A table committed as many small part-files is rewritten into the few
+    files its bytes need; the new snapshot reads bit-identically."""
+    root = str(tmp_path / "db")
+    store = GraphStore(spark, root, demo_schema())
+    base = store.snapshot()
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("p"), F.col("id")).alias("name"),
+            (F.col("id") % 90).alias("age"),
+        )
+        .repartition(16)  # deliberately fragmented write
+    )
+    snap = store.commit(base, {"n_Person": df}, next_id=1001)
+    rel = snap.manifest["tables"]["n_Person"]
+    n_before, _ = store._table_file_stats(rel)
+    assert n_before >= 16
+
+    out = store.compact(target_file_mb=128, min_files=4)
+    assert out is not None and out.version == snap.version + 1
+    n_after, _ = store._table_file_stats(out.manifest["tables"]["n_Person"])
+    assert n_after < n_before and n_after <= 2
+
+    before = {(r["id"], r["name"], r["age"]) for r in snap.nodes("Person").collect()}
+    after = {(r["id"], r["name"], r["age"]) for r in out.nodes("Person").collect()}
+    assert after == before
+
+    # a healthy table is NOT rewritten again (idempotent maintenance)
+    assert store.compact(target_file_mb=128, min_files=4) is None
+
+
+def test_vacuum_drops_superseded_bucket_catalog_tables(spark, tmp_path):
+    """ADVICE r05: every bucketed edge commit registers a catalog table and
+    old versions were never dropped.  After vacuum, only tables referenced
+    by retained manifests remain registered, and point reads still work."""
+    root = str(tmp_path / "db")
+    engine = Engine(spark, root, demo_schema(), bucket_edges=2)
+
+    def mk(txn, i):
+        a = txn.new_node("Person", name=f"A{i}", age=i)
+        b = txn.new_node("Person", name=f"B{i}", age=i)
+        txn.add_related(a, "friend", b)
+        return a, b
+
+    pairs = [engine.run(lambda t, i=i: mk(t, i)) for i in range(4)]
+
+    h_prefix = engine.store._bucket_table_name("e_friend", 0).rsplit("_v", 1)[0]
+    registered = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(h_prefix + "_v")
+    ]
+    assert len(registered) >= 4  # one per commit — the unbounded growth
+
+    engine.store.vacuum(retain_versions=2)
+    remaining = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(h_prefix + "_v")
+    ]
+    assert len(remaining) <= 2
+    # current adjacency still reads (from the surviving catalog table)
+    a3, b3 = pairs[3]
+    txn = engine.read()
+    assert [n.id for n in txn.get_related(a3, "friend")] == [b3.id]
