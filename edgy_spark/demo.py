@@ -87,10 +87,14 @@ def big_bang(txn):
     }
 
 
-def lookup(engine: Engine, node_type: str, name: str):
+def lookup(engine: Engine, node_type: str, name: str, snap=None):
     """lookupByName (/root/reference/app/Main.hs:118-140): scan + filter +
-    assert-unique, as a pushdown scan instead of an O(N) loop."""
-    snap = engine.snapshot()
+    assert-unique, as a pushdown scan instead of an O(N) loop.
+
+    ``snap`` pins the read to a specific version — pass a transaction's
+    ``txn.snap`` so lookups share the transaction's isolation scope (the
+    reference runs lookupByName inside the same Edgy transaction)."""
+    snap = engine.snapshot() if snap is None else snap
     return NodeSet.scan(snap, engine.schema, node_type).filter(name=name).unique()
 
 
@@ -111,8 +115,13 @@ def _edge_cmd(engine: Engine, op: str, rel: str, name1: str, name2: str) -> None
     target_type = "Object" if rel == "possession" else "Person"
 
     def txn_fn(txn):
-        a = lookup(engine, "Person", name1)
-        b = lookup(engine, target_type, name2)
+        # resolve through the transaction's OWN pinned snapshot, not the
+        # latest committed version: lookup and mutation then see one
+        # consistent version, and a conflict retry revalidates the reads
+        # (parity with the reference, where lookupByName runs inside the
+        # same Edgy transaction as the edge write)
+        a = lookup(engine, "Person", name1, snap=txn.snap)
+        b = lookup(engine, target_type, name2, snap=txn.snap)
         from edgy_spark.graph import Node
 
         na, nb = Node("Person", a["id"]), Node(target_type, b["id"])

@@ -147,13 +147,79 @@ def test_stateful_ttl_long_horizon_equals_batch(spark, tmp_path):
     assert len({r[0] for r in got_rows}) == len(got_rows), "duplicate emission"
 
 
+def _run_append_stream_staged(spark, tmp_path, chunks, make_stream, pause_s=0.2):
+    """Replay each chunk as a SEPARATE availableNow run over one shared
+    checkpoint (state restores across runs), with a real wall-clock pause
+    between runs.  A processing-time TTL shorter than the pause is then
+    LOGICALLY guaranteed to have elapsed before the next batch processes —
+    the timeout firing no longer depends on micro-batch scheduling latency
+    (r05 ADVICE).  Returns all appended rows across runs.
+
+    No-data micro-batches are disabled for the duration: with a
+    milliseconds-scale timer armed, Spark otherwise schedules hundreds of
+    empty timer-check batches per availableNow run (~2 min of pure
+    overhead).  Timeouts then fire in the next DATA batch instead, which
+    is exactly what the callers' scenarios rely on."""
+    import os
+    import time
+
+    no_data_conf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(no_data_conf, "true")
+    spark.conf.set(no_data_conf, "false")
+    try:
+        return _run_staged_inner(spark, tmp_path, chunks, make_stream, pause_s)
+    finally:
+        spark.conf.set(no_data_conf, prev)
+
+
+def _run_staged_inner(spark, tmp_path, chunks, make_stream, pause_s):
+    import os
+    import time
+
+    stream_dir = str(tmp_path / "staged_stream")
+    os.makedirs(stream_dir)
+    ckpt = str(tmp_path / "staged_ckpt")
+    out_dir = str(tmp_path / "staged_out")
+    schema = chunks[0].schema
+    for i, chunk in enumerate(chunks):
+        part = str(tmp_path / f"staged_chunk{i}")
+        chunk.coalesce(1).write.parquet(part)
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        os.rename(os.path.join(part, src), os.path.join(stream_dir, f"{i:03d}.parquet"))
+        stream = spark.readStream.schema(schema).parquet(stream_dir)
+        # file sink, not memory: the memory sink cannot recover a query
+        # from an existing checkpoint, and state restore across runs is the
+        # whole point here
+        q = (
+            make_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if i < len(chunks) - 1:
+            time.sleep(pause_s)
+    return spark.read.parquet(out_dir).collect()
+
+
 def test_stateful_ttl_retires_idle_keys(spark, tmp_path):
     """A tiny TTL must actually retire an idle key: user 1 accumulates 600
-    in batch 1, is absent in batch 2 (timeout fires, state removed), and
+    in batch 1, is idle through batch 2 (timeout fires, state removed), and
     accumulates 600 more in batch 3 — with state retired the restarted sum
     never reaches 1000, so user 1 must NOT emit; with NoTimeout it must.
-    User 2 crosses in batch 2 and has more events in batch 3: still exactly
-    one emission (keys with data in a batch are never timed out)."""
+
+    Determinism (r05 ADVICE): batches run as separate availableNow runs
+    over one shared checkpoint with a 0.2 s pause between runs, so the 3 ms
+    TTL has LOGICALLY expired before batch 2 executes — user 1's
+    retirement no longer rides on micro-batch scheduling latency.  And
+    since timeouts fire for every expired idle key in ANY intervening
+    batch (including empty ones), user 2 is designed to cross within a
+    single batch (1100 in one event set) so its emission is state-
+    independent; its batch-3 tail event (50) can't re-emit whether or not
+    its own state survived."""
     import datetime as dt
 
     def ev(eid, uid, minute, value):
@@ -161,18 +227,18 @@ def test_stateful_ttl_retires_idle_keys(spark, tmp_path):
 
     schema = "event_id long, user_id long, ts timestamp, value double"
     chunks = [
-        spark.createDataFrame([ev(1, 1, 0, 600.0), ev(2, 2, 1, 100.0)], schema),
-        spark.createDataFrame([ev(3, 2, 10, 950.0)], schema),
-        spark.createDataFrame([ev(4, 1, 20, 600.0), ev(5, 2, 21, 50.0)], schema),
+        spark.createDataFrame([ev(1, 1, 0, 600.0)], schema),
+        spark.createDataFrame([ev(2, 2, 10, 1100.0)], schema),
+        spark.createDataFrame([ev(3, 1, 20, 600.0), ev(4, 2, 21, 50.0)], schema),
     ]
     from edgy_spark.streaming.stateful import threshold_crossing_stream
 
-    stream = _write_replay_chunks(spark, tmp_path, chunks)
-    got = _run_append_stream(
+    got = _run_append_stream_staged(
         spark,
-        threshold_crossing_stream(stream, ttl_minutes=0.00005),  # 3 ms
-        "threshold_ttl_tiny_test",
-    ).collect()
+        tmp_path,
+        chunks,
+        lambda s: threshold_crossing_stream(s, ttl_minutes=0.00005),  # 3 ms
+    )
     emitted = sorted(r["user_id"] for r in got)
     assert emitted == [2], f"expected only user 2 (exactly once), got {emitted}"
 
