@@ -67,6 +67,17 @@ def main() -> None:
             break
 
     total = round(sum(timings.values()), 4)
+    # r06 widened the headline set by three queries (join-heavy TPC-H and
+    # the fused training pipeline); the comparable subtotal keeps
+    # round-over-round comparisons apples-to-apples with r01–r05.
+    added_r06 = [
+        "q9_product_type_profit",
+        "q18_large_volume_customers",
+        "pipeline_training_end2end",
+    ]
+    comparable = round(
+        sum(v for k, v in timings.items() if k not in added_r06), 4
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -78,6 +89,8 @@ def main() -> None:
                 "passes": len(pass_times),
                 "estimator": "min",
                 "pass_times": pass_times,
+                "added_in_r06": added_r06,
+                "comparable_r05_set_total": comparable,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

@@ -391,6 +391,7 @@ def _scrub_sql(col: str) -> str:
     FROM packed
     ORDER BY doc_id
     """,
+    bench=True,
     tags=("pipeline", "pii", "dedup", "sampling", "packing"),
 )
 def pipeline_training_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:

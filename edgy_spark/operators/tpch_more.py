@@ -460,6 +460,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100
     """,
+    bench=True,
     tags=("join", "subquery", "topk"),
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,6 +770,7 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name, year(o_orderdate)
     ORDER BY n_name, o_year DESC
     """,
+    bench=True,
     tags=("join", "aggregation"),
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
