@@ -662,3 +662,66 @@ def dedup_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.greatest("cont_a", "cont_b") >= CONT_TAU)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (broadcast eval-shingle semi-join)
+# ---------------------------------------------------------------------------
+
+# Deterministic pseudo-benchmark: every 50th document plays the eval set.
+# In production this is a separate (small) benchmark table; the query shape
+# is identical — only the eval-side source changes.
+DECON_EVAL_MOD = 50
+DECON_EVAL_REM = 7
+DECON_MIN_OVERLAP = 2
+
+
+@register(
+    "pipeline_decontaminate_overlap",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, {h60_sql('unnest(shingles)')} AS hs FROM sh),
+    ev AS (SELECT doc_id AS eval_id, hs FROM ex
+           WHERE doc_id % {DECON_EVAL_MOD} = {DECON_EVAL_REM}),
+    corpus AS (SELECT doc_id, hs FROM ex
+               WHERE doc_id % {DECON_EVAL_MOD} != {DECON_EVAL_REM}),
+    ov AS (SELECT c.doc_id, e.eval_id, COUNT(*) AS n_overlap
+           FROM corpus c JOIN ev e USING (hs) GROUP BY 1, 2)
+    SELECT doc_id, eval_id, CAST(n_overlap AS BIGINT) AS n_overlap
+    FROM ov WHERE n_overlap >= {DECON_MIN_OVERLAP}
+    ORDER BY doc_id, eval_id
+    """,
+    tags=("pipeline", "dedup", "decontamination"),
+)
+def pipeline_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing >=
+    DECON_MIN_OVERLAP distinct word-3-gram shingles with any eval-set
+    document — the standard pre-training hygiene step that removes test-set
+    leakage before a model ever sees the corpus.
+
+    100 TB shape: eval benchmarks are MB-sized while the corpus is the
+    100 TB side, so the eval shingle hashes are BROADCAST and the corpus's
+    exploded shingle stream joins them with no corpus shuffle at all; the
+    only exchange is the narrow (doc_id, eval_id) overlap count.  Compare
+    the pair-dedup operators above, which must shuffle posting lists —
+    decontamination is structurally cheaper because one side is tiny.
+
+    The contaminated doc ids feed an anti-join upstream (drop or quarantine)
+    exactly like dedup keeper lists; n_overlap is reported so reviewers can
+    tier the response (hard-drop vs flag) by overlap mass.
+    """
+    d = _spread(spark, load(spark, sf_dir, "documents"))
+    ex = (
+        d.select("doc_id", F.explode(_shingles()).alias("s"))
+        .select("doc_id", h60(F.col("s")).alias("hs"))
+    )
+    is_eval = (F.col("doc_id") % DECON_EVAL_MOD) == DECON_EVAL_REM
+    ev = ex.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "hs")
+    corpus = ex.filter(~is_eval)
+    return (
+        corpus.join(F.broadcast(ev), "hs")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= DECON_MIN_OVERLAP)
+        .orderBy("doc_id", "eval_id")
+    )

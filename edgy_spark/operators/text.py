@@ -275,3 +275,96 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0))).alias("n_phones"),
         F.md5(scrub_pii(F.col("text")).cast("binary")).alias("scrubbed_md5"),
     ).orderBy("doc_id")
+
+
+# Gopher-style repetition thresholds, set at this corpus's ~p90 so the keep
+# flag actually splits the data (production values are corpus-tuned).
+REP_TOP_WORD_MAX = 0.13
+REP_DUP_2GRAM_MAX = 0.05
+
+
+@register(
+    "text_repetition_scores",
+    oracle=f"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+               FROM documents),
+    wc AS (SELECT doc_id, unnest(w) AS word FROM w),
+    cnt AS (SELECT doc_id, word, COUNT(*) AS c FROM wc GROUP BY 1, 2),
+    top AS (SELECT doc_id,
+                   CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                     AS top_word_frac
+            FROM cnt GROUP BY 1),
+    g AS (SELECT doc_id,
+                 greatest(len(w) - 1, 0) AS n2,
+                 len(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 1, 0) + 1),
+                   i -> array_to_string(w[i:i+1], ' ')))) AS d2
+          FROM w)
+    SELECT g.doc_id, top_word_frac,
+           CASE WHEN n2 = 0 THEN 0.0
+                ELSE CAST(n2 - d2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+           END AS dup_2gram_frac,
+           CASE WHEN top_word_frac <= {REP_TOP_WORD_MAX}
+                 AND (CASE WHEN n2 = 0 THEN 0.0
+                           ELSE CAST(n2 - d2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                      END) <= {REP_DUP_2GRAM_MAX}
+                THEN 'keep' ELSE 'drop' END AS rep_bucket
+    FROM g JOIN top ON g.doc_id = top.doc_id
+    ORDER BY g.doc_id
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality scoring (the Gopher-rules family): fraction
+    of tokens taken by the single most frequent word, and the fraction of
+    word-2-gram occurrences that are repeats — both catch boilerplate /
+    keyword-stuffed / looping documents that length and stopword ratios
+    (text_quality_scores) miss.
+
+    Scale split: the 2-gram repeat fraction is computed entirely IN-ROW
+    (shifted zip_with, array_distinct — zero shuffle); the top-word mode
+    cannot be (per-doc mode needs a count per distinct word, quadratic as an
+    in-row loop on 100 KB docs), so it uses the distributed explode →
+    two-level groupBy whose shuffles carry only (doc_id, word, count).
+    """
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    per_doc = d.select("doc_id", w.alias("w"))
+    top = (
+        per_doc.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                "top_word_frac"
+            )
+        )
+    )
+    n2 = F.greatest(F.size("w") - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice("w", 1, n2),
+        F.slice("w", 2, n2),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    dup2 = F.when(n2 == 0, F.lit(0.0)).otherwise(
+        (n2 - F.size(F.array_distinct(grams))).cast("double") / n2.cast("double")
+    )
+    g = per_doc.select("doc_id", dup2.alias("dup_2gram_frac"))
+    return (
+        g.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "top_word_frac",
+            "dup_2gram_frac",
+            F.when(
+                (F.col("top_word_frac") <= REP_TOP_WORD_MAX)
+                & (F.col("dup_2gram_frac") <= REP_DUP_2GRAM_MAX),
+                "keep",
+            )
+            .otherwise("drop")
+            .alias("rep_bucket"),
+        )
+        .orderBy("doc_id")
+    )

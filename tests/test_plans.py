@@ -187,3 +187,12 @@ def test_bucketed_engine_point_ops_correct(spark, tmp_path):
     assert t.is_related(nodes["bob"], "friend", nodes["jane"])
     assert not t.is_related(nodes["jane"], "friend", nodes["jane"])
     assert t.get_attribute(t.get_related(nodes["bob"], "spouse"), "name") == "Jane"
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """Decontamination's 100 TB contract: the tiny eval side broadcasts, so
+    the corpus shingle stream is never shuffled before the overlap count."""
+    plan = _plan(spark, "pipeline_decontaminate_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
