@@ -289,3 +289,76 @@ def sliding_stream(events: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exactly-once restore under at-least-once delivery (keyed stream dedup)
+# ---------------------------------------------------------------------------
+
+# deterministic duplicate injection: every event with id % 10 == 3 is
+# "re-delivered" once, the at-least-once failure mode every real event bus
+# (Kafka, Kinesis) exhibits on producer retry
+REDELIVER_MOD = 10
+REDELIVER_REM = 3
+
+
+@register(
+    "stream_dedup_event_delivery",
+    oracle=f"""
+    WITH delivered AS (
+      SELECT * FROM events
+      UNION ALL
+      SELECT * FROM events WHERE event_id % {REDELIVER_MOD} = {REDELIVER_REM})
+    SELECT DISTINCT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           user_id, event_type, value
+    FROM delivered ORDER BY event_id
+    """,
+    tags=("streaming", "dedup", "exactly-once"),
+)
+def stream_dedup_event_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`dedup_stream`: at-least-once delivery is
+    simulated by re-delivering every 10th event, and keyed dedup restores
+    exactly-once — one output row per event_id.
+
+    The duplicates are bit-identical redeliveries, so a full-row DISTINCT
+    equals a keyed first-wins dedup and both engines express it exactly."""
+    ev = load(spark, sf_dir, "events")
+    delivered = ev.unionAll(
+        ev.filter(F.col("event_id") % REDELIVER_MOD == REDELIVER_REM)
+    )
+    return (
+        delivered.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .distinct()
+        .orderBy("event_id")
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin: ``dropDuplicatesWithinWatermark`` on the event key.
+
+    The state store holds only keys younger than the 1-hour watermark — the
+    bounded-state form every 100 TB/day ingest needs (a plain
+    ``dropDuplicates`` keeps EVERY key forever and OOMs an open stream).
+    The trade is explicit: a duplicate arriving later than the delay window
+    is no longer caught, so size the watermark to the event bus's maximum
+    redelivery lag.  Duplicates older than the watermark are dropped as
+    late rows — also correct here, since the first delivery already
+    emitted."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )

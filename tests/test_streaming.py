@@ -402,3 +402,31 @@ def test_sliding_stream_equals_batch(spark):
     want = QUERIES["stream_sliding_window_counts"].fn(spark, SF_SMOKE)
     cols = ["window_start", "n_events"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_dedup_stream_equals_batch(spark, tmp_path):
+    """Replay the events with every 10th event re-delivered in a LATER
+    micro-batch: dropDuplicatesWithinWatermark must restore exactly-once —
+    final rows equal the batch twin's.  Duplicates land both inside the
+    watermark (state hit) and behind it (late-drop); both paths dedupe."""
+    from edgy_spark.sources import load
+    from edgy_spark.streaming.events import (
+        REDELIVER_MOD,
+        REDELIVER_REM,
+        dedup_stream,
+    )
+
+    ev = load(spark, SF_SMOKE, "events").orderBy("ts", "event_id")
+    rows = ev.collect()
+    cut = len(rows) // 2
+    c1 = spark.createDataFrame(rows[:cut], ev.schema)
+    dup1 = [r for r in rows[:cut] if r["event_id"] % REDELIVER_MOD == REDELIVER_REM]
+    # batch 2 = second half PLUS redelivered copies of batch 1's subset
+    c2 = spark.createDataFrame(rows[cut:] + dup1, ev.schema)
+    dup2 = [r for r in rows[cut:] if r["event_id"] % REDELIVER_MOD == REDELIVER_REM]
+    c3 = spark.createDataFrame(dup2, ev.schema)  # batch 3 = pure duplicates
+    stream = _write_replay_chunks(spark, tmp_path, [c1, c2, c3])
+    got = _run_append_stream(spark, dedup_stream(stream), "dedup_stream_test")
+    want = QUERIES["stream_dedup_event_delivery"].fn(spark, SF_SMOKE)
+    cols = ["event_id", "event_ts", "user_id", "event_type", "value"]
+    assert _rows(got, cols) == _rows(want, cols)
