@@ -170,3 +170,67 @@ def sketch_price_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (approx_top_k frequency sketch)
+# ---------------------------------------------------------------------------
+
+HH_K = 10
+HH_SKETCH_K = 50          # probe depth: > vocab here, << vocab in production
+HH_MAX_TRACKED = 65536    # sketch capacity (mergeable, ~kB per partition)
+
+
+@register(
+    "sketch_heavy_hitters_words",
+    oracle=f"""
+    WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                 AS word FROM documents),
+    c AS (SELECT word, COUNT(*) AS n_exact FROM w GROUP BY word)
+    SELECT word, n_exact, TRUE AS sketch_agrees
+    FROM c ORDER BY n_exact DESC, word LIMIT {HH_K}
+    """,
+    tags=("sketch", "heavy-hitters", "text"),
+)
+def sketch_heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most frequent corpus words: exact counts (hash-checked)
+    alongside an ``approx_top_k`` frequency sketch asserted to agree.
+
+    The heavy-hitters sketch is THE way to find hot keys / hot tokens /
+    hot URLs at 100 TB: it is mergeable (map-side partials, kilobytes per
+    partition) where the exact branch must shuffle the full token stream.
+    This fixture's vocabulary fits the sketch capacity, so the estimates
+    are exactly the true counts and ``sketch_agrees`` asserts equality; at
+    production vocabularies the same query shape holds with the assertion
+    relaxed to the sketch's epsilon band.  The probe depth (50) exceeds K
+    so rank-boundary ties cannot hide a true heavy hitter from the
+    membership check.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    )
+    exact = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "word")
+        .limit(HH_K)
+    )
+    sketch = (
+        w.agg(
+            F.expr(
+                f"approx_top_k(word, {HH_SKETCH_K}, {HH_MAX_TRACKED})"
+            ).alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("word"), F.col("e.count").alias("n_est"))
+    )
+    return (
+        exact.join(F.broadcast(sketch), "word", "left")
+        .select(
+            "word",
+            "n_exact",
+            (F.col("n_est") == F.col("n_exact")).alias("sketch_agrees"),
+        )
+        .orderBy(F.desc("n_exact"), "word")
+    )

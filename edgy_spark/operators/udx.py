@@ -91,3 +91,70 @@ def udaf_gini_order_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (the real @udtf API, PySpark 4): 1→N expansion with logic
+# ---------------------------------------------------------------------------
+
+UDTF_BLOCK = 128  # tokens per training window emitted by the UDTF
+
+
+@register(
+    "udtf_block_windows",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+               FROM documents),
+    i AS (SELECT doc_id, n_tokens,
+                 unnest(range(1, CAST(ceil(n_tokens / {UDTF_BLOCK}.0) AS BIGINT) + 1))
+                   AS i
+          FROM d WHERE n_tokens > 0)
+    SELECT doc_id,
+           (i - 1) * {UDTF_BLOCK} AS block_start,
+           least({UDTF_BLOCK}, n_tokens - (i - 1) * {UDTF_BLOCK}) AS block_len
+    FROM i
+    ORDER BY doc_id, block_start
+    """,
+    tags=("udx", "udtf", "pipeline"),
+)
+def udtf_block_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document training windows via a REAL Python UDTF (`@udtf` +
+    LATERAL join): each (doc_id, n_tokens) row expands to one row per
+    {UDTF_BLOCK}-token window — the per-document chunking step a tokenizer
+    fan-out runs (compare pipeline_pack_blocks, which packs ACROSS
+    documents).
+
+    This operator exists to cover the UDTF third of the UDF/UDAF/UDTF
+    surface with the genuine table-function API — arbitrary Python
+    generator logic per input row, schema-checked output.  This particular
+    expansion IS expressible JVM-side (sequence() + explode), and that is
+    what a hot path should use; the UDTF form is the extension point for
+    expansions that are not (per-row tokenizer calls, model-specific
+    windowing).  Cost shape: rows stream through one Python worker pass —
+    Arrow-batched buffering, no shuffle introduced by the expansion itself.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id long, block_start long, block_len long")
+    class BlockWindows:
+        def eval(self, doc_id, n_tokens):
+            start = 0
+            while start < (n_tokens or 0):
+                ln = min(UDTF_BLOCK, n_tokens - start)
+                yield doc_id, start, ln
+                start += ln
+
+    spark.udtf.register("block_windows", BlockWindows)
+    d = load(spark, sf_dir, "documents")
+    d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT w.doc_id, w.block_start, w.block_len
+        FROM _udtf_docs, LATERAL block_windows(doc_id, n_tokens) w
+        ORDER BY w.doc_id, w.block_start
+        """
+    )
