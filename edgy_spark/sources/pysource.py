@@ -1,0 +1,180 @@
+"""``spark.read.format("edgy")`` — a custom Python DataSource (PySpark 4
+API) exposing the versioned graph store as a first-class Spark source with
+TIME TRAVEL and filter pushdown.
+
+The reference's persistence is private to its process (binary files read
+back only through its own API, /root/reference/src/Edgy/Persistence.hs);
+a Spark-native engine should instead expose storage to the WHOLE Spark
+ecosystem — SQL, other sessions, other tools — without importing engine
+code.  This source reads any ``GraphStore`` root directly::
+
+    spark.read.format("edgy")
+        .option("root", "/path/to/db")
+        .option("table", "n_Person")      # n_<NodeType> | e_<relation table>
+        .option("version", "3")           # optional: time travel (default CURRENT)
+        .load()
+
+Scale design:
+
+- one :class:`InputPartition` per parquet data file → reads parallelize
+  across executors exactly like the native parquet source;
+- ``pushFilters`` accepts conjunctive comparisons on top-level columns and
+  evaluates them via pyarrow's dataset filters, so predicate pushdown
+  reaches the row-group/statistics level (a ``src = K`` point read touches
+  only matching row groups), and Spark does not re-filter what the source
+  already guaranteed;
+- batches stream back as Arrow ``RecordBatch``es — zero row-at-a-time
+  Python cost on the read path.
+
+Schema comes from the stored parquet footer (self-describing), NOT from a
+GraphSchema — so a consumer needs no engine code, and reads of old versions
+see the schema those files were written with (the engine applies its own
+schema reconciliation on top when it reads through Snapshot.nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+
+def _resolve_table_path(root: str, table: str, version: str | None) -> str:
+    if version is None:
+        with open(os.path.join(root, "CURRENT")) as f:
+            version = f.read().strip()
+    with open(os.path.join(root, f"manifest.v{int(version)}.json")) as f:
+        manifest = json.load(f)
+    rel = manifest["tables"].get(table)
+    if rel is None:
+        raise ValueError(
+            f"table {table!r} not in store version {version} "
+            f"(has: {sorted(manifest['tables'])})"
+        )
+    return os.path.join(root, rel)
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+class EdgyDataSource(DataSource):
+    """See module docstring.  Register once per session with
+    :func:`register_edgy_source`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "edgy"
+
+    def _path(self) -> str:
+        root = self.options.get("root")
+        table = self.options.get("table")
+        if not root or not table:
+            raise ValueError("format('edgy') requires options root and table")
+        return _resolve_table_path(root, table, self.options.get("version"))
+
+    def schema(self) -> StructType:
+        import pyarrow.dataset as ds
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return from_arrow_schema(ds.dataset(self._path(), format="parquet").schema)
+
+    def reader(self, schema: StructType) -> "EdgyReader":
+        return EdgyReader(self._path(), schema)
+
+
+class EdgyReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.columns = [f.name for f in schema.fields]
+        self._pushed: list[Filter] = []
+
+    # -- pushdown ----------------------------------------------------------
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        """Accept conjunctive top-level comparisons; everything else goes
+        back to Spark.  Accepted filters are FULLY evaluated here (row
+        level, via the pyarrow dataset expression), so Spark plans no
+        re-filter for them — and row groups whose min/max statistics
+        exclude the predicate are never read at all."""
+        unsupported = []
+        for f in filters:
+            if isinstance(
+                f,
+                (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                 LessThanOrEqual, IsNotNull),
+            ) and len(f.attribute) == 1:
+                self._pushed.append(f)
+            else:
+                unsupported.append(f)
+        return iter(unsupported)
+
+    def _arrow_filter(self):
+        import pyarrow.dataset as ds
+
+        expr = None
+        for f in self._pushed:
+            col = ds.field(f.attribute[0])
+            if isinstance(f, EqualTo):
+                e = col == f.value
+            elif isinstance(f, GreaterThan):
+                e = col > f.value
+            elif isinstance(f, GreaterThanOrEqual):
+                e = col >= f.value
+            elif isinstance(f, LessThan):
+                e = col < f.value
+            elif isinstance(f, LessThanOrEqual):
+                e = col <= f.value
+            else:  # IsNotNull
+                e = ~col.is_null()
+            expr = e if expr is None else expr & e
+        return expr
+
+    # -- execution ---------------------------------------------------------
+
+    def partitions(self):
+        names = [
+            n
+            for n in sorted(os.listdir(self.path))
+            if n.endswith(".parquet") or n.startswith("part-")
+        ]
+        if not names:  # empty table version: one no-op partition
+            return [_FilePartition(self.path)]
+        return [_FilePartition(os.path.join(self.path, n)) for n in names]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.dataset as ds
+
+        if os.path.isdir(partition.path):  # empty-table sentinel
+            return
+        dataset = ds.dataset(partition.path, format="parquet")
+        scanner = dataset.scanner(
+            columns=self.columns, filter=self._arrow_filter()
+        )
+        for batch in scanner.to_batches():
+            if batch.num_rows:
+                yield batch
+
+
+def register_edgy_source(spark) -> None:
+    """Idempotently register the 'edgy' format with a session (and enable
+    Python-source filter pushdown, off by default in Spark 4.1 — without it
+    Spark refuses any reader that implements pushFilters)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(EdgyDataSource)

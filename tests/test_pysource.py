@@ -1,0 +1,87 @@
+"""The custom `edgy` Python DataSource: ecosystem reads of a GraphStore
+root — current version, time travel, filter pushdown — without engine code
+on the read path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edgy_spark.demo import big_bang, demo_schema
+from edgy_spark.graph import Engine
+from edgy_spark.sources.pysource import register_edgy_source
+
+
+def _store(spark, tmp_path):
+    engine = Engine(spark, str(tmp_path / "db"), demo_schema())
+    nodes = engine.run(big_bang)
+    return engine, nodes
+
+
+def test_edgy_source_reads_current_version(spark, tmp_path):
+    engine, _ = _store(spark, tmp_path)
+    register_edgy_source(spark)
+    df = (
+        spark.read.format("edgy")
+        .option("root", engine.store.root)
+        .option("table", "n_Person")
+        .load()
+    )
+    assert set(df.columns) == {"id", "name", "age"}
+    assert {r["name"] for r in df.collect()} == {"Bob", "Jane", "Jose"}
+
+
+def test_edgy_source_time_travel(spark, tmp_path):
+    engine, nodes = _store(spark, tmp_path)
+    v1 = engine.store.current_version()
+    engine.run(lambda t: t.new_node("Person", name="Ann", age=33))
+    register_edgy_source(spark)
+
+    def names(version=None):
+        r = (
+            spark.read.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "n_Person")
+        )
+        if version is not None:
+            r = r.option("version", str(version))
+        return {x["name"] for x in r.load().collect()}
+
+    assert names() == {"Bob", "Jane", "Jose", "Ann"}  # CURRENT
+    assert names(v1) == {"Bob", "Jane", "Jose"}  # pinned old version
+
+
+def test_edgy_source_filter_pushdown(spark, tmp_path):
+    engine, nodes = _store(spark, tmp_path)
+    register_edgy_source(spark)
+    df = (
+        spark.read.format("edgy")
+        .option("root", engine.store.root)
+        .option("table", "e_friend")
+        .load()
+        .filter(F.col("src") == nodes["bob"].id)
+    )
+    got = {(r["src"], r["dst"]) for r in df.collect()}
+    assert got == {(nodes["bob"].id, nodes["jane"].id),
+                   (nodes["bob"].id, nodes["jose"].id)}
+    # the comparison was claimed by pushFilters: no Filter OPERATOR remains
+    # (the scan line always mentions "RuntimeFilters: []", hence the regex)
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\bFilter \(", plan) and "+- Filter" not in plan, plan
+
+
+def test_edgy_source_edge_table_matches_snapshot(spark, tmp_path):
+    engine, _ = _store(spark, tmp_path)
+    register_edgy_source(spark)
+    via_source = (
+        spark.read.format("edgy")
+        .option("root", engine.store.root)
+        .option("table", "e_possession")
+        .load()
+    )
+    via_engine = engine.snapshot().edge_table("possession")
+    cols = ["src", "dst", "pos", "ipos"]
+    assert sorted(map(tuple, via_source.select(cols).collect())) == sorted(
+        map(tuple, via_engine.select(cols).collect())
+    )
