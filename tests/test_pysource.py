@@ -85,3 +85,38 @@ def test_edgy_source_edge_table_matches_snapshot(spark, tmp_path):
     assert sorted(map(tuple, via_source.select(cols).collect())) == sorted(
         map(tuple, via_engine.select(cols).collect())
     )
+
+
+def test_edgy_stream_reader_insert_cdc(spark, tmp_path):
+    """readStream over a node table: batch 1 emits the existing rows, a
+    restart after more commits emits ONLY the new inserts (offset = the
+    store's monotonic id counter, resumed from the checkpoint)."""
+    engine, _ = _store(spark, tmp_path)
+    register_edgy_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "n_Person")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["name"] for r in spark.read.parquet(out).collect()}
+
+    assert run_once() == {"Bob", "Jane", "Jose"}  # full history first
+    engine.run(lambda t: t.new_node("Person", name="Ann", age=33))
+    engine.run(lambda t: t.new_node("Person", name="Cid", age=44))
+    got = run_once()
+    assert got == {"Bob", "Jane", "Jose", "Ann", "Cid"}
+    # exactly-once: no row duplicated across the restarted runs
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 5
