@@ -82,3 +82,35 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.pipeline  # noqa: F401
     import edgy_spark.operators.sketches  # noqa: F401
     import edgy_spark.operators.udx  # noqa: F401
+
+    _prioritize(
+        [
+            # never driver-checked as of r05 — these MUST be inside the
+            # first-50 verification window regardless of module order
+            "skew_salted_segment_revenue",
+            "graph_sssp_weighted",
+            "sim_ivfpq_topk",
+            # new in r06
+            "variant_event_props_rollup",
+            "pipeline_decontaminate_overlap",
+            "stream_dedup_event_delivery",
+            "text_repetition_scores",
+            "sketch_heavy_hitters_words",
+            "udtf_block_windows",
+        ]
+    )
+
+
+def _prioritize(front: list[str]) -> None:
+    """Reorder the registry so ``front`` names come first (module import
+    order decides the rest).  The external verifier checks the first 50
+    registrations, so never-yet-verified queries are pinned to the front —
+    without this, any new registration in an early module silently pushes
+    the window tail past position 50 (the r05→r06 lesson)."""
+    missing = [n for n in front if n not in QUERIES]
+    if missing:
+        raise ValueError(f"_prioritize: unknown queries {missing}")
+    ordered = {n: QUERIES[n] for n in front}
+    ordered.update((n, s) for n, s in QUERIES.items() if n not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
