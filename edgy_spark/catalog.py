@@ -54,19 +54,18 @@ def load_all_registrations() -> None:
     """Import every module that registers queries (idempotent).
 
     ORDER MATTERS for external verification: the driver's correctness gate
-    checks registrations in insertion order (first 50).  The driver set
-    rotates across rounds so every family gets periodically re-verified:
-    r01 checked relational/TPC-H/graph, r02/r03 the LLM-pipeline families,
-    r04 relational/TPC-H/graph again, r05 the LLM-pipeline + streaming
-    families (all 50 green).  r06 rotates the relational/TPC-H tail FIRST:
-    (a) ``skew_salted_segment_revenue`` (relational, the one query never in
-    a driver window) gets its CORRECTNESS row, (b) the 43 entries last
-    checked in r04 are re-verified under the r05 session config
-    (autoBucketedScan changed after their check), and (c) this round's new
-    graph-algos + similarity queries land inside the window too:
-    22 relational + 18 tpch_more + graph_algos + leading similarity ≈ 50.
+    checks registrations in insertion order (first 50).  Two mechanisms
+    control the window: ``_prioritize`` pins every never-driver-verified
+    query to the front (new operators always land inside the window), and
+    module import order fills the remainder — currently the
+    relational/TPC-H tail first, so the entries last checked in r04 are
+    re-verified under the current session config (r05 changed
+    autoBucketedScan after their last check).  History: r01 checked
+    relational/TPC-H/graph, r02/r03 the LLM-pipeline families, r04
+    relational/TPC-H/graph again, r05 LLM-pipeline + streaming (all 50
+    green).
     """
-    # r06 priority: stale-since-r04 + never-driver-checked + new-this-round
+    # window fill order: stale-since-r04 first (see docstring)
     import edgy_spark.operators.relational  # noqa: F401
     import edgy_spark.operators.tpch_more  # noqa: F401
     import edgy_spark.operators.graph_algos  # noqa: F401
@@ -97,6 +96,7 @@ def load_all_registrations() -> None:
             "text_repetition_scores",
             "sketch_heavy_hitters_words",
             "udtf_block_windows",
+            "text_salient_terms",
         ]
     )
 

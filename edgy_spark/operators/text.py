@@ -368,3 +368,88 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+TFIDF_TOP_N = 3
+
+
+@register(
+    "text_salient_terms",
+    oracle=f"""
+    WITH w AS (SELECT doc_id,
+                      unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                        AS term
+               FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tfc FROM w GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(SUM(tfc) AS BIGINT) AS doc_len
+           FROM tf GROUP BY 1),
+    df AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             (CAST(tfc AS DOUBLE) / doc_len) * (CAST(n_docs AS DOUBLE) / dfc)
+               AS salience
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, salience,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY salience DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, salience
+    FROM ranked WHERE rk <= {TFIDF_TOP_N}
+    ORDER BY doc_id, salience DESC, term
+    """,
+    tags=("text", "tfidf", "ranking"),
+)
+def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_N} salient terms per document: TF × linear inverse
+    document frequency — the keyword-extraction step of a corpus indexing /
+    topic-tagging pipeline.
+
+    Linear IDF (``n_docs / df``) instead of the classic ``ln(n_docs/df)``
+    is a deliberate exactness choice: the score is then a pure ratio of
+    int64 counts, bit-identical across engines under the repo's determinism
+    convention, where ``ln``'s last-ulp differences between libm
+    implementations could flip hash equality (ranking behavior is the
+    same: both are strictly decreasing in df).
+
+    Plan shape: one explode → (doc_id, term) count, two narrow reductions
+    (doc length, document frequency), a broadcast of the scalar doc count,
+    and a rank-filter that compiles to WindowGroupLimit — shuffles carry
+    (id, term-hash, count) only.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tfc"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tfc").alias("doc_len"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    # corpus size as an in-plan broadcast singleton (one extra action here
+    # would be a second full scan at 100 TB)
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tfc").cast("double") / F.col("doc_len"))
+                * (F.col("n_docs").cast("double") / F.col("dfc"))
+            ).alias("salience"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("salience"), "term")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= TFIDF_TOP_N)
+        .drop("rk")
+        .orderBy("doc_id", F.desc("salience"), "term")
+    )
