@@ -97,6 +97,7 @@ def load_all_registrations() -> None:
             "sketch_heavy_hitters_words",
             "udtf_block_windows",
             "text_salient_terms",
+            "graph_label_propagation",
         ]
     )
 

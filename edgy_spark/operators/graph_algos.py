@@ -615,3 +615,124 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights, so the distributed min-reduction is bit-identical to the
     oracle's depth-capped recursive CTE)."""
     return sssp_weighted(copurchase_weighted_edges(spark, sf_dir)).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection) on the same primitives
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3  # fixed synchronous rounds, unrolled identically in the oracle
+
+
+def _deterministic_mode(col: str) -> Column:
+    """Aggregate: most frequent value, smallest value on ties — the
+    deterministic mode LPA needs (plain ``mode()`` breaks ties arbitrarily,
+    which no cross-engine hash compare survives).  Implemented as a linear
+    scan over the SORTED collected values: runs of equal values are
+    contiguous, so the first run of maximal length IS the min-valued mode.
+    In-row, JVM-side, O(degree) per vertex."""
+    labels = F.sort_array(F.collect_list(col))
+    acc0 = F.struct(
+        F.lit(None).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(None).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("best_run"),
+    )
+
+    def scan(acc, x):
+        run = F.when(acc.cur.isNull() | (acc.cur != x), F.lit(1).cast("long")).otherwise(
+            acc.run + F.lit(1).cast("long")
+        )
+        better = run > acc.best_run  # strictly greater: keeps FIRST (=min) on ties
+        return F.struct(
+            x.alias("cur"),
+            run.alias("run"),
+            F.when(better, x).otherwise(acc.best).alias("best"),
+            F.when(better, run).otherwise(acc.best_run).alias("best_run"),
+        )
+
+    return F.aggregate(labels, acc0, scan).getField("best")
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = LPA_ROUNDS, broadcast_state: bool = True
+) -> DataFrame:
+    """(node, label) after ``rounds`` synchronous label-propagation steps:
+    every node simultaneously adopts its neighbors' deterministic-mode
+    label (most frequent, min on ties); nodes keep their label when they
+    receive no messages.  Initial label = own id.
+
+    Built on the same aggregate_messages/run_fixpoint primitives as
+    CC/BFS/PageRank/SSSP — the second user-algorithm proof that the
+    combinator surface is general.  A fixed round count (not convergence)
+    is deliberate: synchronous LPA can oscillate on near-bipartite
+    structures, and a fixed unroll is what the SQL oracle replicates
+    bit-for-bit.  Per round: ONE message join + ONE groupBy whose shuffle
+    carries (dst, label) pairs; the mode reduction is in-row over each
+    vertex's collected neighborhood (bounded by degree — at web scale,
+    combine with the skew toolkit for celebrity vertices).
+    """
+    und = _checkpoint(undirect(edges)).persist()
+    labels = (
+        und.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+
+    def step(lbl: DataFrame) -> DataFrame:
+        votes = aggregate_messages(
+            und, lbl,
+            msg={"l": F.col("label")},
+            aggs=[_deterministic_mode("l").alias("new_label")],
+            broadcast_state=broadcast_state,
+        )
+        return lbl.join(_hint(votes, broadcast_state), "node", "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
+        )
+
+    out = run_fixpoint(
+        labels, step, max_iter=rounds, compare_cols=None,
+        broadcast_state=broadcast_state,
+    )
+    und.unpersist()
+    return out
+
+
+def _lpa_round_sql(prev: str, this: str) -> str:
+    """One unrolled synchronous LPA round over CTE ``und`` (doubled edges)
+    and label relation ``prev`` → ``this``: deterministic neighbor mode
+    with keep-own-label fallback for message-less nodes."""
+    return f"""
+    {this} AS (
+      SELECT p.node,
+             COALESCE(v.new_label, p.label) AS label
+      FROM {prev} p LEFT JOIN (
+        SELECT node, new_label FROM (
+          SELECT u.dst AS node, l.label AS new_label,
+                 ROW_NUMBER() OVER (PARTITION BY u.dst
+                                    ORDER BY COUNT(*) DESC, l.label) AS rk
+          FROM und u JOIN {prev} l ON u.src = l.node
+          GROUP BY u.dst, l.label) WHERE rk = 1
+      ) v ON v.node = p.node)"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH edges AS (
+      SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+      FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       AND l1.l_partkey < l2.l_partkey
+      WHERE l1.l_quantity >= {QTY_THRESHOLD} AND l2.l_quantity >= {QTY_THRESHOLD}
+      GROUP BY 1, 2),
+    und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    r0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+    {",".join(_lpa_round_sql(f"r{i}", f"r{i + 1}") for i in range(LPA_ROUNDS))}
+    SELECT node, label FROM r{LPA_ROUNDS} ORDER BY node
+    """,
+    tags=("graph", "iterative", "community", "pregel-primitive"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels over the co-purchase graph after {LPA_ROUNDS}
+    synchronous LPA rounds, written on the aggregate_messages/run_fixpoint
+    combinators; the oracle unrolls the identical rounds in SQL."""
+    return label_propagation(copurchase_edges(spark, sf_dir)).orderBy("node")

@@ -114,3 +114,39 @@ def test_sssp_weighted_nearest_hub(spark):
     # node 3 is the only hub; 1 via 3 (4), 2 via 3 (2), 4 via 3 (1);
     # component B has no hub -> absent
     assert got == {(3, 0), (1, 4), (2, 2), (4, 1)}
+
+
+def test_deterministic_mode_breaks_ties_to_min(spark):
+    """The LPA combiner: most frequent value wins, smallest on ties."""
+    from edgy_spark.operators.graph_algos import _deterministic_mode
+
+    df = spark.createDataFrame(
+        [(1, 5), (1, 3), (1, 3), (1, 5), (1, 1), (2, 9)], "node long, l long"
+    )
+    got = {
+        r["node"]: r["m"]
+        for r in df.groupBy("node").agg(_deterministic_mode("l").alias("m")).collect()
+    }
+    assert got == {1: 3, 2: 9}  # {5:2, 3:2} tie -> 3; singleton -> itself
+
+
+def test_label_propagation_fixed_rounds_deterministic(spark):
+    """Two runs produce identical labels (synchronous rounds, deterministic
+    mode), and labels coarsen no finer than connected components."""
+    from edgy_spark.operators.graph_algos import (
+        connected_components,
+        copurchase_edges,
+        label_propagation,
+    )
+    from tests.conftest import SF_SMOKE
+
+    e = copurchase_edges(spark, SF_SMOKE)
+    a = sorted(map(tuple, label_propagation(e).collect()))
+    b = sorted(map(tuple, label_propagation(e).collect()))
+    assert a == b and len(a) > 0
+    # every LPA label stays inside one CC component (labels travel edges)
+    cc = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    comp_of_label = {}
+    for node, label in a:
+        comp_of_label.setdefault(label, cc[label])
+        assert cc[node] == comp_of_label[label]
