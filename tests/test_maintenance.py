@@ -122,3 +122,51 @@ def test_vacuum_drops_superseded_bucket_catalog_tables(spark, tmp_path):
     a3, b3 = pairs[3]
     txn = engine.read()
     assert [n.id for n in txn.get_related(a3, "friend")] == [b3.id]
+
+
+def test_compact_preserves_bucketed_layout(spark, tmp_path):
+    """Compacting a fragmented BUCKETED edge table folds multi-file buckets
+    through the normal bucketed commit path: reads identical, and the new
+    version is still a registered bucketed catalog table."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "db")
+    store = GraphStore(spark, root, demo_schema(), bucket_edges=2)
+    base = store.snapshot()
+    edges = (
+        spark.range(200)
+        .select(
+            (F.col("id") % 40).alias("src"),
+            (F.col("id") % 17).alias("dst"),
+            F.col("id").alias("pos"),
+            F.col("id").alias("ipos"),
+        )
+        .repartition(8)  # several files PER bucket
+    )
+    snap = store.commit(base, {"e_friend": edges}, next_id=1)
+    n_before, _ = store._table_file_stats(snap.manifest["tables"]["e_friend"])
+    assert n_before > 2
+
+    out = store.compact(target_file_mb=128, min_files=3)
+    assert out is not None
+    n_after, _ = store._table_file_stats(out.manifest["tables"]["e_friend"])
+    assert n_after <= 2  # one file per bucket
+    tbl = out.manifest["bucketed"]["e_friend"]
+    assert spark.catalog.tableExists(tbl)  # still a bucketed catalog table
+    before = sorted(map(tuple, snap.edge_table("friend").collect()))
+    after = sorted(map(tuple, out.edge_table("friend").collect()))
+    assert after == before
+
+
+def test_vacuum_keeps_snapshots_inside_retention(spark, tmp_path):
+    """A reader pinned to a version INSIDE the retention window still works
+    after vacuum (only pre-horizon versions are collected)."""
+    root = str(tmp_path / "db")
+    engine = Engine(spark, root, demo_schema())
+    for i in range(4):
+        engine.run(lambda t, i=i: t.new_node("Person", name=f"P{i}", age=i))
+    current = engine.store.current_version()
+    pinned = engine.store.snapshot(current - 1)  # second-newest
+    engine.store.vacuum(retain_versions=2)
+    names = {r["name"] for r in pinned.nodes("Person").collect()}
+    assert names == {"P0", "P1", "P2"}  # the pinned (older) view, intact
