@@ -430,3 +430,30 @@ def test_dedup_stream_equals_batch(spark, tmp_path):
     want = QUERIES["stream_dedup_event_delivery"].fn(spark, SF_SMOKE)
     cols = ["event_id", "event_ts", "user_id", "event_type", "value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stateful_threshold_under_rocksdb_state_store(spark, tmp_path):
+    """The production state backend: the same stateful op, byte-identical
+    results, with state in RocksDB (disk-bounded, changelog-checkpointed)
+    instead of the executor-heap HDFS-backed default — the backend a
+    100 TB deployment runs."""
+    from edgy_spark.streaming.stateful import threshold_crossing_stream
+    from edgy_spark.streaming.stateful_v2 import ROCKSDB_PROVIDER
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, ROCKSDB_PROVIDER)
+    try:
+        chunks, _, _ = _event_chunks_by_time(spark)
+        stream = _write_replay_chunks(spark, tmp_path, chunks)
+        got = _run_append_stream(
+            spark, threshold_crossing_stream(stream), "threshold_rocksdb_test"
+        )
+        want = QUERIES["stream_first_threshold_crossing"].fn(spark, SF_SMOKE)
+        cols = ["user_id", "cross_ts", "cum_at_cross"]
+        assert _rows(got, cols) == _rows(want, cols)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
