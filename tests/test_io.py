@@ -210,3 +210,19 @@ def test_zorder_key_matches_reference_and_clusters(spark, tmp_path):
     )
     assert "_zk" not in back.columns
     assert len(glob.glob(f"{out}/part-*.parquet")) >= 1
+
+
+def test_observed_quality_metrics_ride_the_job(spark, tmp_path):
+    """observe() metrics arrive with the action itself — no second scan —
+    and report exactly the rows/nulls/ranges the data contains."""
+    from edgy_spark.functions.observe import observed_quality
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id long, s string"
+    )
+    observed, obs = observed_quality(
+        df, null_cols=["s"], range_cols=["id"], name="ioq"
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got == {"n_rows": 4, "nulls_s": 2, "min_id": 1, "max_id": 4}
