@@ -40,6 +40,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -50,6 +51,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -98,6 +100,13 @@ class EdgyDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "EdgyReader":
         return EdgyReader(self._path(), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "EdgyWriter":
+        root = self.options.get("root")
+        table = self.options.get("table")
+        if not root or not table:
+            raise ValueError("write format('edgy') requires options root and table")
+        return EdgyWriter(root, table, schema, overwrite)
 
     def streamReader(self, schema: StructType) -> "EdgyStreamReader":  # noqa: N802
         root = self.options.get("root")
@@ -271,6 +280,141 @@ class EdgyStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # offsets live in the query checkpoint; nothing to release here
         pass
+
+
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    filename: str
+    n_rows: int
+    max_id: int  # -1 when the table has no id column
+
+
+class EdgyWriter(DataSourceArrowWriter):
+    """``df.write.format("edgy")`` — transactional bulk load into the
+    versioned store, the ecosystem-write counterpart of the batch reader.
+
+    Protocol (the same two-phase shape as every Spark sink): each task
+    streams its Arrow batches into one parquet file inside a hidden
+    staging directory and returns a commit message; ``commit`` runs ON THE
+    DRIVER with all messages, promotes the staging directory to the new
+    table version, and publishes a new manifest with the same
+    compare-and-swap the Engine's transactions use — a concurrent commit
+    (either kind) wins or loses atomically, and an aborted/failed job
+    leaves only an unreferenced staging directory for vacuum to sweep.
+
+    ``mode("append")`` keeps old rows by hard-linking the current
+    version's immutable files into the new directory (copy fallback) —
+    append cost is O(new data), not O(table).  For node tables the
+    manifest's monotonic id counter is advanced past the loaded ids so
+    Engine transactions can never collide with bulk-loaded nodes.
+    """
+
+    def __init__(self, root: str, table: str, schema: StructType, overwrite: bool):
+        import uuid
+
+        self.root = root
+        self.table = table
+        self.overwrite = overwrite
+        self.has_id = "id" in [f.name for f in schema.fields]
+        self.base_version = _current_version(root)
+        self.staging = os.path.join("data", f".staging-{uuid.uuid4().hex}")
+        os.makedirs(os.path.join(root, self.staging), exist_ok=True)
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        fpath = os.path.join(self.root, self.staging, fname)
+        writer = None
+        n_rows, max_id = 0, -1
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(fpath, batch.schema)
+            writer.write_table(pa.Table.from_batches([batch]))
+            n_rows += batch.num_rows
+            if self.has_id and batch.num_rows:
+                col_max = pa.compute.max(batch.column("id")).as_py()
+                if col_max is not None:
+                    max_id = max(max_id, int(col_max))
+        if writer is not None:
+            writer.close()
+        else:
+            return _WriteMessage("", 0, -1)  # empty partition: no file
+        return _WriteMessage(fname, n_rows, max_id)
+
+    def commit(self, messages):
+        import shutil as _shutil
+
+        current = _current_version(self.root)
+        if current != self.base_version:
+            self.abort(messages)
+            raise RuntimeError(
+                f"edgy write conflict: store moved v{self.base_version} -> "
+                f"v{current} during the write; re-run the job"
+            )
+        with open(os.path.join(self.root, f"manifest.v{current}.json")) as f:
+            manifest = json.load(f)
+        new_version = current + 1
+        key = self.table
+        relpath = os.path.join("data", f"{key}.v{new_version}.parquet")
+        dst_dir = os.path.join(self.root, relpath)
+        if not self.overwrite and manifest["tables"].get(key):
+            # append: link the current version's immutable files in first
+            old_dir = os.path.join(self.root, manifest["tables"][key])
+            os.makedirs(dst_dir, exist_ok=True)
+            for n in os.listdir(old_dir):
+                if n.startswith("part-") or n.endswith(".parquet"):
+                    src = os.path.join(old_dir, n)
+                    dst = os.path.join(dst_dir, n)
+                    if os.path.exists(dst):  # name collision: disambiguate
+                        dst = os.path.join(dst_dir, f"old-{n}")
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        _shutil.copy2(src, dst)
+            for n in os.listdir(os.path.join(self.root, self.staging)):
+                os.rename(os.path.join(self.root, self.staging, n),
+                          os.path.join(dst_dir, n))
+            os.rmdir(os.path.join(self.root, self.staging))
+        else:
+            os.rename(os.path.join(self.root, self.staging), dst_dir)
+        tables = dict(manifest["tables"])
+        tables[key] = relpath
+        bucketed = dict(manifest.get("bucketed", {}))
+        bucketed.pop(key, None)  # a bulk load replaces any bucketed layout
+        loaded_max = max((m.max_id for m in messages if m), default=-1)
+        next_id = max(manifest["next_id"], loaded_max + 1)
+        new_manifest = {
+            "version": new_version,
+            "next_id": next_id,
+            "tables": tables,
+            "bucketed": bucketed,
+        }
+        with open(os.path.join(self.root, f"manifest.v{new_version}.json"), "w") as f:
+            json.dump(new_manifest, f)
+        _publish_current(self.root, new_version)
+
+    def abort(self, messages):
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(self.root, self.staging), ignore_errors=True)
+
+
+def _current_version(root: str) -> int:
+    with open(os.path.join(root, "CURRENT")) as f:
+        return int(f.read().strip())
+
+
+def _publish_current(root: str, version: int) -> None:
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=root)
+    with os.fdopen(fd, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(root, "CURRENT"))
 
 
 def register_edgy_source(spark) -> None:

@@ -120,3 +120,50 @@ def test_edgy_stream_reader_insert_cdc(spark, tmp_path):
     # exactly-once: no row duplicated across the restarted runs
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 5
+
+
+def test_edgy_writer_overwrite_and_append(spark, tmp_path):
+    """df.write.format('edgy'): a bulk load becomes a new atomic store
+    version; append keeps old rows (linked, not rewritten), and the node-id
+    counter advances past loaded ids so Engine transactions can't collide."""
+    engine, _ = _store(spark, tmp_path)
+    register_edgy_source(spark)
+    root = engine.store.root
+    v0 = engine.store.current_version()
+
+    bulk = spark.createDataFrame(
+        [(100, "Zed", 50), (101, "Yan", 51)], "id long, name string, age long"
+    )
+    (
+        bulk.write.format("edgy")
+        .option("root", root)
+        .option("table", "n_Person")
+        .mode("append")
+        .save()
+    )
+    assert engine.store.current_version() == v0 + 1
+    snap = engine.snapshot()
+    names = {r["name"] for r in snap.nodes("Person").collect()}
+    assert names == {"Bob", "Jane", "Jose", "Zed", "Yan"}
+    assert snap.manifest["next_id"] >= 102  # counter advanced past bulk ids
+
+    # an Engine txn after the bulk load gets a non-colliding id
+    ann = engine.run(lambda t: t.new_node("Person", name="Ann", age=33))
+    assert ann.id >= 102
+
+    # overwrite replaces the table in one new version
+    (
+        spark.createDataFrame([(200, "Solo", 1)], "id long, name string, age long")
+        .write.format("edgy")
+        .option("root", root)
+        .option("table", "n_Person")
+        .mode("overwrite")
+        .save()
+    )
+    only = [r["name"] for r in engine.snapshot().nodes("Person").collect()]
+    assert only == ["Solo"]
+    # older version still time-travels (nothing rewritten in place)
+    old = engine.store.snapshot(v0)
+    assert {r["name"] for r in old.nodes("Person").collect()} == {
+        "Bob", "Jane", "Jose",
+    }
