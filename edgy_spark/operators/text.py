@@ -413,25 +413,29 @@ def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementations could flip hash equality (ranking behavior is the
     same: both are strictly decreasing in df).
 
-    Plan shape: one explode → (doc_id, term) count, two narrow reductions
-    (doc length, document frequency), a broadcast of the scalar doc count,
-    and a rank-filter that compiles to WindowGroupLimit — shuffles carry
-    (id, term-hash, count) only.
+    Plan shape: doc length computed IN-ROW before the explode (a
+    re-aggregation of term counts would cost an extra shuffle + join), one
+    explode → (doc_id, term) count, one narrow document-frequency
+    reduction, a broadcast of the scalar doc count, and a rank-filter that
+    compiles to WindowGroupLimit — shuffles carry (id, term-hash, count)
+    only.
     """
     d = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     w = d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+        F.size(words).alias("doc_len"),  # in-row: no re-aggregation later
+        F.explode(words).alias("term"),
     )
-    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tfc"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tfc").alias("doc_len"))
+    tf = w.groupBy("doc_id", "doc_len", "term").agg(
+        F.count(F.lit(1)).alias("tfc")
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
     # corpus size as an in-plan broadcast singleton (one extra action here
     # would be a second full scan at 100 TB)
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dl, "doc_id")
-        .join(df_, "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
