@@ -141,7 +141,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     parser.add_argument("--root", default=".db", help="store root (default .db)")
     parser.add_argument("cmd", nargs="+", help=(
         "create | query NAME | buy NAME TOOL | discard NAME TOOL | "
-        "friend N1 N2 | unfriend N1 N2 | marry N1 N2 | divorce N1 N2"
+        "friend N1 N2 | unfriend N1 N2 | marry N1 N2 | divorce N1 N2 | "
+        "maintain"
     ))
     args = parser.parse_args(argv)
     if spark is None:
@@ -165,6 +166,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif cmd in two_arg and len(rest) == 2:
         op, rel = two_arg[cmd]
         _edge_cmd(engine, op, rel, rest[0], rest[1])
+    elif cmd == "maintain" and not rest:
+        # OPTIMIZE + VACUUM on demand (also available automatically via
+        # Engine(compact_every=K))
+        out = engine.store.compact()
+        removed = engine.store.vacuum()
+        print(
+            f"compacted -> v{out.version}" if out else "nothing fragmented",
+            f"| removed {len(removed)} old table version(s)",
+        )
     else:
         print("Usage: main [cmd]")
         return 1

@@ -43,3 +43,14 @@ def test_demo_cli_full_workload(spark, tmp_path, capsys):
 
     # bad usage
     assert main(["--root", root, "frobnicate"], spark=spark) == 1
+
+
+def test_demo_maintain_command(spark, tmp_path):
+    from edgy_spark.demo import main
+
+    root = str(tmp_path / "db")
+    assert main(["--root", root, "create"], spark=spark) == 0
+    assert main(["--root", root, "buy", "Bob", "Poker Chips"], spark=spark) == 0
+    assert main(["--root", root, "maintain"], spark=spark) == 0
+    # store still reads after maintenance
+    assert main(["--root", root, "query", "Bob"], spark=spark) == 0
