@@ -324,6 +324,7 @@ class EdgyWriter(DataSourceArrowWriter):
         import uuid
 
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         fname = f"part-{uuid.uuid4().hex}.parquet"
@@ -336,7 +337,7 @@ class EdgyWriter(DataSourceArrowWriter):
             writer.write_table(pa.Table.from_batches([batch]))
             n_rows += batch.num_rows
             if self.has_id and batch.num_rows:
-                col_max = pa.compute.max(batch.column("id")).as_py()
+                col_max = pc.max(batch.column("id")).as_py()
                 if col_max is not None:
                     max_id = max(max_id, int(col_max))
         if writer is not None:

@@ -81,3 +81,64 @@ def test_decimal_sum_is_partitioning_invariant(spark, xs, nparts):
     got = df.agg(to_dbl(F.sum(dec("v", 2)), 2).alias("s")).collect()[0].s
     want = float(sum(Decimal(x) for x in xs) / 100)
     assert got == want
+
+
+# -- storage model property -------------------------------------------------
+
+# small op vocabulary: each element is (kind, payload)
+_store_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("txn_add"), st.integers(0, 99)),         # new node via Engine
+        st.tuples(st.just("bulk_append"), st.integers(0, 99)),     # writer append
+        st.tuples(st.just("maintain"), st.just(0)),                # compact+vacuum
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_store_ops)
+def test_store_matches_model_under_random_interleavings(spark, tmp_path_factory, ops):
+    """Random interleavings of Engine transactions, data-source bulk
+    appends, and maintenance must always read back exactly the model's
+    name multiset, and the id counter never collides."""
+    from edgy_spark.demo import demo_schema
+    from edgy_spark.graph import Engine
+    from edgy_spark.sources.pysource import register_edgy_source
+
+    register_edgy_source(spark)
+    root = str(tmp_path_factory.mktemp("prop") / "db")
+    engine = Engine(spark, root, demo_schema())
+    model: list[str] = []
+    next_bulk_id = 10_000  # disjoint from Engine ids
+    for i, (kind, v) in enumerate(ops):
+        if kind == "txn_add":
+            name = f"T{i}_{v}"
+            engine.run(lambda t, name=name, v=v: t.new_node("Person", name=name, age=v))
+            model.append(name)
+        elif kind == "bulk_append":
+            name = f"B{i}_{v}"
+            (
+                spark.createDataFrame(
+                    [(next_bulk_id, name, v)], "id long, name string, age long"
+                )
+                .write.format("edgy")
+                .option("root", root)
+                .option("table", "n_Person")
+                .mode("append")
+                .save()
+            )
+            model.append(name)
+            next_bulk_id += 1
+        else:
+            engine.store.compact(min_files=4)
+            engine.store.vacuum(retain_versions=2)
+    got = sorted(r["name"] for r in engine.snapshot().nodes("Person").collect())
+    assert got == sorted(model)
+    ids = [r["id"] for r in engine.snapshot().nodes("Person").collect()]
+    assert len(ids) == len(set(ids)), "id collision"
