@@ -167,3 +167,43 @@ def test_edgy_writer_overwrite_and_append(spark, tmp_path):
     assert {r["name"] for r in old.nodes("Person").collect()} == {
         "Bob", "Jane", "Jose",
     }
+
+
+def test_edgy_stream_composes_with_streaming_aggregation(spark, tmp_path):
+    """The CDC stream is a first-class streaming source: a windowless
+    groupBy aggregation over it (incremental view maintenance) matches the
+    batch aggregate of the same table."""
+    from pyspark.sql import functions as F
+
+    engine, _ = _store(spark, tmp_path)
+    engine.run(lambda t: t.new_node("Person", name="Ann", age=21))
+    register_edgy_source(spark)
+    agg = (
+        spark.readStream.format("edgy")
+        .option("root", engine.store.root)
+        .option("table", "n_Person")
+        .load()
+        .groupBy((F.col("age") % 2 == 0).alias("even_age"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("edgy_rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["even_age"]: r["n"]
+        for r in spark.sql("select * from edgy_rollup_test").collect()
+    }
+    want = {
+        r["even_age"]: r["n"]
+        for r in engine.snapshot()
+        .nodes("Person")
+        .groupBy((F.col("age") % 2 == 0).alias("even_age"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and sum(got.values()) == 4
