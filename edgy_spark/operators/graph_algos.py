@@ -212,21 +212,31 @@ def run_fixpoint(
             state = _checkpoint(new)
             continue
         old = state.select(
-            "node", *[F.col(c).alias(f"__old_{c}") for c in compare_cols]
+            "node",
+            F.lit(True).alias("__old_present"),
+            *[F.col(c).alias(f"__old_{c}") for c in compare_cols],
         )
+        # null-safe change detection: a plain != reads NULL for any
+        # value↔NULL transition (missed change → premature convergence),
+        # and "old column is null" cannot distinguish a NEW node from an
+        # existing node whose compared value is legitimately NULL — hence
+        # the explicit presence marker + eqNullSafe.
         chg = reduce(
             lambda a, b: a | b,
             [
-                F.col(f"__old_{c}").isNull() | (F.col(c) != F.col(f"__old_{c}"))
+                ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
                 for c in compare_cols
             ],
+            F.col("__old_present").isNull(),  # node absent last round
         )
         merged = _checkpoint(
             new.join(_hint(old, broadcast_state), "node", "left")
             .withColumn("__chg", chg)
         )
         changed = merged.filter("__chg").limit(1).count()
-        state = merged.drop("__chg", *[f"__old_{c}" for c in compare_cols])
+        state = merged.drop(
+            "__chg", "__old_present", *[f"__old_{c}" for c in compare_cols]
+        )
         if changed == 0:
             break
     return state

@@ -345,15 +345,11 @@ def pipeline_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- the end-to-end training-data pipeline ----------------------------------
 
-def _scrub_sql(col: str) -> str:
-    return scrub_pii_sql(col)
-
-
 @register(
     "pipeline_training_end2end",
     oracle=f"""
     WITH scrubbed AS (
-      SELECT doc_id, source, lang, {_scrub_sql('text')} AS text
+      SELECT doc_id, source, lang, {scrub_pii_sql('text')} AS text
       FROM documents),
     scored AS (
       SELECT doc_id, source, lang, text,

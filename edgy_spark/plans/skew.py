@@ -63,6 +63,7 @@ def salted_join(
     n_salts: int = 16,
     hot_threshold_rows: int = 1_000_000,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Inner/left join ``probe ⋈ build`` on ``key`` with hot probe keys
     salted across ``n_salts`` sub-partitions.
@@ -72,13 +73,22 @@ def salted_join(
     1. profile: aggregate probe-side key counts, keep keys above
        ``hot_threshold_rows`` — by construction a tiny set (at most
        total_rows / threshold keys), safe to broadcast;
-    2. salt: hot probe rows get ``salt = pmod(xxhash64(*all columns), n)``
-       — a pure function of the row, so the physical layout is
-       bit-reproducible across retries and AQE replans (a random salt is
-       result-equivalent but re-deals rows to different salts per run);
-       cold rows get salt 0; build rows matching a hot key are replicated
-       to all ``n_salts`` salts (explode of a literal range — only hot
-       build rows replicate), cold build rows keep salt 0;
+    2. salt: hot probe rows get ``salt = pmod(xxhash64(*salt_cols), n)``
+       (default: all probe columns) — a pure function of the row, so the
+       physical layout is bit-reproducible across retries and AQE replans
+       (a random salt is result-equivalent but re-deals rows to different
+       salts per run); cold rows get salt 0; build rows matching a hot key
+       are replicated to all ``n_salts`` salts (explode of a literal range
+       — only hot build rows replicate), cold build rows keep salt 0.
+
+       The determinism trade, stated: BYTE-IDENTICAL hot probe rows hash
+       to ONE salt, so if a hot key's rows are exact duplicates the salting
+       cannot spread them.  Real fact tables carry a row discriminator
+       (orderkey+linenumber, event_id, offset) — pass it as ``salt_cols``
+       to guarantee spread; if your probe truly has millions of
+       byte-identical rows, deduplicate-with-count first (cheaper than any
+       join) or fall back to a random salt and give up layout
+       reproducibility;
     3. join on (key, salt) — the hot key's probe rows now land in ``n``
        tasks, each holding one replica of the build rows for that key.
 
@@ -103,7 +113,10 @@ def salted_join(
             "__salt",
             F.when(
                 F.col("__hot").isNotNull(),
-                F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(n_salts)).cast("int"),
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in (salt_cols or probe.columns)]),
+                    F.lit(n_salts),
+                ).cast("int"),
             ).otherwise(F.lit(0)),
         )
         .drop("__hot")

@@ -253,6 +253,18 @@ class EdgyStreamReader(DataSourceStreamReader):
             path = _resolve_table_path(self.root, self.table, str(end["version"]))
         except ValueError:  # table has no rows yet at this version
             return [_StreamSlicePartition("", lo, hi)]
+        except FileNotFoundError:
+            # the end-offset version was vacuumed while the stream was down
+            # (retention shorter than the stream's lag).  The id slice is
+            # insert-only data, so ANY later version contains the same rows
+            # (minus explicit deletes) — read it from CURRENT instead of
+            # crash-looping on the checkpointed offset.  Size
+            # retain_versions to cover maximum stream downtime to avoid
+            # even this fallback.
+            try:
+                path = _resolve_table_path(self.root, self.table, None)
+            except (ValueError, FileNotFoundError):
+                return [_StreamSlicePartition("", lo, hi)]
         names = [
             n
             for n in sorted(os.listdir(path))
@@ -287,6 +299,7 @@ class _WriteMessage(WriterCommitMessage):
     filename: str
     n_rows: int
     max_id: int  # -1 when the table has no id column
+    min_id: int  # -1 when the table has no id column or partition is empty
 
 
 class EdgyWriter(DataSourceArrowWriter):
@@ -330,7 +343,7 @@ class EdgyWriter(DataSourceArrowWriter):
         fname = f"part-{uuid.uuid4().hex}.parquet"
         fpath = os.path.join(self.root, self.staging, fname)
         writer = None
-        n_rows, max_id = 0, -1
+        n_rows, max_id, min_id = 0, -1, -1
         for batch in iterator:
             if writer is None:
                 writer = pq.ParquetWriter(fpath, batch.schema)
@@ -338,13 +351,16 @@ class EdgyWriter(DataSourceArrowWriter):
             n_rows += batch.num_rows
             if self.has_id and batch.num_rows:
                 col_max = pc.max(batch.column("id")).as_py()
+                col_min = pc.min(batch.column("id")).as_py()
                 if col_max is not None:
                     max_id = max(max_id, int(col_max))
+                if col_min is not None:
+                    min_id = int(col_min) if min_id < 0 else min(min_id, int(col_min))
         if writer is not None:
             writer.close()
         else:
-            return _WriteMessage("", 0, -1)  # empty partition: no file
-        return _WriteMessage(fname, n_rows, max_id)
+            return _WriteMessage("", 0, -1, -1)  # empty partition: no file
+        return _WriteMessage(fname, n_rows, max_id, min_id)
 
     def commit(self, messages):
         import shutil as _shutil
@@ -358,6 +374,22 @@ class EdgyWriter(DataSourceArrowWriter):
             )
         with open(os.path.join(self.root, f"manifest.v{current}.json")) as f:
             manifest = json.load(f)
+        if not self.overwrite and self.has_id:
+            # node identity invariant: appended ids must sit at or above
+            # the store's id cursor, else they can collide with existing
+            # Engine-created nodes AND fall below the CDC stream's already-
+            # committed offset (silently never emitted downstream)
+            loaded_min = min(
+                (m.min_id for m in messages if m and m.min_id >= 0), default=-1
+            )
+            if 0 <= loaded_min < manifest["next_id"]:
+                self.abort(messages)
+                raise ValueError(
+                    f"append contains id {loaded_min} below the store's id "
+                    f"cursor {manifest['next_id']}: ids may collide with "
+                    "existing nodes and insert-CDC streams would skip them. "
+                    "Use ids >= the cursor, or mode('overwrite')."
+                )
         new_version = current + 1
         key = self.table
         relpath = os.path.join("data", f"{key}.v{new_version}.parquet")

@@ -240,8 +240,21 @@ class GraphStore:
             and self.compact_every
             and new_version % self.compact_every == 0
         ):
-            snap = self.compact(self.compact_target_file_mb) or snap
-            self.vacuum(self.retain_versions)
+            # best-effort: the user's commit is ALREADY PUBLISHED at this
+            # point, so no maintenance failure may propagate — a raised
+            # ConflictError would reach Engine.run's retry loop and
+            # re-execute (double-apply!) a transaction that succeeded.
+            # A lost maintenance pass just runs again K commits later.
+            try:
+                snap = self.compact(self.compact_target_file_mb) or snap
+                self.vacuum(self.retain_versions)
+            except Exception as exc:  # noqa: BLE001 — see comment above
+                import warnings
+
+                warnings.warn(
+                    f"store maintenance after v{new_version} skipped: {exc!r}",
+                    stacklevel=2,
+                )
         return snap
 
     # -- maintenance (OPTIMIZE + VACUUM) -----------------------------------
@@ -326,11 +339,28 @@ class GraphStore:
             referenced_tbl.update(m.get("bucketed", {}).values())
         removed: list[str] = []
         data_dir = os.path.join(self.root, "data")
+        import time as _time
+
         for name in sorted(os.listdir(data_dir)):
             rel = os.path.join("data", name)
-            if rel not in referenced_rel:
-                shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
-                removed.append(rel)
+            if rel in referenced_rel:
+                continue
+            if name.startswith("."):
+                # a dot-prefixed entry is an in-flight bulk writer's staging
+                # directory (sources/pysource.EdgyWriter) — deleting it
+                # under a live job loses rows.  Sweep only abandoned ones
+                # (no modification for 24 h — the same age guard object-
+                # store lifecycle rules use for incomplete uploads).
+                try:
+                    age = _time.time() - os.path.getmtime(
+                        os.path.join(data_dir, name)
+                    )
+                except OSError:
+                    continue
+                if age < 86_400:
+                    continue
+            shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
+            removed.append(rel)
         prefix = self._bucket_table_name("", 0).rsplit("_v", 1)[0].rstrip("_") + "_"
         for tbl in self.spark.catalog.listTables():
             if tbl.name.startswith(prefix) and tbl.name not in referenced_tbl:

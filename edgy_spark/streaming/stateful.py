@@ -100,7 +100,7 @@ def stream_first_threshold_crossing(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 _OUT_SCHEMA = "user_id long, cross_ts string, cum_at_cross double"
-_STATE_SCHEMA = "cum_cents long, crossed boolean"
+_STATE_SCHEMA = "cum_cents long, crossed boolean, max_ts_ms long"
 
 
 def _make_detector(ttl_ms: int | None, event_time: bool = False):
@@ -138,8 +138,9 @@ def _make_detector(ttl_ms: int | None, event_time: bool = False):
             # Spark only times out keys with no rows in this batch)
             state.remove()
             return
-        cum, crossed = (state.get if state.exists else (0, False))
-        last_ts_ms = 0
+        cum, crossed, last_ts_ms = (
+            state.get if state.exists else (0, False, 0)
+        )
         for pdf in pdf_iter:
             if len(pdf):
                 last_ts_ms = max(
@@ -167,12 +168,16 @@ def _make_detector(ttl_ms: int | None, event_time: bool = False):
                         "cum_at_cross": [running[i] / 100.0],
                     }
                 )
-        state.update((cum, crossed))
+        state.update((cum, crossed, last_ts_ms))
         if ttl_ms is not None:
             if event_time:
                 # Spark rejects a timeout at/below the current watermark, so
                 # a key whose events lag the global watermark arms at wm+1 —
                 # it retires on the next batch, the earliest legal horizon.
+                # last_ts_ms is the ALL-TIME max event ts for this key
+                # (persisted in state), so a batch of late out-of-order
+                # events can only extend the horizon, never regress it
+                # below one already armed.
                 horizon = last_ts_ms + ttl_ms
                 state.setTimeoutTimestamp(
                     max(horizon, state.getCurrentWatermarkMs() + 1)

@@ -104,11 +104,15 @@ def threshold_crossing_stream_v2(
 ) -> DataFrame:
     """transformWithStateInPandas form of the threshold detector.  The
     session MUST run the RocksDB state-store provider (ROCKSDB_PROVIDER) —
-    the API rejects the default HDFS-backed store."""
+    the API rejects the default HDFS-backed store.
+
+    ``timeMode`` follows the TTL: state TTL is only legal under
+    processing-time mode (Spark rejects ``ttlDurationMs`` with timeMode
+    'None'), so passing ``ttl_minutes`` switches the mode."""
     ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=ThresholdProcessor(ttl_ms),
         outputStructType=_OUT_SCHEMA,
         outputMode="Append",
-        timeMode="None",
+        timeMode="None" if ttl_ms is None else "ProcessingTime",
     )

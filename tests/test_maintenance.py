@@ -170,3 +170,27 @@ def test_vacuum_keeps_snapshots_inside_retention(spark, tmp_path):
     engine.store.vacuum(retain_versions=2)
     names = {r["name"] for r in pinned.nodes("Person").collect()}
     assert names == {"P0", "P1", "P2"}  # the pinned (older) view, intact
+
+
+def test_maintenance_failure_never_fails_a_published_commit(spark, tmp_path, monkeypatch):
+    """Review r06: a maintenance error after publish must NOT propagate —
+    a raised ConflictError would reach Engine.run's retry loop and
+    re-execute (double-apply) a transaction that already committed."""
+    from edgy_spark.storage import ConflictError
+
+    engine = Engine(
+        spark, str(tmp_path / "db"), demo_schema(), compact_every=1
+    )
+
+    def boom(*a, **k):
+        raise ConflictError("concurrent writer during maintenance")
+
+    monkeypatch.setattr(engine.store, "compact", boom)
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        engine.run(lambda t: t.new_node("Person", name="Once", age=1))
+    assert any("maintenance" in str(x.message) for x in w)
+    names = [r["name"] for r in engine.snapshot().nodes("Person").collect()]
+    assert names == ["Once"]  # applied exactly once, commit succeeded

@@ -207,3 +207,29 @@ def test_edgy_stream_composes_with_streaming_aggregation(spark, tmp_path):
         .collect()
     }
     assert got == want and sum(got.values()) == 4
+
+
+def test_edgy_writer_rejects_append_below_id_cursor(spark, tmp_path):
+    """Appended node ids below the store's id cursor could collide with
+    existing nodes and fall behind the CDC stream's committed offset —
+    the writer must refuse them."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    engine, _ = _store(spark, tmp_path)
+    register_edgy_source(spark)
+    low = spark.createDataFrame(
+        [(1, "Clash", 9)], "id long, name string, age long"
+    )
+    with pytest.raises(Exception) as exc:
+        (
+            low.write.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "n_Person")
+            .mode("append")
+            .save()
+        )
+    assert "below the store's id cursor" in str(exc.value)
+    # store unchanged — the failed write left no new version
+    names = {r["name"] for r in engine.snapshot().nodes("Person").collect()}
+    assert names == {"Bob", "Jane", "Jose"}
