@@ -115,7 +115,6 @@ def test_store_matches_model_under_random_interleavings(spark, tmp_path_factory,
     root = str(tmp_path_factory.mktemp("prop") / "db")
     engine = Engine(spark, root, demo_schema())
     model: list[str] = []
-    next_bulk_id = 10_000  # disjoint from Engine ids
     for i, (kind, v) in enumerate(ops):
         if kind == "txn_add":
             name = f"T{i}_{v}"
@@ -123,9 +122,13 @@ def test_store_matches_model_under_random_interleavings(spark, tmp_path_factory,
             model.append(name)
         elif kind == "bulk_append":
             name = f"B{i}_{v}"
+            # the writer enforces ids >= the store's id cursor (collision +
+            # CDC-slice invariant), so a well-behaved bulk loader reads the
+            # cursor first — as this one does
+            bulk_id = engine.store.snapshot().manifest["next_id"]
             (
                 spark.createDataFrame(
-                    [(next_bulk_id, name, v)], "id long, name string, age long"
+                    [(bulk_id, name, v)], "id long, name string, age long"
                 )
                 .write.format("edgy")
                 .option("root", root)
@@ -134,7 +137,6 @@ def test_store_matches_model_under_random_interleavings(spark, tmp_path_factory,
                 .save()
             )
             model.append(name)
-            next_bulk_id += 1
         else:
             engine.store.compact(min_files=4)
             engine.store.vacuum(retain_versions=2)
