@@ -109,6 +109,10 @@ class Transaction:
 
     def get_attribute(self, node: Node, name: str):
         attr = self.schema.node_type(node.node_type).attr(name)
+        if node.id in self._deleted.get(node.node_type, set()):
+            # deleted earlier in THIS transaction: reads must not resurrect
+            # it (all_nodes/get_related already honor _deleted)
+            raise KeyError(f"{node} was deleted in this transaction")
         upd = self._attr_updates.get(node.node_type, {}).get(node.id, {})
         if name in upd:
             return upd[name]
@@ -135,6 +139,8 @@ class Transaction:
 
     def set_attribute(self, node: Node, name: str, value) -> None:
         self.schema.node_type(node.node_type).attr(name)
+        if node.id in self._deleted.get(node.node_type, set()):
+            raise KeyError(f"{node} was deleted in this transaction")
         for row in self._new_nodes.get(node.node_type, []):
             if row["id"] == node.id:
                 row[name] = value
@@ -186,6 +192,7 @@ class Transaction:
 
     def clear_related(self, node: Node, rel_name: str) -> None:
         side = self.schema.relation(rel_name)
+        self._check_source(node, rel_name, side)
         if side.symmetric:
             for other in self.get_related_list(node, rel_name):
                 self.remove_related(node, rel_name, other)
@@ -197,6 +204,7 @@ class Transaction:
     def set_related(self, node: Node, rel_name: str, targets: list[Node]) -> None:
         """Replace the whole adjacency (Operations.hs:303-319)."""
         side = self.schema.relation(rel_name)
+        self._check_source(node, rel_name, side)  # also when targets == []
         if side.symmetric:
             self.clear_related(node, rel_name)
             for t in reversed(targets):  # prepends → final order == targets
@@ -285,9 +293,11 @@ class Transaction:
                     adj = [s for s in adj if s != entry[1]]
                 elif op == "clear_dst" and entry[1] == key:
                     adj = []
-                elif op == "clear_src" and entry[1] == key:
-                    pass
                 elif op == "clear_src":
+                    # removes every row with src = entry[1], which appears
+                    # in key's INVERSE list as the value entry[1] — also
+                    # when entry[1] == key (a self-loop (k,k) is cleared by
+                    # clearing k's own forward edges)
                     adj = [s for s in adj if s != entry[1]]
                 elif op == "set_src":
                     adj = [s for s in adj if s != entry[1]]
@@ -305,13 +315,36 @@ class Transaction:
             )
         return side
 
+    def _check_source(self, node: Node, rel_name: str, side) -> None:
+        """Source-endpoint validation for ops with no target (clear, empty
+        set): a wrong node type must raise like every other edge op, not
+        silently log a no-op."""
+        if side.source != node.node_type:
+            raise TypeError(
+                f"relation {rel_name!r} starts at {side.source!r}, "
+                f"not {node.node_type!r}"
+            )
+
     # -- bulk (the 100 TB path) -------------------------------------------
 
-    def bulk_add_edges(self, table: str, edges_df: DataFrame) -> None:
-        """Append an edge batch (src, dst) as a DataFrame — distributed end
-        to end; pos/ipos are assigned set-at-a-time at commit."""
-        side = self.schema.relation(table)  # raises UnknownRelationError
-        self._log(side.table, "bulk", edges_df.select("src", "dst"))
+    def bulk_add_edges(self, rel_name: str, edges_df: DataFrame) -> None:
+        """Append an edge batch as a DataFrame — distributed end to end;
+        pos/ipos are assigned set-at-a-time at commit.
+
+        ``(src, dst)`` are in the NAMED relation's direction, exactly like
+        ``add_related(src_node, rel_name, dst_node)``: a batch on an
+        inverse-named relation is stored swapped into the physical forward
+        table, and a batch on a symmetric relation stores both
+        orientations (one logical edge visible from both endpoints — the
+        same mirroring add_related performs)."""
+        side = self.schema.relation(rel_name)  # raises UnknownRelationError
+        e = edges_df.select("src", "dst")
+        flipped = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if side.symmetric:
+            e = e.unionByName(flipped)
+        elif not side.forward:
+            e = flipped
+        self._log(side.table, "bulk", e)
 
     # -- commit ------------------------------------------------------------
 
@@ -332,26 +365,43 @@ class Transaction:
                 touched = True
             updates = self._attr_updates.get(node_type, {})
             if updates:
+                # per-(node, attr) set-mask: vals.get(name) is None BOTH for
+                # "not updated by this node" and "updated to null", and the
+                # set of updated attrs differs per node — a single global
+                # updated-attr set would clobber other nodes' untouched
+                # attrs with NULL (one txn updating x on node1 and y on
+                # node2 must not null node1.y)
+                upd_set = {a for vals in updates.values() for a in vals}
                 upd_rows = [
-                    {"id": i, **{a.name: vals.get(a.name) for a in nt.attrs}}
+                    {
+                        "id": i,
+                        **{a: vals.get(a) for a in upd_set},
+                        **{f"__set_{a}": (a in vals) for a in upd_set},
+                    }
                     for i, vals in updates.items()
                 ]
-                upd_set = {a for vals in updates.values() for a in vals}
                 from pyspark.sql import types as T
 
-                nullable_struct = T.StructType(
-                    [T.StructField(f.name, f.dataType, True) for f in nt.struct_type().fields]
+                by_name = {f.name: f.dataType for f in nt.struct_type().fields}
+                upd_struct = T.StructType(
+                    [T.StructField("id", T.LongType(), False)]
+                    + [T.StructField(a, by_name[a], True) for a in sorted(upd_set)]
+                    + [
+                        T.StructField(f"__set_{a}", T.BooleanType(), False)
+                        for a in sorted(upd_set)
+                    ]
                 )
-                upd = spark.createDataFrame(upd_rows, nullable_struct).select(
+                upd = spark.createDataFrame(upd_rows, upd_struct).select(
                     F.col("id").alias("_uid"),
-                    *[F.col(a.name).alias(f"_u_{a.name}") for a in nt.attrs],
+                    *[F.col(a).alias(f"_u_{a}") for a in sorted(upd_set)],
+                    *[F.col(f"__set_{a}") for a in sorted(upd_set)],
                 )
                 df = df.join(upd, df.id == upd._uid, "left").select(
                     "id",
                     *[
                         (
                             F.when(
-                                F.col("_uid").isNotNull() & F.lit(a.name in upd_set),
+                                F.coalesce(F.col(f"__set_{a.name}"), F.lit(False)),
                                 F.col(f"_u_{a.name}"),
                             )
                             .otherwise(F.col(a.name))
@@ -430,9 +480,9 @@ class Transaction:
             min_ipos[d] = p
             return p
 
-        conds = []  # removal predicates accumulated into one filter
-        bulk_dfs: list[DataFrame] = []
-        for entry in log:
+        conds = []  # (log index, removal predicate) — order matters for bulk
+        bulk_dfs: list[tuple[int, DataFrame]] = []
+        for idx, entry in enumerate(log):
             op = entry[0]
             if op == "add":
                 _, s, d = entry
@@ -440,26 +490,30 @@ class Transaction:
                 new_rows.append((s, d, next_pos(s), next_ipos(d)))
             elif op == "remove":
                 _, s, d = entry
-                conds.append((F.col("src") == s) & (F.col("dst") == d))
+                conds.append((idx, (F.col("src") == s) & (F.col("dst") == d)))
                 new_rows = [r for r in new_rows if not (r[0] == s and r[1] == d)]
             elif op == "clear_src":
                 s = entry[1]
-                conds.append(F.col("src") == s)
+                conds.append((idx, F.col("src") == s))
                 new_rows = [r for r in new_rows if r[0] != s]
             elif op == "clear_dst":
                 d = entry[1]
-                conds.append(F.col("dst") == d)
+                conds.append((idx, F.col("dst") == d))
                 new_rows = [r for r in new_rows if r[1] != d]
             elif op == "set_src":
                 _, s, dsts = entry
-                conds.append(F.col("src") == s)
+                conds.append((idx, F.col("src") == s))
                 new_rows = [r for r in new_rows if r[0] != s]
                 for i, d in enumerate(dsts):
                     new_rows.append((s, d, i, next_ipos(d)))
+                # set_src re-bases s's positions at 0..n-1 (committed rows
+                # for s are all removed above), so the next prepend must go
+                # BELOW the new block, not reuse 0
+                min_pos[s] = 0 if dsts else 1
             elif op == "bulk":
-                bulk_dfs.append(entry[1])
+                bulk_dfs.append((idx, entry[1]))
 
-        for cond in conds:
+        for _, cond in conds:
             df = df.filter(~cond)
         if src_dead:
             df = df.filter(~F.col("src").isin(list(src_dead)))
@@ -477,15 +531,52 @@ class Transaction:
                 "src long, dst long, pos long, ipos long",
             )
             df = df.unionByName(add_df)
-        for b in bulk_dfs:
+        for bulk_idx, b in bulk_dfs:
+            # a bulk batch obeys the same log-order semantics as staged
+            # rows: removal/clear/set predicates issued AFTER it apply to
+            # its rows, earlier ones do not; cascade delete (transaction-
+            # wide) always applies — without this, bulk rows escaped
+            # delete_node and left dangling edges
+            for cond_idx, cond in conds:
+                if cond_idx > bulk_idx:
+                    b = b.filter(~cond)
+            if src_dead:
+                b = b.filter(~F.col("src").isin(list(src_dead)))
+            if dst_dead:
+                b = b.filter(~F.col("dst").isin(list(dst_dead)))
             # distributed position assignment: new batch rows get pos/ipos
-            # below any existing edge, ordered within the batch by (src,dst)
-            b2 = b.withColumn(
-                "pos",
-                -F.row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long"),
-            ).withColumn(
-                "ipos",
-                -F.row_number().over(Window.partitionBy("dst").orderBy("src")).cast("long"),
+            # strictly below any edge already in the table (committed AND
+            # staged — `df` holds both at this point), ordered within the
+            # batch by (src, dst).  The min lookup is restricted to the
+            # batch's own keys via a semi-join, so it never scans beyond
+            # the touched adjacency lists.
+            mins_p = (
+                df.join(b.select("src").distinct(), "src", "semi")
+                .groupBy("src")
+                .agg(F.min("pos").alias("__minp"))
+            )
+            mins_i = (
+                df.join(b.select("dst").distinct(), "dst", "semi")
+                .groupBy("dst")
+                .agg(F.min("ipos").alias("__mini"))
+            )
+            b2 = (
+                b.join(mins_p, "src", "left")
+                .join(mins_i, "dst", "left")
+                .withColumn(
+                    "pos",
+                    F.coalesce(F.col("__minp"), F.lit(1)).cast("long")
+                    - F.row_number()
+                    .over(Window.partitionBy("src").orderBy("dst"))
+                    .cast("long"),
+                )
+                .withColumn(
+                    "ipos",
+                    F.coalesce(F.col("__mini"), F.lit(1)).cast("long")
+                    - F.row_number()
+                    .over(Window.partitionBy("dst").orderBy("src"))
+                    .cast("long"),
+                )
             )
             df = df.unionByName(b2.select("src", "dst", "pos", "ipos"))
         return df

@@ -42,8 +42,26 @@ class NodeSet:
 
     @classmethod
     def scan(cls, snap: Snapshot, schema: GraphSchema, node_type: str) -> "NodeSet":
-        schema.node_type(node_type)  # plan-time validation
-        return cls(snap, schema, node_type, snap.nodes(node_type))
+        nt = schema.node_type(node_type)  # plan-time validation
+        df = snap.nodes(node_type)
+        # unset OPTIONAL attributes are stored as NULL but READ as the
+        # declared default (mempty analogue — same rule as
+        # Transaction.get_attribute).  Apply it here too, so filters and
+        # projections in the set-at-a-time layer see the same value the
+        # point-read layer returns (a filter(nickname='') must match a node
+        # whose nickname was never written).
+        df = df.select(
+            "id",
+            *[
+                (
+                    F.coalesce(F.col(a.name), F.lit(a.default)).alias(a.name)
+                    if (not a.required and a.default is not None)
+                    else F.col(a.name)
+                )
+                for a in nt.attrs
+            ],
+        )
+        return cls(snap, schema, node_type, df)
 
     def filter(self, condition: Column | None = None, **eq) -> "NodeSet":
         nt = self.schema.node_type(self.node_type)

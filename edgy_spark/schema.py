@@ -252,11 +252,3 @@ class GraphSchema:
     def edge_tables(self) -> tuple[str, ...]:
         return tuple(sorted({r.table for r in self._rels.values()}))
 
-    def relations_touching(self, node_type: str) -> list[RelationSide]:
-        """All forward sides whose source or target is ``node_type`` —
-        drives cascading delete (Operations.hs:197-218)."""
-        return [
-            r
-            for r in self._rels.values()
-            if r.forward and (r.source == node_type or r.target == node_type)
-        ]

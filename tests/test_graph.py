@@ -499,3 +499,176 @@ def test_binary_attribute_roundtrip_through_commit_and_snapshot(spark, tmp_path)
 
     t_old = Transaction(engine, old)
     assert pickle.loads(t_old.get_attribute(node, "payload")) == obj
+
+
+# -- r06 review regressions ------------------------------------------------
+
+def test_txn_attr_updates_do_not_clobber_other_nodes(engine):
+    """Two nodes updating DIFFERENT attrs in one txn: each keeps its other
+    attributes (the commit merge must mask per-(node, attr), not per-attr)."""
+    def seed(t):
+        return (
+            t.new_node("Person", name="N1", age=10),
+            t.new_node("Person", name="N2", age=20),
+        )
+
+    n1, n2 = engine.run(seed)
+
+    def upd(t):
+        t.set_attribute(n1, "name", "N1b")  # only name on n1
+        t.set_attribute(n2, "age", 21)      # only age on n2
+
+    engine.run(upd)
+    t = engine.read()
+    assert t.get_attribute(n1, "name") == "N1b"
+    assert t.get_attribute(n1, "age") == 10        # was clobbered to NULL
+    assert t.get_attribute(n2, "name") == "N2"     # was clobbered to NULL
+    assert t.get_attribute(n2, "age") == 21
+
+
+def test_bulk_edges_respect_cascade_delete_and_later_removes(spark, engine):
+    """Bulk batches obey the same semantics as staged ops: cascade delete
+    applies, and removes issued AFTER the bulk apply to its rows."""
+    def seed(t):
+        return [t.new_node("Person", name=f"P{i}", age=i) for i in range(4)]
+
+    p = engine.run(seed)
+
+    def txn(t):
+        batch = spark.createDataFrame(
+            [(p[0].id, p[1].id), (p[2].id, p[3].id), (p[0].id, p[2].id)],
+            "src long, dst long",
+        )
+        t.bulk_add_edges("friend", batch)
+        t.remove_related(p[0], "friend", p[2])  # after the bulk: applies
+        t.delete_node(p[3])                     # cascade: applies
+
+    engine.run(txn)
+    t = engine.read()
+    assert [n.id for n in t.get_related(p[0], "friend")] == [p[1].id]
+    assert t.get_related(p[2], "friend") == []  # p3 deleted -> edge gone
+
+
+def test_bulk_edges_symmetric_visible_from_both_ends(spark, engine):
+    def seed(t):
+        return (
+            t.new_node("Person", name="A", age=1),
+            t.new_node("Person", name="B", age=2),
+        )
+
+    a, b = engine.run(seed)
+    engine.run(
+        lambda t: t.bulk_add_edges(
+            "spouse", spark.createDataFrame([(a.id, b.id)], "src long, dst long")
+        )
+    )
+    t = engine.read()
+    assert t.get_related(a, "spouse").id == b.id
+    assert t.get_related(b, "spouse").id == a.id  # mirrored orientation
+
+
+def test_bulk_edges_positions_stack_below_existing(spark, engine):
+    """Bulk rows must take positions BELOW existing edges (prepend), never
+    colliding with previously prepended pos values."""
+    def seed(t):
+        return [t.new_node("Person", name=f"Q{i}", age=i) for i in range(4)]
+
+    p = engine.run(seed)
+    engine.run(lambda t: t.add_related(p[0], "friend", p[1]))  # pos 0
+    engine.run(lambda t: t.add_related(p[0], "friend", p[2]))  # pos -1
+    engine.run(
+        lambda t: t.bulk_add_edges(
+            "friend", spark.createDataFrame([(p[0].id, p[3].id)], "src long, dst long")
+        )
+    )
+    t = engine.read()
+    ids = [n.id for n in t.get_related(p[0], "friend")]
+    assert ids == [p[3].id, p[2].id, p[1].id]  # strict prepend order
+    from pyspark.sql import functions as F
+
+    edges = engine.snapshot().edge_table("friend").filter(F.col("src") == p[0].id)
+    poss = [r["pos"] for r in edges.collect()]
+    assert len(poss) == len(set(poss)), f"pos collision: {poss}"
+
+
+def test_set_related_then_add_orders_consistently(engine):
+    """add_related after set_related prepends BELOW the set block, and the
+    committed order equals the in-txn read-your-writes order."""
+    def seed(t):
+        return [t.new_node("Person", name=f"R{i}", age=i) for i in range(4)]
+
+    p = engine.run(seed)
+
+    in_txn = {}
+
+    def txn(t):
+        t.set_related(p[0], "friend", [p[1], p[2]])
+        t.add_related(p[0], "friend", p[3])
+        in_txn["order"] = [n.id for n in t.get_related(p[0], "friend")]
+
+    engine.run(txn)
+    committed = [n.id for n in engine.read().get_related(p[0], "friend")]
+    assert committed == in_txn["order"] == [p[3].id, p[1].id, p[2].id]
+
+
+def test_clear_and_empty_set_validate_source_type(engine):
+    from edgy_spark.graph import Transaction
+
+    nodes = engine.run(big_bang)
+    t = Transaction(engine, engine.store.snapshot())
+    with pytest.raises(TypeError, match="starts at"):
+        t.clear_related(nodes["poker"], "friend")  # Activity, not Person
+    with pytest.raises(TypeError, match="starts at"):
+        t.set_related(nodes["poker"], "friend", [])
+
+
+def test_reads_of_node_deleted_in_txn_raise(engine):
+    nodes = engine.run(big_bang)
+
+    def txn(t):
+        t.delete_node(nodes["bob"])
+        with pytest.raises(KeyError, match="deleted in this transaction"):
+            t.get_attribute(nodes["bob"], "name")
+        with pytest.raises(KeyError, match="deleted in this transaction"):
+            t.set_attribute(nodes["bob"], "name", "zombie")
+
+    engine.run(txn)
+
+
+def test_nodeset_filter_sees_optional_defaults(spark, tmp_path):
+    """A filter on an optional attr's default value must match nodes that
+    never wrote it (stored NULL reads as the default in BOTH layers)."""
+    from edgy_spark.schema import Attr, GraphSchema, NodeType, optional
+
+    schema = GraphSchema(
+        (NodeType("Doc", (Attr("name"), optional("tag", "string", default="none"))),)
+    )
+    e = Engine(spark, str(tmp_path / "db2"), schema)
+    e.run(lambda t: t.new_node("Doc", name="a"))           # tag unset
+    e.run(lambda t: t.new_node("Doc", name="b", tag="x"))
+    ns = NodeSet.scan(e.snapshot(), schema, "Doc")
+    assert [r["name"] for r in ns.filter(tag="none").df.collect()] == ["a"]
+    got = {r["name"]: r["tag"] for r in ns.attrs("name", "tag").collect()}
+    assert got == {"a": "none", "b": "x"}
+
+
+def test_self_loop_clear_consistent_in_txn_and_committed(engine):
+    """Clearing a node's forward edges removes a self-loop from its OWN
+    inverse view too — in-txn read must equal committed state."""
+    def seed(t):
+        return t.new_node("Person", name="Loop", age=1)
+
+    k = engine.run(seed)
+    engine.run(lambda t: t.add_related(k, "friend", k))  # self-loop
+
+    views = {}
+
+    def txn(t):
+        t.clear_related(k, "friend")
+        views["fwd"] = t.get_related(k, "friend")
+        views["bwd"] = t.get_related(k, "friendOf")
+
+    engine.run(txn)
+    assert views["fwd"] == [] and views["bwd"] == []
+    t = engine.read()
+    assert t.get_related(k, "friend") == [] and t.get_related(k, "friendOf") == []
