@@ -35,11 +35,6 @@ def one() -> Column:
     return F.lit(1).cast("decimal(1,0)")
 
 
-def dmul(a: Column, b: Column) -> Column:
-    """Exact product of two decimal columns (scales add, no rounding)."""
-    return a * b
-
-
 def to_dbl(c: Column, scale: int = 2) -> Column:
     """Exact-decimal aggregate → double, deterministically.
 

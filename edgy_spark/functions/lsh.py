@@ -11,6 +11,16 @@ Both engines compute the IDENTICAL signature: the plane coefficients are
 md5-derived literals embedded in the Spark plan and the DuckDB oracle SQL,
 and the projection is a sequential in-row fold in both, so no distributed
 float-sum ordering can flip a sign bit between engines.
+
+PRECONDITION, stated: embeddings must be exactly DIM non-null floats.  On a
+malformed row (short vector, NULL element) the two engines' fold semantics
+differ — Spark's ``aggregate`` NULL-poisons the projection (every bit 0)
+while DuckDB's ``list_sum`` skips NULLs — so the identical-signature
+contract holds only for well-formed vectors.  The driver fixtures satisfy
+this by construction; an ingest of untrusted embeddings should validate
+``size(embedding) = DIM AND NOT exists(embedding, x -> x IS NULL)`` before
+the signature stage, in both engines, so malformed rows are EXCLUDED rather
+than signed divergently.
 """
 
 from __future__ import annotations

@@ -39,8 +39,12 @@ def observed_quality(
     """
     metrics = [F.count(F.lit(1)).alias("n_rows")]
     for c in null_cols:
+        # coalesce: SUM over zero rows is NULL, and a monitoring consumer
+        # doing arithmetic on the metric must see 0, not None
         metrics.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"nulls_{c}")
         )
     for c in range_cols:
         metrics.append(F.min(c).alias(f"min_{c}"))

@@ -35,10 +35,13 @@ PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
 
-# the same patterns escaped for embedding in single-quoted SQL literals
-PII_SQL_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-PII_SQL_IPV4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-PII_SQL_PHONE = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+# SQL-embedding aliases.  The raw-string and escaped spellings are byte-
+# identical (r"\b" == "\\b"), so these are ALIASES of the canonical
+# patterns, not copies — a pattern fix automatically reaches both the
+# Spark expressions and every oracle f-string.
+PII_SQL_EMAIL = PII_EMAIL
+PII_SQL_IPV4 = PII_IPV4
+PII_SQL_PHONE = PII_PHONE
 
 
 def scrub_pii(col):

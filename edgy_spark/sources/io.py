@@ -54,6 +54,13 @@ def read_table(
     ``infer=True`` (inference is an extra full scan — fine for exploration,
     wrong as a pipeline default)."""
     _check_format(fmt)
+    reader = spark.read
+    if schema is not None:
+        # an explicit schema applies to EVERY format: for self-describing
+        # parquet/orc it is the schema-evolution contract (missing columns
+        # read as null, the declared types win) — silently discarding it
+        # would make the result depend on which files happen to be present
+        reader = reader.schema(schema)
     if fmt == "parquet":
         # TIMESTAMP(NANOS) parquet (the driver's fixtures) needs
         # spark.sql.legacy.parquet.nanosAsLong=true — set at session build
@@ -61,23 +68,28 @@ def read_table(
         # has session-wide side effects.  Plain sessions reading nanos
         # files get Spark's explicit unsupported-type error pointing at
         # that flag.
-        return spark.read.parquet(path)
+        return reader.parquet(path)
     if fmt == "orc":
         # columnar like parquet: pushdown/pruning apply, schema travels with
         # the files — no explicit schema needed
-        return spark.read.orc(path)
+        return reader.orc(path)
     if fmt == "text":
         # raw corpora: one string row per line, fixed schema (value: string)
-        return spark.read.text(path)
+        return reader.text(path)
     if schema is None and not infer:
         raise ValueError(f"{fmt} read needs an explicit schema (or infer=True)")
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
     if fmt == "csv":
-        return reader.option("header", "true").option(
-            "inferSchema", str(infer and schema is None).lower()
-        ).csv(path)
+        # multiLine + explicit quote escape: a quoted field containing a
+        # line break is ONE record on read, exactly as the writer produced
+        # it (without this, embedded newlines split one logical row into
+        # malformed physical rows)
+        return (
+            reader.option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .option("inferSchema", str(infer and schema is None).lower())
+            .csv(path)
+        )
     return reader.json(path)
 
 
@@ -96,7 +108,9 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if fmt == "csv":
-        writer.option("header", "true").csv(path)
+        # escape='"' pairs with read_table's parser settings so embedded
+        # quotes/newlines round-trip byte-exactly
+        writer.option("header", "true").option("escape", '"').csv(path)
     elif fmt == "json":
         writer.json(path)
     elif fmt == "orc":
@@ -161,24 +175,29 @@ def compact_table(
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(in_path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     total_bytes = fs.getContentSummary(jvm_path).getLength()
-    n = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
+    target = target_file_mb * 1024 * 1024
+    n = max(1, -(-int(total_bytes) // target))  # ceiling division
     if zorder_by:
         # two-dimensional clustering: range-partition + sort on the Morton
         # interleave so every output file covers a small (a, b) rectangle —
         # min/max skipping then works for predicates on EITHER column
         from edgy_spark.functions.zorder import zorder_key
 
-        zk = zorder_key(*zorder_by).alias("_zk")
+        if "__edgy_zk" in df.columns:  # never silently clobber a data column
+            raise ValueError("input already has a __edgy_zk column")
+        zk = zorder_key(*zorder_by).alias("__edgy_zk")
         out = (
-            df.withColumn("_zk", zk)
-            .repartitionByRange(n, "_zk")
-            .sortWithinPartitions("_zk")
-            .drop("_zk")
+            df.withColumn("__edgy_zk", zk)
+            .repartitionByRange(n, "__edgy_zk")
+            .sortWithinPartitions("__edgy_zk")
+            .drop("__edgy_zk")
         )
     elif sort_by:
         # repartitionByRange + sortWithinPartitions = globally range-
         # clustered layout (each file owns a disjoint key range)
         out = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+    elif df.rdd.getNumPartitions() == n:
+        out = df  # already the right partition count: skip a full shuffle
     else:
         out = df.coalesce(n) if df.rdd.getNumPartitions() > n else df.repartition(n)
     out.write.mode("overwrite").parquet(out_path)

@@ -29,18 +29,12 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension-sized tables that should be broadcast when joined against the
-# fact tables (orders/lineitem/events).  At 100 TB the fact tables grow
-# 1000x while these stay small, so the hint stays valid.
-SMALL_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
-
-
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize the fixtures' ``ts`` column to a plain ``TIMESTAMP``.
 
     ``events.ts`` arrives as either parquet TIMESTAMP(NANOS) (older fixtures
     — Spark's vectorized reader rejects it, so it is read as long nanos via
-    the ``nanosAsLong`` conf and floored to µs, matching DuckDB's ns→µs
+    the ``nanosAsLong`` conf and truncated toward zero to µs (``div 1000``), matching DuckDB's ns→µs
     truncation) or TIMESTAMP(MICROS) without UTC adjustment (current
     fixtures — Spark 4 infers TIMESTAMP_NTZ).  The single shared
     normalization point for the batch loader and the streaming reader, so a

@@ -226,3 +226,35 @@ def test_observed_quality_metrics_ride_the_job(spark, tmp_path):
     observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
     got = obs.get
     assert got == {"n_rows": 4, "nulls_s": 2, "min_id": 1, "max_id": 4}
+
+
+def test_csv_roundtrip_preserves_embedded_newlines_and_quotes(spark, tmp_path):
+    """r06 review: quoted multi-line CSV fields must read back as ONE
+    record (multiLine + matching escape on both sides)."""
+    df = spark.createDataFrame(
+        [(1, 'line1\nline2'), (2, 'say "hi", ok'), (3, "plain")],
+        "id long, text string",
+    )
+    path = str(tmp_path / "csv_nl")
+    write_table(df, path, "csv")
+    back = read_table(spark, path, "csv", schema="id long, text string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_parquet_read_applies_explicit_schema(spark, tmp_path):
+    """An explicit schema is the schema-evolution contract: columns missing
+    from older files read as NULL instead of failing per-file."""
+    old = str(tmp_path / "old")
+    spark.createDataFrame([(1,)], "id long").write.parquet(old)
+    back = read_table(spark, old, "parquet", schema="id long, new_col string")
+    assert back.columns == ["id", "new_col"]
+    assert [tuple(r) for r in back.collect()] == [(1, None)]
+
+
+def test_observed_quality_zero_row_action_reports_zero_nulls(spark, tmp_path):
+    from edgy_spark.functions.observe import observed_quality
+
+    df = spark.createDataFrame([], "id long, s string")
+    observed, obs = observed_quality(df, null_cols=["s"], name="ioq0")
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out0"))
+    assert obs.get["n_rows"] == 0 and obs.get["nulls_s"] == 0
