@@ -32,6 +32,7 @@ def asof_join(
     on: str,
     by: str,
     right_cols: dict[str, str],
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Generic as-of join: for each left row, the latest right row with
     ``right.on <= left.on`` within the same ``by`` group.
@@ -39,30 +40,61 @@ def asof_join(
     Union-and-window: right rows sort before left rows at equal timestamps
     (side flag 0 < 1), so equal-ts rights are visible — matching DuckDB's
     ``ASOF JOIN ... ON l.ts >= r.ts`` semantics.
+
+    All ``right_cols`` come from ONE matched right row (they ride a single
+    struct through one shared window pass — adding columns adds no extra
+    sort), and a matched row whose carried value is legitimately NULL
+    carries that NULL, exactly like a relational as-of join (the struct is
+    the row-presence marker, so NULL values cannot be skipped over for an
+    older row's value).
+
+    Determinism: right rows must be unique per (by, on) — pre-aggregate
+    like the call sites do — OR pass ``tiebreak`` (right source columns,
+    descending-last-wins) so duplicates resolve identically every run.
     """
     lcols = left.columns
-    l = left.withColumn("_side", F.lit(1))
-    r = right.select(
-        by, on, *[F.col(src).alias(dst) for src, dst in right_cols.items()]
-    ).withColumn("_side", F.lit(0))
-    for src, dst in right_cols.items():
-        l = l.withColumn(dst, F.lit(None).cast(dict(r.dtypes)[dst]))
-    unioned = l.select(by, on, "_side", *[c for c in lcols if c not in (by, on)],
-                       *right_cols.values()).unionByName(
-        r.select(by, on, "_side",
-                 *[F.lit(None).cast(dict(l.dtypes)[c]).alias(c)
-                   for c in lcols if c not in (by, on)],
-                 *right_cols.values())
+    tiebreak = tiebreak or []
+    marker = F.struct(
+        *[F.col(src).alias(dst) for src, dst in right_cols.items()]
+    ).alias("__asof_row")
+    r = right.select(by, on, *tiebreak, marker).withColumn("_side", F.lit(0))
+    l = left.withColumn("_side", F.lit(1)).withColumn(
+        "__asof_row", F.lit(None).cast(dict(r.dtypes)["__asof_row"])
+    )
+    for t in tiebreak:
+        if t not in l.columns:
+            l = l.withColumn(t, F.lit(None).cast(dict(r.dtypes)[t]))
+    passthrough = [c for c in lcols if c not in (by, on) and c not in tiebreak]
+    unioned = l.select(
+        by, on, "_side", *tiebreak, *passthrough, "__asof_row"
+    ).unionByName(
+        r.select(
+            by, on, "_side", *tiebreak,
+            *[
+                F.lit(None).cast(dict(l.dtypes)[c]).alias(c)
+                for c in passthrough
+            ],
+            "__asof_row",
+        )
     )
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(F.col(on).asc(), F.col("_side").asc(), *[F.col(t).asc() for t in tiebreak])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = unioned
-    for dst in right_cols.values():
-        out = out.withColumn(dst, F.last(dst, ignorenulls=True).over(w))
-    return out.filter(F.col("_side") == 1).drop("_side")
+    out = unioned.withColumn(
+        "__asof_row", F.last("__asof_row", ignorenulls=True).over(w)
+    )
+    return (
+        out.filter(F.col("_side") == 1)
+        .select(
+            *[c for c in lcols],
+            *[
+                F.col("__asof_row").getField(dst).alias(dst)
+                for dst in right_cols.values()
+            ],
+        )
+    )
 
 
 @register(
@@ -94,26 +126,21 @@ def asof_purchase_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("err_id"))  # dedup equal-ts rights
     )
+    # the matched row's ts rides the same window struct as its id — no
+    # second pass, no join-back (extra carried columns are free)
     joined = asof_join(
-        purchases, errors, on="ts", by="user_id",
-        right_cols={"err_id": "last_error_event_id"},
+        purchases,
+        errors.withColumn("err_ts", F.col("ts")),
+        on="ts",
+        by="user_id",
+        right_cols={"err_id": "last_error_event_id", "err_ts": "err_ts"},
     )
-    # recover the error ts via a join back on (user, event_id) — keeps the
-    # window pass single-column; broadcastable at any scale (errors are rare)
-    err_ts = errors.select(
-        F.col("user_id").alias("eu"), F.col("err_id").alias("last_error_event_id"),
-        F.col("ts").alias("err_ts"),
-    )
-    out = joined.join(
-        err_ts,
-        (joined.user_id == err_ts.eu)
-        & (joined.last_error_event_id == err_ts.last_error_event_id),
-        "left",
-    ).select(
-        "event_id", "user_id",
+    out = joined.select(
+        "event_id",
+        "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("err_ts", "yyyy-MM-dd HH:mm:ss").alias("last_error_ts"),
-        joined.last_error_event_id,
+        "last_error_event_id",
     )
     return out.orderBy("event_id")
 

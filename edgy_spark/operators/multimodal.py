@@ -5,9 +5,8 @@ decode / feature-extract / frame-sample run as Arrow-batched pandas
 functions over ``mapInPandas`` — the only layer of this engine allowed to
 leave the JVM, because media decoding genuinely needs Python libraries.
 
-The image/audio libraries are NOT in this container, so the real decoders
-are STUBBED behind an import-try (``_real_image_decode`` raises
-NotImplementedError when PIL is absent) and a deterministic fake decode
+The image/audio libraries are NOT in this container, so the real decoder
+path is gated behind ``pytest.importorskip`` and a deterministic fake decode
 stands in: every Spark-side piece — schema, binary handling, Arrow batch
 shape, partitioning — is real and oracle-checked, only the pixel math is
 fake (md5-derived, hence reproducible in SQL).  The PIL-backed path
@@ -39,26 +38,6 @@ from edgy_spark.sources import load
 FRAME_BYTES = 256  # fake "frame" size for the video-sampling path
 
 
-def _real_image_decode(payload: bytes):  # pragma: no cover - lib not in container
-    """Real decoder — requires PIL, which this container does not ship."""
-    try:
-        from PIL import Image  # noqa: F401
-        import io
-
-        return Image.open(io.BytesIO(payload))
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decoding requires PIL; container ships without it — "
-            "the deterministic fake decode below exercises the same plumbing"
-        ) from e
-
-
-def _fake_dims(md5_hex: str) -> tuple[int, int]:
-    """Deterministic fake width/height from the payload digest."""
-    h = int(md5_hex[:15], 16)
-    return (h % 640 + 1, (h // 640) % 480 + 1)
-
-
 def with_media_column(docs: DataFrame) -> DataFrame:
     """Attach a binary payload + typed metadata struct to each document."""
     payload = F.col("text").cast("binary")
@@ -86,14 +65,15 @@ def decode_features(media_df: DataFrame) -> DataFrame:
             return (h % 640 + 1, (h // 640) % 480 + 1)
 
         for pdf in batches:
-            digests = [
-                hashlib.md5(bytes(p)).hexdigest() for p in pdf["media"]
-            ]
+            # one bytes() materialization per payload (rows are megabytes —
+            # a second conversion for len() would double the copy cost)
+            payloads = [bytes(p) for p in pdf["media"]]
+            digests = [hashlib.md5(p).hexdigest() for p in payloads]
             dims = [fake_dims(d) for d in digests]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["media"]],
+                    "n_bytes": [len(p) for p in payloads],
                     "content_md5": digests,
                     "width": [w for w, _ in dims],
                     "height": [h for _, h in dims],
@@ -114,9 +94,18 @@ def decode_features_real(media_df: DataFrame) -> DataFrame:
 
     The container ships without PIL, so this path is exercised by a
     ``pytest.importorskip("PIL")`` test (tests/test_multimodal_real.py) that
-    runs wherever the library exists; calling it without PIL raises
-    ImportError inside the Python workers.
+    runs wherever the library exists; without PIL the call fails fast on
+    the DRIVER with NotImplementedError (below) rather than obscurely
+    inside the Python workers at execution time.
     """
+    try:
+        import PIL  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode requires PIL (absent from this container) — "
+            "decode_features is the deterministic stand-in with identical "
+            "plumbing"
+        ) from e
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

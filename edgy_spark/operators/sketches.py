@@ -230,7 +230,12 @@ def sketch_heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "word",
             "n_exact",
-            (F.col("n_est") == F.col("n_exact")).alias("sketch_agrees"),
+            # a heavy hitter MISSING from the sketch is a disagreement
+            # (FALSE), not an unknown (NULL == x would yield NULL)
+            (
+                F.col("n_est").isNotNull()
+                & (F.col("n_est") == F.col("n_exact"))
+            ).alias("sketch_agrees"),
         )
         .orderBy(F.desc("n_exact"), "word")
     )

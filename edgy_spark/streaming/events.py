@@ -147,14 +147,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    # the file-stream source wants a directory: stream the sf dir, filtered
-    # to the events file(s)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # the file-stream source wants a directory.  Two fixture layouts exist:
+    # events.parquet as a single FILE (stream the sf dir with a glob on the
+    # leaf name) or as a Spark-written DIRECTORY of part files (stream that
+    # directory itself — the glob matches LEAF names, so filtering the sf
+    # dir for 'events.parquet' would silently match nothing and produce an
+    # empty stream while the batch twin reads fine).
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if os.path.isdir(path):
+        stream = reader.parquet(path)
+    else:
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     return normalize_event_ts(stream)
 
 

@@ -141,33 +141,38 @@ def _make_detector(ttl_ms: int | None, event_time: bool = False):
         cum, crossed, last_ts_ms = (
             state.get if state.exists else (0, False, 0)
         )
-        for pdf in pdf_iter:
-            if len(pdf):
-                last_ts_ms = max(
-                    last_ts_ms, int(pdf["ts"].max().value // 1_000_000)
-                )
-            if crossed or pdf.empty:
-                # still must drain the iterator and fold the sum so a late
-                # restart resumes with the true total
+        # Arrow delivers one KEY's batch data as MULTIPLE chunks (capped by
+        # arrow.maxRecordsPerBatch) in arbitrary shuffle order; the (ts,
+        # event_id) sort must span the WHOLE batch, so concatenate before
+        # sorting — a per-chunk sort finds the wrong first crossing when a
+        # later-ts chunk arrives first.  Per-key-per-batch volume is what
+        # any grouped-map op must hold in worker memory anyway.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            last_ts_ms = max(last_ts_ms, int(pdf["ts"].max().value // 1_000_000))
+            if crossed:
+                # already emitted: just fold the sum so a late restart
+                # resumes with the true total
                 cents = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
                 cum += int(cents.sum())
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
-            cents = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
-            running = cum + cents.cumsum()
-            cum = int(running[-1]) if len(running) else cum
-            hits = np.nonzero(running >= THRESHOLD * 100)[0]
-            if len(hits):
-                i = int(hits[0])
-                crossed = True
-                ts = pdf["ts"].iloc[i]
-                yield pd.DataFrame(
-                    {
-                        "user_id": [key[0]],
-                        "cross_ts": [ts.strftime("%Y-%m-%d %H:%M:%S")],
-                        "cum_at_cross": [running[i] / 100.0],
-                    }
-                )
+            else:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                cents = np.rint(pdf["value"].to_numpy() * 100).astype("int64")
+                running = cum + cents.cumsum()
+                cum = int(running[-1]) if len(running) else cum
+                hits = np.nonzero(running >= THRESHOLD * 100)[0]
+                if len(hits):
+                    i = int(hits[0])
+                    crossed = True
+                    ts = pdf["ts"].iloc[i]
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "cross_ts": [ts.strftime("%Y-%m-%d %H:%M:%S")],
+                            "cum_at_cross": [running[i] / 100.0],
+                        }
+                    )
         state.update((cum, crossed, last_ts_ms))
         if ttl_ms is not None:
             if event_time:
@@ -192,7 +197,7 @@ def threshold_crossing_stream(
     events: DataFrame,
     ttl_minutes: float | None = None,
     event_time_ttl: bool = False,
-    watermark_delay: str = "0 seconds",
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Stateful streaming form: one output row per user at the micro-batch
     where their running total first reaches THRESHOLD.
@@ -209,11 +214,28 @@ def threshold_crossing_stream(
     keys at the same event-time horizons regardless of replay speed —
     processing-time TTL is wall-clock-dependent, which is fine live but
     wrong for replaying historical data.
+
+    ``watermark_delay`` is REQUIRED with event_time_ttl, and it is a data-
+    loss dial, not a tuning nicety: the stateful operator DROPS input rows
+    older than the watermark, so a delay shorter than the source's real
+    out-of-orderness silently undercounts (choose '0 seconds' only for
+    strictly ordered replays, as the tests do).
     """
     ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+    if ttl_minutes is not None and ttl_ms <= 0:
+        raise ValueError(
+            f"ttl_minutes={ttl_minutes} floors to {ttl_ms} ms; Spark requires "
+            "a positive timeout (pass None to disable TTL)"
+        )
     if event_time_ttl:
         if ttl_ms is None:
             raise ValueError("event_time_ttl requires ttl_minutes")
+        if watermark_delay is None:
+            raise ValueError(
+                "event_time_ttl requires an explicit watermark_delay — rows "
+                "older than the watermark are DROPPED, so this must reflect "
+                "the source's real out-of-orderness"
+            )
         events = events.withWatermark("ts", watermark_delay)
         timeout = GroupStateTimeout.EventTimeTimeout
     elif ttl_ms is None:

@@ -299,7 +299,10 @@ def test_stateful_event_time_ttl_retires_at_watermark(spark, tmp_path):
     stream = _write_replay_chunks(spark, tmp_path, _event_ttl_chunks(spark))
     got = _run_append_stream(
         spark,
-        threshold_crossing_stream(stream, ttl_minutes=8, event_time_ttl=True),
+        threshold_crossing_stream(
+            stream, ttl_minutes=8, event_time_ttl=True,
+            watermark_delay="0 seconds",  # replay chunks are strictly time-ordered
+        ),
         "threshold_evttl_test",
     ).collect()
     assert sorted(r["user_id"] for r in got) == [2]
@@ -323,6 +326,7 @@ def test_stateful_event_time_ttl_is_replay_speed_invariant(spark, tmp_path):
             _write_replay_chunks(spark, fast_dir, _event_ttl_chunks(spark)),
             ttl_minutes=8,
             event_time_ttl=True,
+            watermark_delay="0 seconds",  # strictly ordered replay
         ),
         "threshold_evttl_fast_test",
     )
@@ -334,6 +338,7 @@ def test_stateful_event_time_ttl_is_replay_speed_invariant(spark, tmp_path):
             _write_replay_chunks(spark, slow_dir, _event_ttl_chunks(spark)),
             ttl_minutes=8,
             event_time_ttl=True,
+            watermark_delay="0 seconds",  # strictly ordered replay
         ),
         "threshold_evttl_slow_test",
         interval="1 second",
