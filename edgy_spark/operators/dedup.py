@@ -6,8 +6,13 @@ Scale design:
 - n-gram Jaccard: shingle → explode → group by shingle-hash → emit pairs per
   posting list → per-pair intersection counts.  The shuffle carries
   (hash, doc_id) pairs, never documents; the posting-list groupBy computes
-  the shingle pipeline ONCE (a self-join would execute it twice) and hot
-  shingles are bounded by the per-bucket pair explosion, which AQE splits.
+  the shingle pipeline ONCE (a self-join would execute it twice).  Honest
+  limit: a stop-shingle's posting list is one row whose pair explosion
+  runs inside one task (AQE splits shuffles, not a single row's generator
+  output), so a web-scale corpus needs a document-frequency cap exactly
+  like the containment operator's CONT_MAX_DF — applied identically in
+  the oracle, since dropping ubiquitous shingles changes which rare pairs
+  retain evidence.
 - MinHash+LSH: 2 md5-derived base hashes per shingle expanded into a
   k=16 family by double hashing (Kirsch–Mitzenhacher: h1 + i*h2 mod 2^60),
   signatures via ONE groupBy(doc_id) with 16 min() aggregates (map-side
@@ -24,6 +29,14 @@ because each slice re-copies; measured 4x slower.)
 All hashes are md5-derived (functions/hashing.h60) so every stage is
 bit-reproducible in the DuckDB oracle — including the full MinHash/LSH
 pipeline, which is expressed twice end-to-end.
+
+Tokenization contract, stated: word splitting uses ``\s+`` in both
+engines, whose character classes agree on the fixture corpus (space, tab,
+newline, CR) but NOT on every Unicode/control whitespace — Java's ``\s``
+matches vertical tab (U+000B), DuckDB's RE2 does not.  A corpus containing
+such characters must be normalized upstream (the PII patterns in
+functions/textprep.py show the explicit-character-class alternative) or
+the per-row fingerprints can differ between engines for those rows.
 """
 
 from __future__ import annotations
@@ -33,19 +46,14 @@ from pyspark.sql import functions as F
 
 from edgy_spark.catalog import register
 from edgy_spark.functions.hashing import h60, h60_sql
-from edgy_spark.functions.vectors import cosine_similarity
+from edgy_spark.functions.vectors import cosine_similarity, cosine_sql
 from edgy_spark.sources import load
 
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (self-contained hyperplane-LSH blocking)
 # ---------------------------------------------------------------------------
 
-_COS_SQL = """
-  list_sum(list_transform(list_zip(a.embedding, b.embedding),
-           p -> p[1]::DOUBLE * p[2]::DOUBLE))
-  / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
-"""
+_COS_SQL = cosine_sql("a.embedding", "b.embedding")
 
 # Band layout over functions.lsh.hyperplane_signature()'s 12-bit signature:
 # 3 bands x 4 bits.  Candidates share >= 1 band (classic LSH OR-of-ANDs);
@@ -108,6 +116,17 @@ def embedding_neardup_pairs(
     from edgy_spark.functions.lsh import hyperplane_signature
 
     e = load(spark, sf_dir, "embeddings")
+    from edgy_spark.functions.lsh import N_PLANES
+
+    if n_bands * band_bits > N_PLANES:
+        # the signature is exactly N_PLANES bits; bands beyond it would
+        # read a constant 0 key, collapsing every vector into ONE bucket
+        # — the quadratic blowup this blocking exists to prevent
+        raise ValueError(
+            f"n_bands*band_bits = {n_bands * band_bits} exceeds the "
+            f"{N_PLANES}-bit signature; raise N_PLANES in functions/lsh.py "
+            "(and its oracle twin) first"
+        )
     mask = (1 << band_bits) - 1
     sig = e.select("vec_id", hyperplane_signature().alias("sig"))
     band_arr = F.array(
@@ -282,8 +301,8 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     would shuffle the ENTIRE text payload once before shingling — pure
     waste, and a violation of this module's "shuffles carry keys, never
     payloads" rule.  So: repartition only when the scan has fewer splits
-    than the session's shuffle width (tests/test_properties.py pins the
-    at-scale no-op).
+    than the session's shuffle width (tests/test_properties.py::
+    test_spread_is_noop_when_scan_is_wide pins the at-scale no-op).
     """
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if df.rdd.getNumPartitions() >= target:

@@ -198,7 +198,7 @@ N_SHARDS = 16
     tags=("pipeline", "sharding"),
 )
 def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic training-shard split: shard = md5(doc_id) % {N_SHARDS},
+    """Deterministic training-shard split: shard = md5(doc_id) % N_SHARDS,
     summarized per shard.
 
     Hash-based (not round-robin or random) so the assignment is STABLE

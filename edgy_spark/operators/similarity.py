@@ -19,15 +19,17 @@ from pyspark.sql import functions as F
 
 from edgy_spark.catalog import register
 from edgy_spark.functions.hashing import h60, h60_sql
-from edgy_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from edgy_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    cosine_sql,
+    int8_codes_sql,
+    int8_scale_sql,
+    l2_norm,
+)
 from edgy_spark.sources import load
 
-_COS_SQL = """
-  list_sum(list_transform(list_zip(q.embedding, c.embedding),
-           p -> p[1]::DOUBLE * p[2]::DOUBLE))
-  / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
-     * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))))
-"""
+_COS_SQL = cosine_sql("q.embedding", "c.embedding")
 
 
 @register(
@@ -96,10 +98,18 @@ def sim_lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "embeddings")
     sig = e.select("vec_id", hyperplane_signature().alias("sig"))
-    a = sig.select(F.col("vec_id").alias("vec_a"), "sig")
-    b = sig.select(F.col("vec_id").alias("vec_b"), "sig")
+    # posting-list pair emission, not a self-join: a self-join would scan
+    # the corpus and compute the 12-fold signature TWICE (one lineage per
+    # side); grouping by signature computes it once — the same pattern the
+    # dedup pair generators use
+    buckets = (
+        sig.groupBy("sig")
+        .agg(F.collect_list("vec_id").alias("vecs"))
+        .filter(F.size("vecs") >= 2)
+    )
     return (
-        a.join(b, "sig")
+        buckets.select(F.explode("vecs").alias("vec_a"), "vecs")
+        .select("vec_a", F.explode("vecs").alias("vec_b"))
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
@@ -115,11 +125,7 @@ TOP_K = 10
 
 
 def _cos2(x: str, y: str) -> str:
-    return f"""
-      list_sum(list_transform(list_zip({x}, {y}), p -> p[1]::DOUBLE * p[2]::DOUBLE))
-      / (sqrt(list_sum(list_transform({x}, v -> v::DOUBLE * v::DOUBLE)))
-         * sqrt(list_sum(list_transform({y}, v -> v::DOUBLE * v::DOUBLE))))
-    """
+    return cosine_sql(x, y)
 
 
 def _assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
@@ -411,11 +417,9 @@ SHORTLIST = 24  # approximate-score candidates kept per query for exact re-rank
         FROM embeddings q CROSS JOIN cent_{KM_ROUNDS} c WHERE q.vec_id < {N_QUERIES}) WHERE rn <= {N_PROBE}),
     codes AS (
       SELECT e.vec_id,
-             list_transform(e.embedding,
-               x -> CAST(ROUND(x::DOUBLE / s.scale * 127.0, 0) AS BIGINT)) AS codes
+             {int8_codes_sql('e.embedding', 's.scale')} AS codes
       FROM embeddings e JOIN (
-        SELECT vec_id,
-               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+        SELECT vec_id, {int8_scale_sql('embedding')} AS scale
         FROM embeddings) s ON s.vec_id = e.vec_id),
     codesn AS (
       SELECT vec_id, codes,
@@ -478,15 +482,18 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = _assign_cells(e, cent)
     probe = _probe_cells(e, cent)
 
-    xd = lambda c: c.cast("double")  # noqa: E731
-    scale = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(xd(x))))
-    code_arr = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(xd(x) / F.col("scale") * 127.0, 0).cast("long"),
-    )
+    from edgy_spark.functions.vectors import int8_codes, int8_scale
+
     codes = (
-        e.select(F.col("vec_id").alias("neighbor_id"), scale.alias("scale"), "embedding")
-        .select("neighbor_id", code_arr.alias("codes"))
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            int8_scale(F.col("embedding")).alias("scale"),
+            "embedding",
+        )
+        .select(
+            "neighbor_id",
+            int8_codes(F.col("embedding"), F.col("scale")).alias("codes"),
+        )
         .select("neighbor_id", "codes", l2_norm(F.col("codes")).alias("code_norm"))
     )
 
@@ -523,15 +530,13 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_embedding_int8_quantize",
-    oracle="""
+    oracle=f"""
     WITH q AS (
-      SELECT vec_id,
-             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+      SELECT vec_id, {int8_scale_sql('embedding')} AS scale
       FROM embeddings),
     enc AS (
       SELECT e.vec_id, q.scale,
-             list_transform(e.embedding,
-               x -> CAST(ROUND(x::DOUBLE / q.scale * 127.0, 0) AS BIGINT)) AS codes
+             {int8_codes_sql('e.embedding', 'q.scale')} AS codes
       FROM embeddings e JOIN q ON e.vec_id = q.vec_id)
     SELECT vec_id, scale,
            CAST(list_max(list_transform(codes, c -> abs(c))) AS BIGINT) AS max_code,
@@ -555,16 +560,15 @@ def sim_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles beyond the presentation sort; division and rounding are
     IEEE-identical across engines, and integer sums are order-free.
     """
+    from edgy_spark.functions.vectors import int8_codes, int8_scale
+
     e = load(spark, sf_dir, "embeddings")
-    xd = lambda c: c.cast("double")  # noqa: E731
-    scale = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(xd(x))))
-    codes = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(xd(x) / F.col("scale") * 127.0, 0).cast("long"),
-    )
     return (
-        e.select("vec_id", scale.alias("scale"), "embedding")
-        .select("vec_id", "scale", codes.alias("codes"))
+        e.select("vec_id", int8_scale(F.col("embedding")).alias("scale"), "embedding")
+        .select(
+            "vec_id", "scale",
+            int8_codes(F.col("embedding"), F.col("scale")).alias("codes"),
+        )
         .select(
             "vec_id",
             "scale",

@@ -144,3 +144,16 @@ def test_store_matches_model_under_random_interleavings(spark, tmp_path_factory,
     assert got == sorted(model)
     ids = [r["id"] for r in engine.snapshot().nodes("Person").collect()]
     assert len(ids) == len(set(ids)), "id collision"
+
+
+def test_spread_is_noop_when_scan_is_wide(spark):
+    """_spread must NOT shuffle a scan that is already at least as parallel
+    as the session — at 100 TB an unconditional repartition would move the
+    entire text payload once before any work."""
+    from edgy_spark.operators.dedup import _spread
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = spark.range(1000).repartition(target + 4)
+    assert _spread(spark, wide) is wide  # identical object: no-op
+    narrow = spark.range(1000).coalesce(1)
+    assert _spread(spark, narrow).rdd.getNumPartitions() == target
