@@ -232,6 +232,25 @@ DEFAULT_RATE = 10
 SAMPLE_SALT = "|strat1"
 
 
+def _sample_rate_col():
+    """Per-source keep rate (percent) — ONE definition shared by the
+    standalone sampler and the fused end-to-end pipeline, so the fused
+    stage is structurally, not coincidentally, the same sampler."""
+    rate = F.lit(DEFAULT_RATE)
+    for s_, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("source") == s_, F.lit(r)).otherwise(rate)
+    return rate
+
+
+def _sample_bucket_col():
+    from edgy_spark.functions.hashing import h60
+
+    return F.pmod(
+        h60(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))),
+        F.lit(100),
+    )
+
+
 @register(
     "pipeline_stratified_sample",
     oracle=f"""
@@ -258,17 +277,9 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.  Pure map over the scan (no shuffle but the presentation sort);
     changing the salt draws an independent sample.
     """
-    from edgy_spark.functions.hashing import h60
-
     d = load(spark, sf_dir, "documents")
-    rate = F.lit(DEFAULT_RATE)
-    for s, r in sorted(SAMPLE_RATES.items()):
-        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
-    bucket = F.pmod(
-        h60(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))), F.lit(100)
-    )
     return (
-        d.filter(bucket < rate)
+        d.filter(_sample_bucket_col() < _sample_rate_col())
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")
     )
@@ -426,13 +437,7 @@ def pipeline_training_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.withColumn("rn", F.row_number().over(wcanon))
         .filter(F.col("rn") == 1)
     )
-    rate = F.lit(DEFAULT_RATE)
-    for s, r in sorted(SAMPLE_RATES.items()):
-        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
-    bucket = F.pmod(
-        h60(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))), F.lit(100)
-    )
-    sampled = canon.filter(bucket < rate).select(
+    sampled = canon.filter(_sample_bucket_col() < _sample_rate_col()).select(
         "doc_id", "source", "lang", "n_tokens"
     )
     shard = F.pmod(h60(F.col("doc_id").cast("string")), F.lit(PACK_SHARDS))
