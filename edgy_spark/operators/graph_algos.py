@@ -183,6 +183,7 @@ def run_fixpoint(
     compare_cols: Sequence[str] | None = None,
     substeps: int = 1,
     broadcast_state: bool = True,
+    detect_removals: bool = False,
 ) -> DataFrame:
     """Iterate ``state = step(state)`` with per-round checkpointing and
     optional change-set convergence — the loop shared by every iterative
@@ -190,6 +191,14 @@ def run_fixpoint(
 
     - ``state`` must carry a ``node`` key column; ``step`` returns the next
       state (it may grow the node set, e.g. a BFS frontier).
+    - ``detect_removals``: the default change-set (new LEFT JOIN old) is
+      blind to nodes a step DROPS — fine for every canned algorithm here
+      (their states only grow or change), wrong for peeling/pruning-style
+      steps (k-core, frontier-only BFS) where a removals-only round must
+      NOT read as converged.  Set True for such steps: each round adds one
+      tiny broadcast anti-join probe for vanished nodes.  (A full-outer
+      merge would detect this without the extra probe but cannot broadcast,
+      which would shuffle the state every round.)
     - ``compare_cols``: state columns whose stability defines convergence.
       After each round the new state is joined (left) to the previous one on
       ``node``; a node that is new, or whose compared column changed, marks
@@ -234,6 +243,10 @@ def run_fixpoint(
             .withColumn("__chg", chg)
         )
         changed = merged.filter("__chg").limit(1).count()
+        if changed == 0 and detect_removals:
+            changed = state.join(
+                _hint(new.select("node"), broadcast_state), "node", "left_anti"
+            ).limit(1).count()
         state = merged.drop(
             "__chg", "__old_present", *[f"__old_{c}" for c in compare_cols]
         )
@@ -259,7 +272,7 @@ def connected_components(
     ~O(log diameter), the same effect the large-star/small-star algorithm
     achieves.  Fixpoint detected by an empty change-set.
     """
-    und = _checkpoint(undirect(edges)).persist()
+    und = _checkpoint(undirect(edges))
     labels = (
         und.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -300,7 +313,6 @@ def connected_components(
         max_iter=max_iter, compare_cols=["label"], substeps=2,
         broadcast_state=broadcast_state,
     )
-    und.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -340,7 +352,7 @@ def bfs_distances(
     oracle's depth-capped recursive CTE; a converged (unchanged) state is
     a fixpoint, so stopping early cannot change the result.
     """
-    und = _checkpoint(undirect(edges)).persist()
+    und = _checkpoint(undirect(edges))
     source = und.agg(F.min("src").alias("s"))
     dist0 = (
         und.select(F.col("src").alias("node")).distinct()
@@ -370,7 +382,6 @@ def bfs_distances(
         max_iter=max_depth, compare_cols=["dist"],
         broadcast_state=broadcast_state,
     )
-    und.unpersist()
     return dist
 
 
@@ -411,7 +422,7 @@ def pagerank_scaled(
     is independent of partitioning AND matches the oracle's unrolled SQL
     exactly — the reason this engine's PageRank is scaled-integer.
     """
-    und = _checkpoint(undirect(edges)).persist()
+    und = _checkpoint(undirect(edges))
     verts = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     n_df = verts.agg(F.count(F.lit(1)).alias("n"))
     state0 = (
@@ -442,7 +453,6 @@ def pagerank_scaled(
         state0, step, max_iter=iters, compare_cols=None,
         broadcast_state=broadcast_state,
     )
-    und.unpersist()
     return state.select("node", "rank")
 
 
@@ -519,6 +529,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of aggregate_messages + run_fixpoint would write it)
 # ---------------------------------------------------------------------------
 
+# NOTE: keep in sync with copurchase_edges above and with the edge SQL in
+# _EDGES_SQL + the SSSP/LPA oracles — the edge DEFINITION (qty filter, pair
+# shape) is spelled in several places because the weighted/unweighted and
+# Spark/SQL variants differ structurally; a semantic change must hit all.
 def copurchase_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical co-purchase edges with an integer distance weight:
     w = greatest(1, 10 - #co-purchasing orders) — strongly co-purchased
@@ -562,7 +576,7 @@ def sssp_weighted(
     ~10 lines below — a seed set, a message expression (``dist + w``), a
     min combiner, a relaxation update, and the shared loop.
     """
-    und = _checkpoint(undirect(wedges)).persist()
+    und = _checkpoint(undirect(wedges))
     dist0 = (
         und.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -589,7 +603,6 @@ def sssp_weighted(
         max_iter=max_iter, compare_cols=["dist"],
         broadcast_state=broadcast_state,
     )
-    und.unpersist()
     return dist
 
 
@@ -682,7 +695,7 @@ def label_propagation(
     vertex's collected neighborhood (bounded by degree — at web scale,
     combine with the skew toolkit for celebrity vertices).
     """
-    und = _checkpoint(undirect(edges)).persist()
+    und = _checkpoint(undirect(edges))
     labels = (
         und.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -703,7 +716,6 @@ def label_propagation(
         labels, step, max_iter=rounds, compare_cols=None,
         broadcast_state=broadcast_state,
     )
-    und.unpersist()
     return out
 
 
@@ -742,7 +754,7 @@ def _lpa_round_sql(prev: str, this: str) -> str:
     tags=("graph", "iterative", "community", "pregel-primitive"),
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community labels over the co-purchase graph after {LPA_ROUNDS}
+    """Community labels over the co-purchase graph after LPA_ROUNDS (= 3)
     synchronous LPA rounds, written on the aggregate_messages/run_fixpoint
     combinators; the oracle unrolls the identical rounds in SQL."""
     return label_propagation(copurchase_edges(spark, sf_dir)).orderBy("node")

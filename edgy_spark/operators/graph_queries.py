@@ -100,7 +100,9 @@ def graph_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
         .hop("placed_by")
     )
-    inactive = customers.anti(recent_customers).rehydrate()
+    # anti() preserves the scan's attribute columns, so no rehydrate —
+    # that would re-scan and re-join the customer table for nothing
+    inactive = customers.anti(recent_customers)
     return inactive.df.select(
         F.col("id").alias("c_custkey"), "c_name", "c_acctbal"
     ).orderBy("c_custkey").limit(100)

@@ -737,8 +737,9 @@ def pivot_orders_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("order_year")
         .pivot("o_orderpriority", _PRIORITIES)
         .agg(F.count(F.lit(1)))
-        .na.fill(0, subset=None)
     )
+    # one explicit null-handling path (the oracle's COALESCE): a pivot cell
+    # with no rows is NULL, never a count
     renamed = wide.select(
         "order_year",
         *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(c)

@@ -152,7 +152,6 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     hits = {lg: _marker_hits_spark(lg) for lg in _LANGS}
     greatest = F.greatest(*hits.values())
-    pred = F.lit("unk")
     expr = None
     for lg in _LANGS:
         cond = hits[lg] >= greatest
@@ -402,7 +401,7 @@ TFIDF_TOP_N = 3
     tags=("text", "tfidf", "ranking"),
 )
 def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TFIDF_TOP_N} salient terms per document: TF × linear inverse
+    """Top-TFIDF_TOP_N (= 3) salient terms per document: TF × linear inverse
     document frequency — the keyword-extraction step of a corpus indexing /
     topic-tagging pipeline.
 

@@ -99,6 +99,12 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    scratch = {"__salt", "__salts", "__hot"}
+    clash = scratch & (set(probe.columns) | set(build.columns))
+    if clash:
+        # never silently clobber-and-drop caller data (or mis-treat a
+        # pre-existing __hot as the hot-key marker)
+        raise ValueError(f"salted_join scratch column collision: {sorted(clash)}")
 
     hot = (
         probe.groupBy(key)
