@@ -1,4 +1,4 @@
-"""Deduplication operators over ``documents`` / ``embeddings`` (north-star
+r"""Deduplication operators over ``documents`` / ``embeddings`` (north-star
 LLM-pipeline scope; no reference counterpart).
 
 Scale design:

@@ -362,6 +362,56 @@ class EdgyWriter(DataSourceArrowWriter):
             return _WriteMessage("", 0, -1, -1)  # empty partition: no file
         return _WriteMessage(fname, n_rows, max_id, min_id)
 
+    def _validate_schema(self, manifest: dict, messages) -> str | None:
+        """Reject writes that would corrupt the store's invariants — a
+        mixed-schema parquet directory reads with ONE arbitrary footer's
+        schema, silently yielding NULLs or failures downstream.
+
+        - edge tables must carry the engine's exact edge struct
+          (src/dst/pos/ipos int64 — storage.EDGE_STRUCT), or Engine
+          adjacency reads break;
+        - appends must match the current table version's stored schema by
+          (name, type) set (order-insensitive: readers resolve by name);
+          overwrite may change the schema (the engine reconciles old node
+          versions on read — Snapshot._reconcile_to_schema).
+
+        Returns an error string, or None when valid.
+        """
+        import pyarrow.parquet as pq
+
+        staged = [m.filename for m in messages if m and m.filename]
+        if not staged:
+            return None
+        staged_schema = pq.read_schema(
+            os.path.join(self.root, self.staging, staged[0])
+        )
+        incoming = {f.name: str(f.type) for f in staged_schema}
+        if self.table.startswith("e_"):
+            need = {"src": "int64", "dst": "int64", "pos": "int64", "ipos": "int64"}
+            if incoming != need:
+                return (
+                    f"edge table {self.table!r} requires exactly columns "
+                    f"{need}, got {incoming}"
+                )
+        rel = manifest["tables"].get(self.table)
+        if not self.overwrite and rel is not None:
+            stored_dir = os.path.join(self.root, rel)
+            files = [
+                n
+                for n in sorted(os.listdir(stored_dir))
+                if n.startswith("part-") or n.endswith(".parquet")
+            ]
+            if files:
+                stored_schema = pq.read_schema(os.path.join(stored_dir, files[0]))
+                existing = {f.name: str(f.type) for f in stored_schema}
+                if incoming != existing:
+                    return (
+                        f"append schema mismatch for {self.table!r}: "
+                        f"stored {existing}, incoming {incoming} — "
+                        "use mode('overwrite') to change a table's schema"
+                    )
+        return None
+
     def commit(self, messages):
         import shutil as _shutil
 
@@ -374,6 +424,10 @@ class EdgyWriter(DataSourceArrowWriter):
             )
         with open(os.path.join(self.root, f"manifest.v{current}.json")) as f:
             manifest = json.load(f)
+        schema_err = self._validate_schema(manifest, messages)
+        if schema_err:
+            self.abort(messages)
+            raise ValueError(f"edgy write rejected: {schema_err}")
         if not self.overwrite and self.has_id:
             # node identity invariant: appended ids must sit at or above
             # the store's id cursor, else they can collide with existing
@@ -392,7 +446,12 @@ class EdgyWriter(DataSourceArrowWriter):
                 )
         new_version = current + 1
         key = self.table
-        relpath = os.path.join("data", f"{key}.v{new_version}.parquet")
+        # unique per-attempt location (the staging dir's uuid) so a racing
+        # committer of the same version can never write into — or clobber —
+        # this attempt's promoted directory; the manifest's exclusive
+        # create below is the single arbitration point
+        token = self.staging.rsplit("-", 1)[1][:8]
+        relpath = os.path.join("data", f"{key}.v{new_version}-{token}.parquet")
         dst_dir = os.path.join(self.root, relpath)
         if not self.overwrite and manifest["tables"].get(key):
             # append: link the current version's immutable files in first
@@ -426,8 +485,21 @@ class EdgyWriter(DataSourceArrowWriter):
             "tables": tables,
             "bucketed": bucketed,
         }
-        with open(os.path.join(self.root, f"manifest.v{new_version}.json"), "w") as f:
-            json.dump(new_manifest, f)
+        # exclusive create = compare-and-swap: two committers from the same
+        # base both pass the version pre-check, but the filesystem lets only
+        # one create manifest.v{N+1} — the loser cleans up and raises
+        # instead of silently overwriting the winner's committed manifest
+        try:
+            with open(
+                os.path.join(self.root, f"manifest.v{new_version}.json"), "x"
+            ) as f:
+                json.dump(new_manifest, f)
+        except FileExistsError:
+            _shutil.rmtree(dst_dir, ignore_errors=True)
+            raise RuntimeError(
+                f"edgy write conflict: a concurrent commit published "
+                f"v{new_version} first; re-run the job"
+            ) from None
         _publish_current(self.root, new_version)
 
     def abort(self, messages):

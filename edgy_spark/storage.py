@@ -155,8 +155,24 @@ class GraphStore:
         return os.path.join(self.root, f"manifest.v{version}.json")
 
     def _write_manifest(self, manifest: dict) -> None:
-        with open(self._manifest_path(manifest["version"]), "w") as f:
-            json.dump(manifest, f)
+        """Create the manifest with O_EXCL so the filesystem arbitrates
+        racing committers: two commits from the same base version both pass
+        the staleness check, but only one can create ``manifest.v{N+1}`` —
+        the loser gets ConflictError and retries, instead of silently
+        overwriting the winner's committed transaction.  (The version-0
+        bootstrap in ``__init__`` is the only caller that may find a
+        pre-existing file: two sessions opening the same store root race the
+        initial empty manifest, whose bytes are identical — tolerated.)"""
+        path = self._manifest_path(manifest["version"])
+        try:
+            with open(path, "x") as f:
+                json.dump(manifest, f)
+        except FileExistsError:
+            if manifest["version"] == 0:
+                return  # bootstrap race: the other session wrote the same bytes
+            raise ConflictError(
+                f"concurrent commit already published version {manifest['version']}"
+            ) from None
 
     def _publish(self, version: int) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.root)
@@ -164,13 +180,16 @@ class GraphStore:
             f.write(str(version))
         os.replace(tmp, self._current_path)  # atomic pointer swap
 
-    def _bucket_table_name(self, key: str, version: int) -> str:
+    def _bucket_table_name(self, key: str, version: int, token: str = "") -> str:
         """Session-catalog name for a bucketed edge-table version, unique
-        per store root so two stores in one session never collide."""
+        per store root so two stores in one session never collide; the
+        per-commit ``token`` keeps racing committers of the same version
+        from colliding on the catalog name too."""
         import hashlib
 
         h = hashlib.md5(self.root.encode()).hexdigest()[:8]
-        return f"edgy_{h}_{key}_v{version}"
+        suffix = f"_{token}" if token else ""
+        return f"edgy_{h}_{key}_v{version}{suffix}"
 
     def current_version(self) -> int:
         with open(self._current_path) as f:
@@ -205,14 +224,25 @@ class GraphStore:
                 f"snapshot {base.version} is stale (current={self.current_version()})"
             )
         new_version = base.version + 1
+        # per-attempt token: racing committers from the same base write to
+        # DISTINCT data locations (and catalog table names), so the loser's
+        # overwrite-mode job can never clobber the winner's committed files.
+        # The manifest's exclusive create below is the single arbitration
+        # point; the loser's orphaned data is cleaned up here (best-effort)
+        # or by vacuum's age-guarded sweep.
+        import uuid as _uuid
+
+        token = _uuid.uuid4().hex[:8]
         tables = dict(base.manifest["tables"])
         bucketed = dict(base.manifest.get("bucketed", {}))
+        written_paths: list[str] = []
+        written_tbls: list[str] = []
         for key, df in changed_tables.items():
-            relpath = os.path.join("data", f"{key}.v{new_version}.parquet")
+            relpath = os.path.join("data", f"{key}.v{new_version}-{token}.parquet")
             if self.bucket_edges and key.startswith("e_"):
                 from edgy_spark.sources.io import write_bucketed
 
-                tbl = self._bucket_table_name(key, new_version)
+                tbl = self._bucket_table_name(key, new_version, token)
                 write_bucketed(
                     df,
                     tbl,
@@ -222,17 +252,28 @@ class GraphStore:
                     path=os.path.join(self.root, relpath),
                 )
                 bucketed[key] = tbl
+                written_tbls.append(tbl)
             else:
                 df.write.mode("overwrite").parquet(os.path.join(self.root, relpath))
                 bucketed.pop(key, None)
             tables[key] = relpath
+            written_paths.append(relpath)
         manifest = {
             "version": new_version,
             "next_id": next_id if next_id is not None else base.manifest["next_id"],
             "tables": tables,
             "bucketed": bucketed,
         }
-        self._write_manifest(manifest)
+        try:
+            self._write_manifest(manifest)
+        except ConflictError:
+            # a concurrent commit won the version: drop this attempt's data
+            # so the retry doesn't rely on vacuum's 24 h orphan sweep
+            for rel in written_paths:
+                shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+            for tbl in written_tbls:
+                self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            raise
         self._publish(new_version)
         snap = Snapshot(self, manifest)
         if (
@@ -339,25 +380,39 @@ class GraphStore:
             referenced_tbl.update(m.get("bucketed", {}).values())
         removed: list[str] = []
         data_dir = os.path.join(self.root, "data")
+        import re as _re
         import time as _time
+
+        def _abandoned(name: str) -> bool:
+            """24 h age guard — the same rule object-store lifecycle
+            policies use for incomplete multipart uploads."""
+            try:
+                age = _time.time() - os.path.getmtime(os.path.join(data_dir, name))
+            except OSError:
+                return False
+            return age >= 86_400
 
         for name in sorted(os.listdir(data_dir)):
             rel = os.path.join("data", name)
             if rel in referenced_rel:
                 continue
             if name.startswith("."):
-                # a dot-prefixed entry is an in-flight bulk writer's staging
-                # directory (sources/pysource.EdgyWriter) — deleting it
-                # under a live job loses rows.  Sweep only abandoned ones
-                # (no modification for 24 h — the same age guard object-
-                # store lifecycle rules use for incomplete uploads).
-                try:
-                    age = _time.time() - os.path.getmtime(
-                        os.path.join(data_dir, name)
-                    )
-                except OSError:
+                # dot-prefixed: an in-flight bulk writer's staging directory
+                # (sources/pysource.EdgyWriter) — deleting it under a live
+                # job loses rows.  Sweep only abandoned ones.
+                if not _abandoned(name):
                     continue
-                if age < 86_400:
+            else:
+                # versioned table data referenced by NO manifest: either
+                # history whose manifests this vacuum already dropped
+                # (version <= current → safe to sweep), or a CONCURRENT
+                # commit's in-flight write racing us (its version is above
+                # every published manifest because commit stages data
+                # BEFORE publishing) — age-guard those, and anything
+                # unparsable, instead of deleting a live job's output.
+                m = _re.search(r"\.v(\d+)", name)
+                in_flight = m is None or int(m.group(1)) > current
+                if in_flight and not _abandoned(name):
                     continue
             shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
             removed.append(rel)

@@ -194,3 +194,61 @@ def test_maintenance_failure_never_fails_a_published_commit(spark, tmp_path, mon
     assert any("maintenance" in str(x.message) for x in w)
     names = [r["name"] for r in engine.snapshot().nodes("Person").collect()]
     assert names == ["Once"]  # applied exactly once, commit succeeded
+
+
+def test_racing_commits_same_base_exactly_one_publishes(spark, tmp_path, monkeypatch):
+    """Verdict r06: the manifest publish must be a real CAS.  Two committers
+    from the same base version both pass the staleness pre-check (simulated
+    by pinning current_version); only one may create manifest.v{N+1} — the
+    loser raises ConflictError, leaves the winner's data untouched, and
+    cleans up its own orphaned files."""
+    import pytest
+
+    from edgy_spark.storage import ConflictError
+
+    root = str(tmp_path / "db")
+    store = GraphStore(spark, root, demo_schema())
+    base = store.snapshot()
+    df_a = spark.createDataFrame([(1, "A", 1)], "id long, name string, age long")
+    df_b = spark.createDataFrame([(2, "B", 2)], "id long, name string, age long")
+
+    # both committers believe CURRENT is still the base version
+    monkeypatch.setattr(store, "current_version", lambda: base.version)
+    store.commit(base, {"n_Person": df_a}, next_id=2)
+    with pytest.raises(ConflictError, match="concurrent commit"):
+        store.commit(base, {"n_Person": df_b}, next_id=3)
+    monkeypatch.undo()
+
+    # the winner's transaction survives intact
+    assert store.current_version() == base.version + 1
+    names = [r["name"] for r in store.snapshot().nodes("Person").collect()]
+    assert names == ["A"]
+    # the loser's orphaned data was cleaned up immediately (not left for
+    # vacuum's 24h sweep): only the winner's n_Person version dir exists
+    person_dirs = [d for d in _data_dirs(root) if d.startswith("n_Person")]
+    assert len(person_dirs) == 1
+
+
+def test_vacuum_spares_in_flight_commit_data(spark, tmp_path):
+    """ADVICE r06: commit stages table data BEFORE publishing its manifest;
+    vacuum must not delete an unreferenced version directory whose version
+    is ABOVE every published manifest (a concurrent commit's in-flight
+    write) unless it is abandoned (24h age guard).  Unreferenced dirs at or
+    below CURRENT are history and are swept immediately."""
+    root = str(tmp_path / "db")
+    engine = Engine(spark, root, demo_schema())
+    for i in range(4):
+        engine.run(lambda t, i=i: t.new_node("Person", name=f"P{i}", age=i))
+    current = engine.store.current_version()
+    data = os.path.join(root, "data")
+
+    in_flight = f"n_Person.v{current + 1}-aaaa1111.parquet"
+    os.makedirs(os.path.join(data, in_flight))
+    stale_history = "n_Person.v1-bbbb2222.parquet"
+    os.makedirs(os.path.join(data, stale_history))
+
+    removed = engine.store.vacuum(retain_versions=2)
+    remaining = _data_dirs(root)
+    assert in_flight in remaining, "vacuum deleted a concurrent commit's data"
+    assert stale_history not in remaining
+    assert os.path.join("data", stale_history) in removed

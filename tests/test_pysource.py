@@ -4,6 +4,8 @@ on the read path."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from edgy_spark.demo import big_bang, demo_schema
@@ -233,3 +235,100 @@ def test_edgy_writer_rejects_append_below_id_cursor(spark, tmp_path):
     # store unchanged — the failed write left no new version
     names = {r["name"] for r in engine.snapshot().nodes("Person").collect()}
     assert names == {"Bob", "Jane", "Jose"}
+
+
+def test_edgy_writer_rejects_append_schema_mismatch(spark, tmp_path):
+    """ADVICE r06: an append whose DataFrame is missing or re-types a column
+    would produce a mixed-schema parquet directory (read with one arbitrary
+    footer's schema) — the writer must refuse before publishing."""
+    import pytest
+
+    engine, _ = _store(spark, tmp_path)
+    register_edgy_source(spark)
+    bad = spark.createDataFrame(
+        [(500, "Wrong")], "id long, name string"  # missing the age column
+    )
+    with pytest.raises(Exception) as exc:
+        (
+            bad.write.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "n_Person")
+            .mode("append")
+            .save()
+        )
+    assert "schema mismatch" in str(exc.value)
+    assert {r["name"] for r in engine.snapshot().nodes("Person").collect()} == {
+        "Bob", "Jane", "Jose",
+    }
+
+    # overwrite MAY change the schema (engine reconciles old versions on read)
+    (
+        bad.write.format("edgy")
+        .option("root", engine.store.root)
+        .option("table", "n_Person")
+        .mode("overwrite")
+        .save()
+    )
+    assert engine.snapshot().manifest["tables"]["n_Person"]
+
+
+def test_edgy_writer_rejects_malformed_edge_table(spark, tmp_path):
+    """Edge tables must carry the engine's exact src/dst/pos/ipos int64
+    struct or Engine adjacency reads break."""
+    import pytest
+
+    engine, _ = _store(spark, tmp_path)
+    register_edgy_source(spark)
+    bad = spark.createDataFrame([(1, 2)], "src long, dst long")  # no pos/ipos
+    with pytest.raises(Exception) as exc:
+        (
+            bad.write.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "e_friend")
+            .mode("overwrite")
+            .save()
+        )
+    assert "requires exactly columns" in str(exc.value)
+
+
+def test_edgy_writer_manifest_cas_arbitrates_racing_commits(spark, tmp_path, monkeypatch):
+    """Verdict r06: with bulk writes coming from arbitrary Spark jobs, two
+    committers in different processes can both pass the version pre-check;
+    the exclusive manifest create must let exactly one publish."""
+    import pyarrow as pa
+    import pytest
+
+    import edgy_spark.sources.pysource as ps
+
+    engine, _ = _store(spark, tmp_path)
+    root = engine.store.root
+    base = engine.store.current_version()
+    schema = engine.snapshot().nodes("Person").schema
+
+    def writer_with_rows(name, node_id):
+        w = ps.EdgyWriter(root, "n_Person", schema, overwrite=True)
+        batch = pa.RecordBatch.from_pydict(
+            {"id": [node_id], "name": [name], "age": [30]},
+            schema=pa.schema(
+                [("id", pa.int64()), ("name", pa.string()), ("age", pa.int64())]
+            ),
+        )
+        msg = w.write(iter([batch]))
+        return w, [msg]
+
+    w1, m1 = writer_with_rows("Winner", 900)
+    w2, m2 = writer_with_rows("Loser", 901)
+    # both pass the pre-check: pin the version both writers see
+    monkeypatch.setattr(ps, "_current_version", lambda _root: base)
+    w1.commit(m1)
+    with pytest.raises(RuntimeError, match="concurrent commit published"):
+        w2.commit(m2)
+    monkeypatch.undo()
+
+    assert engine.store.current_version() == base + 1
+    names = [r["name"] for r in engine.snapshot().nodes("Person").collect()]
+    assert names == ["Winner"]
+    # loser's promoted dir was cleaned up
+    data = os.listdir(os.path.join(root, "data"))
+    loser_dirs = [d for d in data if d.startswith(f"n_Person.v{base + 1}")]
+    assert len(loser_dirs) == 1

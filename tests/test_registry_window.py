@@ -9,7 +9,7 @@ import glob
 import json
 import os
 
-from edgy_spark.catalog import QUERIES, load_all_registrations
+from edgy_spark.catalog import QUERIES, R07_WINDOW, load_all_registrations
 
 load_all_registrations()
 
@@ -34,6 +34,21 @@ def test_never_verified_queries_sit_inside_the_driver_window():
     assert not stranded, (
         f"{stranded} have never been driver-verified but sit outside the "
         f"first-{WINDOW} window — add them to _prioritize() in catalog.py"
+    )
+
+
+def test_first_50_registrations_match_the_intended_window_exactly():
+    """The verdict's window-rotation guard: the first WINDOW registrations
+    must equal the explicit intended list, position for position — so a
+    future module reorder or early registration cannot silently evict an
+    entry the round's rotation plan depends on."""
+    assert len(R07_WINDOW) == WINDOW
+    assert len(set(R07_WINDOW)) == WINDOW, "duplicates in the window list"
+    names = list(QUERIES)[:WINDOW]
+    assert names == R07_WINDOW, (
+        "driver window drifted from the plan: "
+        f"unexpected={sorted(set(names) - set(R07_WINDOW))} "
+        f"evicted={sorted(set(R07_WINDOW) - set(names))}"
     )
 
 
