@@ -272,9 +272,37 @@ class Transaction:
         return any(t.id == target.id for t in self.get_related_list(node, rel_name))
 
     def _replay(self, side, key: int, adj: list[int]) -> list[int]:
-        """Apply this txn's staged ops to one committed adjacency list."""
+        """Apply this txn's staged ops to one committed adjacency list.
+
+        Bulk batches replay too (read-your-writes, ADVICE r06): the batch's
+        rows for this key are prepended as a block in the same dst-ascending
+        (src-ascending for inverse reads) order ``_rebuild_edges`` commits,
+        so an in-txn ``get_related`` equals the post-commit read — and
+        One/Optional cardinality violations introduced by a bulk batch
+        surface on read like any other.  Cost: one bounded Spark filter per
+        pending batch per point read — this is the OLTP surface; set-at-a-
+        time readers use the query layer.
+        """
         for entry in self._edge_log.get(side.table, []):
             op = entry[0]
+            if op == "bulk":
+                b = entry[1]
+                if side.forward or side.symmetric:
+                    rows = (
+                        b.filter(F.col("src") == key)
+                        .orderBy("dst")
+                        .select("dst")
+                        .collect()
+                    )
+                else:
+                    rows = (
+                        b.filter(F.col("dst") == key)
+                        .orderBy("src")
+                        .select("src")
+                        .collect()
+                    )
+                adj = [r[0] for r in rows] + adj
+                continue
             if side.forward or side.symmetric:
                 if op == "add" and entry[1] == key:
                     adj = [entry[2]] + adj
@@ -430,7 +458,19 @@ class Transaction:
         return self.engine.store.commit(self.snap, changed, next_id=self._next_id)
 
     def _rebuild_edges(self, table: str) -> DataFrame | None:
-        """Fold the op log into the edge table with pure DataFrame transforms."""
+        """Fold the op log into the edge table with pure DataFrame transforms.
+
+        The log is processed strictly IN ORDER so prepend semantics hold
+        across mixed point and bulk mutations (ADVICE r06): a batch's rows
+        take positions below everything staged BEFORE it — and nothing
+        staged after — and a later ``add_related`` on the same key prepends
+        ABOVE the batch (the driver-side running min is advanced past the
+        batch for exactly the keys later point ops touch, one bounded
+        collect per batch, skipped when no later point add exists).
+        Within a batch, list order is ``dst`` ascending per src (``src``
+        ascending per dst on the inverse side) — the same order
+        ``_replay`` uses for read-your-writes.
+        """
         log = self._edge_log.get(table, [])
         # cascade delete: endpoints of this table's relation
         fwd = next(
@@ -442,7 +482,8 @@ class Transaction:
         dst_dead = self._deleted.get(fwd.target, set())
         if not log and not src_dead and not dst_dead:
             return None
-        df = self.snap.edge_table(table)
+        committed = self.snap.edge_table(table)
+        spark = self.engine.spark
 
         # current mins for prepend positions (only staged keys — small)
         add_srcs = {e[1] for e in log if e[0] in ("add", "set_src")}
@@ -453,7 +494,7 @@ class Transaction:
         min_ipos: dict[int, int] = {}
         if add_srcs:
             for r in (
-                df.filter(F.col("src").isin(list(add_srcs)))
+                committed.filter(F.col("src").isin(list(add_srcs)))
                 .groupBy("src")
                 .agg(F.min("pos"))
                 .collect()
@@ -461,14 +502,12 @@ class Transaction:
                 min_pos[r[0]] = r[1]
         if add_dsts:
             for r in (
-                df.filter(F.col("dst").isin(list(add_dsts)))
+                committed.filter(F.col("dst").isin(list(add_dsts)))
                 .groupBy("dst")
                 .agg(F.min("ipos"))
                 .collect()
             ):
                 min_ipos[r[0]] = r[1]
-
-        new_rows: list[tuple[int, int, int, int]] = []
 
         def next_pos(s: int) -> int:
             p = min_pos.get(s, 1) - 1
@@ -480,105 +519,144 @@ class Transaction:
             min_ipos[d] = p
             return p
 
-        conds = []  # (log index, removal predicate) — order matters for bulk
-        bulk_dfs: list[tuple[int, DataFrame]] = []
+        conds: list[tuple[int, "F.Column"]] = []  # (log idx, removal pred)
+        # staged rows land in SEGMENTS in log order: point rows accumulate
+        # in `pending` (eagerly filtered by later point ops, exact list
+        # semantics) and are flushed to a segment whenever a bulk batch
+        # arrives, so each batch sees exactly the rows staged before it.
+        # A removal predicate at log idx c applies to segments flushed at
+        # idx < c (pending rows are filtered eagerly instead).
+        segments: list[tuple[int, DataFrame]] = []  # (flush/bulk idx, rows)
+        pending: list[tuple[int, int, int, int]] = []
+
+        def flush_pending(at_idx: int) -> None:
+            nonlocal pending
+            if pending:
+                seg = spark.createDataFrame(
+                    [
+                        {"src": s, "dst": d, "pos": p, "ipos": ip}
+                        for s, d, p, ip in pending
+                    ],
+                    "src long, dst long, pos long, ipos long",
+                )
+                segments.append((at_idx, seg))
+                pending = []
+
         for idx, entry in enumerate(log):
             op = entry[0]
             if op == "add":
                 _, s, d = entry
-                new_rows = [r for r in new_rows]  # keep order
-                new_rows.append((s, d, next_pos(s), next_ipos(d)))
+                pending.append((s, d, next_pos(s), next_ipos(d)))
             elif op == "remove":
                 _, s, d = entry
                 conds.append((idx, (F.col("src") == s) & (F.col("dst") == d)))
-                new_rows = [r for r in new_rows if not (r[0] == s and r[1] == d)]
+                pending = [r for r in pending if not (r[0] == s and r[1] == d)]
             elif op == "clear_src":
                 s = entry[1]
                 conds.append((idx, F.col("src") == s))
-                new_rows = [r for r in new_rows if r[0] != s]
+                pending = [r for r in pending if r[0] != s]
             elif op == "clear_dst":
                 d = entry[1]
                 conds.append((idx, F.col("dst") == d))
-                new_rows = [r for r in new_rows if r[1] != d]
+                pending = [r for r in pending if r[1] != d]
             elif op == "set_src":
                 _, s, dsts = entry
                 conds.append((idx, F.col("src") == s))
-                new_rows = [r for r in new_rows if r[0] != s]
+                pending = [r for r in pending if r[0] != s]
                 for i, d in enumerate(dsts):
-                    new_rows.append((s, d, i, next_ipos(d)))
+                    pending.append((s, d, i, next_ipos(d)))
                 # set_src re-bases s's positions at 0..n-1 (committed rows
                 # for s are all removed above), so the next prepend must go
                 # BELOW the new block, not reuse 0
                 min_pos[s] = 0 if dsts else 1
             elif op == "bulk":
-                bulk_dfs.append((idx, entry[1]))
+                flush_pending(idx)
+                b = entry[1]
+                # distributed position assignment: batch rows get pos/ipos
+                # strictly below any edge present BEFORE this point in the
+                # log — committed rows plus every earlier segment.  The min
+                # lookup is restricted to the batch's own keys via a
+                # semi-join, so it never scans beyond touched adjacencies.
+                base = committed
+                for _, seg in segments:
+                    base = base.unionByName(seg)
+                mins_p = (
+                    base.join(b.select("src").distinct(), "src", "semi")
+                    .groupBy("src")
+                    .agg(F.min("pos").alias("__minp"))
+                )
+                mins_i = (
+                    base.join(b.select("dst").distinct(), "dst", "semi")
+                    .groupBy("dst")
+                    .agg(F.min("ipos").alias("__mini"))
+                )
+                # descending row_number: the smallest dst gets the LOWEST
+                # pos, so reads (pos ascending) list the batch dst-ascending
+                b2 = (
+                    b.join(mins_p, "src", "left")
+                    .join(mins_i, "dst", "left")
+                    .withColumn(
+                        "pos",
+                        F.coalesce(F.col("__minp"), F.lit(1)).cast("long")
+                        - F.row_number()
+                        .over(Window.partitionBy("src").orderBy(F.desc("dst")))
+                        .cast("long"),
+                    )
+                    .withColumn(
+                        "ipos",
+                        F.coalesce(F.col("__mini"), F.lit(1)).cast("long")
+                        - F.row_number()
+                        .over(Window.partitionBy("dst").orderBy(F.desc("src")))
+                        .cast("long"),
+                    )
+                    .select("src", "dst", "pos", "ipos")
+                )
+                segments.append((idx, b2))
+                # advance the driver-side running mins past this batch for
+                # keys that LATER point ops prepend to — so those adds land
+                # above the batch, not inside it (ADVICE r06 ordering bug)
+                later_srcs = {
+                    e[1] for e in log[idx + 1 :] if e[0] in ("add", "set_src")
+                }
+                later_dsts = {e[2] for e in log[idx + 1 :] if e[0] == "add"} | {
+                    d for e in log[idx + 1 :] if e[0] == "set_src" for d in e[2]
+                }
+                if later_srcs:
+                    for r in (
+                        b2.filter(F.col("src").isin(list(later_srcs)))
+                        .groupBy("src")
+                        .agg(F.min("pos"))
+                        .collect()
+                    ):
+                        min_pos[r[0]] = min(min_pos.get(r[0], r[1]), r[1])
+                if later_dsts:
+                    for r in (
+                        b2.filter(F.col("dst").isin(list(later_dsts)))
+                        .groupBy("dst")
+                        .agg(F.min("ipos"))
+                        .collect()
+                    ):
+                        min_ipos[r[0]] = min(min_ipos.get(r[0], r[1]), r[1])
+        flush_pending(len(log))
 
+        df = committed
         for _, cond in conds:
             df = df.filter(~cond)
+        for seg_idx, seg in segments:
+            # removal/clear/set predicates issued AFTER a segment apply to
+            # its rows, earlier ones do not (pending rows were filtered
+            # eagerly before flushing, so only later conds remain)
+            for cond_idx, cond in conds:
+                if cond_idx > seg_idx:
+                    seg = seg.filter(~cond)
+            df = df.unionByName(seg)
+        # cascade delete is transaction-wide: applies to committed rows and
+        # every staged segment — without this, bulk rows escaped
+        # delete_node and left dangling edges
         if src_dead:
             df = df.filter(~F.col("src").isin(list(src_dead)))
         if dst_dead:
             df = df.filter(~F.col("dst").isin(list(dst_dead)))
-        new_rows = [
-            r for r in new_rows if r[0] not in src_dead and r[1] not in dst_dead
-        ]
-        if new_rows:
-            add_df = self.engine.spark.createDataFrame(
-                [
-                    {"src": s, "dst": d, "pos": p, "ipos": ip}
-                    for s, d, p, ip in new_rows
-                ],
-                "src long, dst long, pos long, ipos long",
-            )
-            df = df.unionByName(add_df)
-        for bulk_idx, b in bulk_dfs:
-            # a bulk batch obeys the same log-order semantics as staged
-            # rows: removal/clear/set predicates issued AFTER it apply to
-            # its rows, earlier ones do not; cascade delete (transaction-
-            # wide) always applies — without this, bulk rows escaped
-            # delete_node and left dangling edges
-            for cond_idx, cond in conds:
-                if cond_idx > bulk_idx:
-                    b = b.filter(~cond)
-            if src_dead:
-                b = b.filter(~F.col("src").isin(list(src_dead)))
-            if dst_dead:
-                b = b.filter(~F.col("dst").isin(list(dst_dead)))
-            # distributed position assignment: new batch rows get pos/ipos
-            # strictly below any edge already in the table (committed AND
-            # staged — `df` holds both at this point), ordered within the
-            # batch by (src, dst).  The min lookup is restricted to the
-            # batch's own keys via a semi-join, so it never scans beyond
-            # the touched adjacency lists.
-            mins_p = (
-                df.join(b.select("src").distinct(), "src", "semi")
-                .groupBy("src")
-                .agg(F.min("pos").alias("__minp"))
-            )
-            mins_i = (
-                df.join(b.select("dst").distinct(), "dst", "semi")
-                .groupBy("dst")
-                .agg(F.min("ipos").alias("__mini"))
-            )
-            b2 = (
-                b.join(mins_p, "src", "left")
-                .join(mins_i, "dst", "left")
-                .withColumn(
-                    "pos",
-                    F.coalesce(F.col("__minp"), F.lit(1)).cast("long")
-                    - F.row_number()
-                    .over(Window.partitionBy("src").orderBy("dst"))
-                    .cast("long"),
-                )
-                .withColumn(
-                    "ipos",
-                    F.coalesce(F.col("__mini"), F.lit(1)).cast("long")
-                    - F.row_number()
-                    .over(Window.partitionBy("dst").orderBy("src"))
-                    .cast("long"),
-                )
-            )
-            df = df.unionByName(b2.select("src", "dst", "pos", "ipos"))
         return df
 
 

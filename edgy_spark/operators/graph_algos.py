@@ -210,7 +210,11 @@ def run_fixpoint(
 
     Every round's state is ``localCheckpoint``-materialized on few
     partitions: lineage stays O(1) across rounds, and the convergence count
-    reads the already-materialized result (no recompute, no extra job).
+    rides the SAME materialization job as an ``observe`` metric
+    (``CollectMetrics`` accumulator) — zero extra Spark jobs per round.
+    The one remaining per-converged-run probe is the optional
+    ``detect_removals`` anti-join, which runs only on the round that would
+    otherwise terminate.
     """
     state = _checkpoint(state)
     for _ in range(max_iter):
@@ -238,11 +242,18 @@ def run_fixpoint(
             ],
             F.col("__old_present").isNull(),  # node absent last round
         )
+        from pyspark.sql import Observation
+
+        obs = Observation()
         merged = _checkpoint(
             new.join(_hint(old, broadcast_state), "node", "left")
             .withColumn("__chg", chg)
+            .observe(obs, F.sum(F.col("__chg").cast("long")).alias("n_changed"))
         )
-        changed = merged.filter("__chg").limit(1).count()
+        # the eager checkpoint above already ran the plan; the metric is
+        # delivered with it (verified: Observation fires on the checkpoint
+        # action), so this read does not launch a job
+        changed = obs.get["n_changed"] or 0
         if changed == 0 and detect_removals:
             changed = state.join(
                 _hint(new.select("node"), broadcast_state), "node", "left_anti"

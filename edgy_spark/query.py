@@ -31,6 +31,27 @@ class LookupError_(Exception):
     """0 or >1 matches where exactly one was required (app/Main.hs:137-140)."""
 
 
+def _with_defaults(df: DataFrame, nt) -> DataFrame:
+    """Unset OPTIONAL attributes are stored as NULL but READ as the declared
+    default (mempty analogue — same rule as Transaction.get_attribute).
+    Every path that materializes node attributes into the set-at-a-time
+    layer (scan, hop, rehydrate) must apply this projection, so a
+    filter(tag=<default>) matches nodes whose attr was never written no
+    matter how the NodeSet was built (ADVICE r06: it was scan-only, and
+    post-traversal filters missed never-written attrs)."""
+    return df.select(
+        "id",
+        *[
+            (
+                F.coalesce(F.col(a.name), F.lit(a.default)).alias(a.name)
+                if (not a.required and a.default is not None)
+                else F.col(a.name)
+            )
+            for a in nt.attrs
+        ],
+    )
+
+
 class NodeSet:
     def __init__(self, snap: Snapshot, schema: GraphSchema, node_type: str, df: DataFrame):
         self.snap = snap
@@ -43,24 +64,7 @@ class NodeSet:
     @classmethod
     def scan(cls, snap: Snapshot, schema: GraphSchema, node_type: str) -> "NodeSet":
         nt = schema.node_type(node_type)  # plan-time validation
-        df = snap.nodes(node_type)
-        # unset OPTIONAL attributes are stored as NULL but READ as the
-        # declared default (mempty analogue — same rule as
-        # Transaction.get_attribute).  Apply it here too, so filters and
-        # projections in the set-at-a-time layer see the same value the
-        # point-read layer returns (a filter(nickname='') must match a node
-        # whose nickname was never written).
-        df = df.select(
-            "id",
-            *[
-                (
-                    F.coalesce(F.col(a.name), F.lit(a.default)).alias(a.name)
-                    if (not a.required and a.default is not None)
-                    else F.col(a.name)
-                )
-                for a in nt.attrs
-            ],
-        )
+        df = _with_defaults(snap.nodes(node_type), nt)
         return cls(snap, schema, node_type, df)
 
     def filter(self, condition: Column | None = None, **eq) -> "NodeSet":
@@ -108,7 +112,9 @@ class NodeSet:
                 F.col("dst").alias("_from"), F.col("src").alias("_to"),
                 F.col("ipos").alias("pos"),
             )
-        targets = self.snap.nodes(side.target)
+        targets = _with_defaults(
+            self.snap.nodes(side.target), self.schema.node_type(side.target)
+        )
         out = (
             self.df.select(F.col("id").alias("_from"))
             .join(e, "_from")
@@ -151,7 +157,9 @@ class NodeSet:
 
     def rehydrate(self) -> "NodeSet":
         """Re-attach attribute columns after id-only algebra."""
-        nodes = self.snap.nodes(self.node_type)
+        nodes = _with_defaults(
+            self.snap.nodes(self.node_type), self.schema.node_type(self.node_type)
+        )
         ids = self.df.select("id")
         return NodeSet(
             self.snap, self.schema, self.node_type, ids.join(nodes, "id", "left")

@@ -672,3 +672,140 @@ def test_self_loop_clear_consistent_in_txn_and_committed(engine):
     assert views["fwd"] == [] and views["bwd"] == []
     t = engine.read()
     assert t.get_related(k, "friend") == [] and t.get_related(k, "friendOf") == []
+
+
+def test_add_after_bulk_prepends_above_the_batch(spark, engine):
+    """ADVICE r06: an add_related issued AFTER bulk_add_edges on the same
+    src must commit ABOVE the batch (prepend semantics are log-ordered),
+    and the in-txn read must see the same order (read-your-writes)."""
+    def seed(t):
+        return [t.new_node("Person", name=f"S{i}", age=i) for i in range(4)]
+
+    p = engine.run(seed)
+
+    orders = {}
+
+    def txn(t):
+        batch = spark.createDataFrame(
+            [(p[0].id, p[1].id), (p[0].id, p[2].id)], "src long, dst long"
+        )
+        t.bulk_add_edges("friend", batch)
+        t.add_related(p[0], "friend", p[3])  # AFTER the bulk: goes on top
+        orders["in_txn"] = [n.id for n in t.get_related(p[0], "friend")]
+
+    engine.run(txn)
+    committed = [
+        n.id for n in engine.read().get_related(p[0], "friend")
+    ]
+    # log order: [bulk(p1,p2), add(p3)] → list [p3, p1, p2]
+    # (batch reads dst-ascending; the later add prepends above it)
+    assert committed == [p[3].id, p[1].id, p[2].id]
+    assert orders["in_txn"] == committed  # read-your-writes == committed
+
+
+def test_bulk_before_add_matches_point_op_equivalent(spark, engine):
+    """A txn issuing [add, bulk] commits the batch ON TOP of the earlier
+    add — the same order as issuing every edge as a point op in sequence."""
+    def seed(t):
+        return [t.new_node("Person", name=f"T{i}", age=i) for i in range(4)]
+
+    p = engine.run(seed)
+
+    def txn(t):
+        t.add_related(p[0], "friend", p[3])
+        batch = spark.createDataFrame(
+            [(p[0].id, p[1].id), (p[0].id, p[2].id)], "src long, dst long"
+        )
+        t.bulk_add_edges("friend", batch)
+
+    engine.run(txn)
+    committed = [n.id for n in engine.read().get_related(p[0], "friend")]
+    assert committed == [p[1].id, p[2].id, p[3].id]
+
+
+def test_bulk_edges_in_txn_cardinality_check_on_read(spark, engine):
+    """Bulk rows participate in read-time cardinality shaping (ADVICE r06:
+    they previously bypassed _replay entirely): a batch that grows an
+    Optional relation past one edge raises on an in-txn read."""
+    import pytest
+
+    from edgy_spark.schema import CardinalityError
+
+    def seed(t):
+        return [t.new_node("Person", name=f"U{i}", age=i) for i in range(3)]
+
+    p = engine.run(seed)
+
+    def txn(t):
+        batch = spark.createDataFrame(
+            [(p[0].id, p[1].id), (p[0].id, p[2].id)], "src long, dst long"
+        )
+        t.bulk_add_edges("spouse", batch)
+        with pytest.raises(CardinalityError):
+            t.get_related(p[0], "spouse")
+        raise RuntimeError("roll back")  # don't commit the violation
+
+    with pytest.raises(RuntimeError):
+        engine.run(txn)
+
+
+def test_bulk_edges_visible_to_in_txn_inverse_reads(spark, engine):
+    """Read-your-writes holds from the INVERSE side of a pending batch."""
+    def seed(t):
+        return (
+            t.new_node("Person", name="Fwd", age=1),
+            t.new_node("Person", name="Bwd", age=2),
+        )
+
+    a, b = engine.run(seed)
+
+    seen = {}
+
+    def txn(t):
+        batch = spark.createDataFrame([(a.id, b.id)], "src long, dst long")
+        t.bulk_add_edges("friend", batch)
+        seen["fwd"] = [n.id for n in t.get_related(a, "friend")]
+        seen["inv"] = [n.id for n in t.get_related(b, "friendOf")]
+        seen["is"] = t.is_related(a, "friend", b)
+
+    engine.run(txn)
+    assert seen == {"fwd": [b.id], "inv": [a.id], "is": True}
+
+
+def test_hop_and_rehydrate_see_optional_defaults(spark, tmp_path):
+    """ADVICE r06: the default-coalescing projection applied only in scan;
+    NodeSets built by hop() or rehydrate() read raw NULLs, so a
+    filter(tag=<default>) after a traversal missed never-written attrs."""
+    from edgy_spark.schema import (
+        Attr, Cardinality, Directed, GraphSchema, NodeType, optional,
+    )
+
+    schema = GraphSchema(
+        (
+            NodeType("Author", (Attr("name"),)),
+            NodeType("Doc", (Attr("title"), optional("tag", "string", default="none"))),
+        ),
+        (Directed("wrote", Cardinality.MANY, "Author", "Doc", "written_by"),),
+    )
+    e = Engine(spark, str(tmp_path / "db3"), schema)
+
+    def seed(t):
+        a = t.new_node("Author", name="Ann")
+        d1 = t.new_node("Doc", title="untagged")        # tag unset
+        d2 = t.new_node("Doc", title="tagged", tag="x")
+        t.add_related(a, "wrote", d1)
+        t.add_related(a, "wrote", d2)
+        return a
+
+    e.run(seed)
+    snap = e.snapshot()
+    docs = NodeSet.scan(snap, schema, "Author").hop("wrote")
+    assert {r["title"]: r["tag"] for r in docs.df.collect()} == {
+        "untagged": "none", "tagged": "x",
+    }
+    assert [r["title"] for r in docs.filter(tag="none").df.collect()] == ["untagged"]
+
+    rehydrated = NodeSet.scan(snap, schema, "Doc").distinct().rehydrate()
+    assert {r["title"]: r["tag"] for r in rehydrated.df.collect()} == {
+        "untagged": "none", "tagged": "x",
+    }
