@@ -380,6 +380,7 @@ class Transaction:
         if not self._dirty:
             return self.snap
         changed: dict[str, DataFrame] = {}
+        cdc: dict[str, DataFrame] = {}
         spark = self.engine.spark
 
         all_deleted = self._deleted
@@ -449,13 +450,46 @@ class Transaction:
                 touched = True
             if touched:
                 changed[f"n_{node_type}"] = df
+                if self.engine.capture_cdc:
+                    # commit-time change capture from STAGED state — O(rows
+                    # touched by this txn), no diff join (Delta-CDF shape).
+                    # A node created AND deleted in the same txn nets to
+                    # zero rows (insert excluded by `dead`, delete preimage
+                    # absent from `base`).
+                    parts: list[DataFrame] = []
+                    if new_rows:
+                        parts.append(
+                            spark.createDataFrame(
+                                new_rows, nt.struct_type()
+                            ).withColumn("_change", F.lit("insert"))
+                        )
+                    live_upd = [i for i in updates if i not in dead]
+                    if live_upd:
+                        parts.append(
+                            df.filter(F.col("id").isin(live_upd)).withColumn(
+                                "_change", F.lit("update_postimage")
+                            )
+                        )
+                    if dead:
+                        parts.append(
+                            base.filter(F.col("id").isin(list(dead))).withColumn(
+                                "_change", F.lit("delete")
+                            )
+                        )
+                    if parts:
+                        out = parts[0]
+                        for p in parts[1:]:
+                            out = out.unionByName(p)
+                        cdc[f"n_{node_type}"] = out
 
         for table in self.schema.edge_tables:
             df = self._rebuild_edges(table)
             if df is not None:
                 changed[f"e_{table}"] = df
 
-        return self.engine.store.commit(self.snap, changed, next_id=self._next_id)
+        return self.engine.store.commit(
+            self.snap, changed, next_id=self._next_id, cdc=cdc or None
+        )
 
     def _rebuild_edges(self, table: str) -> DataFrame | None:
         """Fold the op log into the edge table with pure DataFrame transforms.
@@ -671,13 +705,18 @@ class Engine:
         bucket_edges: int | None = None,
         compact_every: int | None = None,
         retain_versions: int = 2,
+        capture_cdc: bool = False,
     ):
         """``bucket_edges=N`` turns on the bucketed edge layout: point
         adjacency reads prune to one bucket instead of scanning the whole
         edge table; ``compact_every=K`` turns on every-K-commits
-        compact+vacuum maintenance (see GraphStore)."""
+        compact+vacuum maintenance (see GraphStore); ``capture_cdc=True``
+        records each commit's row-level node changes for
+        ``GraphStore.table_changes`` and the ``mode=upsert`` stream source
+        (one extra small write per commit, O(touched rows))."""
         self.spark = spark
         self.schema = schema
+        self.capture_cdc = capture_cdc
         self.store = GraphStore(
             spark,
             root,

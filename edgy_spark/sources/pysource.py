@@ -95,8 +95,19 @@ class EdgyDataSource(DataSource):
         import pyarrow.dataset as ds
 
         from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import LongType, StringType, StructField
 
-        return from_arrow_schema(ds.dataset(self._path(), format="parquet").schema)
+        base = from_arrow_schema(ds.dataset(self._path(), format="parquet").schema)
+        if self.options.get("mode") == "upsert":
+            # change-feed shape: row image + what happened + when
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_change", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                ]
+            )
+        return base
 
     def reader(self, schema: StructType) -> "EdgyReader":
         return EdgyReader(self._path(), schema)
@@ -111,15 +122,18 @@ class EdgyDataSource(DataSource):
     def streamReader(self, schema: StructType) -> "EdgyStreamReader":  # noqa: N802
         root = self.options.get("root")
         table = self.options.get("table")
+        mode = self.options.get("mode", "insert")
         if not root or not table:
             raise ValueError("readStream format('edgy') requires root and table")
+        if mode not in ("insert", "upsert"):
+            raise ValueError(f"mode must be 'insert' or 'upsert', got {mode!r}")
         if not table.startswith("n_"):
             raise ValueError(
                 "streaming reads cover node tables only (insert CDC keys on "
-                "the store's monotonic node-id counter; edge tables have no "
-                "such cursor)"
+                "the store's monotonic node-id counter, upsert CDC on "
+                "commit-time node change capture; edge tables have neither)"
             )
-        return EdgyStreamReader(root, table, schema)
+        return EdgyStreamReader(root, table, schema, mode)
 
 
 class EdgyReader(DataSourceReader):
@@ -202,6 +216,12 @@ class _StreamSlicePartition(InputPartition):
     hi: int
 
 
+@dataclass
+class _CdcFilePartition(InputPartition):
+    path: str     # one parquet file of ONE commit's change capture
+    version: int  # the commit version (becomes _commit_version)
+
+
 class EdgyStreamReader(DataSourceStreamReader):
     """``spark.readStream.format("edgy")`` — insert-CDC over a node table.
 
@@ -216,17 +236,25 @@ class EdgyStreamReader(DataSourceStreamReader):
     (exactly-once with a checkpointed sink — same contract as the file
     source).
 
-    Scope, stated: this is INSERT capture (the dominant streaming shape:
-    event-log node types).  Update/delete capture needs the batch
-    ``snapshot_diff`` (storage.py), which is a join — run it between
-    pinned versions, not per-trigger.  The reference has no streaming at
-    all; this is north-star scope wiring the transactional store into
-    Structured Streaming.
+    ``mode=upsert`` instead replays the store's COMMIT-TIME change capture
+    (``Engine(capture_cdc=True)`` — the Delta-CDF design): each micro-batch
+    reads the per-version ``cdc-*`` files for the offset's version range,
+    emitting the row image + ``_change`` ∈ {insert, update_postimage,
+    delete} + ``_commit_version``.  Pure file reads proportional to the
+    CHANGES, never a diff join; versions without capture (maintenance
+    compaction = no logical change; bulk loads = use insert mode) emit
+    nothing.  Starts at the CURRENT version (changes-only); a vacuumed
+    manifest inside the needed range raises rather than silently dropping
+    changes — size ``retain_versions`` to the longest stream downtime.
+
+    The reference has no streaming at all; this is north-star scope wiring
+    the transactional store into Structured Streaming.
     """
 
-    def __init__(self, root: str, table: str, schema: StructType):
+    def __init__(self, root: str, table: str, schema: StructType, mode: str = "insert"):
         self.root = root
         self.table = table
+        self.mode = mode
         self.columns = [f.name for f in schema.fields]
 
     def _current(self) -> dict:
@@ -237,6 +265,9 @@ class EdgyStreamReader(DataSourceStreamReader):
         return {"version": version, "next_id": manifest["next_id"]}
 
     def initialOffset(self) -> dict:  # noqa: N802
+        if self.mode == "upsert":
+            # changes-only: emit commits made after the stream starts
+            return self._current()
         # start of history: the first batch emits every existing row (the
         # file source's existing-files semantics); a "latest-only" start is
         # the CURRENT offset instead
@@ -245,7 +276,31 @@ class EdgyStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:  # noqa: N802
         return self._current()
 
+    def _cdc_partitions(self, start: dict, end: dict):
+        parts: list[_CdcFilePartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            mpath = os.path.join(self.root, f"manifest.v{v}.json")
+            try:
+                with open(mpath) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"upsert stream needs manifest.v{v}.json but it was "
+                    "vacuumed — recorded changes for that commit are gone. "
+                    "Increase retain_versions to cover stream downtime."
+                ) from None
+            rel = m.get("cdc", {}).get(self.table)
+            if rel is None:
+                continue  # no captured changes for this table in v
+            d = os.path.join(self.root, rel)
+            for n in sorted(os.listdir(d)):
+                if n.startswith("part-") or n.endswith(".parquet"):
+                    parts.append(_CdcFilePartition(os.path.join(d, n), v))
+        return parts or [_CdcFilePartition("", end["version"])]
+
     def partitions(self, start: dict, end: dict):
+        if self.mode == "upsert":
+            return self._cdc_partitions(start, end)
         lo, hi = start["next_id"], end["next_id"]
         if lo >= hi:
             return [_StreamSlicePartition("", lo, hi)]
@@ -274,11 +329,25 @@ class EdgyStreamReader(DataSourceStreamReader):
             _StreamSlicePartition(os.path.join(path, n), lo, hi) for n in names
         ] or [_StreamSlicePartition("", lo, hi)]
 
-    def read(self, partition: _StreamSlicePartition):
+    def read(self, partition):
         if not partition.path:
             return
+        import pyarrow as pa
         import pyarrow.dataset as ds
 
+        if isinstance(partition, _CdcFilePartition):
+            # one commit's captured changes: stored columns + the commit
+            # version stamped on (the file is one commit's worth by layout)
+            dataset = ds.dataset(partition.path, format="parquet")
+            cols = [c for c in self.columns if c != "_commit_version"]
+            for batch in dataset.scanner(columns=cols).to_batches():
+                if not batch.num_rows:
+                    continue
+                ver = pa.array([partition.version] * batch.num_rows, pa.int64())
+                yield pa.RecordBatch.from_arrays(
+                    list(batch.columns) + [ver], names=cols + ["_commit_version"]
+                )
+            return
         dataset = ds.dataset(partition.path, format="parquet")
         scanner = dataset.scanner(
             columns=self.columns,

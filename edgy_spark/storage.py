@@ -208,12 +208,25 @@ class GraphStore:
         changed_tables: dict[str, DataFrame],
         next_id: int | None = None,
         _maintenance: bool = False,
+        cdc: dict[str, DataFrame] | None = None,
     ) -> Snapshot:
         """Write changed tables as new versions and publish atomically.
 
         Optimistic concurrency (the reference's STM retry): if CURRENT moved
         past ``base`` since the transaction began, raise ConflictError and
         let the caller re-run.
+
+        ``cdc`` optionally records this commit's row-level changes (the
+        Delta-CDF design): a small DataFrame per table with the row image
+        plus ``_change`` ∈ {'insert', 'update_postimage', 'delete'},
+        written beside the data and referenced by the new manifest's
+        ``cdc`` entry.  The caller computes it from its STAGED state —
+        O(touched rows), never a diff join over the table — and downstream
+        consumers (:meth:`table_changes`, the ``mode=upsert`` stream
+        source) replay versions as plain file reads.  A commit without
+        ``cdc`` (maintenance compaction, bulk loads) records no change
+        rows: compaction is correctly "no logical change"; bulk appends
+        surface through the insert-cursor stream mode instead.
 
         When ``compact_every`` is set, every K-th user commit triggers the
         compact+vacuum maintenance pass afterwards (``_maintenance`` guards
@@ -258,11 +271,21 @@ class GraphStore:
                 bucketed.pop(key, None)
             tables[key] = relpath
             written_paths.append(relpath)
+        cdc_entries: dict[str, str] = {}
+        for key, df in (cdc or {}).items():
+            relpath = os.path.join(
+                "data", f"cdc-{key}.v{new_version}-{token}.parquet"
+            )
+            df.write.mode("overwrite").parquet(os.path.join(self.root, relpath))
+            cdc_entries[key] = relpath
+            written_paths.append(relpath)
         manifest = {
             "version": new_version,
             "next_id": next_id if next_id is not None else base.manifest["next_id"],
             "tables": tables,
             "bucketed": bucketed,
+            # per-commit (not carried forward): changes base.version -> new
+            "cdc": cdc_entries,
         }
         try:
             self._write_manifest(manifest)
@@ -377,6 +400,7 @@ class GraphStore:
             with open(path) as f:
                 m = json.load(f)
             referenced_rel.update(m["tables"].values())
+            referenced_rel.update(m.get("cdc", {}).values())
             referenced_tbl.update(m.get("bucketed", {}).values())
         removed: list[str] = []
         data_dir = os.path.join(self.root, "data")
@@ -426,6 +450,60 @@ class GraphStore:
             except FileNotFoundError:
                 pass
         return removed
+
+
+    # -- change data feed --------------------------------------------------
+
+    def table_changes(
+        self, key: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level changes recorded for ``key`` (e.g. ``n_Person``) in
+        versions ``(from_version, to_version]`` — the batch read of the
+        commit-time CDC capture (Delta's ``table_changes`` analogue).
+
+        Returns the row image + ``_change`` + ``_commit_version``; versions
+        with no CDC entry for the table (untouched, maintenance, bulk
+        loads) contribute nothing.  Each version is its own small parquet
+        location, so the read is proportional to the CHANGES in the range,
+        never to table size — the whole point of commit-time capture at
+        100 TB.  Raises FileNotFoundError if a manifest in the range was
+        vacuumed (size ``retain_versions`` to the longest consumer lag).
+        """
+        to_version = self.current_version() if to_version is None else to_version
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, to_version + 1):
+            with open(self._manifest_path(v)) as f:
+                m = json.load(f)
+            rel = m.get("cdc", {}).get(key)
+            if rel is None:
+                continue
+            parts.append(
+                self.spark.read.parquet(os.path.join(self.root, rel)).withColumn(
+                    "_commit_version", F_lit_long(v)
+                )
+            )
+        if not parts:
+            empty = self.spark.createDataFrame(
+                [], _cdc_struct(self.schema.node_type(key[2:]))
+            )
+            return empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
+def _cdc_struct(nt) -> T.StructType:
+    fields = list(nt.struct_type().fields)
+    fields.append(T.StructField("_change", T.StringType(), False))
+    fields.append(T.StructField("_commit_version", T.LongType(), False))
+    return T.StructType(fields)
+
+
+def F_lit_long(v: int):
+    from pyspark.sql import functions as F
+
+    return F.lit(v).cast("long")
 
 
 class ConflictError(Exception):

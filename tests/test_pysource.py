@@ -332,3 +332,151 @@ def test_edgy_writer_manifest_cas_arbitrates_racing_commits(spark, tmp_path, mon
     data = os.listdir(os.path.join(root, "data"))
     loser_dirs = [d for d in data if d.startswith(f"n_Person.v{base + 1}")]
     assert len(loser_dirs) == 1
+
+
+def test_table_changes_records_commit_time_cdc(spark, tmp_path):
+    """Engine(capture_cdc=True) records each commit's row-level node
+    changes; GraphStore.table_changes replays a version range as plain file
+    reads (insert / update_postimage / delete, stamped with the commit)."""
+    engine = Engine(spark, str(tmp_path / "cdc"), demo_schema(), capture_cdc=True)
+    ann = engine.run(lambda t: t.new_node("Person", name="Ann", age=30))
+    v1 = engine.store.current_version()
+    engine.run(lambda t: t.set_attribute(ann, "name", "Anne"))
+    bob = engine.run(lambda t: t.new_node("Person", name="Bob", age=40))
+    engine.run(lambda t: t.delete_node(bob))
+
+    rows = {
+        (r["_change"], r["name"], r["_commit_version"])
+        for r in engine.store.table_changes("n_Person", v1).collect()
+    }
+    assert rows == {
+        ("update_postimage", "Anne", v1 + 1),
+        ("insert", "Bob", v1 + 2),
+        ("delete", "Bob", v1 + 3),
+    }
+    # changes are proportional to touched rows: Ann's untouched row never
+    # appears after v1+1
+    assert all(
+        r["name"] != "Anne"
+        for r in engine.store.table_changes("n_Person", v1 + 1).collect()
+    )
+
+
+def test_edgy_stream_upsert_mode_exactly_once_across_restart(spark, tmp_path):
+    """The verdict's r06 gap: a user streaming a MUTABLE node type never
+    saw updates (insert mode is cursor-based).  mode=upsert replays the
+    commit-time change capture; an updated attribute value reaches a
+    checkpointed sink exactly once across stream restarts."""
+    engine = Engine(spark, str(tmp_path / "cdc2"), demo_schema(), capture_cdc=True)
+    ann = engine.run(lambda t: t.new_node("Person", name="Ann", age=30))
+    register_edgy_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "n_Person")
+            .option("mode", "upsert")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # changes-only start: nothing before the stream existed
+    engine.run(lambda t: t.set_attribute(ann, "age", 31))
+    run_once()  # picks up exactly the update commit
+    run_once()  # restart with no new commits: emits nothing again
+
+    got = [
+        (r["_change"], r["name"], r["age"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert got == [("update_postimage", "Ann", 31)]
+
+    engine.run(lambda t: t.delete_node(ann))
+    run_once()
+    rows = {
+        (r["_change"], r["age"]) for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {("update_postimage", 31), ("delete", 31)}
+
+
+def test_second_process_bulk_write_and_cdc_read(spark, tmp_path):
+    """The cross-process story end-to-end (verdict r06 task #8): a SECOND
+    python/Spark process bulk-writes into a store this engine owns through
+    the public data source; the owning process then sees the committed
+    version, the id cursor respects the loaded ids, and the insert-CDC
+    stream delivers the second process's rows."""
+    import subprocess
+    import sys
+    import textwrap
+
+    engine, _ = _store(spark, tmp_path)
+    root = engine.store.root
+    v0 = engine.store.current_version()
+    cursor = engine.snapshot().manifest["next_id"]
+
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+        from pyspark.sql import SparkSession
+        from edgy_spark.sources.pysource import register_edgy_source
+
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.sql.shuffle.partitions", "2")
+            .config("spark.ui.enabled", "false")
+            .appName("second-process-writer")
+            .getOrCreate()
+        )
+        register_edgy_source(spark)
+        df = spark.createDataFrame(
+            [({cursor}, "Ext1", 61), ({cursor + 1}, "Ext2", 62)],
+            "id long, name string, age long",
+        )
+        (
+            df.write.format("edgy")
+            .option("root", {repr(root)})
+            .option("table", "n_Person")
+            .mode("append")
+            .save()
+        )
+        spark.stop()
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    # the owning process observes the foreign commit
+    assert engine.store.current_version() == v0 + 1
+    snap = engine.snapshot()
+    names = {r["name"] for r in snap.nodes("Person").collect()}
+    assert {"Ext1", "Ext2"} <= names
+    # id cursor advanced past the foreign rows: engine txns cannot collide
+    ann = engine.run(lambda t: t.new_node("Person", name="Own", age=1))
+    assert ann.id >= cursor + 2
+
+    # the insert-CDC stream (this process) delivers the foreign rows too
+    register_edgy_source(spark)
+    q = (
+        spark.readStream.format("edgy")
+        .option("root", root)
+        .option("table", "n_Person")
+        .load()
+        .writeStream.format("memory")
+        .queryName("xproc_cdc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {r["name"] for r in spark.sql("select * from xproc_cdc").collect()}
+    assert {"Ext1", "Ext2", "Own"} <= streamed
