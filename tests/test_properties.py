@@ -157,3 +157,121 @@ def test_spread_is_noop_when_scan_is_wide(spark):
     assert _spread(spark, wide) is wide  # identical object: no-op
     narrow = spark.range(1000).coalesce(1)
     assert _spread(spark, narrow).rdd.getNumPartitions() == target
+
+
+# -- edge-log ordering model ------------------------------------------------
+
+# ops over a 4-node pool; bulk batches are lists of (src, dst) index pairs
+_n = st.integers(0, 3)
+_edge_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("add"), _n, _n),
+        st.tuples(st.just("remove"), _n, _n),
+        st.tuples(st.just("clear"), _n, st.just(0)),
+        st.tuples(st.just("set"), _n, st.lists(_n, max_size=3)),
+        st.tuples(
+            st.just("bulk"), st.lists(st.tuples(_n, _n), min_size=1, max_size=4),
+            st.just(0),
+        ),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_edge_ops)
+def test_edge_log_matches_list_model(spark, tmp_path_factory, ops):
+    """Model-based pin of the reference's adjacency-list semantics under
+    ARBITRARY interleavings of point and bulk edge ops in one transaction:
+    prepend order, remove-all-copies, clear, set-replace, and bulk blocks
+    (dst-ascending per src / src-ascending per dst) — the in-transaction
+    read (read-your-writes) AND the committed state must both equal a pure
+    Python list model, in both edge directions."""
+    from edgy_spark.demo import demo_schema
+    from edgy_spark.graph import Engine
+
+    root = str(tmp_path_factory.mktemp("edgeprop") / "db")
+    engine = Engine(spark, root, demo_schema())
+    p = engine.run(
+        lambda t: [t.new_node("Person", name=f"M{i}", age=i) for i in range(4)]
+    )
+    ids = [n.id for n in p]
+
+    fwd: dict[int, list[int]] = {}
+    inv: dict[int, list[int]] = {}
+
+    def _purge_src(s):
+        for d in list(inv):
+            inv[d] = [x for x in inv[d] if x != s]
+
+    def apply_model(kind, a, b):
+        if kind == "add":
+            s, d = ids[a], ids[b]
+            fwd.setdefault(s, []).insert(0, d)
+            inv.setdefault(d, []).insert(0, s)
+        elif kind == "remove":
+            s, d = ids[a], ids[b]
+            fwd[s] = [x for x in fwd.get(s, []) if x != d]
+            inv[d] = [x for x in inv.get(d, []) if x != s]
+        elif kind == "clear":
+            s = ids[a]
+            fwd[s] = []
+            _purge_src(s)
+        elif kind == "set":
+            s = ids[a]
+            dsts = [ids[i] for i in b]
+            _purge_src(s)
+            fwd[s] = list(dsts)
+            for d in dsts:
+                inv.setdefault(d, []).insert(0, s)
+        else:  # bulk
+            rows = [(ids[s], ids[d]) for s, d in a]
+            by_s: dict[int, list[int]] = {}
+            by_d: dict[int, list[int]] = {}
+            for s, d in rows:
+                by_s.setdefault(s, []).append(d)
+                by_d.setdefault(d, []).append(s)
+            for s, ds in by_s.items():
+                fwd[s] = sorted(ds) + fwd.get(s, [])
+            for d, ss in by_d.items():
+                inv[d] = sorted(ss) + inv.get(d, [])
+
+    in_txn: dict = {}
+
+    def txn(t):
+        for kind, a, b in ops:
+            if kind == "add":
+                t.add_related(p[a], "friend", p[b])
+            elif kind == "remove":
+                t.remove_related(p[a], "friend", p[b])
+            elif kind == "clear":
+                t.clear_related(p[a], "friend")
+            elif kind == "set":
+                t.set_related(p[a], "friend", [p[i] for i in b])
+            else:
+                t.bulk_add_edges(
+                    "friend",
+                    spark.createDataFrame(
+                        [(ids[s], ids[d]) for s, d in a], "src long, dst long"
+                    ),
+                )
+            apply_model(kind, a, b)
+        for i in range(4):
+            in_txn[("fwd", i)] = [x.id for x in t.get_related(p[i], "friend")]
+            in_txn[("inv", i)] = [x.id for x in t.get_related(p[i], "friendOf")]
+
+    engine.run(txn)
+    t = engine.read()
+    for i in range(4):
+        want_f, want_i = fwd.get(ids[i], []), inv.get(ids[i], [])
+        assert in_txn[("fwd", i)] == want_f, f"in-txn fwd of node {i}"
+        assert in_txn[("inv", i)] == want_i, f"in-txn inv of node {i}"
+        got_f = [x.id for x in t.get_related(p[i], "friend")]
+        got_i = [x.id for x in t.get_related(p[i], "friendOf")]
+        assert got_f == want_f, f"committed fwd of node {i}"
+        assert got_i == want_i, f"committed inv of node {i}"

@@ -480,3 +480,43 @@ def test_second_process_bulk_write_and_cdc_read(spark, tmp_path):
     q.awaitTermination(120)
     streamed = {r["name"] for r in spark.sql("select * from xproc_cdc").collect()}
     assert {"Ext1", "Ext2", "Own"} <= streamed
+
+
+def test_cdc_replay_reconstructs_the_table(spark, tmp_path):
+    """Completeness invariant of the change capture: folding every change
+    row (in commit order) into a replica starting from the stream's pinned
+    base version reproduces the final table exactly — across inserts,
+    updates, deletes, AND a no-capture maintenance commit in between
+    (compaction is 'no logical change' and must not disturb the replica)."""
+    engine = Engine(
+        spark, str(tmp_path / "replay"), demo_schema(), capture_cdc=True
+    )
+    v0 = engine.store.current_version()
+
+    people = engine.run(
+        lambda t: [t.new_node("Person", name=f"P{i}", age=i) for i in range(6)]
+    )
+    engine.run(lambda t: t.set_attribute(people[0], "age", 100))
+    engine.run(lambda t: t.delete_node(people[1]))
+    # fragment then compact: a maintenance commit with NO cdc entry
+    for i in range(3):
+        engine.run(lambda t, i=i: t.new_node("Person", name=f"Q{i}", age=50 + i))
+    engine.store.compact(target_file_mb=128, min_files=2)
+    engine.run(lambda t: t.set_attribute(people[2], "name", "Renamed"))
+    engine.run(lambda t: t.delete_node(people[3]))
+
+    changes = sorted(
+        engine.store.table_changes("n_Person", v0).collect(),
+        key=lambda r: r["_commit_version"],
+    )
+    replica: dict[int, tuple] = {}
+    for r in changes:
+        if r["_change"] == "delete":
+            replica.pop(r["id"], None)
+        else:  # insert / update_postimage both carry the post-image
+            replica[r["id"]] = (r["name"], r["age"])
+    final = {
+        r["id"]: (r["name"], r["age"])
+        for r in engine.snapshot().nodes("Person").collect()
+    }
+    assert replica == final and len(final) == 7
