@@ -40,16 +40,17 @@ def main() -> None:
         except Exception:
             pass  # warm-up best-effort; the timed run will surface real errors
 
-    # two timed passes, per-query MIN: the host VM shows multi-second
-    # scheduling jitter run-to-run, and min-of-N is the standard
-    # noise-resistant estimator of a query's true cost.  Per-pass times are
-    # recorded in the JSON so round-over-round drift can be attributed to
-    # jitter vs code (r03->r04's +10.7% was smeared across untouched queries
-    # and vanished in r05 on unchanged code — host jitter, confirming the
-    # r04 events-loader refactor was not the cause).
+    # three timed passes, per-query MIN: the host VM shows multi-second
+    # scheduling jitter run-to-run (r7 measured the SAME code 24.7s → 33.1s
+    # across back-to-back runs on an idle machine), and min-of-N is the
+    # standard noise-resistant estimator of a query's true cost.  Per-pass
+    # times are recorded in the JSON so round-over-round drift can be
+    # attributed to jitter vs code (r03->r04's +10.7% was smeared across
+    # untouched queries and vanished in r05 on unchanged code — host
+    # jitter, confirming the r04 events-loader refactor was not the cause).
     pass_times: list[dict[str, float]] = []
     timings: dict[str, float] = {}
-    for pass_no in range(2):
+    for pass_no in range(3):
         this_pass: dict[str, float] = {}
         for spec in bench_specs:
             t0 = time.perf_counter()
@@ -61,9 +62,9 @@ def main() -> None:
             del rows
         pass_times.append(this_pass)
         # guard the harness's own wall budget: on a degraded host one pass
-        # is already slow — a second would risk the caller's timeout without
+        # is already slow — more would risk the caller's timeout without
         # improving the estimate much
-        if pass_no == 0 and sum(timings.values()) > 120:
+        if sum(timings.values()) > (120 if pass_no == 0 else 80):
             break
 
     total = round(sum(timings.values()), 4)
