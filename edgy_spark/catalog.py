@@ -69,11 +69,17 @@ def load_all_registrations() -> None:
     streaming batch-wide sort + NULL-carry fixes, asof watermark contract,
     query.py traversal changes) landed AFTER the r04/r05 driver checks of
     those families, so their green rows describe pre-refactor code.  The
-    window re-verifies all 50 of them as currently written.  The only three
-    queries left outside are ``sketch_distinct_users_bounded``,
-    ``sketch_hll_mergeable_rollup`` and ``sketch_price_quantile_bounded``,
-    whose function bodies are byte-unchanged since their r05 green rows
-    (r6's sketches.py diff is purely additive — verified by git diff).
+    window re-verifies all 50 of them as currently written.  It also
+    includes ``graph_sssp_weighted`` and ``graph_label_propagation``
+    despite their r06 green rows, because r7's run_fixpoint convergence
+    rewrite (observe-metric instead of a count job) executes inside them.
+    Outside the window sit only queries whose executed code is verified
+    unchanged since their last green row (git-diff checked): the three
+    sketch queries (r6 sketches.py diff purely additive over their r05
+    rows), ``graph_triangle_count`` (no fixpoint loop; body unchanged
+    since its r04 row), ``udaf_gini_order_concentration`` (udx.py changes
+    purely additive since its r05 row), and the 48 r06-window entries in
+    modules r7 does not touch.
     """
     # relational/tpch fill the tail: all 39 were driver-green in r06 on
     # code identical to HEAD (no r7 commits touch those modules)
@@ -104,7 +110,9 @@ R07_WINDOW: list[str] = [
     "graph_connected_components",
     "graph_bfs_distances",
     "graph_pagerank",
-    "graph_triangle_count",
+    # r06-green, but r7's run_fixpoint observe rewrite executes inside them
+    "graph_sssp_weighted",
+    "graph_label_propagation",
     # similarity: r6 shared-fragment + zero-vector-code commits
     "sim_bruteforce_topk",
     "sim_lsh_bucket_candidates",
@@ -158,7 +166,6 @@ R07_WINDOW: list[str] = [
     "pipeline_pack_blocks",
     "pipeline_training_end2end",
     "pipeline_balanced_sample_per_lang",
-    "udaf_gini_order_concentration",
 ]
 
 

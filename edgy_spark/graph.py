@@ -487,8 +487,15 @@ class Transaction:
             if df is not None:
                 changed[f"e_{table}"] = df
 
+        # tri-state contract (storage.commit): with capture on, an empty
+        # dict still means "captured, nothing changed"; with capture off,
+        # None marks the version as not-captured so completeness-requiring
+        # consumers fail loudly instead of silently missing changes
         return self.engine.store.commit(
-            self.snap, changed, next_id=self._next_id, cdc=cdc or None
+            self.snap,
+            changed,
+            next_id=self._next_id,
+            cdc=cdc if self.engine.capture_cdc else None,
         )
 
     def _rebuild_edges(self, table: str) -> DataFrame | None:

@@ -58,8 +58,7 @@ from pyspark.sql.types import StructType
 
 def _resolve_table_path(root: str, table: str, version: str | None) -> str:
     if version is None:
-        with open(os.path.join(root, "CURRENT")) as f:
-            version = f.read().strip()
+        version = _current_version(root)
     with open(os.path.join(root, f"manifest.v{int(version)}.json")) as f:
         manifest = json.load(f)
     rel = manifest["tables"].get(table)
@@ -110,6 +109,13 @@ class EdgyDataSource(DataSource):
         return base
 
     def reader(self, schema: StructType) -> "EdgyReader":
+        if self.options.get("mode") == "upsert":
+            # without this the batch scanner asks pyarrow for the CDC-only
+            # _change column and fails with an obscure field-not-found
+            raise ValueError(
+                "mode=upsert is a STREAMING option (spark.readStream); for "
+                "batch change reads use GraphStore.table_changes"
+            )
         return EdgyReader(self._path(), schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> "EdgyWriter":
@@ -255,11 +261,11 @@ class EdgyStreamReader(DataSourceStreamReader):
         self.root = root
         self.table = table
         self.mode = mode
+        self.schema = schema
         self.columns = [f.name for f in schema.fields]
 
     def _current(self) -> dict:
-        with open(os.path.join(self.root, "CURRENT")) as f:
-            version = int(f.read().strip())
+        version = _current_version(self.root)
         with open(os.path.join(self.root, f"manifest.v{version}.json")) as f:
             manifest = json.load(f)
         return {"version": version, "next_id": manifest["next_id"]}
@@ -289,9 +295,20 @@ class EdgyStreamReader(DataSourceStreamReader):
                     "vacuumed — recorded changes for that commit are gone. "
                     "Increase retain_versions to cover stream downtime."
                 ) from None
-            rel = m.get("cdc", {}).get(self.table)
+            cdc_map = m.get("cdc")
+            if cdc_map is None:
+                # tri-state (storage.commit): null/absent = NOT captured —
+                # a silent skip here would be data loss (the r06-advice
+                # failure mode); fail loudly with the remedy instead
+                raise ValueError(
+                    f"upsert stream: version {v} has no change capture "
+                    "(store committed without Engine(capture_cdc=True), or "
+                    "via the bulk writer).  Enable capture on every "
+                    "committer, or use the insert-mode stream."
+                )
+            rel = cdc_map.get(self.table)
             if rel is None:
-                continue  # no captured changes for this table in v
+                continue  # captured: no changes for this table in v
             d = os.path.join(self.root, rel)
             for n in sorted(os.listdir(d)):
                 if n.startswith("part-") or n.endswith(".parquet"):
@@ -337,15 +354,39 @@ class EdgyStreamReader(DataSourceStreamReader):
 
         if isinstance(partition, _CdcFilePartition):
             # one commit's captured changes: stored columns + the commit
-            # version stamped on (the file is one commit's worth by layout)
+            # version stamped on (the file is one commit's worth by layout).
+            # Old change files may predate a schema evolution — reconcile
+            # to the stream's CURRENT schema like Snapshot reads do: scan
+            # the intersection, null-fill attributes added since (the same
+            # (name, type)-keyed tolerance as the engine's version reads).
+            from pyspark.sql.pandas.types import to_arrow_type
+
             dataset = ds.dataset(partition.path, format="parquet")
             cols = [c for c in self.columns if c != "_commit_version"]
-            for batch in dataset.scanner(columns=cols).to_batches():
+            arrow_type = {
+                f.name: to_arrow_type(f.dataType) for f in self.schema.fields
+            }
+            # (name, type)-keyed like the engine: a re-typed attribute's old
+            # column is an unknown key — read as null, don't crash on it
+            present = [
+                c
+                for c in cols
+                if c in dataset.schema.names
+                and dataset.schema.field(c).type == arrow_type[c]
+            ]
+            missing = [c for c in cols if c not in present]
+            for batch in dataset.scanner(columns=present).to_batches():
                 if not batch.num_rows:
                     continue
-                ver = pa.array([partition.version] * batch.num_rows, pa.int64())
+                arrays = {c: batch.column(i) for i, c in enumerate(present)}
+                for c in missing:
+                    arrays[c] = pa.nulls(batch.num_rows, arrow_type[c])
+                arrays["_commit_version"] = pa.array(
+                    [partition.version] * batch.num_rows, pa.int64()
+                )
+                names = cols + ["_commit_version"]
                 yield pa.RecordBatch.from_arrays(
-                    list(batch.columns) + [ver], names=cols + ["_commit_version"]
+                    [arrays[c] for c in names], names=names
                 )
             return
         dataset = ds.dataset(partition.path, format="parquet")
@@ -554,21 +595,31 @@ class EdgyWriter(DataSourceArrowWriter):
             "tables": tables,
             "bucketed": bucketed,
         }
-        # exclusive create = compare-and-swap: two committers from the same
-        # base both pass the version pre-check, but the filesystem lets only
-        # one create manifest.v{N+1} — the loser cleans up and raises
-        # instead of silently overwriting the winner's committed manifest
+        # atomic link of a fully-written temp file = compare-and-swap AND
+        # no reader can see partial JSON: two committers from the same base
+        # both pass the version pre-check, but the filesystem lets only one
+        # link manifest.v{N+1} — the loser cleans up and raises instead of
+        # silently overwriting the winner's committed manifest.  Manifest
+        # creation is the COMMIT POINT; CURRENT below is a pointer cache
+        # readers roll forward past (a crash between the two is harmless).
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=self.root)
         try:
-            with open(
-                os.path.join(self.root, f"manifest.v{new_version}.json"), "x"
-            ) as f:
+            with os.fdopen(fd, "w") as f:
                 json.dump(new_manifest, f)
-        except FileExistsError:
-            _shutil.rmtree(dst_dir, ignore_errors=True)
-            raise RuntimeError(
-                f"edgy write conflict: a concurrent commit published "
-                f"v{new_version} first; re-run the job"
-            ) from None
+            try:
+                os.link(
+                    tmp, os.path.join(self.root, f"manifest.v{new_version}.json")
+                )
+            except FileExistsError:
+                _shutil.rmtree(dst_dir, ignore_errors=True)
+                raise RuntimeError(
+                    f"edgy write conflict: a concurrent commit published "
+                    f"v{new_version} first; re-run the job"
+                ) from None
+        finally:
+            os.unlink(tmp)
         _publish_current(self.root, new_version)
 
     def abort(self, messages):
@@ -578,8 +629,15 @@ class EdgyWriter(DataSourceArrowWriter):
 
 
 def _current_version(root: str) -> int:
+    """Newest committed version — CURRENT rolled forward past newer
+    complete manifests (manifest creation is the commit point; the pointer
+    is a cache that a crashed committer may have left stale — same contract
+    as GraphStore.current_version)."""
     with open(os.path.join(root, "CURRENT")) as f:
-        return int(f.read().strip())
+        v = int(f.read().strip())
+    while os.path.exists(os.path.join(root, f"manifest.v{v + 1}.json")):
+        v += 1
+    return v
 
 
 def _publish_current(root: str, version: int) -> None:

@@ -155,24 +155,41 @@ class GraphStore:
         return os.path.join(self.root, f"manifest.v{version}.json")
 
     def _write_manifest(self, manifest: dict) -> None:
-        """Create the manifest with O_EXCL so the filesystem arbitrates
-        racing committers: two commits from the same base version both pass
-        the staleness check, but only one can create ``manifest.v{N+1}`` —
-        the loser gets ConflictError and retries, instead of silently
-        overwriting the winner's committed transaction.  (The version-0
-        bootstrap in ``__init__`` is the only caller that may find a
-        pre-existing file: two sessions opening the same store root race the
-        initial empty manifest, whose bytes are identical — tolerated.)"""
+        """Atomically create the manifest — the COMMIT POINT of the store.
+
+        The manifest is fully written to a temp file first and then
+        ``os.link``-ed to its final name: the link both (a) publishes a
+        complete file atomically (no reader can ever see partial JSON) and
+        (b) is an exclusive create, so the filesystem arbitrates racing
+        committers — two commits from the same base both pass the staleness
+        check, but only one links ``manifest.v{N+1}``; the loser gets
+        ConflictError and retries instead of silently overwriting the
+        winner's committed transaction.
+
+        CURRENT is published AFTER this and is only a pointer cache:
+        ``current_version`` rolls forward past it, so a crash between the
+        link and the pointer swap neither loses the commit nor wedges the
+        store (the next reader/committer adopts the newer manifest).  (The
+        version-0 bootstrap in ``__init__`` is the only caller that may
+        find a pre-existing file: two sessions opening the same store root
+        race the initial empty manifest, whose bytes are identical —
+        tolerated.)"""
         path = self._manifest_path(manifest["version"])
+        fd, tmp = tempfile.mkstemp(dir=self.root)
         try:
-            with open(path, "x") as f:
+            with os.fdopen(fd, "w") as f:
                 json.dump(manifest, f)
-        except FileExistsError:
-            if manifest["version"] == 0:
-                return  # bootstrap race: the other session wrote the same bytes
-            raise ConflictError(
-                f"concurrent commit already published version {manifest['version']}"
-            ) from None
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                if manifest["version"] == 0:
+                    return  # bootstrap race: other session wrote the same bytes
+                raise ConflictError(
+                    f"concurrent commit already published version "
+                    f"{manifest['version']}"
+                ) from None
+        finally:
+            os.unlink(tmp)
 
     def _publish(self, version: int) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.root)
@@ -192,8 +209,17 @@ class GraphStore:
         return f"edgy_{h}_{key}_v{version}{suffix}"
 
     def current_version(self) -> int:
+        """Newest committed version: the CURRENT pointer, rolled FORWARD
+        past any newer complete manifests.  Manifest creation is the commit
+        point (see ``_write_manifest``); a committer that crashed — or has
+        not yet gotten — between the manifest link and the pointer swap
+        leaves CURRENT stale, and without the roll-forward every later
+        commit would collide with the orphan manifest forever."""
         with open(self._current_path) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
+        while os.path.exists(self._manifest_path(v + 1)):
+            v += 1
+        return v
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
@@ -223,10 +249,15 @@ class GraphStore:
         ``cdc`` entry.  The caller computes it from its STAGED state —
         O(touched rows), never a diff join over the table — and downstream
         consumers (:meth:`table_changes`, the ``mode=upsert`` stream
-        source) replay versions as plain file reads.  A commit without
-        ``cdc`` (maintenance compaction, bulk loads) records no change
-        rows: compaction is correctly "no logical change"; bulk appends
-        surface through the insert-cursor stream mode instead.
+        source) replay versions as plain file reads.
+
+        The manifest's ``cdc`` field is TRI-STATE so consumers can tell
+        silence from loss: a dict (possibly empty) = changes were captured
+        (empty = captured, nothing changed — also what a maintenance
+        compaction records, since it is no logical change); JSON null /
+        absent = changes were NOT captured (engine without
+        ``capture_cdc``, bulk-writer commits) and completeness-requiring
+        consumers must raise rather than silently emit nothing.
 
         When ``compact_every`` is set, every K-th user commit triggers the
         compact+vacuum maintenance pass afterwards (``_maintenance`` guards
@@ -284,8 +315,12 @@ class GraphStore:
             "next_id": next_id if next_id is not None else base.manifest["next_id"],
             "tables": tables,
             "bucketed": bucketed,
-            # per-commit (not carried forward): changes base.version -> new
-            "cdc": cdc_entries,
+            # per-commit (not carried forward): changes base.version -> new.
+            # Tri-state — dict = captured (maintenance = captured-empty:
+            # compaction is no logical change), null = NOT captured.
+            "cdc": (
+                cdc_entries if (cdc is not None or _maintenance) else None
+            ),
         }
         try:
             self._write_manifest(manifest)
@@ -400,7 +435,7 @@ class GraphStore:
             with open(path) as f:
                 m = json.load(f)
             referenced_rel.update(m["tables"].values())
-            referenced_rel.update(m.get("cdc", {}).values())
+            referenced_rel.update((m.get("cdc") or {}).values())
             referenced_tbl.update(m.get("bucketed", {}).values())
         removed: list[str] = []
         data_dir = os.path.join(self.root, "data")
@@ -440,6 +475,16 @@ class GraphStore:
                     continue
             shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
             removed.append(rel)
+        # a crash DURING a manifest/pointer temp write leaves an unlinked
+        # mkstemp file in the root; sweep abandoned ones (same age guard)
+        for name in os.listdir(self.root):
+            p = os.path.join(self.root, name)
+            if name.startswith("tmp") and os.path.isfile(p):
+                try:
+                    if _time.time() - os.path.getmtime(p) >= 86_400:
+                        os.unlink(p)
+                except OSError:
+                    pass
         prefix = self._bucket_table_name("", 0).rsplit("_v", 1)[0].rstrip("_") + "_"
         for tbl in self.spark.catalog.listTables():
             if tbl.name.startswith(prefix) and tbl.name not in referenced_tbl:
@@ -455,38 +500,74 @@ class GraphStore:
     # -- change data feed --------------------------------------------------
 
     def table_changes(
-        self, key: str, from_version: int, to_version: int | None = None
+        self, key: str, from_version: int, to_version: int | None = None,
+        strict: bool = True,
     ) -> DataFrame:
         """Row-level changes recorded for ``key`` (e.g. ``n_Person``) in
         versions ``(from_version, to_version]`` — the batch read of the
         commit-time CDC capture (Delta's ``table_changes`` analogue).
 
-        Returns the row image + ``_change`` + ``_commit_version``; versions
-        with no CDC entry for the table (untouched, maintenance, bulk
-        loads) contribute nothing.  Each version is its own small parquet
-        location, so the read is proportional to the CHANGES in the range,
-        never to table size — the whole point of commit-time capture at
-        100 TB.  Raises FileNotFoundError if a manifest in the range was
-        vacuumed (size ``retain_versions`` to the longest consumer lag).
+        Returns the row image + ``_change`` + ``_commit_version``; captured
+        versions with no changes for the table contribute nothing.  Each
+        version is its own small parquet location, so the read is
+        proportional to the CHANGES in the range, never to table size —
+        the whole point of commit-time capture at 100 TB.
+
+        ``strict`` (default): a version in the range whose changes were
+        NOT captured (committed without ``capture_cdc`` or via the bulk
+        writer — manifest ``cdc`` is null) raises instead of silently
+        yielding an incomplete feed; pass ``strict=False`` to skip such
+        versions knowingly.  Raises FileNotFoundError if a manifest in the
+        range was vacuumed (size ``retain_versions`` to consumer lag).
         """
+        from pyspark.sql import functions as F  # local: keep imports light
+
         to_version = self.current_version() if to_version is None else to_version
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
             with open(self._manifest_path(v)) as f:
                 m = json.load(f)
-            rel = m.get("cdc", {}).get(key)
+            cdc_map = m.get("cdc")
+            if cdc_map is None:
+                if strict:
+                    raise ValueError(
+                        f"version {v} has no change capture (committed "
+                        "without capture_cdc, or by the bulk writer): the "
+                        "change feed would be incomplete.  Pass "
+                        "strict=False to skip uncaptured versions."
+                    )
+                continue
+            rel = cdc_map.get(key)
             if rel is None:
                 continue
+            df = self.spark.read.parquet(os.path.join(self.root, rel))
+            # change files written before a schema evolution reconcile to
+            # the CURRENT node type exactly like Snapshot version reads:
+            # added-since attrs read as NULL, re-typed old columns are
+            # unknown keys (read as NULL), dropped columns disappear
+            by_name = {f.name: f.dataType for f in df.schema.fields}
+            nt = self.schema.node_type(key[2:])
+            cols = [F.col("id")]
+            for a in nt.attrs:
+                if by_name.get(a.name) == a.spark_type():
+                    cols.append(F.col(a.name))
+                else:
+                    # same value the engine would READ at that version:
+                    # optional attrs carry their declared default
+                    cols.append(
+                        F.lit(a.default).cast(a.spark_type()).alias(a.name)
+                    )
             parts.append(
-                self.spark.read.parquet(os.path.join(self.root, rel)).withColumn(
-                    "_commit_version", F_lit_long(v)
+                df.select(
+                    *cols,
+                    F.col("_change"),
+                    F.lit(v).cast("long").alias("_commit_version"),
                 )
             )
         if not parts:
-            empty = self.spark.createDataFrame(
+            return self.spark.createDataFrame(
                 [], _cdc_struct(self.schema.node_type(key[2:]))
             )
-            return empty
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -498,12 +579,6 @@ def _cdc_struct(nt) -> T.StructType:
     fields.append(T.StructField("_change", T.StringType(), False))
     fields.append(T.StructField("_commit_version", T.LongType(), False))
     return T.StructType(fields)
-
-
-def F_lit_long(v: int):
-    from pyspark.sql import functions as F
-
-    return F.lit(v).cast("long")
 
 
 class ConflictError(Exception):

@@ -252,3 +252,66 @@ def test_vacuum_spares_in_flight_commit_data(spark, tmp_path):
     assert in_flight in remaining, "vacuum deleted a concurrent commit's data"
     assert stale_history not in remaining
     assert os.path.join("data", stale_history) in removed
+
+
+def test_crashed_commit_rolls_forward_instead_of_wedging(spark, tmp_path, monkeypatch):
+    """Review r07: a crash BETWEEN the manifest link (the commit point) and
+    the CURRENT pointer swap must neither lose the commit nor wedge the
+    store — readers roll CURRENT forward past complete manifests, and the
+    next committer builds on the adopted version."""
+    import pytest
+
+    root = str(tmp_path / "db")
+    engine = Engine(spark, root, demo_schema())
+    engine.run(lambda t: t.new_node("Person", name="Before", age=1))
+    v_ok = engine.store.current_version()
+
+    def crash(_version):
+        raise OSError("simulated crash before CURRENT publish")
+
+    monkeypatch.setattr(engine.store, "_publish", crash)
+    with pytest.raises(OSError, match="simulated crash"):
+        engine.run(lambda t: t.new_node("Person", name="Crashed", age=2))
+    monkeypatch.undo()
+
+    # manifest link already happened: the transaction IS committed
+    assert engine.store.current_version() == v_ok + 1
+    names = {r["name"] for r in engine.snapshot().nodes("Person").collect()}
+    assert "Crashed" in names
+    # and the store is not wedged: the next commit succeeds on top
+    engine.run(lambda t: t.new_node("Person", name="After", age=3))
+    assert engine.store.current_version() == v_ok + 2
+    names = {r["name"] for r in engine.snapshot().nodes("Person").collect()}
+    assert {"Before", "Crashed", "After"} <= names
+
+
+def test_table_changes_strict_raises_on_uncaptured_versions(spark, tmp_path):
+    """Tri-state CDC: versions committed WITHOUT capture are distinguishable
+    from captured-but-empty ones; strict reads refuse an incomplete feed."""
+    import pytest
+
+    root = str(tmp_path / "db")
+    engine = Engine(spark, root, demo_schema())  # capture OFF
+    engine.run(lambda t: t.new_node("Person", name="A", age=1))
+    v1 = engine.store.current_version()
+    engine.run(lambda t: t.new_node("Person", name="B", age=2))
+
+    with pytest.raises(ValueError, match="no change capture"):
+        engine.store.table_changes("n_Person", v1).collect()
+    assert engine.store.table_changes("n_Person", v1, strict=False).count() == 0
+
+    # maintenance commits are captured-empty (no logical change), not
+    # uncaptured: strict reads pass over them
+    engine2 = Engine(
+        spark, str(tmp_path / "db2"), demo_schema(), capture_cdc=True
+    )
+    for i in range(3):
+        engine2.run(lambda t, i=i: t.new_node("Person", name=f"P{i}", age=i))
+    v = engine2.store.current_version()
+    engine2.store.compact(target_file_mb=128, min_files=2)
+    engine2.run(lambda t: t.new_node("Person", name="Z", age=9))
+    got = [
+        r["name"]
+        for r in engine2.store.table_changes("n_Person", v).collect()
+    ]
+    assert got == ["Z"]

@@ -520,3 +520,114 @@ def test_cdc_replay_reconstructs_the_table(spark, tmp_path):
         for r in engine.snapshot().nodes("Person").collect()
     }
     assert replica == final and len(final) == 7
+
+
+def test_upsert_stream_raises_on_uncaptured_store(spark, tmp_path):
+    """Review r07: mode=upsert on a store committed WITHOUT capture_cdc
+    previously streamed nothing forever — silent CDC loss.  It must fail
+    loudly with the remedy."""
+    import pytest
+
+    engine = Engine(spark, str(tmp_path / "nocap"), demo_schema())  # no capture
+    ann = engine.run(lambda t: t.new_node("Person", name="Ann", age=30))
+    register_edgy_source(spark)
+    ckpt = str(tmp_path / "ckpt_nocap")
+
+    def run_once():
+        q = (
+            spark.readStream.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "n_Person")
+            .option("mode", "upsert")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "nocap_out"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # pins the checkpointed offset; nothing to read yet, no error
+    engine.run(lambda t: t.set_attribute(ann, "age", 31))  # uncaptured commit
+    with pytest.raises(Exception, match="no change capture"):
+        run_once()  # the offset range now covers the uncaptured version
+
+
+def test_batch_read_rejects_upsert_mode(spark, tmp_path):
+    """mode=upsert is streaming-only; the batch path must error clearly,
+    not crash inside pyarrow on the missing _change column."""
+    import pytest
+
+    engine, _ = _store(spark, tmp_path)
+    register_edgy_source(spark)
+    with pytest.raises(Exception, match="STREAMING option"):
+        (
+            spark.read.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "n_Person")
+            .option("mode", "upsert")
+            .load()
+            .collect()
+        )
+
+
+def test_upsert_replay_tolerates_schema_evolution(spark, tmp_path):
+    """Change files written before a schema evolution replay under the
+    CURRENT schema — both read paths: the STREAM (checkpoint pinned before
+    the evolution, pyarrow null-fill of attrs added since) and the batch
+    ``table_changes`` (which additionally applies the engine's declared
+    defaults, same as Snapshot version reads)."""
+    from edgy_spark.schema import Attr, GraphSchema, NodeType, optional
+
+    old_schema = GraphSchema((NodeType("Doc", (Attr("title"),)),))
+    new_schema = GraphSchema(
+        (NodeType("Doc", (Attr("title"), optional("tag", "string", default="none"))),)
+    )
+    root = str(tmp_path / "evo")
+    e1 = Engine(spark, root, old_schema, capture_cdc=True)
+    d = e1.run(lambda t: t.new_node("Doc", title="first"))
+    v0 = e1.store.current_version()
+
+    register_edgy_source(spark)
+    ckpt, out = str(tmp_path / "evo_ckpt"), str(tmp_path / "evo_out")
+
+    def run_stream():
+        q = (
+            spark.readStream.format("edgy")
+            .option("root", root)
+            .option("table", "n_Doc")
+            .option("mode", "upsert")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()  # pins the checkpointed offset BEFORE the evolution
+    e1.run(lambda t: t.set_attribute(d, "title", "renamed"))  # pre-evolution cdc
+    e2 = Engine(spark, root, new_schema, capture_cdc=True)
+    e2.run(lambda t: t.new_node("Doc", title="second", tag="x"))  # post-evolution
+    run_stream()  # replays BOTH files under the current (wider) schema
+
+    # run 1 wrote an empty file under the PRE-evolution schema; merge footers
+    streamed = {
+        (r["_change"], r["title"], r["tag"])
+        for r in spark.read.option("mergeSchema", "true").parquet(out).collect()
+    }
+    assert streamed == {
+        ("update_postimage", "renamed", None),  # old file: tag null-filled
+        ("insert", "second", "x"),
+    }
+
+    got = {
+        (r["_change"], r["title"], r["tag"])
+        for r in e2.store.table_changes("n_Doc", v0).collect()
+    }
+    assert got == {
+        ("update_postimage", "renamed", "none"),  # engine default applied
+        ("insert", "second", "x"),
+    }
