@@ -142,14 +142,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     parser.add_argument("cmd", nargs="+", help=(
         "create | query NAME | buy NAME TOOL | discard NAME TOOL | "
         "friend N1 N2 | unfriend N1 N2 | marry N1 N2 | divorce N1 N2 | "
-        "maintain"
+        "maintain | changes [FROM_VERSION]"
     ))
     args = parser.parse_args(argv)
     if spark is None:
         from edgy_spark.session import get_spark
 
         spark = get_spark("edgy-spark-demo")
-    engine = Engine(spark, args.root, demo_schema())
+    # demo stores capture their change feed so `changes` (and any upsert
+    # stream a user points at the root) always has a complete history
+    engine = Engine(spark, args.root, demo_schema(), capture_cdc=True)
 
     cmd, rest = args.cmd[0], args.cmd[1:]
     two_arg = {
@@ -166,6 +168,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif cmd in two_arg and len(rest) == 2:
         op, rel = two_arg[cmd]
         _edge_cmd(engine, op, rel, rest[0], rest[1])
+    elif cmd == "changes" and len(rest) <= 1:
+        # the change feed since FROM_VERSION (default: everything retained):
+        # one line per captured row-level change, in commit order
+        from_v = int(rest[0]) if rest else 0
+        rows = sorted(
+            engine.store.table_changes("n_Person", from_v, strict=False).collect(),
+            key=lambda r: (r["_commit_version"], r["id"]),
+        )
+        for r in rows:
+            print(f"v{r['_commit_version']} {r['_change']:>16s}  "
+                  f"Person(id={r['id']}, name={r['name']!r}, age={r['age']})")
+        print(f"{len(rows)} change(s)")
     elif cmd == "maintain" and not rest:
         # OPTIMIZE + VACUUM on demand (also available automatically via
         # Engine(compact_every=K))

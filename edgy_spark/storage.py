@@ -513,20 +513,30 @@ class GraphStore:
         proportional to the CHANGES in the range, never to table size —
         the whole point of commit-time capture at 100 TB.
 
-        ``strict`` (default): a version in the range whose changes were
-        NOT captured (committed without ``capture_cdc`` or via the bulk
-        writer — manifest ``cdc`` is null) raises instead of silently
-        yielding an incomplete feed; pass ``strict=False`` to skip such
-        versions knowingly.  Raises FileNotFoundError if a manifest in the
-        range was vacuumed (size ``retain_versions`` to consumer lag).
+        ``strict`` (default): a version in the range whose changes are
+        unknowable — NOT captured (committed without ``capture_cdc`` or via
+        the bulk writer: manifest ``cdc`` is null) or whose manifest was
+        vacuumed away (size ``retain_versions`` to consumer lag) — raises
+        instead of silently yielding an incomplete feed; pass
+        ``strict=False`` to skip such versions knowingly.
         """
         from pyspark.sql import functions as F  # local: keep imports light
 
         to_version = self.current_version() if to_version is None else to_version
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
-            with open(self._manifest_path(v)) as f:
-                m = json.load(f)
+            try:
+                with open(self._manifest_path(v)) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                if strict:
+                    raise ValueError(
+                        f"version {v} has no change capture (its manifest "
+                        "was vacuumed): the change feed would be "
+                        "incomplete.  Pass strict=False to skip it, or "
+                        "raise retain_versions."
+                    ) from None
+                continue
             cdc_map = m.get("cdc")
             if cdc_map is None:
                 if strict:

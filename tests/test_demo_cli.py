@@ -54,3 +54,16 @@ def test_demo_maintain_command(spark, tmp_path):
     assert main(["--root", root, "maintain"], spark=spark) == 0
     # store still reads after maintenance
     assert main(["--root", root, "query", "Bob"], spark=spark) == 0
+
+
+def test_demo_changes_command(spark, tmp_path, capsys):
+    """`changes` prints the captured row-level change feed in commit order
+    (demo stores capture their CDC by default)."""
+    root = str(tmp_path / "db")
+    assert main(["--root", root, "create"], spark=spark) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "changes"], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[-1] == "3 change(s)"  # bigBang's three Person inserts
+    assert all("insert" in line for line in out[:-1])
+    assert any("'Bob'" in line for line in out)
