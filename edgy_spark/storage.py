@@ -425,6 +425,13 @@ class GraphStore:
             self.retain_versions if retain_versions is None else retain_versions
         )
         current = self.current_version()
+        # repair the pointer cache BEFORE dropping manifests: if a crashed
+        # committer left CURRENT stale, deleting the intermediate manifests
+        # would break the roll-forward probe chain (CURRENT -> N while only
+        # manifest N+k survives).  A racing commit may immediately advance
+        # past this write — harmless, CURRENT is a hint readers roll
+        # forward from, never backward-authoritative.
+        self._publish(current)
         horizon = max(0, current - max(1, retain) + 1)
         referenced_rel: set[str] = set()
         referenced_tbl: set[str] = set()

@@ -315,3 +315,35 @@ def test_table_changes_strict_raises_on_uncaptured_versions(spark, tmp_path):
         for r in engine2.store.table_changes("n_Person", v).collect()
     ]
     assert got == ["Z"]
+
+
+def test_vacuum_repairs_stale_current_before_dropping_manifests(spark, tmp_path, monkeypatch):
+    """A crashed commit leaves CURRENT stale; vacuum must repair the
+    pointer BEFORE garbage-collecting manifests, or the roll-forward probe
+    chain (CURRENT → stale N, manifest N+1 already vacuumed) breaks and
+    the store becomes unreadable."""
+    import pytest
+
+    root = str(tmp_path / "db")
+    engine = Engine(spark, root, demo_schema())
+    for i in range(4):
+        engine.run(lambda t, i=i: t.new_node("Person", name=f"P{i}", age=i))
+
+    def crash(_version):
+        raise OSError("simulated crash before CURRENT publish")
+
+    monkeypatch.setattr(engine.store, "_publish", crash)
+    with pytest.raises(OSError):
+        engine.run(lambda t: t.new_node("Person", name="Crashed", age=9))
+    monkeypatch.undo()
+
+    with open(os.path.join(root, "CURRENT")) as f:
+        stale = int(f.read().strip())
+    rolled = engine.store.current_version()
+    assert rolled == stale + 1  # the pointer really is stale
+
+    engine.store.vacuum(retain_versions=1)  # drops manifests incl. stale+...
+    # the pointer was repaired, the chain is intact, the store reads
+    assert engine.store.current_version() == rolled
+    names = {r["name"] for r in engine.snapshot().nodes("Person").collect()}
+    assert "Crashed" in names and "P3" in names
