@@ -171,7 +171,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif cmd == "changes" and len(rest) <= 1:
         # the change feed since FROM_VERSION (default: everything retained):
         # one line per captured row-level change, in commit order
-        from_v = int(rest[0]) if rest else 0
+        try:
+            from_v = int(rest[0]) if rest else 0
+        except ValueError:
+            print("Usage: main [cmd]")
+            return 1
         rows = sorted(
             engine.store.table_changes("n_Person", from_v, strict=False).collect(),
             key=lambda r: (r["_commit_version"], r["id"]),

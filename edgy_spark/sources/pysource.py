@@ -226,6 +226,7 @@ class _StreamSlicePartition(InputPartition):
 class _CdcFilePartition(InputPartition):
     path: str     # one parquet file of ONE commit's change capture
     version: int  # the commit version (becomes _commit_version)
+    defaults: tuple = ()  # ((attr, default), ...) for evolution null-fill
 
 
 class EdgyStreamReader(DataSourceStreamReader):
@@ -283,6 +284,18 @@ class EdgyStreamReader(DataSourceStreamReader):
         return self._current()
 
     def _cdc_partitions(self, start: dict, end: dict):
+        # evolution null-fill uses the END version's declared defaults
+        # (engine semantics: old versions reconcile to the CURRENT schema)
+        try:
+            with open(
+                os.path.join(self.root, f"manifest.v{end['version']}.json")
+            ) as f:
+                end_defaults = (json.load(f).get("defaults") or {}).get(
+                    self.table, {}
+                )
+        except FileNotFoundError:
+            end_defaults = {}
+        defaults = tuple(sorted(end_defaults.items()))
         parts: list[_CdcFilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             mpath = os.path.join(self.root, f"manifest.v{v}.json")
@@ -293,18 +306,23 @@ class EdgyStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"upsert stream needs manifest.v{v}.json but it was "
                     "vacuumed — recorded changes for that commit are gone. "
-                    "Increase retain_versions to cover stream downtime."
+                    "Restart from a NEW checkpoint (changes-only from now), "
+                    "and raise retain_versions to cover stream downtime."
                 ) from None
             cdc_map = m.get("cdc")
             if cdc_map is None:
                 # tri-state (storage.commit): null/absent = NOT captured —
                 # a silent skip here would be data loss (the r06-advice
-                # failure mode); fail loudly with the remedy instead
+                # failure mode); fail loudly.  Note enabling capture only
+                # helps FUTURE commits: this version's changes are gone,
+                # so the only real remedies are a fresh checkpoint.
                 raise ValueError(
                     f"upsert stream: version {v} has no change capture "
                     "(store committed without Engine(capture_cdc=True), or "
-                    "via the bulk writer).  Enable capture on every "
-                    "committer, or use the insert-mode stream."
+                    "via the bulk writer) and cannot be backfilled.  "
+                    "Restart from a NEW checkpoint — with capture enabled "
+                    "on every committer going forward — or use the "
+                    "insert-mode stream."
                 )
             rel = cdc_map.get(self.table)
             if rel is None:
@@ -312,7 +330,9 @@ class EdgyStreamReader(DataSourceStreamReader):
             d = os.path.join(self.root, rel)
             for n in sorted(os.listdir(d)):
                 if n.startswith("part-") or n.endswith(".parquet"):
-                    parts.append(_CdcFilePartition(os.path.join(d, n), v))
+                    parts.append(
+                        _CdcFilePartition(os.path.join(d, n), v, defaults)
+                    )
         return parts or [_CdcFilePartition("", end["version"])]
 
     def partitions(self, start: dict, end: dict):
@@ -375,12 +395,23 @@ class EdgyStreamReader(DataSourceStreamReader):
                 and dataset.schema.field(c).type == arrow_type[c]
             ]
             missing = [c for c in cols if c not in present]
+            # attrs added since the file was written fill with the
+            # engine-declared default from the manifest (same mempty value
+            # Snapshot/table_changes reads yield — a replica built from
+            # this stream stays byte-equal to engine reads), or NULL when
+            # no JSON-safe default was declared
+            defaults = dict(partition.defaults)
             for batch in dataset.scanner(columns=present).to_batches():
                 if not batch.num_rows:
                     continue
                 arrays = {c: batch.column(i) for i, c in enumerate(present)}
                 for c in missing:
-                    arrays[c] = pa.nulls(batch.num_rows, arrow_type[c])
+                    if c in defaults:
+                        arrays[c] = pa.array(
+                            [defaults[c]] * batch.num_rows, arrow_type[c]
+                        )
+                    else:
+                        arrays[c] = pa.nulls(batch.num_rows, arrow_type[c])
                 arrays["_commit_version"] = pa.array(
                     [partition.version] * batch.num_rows, pa.int64()
                 )
@@ -594,6 +625,10 @@ class EdgyWriter(DataSourceArrowWriter):
             "next_id": next_id,
             "tables": tables,
             "bucketed": bucketed,
+            # bulk-writer commits carry the engine-declared defaults
+            # forward unchanged (the writer has no GraphSchema); "cdc" is
+            # deliberately absent = changes NOT captured for this commit
+            "defaults": manifest.get("defaults", {}),
         }
         # atomic link of a fully-written temp file = compare-and-swap AND
         # no reader can see partial JSON: two committers from the same base

@@ -77,7 +77,7 @@ class Snapshot:
         return self._store.spark.read.parquet(os.path.join(self._store.root, rel))
 
 
-def _reconcile_to_schema(df: DataFrame, nt) -> DataFrame:
+def _reconcile_to_schema(df: DataFrame, nt, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Schema-evolution-tolerant decode: project a stored node table onto the
     CURRENT NodeType, the reference's load semantics
     (/root/reference/src/Edgy/Node.hs:181-189 — the attr map is keyed by
@@ -105,6 +105,7 @@ def _reconcile_to_schema(df: DataFrame, nt) -> DataFrame:
             cols.append(F.col(a.name))
         else:
             cols.append(F.lit(a.default).cast(a.spark_type()).alias(a.name))
+    cols += [F.col(c) for c in passthrough]
     return df.select(*cols)
 
 
@@ -321,6 +322,20 @@ class GraphStore:
             "cdc": (
                 cdc_entries if (cdc is not None or _maintenance) else None
             ),
+            # declared optional-attr defaults (JSON-safe ones), so
+            # SCHEMA-FREE consumers (the upsert stream source) can apply
+            # the same mempty-analogue the engine reads — keeps a replica
+            # built from the stream byte-equal to engine reads across
+            # schema evolution
+            "defaults": {
+                f"n_{nt.name}": {
+                    a.name: a.default
+                    for a in nt.attrs
+                    if not a.required
+                    and isinstance(a.default, (str, int, float, bool))
+                }
+                for nt in self.schema.node_types
+            },
         }
         try:
             self._write_manifest(manifest)
@@ -449,11 +464,11 @@ class GraphStore:
         import re as _re
         import time as _time
 
-        def _abandoned(name: str) -> bool:
+        def _abandoned(path: str) -> bool:
             """24 h age guard — the same rule object-store lifecycle
             policies use for incomplete multipart uploads."""
             try:
-                age = _time.time() - os.path.getmtime(os.path.join(data_dir, name))
+                age = _time.time() - os.path.getmtime(path)
             except OSError:
                 return False
             return age >= 86_400
@@ -466,7 +481,7 @@ class GraphStore:
                 # dot-prefixed: an in-flight bulk writer's staging directory
                 # (sources/pysource.EdgyWriter) — deleting it under a live
                 # job loses rows.  Sweep only abandoned ones.
-                if not _abandoned(name):
+                if not _abandoned(os.path.join(data_dir, name)):
                     continue
             else:
                 # versioned table data referenced by NO manifest: either
@@ -478,7 +493,7 @@ class GraphStore:
                 # unparsable, instead of deleting a live job's output.
                 m = _re.search(r"\.v(\d+)", name)
                 in_flight = m is None or int(m.group(1)) > current
-                if in_flight and not _abandoned(name):
+                if in_flight and not _abandoned(os.path.join(data_dir, name)):
                     continue
             shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
             removed.append(rel)
@@ -486,10 +501,9 @@ class GraphStore:
         # mkstemp file in the root; sweep abandoned ones (same age guard)
         for name in os.listdir(self.root):
             p = os.path.join(self.root, name)
-            if name.startswith("tmp") and os.path.isfile(p):
+            if name.startswith("tmp") and os.path.isfile(p) and _abandoned(p):
                 try:
-                    if _time.time() - os.path.getmtime(p) >= 86_400:
-                        os.unlink(p)
+                    os.unlink(p)
                 except OSError:
                     pass
         prefix = self._bucket_table_name("", 0).rsplit("_v", 1)[0].rstrip("_") + "_"
@@ -559,27 +573,15 @@ class GraphStore:
                 continue
             df = self.spark.read.parquet(os.path.join(self.root, rel))
             # change files written before a schema evolution reconcile to
-            # the CURRENT node type exactly like Snapshot version reads:
-            # added-since attrs read as NULL, re-typed old columns are
-            # unknown keys (read as NULL), dropped columns disappear
-            by_name = {f.name: f.dataType for f in df.schema.fields}
-            nt = self.schema.node_type(key[2:])
-            cols = [F.col("id")]
-            for a in nt.attrs:
-                if by_name.get(a.name) == a.spark_type():
-                    cols.append(F.col(a.name))
-                else:
-                    # same value the engine would READ at that version:
-                    # optional attrs carry their declared default
-                    cols.append(
-                        F.lit(a.default).cast(a.spark_type()).alias(a.name)
-                    )
+            # the CURRENT node type EXACTLY like Snapshot version reads
+            # (same helper): added-since attrs read as their declared
+            # default, re-typed old columns are unknown keys, dropped
+            # columns disappear
+            df = _reconcile_to_schema(
+                df, self.schema.node_type(key[2:]), passthrough=("_change",)
+            )
             parts.append(
-                df.select(
-                    *cols,
-                    F.col("_change"),
-                    F.lit(v).cast("long").alias("_commit_version"),
-                )
+                df.withColumn("_commit_version", F.lit(v).cast("long"))
             )
         if not parts:
             return self.spark.createDataFrame(

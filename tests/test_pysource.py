@@ -574,10 +574,11 @@ def test_batch_read_rejects_upsert_mode(spark, tmp_path):
 
 def test_upsert_replay_tolerates_schema_evolution(spark, tmp_path):
     """Change files written before a schema evolution replay under the
-    CURRENT schema — both read paths: the STREAM (checkpoint pinned before
-    the evolution, pyarrow null-fill of attrs added since) and the batch
-    ``table_changes`` (which additionally applies the engine's declared
-    defaults, same as Snapshot version reads)."""
+    CURRENT schema on BOTH read paths — the stream (checkpoint pinned
+    before the evolution) and batch ``table_changes`` — and both yield the
+    engine's declared default for attrs added since (the stream reads it
+    from the manifest's defaults map), so a replica built from either
+    matches engine reads exactly."""
     from edgy_spark.schema import Attr, GraphSchema, NodeType, optional
 
     old_schema = GraphSchema((NodeType("Doc", (Attr("title"),)),))
@@ -619,7 +620,7 @@ def test_upsert_replay_tolerates_schema_evolution(spark, tmp_path):
         for r in spark.read.option("mergeSchema", "true").parquet(out).collect()
     }
     assert streamed == {
-        ("update_postimage", "renamed", None),  # old file: tag null-filled
+        ("update_postimage", "renamed", "none"),  # old file: declared default
         ("insert", "second", "x"),
     }
 
@@ -631,3 +632,62 @@ def test_upsert_replay_tolerates_schema_evolution(spark, tmp_path):
         ("update_postimage", "renamed", "none"),  # engine default applied
         ("insert", "second", "x"),
     }
+
+
+def test_engine_txn_retries_past_foreign_process_commit(spark, tmp_path):
+    """Optimistic concurrency with a REAL foreign committer (no
+    monkeypatching): an engine transaction pins its snapshot, a second
+    python/Spark process bulk-commits underneath it, and the engine's
+    commit detects the moved version and retries — both writes survive."""
+    import subprocess
+    import sys
+    import textwrap
+
+    engine, _ = _store(spark, tmp_path)
+    root = engine.store.root
+    cursor = engine.snapshot().manifest["next_id"]
+    calls = {"n": 0}
+
+    def txn(t):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # first attempt only: commit from another PROCESS mid-txn
+            script = textwrap.dedent(
+                f"""
+                import sys
+                sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+                from pyspark.sql import SparkSession
+                from edgy_spark.sources.pysource import register_edgy_source
+                spark = (
+                    SparkSession.builder.master("local[2]")
+                    .config("spark.ui.enabled", "false")
+                    .getOrCreate()
+                )
+                register_edgy_source(spark)
+                (
+                    spark.createDataFrame(
+                        [({cursor + 50}, "Foreign", 70)],
+                        "id long, name string, age long",
+                    )
+                    .write.format("edgy")
+                    .option("root", {repr(root)})
+                    .option("table", "n_Person")
+                    .mode("append")
+                    .save()
+                )
+                spark.stop()
+                """
+            )
+            proc = subprocess.run(
+                [sys.executable, "-c", script],
+                capture_output=True, text=True, timeout=300,
+            )
+            assert proc.returncode == 0, proc.stderr[-2000:]
+        t.new_node("Person", name="Local", age=1)
+
+    engine.run(txn)
+    assert calls["n"] == 2  # first attempt conflicted, retry committed
+    names = {r["name"] for r in engine.snapshot().nodes("Person").collect()}
+    assert {"Foreign", "Local"} <= names
+    ids = [r["id"] for r in engine.snapshot().nodes("Person").collect()]
+    assert len(ids) == len(set(ids))  # no id collision across committers
