@@ -26,10 +26,14 @@ equality with the driver-verified batch twin under the RocksDB provider.
 
 Container caveat: the transformWithState driver worker speaks a protobuf
 protocol to the JVM state server, and this build environment has no
-``google.protobuf`` (installs are not permitted), so the equality test is
-``importorskip``-gated — it runs unmodified wherever protobuf exists.  The
-``applyInPandasWithState`` twin in streaming/stateful.py carries the
-executable coverage of the same semantics here.
+``google.protobuf`` (installs are not permitted; the dependency is
+declared in pyproject's ``streaming-v2`` extra).  Coverage is split
+accordingly: ``tests/test_streaming_v2.py::
+test_threshold_processor_logic_equals_batch_twin`` EXECUTES the processor
+here — replaying the micro-batch chunks against a faked state handle and
+asserting equality with the driver-verified batch twin — while the full
+Spark-integration equality test is ``importorskip``-gated and runs
+unmodified wherever protobuf exists.
 """
 
 from __future__ import annotations

@@ -12,13 +12,6 @@ from __future__ import annotations
 
 import pytest
 
-pytest.importorskip(
-    "google.protobuf",
-    reason="transformWithState state-server protocol needs protobuf "
-    "(absent from this container; applyInPandasWithState twin covers "
-    "semantics in test_streaming.py)",
-)
-
 from edgy_spark.catalog import QUERIES, load_all_registrations
 from tests.conftest import SF_SMOKE
 from tests.test_streaming import (
@@ -46,6 +39,15 @@ def rocksdb_session(spark):
 
 
 def test_transform_with_state_equals_batch(rocksdb_session, tmp_path):
+    # only the INTEGRATION path needs protobuf (the driver<->state-server
+    # protocol); the processor logic itself is verified protobuf-free below
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state-server protocol needs protobuf "
+        "(absent from this container; declared in pyproject extras — the "
+        "logic-level test below and the applyInPandasWithState twin carry "
+        "the executable coverage here)",
+    )
     spark = rocksdb_session
     from edgy_spark.streaming.stateful_v2 import threshold_crossing_stream_v2
 
@@ -61,3 +63,78 @@ def test_transform_with_state_equals_batch(rocksdb_session, tmp_path):
     first_cut_ts = rows[cuts[0] - 1]["ts"]
     late = [r for r in want.collect() if r["cross_ts"] > str(first_cut_ts)]
     assert late, "split too late: every user crossed in micro-batch 1"
+
+
+# ---------------------------------------------------------------------------
+# Logic-level verification that does NOT need protobuf: drive the processor
+# directly against a faked state handle, replaying the same micro-batch
+# chunks the v1 test uses, and compare to the driver-verified batch twin.
+# This executes every line of ThresholdProcessor in this container; only the
+# Spark<->state-server protocol integration remains protobuf-gated above.
+# ---------------------------------------------------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self) -> bool:
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v) -> None:
+        self._v = v
+
+
+class _FakeHandle:
+    """Stands in for StatefulProcessorHandle: named typed states per key."""
+
+    def __init__(self):
+        self.states: dict = {}
+        self.ttls: dict = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        self.ttls[name] = ttlDurationMs
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_threshold_processor_logic_equals_batch_twin(spark):
+    """ThresholdProcessor (the transformWithState form) replayed chunk-by-
+    chunk over per-user fake state must emit exactly the batch twin's rows —
+    the same cross-micro-batch state-carry contract the gated integration
+    test asserts, executed WITHOUT the protobuf state server."""
+    import pandas as pd
+
+    from edgy_spark.streaming.stateful_v2 import ThresholdProcessor
+
+    chunks, _, _ = _event_chunks_by_time(spark)
+    handles: dict[int, _FakeHandle] = {}
+    out_frames: list[pd.DataFrame] = []
+    for chunk in chunks:  # one micro-batch per chunk
+        pdf = chunk.toPandas()
+        for uid, group in pdf.groupby("user_id"):
+            # Spark constructs/inits the processor per task; state persists
+            # in the store across batches — the fake handle models that
+            proc = ThresholdProcessor()
+            proc.init(handles.setdefault(int(uid), _FakeHandle()))
+            out_frames.extend(
+                proc.handleInputRows((int(uid),), iter([group]), None)
+            )
+            proc.close()
+
+    got = sorted(
+        (int(r.user_id), r.cross_ts, float(r.cum_at_cross))
+        for f in out_frames
+        for r in f.itertuples()
+    )
+    want_df = QUERIES["stream_first_threshold_crossing"].fn(spark, SF_SMOKE)
+    want = sorted(
+        (int(r["user_id"]), r["cross_ts"], float(r["cum_at_cross"]))
+        for r in want_df.collect()
+    )
+    assert got == want and len(got) > 0
+    # at least one user must have crossed only via carried state (their
+    # first chunk alone stayed under threshold) or the replay proved nothing
+    assert any(h.states["agg"].get()[1] for h in handles.values())
