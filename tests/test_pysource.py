@@ -691,3 +691,45 @@ def test_engine_txn_retries_past_foreign_process_commit(spark, tmp_path):
     assert {"Foreign", "Local"} <= names
     ids = [r["id"] for r in engine.snapshot().nodes("Person").collect()]
     assert len(ids) == len(set(ids))  # no id collision across committers
+
+
+def test_upsert_stream_single_batch_spans_multiple_commits(spark, tmp_path):
+    """One micro-batch whose offset range covers SEVERAL commits must emit
+    every captured change with its own commit version (the per-version
+    change files each become partitions of the same batch)."""
+    engine = Engine(spark, str(tmp_path / "multi"), demo_schema(), capture_cdc=True)
+    ann = engine.run(lambda t: t.new_node("Person", name="Ann", age=30))
+    register_edgy_source(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "n_Person")
+            .option("mode", "upsert")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # pin the offset
+    v0 = engine.store.current_version()
+    engine.run(lambda t: t.set_attribute(ann, "age", 31))
+    bob = engine.run(lambda t: t.new_node("Person", name="Bob", age=40))
+    engine.run(lambda t: t.delete_node(bob))
+    run_once()  # ONE batch covering three commits
+
+    rows = sorted(
+        (r["_commit_version"], r["_change"], r["name"], r["age"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [
+        (v0 + 1, "update_postimage", "Ann", 31),
+        (v0 + 2, "insert", "Bob", 40),
+        (v0 + 3, "delete", "Bob", 40),
+    ]
