@@ -284,24 +284,31 @@ class EdgyStreamReader(DataSourceStreamReader):
         return self._current()
 
     def _cdc_partitions(self, start: dict, end: dict):
-        # evolution null-fill uses the END version's declared defaults
-        # (engine semantics: old versions reconcile to the CURRENT schema)
+        cache: dict[int, dict] = {}
+
+        def _load(v: int) -> dict:
+            if v not in cache:
+                with open(
+                    os.path.join(self.root, f"manifest.v{v}.json")
+                ) as f:
+                    cache[v] = json.load(f)
+            return cache[v]
+
+        # evolution null-fill uses the CURRENT manifest's declared defaults
+        # (engine semantics: old versions reconcile to the CURRENT schema —
+        # also covers a batch recovered from the offset log after an
+        # evolution, whose end version predates the new attribute)
         try:
-            with open(
-                os.path.join(self.root, f"manifest.v{end['version']}.json")
-            ) as f:
-                end_defaults = (json.load(f).get("defaults") or {}).get(
-                    self.table, {}
-                )
-        except FileNotFoundError:
-            end_defaults = {}
-        defaults = tuple(sorted(end_defaults.items()))
+            cur_defaults = (
+                _load(_current_version(self.root)).get("defaults") or {}
+            ).get(self.table, {})
+        except (FileNotFoundError, ValueError):
+            cur_defaults = {}
+        defaults = tuple(sorted(cur_defaults.items()))
         parts: list[_CdcFilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            mpath = os.path.join(self.root, f"manifest.v{v}.json")
             try:
-                with open(mpath) as f:
-                    m = json.load(f)
+                m = _load(v)
             except FileNotFoundError:
                 raise ValueError(
                     f"upsert stream needs manifest.v{v}.json but it was "
@@ -399,19 +406,34 @@ class EdgyStreamReader(DataSourceStreamReader):
             # engine-declared default from the manifest (same mempty value
             # Snapshot/table_changes reads yield — a replica built from
             # this stream stays byte-equal to engine reads), or NULL when
-            # no JSON-safe default was declared
+            # no representable default was declared
+            import base64
+
             defaults = dict(partition.defaults)
+
+            def _fill(col: str, n: int):
+                if col not in defaults:
+                    return pa.nulls(n, arrow_type[col])
+                d = defaults[col]
+                if isinstance(d, dict) and "b64" in d:  # tagged bytes
+                    d = base64.b64decode(d["b64"])
+                try:
+                    arr = pa.array([d] * n)
+                    if arr.type != arrow_type[col]:
+                        # e.g. a string default into a timestamp column —
+                        # the engine path casts via F.lit().cast(); mirror it
+                        arr = arr.cast(arrow_type[col])
+                    return arr
+                except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+                    # an uncastable default must not crash-loop the stream
+                    return pa.nulls(n, arrow_type[col])
+
             for batch in dataset.scanner(columns=present).to_batches():
                 if not batch.num_rows:
                     continue
                 arrays = {c: batch.column(i) for i, c in enumerate(present)}
                 for c in missing:
-                    if c in defaults:
-                        arrays[c] = pa.array(
-                            [defaults[c]] * batch.num_rows, arrow_type[c]
-                        )
-                    else:
-                        arrays[c] = pa.nulls(batch.num_rows, arrow_type[c])
+                    arrays[c] = _fill(c, batch.num_rows)
                 arrays["_commit_version"] = pa.array(
                     [partition.version] * batch.num_rows, pa.int64()
                 )

@@ -322,17 +322,18 @@ class GraphStore:
             "cdc": (
                 cdc_entries if (cdc is not None or _maintenance) else None
             ),
-            # declared optional-attr defaults (JSON-safe ones), so
-            # SCHEMA-FREE consumers (the upsert stream source) can apply
-            # the same mempty-analogue the engine reads — keeps a replica
-            # built from the stream byte-equal to engine reads across
-            # schema evolution
+            # declared optional-attr defaults, so SCHEMA-FREE consumers
+            # (the upsert stream source) can apply the same mempty-analogue
+            # the engine reads — keeps a replica built from the stream
+            # byte-equal to engine reads across schema evolution.  Bytes
+            # defaults are base64-tagged; anything not representable is
+            # omitted (the stream then null-fills, documented).
             "defaults": {
                 f"n_{nt.name}": {
-                    a.name: a.default
+                    a.name: enc
                     for a in nt.attrs
                     if not a.required
-                    and isinstance(a.default, (str, int, float, bool))
+                    and (enc := _jsonable_default(a.default)) is not None
                 }
                 for nt in self.schema.node_types
             },
@@ -591,6 +592,25 @@ class GraphStore:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+
+def _jsonable_default(v):
+    """Manifest encoding of a declared attribute default: JSON scalars
+    pass through, bytes are base64-tagged ({"b64": ...}), JSON-safe lists
+    pass through; anything else returns None (= omitted from the map)."""
+    import base64
+
+    if isinstance(v, (bool, str, int, float)):
+        return v
+    if isinstance(v, bytes):
+        return {"b64": base64.b64encode(v).decode("ascii")}
+    if isinstance(v, list):
+        try:
+            json.dumps(v)
+        except TypeError:
+            return None
+        return v
+    return None
 
 
 def _cdc_struct(nt) -> T.StructType:

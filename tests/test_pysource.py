@@ -583,7 +583,17 @@ def test_upsert_replay_tolerates_schema_evolution(spark, tmp_path):
 
     old_schema = GraphSchema((NodeType("Doc", (Attr("title"),)),))
     new_schema = GraphSchema(
-        (NodeType("Doc", (Attr("title"), optional("tag", "string", default="none"))),)
+        (
+            NodeType(
+                "Doc",
+                (
+                    Attr("title"),
+                    optional("tag", "string", default="none"),
+                    optional("blob", "binary"),  # default b'' — b64-tagged
+                    optional("score", "double", default=1),  # int: needs cast
+                ),
+            ),
+        )
     )
     root = str(tmp_path / "evo")
     e1 = Engine(spark, root, old_schema, capture_cdc=True)
@@ -616,12 +626,18 @@ def test_upsert_replay_tolerates_schema_evolution(spark, tmp_path):
 
     # run 1 wrote an empty file under the PRE-evolution schema; merge footers
     streamed = {
-        (r["_change"], r["title"], r["tag"])
+        (r["_change"], r["title"], r["tag"], bytes(r["blob"] or b""), r["score"])
         for r in spark.read.option("mergeSchema", "true").parquet(out).collect()
     }
     assert streamed == {
-        ("update_postimage", "renamed", "none"),  # old file: declared default
-        ("insert", "second", "x"),
+        # old file (columns MISSING): every added attr fills with its
+        # declared default — string, b64-tagged bytes, and an int default
+        # cast to double — mirroring Snapshot.nodes()'s column-level
+        # reconcile.  The post-evolution insert stored value-level NULLs
+        # for unset optional attrs (defaults apply at the engine's VALUE
+        # read layer), and the feed carries the storage image faithfully.
+        ("update_postimage", "renamed", "none", b"", 1.0),
+        ("insert", "second", "x", b"", None),
     }
 
     got = {

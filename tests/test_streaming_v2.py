@@ -135,6 +135,27 @@ def test_threshold_processor_logic_equals_batch_twin(spark):
         for r in want_df.collect()
     )
     assert got == want and len(got) > 0
-    # at least one user must have crossed only via carried state (their
-    # first chunk alone stayed under threshold) or the replay proved nothing
-    assert any(h.states["agg"].get()[1] for h in handles.values())
+    # the replay must have exercised the cross-batch state carry: at least
+    # one EMITTED user's first chunk-with-events alone stayed under the
+    # threshold, so their crossing required state carried from an earlier
+    # micro-batch (a per-chunk-only check would pass even if state restore
+    # regressed to always start from zero)
+    import numpy as np
+
+    from edgy_spark.streaming.stateful import THRESHOLD
+
+    emitted = {uid for uid, _, _ in got}
+    first_chunk_cents: dict[int, int] = {}
+    for chunk in chunks:
+        pdf = chunk.toPandas()
+        for uid, group in pdf.groupby("user_id"):
+            first_chunk_cents.setdefault(
+                int(uid),
+                int(np.rint(group["value"].to_numpy() * 100).astype("int64").sum()),
+            )
+    carried = [
+        uid
+        for uid in emitted
+        if first_chunk_cents[uid] < THRESHOLD * 100
+    ]
+    assert carried, "every emitted user crossed inside one chunk: carry untested"
