@@ -6,13 +6,14 @@ Scale design:
 - n-gram Jaccard: shingle → explode → group by shingle-hash → emit pairs per
   posting list → per-pair intersection counts.  The shuffle carries
   (hash, doc_id) pairs, never documents; the posting-list groupBy computes
-  the shingle pipeline ONCE (a self-join would execute it twice).  Honest
-  limit: a stop-shingle's posting list is one row whose pair explosion
-  runs inside one task (AQE splits shuffles, not a single row's generator
-  output), so a web-scale corpus needs a document-frequency cap exactly
-  like the containment operator's CONT_MAX_DF — applied identically in
-  the oracle, since dropping ubiquitous shingles changes which rare pairs
-  retain evidence.
+  the shingle pipeline ONCE (a self-join would execute it twice).
+  Stop-shingles are dropped by a document-frequency cap (JACC_MAX_DF,
+  same pattern as the containment operator's CONT_MAX_DF) so no posting
+  list's pair explosion exceeds one bounded task (AQE splits shuffles,
+  not a single row's generator output).  The cap is applied identically
+  in the oracle, since dropping ubiquitous shingles changes which rare
+  pairs retain evidence; per-doc denominators move with it so the capped
+  metric stays internally consistent.
 - MinHash+LSH: 2 md5-derived base hashes per shingle expanded into a
   k=16 family by double hashing (Kirsch–Mitzenhacher: h1 + i*h2 mod 2^60),
   signatures via ONE groupBy(doc_id) with 16 min() aggregates (map-side
@@ -314,76 +315,103 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 # n-gram Jaccard near-dup (posting-list pair generation)
 # ---------------------------------------------------------------------------
 
+JACC_TAU = 0.5
+# Stop-shingle cap: shingles appearing in more than this many documents are
+# dropped from the UNIVERSE (numerator and denominators alike).  This is the
+# containment operator's CONT_MAX_DF pattern: it bounds every posting list,
+# hence every pair-emission bucket runs in one bounded task — the scale
+# control the module docstring demands.  Unlike containment, DF=1 shingles
+# stay in the universe: they can never pair, but they are real evidence of
+# DIFFERENCE and must keep deflating the Jaccard denominator.  Corollary:
+# on a corpus with no shingle over the cap (the sf fixtures: max DF = 7 at
+# sf0.01) the capped metric equals the exact uncapped Jaccard.
+JACC_MAX_DF = 100
+
+
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    ex AS (SELECT doc_id, {h60_sql('unnest(shingles)')} AS hs,
-                  len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, {h60_sql('unnest(shingles)')} AS hs FROM sh),
+    df AS (SELECT hs FROM ex GROUP BY hs HAVING COUNT(*) <= {JACC_MAX_DF}),
+    kept AS (SELECT e.doc_id, e.hs FROM ex e JOIN df USING (hs)),
+    nsz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
     common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             COUNT(*) AS n_common, ANY_VALUE(a.n) AS n_a, ANY_VALUE(b.n) AS n_b
-      FROM ex a JOIN ex b ON a.hs = b.hs AND a.doc_id < b.doc_id
-       AND 2 * a.n >= b.n AND 2 * b.n >= a.n
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM kept a JOIN kept b ON a.hs = b.hs AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b,
-           CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+           CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
     FROM common
-    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+    JOIN nsz na ON na.doc_id = doc_a
+    JOIN nsz nb ON nb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= {JACC_TAU}
     ORDER BY doc_a, doc_b
     """,
     tags=("dedup", "jaccard"),
     bench=True,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-word-shingle Jaccard near-dup pairs (τ=0.5).
+    """3-word-shingle Jaccard near-dup pairs (τ=0.5), stop-shingle capped.
 
     Inverted-index formulation without a self-join: group (shingle-hash →
     posting list of docs), emit each list's pairs, count per pair.  One pass
-    over the shingle pipeline, shuffles carry only (60-bit hash, doc_id,
-    doc_len) — the oracle joins on the same md5-derived hash so both engines
-    see identical buckets.
+    over the shingle pipeline, shuffles carry only (60-bit hash, doc_id) —
+    the oracle joins on the same md5-derived hash so both engines see
+    identical buckets.
 
-    Length prefilter (lossless): J(A,B) <= min(n)/max(n), so J >= 0.5
-    requires the shingle counts within 2x of each other; pairs violating
-    that are dropped BEFORE the per-pair count shuffle.  At web scale doc
-    lengths are heavy-tailed, so this prunes most of the quadratic bucket
-    blowup around stop-shingle posting lists.
+    Scale control: posting lists longer than JACC_MAX_DF (stop-shingles)
+    are dropped from the universe — numerator AND denominators, so the
+    metric stays internally consistent (two identical boilerplate-heavy
+    documents still score 1.0 on their kept shingles, rather than being
+    pushed under τ by a denominator that counts evidence the numerator is
+    forbidden to use).  Per-doc sizes are therefore recomputed over the
+    kept universe (one extra count shuffle), mirroring
+    dedup_shingle_containment_pairs.  Every pair-emission bucket is now
+    ≤ C(JACC_MAX_DF, 2) rows, so no single task inherits a stop-shingle's
+    quadratic explosion — the failure mode the pre-cap version documented
+    but did not prevent.
+
+    The old 2× length prefilter is subsumed: J ≥ τ already implies
+    kept-sizes within 1/τ of each other, and with bounded buckets there is
+    no blowup left for a pre-shuffle prune to save.  (A prefilter on FULL
+    sizes would be lossy under the cap: a pair can be 2×-imbalanced in raw
+    shingles yet identical on the kept universe.)
     """
     d = _spread(spark, load(spark, sf_dir, "documents"))
-    sh = (
+    ex = (
         d.select("doc_id", _shingles().alias("sh"))
-        .select("doc_id", F.explode("sh").alias("s"), F.size("sh").alias("n"))
-        .select(h60(F.col("s")).alias("hs"), F.struct("doc_id", "n").alias("dn"))
+        .select("doc_id", F.explode("sh").alias("s"))
+        .select(h60(F.col("s")).alias("hs"), "doc_id")
     )
+    # DF <= cap keeps singletons (they deflate denominators); pair emission
+    # below additionally needs >= 2.
     posting = (
-        sh.groupBy("hs")
-        .agg(F.collect_list("dn").alias("docs"))
-        .filter(F.size("docs") >= 2)
+        ex.groupBy("hs")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") <= JACC_MAX_DF)
     )
-    pairs = (
-        posting.select(F.explode("docs").alias("x"), "docs")
-        .select("x", F.explode("docs").alias("y"))
-        .filter(
-            (F.col("x.doc_id") < F.col("y.doc_id"))
-            # lossless length prefilter for tau=0.5 (see docstring)
-            & (2 * F.col("x.n") >= F.col("y.n"))
-            & (2 * F.col("y.n") >= F.col("x.n"))
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"),
-            F.col("x.n").alias("n_a"), F.col("y.n").alias("n_b"),
-        )
+    nsz = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    common = pairs.groupBy("doc_a", "doc_b").agg(
-        F.count(F.lit(1)).alias("n_common"),
-        F.any_value(F.col("n_a")).alias("na"),
-        F.any_value(F.col("n_b")).alias("nb"),
+    common = (
+        posting.filter(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    na = nsz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = nsz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACC_TAU)
         .orderBy("doc_a", "doc_b")
     )
 

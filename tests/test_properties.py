@@ -159,6 +159,37 @@ def test_spread_is_noop_when_scan_is_wide(spark):
     assert _spread(spark, narrow).rdd.getNumPartitions() == target
 
 
+def test_jaccard_df_cap_drops_stop_shingles_both_ways(spark, tmp_path, monkeypatch):
+    """The JACC_MAX_DF cap must cut BOTH ways: suppress pairs whose only
+    evidence is boilerplate (stop-shingles), and rescue true near-dups whose
+    uncapped score is diluted by stop-shingle denominators.  Corpus (cap=2):
+
+      e1 'a b c d e s s s' / e2 'a b c d e x x x' — identical on the rare
+        shingles {abc,bcd,cde}; their tails are boilerplate made ubiquitous
+        by the filler docs.  Uncapped J = 3/9 < 0.5 (absent); capped kept
+        sets are exactly {abc,bcd,cde} → J = 1.0 (present).
+      f1=f2 'd e s s s' and g1=g2 'd e x x x' — pure boilerplate; uncapped
+        J(f1,f2)=1 and J(e1,f*)=0.5 would all emit, capped their kept sets
+        are empty → no pair.
+    """
+    from edgy_spark.operators import dedup
+
+    docs = [
+        (1, "a b c d e s s s"),
+        (2, "a b c d e x x x"),
+        (3, "d e s s s"),
+        (4, "d e s s s"),
+        (5, "d e x x x"),
+        (6, "d e x x x"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    monkeypatch.setattr(dedup, "JACC_MAX_DF", 2)
+    rows = dedup.dedup_ngram_jaccard_pairs(spark, str(tmp_path)).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
 # -- edge-log ordering model ------------------------------------------------
 
 # ops over a 4-node pool; bulk batches are lists of (src, dst) index pairs
