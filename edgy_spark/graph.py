@@ -465,11 +465,32 @@ class Transaction:
                         )
                     live_upd = [i for i in updates if i not in dead]
                     if live_upd:
-                        parts.append(
-                            df.filter(F.col("id").isin(live_upd)).withColumn(
-                                "_change", F.lit("update_postimage")
+                        # postimages built DRIVER-side (ADVICE r07): the
+                        # updated values are already in the updates dict;
+                        # the untouched attrs come from one bounded
+                        # point-read of base (id-pushdown scan, no join).
+                        # Filtering the STAGED df here would re-execute the
+                        # whole base-scan + update-join plan a second time
+                        # at commit just to write the CDC parquet.
+                        pre = {
+                            r["id"]: r.asDict()
+                            for r in base.filter(
+                                F.col("id").isin(live_upd)
+                            ).collect()
+                        }
+                        post_rows = [
+                            {**pre[i], **updates[i]}
+                            for i in live_upd
+                            if i in pre  # nonexistent id: no postimage
+                        ]
+                        if post_rows:
+                            parts.append(
+                                spark.createDataFrame(
+                                    post_rows, nt.struct_type()
+                                ).withColumn(
+                                    "_change", F.lit("update_postimage")
+                                )
                             )
-                        )
                     if dead:
                         parts.append(
                             base.filter(F.col("id").isin(list(dead))).withColumn(

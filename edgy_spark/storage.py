@@ -5,15 +5,19 @@ STM atomicity + write-behind persistence
 Layout under a root directory::
 
     root/
-      CURRENT                 # text file: the committed version number
+      CURRENT                 # pointer CACHE: a recent version number
       manifest.v3.json        # {"version":3, "next_id":17, "tables":{name:relpath}}
       data/<table>.v3.parquet # immutable parquet per table-version
 
-A transaction reads the manifest named by CURRENT (snapshot pinning: all
-reads inside one transaction see one version — parity with
-app/Main.hs:175-179's read-your-own-scan atomicity), stages mutations,
-writes only the *changed* tables as new parquet versions, writes a new
-manifest, and atomically publishes it by os.replace on CURRENT.  Readers
+A transaction pins the latest version (snapshot pinning: all reads inside
+one transaction see one version — parity with app/Main.hs:175-179's
+read-your-own-scan atomicity), stages mutations, writes only the
+*changed* tables as new parquet versions, and commits by exclusive-create
+``os.link`` of ``manifest.v{N+1}`` — the link IS the commit point and
+arbitrates racing committers (see ``_write_manifest``).  CURRENT is
+written after, by ``os.replace``, and is only a roll-forward pointer
+cache: readers probe past it for newer manifests, so a crash between link
+and pointer swap neither loses the commit nor wedges the store.  Readers
 never see a partial commit; unchanged tables are shared across versions
 (manifest points at the old files).
 
@@ -509,8 +513,30 @@ class GraphStore:
                     pass
         prefix = self._bucket_table_name("", 0).rsplit("_v", 1)[0].rstrip("_") + "_"
         for tbl in self.spark.catalog.listTables():
-            if tbl.name.startswith(prefix) and tbl.name not in referenced_tbl:
-                self.spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+            if not tbl.name.startswith(prefix) or tbl.name in referenced_tbl:
+                continue
+            # Same in-flight guard as the data sweep above: a CONCURRENT
+            # committer registers its bucket table (write_bucketed) BEFORE
+            # the manifest links it, so an unreferenced table whose version
+            # is above every published manifest may be a live commit —
+            # dropping it would silently cost the committed version its
+            # bucket pruning (reads stay correct via the parquet fallback).
+            # Reconstruct the table's staged data path from the name
+            # (edgy_<h>_<key>_v<N>[_<token>] <-> data/<key>.v<N>-<token>.parquet)
+            # and drop only when the version is published, the data is gone,
+            # or the staging is abandoned (24 h age guard).
+            m = _re.match(
+                r"^(?P<key>.+)_v(?P<ver>\d+)(?:_(?P<token>[0-9a-f]{8}))?$",
+                tbl.name[len(prefix):],
+            )
+            if m and int(m.group("ver")) > current:
+                tok = f"-{m.group('token')}" if m.group("token") else ""
+                staged = os.path.join(
+                    data_dir, f"{m.group('key')}.v{m.group('ver')}{tok}.parquet"
+                )
+                if os.path.exists(staged) and not _abandoned(staged):
+                    continue
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
         for v in range(0, horizon):
             try:
                 os.remove(self._manifest_path(v))

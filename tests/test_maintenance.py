@@ -1,8 +1,9 @@
 """Store maintenance: small-files compaction (OPTIMIZE) + version GC
 (VACUUM) wired into GraphStore.commit.
 
-The reference's write-behind persister rewrites one binary file per node
-(/root/reference/src/Edgy/Persistence.hs), so its on-disk state is naturally
+The reference's write-behind persister (the external ``persistent-stm``
+package, /root/reference/edgy.cabal:43) rewrites one record per node, so
+its on-disk state is naturally
 bounded; a versioned parquet store instead accumulates a table-version
 directory per commit and must fold/garbage-collect them.  These tests pin
 the contract: file count stays bounded across 2N commits, reads are
@@ -252,6 +253,55 @@ def test_vacuum_spares_in_flight_commit_data(spark, tmp_path):
     assert in_flight in remaining, "vacuum deleted a concurrent commit's data"
     assert stale_history not in remaining
     assert os.path.join("data", stale_history) in removed
+
+
+def test_vacuum_spares_in_flight_bucket_catalog_table(spark, tmp_path):
+    """ADVICE r07: write_bucketed registers the catalog table BEFORE the
+    manifest links it, so vacuum's catalog sweep must apply the same
+    in-flight guard as the data sweep — an unreferenced edgy_* table whose
+    version is above every published manifest, with live (non-abandoned)
+    staged data, belongs to a concurrent committer and must survive.  Once
+    its staged data is gone, the dangling catalog entry is dropped."""
+    root = str(tmp_path / "db")
+    engine = Engine(spark, root, demo_schema(), bucket_edges=2)
+
+    def mk(txn, i):
+        a = txn.new_node("Person", name=f"A{i}", age=i)
+        b = txn.new_node("Person", name=f"B{i}", age=i)
+        txn.add_related(a, "friend", b)
+
+    for i in range(3):
+        engine.run(lambda t, i=i: mk(t, i))
+    store = engine.store
+    current = store.current_version()
+
+    # simulate a concurrent committer mid-commit: bucket table registered
+    # + data staged, manifest not yet linked
+    token = "aaaa1111"
+    tbl = store._bucket_table_name("e_friend", current + 1, token)
+    staged = os.path.join(
+        root, "data", f"e_friend.v{current + 1}-{token}.parquet"
+    )
+    from edgy_spark.sources.io import write_bucketed
+
+    df = spark.createDataFrame(
+        [(1, 2, 0)], "src long, dst long, pos long"
+    )
+    write_bucketed(df, tbl, ["src"], 2, sort_cols=["src", "pos"], path=staged)
+
+    store.vacuum(retain_versions=2)
+    names = {t.name for t in spark.catalog.listTables()}
+    assert tbl in names, "vacuum dropped a concurrent committer's bucket table"
+    assert os.path.exists(staged)
+
+    # staging disappears (committer aborted and cleaned up) -> next vacuum
+    # drops the now-dangling catalog entry
+    import shutil
+
+    shutil.rmtree(staged)
+    store.vacuum(retain_versions=2)
+    names = {t.name for t in spark.catalog.listTables()}
+    assert tbl not in names
 
 
 def test_crashed_commit_rolls_forward_instead_of_wedging(spark, tmp_path, monkeypatch):
