@@ -110,17 +110,73 @@ def undirect(edges: DataFrame) -> DataFrame:
     )
 
 
-# Vertex-state partition count for iteration steps.  The co-purchase graph
-# is orders of magnitude smaller than the fact table it derives from, so the
-# default shuffle width would schedule mostly-empty tasks each round; at
-# cluster scale this should be sized ~ |V| / target-partition-rows (AQE
-# coalescing achieves the same effect on the shuffle side).
-ITER_PARTITIONS = 8
+# Partitioning for iteration state (r08: derived from the data, not a
+# constant — the old ITER_PARTITIONS = 8 hard-code would funnel a
+# billion-vertex state through 8 tasks every round at 100x scale).
+# Width = max(floor, ceil(rows / target-rows-per-partition)), resolved ONCE
+# per materialized dataset (counting the just-checkpointed RDD is a
+# scheduler-overhead-only job), overridable per call (iter_partitions=) or
+# per session (spark.edgy.fixpoint.partitions).  The floor preserves the
+# pre-r08 width at fixture scale: the derived co-purchase graphs are orders
+# of magnitude smaller than their source fact tables, and mostly-empty
+# tasks per round cost more stage latency than they save.
+ITER_MIN_PARTITIONS = 8
+ITER_TARGET_ROWS = 2_000_000
+ITER_PARTITIONS_CONF = "spark.edgy.fixpoint.partitions"
 
 
-def _checkpoint(df: DataFrame) -> DataFrame:
-    """Materialize iteration state (few partitions) and truncate lineage."""
-    return df.coalesce(ITER_PARTITIONS).localCheckpoint(eager=True)
+def _materialize(df: DataFrame, iter_partitions: int | None = None) -> tuple[DataFrame, int]:
+    """Checkpoint ``df`` at its natural width, then coalesce (narrow, no
+    shuffle) to the resolved iteration width.  Returns (state, width) so
+    per-round re-checkpoints reuse the width without re-counting."""
+    ck = df.localCheckpoint(eager=True)
+    if iter_partitions is None:
+        conf = df.sparkSession.conf.get(ITER_PARTITIONS_CONF, "")
+        if conf:
+            iter_partitions = int(conf)
+        else:
+            n = ck.count()  # counts the materialized RDD — no recompute
+            iter_partitions = max(
+                ITER_MIN_PARTITIONS, -(-n // ITER_TARGET_ROWS)
+            )
+    if ck.rdd.getNumPartitions() < iter_partitions:
+        # coalesce never WIDENS: a seed materialized narrower than the
+        # resolved width (e.g. a collected-then-parallelized frontier)
+        # must be spread or every subsequent broadcast-join round inherits
+        # the funnel.  One shuffle of narrow rows, once per run.
+        return ck.repartition(iter_partitions), iter_partitions
+    return ck.coalesce(iter_partitions), iter_partitions
+
+
+def _checkpoint(df: DataFrame, parts: int = ITER_MIN_PARTITIONS) -> DataFrame:
+    """Materialize iteration state on ``parts`` partitions, truncate lineage."""
+    return df.coalesce(parts).localCheckpoint(eager=True)
+
+
+def _observed_changes(obs, merged_chg: DataFrame, timeout_s: float = 5.0) -> int:
+    """Read the ``n_changed`` CollectMetrics value an eager localCheckpoint
+    just delivered, WITHOUT the unbounded wait of ``Observation.get``.
+
+    ``get`` blocks until "the first action" — if a Spark upgrade ever stops
+    routing ``localCheckpoint(eager=True)`` through a Dataset action, every
+    fixpoint query would hang indefinitely (ADVICE r07).  The JVM
+    ``Observation.getRowOrEmpty`` is the non-blocking twin (pyspark exposes
+    no wrapper, hence the ``_jo`` reach-in); normally the metric is already
+    set when we arrive, so the poll exits on its first iteration.  On
+    timeout, fall back to the pre-r07 explicit probe — one small job on the
+    checkpointed state, correct in all cases."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while True:
+        opt = obs._jo.getRowOrEmpty()
+        if opt.isDefined():
+            jrow = opt.get()
+            v = jrow.get(jrow.fieldIndex("n_changed"))
+            return int(v) if v is not None else 0
+        if time.monotonic() >= deadline:
+            return merged_chg.filter(F.col("__chg")).limit(1).count()
+        time.sleep(0.05)
 
 
 def _hint(df: DataFrame, broadcast_state: bool) -> DataFrame:
@@ -184,6 +240,7 @@ def run_fixpoint(
     substeps: int = 1,
     broadcast_state: bool = True,
     detect_removals: bool = False,
+    iter_partitions: int | None = None,
 ) -> DataFrame:
     """Iterate ``state = step(state)`` with per-round checkpointing and
     optional change-set convergence — the loop shared by every iterative
@@ -216,13 +273,13 @@ def run_fixpoint(
     ``detect_removals`` anti-join, which runs only on the round that would
     otherwise terminate.
     """
-    state = _checkpoint(state)
+    state, parts = _materialize(state, iter_partitions)
     for _ in range(max_iter):
         new = state
         for _ in range(substeps):
             new = step(new)
         if compare_cols is None:
-            state = _checkpoint(new)
+            state = _checkpoint(new, parts)
             continue
         old = state.select(
             "node",
@@ -248,12 +305,16 @@ def run_fixpoint(
         merged = _checkpoint(
             new.join(_hint(old, broadcast_state), "node", "left")
             .withColumn("__chg", chg)
-            .observe(obs, F.sum(F.col("__chg").cast("long")).alias("n_changed"))
+            .observe(obs, F.sum(F.col("__chg").cast("long")).alias("n_changed")),
+            parts,
         )
         # the eager checkpoint above already ran the plan; the metric is
         # delivered with it (verified: Observation fires on the checkpoint
-        # action), so this read does not launch a job
-        changed = obs.get["n_changed"] or 0
+        # action), so this read does not launch a job.  Bounded (ADVICE
+        # r07): obs.get would block FOREVER if a future Spark version stops
+        # routing localCheckpoint through a Dataset action — poll the
+        # non-blocking accessor briefly, then fall back to a 1-job probe.
+        changed = _observed_changes(obs, merged)
         if changed == 0 and detect_removals:
             changed = state.join(
                 _hint(new.select("node"), broadcast_state), "node", "left_anti"
@@ -271,7 +332,10 @@ def run_fixpoint(
 # ---------------------------------------------------------------------------
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 30, broadcast_state: bool = True
+    edges: DataFrame,
+    max_iter: int = 30,
+    broadcast_state: bool = True,
+    iter_partitions: int | None = None,
 ) -> DataFrame:
     """(node, component) with component = min node id in the component.
 
@@ -283,7 +347,7 @@ def connected_components(
     ~O(log diameter), the same effect the large-star/small-star algorithm
     achieves.  Fixpoint detected by an empty change-set.
     """
-    und = _checkpoint(undirect(edges))
+    und, _ = _materialize(undirect(edges), iter_partitions)
     labels = (
         und.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -353,7 +417,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def bfs_distances(
-    edges: DataFrame, max_depth: int = BFS_MAX_DEPTH, broadcast_state: bool = True
+    edges: DataFrame,
+    max_depth: int = BFS_MAX_DEPTH,
+    broadcast_state: bool = True,
+    iter_partitions: int | None = None,
 ) -> DataFrame:
     """(node, dist) minimum hop counts from the smallest node id in the
     graph; nodes unreachable within max_depth are omitted.
@@ -363,7 +430,7 @@ def bfs_distances(
     oracle's depth-capped recursive CTE; a converged (unchanged) state is
     a fixpoint, so stopping early cannot change the result.
     """
-    und = _checkpoint(undirect(edges))
+    und, _ = _materialize(undirect(edges), iter_partitions)
     source = und.agg(F.min("src").alias("s"))
     dist0 = (
         und.select(F.col("src").alias("node")).distinct()
@@ -422,7 +489,10 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def pagerank_scaled(
-    edges: DataFrame, iters: int = PR_ITERS, broadcast_state: bool = True
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    broadcast_state: bool = True,
+    iter_partitions: int | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iters`` synchronous PageRank rounds with
     damping 0.85, in BIGINT units of 1/PR_SCALE.
@@ -433,7 +503,7 @@ def pagerank_scaled(
     is independent of partitioning AND matches the oracle's unrolled SQL
     exactly — the reason this engine's PageRank is scaled-integer.
     """
-    und = _checkpoint(undirect(edges))
+    und, _ = _materialize(undirect(edges), iter_partitions)
     verts = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     n_df = verts.agg(F.count(F.lit(1)).alias("n"))
     state0 = (
@@ -575,6 +645,7 @@ def sssp_weighted(
     wedges: DataFrame,
     max_iter: int = SSSP_MAX_DEPTH,
     broadcast_state: bool = True,
+    iter_partitions: int | None = None,
 ) -> DataFrame:
     """(node, dist) minimum WEIGHTED distance to the nearest "hub" (any node
     of degree >= HUB_DEGREE — multi-source Bellman-Ford, the
@@ -587,7 +658,7 @@ def sssp_weighted(
     ~10 lines below — a seed set, a message expression (``dist + w``), a
     min combiner, a relaxation update, and the shared loop.
     """
-    und = _checkpoint(undirect(wedges))
+    und, _ = _materialize(undirect(wedges), iter_partitions)
     dist0 = (
         und.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -689,7 +760,10 @@ def _deterministic_mode(col: str) -> Column:
 
 
 def label_propagation(
-    edges: DataFrame, rounds: int = LPA_ROUNDS, broadcast_state: bool = True
+    edges: DataFrame,
+    rounds: int = LPA_ROUNDS,
+    broadcast_state: bool = True,
+    iter_partitions: int | None = None,
 ) -> DataFrame:
     """(node, label) after ``rounds`` synchronous label-propagation steps:
     every node simultaneously adopts its neighbors' deterministic-mode
@@ -706,7 +780,7 @@ def label_propagation(
     vertex's collected neighborhood (bounded by degree — at web scale,
     combine with the skew toolkit for celebrity vertices).
     """
-    und = _checkpoint(undirect(edges))
+    und, _ = _materialize(undirect(edges), iter_partitions)
     labels = (
         und.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
