@@ -2,8 +2,9 @@
 API) exposing the versioned graph store as a first-class Spark source with
 TIME TRAVEL and filter pushdown.
 
-The reference's persistence is private to its process (binary files read
-back only through its own API, /root/reference/src/Edgy/Persistence.hs);
+The reference's persistence is private to its process (the external
+``persistent-stm`` package — /root/reference/edgy.cabal:43 — whose
+on-disk state is readable only through its own API);
 a Spark-native engine should instead expose storage to the WHOLE Spark
 ecosystem — SQL, other sessions, other tools — without importing engine
 code.  This source reads any ``GraphStore`` root directly::
@@ -30,12 +31,22 @@ Schema comes from the stored parquet footer (self-describing), NOT from a
 GraphSchema — so a consumer needs no engine code, and reads of old versions
 see the schema those files were written with (the engine applies its own
 schema reconciliation on top when it reads through Snapshot.nodes).
+
+Writes: ``df.write.format("edgy")`` commits one table per save;
+for a loader that must publish a node batch AND its edge batches
+atomically (the reference's single-txn ``bigBang``,
+/root/reference/app/Main.hs:79-116), add ``.option("txn", name)`` to each
+write — data stages without publishing — then
+:func:`commit_edgy_txn(root, name)` links ONE manifest covering every
+staged table, so readers see the batch both-or-neither
+(:func:`abort_edgy_txn` discards a pending txn).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -123,7 +134,7 @@ class EdgyDataSource(DataSource):
         table = self.options.get("table")
         if not root or not table:
             raise ValueError("write format('edgy') requires options root and table")
-        return EdgyWriter(root, table, schema, overwrite)
+        return EdgyWriter(root, table, schema, overwrite, self.options.get("txn"))
 
     def streamReader(self, schema: StructType) -> "EdgyStreamReader":  # noqa: N802
         root = self.options.get("root")
@@ -485,12 +496,20 @@ class EdgyWriter(DataSourceArrowWriter):
     Engine transactions can never collide with bulk-loaded nodes.
     """
 
-    def __init__(self, root: str, table: str, schema: StructType, overwrite: bool):
+    def __init__(
+        self,
+        root: str,
+        table: str,
+        schema: StructType,
+        overwrite: bool,
+        txn: str | None = None,
+    ):
         import uuid
 
         self.root = root
         self.table = table
         self.overwrite = overwrite
+        self.txn = txn
         self.has_id = "id" in [f.name for f in schema.fields]
         self.base_version = _current_version(root)
         self.staging = os.path.join("data", f".staging-{uuid.uuid4().hex}")
@@ -540,44 +559,12 @@ class EdgyWriter(DataSourceArrowWriter):
 
         Returns an error string, or None when valid.
         """
-        import pyarrow.parquet as pq
-
-        staged = [m.filename for m in messages if m and m.filename]
-        if not staged:
-            return None
-        staged_schema = pq.read_schema(
-            os.path.join(self.root, self.staging, staged[0])
+        return _validate_staged_schema(
+            self.root, self.staging, self.table, self.overwrite, manifest,
+            [m.filename for m in messages if m and m.filename],
         )
-        incoming = {f.name: str(f.type) for f in staged_schema}
-        if self.table.startswith("e_"):
-            need = {"src": "int64", "dst": "int64", "pos": "int64", "ipos": "int64"}
-            if incoming != need:
-                return (
-                    f"edge table {self.table!r} requires exactly columns "
-                    f"{need}, got {incoming}"
-                )
-        rel = manifest["tables"].get(self.table)
-        if not self.overwrite and rel is not None:
-            stored_dir = os.path.join(self.root, rel)
-            files = [
-                n
-                for n in sorted(os.listdir(stored_dir))
-                if n.startswith("part-") or n.endswith(".parquet")
-            ]
-            if files:
-                stored_schema = pq.read_schema(os.path.join(stored_dir, files[0]))
-                existing = {f.name: str(f.type) for f in stored_schema}
-                if incoming != existing:
-                    return (
-                        f"append schema mismatch for {self.table!r}: "
-                        f"stored {existing}, incoming {incoming} — "
-                        "use mode('overwrite') to change a table's schema"
-                    )
-        return None
 
     def commit(self, messages):
-        import shutil as _shutil
-
         current = _current_version(self.root)
         if current != self.base_version:
             self.abort(messages)
@@ -591,60 +578,35 @@ class EdgyWriter(DataSourceArrowWriter):
         if schema_err:
             self.abort(messages)
             raise ValueError(f"edgy write rejected: {schema_err}")
-        if not self.overwrite and self.has_id:
-            # node identity invariant: appended ids must sit at or above
-            # the store's id cursor, else they can collide with existing
-            # Engine-created nodes AND fall below the CDC stream's already-
-            # committed offset (silently never emitted downstream)
-            loaded_min = min(
-                (m.min_id for m in messages if m and m.min_id >= 0), default=-1
+        id_err = _check_id_cursor(manifest, messages, self.overwrite, self.has_id)
+        if id_err:
+            self.abort(messages)
+            raise ValueError(id_err)
+        if self.txn is not None:
+            # multi-table atomic load: record this table's staged state and
+            # return WITHOUT publishing — commit_edgy_txn links ONE manifest
+            # covering every table in the txn (bigBang atomicity at bulk
+            # scale: a reader at any version sees a node batch and its edge
+            # batches both-or-neither).  The validations above are a
+            # fast-fail; commit_edgy_txn re-runs them against the manifest
+            # current at finalize time, which is the authoritative base.
+            _record_txn_table(
+                self.root, self.txn, self.table, self.staging,
+                self.overwrite, self.has_id, messages,
             )
-            if 0 <= loaded_min < manifest["next_id"]:
-                self.abort(messages)
-                raise ValueError(
-                    f"append contains id {loaded_min} below the store's id "
-                    f"cursor {manifest['next_id']}: ids may collide with "
-                    "existing nodes and insert-CDC streams would skip them. "
-                    "Use ids >= the cursor, or mode('overwrite')."
-                )
-        new_version = current + 1
-        key = self.table
-        # unique per-attempt location (the staging dir's uuid) so a racing
-        # committer of the same version can never write into — or clobber —
-        # this attempt's promoted directory; the manifest's exclusive
-        # create below is the single arbitration point
-        token = self.staging.rsplit("-", 1)[1][:8]
-        relpath = os.path.join("data", f"{key}.v{new_version}-{token}.parquet")
-        dst_dir = os.path.join(self.root, relpath)
-        if not self.overwrite and manifest["tables"].get(key):
-            # append: link the current version's immutable files in first
-            old_dir = os.path.join(self.root, manifest["tables"][key])
-            os.makedirs(dst_dir, exist_ok=True)
-            for n in os.listdir(old_dir):
-                if n.startswith("part-") or n.endswith(".parquet"):
-                    src = os.path.join(old_dir, n)
-                    dst = os.path.join(dst_dir, n)
-                    if os.path.exists(dst):  # name collision: disambiguate
-                        dst = os.path.join(dst_dir, f"old-{n}")
-                    try:
-                        os.link(src, dst)
-                    except OSError:
-                        _shutil.copy2(src, dst)
-            for n in os.listdir(os.path.join(self.root, self.staging)):
-                os.rename(os.path.join(self.root, self.staging, n),
-                          os.path.join(dst_dir, n))
-            os.rmdir(os.path.join(self.root, self.staging))
-        else:
-            os.rename(os.path.join(self.root, self.staging), dst_dir)
-        tables = dict(manifest["tables"])
-        tables[key] = relpath
-        bucketed = dict(manifest.get("bucketed", {}))
-        bucketed.pop(key, None)  # a bulk load replaces any bucketed layout
+            return
         loaded_max = max((m.max_id for m in messages if m), default=-1)
-        next_id = max(manifest["next_id"], loaded_max + 1)
+        new_version = current + 1
+        tables = dict(manifest["tables"])
+        bucketed = dict(manifest.get("bucketed", {}))
+        tables[self.table] = _promote_staging(
+            self.root, manifest, self.table, self.staging,
+            self.overwrite, new_version,
+        )
+        bucketed.pop(self.table, None)  # a bulk load replaces bucketed layout
         new_manifest = {
             "version": new_version,
-            "next_id": next_id,
+            "next_id": max(manifest["next_id"], loaded_max + 1),
             "tables": tables,
             "bucketed": bucketed,
             # bulk-writer commits carry the engine-declared defaults
@@ -652,31 +614,7 @@ class EdgyWriter(DataSourceArrowWriter):
             # deliberately absent = changes NOT captured for this commit
             "defaults": manifest.get("defaults", {}),
         }
-        # atomic link of a fully-written temp file = compare-and-swap AND
-        # no reader can see partial JSON: two committers from the same base
-        # both pass the version pre-check, but the filesystem lets only one
-        # link manifest.v{N+1} — the loser cleans up and raises instead of
-        # silently overwriting the winner's committed manifest.  Manifest
-        # creation is the COMMIT POINT; CURRENT below is a pointer cache
-        # readers roll forward past (a crash between the two is harmless).
-        import tempfile
-
-        fd, tmp = tempfile.mkstemp(dir=self.root)
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(new_manifest, f)
-            try:
-                os.link(
-                    tmp, os.path.join(self.root, f"manifest.v{new_version}.json")
-                )
-            except FileExistsError:
-                _shutil.rmtree(dst_dir, ignore_errors=True)
-                raise RuntimeError(
-                    f"edgy write conflict: a concurrent commit published "
-                    f"v{new_version} first; re-run the job"
-                ) from None
-        finally:
-            os.unlink(tmp)
+        _link_manifest(self.root, new_manifest, [tables[self.table]])
         _publish_current(self.root, new_version)
 
     def abort(self, messages):
@@ -704,6 +642,273 @@ def _publish_current(root: str, version: int) -> None:
     with os.fdopen(fd, "w") as f:
         f.write(str(version))
     os.replace(tmp, os.path.join(root, "CURRENT"))
+
+
+def _validate_staged_schema(
+    root: str, staging: str, table: str, overwrite: bool,
+    manifest: dict, staged: list[str],
+) -> str | None:
+    """Shared by per-write validation and txn finalize — see
+    EdgyWriter._validate_schema for the invariants."""
+    import pyarrow.parquet as pq
+
+    if not staged:
+        return None
+    # every staged footer, not just the first (ADVICE r07): executor
+    # partitions could stage divergent schemas (e.g. a union of two
+    # differently-typed sources), and one divergent file is exactly the
+    # mixed-schema directory this check exists to prevent.  Footers are
+    # tiny; this is metadata I/O, not a data read.
+    incoming: dict[str, str] | None = None
+    for fname in staged:
+        sch = pq.read_schema(os.path.join(root, staging, fname))
+        got = {f.name: str(f.type) for f in sch}
+        if incoming is None:
+            incoming = got
+        elif got != incoming:
+            return (
+                f"staged files disagree on schema for {table!r}: "
+                f"{staged[0]} has {incoming}, {fname} has {got}"
+            )
+    if table.startswith("e_"):
+        need = {"src": "int64", "dst": "int64", "pos": "int64", "ipos": "int64"}
+        if incoming != need:
+            return (
+                f"edge table {table!r} requires exactly columns "
+                f"{need}, got {incoming}"
+            )
+    rel = manifest["tables"].get(table)
+    if not overwrite and rel is not None:
+        stored_dir = os.path.join(root, rel)
+        files = [
+            n
+            for n in sorted(os.listdir(stored_dir))
+            if n.startswith("part-") or n.endswith(".parquet")
+        ]
+        if files:
+            stored_schema = pq.read_schema(os.path.join(stored_dir, files[0]))
+            existing = {f.name: str(f.type) for f in stored_schema}
+            if incoming != existing:
+                return (
+                    f"append schema mismatch for {table!r}: "
+                    f"stored {existing}, incoming {incoming} — "
+                    "use mode('overwrite') to change a table's schema"
+                )
+    return None
+
+
+def _check_id_cursor(manifest: dict, messages, overwrite: bool, has_id: bool) -> str | None:
+    """Node identity invariant: appended ids must sit at or above the
+    store's id cursor, else they can collide with existing Engine-created
+    nodes AND fall below the CDC stream's already-committed offset
+    (silently never emitted downstream)."""
+    if overwrite or not has_id:
+        return None
+    loaded_min = min(
+        (m.min_id for m in messages if m and m.min_id >= 0), default=-1
+    )
+    if 0 <= loaded_min < manifest["next_id"]:
+        return (
+            f"append contains id {loaded_min} below the store's id "
+            f"cursor {manifest['next_id']}: ids may collide with "
+            "existing nodes and insert-CDC streams would skip them. "
+            "Use ids >= the cursor, or mode('overwrite')."
+        )
+    return None
+
+
+def _promote_staging(
+    root: str, manifest: dict, key: str, staging: str,
+    overwrite: bool, new_version: int,
+) -> str:
+    """Move a staging dir to the table's new immutable version directory
+    (append: hard-link the current version's files in first — append cost
+    is O(new data), not O(table)).  The per-attempt uuid token keeps a
+    racing committer of the same version from writing into — or clobbering
+    — this attempt's promoted directory; the manifest's exclusive create is
+    the single arbitration point.  Returns the manifest-relative path."""
+    import shutil as _shutil
+
+    token = staging.rsplit("-", 1)[1][:8]
+    relpath = os.path.join("data", f"{key}.v{new_version}-{token}.parquet")
+    dst_dir = os.path.join(root, relpath)
+    if not overwrite and manifest["tables"].get(key):
+        old_dir = os.path.join(root, manifest["tables"][key])
+        os.makedirs(dst_dir, exist_ok=True)
+        for n in os.listdir(old_dir):
+            if n.startswith("part-") or n.endswith(".parquet"):
+                src = os.path.join(old_dir, n)
+                dst = os.path.join(dst_dir, n)
+                if os.path.exists(dst):  # name collision: disambiguate
+                    dst = os.path.join(dst_dir, f"old-{n}")
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    _shutil.copy2(src, dst)
+        for n in os.listdir(os.path.join(root, staging)):
+            os.rename(os.path.join(root, staging, n),
+                      os.path.join(dst_dir, n))
+        os.rmdir(os.path.join(root, staging))
+    else:
+        os.rename(os.path.join(root, staging), dst_dir)
+    return relpath
+
+
+def _link_manifest(root: str, new_manifest: dict, promoted_rel: list[str]) -> None:
+    """Atomic link of a fully-written temp file = compare-and-swap AND no
+    reader can see partial JSON: two committers from the same base both
+    pass the version pre-check, but the filesystem lets only one link
+    manifest.v{N+1} — the loser cleans up its promoted data and raises
+    instead of silently overwriting the winner's committed manifest.
+    Manifest creation is the COMMIT POINT; CURRENT is a pointer cache
+    readers roll forward past (a crash between the two is harmless)."""
+    import shutil as _shutil
+    import tempfile
+
+    new_version = new_manifest["version"]
+    fd, tmp = tempfile.mkstemp(dir=root)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(new_manifest, f)
+        try:
+            os.link(tmp, os.path.join(root, f"manifest.v{new_version}.json"))
+        except FileExistsError:
+            for rel in promoted_rel:
+                _shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+            raise RuntimeError(
+                f"edgy write conflict: a concurrent commit published "
+                f"v{new_version} first; re-run the job"
+            ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def _txn_dir(root: str, txn: str) -> str:
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", txn):
+        raise ValueError(f"invalid txn name {txn!r}")
+    # dot-prefixed inside data/ -> vacuum's abandoned-staging age guard
+    # covers an orphaned txn automatically
+    return os.path.join(root, "data", f".txn-{txn}")
+
+
+def _record_txn_table(
+    root: str, txn: str, table: str, staging: str,
+    overwrite: bool, has_id: bool, messages,
+) -> None:
+    d = _txn_dir(root, txn)
+    os.makedirs(d, exist_ok=True)
+    rec = os.path.join(d, f"{table}.json")
+    if os.path.exists(rec):
+        raise ValueError(
+            f"txn {txn!r} already staged table {table!r}: one write per "
+            "table per txn (combine the DataFrames instead)"
+        )
+    payload = {
+        "table": table,
+        "staging": staging,
+        "overwrite": overwrite,
+        "has_id": has_id,
+        "messages": [
+            {"filename": m.filename, "n_rows": m.n_rows,
+             "max_id": m.max_id, "min_id": m.min_id}
+            for m in messages if m and m.filename  # skip empty partitions
+        ],
+    }
+    fd, tmp = __import__("tempfile").mkstemp(dir=d)
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, rec)
+
+
+def commit_edgy_txn(root: str, txn: str) -> int:
+    """Finalize a multi-table atomic bulk load: publish every table staged
+    under ``df.write.format("edgy").option("txn", name)`` in ONE manifest
+    link, so a reader at any version sees all of the txn's tables
+    both-or-neither — the bulk-scale analogue of the reference's
+    single-transaction ``bigBang`` (/root/reference/app/Main.hs:79-116),
+    which the Engine's own multi-table staged commit already provides for
+    point mutations (storage.GraphStore.commit).
+
+    Each participating write validated and staged its data but published
+    nothing; this re-validates everything against the manifest CURRENT at
+    finalize time (the authoritative base — txn writes rebase like a
+    retried Engine transaction), promotes every staging directory, and
+    links one manifest.  Returns the new version.  On validation failure
+    nothing is published and the staged data remains for retry or
+    :func:`abort_edgy_txn`; on a lost manifest race the promoted data is
+    removed and the job must re-run (same contract as a single-table
+    write)."""
+    import shutil as _shutil
+
+    d = _txn_dir(root, txn)
+    recs = sorted(n for n in os.listdir(d) if n.endswith(".json"))
+    if not recs:
+        raise ValueError(f"txn {txn!r} has no staged tables")
+    pend = []
+    for n in recs:
+        with open(os.path.join(d, n)) as f:
+            pend.append(json.load(f))
+
+    class _Msg:
+        def __init__(self, m):
+            self.filename = m["filename"]
+            self.n_rows = m["n_rows"]
+            self.max_id = m["max_id"]
+            self.min_id = m["min_id"]
+
+    current = _current_version(root)
+    with open(os.path.join(root, f"manifest.v{current}.json")) as f:
+        manifest = json.load(f)
+    # authoritative validation pass over EVERY table before any promotion
+    for p in pend:
+        msgs = [_Msg(m) for m in p["messages"]]
+        err = _validate_staged_schema(
+            root, p["staging"], p["table"], p["overwrite"], manifest,
+            [m.filename for m in msgs],
+        ) or _check_id_cursor(manifest, msgs, p["overwrite"], p["has_id"])
+        if err:
+            raise ValueError(f"edgy txn {txn!r} rejected ({p['table']}): {err}")
+    new_version = current + 1
+    tables = dict(manifest["tables"])
+    bucketed = dict(manifest.get("bucketed", {}))
+    next_id = manifest["next_id"]
+    promoted: list[str] = []
+    for p in pend:
+        rel = _promote_staging(
+            root, manifest, p["table"], p["staging"], p["overwrite"], new_version
+        )
+        tables[p["table"]] = rel
+        bucketed.pop(p["table"], None)
+        promoted.append(rel)
+        loaded_max = max((m["max_id"] for m in p["messages"]), default=-1)
+        next_id = max(next_id, loaded_max + 1)
+    new_manifest = {
+        "version": new_version,
+        "next_id": next_id,
+        "tables": tables,
+        "bucketed": bucketed,
+        "defaults": manifest.get("defaults", {}),
+    }
+    _link_manifest(root, new_manifest, promoted)
+    _publish_current(root, new_version)
+    _shutil.rmtree(d, ignore_errors=True)
+    return new_version
+
+
+def abort_edgy_txn(root: str, txn: str) -> None:
+    """Drop a pending multi-table txn: remove its staged data and records.
+    (An orphaned txn is also swept by vacuum's abandoned-staging age guard.)"""
+    import shutil as _shutil
+
+    d = _txn_dir(root, txn)
+    if not os.path.isdir(d):
+        return
+    for n in os.listdir(d):
+        if n.endswith(".json"):
+            with open(os.path.join(d, n)) as f:
+                p = json.load(f)
+            _shutil.rmtree(os.path.join(root, p["staging"]), ignore_errors=True)
+    _shutil.rmtree(d, ignore_errors=True)
 
 
 def register_edgy_source(spark) -> None:

