@@ -24,16 +24,18 @@ row per user at the first event where the cumulative ``value`` reaches
 THRESHOLD, integer-cents exact.  tests/test_streaming_v2.py asserts
 equality with the driver-verified batch twin under the RocksDB provider.
 
-Container caveat: the transformWithState driver worker speaks a protobuf
-protocol to the JVM state server, and this build environment has no
-``google.protobuf`` (installs are not permitted; the dependency is
-declared in pyproject's ``streaming-v2`` extra).  Coverage is split
-accordingly: ``tests/test_streaming_v2.py::
-test_threshold_processor_logic_equals_batch_twin`` EXECUTES the processor
-here — replaying the micro-batch chunks against a faked state handle and
-asserting equality with the driver-verified batch twin — while the full
-Spark-integration equality test is ``importorskip``-gated and runs
-unmodified wherever protobuf exists.
+Container note: the transformWithState Python worker speaks a protobuf
+protocol to the JVM state server, and this build environment ships no
+``google.protobuf`` (installs are not permitted; the real dependency is
+declared in pyproject's ``streaming-v2`` extra).  Since r08 the
+integration test runs HERE anyway: ``tests/_vendor/google/protobuf`` is a
+minimal pure-Python protobuf runtime (wire format written from the public
+spec) that pyspark's generated ``StateMessage_pb2`` imports unmodified —
+cross-validated byte-for-byte against the JVM's real protobuf parser in
+``test_mini_protobuf_wire_format_matches_jvm``.  The protobuf-free
+processor-logic twin (``test_threshold_processor_logic_equals_batch_twin``)
+remains as defense in depth, and with a genuine protobuf installed the
+vendor shim steps aside.
 """
 
 from __future__ import annotations

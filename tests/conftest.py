@@ -8,6 +8,23 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Vendored mini protobuf runtime (tests/_vendor/google/protobuf/_minirt.py):
+# the transformWithStateInPandas state-server protocol needs google.protobuf,
+# which this container lacks (no pip, no network).  Prefer a real protobuf
+# when one exists; otherwise put the vendored shim on BOTH sys.path (driver
+# imports) and PYTHONPATH — the latter BEFORE the JVM starts, because Spark's
+# Python workers inherit it and the state clients run inside the workers.
+_VENDOR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_vendor")
+try:  # pragma: no cover - depends on container contents
+    import google.protobuf  # noqa: F401
+except ImportError:
+    sys.path.append(_VENDOR)
+    os.environ["PYTHONPATH"] = (
+        _VENDOR + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _VENDOR
+    )
+
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
