@@ -69,15 +69,23 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     # r06 widened the headline set by three queries (join-heavy TPC-H and
-    # the fused training pipeline); the comparable subtotal keeps
-    # round-over-round comparisons apples-to-apples with r01–r05.
+    # the fused training pipeline); r08 by two (the flagship scale ops:
+    # IVF-PQ ANN and DF-capped containment dedup).  The comparable
+    # subtotals keep round-over-round comparisons apples-to-apples.
     added_r06 = [
         "q9_product_type_profit",
         "q18_large_volume_customers",
         "pipeline_training_end2end",
     ]
-    comparable = round(
-        sum(v for k, v in timings.items() if k not in added_r06), 4
+    added_r08 = [
+        "sim_ivfpq_topk",
+        "dedup_shingle_containment_pairs",
+    ]
+    comparable_r05 = round(
+        sum(v for k, v in timings.items() if k not in added_r06 + added_r08), 4
+    )
+    comparable_r07 = round(
+        sum(v for k, v in timings.items() if k not in added_r08), 4
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -91,7 +99,9 @@ def main() -> None:
                 "estimator": "min",
                 "pass_times": pass_times,
                 "added_in_r06": added_r06,
-                "comparable_r05_set_total": comparable,
+                "added_in_r08": added_r08,
+                "comparable_r05_set_total": comparable_r05,
+                "comparable_r07_set_total": comparable_r07,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

@@ -64,22 +64,23 @@ def load_all_registrations() -> None:
     new in r6 (all 50 green each round; every query has now been
     driver-green at least once).
 
-    R07 window rationale: r6's refactors (graph combinator rewrite of
-    CC/BFS/PageRank, shared text/dedup/similarity/pipeline fragments,
-    streaming batch-wide sort + NULL-carry fixes, asof watermark contract,
-    query.py traversal changes) landed AFTER the r04/r05 driver checks of
-    those families, so their green rows describe pre-refactor code.  The
-    window re-verifies all 50 of them as currently written.  It also
-    includes ``graph_sssp_weighted`` and ``graph_label_propagation``
-    despite their r06 green rows, because r7's run_fixpoint convergence
-    rewrite (observe-metric instead of a count job) executes inside them.
-    Outside the window sit only queries whose executed code is verified
-    unchanged since their last green row (git-diff checked): the three
-    sketch queries (r6 sketches.py diff purely additive over their r05
-    rows), ``graph_triangle_count`` (no fixpoint loop; body unchanged
-    since its r04 row), ``udaf_gini_order_concentration`` (udx.py changes
-    purely additive since its r05 row), and the 48 r06-window entries in
-    modules r7 does not touch.
+    R08 window rationale (the verdict's rotation plan): pin first the
+    queries whose EXECUTED code changed in r8 — ``dedup_ngram_jaccard_pairs``
+    (stop-shingle DF cap rewrite) and the five fixpoint algorithms
+    (CC/BFS/PageRank/SSSP/LPA: r8's data-derived iteration width +
+    bounded Observation read execute inside them) — then the now-stalest
+    greens: ``graph_triangle_count`` (last green r04; graph_algos body it
+    executes is unchanged by r8, but its green is 4 rounds old),
+    ``sketch_distinct_users_bounded`` / ``sketch_hll_mergeable_rollup`` /
+    ``sketch_price_quantile_bounded`` / ``udaf_gini_order_concentration``
+    (last green r05, code diff-verified unchanged since).  The remaining
+    39 slots backfill with r06 greens for freshness: the seven
+    non-relational r06 entries (ivfpq, decontamination, stream dedup,
+    repetition/salient text, heavy hitters, UDTF) and the relational/TPC-H
+    tail in registration order.  Outside the window sit only r07-green
+    entries (their modules untouched by r8) and nine r06-green TPC-H
+    queries whose code is likewise unchanged — no query's last green
+    predates r06 except where the diff proves the code identical.
     """
     # relational/tpch fill the tail: all 39 were driver-green in r06 on
     # code identical to HEAD (no r7 commits touch those modules)
@@ -98,74 +99,68 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.relational  # noqa: F401
     import edgy_spark.operators.tpch_more  # noqa: F401
 
-    _prioritize(R07_WINDOW)
+    _prioritize(R08_WINDOW)
 
 
-#: The exact first-50 list for the r07 driver gate (see docstring above).
+#: The exact first-50 list for the r08 driver gate (see docstring above).
 #: ``tests/test_registry_window.py`` pins this against the live registry so
 #: a module reorder cannot silently evict an intended entry.
-R07_WINDOW: list[str] = [
-    # rewritten onto aggregate_messages/run_fixpoint in r6 AFTER their last
-    # driver checks (r05/r04/r04) — the verdict's top task
+R08_WINDOW: list[str] = [
+    # r8 code changes execute inside these: jaccard DF-cap rewrite; the
+    # fixpoint family (data-derived iteration width + bounded metric read)
+    "dedup_ngram_jaccard_pairs",
     "graph_connected_components",
     "graph_bfs_distances",
     "graph_pagerank",
-    # r06-green, but r7's run_fixpoint observe rewrite executes inside them
     "graph_sssp_weighted",
     "graph_label_propagation",
-    # similarity: r6 shared-fragment + zero-vector-code commits
-    "sim_bruteforce_topk",
-    "sim_lsh_bucket_candidates",
-    "sim_ivf_topk",
-    "sim_ivf_trained_topk",
-    "sim_embedding_int8_quantize",
-    # graph traversal queries: query.py hop/anti changes in r6 + r7
-    "graph_customer_order_rollup",
-    "graph_3hop_nation_parts",
-    "graph_anti_inactive_customers",
-    "graph_semi_nations_with_rich_customers",
-    "graph_cardinality_orders_have_customer",
-    # dedup: r6 shared textprep fragments + band validation
-    "dedup_embedding_neardup_pairs",
-    "dedup_embedding_cluster_keepers",
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_cluster_keepers",
-    "dedup_simhash_fingerprints",
-    "dedup_shingle_containment_pairs",
-    # streaming: r6 batch-wide sort + NULL-carry fixes
-    "stream_tumbling_hour_counts",
-    "stream_sliding_window_counts",
-    "stream_session_windows",
-    "stream_click_purchase_attribution",
-    "stream_first_threshold_crossing",
-    # text: r6 shared textprep refactor
-    "text_token_counts",
-    "text_quality_scores",
-    "text_language_id",
-    "text_fingerprints",
-    "text_sentences",
-    "text_pii_scrub",
-    # asof/sessionize: r6 watermark-contract + batch-sort fixes
-    "asof_purchase_last_error",
-    "range_join_signup_followups",
-    "sessionize_events",
-    "events_funnel_conversion",
-    # multimodal: r6 NULL-carry fixes
-    "multimodal_image_features",
-    "multimodal_frame_sample",
-    "multimodal_audio_energy",
-    "multimodal_thumbnail_resize",
-    # pipeline: r6 shared sampling-fragment commits
-    "events_keep_latest",
-    "corpus_length_percentiles",
-    "corpus_clean_pipeline",
-    "pipeline_shard_assignment",
-    "pipeline_stratified_sample",
-    "pipeline_pack_blocks",
-    "pipeline_training_end2end",
-    "pipeline_balanced_sample_per_lang",
+    # stalest greens: r04 / r05, code diff-verified unchanged since
+    "graph_triangle_count",
+    "sketch_distinct_users_bounded",
+    "sketch_hll_mergeable_rollup",
+    "sketch_price_quantile_bounded",
+    "udaf_gini_order_concentration",
+    # r06 greens, non-relational: refresh alongside
+    "sim_ivfpq_topk",
+    "pipeline_decontaminate_overlap",
+    "stream_dedup_event_delivery",
+    "text_repetition_scores",
+    "text_salient_terms",
+    "sketch_heavy_hitters_words",
+    "udtf_block_windows",
+    # r06 greens: relational/TPC-H tail in registration order
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_orders_per_customer",
+    "customer_order_running_total",
+    "rollup_nation_balance",
+    "cube_returnflag_status",
+    "distinct_customers_per_priority",
+    "customers_without_orders",
+    "customers_with_urgent_orders",
+    "repeat_buyers_intersect",
+    "lapsed_buyers_except_all",
+    "priority_union_all",
+    "scalar_function_showcase",
+    "json_event_extraction",
+    "priciest_parts_topk",
+    "grouping_sets_revenue",
+    "customer_order_gaps",
+    "pivot_orders_priority_by_year",
+    "repeat_buyers_intersect_all",
+    "skew_salted_segment_revenue",
+    "variant_event_props_rollup",
+    "q4_priority_with_returns",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_shipping_by_year",
+    "q13_customer_order_distribution",
+    "q14_promo_effect",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
 ]
 
 

@@ -660,6 +660,7 @@ CONT_MAX_DF = 100  # stop-shingle cap: drop shingles appearing in > this many do
     ORDER BY doc_a, doc_b
     """,
     tags=("dedup", "containment"),
+    bench=True,  # r08: the DF-capped dedup pattern, tracked round-over-round
 )
 def dedup_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup detection by shingle CONTAINMENT:

@@ -452,6 +452,7 @@ SHORTLIST = 24  # approximate-score candidates kept per query for exact re-rank
     ORDER BY query_id, rank
     """,
     tags=("similarity", "ann", "ivf", "pq", "quantization"),
+    bench=True,  # r08: the 100 TB ANN composition, tracked round-over-round
 )
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN top-k — the actual 100 TB ANN architecture, composing the

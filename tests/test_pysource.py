@@ -879,3 +879,83 @@ def test_multi_table_txn_validates_all_before_promoting(spark, tmp_path):
     )
     names = {r["name"] for r in engine.snapshot().nodes("Person").collect()}
     assert "Zed" not in names
+
+
+def test_upsert_stream_vacuumed_evolution_gap_fails_loud_then_recovers(
+    spark, tmp_path
+):
+    """VERDICT r07 #8 — the composed scenario: a schema EVOLUTION happens,
+    vacuum then drops the manifests past the stream's checkpointed offset
+    (downtime longer than retain_versions), and the restarted stream's
+    needed range now spans vacuumed versions INCLUDING the evolution
+    point.  The stream must fail loudly naming the remedy — never silently
+    skip the vacuumed changes — and the documented recovery (fresh
+    checkpoint = changes-only from now, replica re-seeded from a batch
+    read) must converge the replica back to engine state under the NEW
+    schema."""
+    import pytest
+
+    from edgy_spark.schema import Attr, GraphSchema, NodeType, optional
+
+    old_schema = GraphSchema((NodeType("Doc", (Attr("title"),)),))
+    new_schema = GraphSchema(
+        (NodeType("Doc", (Attr("title"), optional("tag", "string", default="none"))),)
+    )
+    root = str(tmp_path / "evovac")
+    e1 = Engine(spark, root, old_schema, capture_cdc=True)
+    d = e1.run(lambda t: t.new_node("Doc", title="first"))
+
+    register_edgy_source(spark)
+    ckpt, out = str(tmp_path / "ckpt1"), str(tmp_path / "out1")
+
+    def run_stream(ckpt_dir, out_dir):
+        q = (
+            spark.readStream.format("edgy")
+            .option("root", root)
+            .option("table", "n_Doc")
+            .option("mode", "upsert")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream(ckpt, out)  # pins the checkpoint BEFORE evolution + vacuum
+    e1.run(lambda t: t.set_attribute(d, "title", "renamed"))
+    # evolution point, then enough post-evolution commits that vacuum's
+    # retention horizon moves past everything the checkpoint still needs
+    e2 = Engine(spark, root, new_schema, capture_cdc=True)
+    d2 = e2.run(lambda t: t.new_node("Doc", title="second", tag="x"))
+    for i in range(3):
+        e2.run(lambda t, i=i: t.set_attribute(d2, "tag", f"t{i}"))
+    e2.store.vacuum(retain_versions=2)
+
+    with pytest.raises(Exception, match="vacuumed"):
+        run_stream(ckpt, out)  # restart from the pre-vacuum checkpoint
+
+    # documented recovery: re-seed the replica from a batch read at CURRENT
+    # and stream changes-only from a NEW checkpoint
+    replica = {
+        r["id"]: (r["title"], r["tag"])
+        for r in spark.read.format("edgy")
+        .option("root", root).option("table", "n_Doc").load()
+        .collect()
+    }
+    ckpt2, out2 = str(tmp_path / "ckpt2"), str(tmp_path / "out2")
+    run_stream(ckpt2, out2)  # pins the new offset at CURRENT
+    e2.run(lambda t: t.set_attribute(d2, "tag", "final"))
+    e2.run(lambda t: t.new_node("Doc", title="third"))
+    run_stream(ckpt2, out2)
+    for r in spark.read.parquet(out2).collect():
+        if r["_change"] == "delete":
+            replica.pop(r["id"], None)
+        else:
+            replica[r["id"]] = (r["title"], r["tag"])
+    want = {
+        r["id"]: (r["title"], r["tag"])
+        for r in e2.snapshot().nodes("Doc").collect()
+    }
+    assert replica == want and len(want) == 3
