@@ -82,8 +82,9 @@ def load_all_registrations() -> None:
     queries whose code is likewise unchanged — no query's last green
     predates r06 except where the diff proves the code identical.
     """
-    # relational/tpch fill the tail: all 39 were driver-green in r06 on
-    # code identical to HEAD (no r7 commits touch those modules)
+    # module import order only decides what lands AFTER the pinned window
+    # (see the R08 rationale above: 32 relational/TPC-H entries fill the
+    # window tail; the 9 left outside are r06-green on unchanged code)
     import edgy_spark.operators.graph_algos  # noqa: F401
     import edgy_spark.operators.similarity  # noqa: F401
     import edgy_spark.operators.graph_queries  # noqa: F401

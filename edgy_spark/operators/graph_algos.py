@@ -387,6 +387,7 @@ def connected_components(
         labels, step,
         max_iter=max_iter, compare_cols=["label"], substeps=2,
         broadcast_state=broadcast_state,
+        iter_partitions=iter_partitions,
     )
     return labels.select("node", F.col("label").alias("component"))
 
@@ -459,6 +460,7 @@ def bfs_distances(
         dist0, step,
         max_iter=max_depth, compare_cols=["dist"],
         broadcast_state=broadcast_state,
+        iter_partitions=iter_partitions,
     )
     return dist
 
@@ -533,6 +535,7 @@ def pagerank_scaled(
     state = run_fixpoint(
         state0, step, max_iter=iters, compare_cols=None,
         broadcast_state=broadcast_state,
+        iter_partitions=iter_partitions,
     )
     return state.select("node", "rank")
 
@@ -684,6 +687,7 @@ def sssp_weighted(
         dist0, step,
         max_iter=max_iter, compare_cols=["dist"],
         broadcast_state=broadcast_state,
+        iter_partitions=iter_partitions,
     )
     return dist
 
@@ -800,6 +804,7 @@ def label_propagation(
     out = run_fixpoint(
         labels, step, max_iter=rounds, compare_cols=None,
         broadcast_state=broadcast_state,
+        iter_partitions=iter_partitions,
     )
     return out
 

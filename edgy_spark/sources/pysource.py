@@ -472,8 +472,12 @@ class EdgyStreamReader(DataSourceStreamReader):
 class _WriteMessage(WriterCommitMessage):
     filename: str
     n_rows: int
-    max_id: int  # -1 when the table has no id column
-    min_id: int  # -1 when the table has no id column or partition is empty
+    max_id: int  # meaningful only when has_ids
+    min_id: int  # meaningful only when has_ids
+    # True when at least one non-null id was observed — a separate flag so
+    # genuinely NEGATIVE ids are not conflated with the old -1 "unset"
+    # sentinel and silently skipped by the cursor check (review r08)
+    has_ids: bool = False
 
 
 class EdgyWriter(DataSourceArrowWriter):
@@ -525,7 +529,7 @@ class EdgyWriter(DataSourceArrowWriter):
         fname = f"part-{uuid.uuid4().hex}.parquet"
         fpath = os.path.join(self.root, self.staging, fname)
         writer = None
-        n_rows, max_id, min_id = 0, -1, -1
+        n_rows, max_id, min_id, has_ids = 0, -1, -1, False
         for batch in iterator:
             if writer is None:
                 writer = pq.ParquetWriter(fpath, batch.schema)
@@ -535,14 +539,16 @@ class EdgyWriter(DataSourceArrowWriter):
                 col_max = pc.max(batch.column("id")).as_py()
                 col_min = pc.min(batch.column("id")).as_py()
                 if col_max is not None:
-                    max_id = max(max_id, int(col_max))
+                    max_id = int(col_max) if not has_ids else max(max_id, int(col_max))
                 if col_min is not None:
-                    min_id = int(col_min) if min_id < 0 else min(min_id, int(col_min))
+                    min_id = int(col_min) if not has_ids else min(min_id, int(col_min))
+                if col_max is not None or col_min is not None:
+                    has_ids = True
         if writer is not None:
             writer.close()
         else:
             return _WriteMessage("", 0, -1, -1)  # empty partition: no file
-        return _WriteMessage(fname, n_rows, max_id, min_id)
+        return _WriteMessage(fname, n_rows, max_id, min_id, has_ids)
 
     def _validate_schema(self, manifest: dict, messages) -> str | None:
         """Reject writes that would corrupt the store's invariants — a
@@ -602,6 +608,7 @@ class EdgyWriter(DataSourceArrowWriter):
         tables[self.table] = _promote_staging(
             self.root, manifest, self.table, self.staging,
             self.overwrite, new_version,
+            [m.filename for m in messages if m and m.filename],
         )
         bucketed.pop(self.table, None)  # a bulk load replaces bucketed layout
         new_manifest = {
@@ -705,9 +712,10 @@ def _check_id_cursor(manifest: dict, messages, overwrite: bool, has_id: bool) ->
     if overwrite or not has_id:
         return None
     loaded_min = min(
-        (m.min_id for m in messages if m and m.min_id >= 0), default=-1
+        (m.min_id for m in messages if m and getattr(m, "has_ids", False)),
+        default=None,
     )
-    if 0 <= loaded_min < manifest["next_id"]:
+    if loaded_min is not None and loaded_min < manifest["next_id"]:
         return (
             f"append contains id {loaded_min} below the store's id "
             f"cursor {manifest['next_id']}: ids may collide with "
@@ -719,9 +727,12 @@ def _check_id_cursor(manifest: dict, messages, overwrite: bool, has_id: bool) ->
 
 def _promote_staging(
     root: str, manifest: dict, key: str, staging: str,
-    overwrite: bool, new_version: int,
+    overwrite: bool, new_version: int, staged: list[str],
 ) -> str:
-    """Move a staging dir to the table's new immutable version directory
+    """Move the ``staged`` files (the ones the commit messages vouch for —
+    NEVER the whole directory: a failed-then-retried executor task can
+    leave an orphaned or footer-less parquet in staging that bypassed
+    validation; review r08) to the table's new immutable version directory
     (append: hard-link the current version's files in first — append cost
     is O(new data), not O(table)).  The per-attempt uuid token keeps a
     racing committer of the same version from writing into — or clobbering
@@ -732,9 +743,9 @@ def _promote_staging(
     token = staging.rsplit("-", 1)[1][:8]
     relpath = os.path.join("data", f"{key}.v{new_version}-{token}.parquet")
     dst_dir = os.path.join(root, relpath)
+    os.makedirs(dst_dir, exist_ok=True)
     if not overwrite and manifest["tables"].get(key):
         old_dir = os.path.join(root, manifest["tables"][key])
-        os.makedirs(dst_dir, exist_ok=True)
         for n in os.listdir(old_dir):
             if n.startswith("part-") or n.endswith(".parquet"):
                 src = os.path.join(old_dir, n)
@@ -745,12 +756,13 @@ def _promote_staging(
                     os.link(src, dst)
                 except OSError:
                     _shutil.copy2(src, dst)
-        for n in os.listdir(os.path.join(root, staging)):
-            os.rename(os.path.join(root, staging, n),
-                      os.path.join(dst_dir, n))
-        os.rmdir(os.path.join(root, staging))
-    else:
-        os.rename(os.path.join(root, staging), dst_dir)
+    for n in staged:
+        dst = os.path.join(dst_dir, n)
+        if os.path.exists(dst):  # vs a linked old file: disambiguate new
+            dst = os.path.join(dst_dir, f"new-{n}")
+        os.rename(os.path.join(root, staging, n), dst)
+    # whatever remains in staging is abandoned task-attempt garbage
+    _shutil.rmtree(os.path.join(root, staging), ignore_errors=True)
     return relpath
 
 
@@ -810,7 +822,8 @@ def _record_txn_table(
         "has_id": has_id,
         "messages": [
             {"filename": m.filename, "n_rows": m.n_rows,
-             "max_id": m.max_id, "min_id": m.min_id}
+             "max_id": m.max_id, "min_id": m.min_id,
+             "has_ids": bool(getattr(m, "has_ids", False))}
             for m in messages if m and m.filename  # skip empty partitions
         ],
     }
@@ -855,6 +868,7 @@ def commit_edgy_txn(root: str, txn: str) -> int:
             self.n_rows = m["n_rows"]
             self.max_id = m["max_id"]
             self.min_id = m["min_id"]
+            self.has_ids = m.get("has_ids", False)
 
     current = _current_version(root)
     with open(os.path.join(root, f"manifest.v{current}.json")) as f:
@@ -868,6 +882,34 @@ def commit_edgy_txn(root: str, txn: str) -> int:
         ) or _check_id_cursor(manifest, msgs, p["overwrite"], p["has_id"])
         if err:
             raise ValueError(f"edgy txn {txn!r} rejected ({p['table']}): {err}")
+    # cross-TABLE id arbitration (review r08): each table alone passing the
+    # cursor check is not enough — two node tables both starting at the
+    # cursor would mint colliding global ids that the sequential
+    # single-table path would have rejected.  Simulate sequential commits
+    # in min-id order: every table's range must sit at or above the cursor
+    # as advanced by the tables before it.
+    ranged = sorted(
+        (
+            (
+                min(m["min_id"] for m in p["messages"] if m.get("has_ids")),
+                max(m["max_id"] for m in p["messages"] if m.get("has_ids")),
+                p["table"],
+            )
+            for p in pend
+            if p["has_id"] and not p["overwrite"]
+            and any(m.get("has_ids") for m in p["messages"])
+        ),
+    )
+    cursor = manifest["next_id"]
+    for lo, hi, tbl in ranged:
+        if lo < cursor:
+            raise ValueError(
+                f"edgy txn {txn!r} rejected ({tbl}): id {lo} overlaps the "
+                f"id space below {cursor} (store cursor or another table "
+                "in this txn).  Give each table a disjoint id range at or "
+                "above the store's cursor."
+            )
+        cursor = hi + 1
     new_version = current + 1
     tables = dict(manifest["tables"])
     bucketed = dict(manifest.get("bucketed", {}))
@@ -875,7 +917,8 @@ def commit_edgy_txn(root: str, txn: str) -> int:
     promoted: list[str] = []
     for p in pend:
         rel = _promote_staging(
-            root, manifest, p["table"], p["staging"], p["overwrite"], new_version
+            root, manifest, p["table"], p["staging"], p["overwrite"],
+            new_version, [m["filename"] for m in p["messages"]],
         )
         tables[p["table"]] = rel
         bucketed.pop(p["table"], None)
@@ -889,7 +932,17 @@ def commit_edgy_txn(root: str, txn: str) -> int:
         "bucketed": bucketed,
         "defaults": manifest.get("defaults", {}),
     }
-    _link_manifest(root, new_manifest, promoted)
+    try:
+        _link_manifest(root, new_manifest, promoted)
+    except RuntimeError:
+        # lost the manifest race AFTER consuming the staging dirs: the
+        # promoted data was removed by _link_manifest, so the pending
+        # records now point at nothing — clear them too, or re-running the
+        # load job dies on "already staged" and a retried finalize on
+        # missing staging paths (review r08).  The job re-runs from scratch,
+        # same contract as a lost single-table race.
+        _shutil.rmtree(d, ignore_errors=True)
+        raise
     _publish_current(root, new_version)
     _shutil.rmtree(d, ignore_errors=True)
     return new_version

@@ -186,3 +186,13 @@ def test_iter_partitions_derived_from_state_size(spark, monkeypatch):
         assert out.rdd.getNumPartitions() == 6
     finally:
         spark.conf.unset(ga.ITER_PARTITIONS_CONF)
+
+    # the canned algorithms FORWARD the knob into their fixpoint loop
+    # (review r08: the parameter existed but was only applied to the edge
+    # materialization, never the iteration state)
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    cc = connected_components(e, iter_partitions=5)
+    assert cc.rdd.getNumPartitions() == 5
+    assert {(r.node, r.component) for r in cc.collect()} == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+    }

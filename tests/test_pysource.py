@@ -959,3 +959,76 @@ def test_upsert_stream_vacuumed_evolution_gap_fails_loud_then_recovers(
         for r in e2.snapshot().nodes("Doc").collect()
     }
     assert replica == want and len(want) == 3
+
+
+def test_multi_table_txn_rejects_cross_table_id_overlap(spark, tmp_path):
+    """Review r08: two node tables in one txn must not both mint ids at the
+    cursor — sequential single-table commits would have rejected the
+    second, so the txn finalize simulates that arbitration."""
+    import pytest
+
+    from edgy_spark.sources.pysource import abort_edgy_txn, commit_edgy_txn
+
+    engine, _ = _store(spark, tmp_path)
+    register_edgy_source(spark)
+    root = engine.store.root
+    cursor = engine.snapshot().manifest["next_id"]
+
+    a = spark.createDataFrame(
+        [(cursor, "Zed", 40)], "id long, name string, age long"
+    )
+    b = spark.createDataFrame(
+        [(cursor, "pen", 1)], "id long, item string, qty long"
+    )
+    for df, table in ((a, "n_Person"), (b, "n_Thing")):
+        (
+            df.write.format("edgy")
+            .option("root", root).option("table", table)
+            .option("txn", "clash").mode("append").save()
+        )
+    with pytest.raises(ValueError, match="overlaps the id space"):
+        commit_edgy_txn(root, "clash")
+    abort_edgy_txn(root, "clash")
+
+
+def test_promote_moves_only_vouched_files(spark, tmp_path):
+    """Review r08: a failed-then-retried executor task can leave an
+    orphaned parquet in staging; promotion must move only the files the
+    commit messages vouch for, so the stray never reaches readers."""
+    engine, _ = _store(spark, tmp_path)
+    register_edgy_source(spark)
+    root = engine.store.root
+    cursor = engine.snapshot().manifest["next_id"]
+
+    # hook: drop a stray (valid-but-orphaned) parquet into every staging
+    # dir the writer creates, simulating a dead task attempt's leftovers
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from edgy_spark.sources import pysource
+
+    orig_init = pysource.EdgyWriter.__init__
+
+    def patched(self, *args, **kwargs):
+        orig_init(self, *args, **kwargs)
+        pq.write_table(
+            pa.table({"id": pa.array([999_999], pa.int64()),
+                      "name": pa.array(["GHOST"]),
+                      "age": pa.array([1], pa.int64())}),
+            os.path.join(self.root, self.staging, "part-orphan.parquet"),
+        )
+
+    pysource.EdgyWriter.__init__ = patched
+    try:
+        (
+            spark.createDataFrame(
+                [(cursor, "Zed", 40)], "id long, name string, age long"
+            )
+            .write.format("edgy")
+            .option("root", root).option("table", "n_Person")
+            .mode("append").save()
+        )
+    finally:
+        pysource.EdgyWriter.__init__ = orig_init
+    names = {r["name"] for r in engine.snapshot().nodes("Person").collect()}
+    assert "GHOST" not in names and "Zed" in names
