@@ -1,0 +1,131 @@
+"""Minimal pure-stdlib PNG codec — real image decode without PIL.
+
+Written against the public PNG specification (RFC 2083 / W3C PNG, chunk
+layout + DEFLATE + scanline filters); the container ships no imaging
+library and no network, so the multimodal "real decode" path gets an
+actually-executing decoder built from ``zlib`` + ``struct`` alone.
+
+Scope (deliberately bounded, stated loudly):
+- 8-bit-per-sample greyscale (color type 0), RGB (2), and RGBA (6);
+- all five scanline filters (None/Sub/Up/Average/Paeth) — the part of the
+  format that is genuinely easy to get wrong, so it is cross-validated
+  against the JVM's independent ``javax.imageio`` decoder in
+  tests/test_multimodal_real.py;
+- no interlacing (Adam7 rejected with a clear error), no palette, no
+  16-bit, no ancillary-chunk interpretation (they are skipped, per spec).
+
+The encoder (filter 0 rows, one IDAT) exists so tests can fabricate valid
+PNGs without any external library; PIL remains the full-format path
+(operators/multimodal.decode_features_real) wherever it is installed.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+# samples per pixel by color type (8-bit depth only)
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def encode_png(width: int, height: int, rows: list[bytes], color_type: int = 2) -> bytes:
+    """Encode 8-bit scanlines (``rows[y]`` = packed samples for row y) as a
+    valid PNG: IHDR + one zlib IDAT with filter byte 0 per row + IEND."""
+    ch = _CHANNELS[color_type]
+    if len(rows) != height or any(len(r) != width * ch for r in rows):
+        raise ValueError("rows do not match width/height/color_type")
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + r for r in rows)
+    return (
+        _SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG into ``(width, height, channels, pixels)`` with
+    ``pixels`` = unfiltered 8-bit samples, row-major, ``width * channels``
+    bytes per row.  Raises ValueError on malformed input and
+    NotImplementedError on spec features outside the documented scope."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    i, n = 8, len(data)
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    while i + 8 <= n:
+        (length,) = struct.unpack(">I", data[i:i + 4])
+        tag = data[i + 4:i + 8]
+        payload = data[i + 8:i + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated chunk")
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", payload)
+            )
+            if depth != 8:
+                raise NotImplementedError(f"bit depth {depth} (only 8)")
+            if color_type not in _CHANNELS:
+                raise NotImplementedError(
+                    f"color type {color_type} (only grey/RGB/RGBA)"
+                )
+            if interlace:
+                raise NotImplementedError("Adam7 interlacing")
+            if comp or filt:
+                raise ValueError("invalid compression/filter method")
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        # ancillary chunks: skipped, per spec
+        i += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    ch = _CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("decompressed size mismatch")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                c = prev[x - ch] if x >= ch else 0
+                line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"invalid filter byte {f}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return width, height, ch, bytes(out)

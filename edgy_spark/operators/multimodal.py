@@ -5,14 +5,19 @@ decode / feature-extract / frame-sample run as Arrow-batched pandas
 functions over ``mapInPandas`` — the only layer of this engine allowed to
 leave the JVM, because media decoding genuinely needs Python libraries.
 
-The image/audio libraries are NOT in this container, so the real decoder
-path is gated behind ``pytest.importorskip`` and a deterministic fake decode
-stands in: every Spark-side piece — schema, binary handling, Arrow batch
-shape, partitioning — is real and oracle-checked, only the pixel math is
-fake (md5-derived, hence reproducible in SQL).  The PIL-backed path
-(``decode_features_real``) shares the plumbing and is exercised by
-``pytest.importorskip`` tests (tests/test_multimodal_real.py) wherever the
-library exists.
+The image/audio LIBRARIES are not in this container, so three decode tiers
+share identical plumbing (schema, binary handling, Arrow batch shape,
+partitioning):
+
+- ``decode_features`` — deterministic fake pixel math (md5-derived, hence
+  reproducible in the SQL oracle) for the registered fixture queries;
+- ``decode_features_png`` (r08) — REAL pixel decode that executes HERE:
+  a pure-stdlib PNG codec (functions/png.py, zlib + scanline unfilters
+  from the public spec), cross-validated against the JVM's independent
+  javax.imageio decoder;
+- ``decode_features_real`` — the PIL-backed full-format path, exercised by
+  ``pytest.importorskip`` tests (tests/test_multimodal_real.py) wherever
+  the library exists.
 
 There is no media fixture in the driver's testdata, so binary payloads are
 synthesized from ``documents.text`` (utf-8 bytes) — stable and realistic
@@ -129,6 +134,54 @@ def decode_features_real(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(
         decode,
         "doc_id long, n_bytes long, content_md5 string, width long, height long",
+    )
+
+
+def decode_features_png(media_df: DataFrame) -> DataFrame:
+    """ACTUALLY-executing real decode (r08): full PNG pixel decode — zlib
+    inflate + all five scanline unfilters — via the pure-stdlib codec
+    (functions/png.py, written from the public PNG spec), so the "real
+    decoder" path no longer depends on a library this container lacks.
+    Emits true (width, height) plus ``mean_luma`` (Rec.601 integer luma
+    averaged over every decoded pixel — evidence the PIXELS were decoded,
+    not just the header).  Same Arrow-batched mapInPandas shape as
+    decode_features / decode_features_real: swapping decoders changes one
+    closure, nothing in the plan.  Cross-validated against the JVM's
+    independent javax.imageio decoder in tests/test_multimodal_real.py.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from edgy_spark.functions.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(payload)
+                w, h, ch, px = decode_png(data)
+                if ch >= 3:  # Rec.601 integer luma over RGB(A)
+                    luma = sum(
+                        299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
+                        for i in range(0, len(px), ch)
+                    ) // (1000 * w * h)
+                else:  # greyscale: samples ARE luma
+                    luma = sum(px) // (w * h)
+                rows.append(
+                    (doc_id, len(data), hashlib.md5(data).hexdigest(), w, h, luma)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "content_md5",
+                    "width", "height", "mean_luma",
+                ],
+            )
+
+    return media_df.mapInPandas(
+        decode,
+        "doc_id long, n_bytes long, content_md5 string, "
+        "width long, height long, mean_luma long",
     )
 
 

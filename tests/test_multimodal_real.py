@@ -60,3 +60,128 @@ def test_real_decode_content_hash_matches_payload(spark):
     row = decode_features_real(df).collect()[0]
     assert row["content_md5"] == hashlib.md5(payload).hexdigest()
     assert row["n_bytes"] == len(payload)
+
+
+# ---------------------------------------------------------------------------
+# r08: REAL decode that executes in THIS container — the pure-stdlib PNG
+# codec (functions/png.py).  Filters and pixel math are cross-validated
+# against the JVM's independent javax.imageio decoder (ships with the JDK),
+# the same external-oracle trick the vendored protobuf runtime uses.
+# ---------------------------------------------------------------------------
+
+
+def _gradient_rows(w, h, ch, seed):
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            for c in range(ch):
+                row.append((x * 7 + y * 13 + c * 31 + seed * 17) % 256)
+        rows.append(bytes(row))
+    return rows
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Encoder->decoder round-trip, plus hand-filtered streams exercising
+    every filter type (Sub/Up/Average/Paeth) against the reference
+    unfilter algorithms from the spec."""
+    import struct
+    import zlib
+
+    from edgy_spark.functions.png import decode_png, encode_png
+
+    for w, h, ct in ((7, 5, 2), (1, 1, 2), (16, 3, 6), (9, 4, 0)):
+        ch = {0: 1, 2: 3, 6: 4}[ct]
+        rows = _gradient_rows(w, h, ch, ct)
+        got = decode_png(encode_png(w, h, rows, color_type=ct))
+        assert got == (w, h, ch, b"".join(rows))
+
+    # re-encode the same image with each nontrivial filter type and check
+    # the decoder recovers identical pixels
+    w, h, ch = 6, 4, 3
+    rows = _gradient_rows(w, h, ch, 9)
+    flat = b"".join(rows)
+    for f in (1, 2, 3, 4):
+        filtered = bytearray()
+        prev = bytes(w * ch)
+        for r in rows:
+            line = bytearray(r)
+            if f == 1:
+                for x in range(len(line) - 1, ch - 1, -1):
+                    line[x] = (line[x] - line[x - ch]) & 0xFF
+            elif f == 2:
+                for x in range(len(line)):
+                    line[x] = (line[x] - prev[x]) & 0xFF
+            elif f == 3:
+                for x in range(len(line) - 1, -1, -1):
+                    a = line[x - ch] if x >= ch else 0
+                    line[x] = (line[x] - ((a + prev[x]) >> 1)) & 0xFF
+            elif f == 4:
+                from edgy_spark.functions.png import _paeth
+
+                for x in range(len(line) - 1, -1, -1):
+                    a = line[x - ch] if x >= ch else 0
+                    c = prev[x - ch] if x >= ch else 0
+                    line[x] = (line[x] - _paeth(a, prev[x], c)) & 0xFF
+            filtered += bytes([f]) + bytes(line)
+            prev = r
+
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+            + chunk(b"IEND", b"")
+        )
+        assert decode_png(png) == (w, h, ch, flat), f"filter {f}"
+
+
+def test_png_codec_matches_jvm_imageio(spark):
+    """Cross-engine oracle: the JDK's javax.imageio must decode our
+    encoder's PNGs to the same dimensions AND the same pixels our decoder
+    returns — an independent implementation agreeing on every byte."""
+    from edgy_spark.functions.png import decode_png, encode_png
+
+    jvm = spark._sc._jvm
+    for w, h, seed in ((13, 7, 1), (5, 11, 2)):
+        rows = _gradient_rows(w, h, 3, seed)
+        png = encode_png(w, h, rows, color_type=2)
+        bais = jvm.java.io.ByteArrayInputStream(png)
+        img = jvm.javax.imageio.ImageIO.read(bais)
+        assert (img.getWidth(), img.getHeight()) == (w, h)
+        dw, dh, ch, px = decode_png(png)
+        assert (dw, dh, ch) == (w, h, 3)
+        for y in (0, h - 1):
+            for x in (0, w - 1, w // 2):
+                argb = img.getRGB(x, y)
+                want = (
+                    (argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF
+                )
+                i = (y * w + x) * 3
+                assert tuple(px[i:i + 3]) == want, (x, y)
+
+
+def test_decode_features_png_runs_real_decode_in_spark(spark):
+    """The mapInPandas operator decodes REAL PNG pixels inside Python
+    workers: true dimensions and a pixel-derived mean luma (values chosen
+    so header-only parsing cannot fake it)."""
+    from edgy_spark.functions.png import encode_png
+    from edgy_spark.operators.multimodal import decode_features_png
+
+    # two solid-color images: luma is knowable in closed form
+    red = encode_png(4, 3, [b"\xff\x00\x00" * 4] * 3, color_type=2)   # luma 76
+    grey = encode_png(2, 5, [b"\x80" * 2] * 5, color_type=0)          # luma 128
+    df = spark.createDataFrame(
+        [(1, bytearray(red)), (2, bytearray(grey))], "doc_id long, media binary"
+    ).repartition(2)
+    got = {r["doc_id"]: r for r in decode_features_png(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["mean_luma"]) == (4, 3, 76)
+    assert (got[2]["width"], got[2]["height"], got[2]["mean_luma"]) == (2, 5, 128)
+    import hashlib
+
+    assert got[1]["content_md5"] == hashlib.md5(red).hexdigest()
