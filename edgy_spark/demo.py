@@ -142,7 +142,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     parser.add_argument("cmd", nargs="+", help=(
         "create | query NAME | buy NAME TOOL | discard NAME TOOL | "
         "friend N1 N2 | unfriend N1 N2 | marry N1 N2 | divorce N1 N2 | "
-        "maintain | changes [FROM_VERSION]"
+        "maintain | changes [FROM_VERSION] | bulkload N1 N2 ..."
     ))
     args = parser.parse_args(argv)
     if spark is None:
@@ -184,6 +184,41 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(f"v{r['_commit_version']} {r['_change']:>16s}  "
                   f"Person(id={r['id']}, name={r['name']!r}, age={r['age']})")
         print(f"{len(rows)} change(s)")
+    elif cmd == "bulkload" and rest:
+        # multi-table atomic bulk load: N people who all befriend each
+        # other, staged as TWO data-source writes under one txn and
+        # published by ONE manifest link — readers at any version see the
+        # people and their friendships both-or-neither (the reference's
+        # single-txn bigBang at bulk scale)
+        from edgy_spark.sources.pysource import (
+            commit_edgy_txn,
+            register_edgy_source,
+        )
+
+        register_edgy_source(spark)
+        cursor = engine.snapshot().manifest["next_id"]
+        ids = {name: cursor + i for i, name in enumerate(rest)}
+        people = spark.createDataFrame(
+            [(i, name, 30) for name, i in ids.items()],
+            "id long, name string, age long",
+        )
+        pairs = [
+            (a, b) for a in ids.values() for b in ids.values() if a != b
+        ]
+        friends = spark.createDataFrame(
+            [(a, b, k, k) for k, (a, b) in enumerate(pairs)],
+            "src long, dst long, pos long, ipos long",
+        )
+        token = f"bulk-{cursor}"
+        for df, table in ((people, "n_Person"), (friends, "e_friend")):
+            (
+                df.write.format("edgy")
+                .option("root", engine.store.root).option("table", table)
+                .option("txn", token).mode("append").save()
+            )
+        v = commit_edgy_txn(engine.store.root, token)
+        print(f"loaded {len(ids)} people + {len(pairs)} friendships "
+              f"atomically -> v{v}")
     elif cmd == "maintain" and not rest:
         # OPTIMIZE + VACUUM on demand (also available automatically via
         # Engine(compact_every=K))

@@ -67,3 +67,27 @@ def test_demo_changes_command(spark, tmp_path, capsys):
     assert out[-1] == "3 change(s)"  # bigBang's three Person inserts
     assert all("insert" in line for line in out[:-1])
     assert any("'Bob'" in line for line in out)
+
+
+def test_demo_bulkload_command(spark, tmp_path, capsys):
+    """`bulkload N1 N2 ...` loads people + their friendships atomically in
+    ONE store version via the multi-table txn, and the engine reads the
+    result like any other data."""
+    from edgy_spark.demo import demo_schema
+    from edgy_spark.graph import Engine
+
+    root = str(tmp_path / "demo.db")
+    assert main(["--root", root, "create"], spark=spark) == 0
+    engine = Engine(spark, root, demo_schema(), capture_cdc=True)
+    v0 = engine.store.current_version()
+    assert main(["--root", root, "bulkload", "Pia", "Quinn"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "atomically" in out
+    assert engine.store.current_version() == v0 + 1  # ONE version for both
+    txn = engine.read()
+    by_name = {
+        txn.get_attribute(n, "name"): n for n in txn.all_nodes("Person")
+    }
+    assert {n.id for n in txn.get_related(by_name["Pia"], "friend")} == {
+        by_name["Quinn"].id
+    }
