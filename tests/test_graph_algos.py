@@ -196,3 +196,29 @@ def test_iter_partitions_derived_from_state_size(spark, monkeypatch):
     assert {(r.node, r.component) for r in cc.collect()} == {
         (1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
     }
+
+
+def test_observed_changes_falls_back_to_probe_on_missing_metric(spark):
+    """ADVICE r07 guard: if the Observation metric is never delivered (a
+    future Spark routing localCheckpoint around Dataset actions), the
+    bounded wait must fall back to the explicit probe instead of hanging."""
+    import time
+
+    from pyspark.sql import Observation
+
+    from edgy_spark.operators.graph_algos import _observed_changes
+
+    df = spark.createDataFrame([(1, True), (2, False)], "node long, __chg boolean")
+    obs = Observation()
+    df.observe(obs, F.sum(F.col("__chg").cast("long")).alias("n_changed"))
+    # no action ran on the observed df -> metric never arrives
+    t0 = time.monotonic()
+    got = _observed_changes(obs, df, timeout_s=0.3)
+    assert time.monotonic() - t0 < 5  # bounded, not Observation.get's forever
+    assert got == 1  # probe counted the changed row (limit(1))
+
+    # and the normal path: metric delivered by an action -> no probe needed
+    obs2 = Observation()
+    d2 = df.observe(obs2, F.sum(F.col("__chg").cast("long")).alias("n_changed"))
+    d2.collect()
+    assert _observed_changes(obs2, df.limit(0), timeout_s=5) == 1
