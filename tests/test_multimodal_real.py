@@ -185,3 +185,37 @@ def test_decode_features_png_runs_real_decode_in_spark(spark):
     import hashlib
 
     assert got[1]["content_md5"] == hashlib.md5(red).hexdigest()
+
+
+def test_png_codec_property_roundtrip():
+    """Hypothesis: any 8-bit image (grey/RGB/RGBA, arbitrary pixel bytes,
+    arbitrary small dimensions) survives encode->decode bit-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from edgy_spark.functions.png import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        ct=st.sampled_from([0, 2, 6]),
+        data=st.data(),
+    )
+    def check(w, h, ct, data):
+        ch = {0: 1, 2: 3, 6: 4}[ct]
+        rows = [
+            bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255), min_size=w * ch, max_size=w * ch
+                    )
+                )
+            )
+            for _ in range(h)
+        ]
+        assert decode_png(encode_png(w, h, rows, color_type=ct)) == (
+            w, h, ch, b"".join(rows)
+        )
+
+    check()
