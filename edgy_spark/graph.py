@@ -491,6 +491,19 @@ class Transaction:
                                     "_change", F.lit("update_postimage")
                                 )
                             )
+                        if self.engine.capture_cdc == "full":
+                            # Delta-CDF full shape: the preimages are the
+                            # SAME point-read rows the postimages overlay —
+                            # zero extra Spark work, one more local part
+                            pre_rows = [pre[i] for i in live_upd if i in pre]
+                            if pre_rows:
+                                parts.append(
+                                    spark.createDataFrame(
+                                        pre_rows, nt.struct_type()
+                                    ).withColumn(
+                                        "_change", F.lit("update_preimage")
+                                    )
+                                )
                     if dead:
                         parts.append(
                             base.filter(F.col("id").isin(list(dead))).withColumn(
@@ -733,7 +746,7 @@ class Engine:
         bucket_edges: int | None = None,
         compact_every: int | None = None,
         retain_versions: int = 2,
-        capture_cdc: bool = False,
+        capture_cdc: bool | str = False,
     ):
         """``bucket_edges=N`` turns on the bucketed edge layout: point
         adjacency reads prune to one bucket instead of scanning the whole
@@ -741,7 +754,15 @@ class Engine:
         compact+vacuum maintenance (see GraphStore); ``capture_cdc=True``
         records each commit's row-level node changes for
         ``GraphStore.table_changes`` and the ``mode=upsert`` stream source
-        (one extra small write per commit, O(touched rows))."""
+        (one extra small write per commit, O(touched rows)).
+        ``capture_cdc="full"`` additionally records ``update_preimage``
+        rows (Delta CDF's full shape) so downstream consumers can
+        SUBTRACT a row's old contribution — what incremental aggregate
+        maintenance needs (operators/incremental.py); replica builders
+        must then filter ``_change = 'update_preimage'`` before applying
+        upserts, exactly as with Delta's change feed."""
+        if capture_cdc not in (False, True, "full"):
+            raise ValueError("capture_cdc must be False, True, or 'full'")
         self.spark = spark
         self.schema = schema
         self.capture_cdc = capture_cdc
