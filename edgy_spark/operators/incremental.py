@@ -117,3 +117,103 @@ def maintain_rollup(store, key: str, agg: DataFrame,
         )
     deltas = cdc_deltas(changes, group_cols, measures)
     return apply_deltas(agg, deltas, group_cols, measures), to_version
+
+
+def stream_maintain_rollup(spark, agg_dir: str, group_cols: Sequence[str],
+                           measures: Sequence[str]):
+    """A ``foreachBatch`` function that maintains a LIVE materialized
+    rollup at ``agg_dir`` from the upsert change stream
+    (``readStream.format("edgy").option("mode", "upsert")`` on a
+    ``capture_cdc="full"`` store) — the streaming completion of
+    :func:`maintain_rollup`.
+
+    MUST be seeded first: :func:`seed_rollup` materializes the recompute
+    of the table AT the version the stream starts from (upsert mode starts
+    changes-only at CURRENT, so baseline-at-CURRENT + change deltas is
+    exactly consistent).  Seeding is REQUIRED, not optional — an empty
+    start would mean "changes since the stream began", where a group whose
+    running count goes negative gets dropped by :func:`apply_deltas` and
+    silently resurrects wrong later; the baseline makes negative counts
+    impossible.
+
+    Exactly-once across restarts without relying on an idempotent sink:
+    each applied micro-batch writes a NEW immutable version directory
+    ``v{batch_id}`` and swaps a pointer file (``_current``, os.replace —
+    the same pointer-cache pattern as the store's CURRENT); a replayed
+    batch after a crash-restart sees ``batch_id <= applied`` and skips, so
+    deltas are never double-applied.  Readers load via
+    :func:`read_maintained_rollup` (pointer -> one version dir) and always
+    see a complete snapshot.
+    """
+    import json
+    import os
+
+    def _pointer() -> tuple[int, str]:
+        try:
+            with open(os.path.join(agg_dir, "_current")) as f:
+                meta = json.load(f)
+            return meta["batch_id"], meta["dir"]
+        except FileNotFoundError:
+            raise ValueError(
+                f"no seeded rollup at {agg_dir!r}: call seed_rollup with "
+                "the table recompute BEFORE starting the maintenance "
+                "stream (an unseeded view would drop transiently-negative "
+                "groups and resurrect them wrong)"
+            ) from None
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        applied, cur = _pointer()
+        if batch_id <= applied:
+            return  # restart replay: already folded into the rollup
+        agg = spark.read.parquet(os.path.join(agg_dir, cur))
+        pre = batch_df.filter(F.col("_change") == "update_preimage").count()
+        post = batch_df.filter(F.col("_change") == "update_postimage").count()
+        if pre != post:
+            raise ValueError(
+                "stream rollup maintenance needs update preimages "
+                "(Engine(capture_cdc='full'))"
+            )
+        new = apply_deltas(
+            agg, cdc_deltas(batch_df, group_cols, measures),
+            group_cols, measures,
+        )
+        vdir = f"v{batch_id}"
+        new.write.mode("overwrite").parquet(os.path.join(agg_dir, vdir))
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=agg_dir)
+        with os.fdopen(fd, "w") as f:
+            json.dump({"batch_id": batch_id, "dir": vdir}, f)
+        os.replace(tmp, os.path.join(agg_dir, "_current"))
+
+    return apply
+
+
+def seed_rollup(rows: DataFrame, agg_dir: str, group_cols: Sequence[str],
+                measures: Sequence[str]) -> None:
+    """Materialize the baseline for :func:`stream_maintain_rollup`: the
+    from-scratch rollup of ``rows`` (read the table at the version the
+    stream will start from) written as version ``seed`` with the pointer
+    at batch -1."""
+    import json
+    import os
+    import tempfile
+
+    os.makedirs(agg_dir, exist_ok=True)
+    rollup_aggregate(rows, group_cols, measures).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(agg_dir, "vseed"))
+    fd, tmp = tempfile.mkstemp(dir=agg_dir)
+    with os.fdopen(fd, "w") as f:
+        json.dump({"batch_id": -1, "dir": "vseed"}, f)
+    os.replace(tmp, os.path.join(agg_dir, "_current"))
+
+
+def read_maintained_rollup(spark, agg_dir: str) -> DataFrame:
+    """Load the current snapshot of a stream-maintained rollup."""
+    import json
+    import os
+
+    with open(os.path.join(agg_dir, "_current")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(os.path.join(agg_dir, meta["dir"]))

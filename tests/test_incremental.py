@@ -133,3 +133,87 @@ def test_full_capture_feed_carries_preimages_and_replicas_filter_them(spark, tmp
             replica[r["id"]] = r["balance"]
     want = {r["id"]: r["balance"] for r in engine.snapshot().nodes("Acct").collect()}
     assert replica == want
+
+
+def test_stream_maintained_rollup_is_live_and_exactly_once(spark, tmp_path):
+    """foreachBatch materialized view over the upsert stream, seeded with
+    the recompute at stream start: after each availableNow run the view
+    equals the full recompute of the table, and re-running the stream from
+    the same checkpoint (restart replay) never double-applies a batch.
+    Unseeded maintenance is refused loudly."""
+    import os
+
+    import pytest as _pytest
+
+    from edgy_spark.operators.incremental import (
+        read_maintained_rollup,
+        seed_rollup,
+        stream_maintain_rollup,
+    )
+    from edgy_spark.sources.pysource import register_edgy_source
+
+    engine = Engine(spark, str(tmp_path / "db"), _schema(), capture_cdc="full")
+    made = engine.run(
+        lambda t: [
+            t.new_node("Acct", region=r, balance=b)
+            for r, b in (("eu", 10), ("us", 7))
+        ]
+    )
+    register_edgy_source(spark)
+    agg_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    apply = stream_maintain_rollup(spark, agg_dir, ["region"], ["balance"])
+
+    def run_stream():
+        q = (
+            spark.readStream.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "n_Acct")
+            .option("mode", "upsert")
+            .load()
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # unseeded maintenance must refuse loudly (once a batch has changes)
+    engine.run(lambda t: t.new_node("Acct", region="eu", balance=3))
+    os.makedirs(agg_dir, exist_ok=True)
+    with _pytest.raises(Exception, match="seed"):
+        run_stream()
+    import shutil
+
+    shutil.rmtree(ckpt)  # discard the failed attempt's checkpoint
+
+    # seed with the recompute at CURRENT; the stream starts changes-only
+    # from CURRENT, so baseline + deltas == full recompute forever after
+    seed_rollup(
+        engine.snapshot().nodes("Acct"), agg_dir, ["region"], ["balance"]
+    )
+    run_stream()  # pins the offset; no changes yet
+    engine.run(lambda t: t.set_attribute(made[1], "region", "eu"))  # us -> eu
+    engine.run(lambda t: t.delete_node(made[0]))
+    run_stream()
+
+    def recompute():
+        return _rows(
+            rollup_aggregate(
+                engine.snapshot().nodes("Acct"), ["region"], ["balance"]
+            )
+        )
+
+    assert _rows(read_maintained_rollup(spark, agg_dir)) == recompute()
+    assert recompute() == [("eu", 2, 10)]  # us vanished from the view
+
+    # a group dying and reappearing stays correct (baseline prevents the
+    # negative-count drop)
+    engine.run(lambda t: t.new_node("Acct", region="us", balance=2))
+    run_stream()
+    assert _rows(read_maintained_rollup(spark, agg_dir)) == recompute()
+
+    # restart replay: same checkpoint, no new commits -> view unchanged
+    before = _rows(read_maintained_rollup(spark, agg_dir))
+    run_stream()
+    assert _rows(read_maintained_rollup(spark, agg_dir)) == before
