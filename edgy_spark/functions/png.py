@@ -33,6 +33,8 @@ def encode_png(width: int, height: int, rows: list[bytes], color_type: int = 2) 
     """Encode 8-bit scanlines (``rows[y]`` = packed samples for row y) as a
     valid PNG: IHDR + one zlib IDAT with filter byte 0 per row + IEND."""
     ch = _CHANNELS[color_type]
+    if width <= 0 or height <= 0:
+        raise ValueError("zero-dimension PNG")
     if len(rows) != height or any(len(r) != width * ch for r in rows):
         raise ValueError("rows do not match width/height/color_type")
 
@@ -81,6 +83,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", payload)
             )
+            if width == 0 or height == 0:
+                # invalid per spec — and downstream pixel math (mean luma)
+                # divides by w*h, so reject here with the documented error
+                raise ValueError("zero-dimension PNG")
             if depth != 8:
                 raise NotImplementedError(f"bit depth {depth} (only 8)")
             if color_type not in _CHANNELS:

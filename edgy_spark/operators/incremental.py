@@ -19,6 +19,8 @@ column cancels to zero.  Groups whose maintained count reaches zero are
 dropped, so the maintained rollup equals the from-scratch recompute
 bit-for-bit (integer/decimal measures; float sums would drift by
 re-association, the same reason the engine's money math is DECIMAL).
+NULL group keys merge null-SAFELY (a NULL group is one group, exactly as
+``groupBy`` treats it).
 
 The reference has no analogue (no aggregates at all); this is the
 Spark-native materialized-view-maintenance pattern built on the store's
@@ -27,6 +29,9 @@ own CDC, parity with Delta Live Tables' incremental computation model.
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -34,6 +39,11 @@ from pyspark.sql import functions as F
 
 _ADD = ("insert", "update_postimage")
 _SUB = ("delete", "update_preimage")
+
+#: superseded stream-rollup version dirs kept after each pointer swap (the
+#: current one plus this many predecessors — an in-flight reader of the
+#: just-superseded snapshot must not have files deleted under it)
+RETAIN_ROLLUP_VERSIONS = 2
 
 
 def rollup_aggregate(rows: DataFrame, group_cols: Sequence[str],
@@ -50,21 +60,58 @@ def rollup_aggregate(rows: DataFrame, group_cols: Sequence[str],
     )
 
 
-def cdc_deltas(changes: DataFrame, group_cols: Sequence[str],
-               measures: Sequence[str]) -> DataFrame:
-    """Fold a change-feed slice into per-group signed deltas.  One
-    narrow-row shuffle over O(changed rows) — never touches the table."""
+def _per_kind(changes: DataFrame, group_cols: Sequence[str],
+              measures: Sequence[str]) -> DataFrame:
+    """ONE aggregation pass over the change feed: per (group, _change)
+    row counts and measure sums.  Everything downstream (the preimage
+    guard and the signed deltas) derives from this small result, so the
+    feed is scanned once — materialize it (localCheckpoint) before fanning
+    out."""
+    return changes.groupBy(*group_cols, "_change").agg(
+        F.count(F.lit(1)).alias("_k_n"),
+        *[
+            F.coalesce(F.sum(F.coalesce(F.col(m), F.lit(0))), F.lit(0)).alias(f"_k_{m}")
+            for m in measures
+        ],
+    )
+
+
+def _deltas_from_kinds(per: DataFrame, group_cols: Sequence[str],
+                       measures: Sequence[str]) -> DataFrame:
     sign = (
         F.when(F.col("_change").isin(*_ADD), F.lit(1))
         .when(F.col("_change").isin(*_SUB), F.lit(-1))
         .otherwise(F.lit(0))
     )
-    return changes.groupBy(*group_cols).agg(
-        F.coalesce(F.sum(sign), F.lit(0)).alias("_d_n"),
+    return per.groupBy(*group_cols).agg(
+        F.coalesce(F.sum(sign * F.col("_k_n")), F.lit(0)).alias("_d_n"),
         *[
-            F.coalesce(F.sum(sign * F.coalesce(F.col(m), F.lit(0))), F.lit(0)).alias(f"_d_{m}")
+            F.coalesce(F.sum(sign * F.col(f"_k_{m}")), F.lit(0)).alias(f"_d_{m}")
             for m in measures
         ],
+    )
+
+
+def _guard_preimages(per: DataFrame, context: str) -> None:
+    kinds = {
+        r["_change"]: r["cnt"]
+        for r in per.groupBy("_change").agg(F.sum("_k_n").alias("cnt")).collect()
+    }
+    if kinds.get("update_postimage", 0) != kinds.get("update_preimage", 0):
+        raise ValueError(
+            f"{context} needs update PREIMAGES (Engine(capture_cdc='full')): "
+            "postimages alone cannot subtract an updated row's old "
+            "contribution.  Recompute from scratch with rollup_aggregate, "
+            "then maintain from here on."
+        )
+
+
+def cdc_deltas(changes: DataFrame, group_cols: Sequence[str],
+               measures: Sequence[str]) -> DataFrame:
+    """Fold a change-feed slice into per-group signed deltas.  One
+    narrow-row shuffle over O(changed rows) — never touches the table."""
+    return _deltas_from_kinds(
+        _per_kind(changes, group_cols, measures), group_cols, measures
     )
 
 
@@ -72,10 +119,20 @@ def apply_deltas(agg: DataFrame, deltas: DataFrame,
                  group_cols: Sequence[str],
                  measures: Sequence[str]) -> DataFrame:
     """Merge signed deltas into a maintained rollup (full-outer on the
-    group key: new groups appear, emptied groups vanish)."""
-    merged = agg.join(deltas, list(group_cols), "full_outer")
+    group key: new groups appear, emptied groups vanish).  The join is
+    null-SAFE on every key — a NULL group must merge with its delta, not
+    split into duplicate rows (groupBy puts all NULLs in one group)."""
+    a, d = agg.alias("__agg"), deltas.alias("__dlt")
+    cond = None
+    for c in group_cols:
+        eq = F.col(f"__agg.{c}").eqNullSafe(F.col(f"__dlt.{c}"))
+        cond = eq if cond is None else cond & eq
+    merged = a.join(d, cond, "full_outer")
     out = merged.select(
-        *group_cols,
+        *[
+            F.coalesce(F.col(f"__agg.{c}"), F.col(f"__dlt.{c}")).alias(c)
+            for c in group_cols
+        ],
         (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("_d_n"), F.lit(0))).alias("n"),
         *[
             (
@@ -100,120 +157,124 @@ def maintain_rollup(store, key: str, agg: DataFrame,
     Requires FULL capture (``Engine(capture_cdc="full")``) whenever the
     range contains updates: without ``update_preimage`` rows the old
     contribution of an updated row cannot be subtracted, so this fails
-    loudly rather than silently double-counting."""
+    loudly rather than silently double-counting.  The feed is scanned
+    once: the guard and the deltas both derive from one materialized
+    per-(group, kind) aggregation."""
     to_version = store.current_version() if to_version is None else to_version
     changes = store.table_changes(key, from_version, to_version)
-    kinds = {
-        r["_change"]: r["cnt"]
-        for r in changes.groupBy("_change").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    if kinds.get("update_postimage", 0) != kinds.get("update_preimage", 0):
-        raise ValueError(
-            f"incremental maintenance of {key!r} over versions "
-            f"({from_version}, {to_version}] needs update PREIMAGES "
-            "(Engine(capture_cdc='full')): postimages alone cannot "
-            "subtract an updated row's old contribution.  Recompute from "
-            "scratch with rollup_aggregate, then maintain from here on."
-        )
-    deltas = cdc_deltas(changes, group_cols, measures)
+    per = _per_kind(changes, group_cols, measures).localCheckpoint(eager=True)
+    _guard_preimages(
+        per,
+        f"incremental maintenance of {key!r} over versions "
+        f"({from_version}, {to_version}]",
+    )
+    deltas = _deltas_from_kinds(per, group_cols, measures)
     return apply_deltas(agg, deltas, group_cols, measures), to_version
+
+
+# -- streaming: a live materialized view over the upsert change stream ------
+
+
+def _read_pointer(agg_dir: str) -> dict:
+    with open(os.path.join(agg_dir, "_current")) as f:
+        return json.load(f)
+
+
+def _write_pointer(agg_dir: str, meta: dict) -> None:
+    fd, tmp = tempfile.mkstemp(dir=agg_dir)
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(agg_dir, "_current"))
+
+
+def seed_rollup(store, key: str, agg_dir: str, group_cols: Sequence[str],
+                measures: Sequence[str]) -> int:
+    """Materialize the baseline for :func:`stream_maintain_rollup`: the
+    from-scratch rollup of table ``key`` AT the store's current version,
+    recorded in the pointer.  Returns that version — start the maintenance
+    stream with ``.option("startVersion", str(v))`` so the stream's
+    exclusive lower bound equals the seed exactly; without it a commit
+    landing between seeding and the stream pinning CURRENT would be in
+    neither the baseline nor the feed (a silent, permanent gap)."""
+    os.makedirs(agg_dir, exist_ok=True)
+    v = store.current_version()
+    rows = store.snapshot(v).nodes(key.removeprefix("n_"))
+    rollup_aggregate(rows, group_cols, measures).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(agg_dir, "vseed"))
+    _write_pointer(agg_dir, {"batch_id": -1, "dir": "vseed", "seed_version": v})
+    return v
 
 
 def stream_maintain_rollup(spark, agg_dir: str, group_cols: Sequence[str],
                            measures: Sequence[str]):
     """A ``foreachBatch`` function that maintains a LIVE materialized
-    rollup at ``agg_dir`` from the upsert change stream
-    (``readStream.format("edgy").option("mode", "upsert")`` on a
-    ``capture_cdc="full"`` store) — the streaming completion of
-    :func:`maintain_rollup`.
+    rollup at ``agg_dir`` from the upsert change stream — the streaming
+    completion of :func:`maintain_rollup`:
 
-    MUST be seeded first: :func:`seed_rollup` materializes the recompute
-    of the table AT the version the stream starts from (upsert mode starts
-    changes-only at CURRENT, so baseline-at-CURRENT + change deltas is
-    exactly consistent).  Seeding is REQUIRED, not optional — an empty
-    start would mean "changes since the stream began", where a group whose
-    running count goes negative gets dropped by :func:`apply_deltas` and
-    silently resurrects wrong later; the baseline makes negative counts
-    impossible.
+        v = seed_rollup(engine.store, "n_Acct", agg_dir, keys, measures)
+        (spark.readStream.format("edgy").option("root", root)
+             .option("table", "n_Acct").option("mode", "upsert")
+             .option("startVersion", str(v)).load()
+             .writeStream.foreachBatch(
+                 stream_maintain_rollup(spark, agg_dir, keys, measures))
+             .option("checkpointLocation", ckpt).start())
+
+    Seeding is REQUIRED, not optional — an empty start would mean "changes
+    since the stream began", where a group whose running count goes
+    negative gets dropped by :func:`apply_deltas` and silently resurrects
+    wrong later; the baseline makes negative counts impossible.  The
+    ``startVersion`` handshake makes seed and stream share one exclusive
+    lower bound, so no commit can fall between them.
 
     Exactly-once across restarts without relying on an idempotent sink:
     each applied micro-batch writes a NEW immutable version directory
-    ``v{batch_id}`` and swaps a pointer file (``_current``, os.replace —
-    the same pointer-cache pattern as the store's CURRENT); a replayed
-    batch after a crash-restart sees ``batch_id <= applied`` and skips, so
-    deltas are never double-applied.  Readers load via
-    :func:`read_maintained_rollup` (pointer -> one version dir) and always
-    see a complete snapshot.
+    ``v{batch_id}`` and swaps the ``_current`` pointer (os.replace — the
+    same pointer-cache pattern as the store's CURRENT); a replayed batch
+    after a crash-restart sees ``batch_id <= applied`` and skips, so
+    deltas are never double-applied.  Superseded version dirs are pruned
+    to the last RETAIN_ROLLUP_VERSIONS (in-flight readers of the previous
+    snapshot keep their files).  Readers load via
+    :func:`read_maintained_rollup` and always see a complete snapshot.
     """
-    import json
-    import os
-
-    def _pointer() -> tuple[int, str]:
-        try:
-            with open(os.path.join(agg_dir, "_current")) as f:
-                meta = json.load(f)
-            return meta["batch_id"], meta["dir"]
-        except FileNotFoundError:
-            raise ValueError(
-                f"no seeded rollup at {agg_dir!r}: call seed_rollup with "
-                "the table recompute BEFORE starting the maintenance "
-                "stream (an unseeded view would drop transiently-negative "
-                "groups and resurrect them wrong)"
-            ) from None
+    import shutil
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        applied, cur = _pointer()
-        if batch_id <= applied:
-            return  # restart replay: already folded into the rollup
-        agg = spark.read.parquet(os.path.join(agg_dir, cur))
-        pre = batch_df.filter(F.col("_change") == "update_preimage").count()
-        post = batch_df.filter(F.col("_change") == "update_postimage").count()
-        if pre != post:
+        try:
+            meta = _read_pointer(agg_dir)
+        except FileNotFoundError:
             raise ValueError(
-                "stream rollup maintenance needs update preimages "
-                "(Engine(capture_cdc='full'))"
-            )
+                f"no seeded rollup at {agg_dir!r}: call seed_rollup (and "
+                "pass its version as the stream's startVersion) BEFORE "
+                "starting the maintenance stream"
+            ) from None
+        if batch_id <= meta["batch_id"]:
+            return  # restart replay: already folded into the rollup
+        agg = spark.read.parquet(os.path.join(agg_dir, meta["dir"]))
+        per = _per_kind(batch_df, group_cols, measures).localCheckpoint(
+            eager=True
+        )
+        _guard_preimages(per, "stream rollup maintenance")
         new = apply_deltas(
-            agg, cdc_deltas(batch_df, group_cols, measures),
+            agg, _deltas_from_kinds(per, group_cols, measures),
             group_cols, measures,
         )
         vdir = f"v{batch_id}"
         new.write.mode("overwrite").parquet(os.path.join(agg_dir, vdir))
-        import tempfile
-
-        fd, tmp = tempfile.mkstemp(dir=agg_dir)
-        with os.fdopen(fd, "w") as f:
-            json.dump({"batch_id": batch_id, "dir": vdir}, f)
-        os.replace(tmp, os.path.join(agg_dir, "_current"))
+        _write_pointer(agg_dir, {**meta, "batch_id": batch_id, "dir": vdir})
+        # prune superseded snapshot dirs beyond the retain window
+        versions = sorted(
+            (int(n[1:]) for n in os.listdir(agg_dir)
+             if n.startswith("v") and n[1:].isdigit()),
+            reverse=True,
+        )
+        for old in versions[RETAIN_ROLLUP_VERSIONS:]:
+            shutil.rmtree(os.path.join(agg_dir, f"v{old}"), ignore_errors=True)
 
     return apply
 
 
-def seed_rollup(rows: DataFrame, agg_dir: str, group_cols: Sequence[str],
-                measures: Sequence[str]) -> None:
-    """Materialize the baseline for :func:`stream_maintain_rollup`: the
-    from-scratch rollup of ``rows`` (read the table at the version the
-    stream will start from) written as version ``seed`` with the pointer
-    at batch -1."""
-    import json
-    import os
-    import tempfile
-
-    os.makedirs(agg_dir, exist_ok=True)
-    rollup_aggregate(rows, group_cols, measures).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(agg_dir, "vseed"))
-    fd, tmp = tempfile.mkstemp(dir=agg_dir)
-    with os.fdopen(fd, "w") as f:
-        json.dump({"batch_id": -1, "dir": "vseed"}, f)
-    os.replace(tmp, os.path.join(agg_dir, "_current"))
-
-
 def read_maintained_rollup(spark, agg_dir: str) -> DataFrame:
     """Load the current snapshot of a stream-maintained rollup."""
-    import json
-    import os
-
-    with open(os.path.join(agg_dir, "_current")) as f:
-        meta = json.load(f)
+    meta = _read_pointer(agg_dir)
     return spark.read.parquet(os.path.join(agg_dir, meta["dir"]))

@@ -150,7 +150,11 @@ class EdgyDataSource(DataSource):
                 "the store's monotonic node-id counter, upsert CDC on "
                 "commit-time node change capture; edge tables have neither)"
             )
-        return EdgyStreamReader(root, table, schema, mode)
+        start = self.options.get("startVersion")
+        return EdgyStreamReader(
+            root, table, schema, mode,
+            start_version=int(start) if start is not None else None,
+        )
 
 
 class EdgyReader(DataSourceReader):
@@ -258,22 +262,32 @@ class EdgyStreamReader(DataSourceStreamReader):
     (``Engine(capture_cdc=True)`` — the Delta-CDF design): each micro-batch
     reads the per-version ``cdc-*`` files for the offset's version range,
     emitting the row image + ``_change`` ∈ {insert, update_postimage,
-    delete} + ``_commit_version``.  Pure file reads proportional to the
-    CHANGES, never a diff join; versions without capture (maintenance
-    compaction = no logical change; bulk loads = use insert mode) emit
-    nothing.  Starts at the CURRENT version (changes-only); a vacuumed
-    manifest inside the needed range raises rather than silently dropping
-    changes — size ``retain_versions`` to the longest stream downtime.
+    delete} + ``_commit_version`` — plus ``update_preimage`` rows when the
+    store captures in full mode (``Engine(capture_cdc="full")``; replica
+    builders must FILTER preimages before applying upserts, the Delta-CDF
+    contract — preimages exist for delta consumers like
+    operators/incremental.py that must subtract old contributions).  Pure
+    file reads proportional to the CHANGES, never a diff join; versions
+    without capture (maintenance compaction = no logical change; bulk
+    loads = use insert mode) emit nothing.  Starts at the CURRENT version
+    (changes-only) unless ``.option("startVersion", V)`` pins the exact
+    exclusive lower bound (Delta's ``startingVersion`` analogue — what a
+    consumer seeded from a version-V snapshot needs to be gap-free under
+    concurrent commits); a vacuumed manifest inside the needed range
+    raises rather than silently dropping changes — size
+    ``retain_versions`` to the longest stream downtime.
 
     The reference has no streaming at all; this is north-star scope wiring
     the transactional store into Structured Streaming.
     """
 
-    def __init__(self, root: str, table: str, schema: StructType, mode: str = "insert"):
+    def __init__(self, root: str, table: str, schema: StructType,
+                 mode: str = "insert", start_version: int | None = None):
         self.root = root
         self.table = table
         self.mode = mode
         self.schema = schema
+        self.start_version = start_version
         self.columns = [f.name for f in schema.fields]
 
     def _current(self) -> dict:
@@ -283,6 +297,22 @@ class EdgyStreamReader(DataSourceStreamReader):
         return {"version": version, "next_id": manifest["next_id"]}
 
     def initialOffset(self) -> dict:  # noqa: N802
+        if self.start_version is not None:
+            # explicit exclusive lower bound: emit changes/ids committed
+            # AFTER version V — the manifest at V carries the id cursor,
+            # so one offset shape serves both modes
+            path = os.path.join(self.root, f"manifest.v{self.start_version}.json")
+            try:
+                with open(path) as f:
+                    manifest = json.load(f)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"startVersion={self.start_version} has no manifest "
+                    "(never committed, or vacuumed past) — pick a retained "
+                    "version"
+                ) from None
+            return {"version": self.start_version,
+                    "next_id": manifest["next_id"]}
         if self.mode == "upsert":
             # changes-only: emit commits made after the stream starts
             return self._current()

@@ -555,11 +555,17 @@ class GraphStore:
         versions ``(from_version, to_version]`` — the batch read of the
         commit-time CDC capture (Delta's ``table_changes`` analogue).
 
-        Returns the row image + ``_change`` + ``_commit_version``; captured
-        versions with no changes for the table contribute nothing.  Each
-        version is its own small parquet location, so the read is
-        proportional to the CHANGES in the range, never to table size —
-        the whole point of commit-time capture at 100 TB.
+        Returns the row image + ``_change`` + ``_commit_version``, with
+        ``_change`` ∈ {insert, update_postimage, delete} — plus
+        ``update_preimage`` rows for versions committed under
+        ``Engine(capture_cdc="full")`` (Delta CDF's full shape: a replica
+        builder must FILTER preimages before applying upserts; they exist
+        for delta consumers — operators/incremental.py — that subtract an
+        updated row's old contribution).  Captured versions with no
+        changes for the table contribute nothing.  Each version is its own
+        small parquet location, so the read is proportional to the CHANGES
+        in the range, never to table size — the whole point of commit-time
+        capture at 100 TB.
 
         ``strict`` (default): a version in the range whose changes are
         unknowable — NOT captured (committed without ``capture_cdc`` or via

@@ -23,7 +23,9 @@ def _schema() -> GraphSchema:
 
 
 def _rows(df):
-    return sorted(map(tuple, df.select("region", "n", "sum_balance").collect()))
+    rows = map(tuple, df.select("region", "n", "sum_balance").collect())
+    # NULL region sorts last (tuples with None don't compare to str)
+    return sorted(rows, key=lambda t: (t[0] is None, t[0] or "", t[1], t[2]))
 
 
 def test_maintained_rollup_equals_recompute_across_steps(spark, tmp_path):
@@ -135,9 +137,42 @@ def test_full_capture_feed_carries_preimages_and_replicas_filter_them(spark, tmp
     assert replica == want
 
 
+def test_null_group_keys_merge_null_safely(spark, tmp_path):
+    """Review r08: a NULL group key must stay ONE group through the
+    delta-apply join (groupBy semantics), not split into duplicate rows."""
+    sch = GraphSchema(
+        (
+            NodeType(
+                "Acct",
+                (
+                    Attr("name"),
+                    optional("region", "string"),  # no default: unset -> NULL
+                    optional("balance", "long", default=0),
+                ),
+            ),
+        )
+    )
+    engine = Engine(spark, str(tmp_path / "db"), sch, capture_cdc="full")
+    engine.run(
+        lambda t: [
+            t.new_node("Acct", name="a", balance=5),          # region NULL
+            t.new_node("Acct", name="b", region="eu", balance=1),
+        ]
+    )
+    v1 = engine.store.current_version()
+    agg = rollup_aggregate(engine.snapshot().nodes("Acct"), ["region"], ["balance"])
+    engine.run(lambda t: t.new_node("Acct", name="c", balance=7))
+    agg, _ = maintain_rollup(engine.store, "n_Acct", agg, ["region"], ["balance"], v1)
+    want = rollup_aggregate(engine.snapshot().nodes("Acct"), ["region"], ["balance"])
+    assert _rows(agg) == _rows(want)
+    nulls = [r for r in agg.collect() if r["region"] is None]
+    assert len(nulls) == 1 and (nulls[0]["n"], nulls[0]["sum_balance"]) == (2, 12)
+
+
 def test_stream_maintained_rollup_is_live_and_exactly_once(spark, tmp_path):
     """foreachBatch materialized view over the upsert stream, seeded with
-    the recompute at stream start: after each availableNow run the view
+    the recompute at an explicit version and started with the matching
+    startVersion (no seed/pin gap): after each availableNow run the view
     equals the full recompute of the table, and re-running the stream from
     the same checkpoint (restart replay) never double-applies a batch.
     Unseeded maintenance is refused loudly."""
@@ -164,13 +199,17 @@ def test_stream_maintained_rollup_is_live_and_exactly_once(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     apply = stream_maintain_rollup(spark, agg_dir, ["region"], ["balance"])
 
-    def run_stream():
-        q = (
+    def run_stream(start_version=None):
+        r = (
             spark.readStream.format("edgy")
             .option("root", engine.store.root)
             .option("table", "n_Acct")
             .option("mode", "upsert")
-            .load()
+        )
+        if start_version is not None:
+            r = r.option("startVersion", str(start_version))
+        q = (
+            r.load()
             .writeStream.foreachBatch(apply)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -182,20 +221,18 @@ def test_stream_maintained_rollup_is_live_and_exactly_once(spark, tmp_path):
     engine.run(lambda t: t.new_node("Acct", region="eu", balance=3))
     os.makedirs(agg_dir, exist_ok=True)
     with _pytest.raises(Exception, match="seed"):
-        run_stream()
+        run_stream(start_version=1)
     import shutil
 
     shutil.rmtree(ckpt)  # discard the failed attempt's checkpoint
 
-    # seed with the recompute at CURRENT; the stream starts changes-only
-    # from CURRENT, so baseline + deltas == full recompute forever after
-    seed_rollup(
-        engine.snapshot().nodes("Acct"), agg_dir, ["region"], ["balance"]
-    )
-    run_stream()  # pins the offset; no changes yet
+    # seed at an explicit version; commits may land BETWEEN seeding and
+    # the stream start — the startVersion handshake keeps them covered
+    seed_v = seed_rollup(engine.store, "n_Acct", agg_dir, ["region"], ["balance"])
     engine.run(lambda t: t.set_attribute(made[1], "region", "eu"))  # us -> eu
+    run_stream(start_version=seed_v)  # first batch already has the move
     engine.run(lambda t: t.delete_node(made[0]))
-    run_stream()
+    run_stream(start_version=seed_v)
 
     def recompute():
         return _rows(
@@ -210,10 +247,16 @@ def test_stream_maintained_rollup_is_live_and_exactly_once(spark, tmp_path):
     # a group dying and reappearing stays correct (baseline prevents the
     # negative-count drop)
     engine.run(lambda t: t.new_node("Acct", region="us", balance=2))
-    run_stream()
+    run_stream(start_version=seed_v)
     assert _rows(read_maintained_rollup(spark, agg_dir)) == recompute()
 
     # restart replay: same checkpoint, no new commits -> view unchanged
     before = _rows(read_maintained_rollup(spark, agg_dir))
-    run_stream()
+    run_stream(start_version=seed_v)
     assert _rows(read_maintained_rollup(spark, agg_dir)) == before
+
+    # superseded snapshot dirs pruned to the retain window
+    from edgy_spark.operators.incremental import RETAIN_ROLLUP_VERSIONS
+
+    vdirs = [n for n in os.listdir(agg_dir) if n.startswith("v") and n[1:].isdigit()]
+    assert len(vdirs) <= RETAIN_ROLLUP_VERSIONS

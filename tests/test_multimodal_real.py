@@ -219,3 +219,31 @@ def test_png_codec_property_roundtrip():
         )
 
     check()
+
+
+def test_png_decode_rejects_zero_dimensions():
+    """Review r08: a crafted zero-width IHDR must raise the documented
+    ValueError, not surface later as ZeroDivisionError in pixel math."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from edgy_spark.functions.png import decode_png, encode_png
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    crafted = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="zero-dimension"):
+        decode_png(crafted)
+    with _pytest.raises(ValueError, match="zero-dimension"):
+        encode_png(0, 1, [], color_type=2)
