@@ -65,7 +65,12 @@ def load_all_registrations() -> None:
     driver-green at least once).
 
     R08 window rationale (the verdict's rotation plan): pin first the
-    queries whose EXECUTED code changed in r8 — ``dedup_ngram_jaccard_pairs``
+    three queries NEW in r8 (``incremental_orders_rollup``,
+    ``multimodal_png_pixel_stats``, ``pipeline_temperature_mix`` — never
+    driver-verified, so they must sit inside the window; the three TPC-H
+    tail entries they displace — q14/q17/q18 — are r06-green on unchanged
+    code), then the queries whose EXECUTED code changed in r8 —
+    ``dedup_ngram_jaccard_pairs``
     (stop-shingle DF cap rewrite) and the five fixpoint algorithms
     (CC/BFS/PageRank/SSSP/LPA: r8's data-derived iteration width +
     bounded Observation read execute inside them) — then the now-stalest
@@ -99,6 +104,7 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.udx  # noqa: F401
     import edgy_spark.operators.relational  # noqa: F401
     import edgy_spark.operators.tpch_more  # noqa: F401
+    import edgy_spark.operators.incremental  # noqa: F401
 
     _prioritize(R08_WINDOW)
 
@@ -107,6 +113,11 @@ def load_all_registrations() -> None:
 #: ``tests/test_registry_window.py`` pins this against the live registry so
 #: a module reorder cannot silently evict an intended entry.
 R08_WINDOW: list[str] = [
+    # NEW in r8, never driver-verified: the incremental delta-apply
+    # algebra, the real PNG pixel decode, and temperature language mixing
+    "incremental_orders_rollup",
+    "multimodal_png_pixel_stats",
+    "pipeline_temperature_mix",
     # r8 code changes execute inside these: jaccard DF-cap rewrite; the
     # fixpoint family (data-derived iteration width + bounded metric read)
     "dedup_ngram_jaccard_pairs",
@@ -159,9 +170,6 @@ R08_WINDOW: list[str] = [
     "q10_returned_items",
     "q12_priority_shipping_by_year",
     "q13_customer_order_distribution",
-    "q14_promo_effect",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
 ]
 
 

@@ -278,3 +278,106 @@ def read_maintained_rollup(spark, agg_dir: str) -> DataFrame:
     """Load the current snapshot of a stream-maintained rollup."""
     meta = _read_pointer(agg_dir)
     return spark.read.parquet(os.path.join(agg_dir, meta["dir"]))
+
+
+# -- driver-verified registration of the delta-apply math -------------------
+
+
+def _register_incremental_queries() -> None:
+    """Catalog entry exercising the incremental-maintenance algebra under
+    the external oracle.  Imported lazily (inside a function) so the
+    module stays usable without the catalog machinery."""
+    from pyspark.sql import SparkSession  # noqa: F401  (signature parity)
+
+    from edgy_spark.catalog import register
+    from edgy_spark.sources import load
+
+    @register(
+        "incremental_orders_rollup",
+        oracle="""
+        WITH o AS (SELECT o_orderkey, o_orderpriority,
+                          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT) AS cents
+                   FROM orders),
+        fin AS (
+            SELECT CASE WHEN o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0
+                        THEN '0-MOVED' ELSE o_orderpriority
+                   END AS o_orderpriority,
+                   cents + CASE WHEN o_orderkey % 10 <> 0
+                                     AND o_orderkey % 7 = 0
+                                THEN 10000 ELSE 0 END AS cents
+            FROM o
+            WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0
+                       AND o_orderkey % 13 = 0))
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM fin
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        tags=("incremental", "cdc", "aggregation"),
+    )
+    def incremental_orders_rollup(spark, sf_dir: str) -> DataFrame:
+        """Materialized-rollup maintenance by delta-apply, verified against
+        the from-scratch recompute of the FINAL state (the oracle computes
+        the post-change table directly and aggregates it — if the signed
+        deltas mis-handled any change kind, the hashes diverge).
+
+        The change feed is synthesized deterministically from ``orders``
+        (the store-integrated path — commit-time capture feeding
+        :func:`maintain_rollup` — is pinned by tests/test_incremental.py;
+        this entry puts the algebra itself under the driver's value-hash
+        gate): baseline = keys with ``k % 10 != 0``; inserts = the rest;
+        updates = baseline keys with ``k % 7 == 0``, each moving to a
+        brand-new group ('0-MOVED', created purely by deltas through the
+        full-outer merge) AND changing its measure (+10000 cents), emitted
+        as Delta-CDF preimage/postimage pairs; deletes = baseline keys
+        with ``k % 13 == 0`` not updated.  Covers every change kind plus
+        the group-moving update in one pass.
+
+        Scale: the maintained side aggregates only O(changed rows) — the
+        whole point; the base rollup is group-cardinality-sized.
+        """
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        is_base = F.col("o_orderkey") % 10 != 0
+        is_upd = is_base & (F.col("o_orderkey") % 7 == 0)
+        base = o.filter(is_base)
+        agg0 = rollup_aggregate(
+            base.select("o_orderpriority", "cents"), ["o_orderpriority"], ["cents"]
+        )
+
+        inserts = o.filter(~is_base).withColumn("_change", F.lit("insert"))
+        upd_src = o.filter(is_upd)
+        pre = upd_src.withColumn("_change", F.lit("update_preimage"))
+        post = (
+            upd_src.withColumn("o_orderpriority", F.lit("0-MOVED"))
+            .withColumn("cents", F.col("cents") + F.lit(10000))
+            .withColumn("_change", F.lit("update_postimage"))
+        )
+        deletes = o.filter(
+            is_base & ~(F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 13 == 0)
+        ).withColumn("_change", F.lit("delete"))
+        changes = (
+            inserts.unionByName(pre).unionByName(post).unionByName(deletes)
+            .select("o_orderpriority", "cents", "_change")
+        )
+
+        maintained = apply_deltas(
+            agg0,
+            cdc_deltas(changes, ["o_orderpriority"], ["cents"]),
+            ["o_orderpriority"],
+            ["cents"],
+        )
+        return maintained.select("o_orderpriority", "n", "sum_cents").orderBy(
+            "o_orderpriority"
+        )
+
+
+_register_incremental_queries()

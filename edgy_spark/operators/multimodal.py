@@ -148,12 +148,25 @@ def decode_features_png(media_df: DataFrame) -> DataFrame:
     decode_features / decode_features_real: swapping decoders changes one
     closure, nothing in the plan.  Cross-validated against the JVM's
     independent javax.imageio decoder in tests/test_multimodal_real.py.
+
+    The codec travels to the Python workers BY VALUE
+    (``cloudpickle.register_pickle_by_value`` on functions/png.py — pure
+    stdlib, so its pickled globals are just ``struct``/``zlib`` module
+    refs): unlike the in-closure import it replaces, the decode works even
+    when the driver runs from outside the repo and the workers have no
+    ``edgy_spark`` on sys.path (the same constraint the decode_features
+    NOTE documents; pinned by tests/test_multimodal_real.py's
+    clean-sys.path subprocess test).
     """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import png as _png
+
+    cloudpickle.register_pickle_by_value(_png)
+    decode_png = _png.decode_png
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
-
-        from edgy_spark.functions.png import decode_png
 
         for pdf in batches:
             rows = []
@@ -396,3 +409,71 @@ def multimodal_thumbnail_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         pool, "doc_id long, bin_idx long, pixel_sum long, n_src_frames long"
     ).orderBy("doc_id", "bin_idx")
+
+
+@register(
+    "multimodal_png_pixel_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      doc_id % 31 + 2 AS width,
+                      (doc_id * 7) % 23 + 2 AS height
+               FROM documents),
+    s AS (SELECT d.doc_id, d.width, d.height,
+                 SUM((d.doc_id * 31 + t.i * 17) % 256) AS total
+          FROM d, generate_series(0, 32 * 24 - 1) AS t(i)
+          WHERE t.i < d.width * d.height
+          GROUP BY d.doc_id, d.width, d.height)
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(total // (width * height) AS BIGINT) AS mean_luma
+    FROM s
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode"),
+)
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode under the driver's value-hash gate: each document
+    id deterministically defines a greyscale image (width = id%31+2,
+    height = (id*7)%23+2, sample i = (id*31 + i*17)%256 in row-major
+    order), which is ENCODED to genuine PNG bytes and DECODED back by the
+    from-spec stdlib codec (functions/png.py) inside Arrow-batched
+    ``mapInPandas`` — the oracle recomputes width/height/mean-luma from
+    the pixel formula directly, so a bit error anywhere in the chunk
+    framing, zlib round-trip, scanline unfiltering, or luma math breaks
+    the hash.  (The RGB/RGBA + Sub/Up/Average/Paeth filter paths are
+    cross-validated against the JVM's javax.imageio in
+    tests/test_multimodal_real.py; the encoder emits filter-0 rows.)
+
+    Scale: pixels never leave the executors — the exchanged rows are
+    (doc_id, 3 small ints); decode parallelism is the scan's.  With a real
+    media fixture the synth step disappears and decode_features_png runs
+    over the binary column directly.
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import png as _png
+
+    cloudpickle.register_pickle_by_value(_png)
+    encode_png = _png.encode_png
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = i % 31 + 2, (i * 7) % 23 + 2
+                rows = [
+                    bytes((i * 31 + (y * w + x) * 17) % 256 for x in range(w))
+                    for y in range(h)
+                ]
+                media.append(encode_png(w, h, rows, color_type=0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    return (
+        decode_features_png(media_df)
+        .select("doc_id", "width", "height", "mean_luma")
+        .orderBy("doc_id")
+    )

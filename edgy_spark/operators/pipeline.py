@@ -499,3 +499,85 @@ def pipeline_balanced_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("rk") <= BALANCED_K)
         .orderBy("doc_id")
     )
+
+
+# -- temperature-based language mixing --------------------------------------
+TEMP_SALT = "|temp1"    # independent draw from the stratified sampler's
+TEMP_TARGET_DIV = 4     # target corpus size = N / this (exact integer rule)
+
+
+@register(
+    "pipeline_temperature_mix",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n,
+                      CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS s
+               FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(s) AS BIGINT) AS sig,
+                   CAST(SUM(n) AS BIGINT) AS total FROM c),
+    r AS (SELECT c.lang,
+                 CAST(LEAST(1000, (1000 * (tot.total // {TEMP_TARGET_DIV}) * c.s)
+                                  // (tot.sig * c.n)) AS BIGINT) AS keep_permille
+          FROM c, tot)
+    SELECT d.doc_id, d.lang, r.keep_permille
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE (('0x' || substr(md5(d.doc_id::VARCHAR || '{TEMP_SALT}'), 1, 15))::BIGINT
+           % 1000) < r.keep_permille
+    ORDER BY d.doc_id
+    """,
+    tags=("pipeline", "sampling"),
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing (the mC4/multilingual-pretraining
+    recipe): per-language keep rates proportional to ``n_lang^alpha`` with
+    alpha = 1/2, so low-resource languages are up-weighted relative to
+    their share and the head language stops drowning the mixture.  With
+    ``s_l = floor(sqrt(n_l))`` and ``S = sum(s_l)``, the keep rate is
+
+        permille_l = min(1000, (1000 * T * s_l) div (S * n_l)),  T = N div 4
+
+    which makes the expected sample size sum(n_l * p_l / 1000) ~= T while
+    allocating picks across languages by sqrt-share.  All-integer math
+    (floor(sqrt(bigint)) is exact for counts < 2^52 because IEEE sqrt is
+    correctly rounded, and both engines' integer division floors), so the
+    decision is a pure function of (doc_id, salt, per-language counts) —
+    bit-identical across engines, partitionings, and reruns, like the
+    stratified sampler above.
+
+    Scale: one tiny groupBy over lang (map-side partials, a handful of
+    groups), the per-language rate table broadcast back, and one pure map
+    over the scan — no shuffle of the corpus itself.  The permille products
+    stay < 2^63 up to ~10^12 documents per the docstring rule; past that,
+    compute rates driver-side (they are k rows) in arbitrary precision.
+    """
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    c = c.withColumn("s", F.floor(F.sqrt(F.col("n"))).cast("long"))
+    tot = c.agg(
+        F.sum("s").alias("sig"),
+        F.sum("n").alias("total"),
+    )
+    rates = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "keep_permille",
+            F.least(
+                F.lit(1000).cast("long"),
+                F.expr(
+                    f"(1000 * (total div {TEMP_TARGET_DIV}) * s) div (sig * n)"
+                ),
+            ),
+        )
+        .select("lang", "keep_permille")
+    )
+    from edgy_spark.functions.hashing import h60
+
+    bucket = F.pmod(
+        h60(F.concat(F.col("doc_id").cast("string"), F.lit(TEMP_SALT))),
+        F.lit(1000),
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("keep_permille"))
+        .select("doc_id", "lang", "keep_permille")
+        .orderBy("doc_id")
+    )
