@@ -456,3 +456,123 @@ def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy("doc_id", F.desc("salience"), "term")
     )
+
+
+# -- BM25 retrieval ---------------------------------------------------------
+BM25_QUERY = ("spark", "join", "window")  # fixed query-term set
+BM25_TOP_K = 10
+BM25_SCALE = 1_000_000  # micro-units: scores are exact int64, order-free sums
+
+
+def _bm25_oracle() -> str:
+    """Build the DuckDB twin of the integer BM25 spec below (generated so
+    the term list/k stay in lockstep with the Spark plan)."""
+    tf_cols = ",\n        ".join(
+        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    df_cols = ",\n        ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    terms = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN"
+        f" ((2*n - 2*df{i} + 1) * 44 * tf{i} * a * {BM25_SCALE})"
+        f" // ((2*df{i} + 1) * (20*tf{i}*a + 6*a + 18*dl))"
+        f" ELSE 0 END)"
+        for i in range(len(BM25_QUERY))
+    )
+    return f"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+               FROM documents),
+    p AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+        {tf_cols}
+          FROM w),
+    s AS (SELECT CAST(SUM(dl) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+        {df_cols}
+          FROM p),
+    sc AS (SELECT p.doc_id,
+                  CAST({terms} AS BIGINT) AS score_micro
+           FROM p CROSS JOIN (SELECT *, total // n AS a FROM s) s)
+    SELECT doc_id, score_micro FROM sc
+    WHERE score_micro > 0
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle(), tags=("text", "retrieval", "ranking"))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query-term set — the relevance-
+    ranking step of corpus search / RAG-style example selection, in exact
+    integer arithmetic.
+
+    Spec (k1 = 6/5, b = 3/4, rational idf instead of the classic log —
+    the same exactness choice as text_salient_terms: both are strictly
+    decreasing in df, so ranking is preserved while every score is a pure
+    int64 expression, bit-identical across engines).  With N docs, total
+    corpus tokens ``total``, integer-rounded average length
+    ``a = total div N``, per-doc length ``dl`` and term frequency ``tf``:
+
+        idf   = (2N - 2df + 1) / (2df + 1)
+        tfprt = 44*tf*a / (20*tf*a + 6*a + 18*dl)   # tf(k1+1)/(tf+k1(1-b+b*dl/a)) x20a
+        s_t   = (idf_num * tfprt_num * 1e6) div (idf_den * tfprt_den)
+
+    and the doc score is the SUM of the int64 micro-scores — exact and
+    addition-order-free, so no float-summation ordering can flip the hash.
+    Products stay < 2^63 while ``2N * 44 * tf * a * 1e6`` does (~1e9 docs
+    at typical tf/a); past that, drop BM25_SCALE to 1e3 or widen the
+    arithmetic to DECIMAL(38,0) — the plan is unchanged.
+
+    Plan shape (the 100 TB story): term frequencies for the fixed query
+    set are computed IN-ROW (``F.filter`` over the split array — no
+    explode, no posting-list shuffle at all); the ONLY wide operations are
+    one singleton aggregate producing (N, total, df_t...) broadcast back,
+    and the final top-k, which compiles to TakeOrderedAndProject (per-
+    partition heaps, K rows to the driver).  An inverted-index engine
+    beats this for ad-hoc interactive queries, but for batch scoring a
+    known query set against a full corpus, scan speed is the bound and
+    this is one pass.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def tf_of(term):
+        # NOT a default-arg lambda: F.filter treats a 2-parameter lambda
+        # as (element, index) and would pass the array INDEX as `term`
+        return F.size(F.filter(words, lambda w: w == term)).cast("long")
+
+    proj = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("dl"),
+        *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(BM25_QUERY)],
+    )
+    stats = proj.agg(
+        F.sum("dl").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    ).withColumn("a", F.expr("total div n"))
+    score = None
+    for i in range(len(BM25_QUERY)):
+        tf, dfc = F.col(f"tf{i}"), F.col(f"df{i}")
+        n, a, dl = F.col("n"), F.col("a"), F.col("dl")
+        s_i = F.when(
+            tf > 0,
+            F.expr(
+                f"((2*n - 2*df{i} + 1) * 44 * tf{i} * a * {BM25_SCALE}L)"
+                f" div ((2*df{i} + 1) * (20*tf{i}*a + 6*a + 18*dl))"
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        score = s_i if score is None else score + s_i
+    return (
+        proj.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("score_micro"))
+        .filter(F.col("score_micro") > 0)
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
