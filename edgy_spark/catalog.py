@@ -65,12 +65,12 @@ def load_all_registrations() -> None:
     driver-green at least once).
 
     R08 window rationale (the verdict's rotation plan): pin first the
-    four queries NEW in r8 (``incremental_orders_rollup``,
+    five queries NEW in r8 (``incremental_orders_rollup``,
     ``multimodal_png_pixel_stats``, ``pipeline_temperature_mix``,
-    ``text_bm25_topk`` — never driver-verified, so they must sit inside
-    the window; the four TPC-H tail entries they displace —
-    q13/q14/q17/q18 — are r06-green on unchanged code), then the queries
-    whose EXECUTED code changed in r8 —
+    ``text_bm25_topk``, ``graph_kcore_members`` — never driver-verified,
+    so they must sit inside the window; the five TPC-H tail entries they
+    displace — q12/q13/q14/q17/q18 — are r06-green on unchanged code),
+    then the queries whose EXECUTED code changed in r8 —
     ``dedup_ngram_jaccard_pairs``
     (stop-shingle DF cap rewrite) and the five fixpoint algorithms
     (CC/BFS/PageRank/SSSP/LPA: r8's data-derived iteration width +
@@ -120,6 +120,7 @@ R08_WINDOW: list[str] = [
     "multimodal_png_pixel_stats",
     "pipeline_temperature_mix",
     "text_bm25_topk",
+    "graph_kcore_members",
     # r8 code changes execute inside these: jaccard DF-cap rewrite; the
     # fixpoint family (data-derived iteration width + bounded metric read)
     "dedup_ngram_jaccard_pairs",
@@ -170,7 +171,6 @@ R08_WINDOW: list[str] = [
     "q7_volume_shipping",
     "q8_market_share",
     "q10_returned_items",
-    "q12_priority_shipping_by_year",
 ]
 
 

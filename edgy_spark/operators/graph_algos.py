@@ -871,3 +871,100 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     synchronous LPA rounds, written on the aggregate_messages/run_fixpoint
     combinators; the oracle unrolls the identical rounds in SQL."""
     return label_propagation(copurchase_edges(spark, sf_dir)).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling) — the detect_removals user
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3          # fixture-visible core: 12 nodes across 3 peel rounds
+KCORE_ORACLE_ROUNDS = 10  # unroll margin: extra rounds past the fixpoint
+#                           are idempotent (peeling a stable set returns it),
+#                           so only UNDER-unrolling could diverge; measured
+#                           fixpoint at sf0.01 is 3 rounds.
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = KCORE_K,
+    max_iter: int = 30,
+    broadcast_state: bool = True,
+    iter_partitions: int | None = None,
+) -> DataFrame:
+    """(node, deg) for the k-core: the maximal subgraph in which every
+    node has degree >= k within the subgraph, with ``deg`` the node's
+    degree inside that core.  Classic iterative peeling: drop all nodes
+    of degree < k, recompute degrees over the survivors, repeat.
+
+    The state SHRINKS — the case :func:`run_fixpoint`'s ``detect_removals``
+    exists for: a round that only removes nodes whose neighbors all left
+    with them changes no surviving row, which the default new-LEFT-JOIN-old
+    change-set cannot see.  (For this particular step such a round is
+    already a fixpoint — vanished nodes contributed nothing to surviving
+    degrees — but the flag costs one anti-join probe on the terminating
+    round only and pins the general always-iterate-until-stable contract,
+    so the first peeling-style user exercises it rather than reasoning its
+    way around it.)
+
+    Physical shape per round: two broadcast LEFT SEMI joins restrict the
+    (materialized-once) doubled edge list to live endpoints, then ONE
+    groupBy whose shuffle carries (node, count) — edge payloads never
+    re-shuffle.  At 100 TB the edge list is scanned per round but never
+    re-partitioned; for vertex states too big to broadcast, pass
+    ``broadcast_state=False`` for shuffled semi joins.
+    """
+    und, _ = _materialize(undirect(edges), iter_partitions)
+
+    def live_degrees(alive: DataFrame) -> DataFrame:
+        a_src = alive.select(F.col("node").alias("src"))
+        a_dst = alive.select(F.col("node").alias("dst"))
+        live = und.join(_hint(a_src, broadcast_state), "src", "left_semi").join(
+            _hint(a_dst, broadcast_state), "dst", "left_semi"
+        )
+        return (
+            live.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+        )
+
+    state0 = und.select(F.col("src").alias("node")).distinct()
+    return run_fixpoint(
+        live_degrees(state0),
+        live_degrees,
+        max_iter=max_iter,
+        compare_cols=["deg"],
+        broadcast_state=broadcast_state,
+        detect_removals=True,
+        iter_partitions=iter_partitions,
+    )
+
+
+def _kcore_round_sql(prev: str, this: str, k: int) -> str:
+    """One unrolled peel round over CTE ``undirected``: degrees within the
+    surviving set ``prev``, keeping nodes with degree >= k."""
+    return f"""
+    {this} AS (
+      SELECT u.src AS node, COUNT(*) AS deg
+      FROM undirected u
+      JOIN {prev} s ON u.src = s.node
+      JOIN {prev} t ON u.dst = t.node
+      GROUP BY u.src HAVING COUNT(*) >= {k})"""
+
+
+@register(
+    "graph_kcore_members",
+    oracle=f"""
+    WITH {_UND_CTES},
+    a0 AS (SELECT DISTINCT src AS node FROM undirected),
+    {",".join(_kcore_round_sql(f"a{i}", f"a{i + 1}", KCORE_K) for i in range(KCORE_ORACLE_ROUNDS))}
+    SELECT node, CAST(deg AS BIGINT) AS deg
+    FROM a{KCORE_ORACLE_ROUNDS} ORDER BY node
+    """,
+    tags=("graph", "iterative", "kcore", "pregel-primitive"),
+)
+def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Members of the KCORE_K (= 3)-core of the co-purchase graph with their
+    in-core degrees — peeling on run_fixpoint(detect_removals=True) vs a
+    DuckDB oracle that unrolls KCORE_ORACLE_ROUNDS idempotent peel rounds
+    (safely past the measured 3-round fixpoint)."""
+    return k_core(copurchase_edges(spark, sf_dir)).orderBy("node")

@@ -222,3 +222,38 @@ def test_observed_changes_falls_back_to_probe_on_missing_metric(spark):
     d2 = df.observe(obs2, F.sum(F.col("__chg").cast("long")).alias("n_changed"))
     d2.collect()
     assert _observed_changes(obs2, df.limit(0), timeout_s=5) == 1
+
+
+def _peel(edges, k):
+    """Brute-force k-core: (node -> in-core degree) by repeated removal."""
+    from collections import defaultdict
+
+    alive = {n for e in edges for n in e}
+    while True:
+        deg = defaultdict(int)
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        nxt = {n for n in alive if deg[n] >= k}
+        if nxt == alive:
+            return {n: deg[n] for n in alive}
+        alive = nxt
+
+
+def test_k_core_matches_bruteforce_peeling(spark):
+    from edgy_spark.operators.graph_algos import k_core
+
+    # triangle (the stable 2-core) + a chain that peels over several
+    # rounds + an isolated pair whose removal is a removals-ONLY round:
+    # x,y vanish together leaving every surviving degree unchanged — the
+    # exact blind spot detect_removals guards.
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (100, 101)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.node, r.deg) for r in k_core(e, k=2).collect()}
+    assert got == set(_peel(edges, 2).items())
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+    # empty core: peel everything away
+    got = k_core(e, k=3).collect()
+    assert got == []
