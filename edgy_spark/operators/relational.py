@@ -871,3 +871,55 @@ def variant_event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (plans/bloom.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_bloom_pruned_building_revenue",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY c_nationkey
+    ORDER BY nationkey
+    """,
+    tags=("join", "bloom", "scale"),
+)
+def join_bloom_pruned_building_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue of BUILDING-segment orders, computed through the
+    EXPLICIT Bloom-prune path (plans/bloom.py): an 8 KiB bitset summarizing
+    the segment's custkeys broadcasts to every probe task and discards
+    non-matching orders BEFORE the join shuffle; the exact join afterwards
+    removes the (rare, bounded) false positives, so the result is provably
+    identical to the plain join — which is exactly what the oracle runs.
+
+    At 100 TB this is the join you'd bloom when the filtered dimension is
+    too large to broadcast as a hash relation: m bits of state replace the
+    key set, and the probe side shrinks by the true selectivity (~1/5 here)
+    before any data moves.  The prune is all codegen'd map-lookup bit tests;
+    no Python, no extra shuffle (the bitset build aggregates bit_or partials
+    map-side over the dimension only).
+    """
+    from edgy_spark.plans.bloom import bloom_build, bloom_prune
+
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    bloom = bloom_build(c, "c_custkey")
+    pruned = bloom_prune(o, "o_custkey", bloom)
+    return (
+        pruned.join(c, pruned.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            to_dbl(F.sum(dec("o_totalprice", 2, 18))).alias("total_price"),
+        )
+        .orderBy("nationkey")
+    )
