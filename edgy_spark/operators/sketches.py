@@ -239,3 +239,89 @@ def sketch_heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_exact"), "word")
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (point-frequency estimates over a keyed stream)
+# ---------------------------------------------------------------------------
+
+CMS_EPS = 0.001     # estimate slack: eps * total adds
+CMS_CONF = 0.99
+CMS_SEED = 42
+CMS_TOP = 10
+
+
+@register(
+    "sketch_count_min_user_counts",
+    oracle=f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           COUNT(*) AS n_exact,
+           TRUE AS cms_within_eps
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_exact DESC, user_id
+    LIMIT {CMS_TOP}
+    """,
+    tags=("sketch", "count-min", "aggregation"),
+)
+def sketch_count_min_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event counts for the top-{CMS_TOP} users: exact counts
+    (hash-checked) alongside a Count-Min sketch probe asserted inside the
+    CMS guarantee (estimate >= exact, and <= exact + eps * total-adds).
+
+    The CMS is the point-frequency twin of approx_top_k's heavy-hitter
+    list: fixed (d x w) integer cells, built with ``count_min_sketch``
+    map-side partials that merge by cell-wise addition — so at 100 TB the
+    shuffle carries one ~100 kB sketch per task while the exact branch
+    shuffles every (user, 1).  Probing goes through Spark's own JVM sketch
+    (``CountMinSketch.readFrom`` via the gateway — the sketch is a single
+    driver-sized binary row, like similarity.py's k centroid collects);
+    keys are added and probed as strings so both sides hash identically.
+    Fixed seed + commutative merges make the estimates deterministic
+    across partitionings.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id")
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(CMS_TOP)
+    )
+    sk_row = ev.agg(
+        F.count_min_sketch(
+            F.col("user_id").cast("string"),
+            F.lit(CMS_EPS),
+            F.lit(CMS_CONF),
+            F.lit(CMS_SEED),
+        ).alias("s"),
+        F.count(F.lit(1)).alias("total"),
+    ).head()
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_row["s"])
+    )
+    slack = int(CMS_EPS * sk_row["total"]) + 1
+    top = exact.collect()  # CMS_TOP rows — the k-sized probe set
+    probed = spark.createDataFrame(
+        [
+            (
+                r["user_id"],
+                int(jcms.estimateCount(str(r["user_id"]))),
+            )
+            for r in top
+        ],
+        "user_id long, n_cms long",
+    )
+    return (
+        exact.join(F.broadcast(probed), "user_id")
+        .select(
+            "user_id",
+            "n_exact",
+            (
+                (F.col("n_cms") >= F.col("n_exact"))
+                & (F.col("n_cms") <= F.col("n_exact") + F.lit(slack))
+            ).alias("cms_within_eps"),
+        )
+        .orderBy(F.desc("n_exact"), "user_id")
+    )
