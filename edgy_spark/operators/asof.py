@@ -332,3 +332,101 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# cogrouped-Arrow as-of join (the grouped custom-logic escape hatch)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cogroup_asof_purchase_last_click",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts,
+           c.event_id AS last_click_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, MAX(event_id) AS event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    tags=("asof", "cogroup", "pandas-udf"),
+)
+def cogroup_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the most recent click at-or-before it per user —
+    the SAME declarative contract as ``asof_purchase_last_error``, executed
+    through Spark's remaining grouped-UDF surface: ``cogroup(...)
+    .applyInPandas`` with a per-user ``pd.merge_asof``.
+
+    This is the escape hatch for per-group logic the built-in composition
+    can't express (custom matching rules, model scoring over aligned
+    pairs); for a plain as-of the union-and-window form above is the
+    skew-safe default — here each user's rows must fit one Arrow group.
+    Scale: ONE shuffle of each side on the by-key, Arrow-batched transfer,
+    O(n+m) merge per group after the in-group sort; no driver collection.
+    Determinism: equal-ts clicks pre-aggregate to MAX(event_id), matching
+    the oracle's tie-break exactly.
+    """
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").cast("long").alias("user_id"), "ts")
+        .agg(F.max("event_id").cast("long").alias("click_id"))
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:  # right-only group: no purchases, no output rows
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "purchase_ts": pd.Series(dtype="object"),
+                    "last_click_ts": pd.Series(dtype="object"),
+                    "last_click_event_id": pd.Series(dtype="Int64"),
+                }
+            )
+        left = left.sort_values("ts", kind="mergesort")
+        right = right.sort_values("ts", kind="mergesort")
+        m = pd.merge_asof(
+            left,
+            right[["ts", "click_id"]].rename(columns={"ts": "c_ts"}),
+            left_on="ts",
+            right_on="c_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out = pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "purchase_ts": m["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "last_click_ts": m["c_ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "last_click_event_id": m["click_id"].astype("Int64"),
+            }
+        )
+        out["last_click_ts"] = out["last_click_ts"].where(
+            out["last_click_ts"].notna(), None
+        )
+        return out
+
+    joined = (
+        p.groupby("user_id")
+        .cogroup(c.groupby("user_id"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "event_id long, user_id long, purchase_ts string, "
+                "last_click_ts string, last_click_event_id long"
+            ),
+        )
+    )
+    return joined.orderBy("event_id")
