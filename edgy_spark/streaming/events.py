@@ -365,3 +365,86 @@ def dedup_stream(events: DataFrame) -> DataFrame:
             "value",
         )
     )
+
+
+@register(
+    "stream_unattributed_purchases",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL {ATTRIB_WINDOW_MIN} MINUTE)
+    ORDER BY purchase_id
+    """,
+    tags=("streaming", "join", "outer", "temporal"),
+)
+def stream_unattributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases with NO qualifying click (batch twin: anti-join on the
+    attribution condition).  The streaming form below is the LEFT OUTER
+    stream-stream join — the shape the inner join can't express: "tell me
+    what never matched" requires the engine to hold each purchase until
+    the click-side watermark proves no match can still arrive, then emit
+    the null row exactly once.  State stays bounded by watermark + window,
+    so the unmatched-detector runs forever on an unbounded feed.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    anti = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts >= p.p_ts - F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")),
+        "left_anti",
+    )
+    return anti.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    ).orderBy("purchase_id")
+
+
+def unattributed_stream(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Streaming twin: LEFT OUTER stream-stream join, watermarks on both
+    sides.  A purchase row buffers until the click watermark passes its
+    attribution window; if nothing matched by then, Spark emits it once
+    with null click columns — the filter keeps exactly those.  The
+    equality with the batch anti-join (and that nulls CANNOT emit before
+    the watermark advances past the window) is pinned by
+    tests/test_streaming.py."""
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts >= p.p_ts - F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")),
+        "leftOuter",
+    )
+    return joined.filter(F.col("click_id").isNull()).select(
+        "purchase_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )

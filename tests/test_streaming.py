@@ -462,3 +462,73 @@ def test_stateful_threshold_under_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(conf)
         else:
             spark.conf.set(conf, prev)
+
+
+def _sentinel_flush(spark, ev, hours_ahead=10):
+    """A future click AND purchase far past every attribution window:
+    replayed as a LATER chunk they drag BOTH sides' watermarks across the
+    whole fixture (the join's global watermark is the min of the two, so a
+    click alone leaves late purchases unprovable) and force the outer
+    join's null rows out.  user -1 matches nothing real, and the sentinel
+    purchase itself sits inside its own still-open window, so neither
+    sentinel can appear in the output."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    template = ev.orderBy("event_id").head().asDict()
+    template.update(
+        user_id=-1,
+        ts=ev.agg({"ts": "max"}).head()[0] + datetime.timedelta(hours=hours_ahead),
+    )
+    rows = [
+        Row(**{**template, "event_id": 10**9 + 2 * hours_ahead, "event_type": "click"}),
+        Row(
+            **{**template, "event_id": 10**9 + 2 * hours_ahead + 1, "event_type": "purchase"}
+        ),
+    ]
+    return spark.createDataFrame(rows, ev.schema)
+
+
+def test_outer_stream_join_equals_batch_anti(spark, tmp_path):
+    """LEFT OUTER stream-stream join: after the watermark passes every
+    purchase's attribution window (sentinel chunk), the emitted null rows
+    are exactly the batch anti-join's unattributed purchases."""
+    from edgy_spark.sources import load
+    from edgy_spark.streaming.events import unattributed_stream
+
+    ev = load(spark, SF_SMOKE, "events")
+    got = _run_append_stream_staged(
+        spark,
+        tmp_path,
+        # two flush chunks: the watermark advances at the END of the batch
+        # that saw the sentinel, and state evicts (emitting the nulls) in
+        # the NEXT batch — so forcing out rows inside the final window
+        # takes one sentinel batch to move the watermark and one more to run
+        [ev, _sentinel_flush(spark, ev), _sentinel_flush(spark, ev, hours_ahead=20)],
+        lambda s: unattributed_stream(
+            s.filter("event_type = 'purchase'"), s.filter("event_type = 'click'")
+        ),
+    )
+    want = QUERIES["stream_unattributed_purchases"].fn(spark, SF_SMOKE)
+    cols = ["purchase_id", "user_id", "purchase_ts"]
+    assert sorted(tuple(r[c] for c in cols) for r in got) == _rows(want, cols)
+
+
+def test_outer_stream_join_nulls_wait_for_watermark(spark, tmp_path):
+    """Without the watermark-advancing chunk, NO null row may emit: a
+    purchase is unmatched only once the click watermark proves no match
+    can still arrive — never speculatively inside the same micro-batch."""
+    from edgy_spark.sources import load
+    from edgy_spark.streaming.events import unattributed_stream
+
+    ev = load(spark, SF_SMOKE, "events")
+    got = _run_append_stream_staged(
+        spark,
+        tmp_path,
+        [ev],
+        lambda s: unattributed_stream(
+            s.filter("event_type = 'purchase'"), s.filter("event_type = 'click'")
+        ),
+    )
+    assert len(got) == 0
