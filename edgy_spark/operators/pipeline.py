@@ -581,3 +581,72 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "keep_permille")
         .orderBy("doc_id")
     )
+
+
+# -- per-epoch training reshuffle --------------------------------------------
+N_EPOCHS = 2
+SHUFFLE_SAMPLE = 40  # summarized rows per epoch (first positions of shard 0)
+
+
+@register(
+    "pipeline_epoch_reshuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, e.epoch,
+             ('0x' || substr(md5('ep' || CAST(e.epoch AS VARCHAR) || ':'
+                                 || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM documents, (SELECT unnest(range({N_EPOCHS})) AS epoch) e),
+    p AS (
+      SELECT epoch, doc_id, hv % {N_SHARDS} AS shard,
+             ROW_NUMBER() OVER (
+               PARTITION BY epoch, hv % {N_SHARDS}
+               ORDER BY hv, doc_id) AS pos
+      FROM h)
+    SELECT epoch, shard, pos, doc_id
+    FROM p WHERE shard = 0 AND pos <= {SHUFFLE_SAMPLE}
+    ORDER BY epoch, pos
+    """,
+    tags=("pipeline", "shuffle", "training"),
+)
+def pipeline_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global reshuffle: every document gets a
+    (shard, position) for each training epoch from a salted hash — a fresh
+    pseudo-random permutation per epoch, reproducible bit-for-bit on any
+    engine/partitioning, with NO global sort.
+
+    This is how a 100 TB corpus is re-shuffled between epochs without
+    re-materializing it: shard = hash % N is a map-side assignment, the
+    order WITHIN a shard is a per-shard sort (parallel across shards —
+    contrast a single ORDER BY rand() whose range-partitioned global sort
+    and non-reproducible rand make it both a bottleneck and unrepeatable).
+    A trainer streams shard files in position order; changing the epoch
+    literal yields an independent permutation, so no state carries between
+    epochs.  The query pins shard 0's opening order per epoch (the full
+    permutation is |corpus| x epochs rows — the sample keeps the oracle
+    hashable while still covering hash, shard split, and in-shard rank).
+    """
+    from edgy_spark.functions.hashing import h60
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    h = d.crossJoin(F.broadcast(epochs)).select(
+        "doc_id",
+        "epoch",
+        h60(
+            F.concat(
+                F.lit("ep"), F.col("epoch").cast("string"),
+                F.lit(":"), F.col("doc_id").cast("string"),
+            )
+        ).alias("hv"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("hv", "doc_id")
+    p = h.select(
+        "epoch", "doc_id", "hv", F.pmod("hv", F.lit(N_SHARDS)).alias("shard")
+    ).select(
+        "epoch", "shard", F.row_number().over(w).alias("pos"), "doc_id"
+    )
+    return (
+        p.filter((F.col("shard") == 0) & (F.col("pos") <= SHUFFLE_SAMPLE))
+        .orderBy("epoch", "pos")
+    )
