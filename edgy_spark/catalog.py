@@ -80,13 +80,17 @@ def load_all_registrations() -> None:
     ``sketch_distinct_users_bounded`` / ``sketch_hll_mergeable_rollup`` /
     ``sketch_price_quantile_bounded`` / ``udaf_gini_order_concentration``
     (last green r05, code diff-verified unchanged since).  The remaining
-    39 slots backfill with r06 greens for freshness: the seven
+    slots backfill with r06 greens for freshness: the seven
     non-relational r06 entries (ivfpq, decontamination, stream dedup,
     repetition/salient text, heavy hitters, UDTF) and the relational/TPC-H
-    tail in registration order.  Outside the window sit only r07-green
-    entries (their modules untouched by r8) and nine r06-green TPC-H
-    queries whose code is likewise unchanged — no query's last green
-    predates r06 except where the diff proves the code identical.
+    tail in registration order.  The second r8 wave added five more
+    never-verified queries (bloom-pruned join, count-min sketch, cogrouped
+    as-of, the outer stream-stream join's batch twin, per-epoch reshuffle),
+    each evicting one unchanged r06-green TPC-H tail entry.  Outside the
+    window sit only r07-green entries (their modules untouched by r8) and
+    the r06-green TPC-H queries whose code is likewise unchanged — no
+    query's last green predates r06 except where the diff proves the code
+    identical.
     """
     # module import order only decides what lands AFTER the pinned window
     # (see the R08 rationale above: 32 relational/TPC-H entries fill the
@@ -115,12 +119,21 @@ def load_all_registrations() -> None:
 #: a module reorder cannot silently evict an intended entry.
 R08_WINDOW: list[str] = [
     # NEW in r8, never driver-verified: the incremental delta-apply
-    # algebra, the real PNG pixel decode, and temperature language mixing
+    # algebra, the real PNG pixel decode, temperature language mixing,
+    # and the second-wave r8 additions (bloom join pruning, count-min,
+    # cogrouped as-of, the outer stream-stream join's batch twin, the
+    # per-epoch reshuffle) — each evicted one r06-green TPC-H tail entry
+    # whose code is unchanged (q4/q7/q8/q10, variant_event_props_rollup)
     "incremental_orders_rollup",
     "multimodal_png_pixel_stats",
     "pipeline_temperature_mix",
     "text_bm25_topk",
     "graph_kcore_members",
+    "join_bloom_pruned_building_revenue",
+    "sketch_count_min_user_counts",
+    "cogroup_asof_purchase_last_click",
+    "stream_unattributed_purchases",
+    "pipeline_epoch_reshuffle",
     # r8 code changes execute inside these: jaccard DF-cap rewrite; the
     # fixpoint family (data-derived iteration width + bounded metric read)
     "dedup_ngram_jaccard_pairs",
@@ -166,11 +179,6 @@ R08_WINDOW: list[str] = [
     "pivot_orders_priority_by_year",
     "repeat_buyers_intersect_all",
     "skew_salted_segment_revenue",
-    "variant_event_props_rollup",
-    "q4_priority_with_returns",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
 ]
 
 
