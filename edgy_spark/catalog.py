@@ -134,6 +134,7 @@ R08_WINDOW: list[str] = [
     "cogroup_asof_purchase_last_click",
     "stream_unattributed_purchases",
     "pipeline_epoch_reshuffle",
+    "graph_personalized_pagerank",
     # r8 code changes execute inside these: jaccard DF-cap rewrite; the
     # fixpoint family (data-derived iteration width + bounded metric read)
     "dedup_ngram_jaccard_pairs",
@@ -178,7 +179,6 @@ R08_WINDOW: list[str] = [
     "customer_order_gaps",
     "pivot_orders_priority_by_year",
     "repeat_buyers_intersect_all",
-    "skew_salted_segment_revenue",
 ]
 
 

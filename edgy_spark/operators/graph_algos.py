@@ -968,3 +968,109 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle that unrolls KCORE_ORACLE_ROUNDS idempotent peel rounds
     (safely past the measured 3-round fixpoint)."""
     return k_core(copurchase_edges(spark, sf_dir)).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (teleport restricted to a seed set)
+# ---------------------------------------------------------------------------
+
+def personalized_pagerank_scaled(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    seed_degree: int = HUB_DEGREE,
+    broadcast_state: bool = True,
+    iter_partitions: int | None = None,
+) -> DataFrame:
+    """(node, rank) after ``iters`` rounds of PERSONALIZED PageRank: the 15%
+    teleport mass returns only to the seed set (nodes of undirected degree
+    >= ``seed_degree``) instead of spreading uniformly — rank becomes
+    proximity to the seeds, the classic related-items / recommendation
+    primitive.  Same scaled-integer discipline as :func:`pagerank_scaled`
+    (BIGINT units of 1/PR_SCALE, div arithmetic), so the result is
+    partition-independent and matches the oracle's unrolled SQL exactly.
+
+    rank_0 = SCALE div n_seeds on seeds, 0 elsewhere;
+    rank_{k+1} = seed * (15*SCALE) div (100*n_seeds)
+                 + (85 * sum(rank div deg over in-neighbors)) div 100.
+    """
+    und, _ = _materialize(undirect(edges), iter_partitions)
+    verts = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    seeds = verts.filter(F.col("deg") >= seed_degree).select(
+        "node", F.lit(1).alias("seed")
+    )
+    ns_df = seeds.agg(F.count(F.lit(1)).alias("ns"))
+    state0 = (
+        verts.join(seeds, "node", "left")
+        .select("node", "deg", F.coalesce("seed", F.lit(0)).alias("seed"))
+        .crossJoin(F.broadcast(ns_df))
+        .select(
+            "node", "deg", "seed", "ns",
+            F.expr(f"seed * ({PR_SCALE} div ns)").alias("rank"),
+        )
+    )
+
+    def step(state: DataFrame) -> DataFrame:
+        msgs = aggregate_messages(
+            und, state,
+            msg={"c": F.expr("rank div deg")},
+            aggs=[F.sum("c").alias("s")],
+            broadcast_state=broadcast_state,
+        )
+        return (
+            state.drop("rank")
+            .join(_hint(msgs, broadcast_state), "node", "left")
+            .select(
+                "node", "deg", "seed", "ns",
+                (
+                    F.expr(f"seed * (({15 * PR_SCALE}) div (100 * ns))")
+                    + F.expr("(85 * coalesce(s, 0)) div 100")
+                ).alias("rank"),
+            )
+        )
+
+    state = run_fixpoint(
+        state0, step, max_iter=iters, compare_cols=None,
+        broadcast_state=broadcast_state,
+        iter_partitions=iter_partitions,
+    )
+    return state.select("node", "rank")
+
+
+def _ppr_oracle() -> str:
+    cte = [
+        _UND_CTES.strip().rstrip(","),
+        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM undirected GROUP BY src)",
+        f"sd AS (SELECT node, (CASE WHEN deg >= {HUB_DEGREE} THEN 1 ELSE 0 END)"
+        " AS seed, deg FROM deg)",
+        "nn AS (SELECT SUM(seed) AS ns FROM sd)",
+        f"r0 AS (SELECT node, deg, seed, ns, seed * ({PR_SCALE} // ns) AS rank"
+        " FROM sd, nn)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        cte.append(
+            f"m{i} AS (SELECT u.dst AS node, SUM(r.rank // r.deg) AS s "
+            f"FROM undirected u JOIN r{i-1} r ON u.src = r.node GROUP BY u.dst)"
+        )
+        cte.append(
+            f"r{i} AS (SELECT r.node, r.deg, r.seed, r.ns, "
+            f"r.seed * ({15 * PR_SCALE} // (100 * r.ns)) "
+            f"+ (85 * COALESCE(m.s, 0)) // 100 AS rank "
+            f"FROM r{i-1} r LEFT JOIN m{i} m ON m.node = r.node)"
+        )
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{PR_ITERS} ORDER BY node"
+    )
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle=_ppr_oracle(),
+    tags=("graph", "iterative", "pagerank", "personalized"),
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-round personalized PageRank over the co-purchase graph, teleporting
+    only to the hub seed set (degree >= HUB_DEGREE) — rank as proximity to
+    the hubs, in scaled-integer arithmetic bit-identical to the unrolled
+    oracle."""
+    return personalized_pagerank_scaled(copurchase_edges(spark, sf_dir)).orderBy("node")
