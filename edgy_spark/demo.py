@@ -95,7 +95,10 @@ def lookup(engine: Engine, node_type: str, name: str, snap=None):
     ``txn.snap`` so lookups share the transaction's isolation scope (the
     reference runs lookupByName inside the same Edgy transaction)."""
     snap = engine.snapshot() if snap is None else snap
-    return NodeSet.scan(snap, engine.schema, node_type).filter(name=name).unique()
+    # index-aware: a store built with index_attrs={type: ["name"]} serves
+    # this from ONE bucket of a (name, id) projection; otherwise it's the
+    # same pushdown scan as before (NodeSet.lookup falls back to scan)
+    return NodeSet.lookup(snap, engine.schema, node_type, name=name).unique()
 
 
 def missing_tools(engine: Engine, person_name: str) -> list[str]:

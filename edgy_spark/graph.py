@@ -747,6 +747,8 @@ class Engine:
         compact_every: int | None = None,
         retain_versions: int = 2,
         capture_cdc: bool | str = False,
+        index_attrs: dict[str, list[str]] | None = None,
+        index_buckets: int = 16,
     ):
         """``bucket_edges=N`` turns on the bucketed edge layout: point
         adjacency reads prune to one bucket instead of scanning the whole
@@ -760,7 +762,12 @@ class Engine:
         SUBTRACT a row's old contribution — what incremental aggregate
         maintenance needs (operators/incremental.py); replica builders
         must then filter ``_change = 'update_preimage'`` before applying
-        upserts, exactly as with Delta's change feed."""
+        upserts, exactly as with Delta's change feed.
+        ``index_attrs={"person": ["name"]}`` maintains bucketed secondary
+        indexes for equality lookups (see GraphStore / query.NodeSet.lookup):
+        the reference's O(N)-scan ``lookupByName`` becomes a one-bucket read
+        of a two-column projection, kept transactionally in step with its
+        node table by every commit."""
         if capture_cdc not in (False, True, "full"):
             raise ValueError("capture_cdc must be False, True, or 'full'")
         self.spark = spark
@@ -773,6 +780,8 @@ class Engine:
             bucket_edges=bucket_edges,
             compact_every=compact_every,
             retain_versions=retain_versions,
+            index_attrs=index_attrs,
+            index_buckets=index_buckets,
         )
 
     def run(self, fn, retries: int = 3):

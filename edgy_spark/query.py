@@ -67,6 +67,31 @@ class NodeSet:
         df = _with_defaults(snap.nodes(node_type), nt)
         return cls(snap, schema, node_type, df)
 
+    @classmethod
+    def lookup(cls, snap: Snapshot, schema: GraphSchema, node_type: str, **eq) -> "NodeSet":
+        """Equality lookup that uses a committed secondary index when one
+        matches an ``attr=value`` predicate: the index (bucketed by value,
+        two columns) prunes the probe to ONE bucket, and only the matching
+        ids touch the full node table — versus ``scan().filter()``'s scan
+        of every row's predicate column.  Falls back to exactly that scan
+        when no index applies (none configured, dropped by a bulk load, or
+        stale against the current schema), so results are identical either
+        way — including matches on never-written optional attributes, since
+        the index stores default-coalesced READ values."""
+        nt = schema.node_type(node_type)
+        for name in eq:
+            nt.attr(name)  # plan-time validation → UnknownAttributeError
+        for name, value in eq.items():
+            idx = snap.attr_index(node_type, name)
+            if idx is None:
+                continue
+            ids = idx.filter(F.col(name) == value).select("id")
+            nodes = _with_defaults(snap.nodes(node_type), nt)
+            hit = cls(snap, schema, node_type, ids.join(nodes, "id"))
+            rest = {k: v for k, v in eq.items() if k != name}
+            return hit.filter(**rest) if rest else hit
+        return cls.scan(snap, schema, node_type).filter(**eq)
+
     def filter(self, condition: Column | None = None, **eq) -> "NodeSet":
         nt = self.schema.node_type(self.node_type)
         df = self.df

@@ -635,17 +635,23 @@ class EdgyWriter(DataSourceArrowWriter):
         new_version = current + 1
         tables = dict(manifest["tables"])
         bucketed = dict(manifest.get("bucketed", {}))
+        indexes = dict(manifest.get("indexes", {}))
         tables[self.table] = _promote_staging(
             self.root, manifest, self.table, self.staging,
             self.overwrite, new_version,
             [m.filename for m in messages if m and m.filename],
         )
         bucketed.pop(self.table, None)  # a bulk load replaces bucketed layout
+        _drop_stale_indexes(tables, bucketed, indexes, self.table)
         new_manifest = {
             "version": new_version,
             "next_id": max(manifest["next_id"], loaded_max + 1),
             "tables": tables,
             "bucketed": bucketed,
+            # secondary indexes for OTHER node types stay valid (their
+            # tables are untouched); the loaded table's own were dropped
+            # above — GraphStore.rebuild_indexes restores them
+            "indexes": indexes,
             # bulk-writer commits carry the engine-declared defaults
             # forward unchanged (the writer has no GraphSchema); "cdc" is
             # deliberately absent = changes NOT captured for this commit
@@ -863,6 +869,22 @@ def _record_txn_table(
     os.replace(tmp, rec)
 
 
+def _drop_stale_indexes(
+    tables: dict, bucketed: dict, indexes: dict, written_key: str
+) -> None:
+    """A bulk load bypasses the engine's index maintenance, so any secondary
+    index of the written NODE table is stale the moment the manifest links —
+    drop its entries (readers then fall back to scan+filter, which is always
+    correct) rather than let an indexed lookup return pre-load ids."""
+    if not written_key.startswith("n_"):
+        return
+    pfx = f"x_{written_key[2:]}__"
+    for k in [k for k in tables if k.startswith(pfx)]:
+        tables.pop(k)
+        bucketed.pop(k, None)
+        indexes.pop(k, None)
+
+
 def commit_edgy_txn(root: str, txn: str) -> int:
     """Finalize a multi-table atomic bulk load: publish every table staged
     under ``df.write.format("edgy").option("txn", name)`` in ONE manifest
@@ -943,6 +965,7 @@ def commit_edgy_txn(root: str, txn: str) -> int:
     new_version = current + 1
     tables = dict(manifest["tables"])
     bucketed = dict(manifest.get("bucketed", {}))
+    indexes = dict(manifest.get("indexes", {}))
     next_id = manifest["next_id"]
     promoted: list[str] = []
     for p in pend:
@@ -952,6 +975,7 @@ def commit_edgy_txn(root: str, txn: str) -> int:
         )
         tables[p["table"]] = rel
         bucketed.pop(p["table"], None)
+        _drop_stale_indexes(tables, bucketed, indexes, p["table"])
         promoted.append(rel)
         loaded_max = max((m["max_id"] for m in p["messages"]), default=-1)
         next_id = max(next_id, loaded_max + 1)
@@ -960,6 +984,7 @@ def commit_edgy_txn(root: str, txn: str) -> int:
         "next_id": next_id,
         "tables": tables,
         "bucketed": bucketed,
+        "indexes": indexes,
         "defaults": manifest.get("defaults", {}),
     }
     try:

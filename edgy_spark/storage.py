@@ -80,6 +80,49 @@ class Snapshot:
             return self._store.spark.table(tbl)
         return self._store.spark.read.parquet(os.path.join(self._store.root, rel))
 
+    def attr_index(self, node_type: str, attr: str) -> DataFrame | None:
+        """The secondary index ``(attr, id)`` for this snapshot's version of
+        ``node_type`` — bucketed by the attribute value, so an equality
+        lookup prunes to ONE bucket of a two-column projection instead of
+        scanning the full node table (the win at 100 TB, where the node
+        table carries wide/binary payload columns the lookup never needs).
+
+        Returns None — callers MUST fall back to scan+filter — when no
+        index is committed for the pair, or when the committed index no
+        longer matches the CURRENT schema (attribute dropped, re-typed, or
+        its optional default changed: the index bakes READ-semantics values
+        in, see GraphStore commit).  A stale-schema index is never read.
+        """
+        key = _index_key(node_type, attr)
+        rel = self.manifest["tables"].get(key)
+        meta = self.manifest.get("indexes", {}).get(key)
+        if rel is None or meta is None:
+            return None
+        try:
+            a = self._store.schema.node_type(node_type).attr(attr)
+        except Exception:
+            return None
+        if meta.get("type") != a.spark_type().simpleString():
+            return None
+        expected_default = (
+            _jsonable_default(a.default)
+            if (not a.required and a.default is not None)
+            else None
+        )
+        if meta.get("default") != expected_default:
+            return None
+        tbl = self.manifest.get("bucketed", {}).get(key)
+        if tbl is not None and self._store.spark.catalog.tableExists(tbl):
+            return self._store.spark.table(tbl)
+        return self._store.spark.read.parquet(os.path.join(self._store.root, rel))
+
+
+def _index_key(node_type: str, attr: str) -> str:
+    """Manifest/table key for a secondary index — ``x_`` prefixed so the
+    entries ride the existing manifest GC (vacuum sweeps ``tables`` +
+    ``bucketed`` values) while staying inert to the n_/e_ read paths."""
+    return f"x_{node_type}__{attr}"
+
 
 def _reconcile_to_schema(df: DataFrame, nt, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Schema-evolution-tolerant decode: project a stored node table onto the
@@ -123,6 +166,8 @@ class GraphStore:
         compact_every: int | None = None,
         compact_target_file_mb: int = 128,
         retain_versions: int = 2,
+        index_attrs: dict[str, list[str]] | None = None,
+        index_buckets: int = 16,
     ):
         """``bucket_edges=N`` writes edge tables bucketed (and sorted) by
         ``src`` into N buckets via the session catalog: point adjacency
@@ -137,11 +182,33 @@ class GraphStore:
         versions older than ``retain_versions`` (:meth:`vacuum`) — the
         OPTIMIZE + VACUUM pair every long-running versioned store needs.
         Total on-disk state is then O(tables × retain_versions), not
-        O(commits)."""
+        O(commits).
+
+        ``index_attrs={"person": ["name"], ...}`` maintains a SECONDARY
+        INDEX per (node type, attribute): a two-column ``(attr, id)``
+        projection bucketed by the attribute value, rebuilt transactionally
+        inside every commit that changes the node table (same manifest, so
+        the index can never be observed out of step with its table).  An
+        equality lookup (Snapshot.attr_index / query.NodeSet.lookup) then
+        reads ONE bucket of a narrow projection instead of scanning the
+        full node table — the reference's O(N)-scan ``lookupByName``
+        (app/Main.hs:132-140) made a point read.  Values are stored with
+        READ semantics (optional defaults coalesced in), so an indexed
+        lookup by the default value still finds never-written attributes.
+        Bulk loads bypass the engine and DROP the touched table's indexes
+        (readers fall back to scans); :meth:`rebuild_indexes` restores
+        them in one maintenance commit."""
         self.spark = spark
         self.root = root
         self.schema = schema
         self.bucket_edges = bucket_edges
+        self.index_buckets = index_buckets
+        self.index_attrs: dict[str, tuple[str, ...]] = {}
+        for t, attrs in (index_attrs or {}).items():
+            nt = schema.node_type(t)  # plan-time validation
+            for a in attrs:
+                nt.attr(a)
+            self.index_attrs[t] = tuple(attrs)
         self.compact_every = compact_every
         self.compact_target_file_mb = compact_target_file_mb
         self.retain_versions = retain_versions
@@ -240,6 +307,7 @@ class GraphStore:
         next_id: int | None = None,
         _maintenance: bool = False,
         cdc: dict[str, DataFrame] | None = None,
+        _reindex: bool = False,
     ) -> Snapshot:
         """Write changed tables as new versions and publish atomically.
 
@@ -307,6 +375,64 @@ class GraphStore:
                 bucketed.pop(key, None)
             tables[key] = relpath
             written_paths.append(relpath)
+        # -- secondary indexes: rebuilt INSIDE the same commit as their node
+        # table, so no published version can pair a table with a stale
+        # index.  Superseded x_ entries are dropped even when the store no
+        # longer indexes that type (an un-indexed store must not carry a
+        # stale index forward).  Values are stored with READ semantics
+        # (optional defaults coalesced) so indexed equality lookups agree
+        # with scan+filter on never-written attributes; the baked-in type
+        # and default are recorded so readers can detect schema drift and
+        # fall back (Snapshot.attr_index).
+        from pyspark.sql import functions as F  # local: keep module light
+
+        indexes = dict(base.manifest.get("indexes", {}))
+        reindex_types = {k[2:] for k in changed_tables if k.startswith("n_")}
+        if _reindex:
+            reindex_types |= set(self.index_attrs)
+        for type_ in sorted(reindex_types):
+            for k in [k for k in tables if k.startswith(f"x_{type_}__")]:
+                tables.pop(k)
+                bucketed.pop(k, None)
+                indexes.pop(k, None)
+            nrel = tables.get(f"n_{type_}")
+            if nrel is None:
+                continue
+            nt = self.schema.node_type(type_)
+            src = _reconcile_to_schema(
+                self.spark.read.parquet(os.path.join(self.root, nrel)), nt
+            )
+            for attr in self.index_attrs.get(type_, ()):
+                a = nt.attr(attr)
+                val = F.col(attr)
+                default_enc = None
+                if not a.required and a.default is not None:
+                    val = F.coalesce(val, F.lit(a.default).cast(a.spark_type()))
+                    default_enc = _jsonable_default(a.default)
+                key = _index_key(type_, attr)
+                relpath = os.path.join(
+                    "data", f"{key}.v{new_version}-{token}.parquet"
+                )
+                tbl = self._bucket_table_name(key, new_version, token)
+                from edgy_spark.sources.io import write_bucketed
+
+                write_bucketed(
+                    src.select(val.alias(attr), "id"),
+                    tbl,
+                    [attr],
+                    self.index_buckets,
+                    sort_cols=[attr],
+                    path=os.path.join(self.root, relpath),
+                )
+                tables[key] = relpath
+                bucketed[key] = tbl
+                indexes[key] = {
+                    "attr": attr,
+                    "type": a.spark_type().simpleString(),
+                    "default": default_enc,
+                }
+                written_paths.append(relpath)
+                written_tbls.append(tbl)
         cdc_entries: dict[str, str] = {}
         for key, df in (cdc or {}).items():
             relpath = os.path.join(
@@ -320,6 +446,7 @@ class GraphStore:
             "next_id": next_id if next_id is not None else base.manifest["next_id"],
             "tables": tables,
             "bucketed": bucketed,
+            "indexes": indexes,
             # per-commit (not carried forward): changes base.version -> new.
             # Tri-state — dict = captured (maintenance = captured-empty:
             # compaction is no logical change), null = NOT captured.
@@ -414,6 +541,12 @@ class GraphStore:
         snap = self.snapshot()
         changed: dict[str, DataFrame] = {}
         for key, rel in snap.manifest["tables"].items():
+            if key.startswith("x_"):
+                # secondary indexes are rewritten whole (write_bucketed,
+                # overwrite) inside every commit that changes their node
+                # table — never fragmented, and re-derived automatically
+                # when this compaction rewrites the node table below
+                continue
             n_files, total_bytes = self._table_file_stats(rel)
             needed = max(1, int(total_bytes // (target_file_mb * 1024 * 1024)) + 1)
             if n_files >= max(min_files, 2 * needed):
@@ -427,6 +560,19 @@ class GraphStore:
             return None
         return self.commit(
             snap, changed, next_id=snap.manifest["next_id"], _maintenance=True
+        )
+
+    def rebuild_indexes(self) -> "Snapshot":
+        """Re-derive every configured secondary index from the CURRENT node
+        tables in one maintenance commit — the recovery step after a bulk
+        load (which bypasses the engine and drops the touched table's
+        indexes so readers fall back to scans rather than read stale ids).
+        Idempotent; also picks up indexes newly configured on an existing
+        store."""
+        snap = self.snapshot()
+        return self.commit(
+            snap, {}, next_id=snap.manifest["next_id"],
+            _maintenance=True, _reindex=True,
         )
 
     def vacuum(self, retain_versions: int | None = None) -> list[str]:
