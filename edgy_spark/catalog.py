@@ -135,6 +135,7 @@ R08_WINDOW: list[str] = [
     "stream_unattributed_purchases",
     "pipeline_epoch_reshuffle",
     "graph_personalized_pagerank",
+    "trailing_30d_customer_spend",
     # r8 code changes execute inside these: jaccard DF-cap rewrite; the
     # fixpoint family (data-derived iteration width + bounded metric read)
     "dedup_ngram_jaccard_pairs",
@@ -178,7 +179,6 @@ R08_WINDOW: list[str] = [
     "grouping_sets_revenue",
     "customer_order_gaps",
     "pivot_orders_priority_by_year",
-    "repeat_buyers_intersect_all",
 ]
 
 

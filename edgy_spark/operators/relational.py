@@ -923,3 +923,47 @@ def join_bloom_pruned_building_revenue(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "trailing_30d_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w, 2)
+                AS DOUBLE) AS spend_30d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_30d
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY datediff('day', DATE '1970-01-01',
+                                   CAST(o_orderdate AS DATE))
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "range-frame"),
+)
+def trailing_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day spend per customer order: a RANGE window frame —
+    the frame is defined by the ORDER-BY VALUE interval (29 days preceding
+    through the current date), not by row offsets, so same-day orders are
+    frame peers and gaps in the calendar shrink the window.  This is the
+    frame type rows-based windows cannot express (running_total above is
+    the ROWS twin); Spark evaluates it in the same single per-partition
+    sort, so scale behavior matches any other window — one shuffle on the
+    partition key.  Date arithmetic runs on epoch-day integers
+    (``unix_date``), keeping the frame bounds exact.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.to_date("o_orderdate")))
+        .rangeBetween(-29, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        to_dbl(F.sum(_dec2("o_totalprice")).over(w)).alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    ).orderBy("o_custkey", "o_orderkey")
