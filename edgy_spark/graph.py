@@ -744,6 +744,7 @@ class Engine:
         root: str,
         schema: GraphSchema,
         bucket_edges: int | None = None,
+        bucket_nodes: int | None = None,
         compact_every: int | None = None,
         retain_versions: int = 2,
         capture_cdc: bool | str = False,
@@ -752,7 +753,8 @@ class Engine:
     ):
         """``bucket_edges=N`` turns on the bucketed edge layout: point
         adjacency reads prune to one bucket instead of scanning the whole
-        edge table; ``compact_every=K`` turns on every-K-commits
+        edge table; ``bucket_nodes=N`` is the node twin (get_attribute
+        point reads prune to one bucket, id-joins skip their Exchange); ``compact_every=K`` turns on every-K-commits
         compact+vacuum maintenance (see GraphStore); ``capture_cdc=True``
         records each commit's row-level node changes for
         ``GraphStore.table_changes`` and the ``mode=upsert`` stream source
@@ -778,6 +780,7 @@ class Engine:
             root,
             schema,
             bucket_edges=bucket_edges,
+            bucket_nodes=bucket_nodes,
             compact_every=compact_every,
             retain_versions=retain_versions,
             index_attrs=index_attrs,

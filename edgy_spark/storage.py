@@ -62,6 +62,13 @@ class Snapshot:
         rel = self.manifest["tables"].get(f"n_{node_type}")
         if rel is None:
             return self._store.spark.createDataFrame([], nt.struct_type())
+        tbl = self.manifest.get("bucketed", {}).get(f"n_{node_type}")
+        if tbl is not None and self._store.spark.catalog.tableExists(tbl):
+            # bucketed-by-id catalog table (bucket_nodes=N): a point read —
+            # get_attribute's filter(id == k) — prunes to ONE bucket, and
+            # id-equi-joins (rehydrate after id-only algebra) skip their
+            # Exchange.  Same parquet-path fallback contract as edge_table.
+            return _reconcile_to_schema(self._store.spark.table(tbl), nt)
         df = self._store.spark.read.parquet(os.path.join(self._store.root, rel))
         return _reconcile_to_schema(df, nt)
 
@@ -163,6 +170,7 @@ class GraphStore:
         root: str,
         schema: GraphSchema,
         bucket_edges: int | None = None,
+        bucket_nodes: int | None = None,
         compact_every: int | None = None,
         compact_target_file_mb: int = 128,
         retain_versions: int = 2,
@@ -175,6 +183,14 @@ class GraphStore:
         whole table, and src-keyed joins skip their Exchange.  Pick N so one
         bucket of the largest edge table fits an executor core's working
         memory at target scale (see sources/io.write_bucketed).
+
+        ``bucket_nodes=N`` is the node-table twin, bucketed (and sorted) by
+        ``id``: the engine's point reads (``get_attribute``'s
+        ``filter(id == k)``) prune to one bucket, and the id-equi-joins the
+        query layer issues (``rehydrate`` after id-only algebra) need no
+        Exchange.  Same fallback contract as the edge layout — a session
+        that doesn't know the catalog table reads the identical parquet
+        files unpruned.
 
         ``compact_every=K`` turns on automatic maintenance: every K-th
         commit first folds fragmented current-version tables through the
@@ -202,6 +218,7 @@ class GraphStore:
         self.root = root
         self.schema = schema
         self.bucket_edges = bucket_edges
+        self.bucket_nodes = bucket_nodes
         self.index_buckets = index_buckets
         self.index_attrs: dict[str, tuple[str, ...]] = {}
         for t, attrs in (index_attrs or {}).items():
@@ -357,15 +374,22 @@ class GraphStore:
         for key, df in changed_tables.items():
             relpath = os.path.join("data", f"{key}.v{new_version}-{token}.parquet")
             if self.bucket_edges and key.startswith("e_"):
+                layout = (["src"], self.bucket_edges, ["src", "pos"])
+            elif self.bucket_nodes and key.startswith("n_"):
+                layout = (["id"], self.bucket_nodes, ["id"])
+            else:
+                layout = None
+            if layout:
                 from edgy_spark.sources.io import write_bucketed
 
+                bucket_cols, n_buckets, sort_cols = layout
                 tbl = self._bucket_table_name(key, new_version, token)
                 write_bucketed(
                     df,
                     tbl,
-                    ["src"],
-                    self.bucket_edges,
-                    sort_cols=["src", "pos"],
+                    bucket_cols,
+                    n_buckets,
+                    sort_cols=sort_cols,
                     path=os.path.join(self.root, relpath),
                 )
                 bucketed[key] = tbl

@@ -306,3 +306,27 @@ def test_edge_log_matches_list_model(spark, tmp_path_factory, ops):
         got_i = [x.id for x in t.get_related(p[i], "friendOf")]
         assert got_f == want_f, f"committed fwd of node {i}"
         assert got_i == want_i, f"committed inv of node {i}"
+
+
+# -- bloom-filter join pruning (plans/bloom.py) -----------------------------
+# the property its transparency claim rests on: NO false negatives, for any
+# key sets — every probe row whose key is in the build set survives the
+# prune, so prune→exact-join always equals the plain join.
+
+keyset = st.lists(st.integers(min_value=-10**9, max_value=10**9), max_size=30)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(build=keyset, probe=keyset)
+def test_bloom_prune_never_drops_a_true_match(spark, build, probe):
+    from edgy_spark.plans.bloom import bloom_build, bloom_prune
+
+    bdf = _bag_df(spark, build).withColumnRenamed("id", "k")
+    pdf = _bag_df(spark, probe).withColumnRenamed("id", "k")
+    bloom = bloom_build(bdf, "k", n_bits=1 << 10)  # small filter: high fp, still 0 fn
+    pruned = Counter(r.k for r in bloom_prune(pdf, "k", bloom, n_bits=1 << 10).collect())
+    in_build = set(build)
+    want_at_least = Counter(x for x in probe if x in in_build)
+    for key, n in want_at_least.items():
+        assert pruned[key] == n, f"false negative for {key}"
