@@ -83,14 +83,16 @@ def load_all_registrations() -> None:
     slots backfill with r06 greens for freshness: the seven
     non-relational r06 entries (ivfpq, decontamination, stream dedup,
     repetition/salient text, heavy hitters, UDTF) and the relational/TPC-H
-    tail in registration order.  The second r8 wave added five more
+    tail in registration order.  The second r8 wave added SEVEN more
     never-verified queries (bloom-pruned join, count-min sketch, cogrouped
-    as-of, the outer stream-stream join's batch twin, per-epoch reshuffle),
-    each evicting one unchanged r06-green TPC-H tail entry.  Outside the
-    window sit only r07-green entries (their modules untouched by r8) and
-    the r06-green TPC-H queries whose code is likewise unchanged — no
-    query's last green predates r06 except where the diff proves the code
-    identical.
+    as-of, the outer stream-stream join's batch twin, per-epoch reshuffle,
+    personalized PageRank, the RANGE-frame trailing spend), each evicting
+    one unchanged r06-green relational entry — q4/q7/q8/q10,
+    variant_event_props_rollup, skew_salted_segment_revenue,
+    repeat_buyers_intersect_all.  Outside the window sit only r07-green
+    entries (their modules untouched by r8) and the r06-green relational
+    queries whose code is likewise unchanged — no query's last green
+    predates r06 except where the diff proves the code identical.
     """
     # module import order only decides what lands AFTER the pinned window
     # (see the R08 rationale above: 32 relational/TPC-H entries fill the
@@ -120,10 +122,12 @@ def load_all_registrations() -> None:
 R08_WINDOW: list[str] = [
     # NEW in r8, never driver-verified: the incremental delta-apply
     # algebra, the real PNG pixel decode, temperature language mixing,
-    # and the second-wave r8 additions (bloom join pruning, count-min,
-    # cogrouped as-of, the outer stream-stream join's batch twin, the
-    # per-epoch reshuffle) — each evicted one r06-green TPC-H tail entry
-    # whose code is unchanged (q4/q7/q8/q10, variant_event_props_rollup)
+    # and the seven second-wave r8 additions (bloom join pruning,
+    # count-min, cogrouped as-of, the outer stream-stream join's batch
+    # twin, per-epoch reshuffle, personalized PageRank, RANGE-frame
+    # trailing spend) — each evicted one r06-green relational entry whose
+    # code is unchanged (q4/q7/q8/q10, variant_event_props_rollup,
+    # skew_salted_segment_revenue, repeat_buyers_intersect_all)
     "incremental_orders_rollup",
     "multimodal_png_pixel_stats",
     "pipeline_temperature_mix",

@@ -384,39 +384,60 @@ def cogroup_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty:  # right-only group: no purchases, no output rows
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series(dtype="int64"),
-                    "user_id": pd.Series(dtype="int64"),
-                    "purchase_ts": pd.Series(dtype="object"),
-                    "last_click_ts": pd.Series(dtype="object"),
-                    "last_click_event_id": pd.Series(dtype="Int64"),
-                }
-            )
-        left = left.sort_values("ts", kind="mergesort")
-        right = right.sort_values("ts", kind="mergesort")
-        m = pd.merge_asof(
-            left,
-            right[["ts", "click_id"]].rename(columns={"ts": "c_ts"}),
-            left_on="ts",
-            right_on="c_ts",
-            direction="backward",
-            allow_exact_matches=True,
-        )
-        out = pd.DataFrame(
+        empty = pd.DataFrame(
             {
-                "event_id": m["event_id"].astype("int64"),
-                "user_id": m["user_id"].astype("int64"),
-                "purchase_ts": m["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
-                "last_click_ts": m["c_ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
-                "last_click_event_id": m["click_id"].astype("Int64"),
+                "event_id": pd.Series(dtype="Int64"),
+                "user_id": pd.Series(dtype="Int64"),
+                "purchase_ts": pd.Series(dtype="object"),
+                "last_click_ts": pd.Series(dtype="object"),
+                "last_click_event_id": pd.Series(dtype="Int64"),
             }
         )
-        out["last_click_ts"] = out["last_click_ts"].where(
-            out["last_click_ts"].notna(), None
-        )
-        return out
+        if left.empty:  # right-only group: no purchases, no output rows
+            return empty
+
+        def shape(m: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "event_id": m["event_id"].astype("Int64"),
+                    "user_id": m["user_id"].astype("Int64"),
+                    "purchase_ts": m["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                    "last_click_ts": (
+                        m["c_ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
+                        if "c_ts" in m
+                        else pd.Series([None] * len(m), index=m.index)
+                    ),
+                    "last_click_event_id": (
+                        m["click_id"] if "click_id" in m else pd.Series([None] * len(m), index=m.index)
+                    ),
+                }
+            )
+            for c in ("purchase_ts", "last_click_ts"):
+                out[c] = out[c].where(out[c].notna(), None)
+            out["last_click_event_id"] = out["last_click_event_id"].astype("Int64")
+            return out
+
+        # SQL semantics for null keys: NULL user_id / NULL ts never equals
+        # or orders against anything, so those purchases keep their row with
+        # null click columns (the oracle's LEFT ASOF does the same) instead
+        # of crashing merge_asof ('merge keys contain null') or the int cast
+        unmatched = left["user_id"].isna() | left["ts"].isna()
+        pieces = []
+        if unmatched.any():
+            pieces.append(shape(left[unmatched]))
+        matchable = left[~unmatched].sort_values("ts", kind="mergesort")
+        if not matchable.empty:
+            r = right[right["ts"].notna()].sort_values("ts", kind="mergesort")
+            m = pd.merge_asof(
+                matchable,
+                r[["ts", "click_id"]].rename(columns={"ts": "c_ts"}),
+                left_on="ts",
+                right_on="c_ts",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            pieces.append(shape(m))
+        return pd.concat(pieces, ignore_index=True) if pieces else empty
 
     joined = (
         p.groupby("user_id")

@@ -302,26 +302,19 @@ def sketch_count_min_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         bytes(sk_row["s"])
     )
     slack = int(CMS_EPS * sk_row["total"]) + 1
-    top = exact.collect()  # CMS_TOP rows — the k-sized probe set
-    probed = spark.createDataFrame(
-        [
-            (
-                r["user_id"],
-                int(jcms.estimateCount(str(r["user_id"]))),
-            )
-            for r in top
-        ],
-        "user_id long, n_cms long",
-    )
-    return (
-        exact.join(F.broadcast(probed), "user_id")
-        .select(
-            "user_id",
-            "n_exact",
-            (
-                (F.col("n_cms") >= F.col("n_exact"))
-                & (F.col("n_cms") <= F.col("n_exact") + F.lit(slack))
-            ).alias("cms_within_eps"),
+    top = exact.collect()  # CMS_TOP rows — the k-sized probe set, ONE run
+    # the exact aggregation already executed for the collect; assemble the
+    # k-row result driver-side instead of re-executing the plan in a join
+    probed = [
+        (
+            r["user_id"],
+            r["n_exact"],
+            r["n_exact"]
+            <= int(jcms.estimateCount(str(r["user_id"])))
+            <= r["n_exact"] + slack,
         )
-        .orderBy(F.desc("n_exact"), "user_id")
-    )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        probed, "user_id long, n_exact long, cms_within_eps boolean"
+    ).orderBy(F.desc("n_exact"), "user_id")

@@ -62,11 +62,16 @@ def bloom_build(build: DataFrame, key: str, n_bits: int = DEFAULT_BITS) -> DataF
 
     Two aggregations: positions → per-word ``bit_or`` (map-side combine —
     the shuffle carries at most ``n_bits/64`` single-word rows per task),
-    then the words fold into one map row.  An empty build side yields a
-    NULL map, which ``bloom_prune`` treats as all-bits-clear.
+    then the words fold into one map row.  An empty build side yields an
+    EMPTY map, which ``bloom_prune`` treats as all-bits-clear.  NULL build
+    keys are ignored, matching the equi-join the filter fronts (a NULL key
+    never matches anything, so it must not set bits — and a null position
+    would be an illegal map key); NULL probe keys already fail every bit
+    test (their positions are NULL), so the prune drops them just as the
+    exact join would.
     """
     _check_bits(n_bits)
-    pos = build.select(
+    pos = build.filter(F.col(key).isNotNull()).select(
         F.explode(F.array(*_positions(F.col(key), n_bits))).alias("pos")
     )
     words = pos.groupBy(F.shiftright("pos", 6).alias("w")).agg(

@@ -67,17 +67,28 @@ class NodeSet:
         df = _with_defaults(snap.nodes(node_type), nt)
         return cls(snap, schema, node_type, df)
 
+    #: above this many index hits, lookup abandons the point-read plan (the
+    #: literal id list would bloat the filter) and joins ids to the table
+    LOOKUP_POINT_LIMIT = 1000
+
     @classmethod
     def lookup(cls, snap: Snapshot, schema: GraphSchema, node_type: str, **eq) -> "NodeSet":
         """Equality lookup that uses a committed secondary index when one
-        matches an ``attr=value`` predicate: the index (bucketed by value,
-        two columns) prunes the probe to ONE bucket, and only the matching
-        ids touch the full node table — versus ``scan().filter()``'s scan
-        of every row's predicate column.  Falls back to exactly that scan
-        when no index applies (none configured, dropped by a bulk load, or
-        stale against the current schema), so results are identical either
-        way — including matches on never-written optional attributes, since
-        the index stores default-coalesced READ values."""
+        matches an ``attr=value`` predicate.  The index read prunes to ONE
+        bucket of a two-column projection; the matching ids (an equality
+        hit — small by construction) are then collected and pushed into the
+        node-table read as a LITERAL id predicate, which parquet row-group
+        min/max skipping — and bucket pruning, under ``bucket_nodes`` —
+        turns into a point read.  (A lazy ids⋈nodes join would NOT give
+        this: OSS Spark has no dynamic bucket/file pruning off a join key,
+        so the join side would scan the whole table.)  Lookups matching
+        more than LOOKUP_POINT_LIMIT ids keep the join plan instead.
+
+        Falls back to ``scan().filter()`` when no index applies (none
+        configured, dropped by a bulk load, or stale against the current
+        schema), so results are identical either way — including matches on
+        never-written optional attributes, since the index stores
+        default-coalesced READ values."""
         nt = schema.node_type(node_type)
         for name in eq:
             nt.attr(name)  # plan-time validation → UnknownAttributeError
@@ -87,7 +98,17 @@ class NodeSet:
                 continue
             ids = idx.filter(F.col(name) == value).select("id")
             nodes = _with_defaults(snap.nodes(node_type), nt)
-            hit = cls(snap, schema, node_type, ids.join(nodes, "id"))
+            head = ids.limit(cls.LOOKUP_POINT_LIMIT + 1).collect()
+            if len(head) <= cls.LOOKUP_POINT_LIMIT:
+                id_list = [r[0] for r in head]
+                hit_df = (
+                    nodes.filter(F.col("id").isin(id_list))
+                    if id_list
+                    else nodes.filter(F.lit(False))
+                )
+            else:
+                hit_df = ids.join(nodes, "id")
+            hit = cls(snap, schema, node_type, hit_df)
             rest = {k: v for k, v in eq.items() if k != name}
             return hit.filter(**rest) if rest else hit
         return cls.scan(snap, schema, node_type).filter(**eq)

@@ -60,14 +60,38 @@ def test_empty_build_side_prunes_everything(spark):
 
 def test_filter_is_one_broadcast_row_and_no_shuffle_on_probe(spark):
     """The bitset must be a single row riding a broadcast nested-loop join;
-    the probe side must reach it without an exchange of its own."""
+    the probe side must reach it without an exchange of its own.  Plan text
+    prints parent-then-children with the STREAMED child first, so the probe
+    subtree is the segment between the join line and the broadcast wrapper
+    of the build side — the bloom-build aggregation's own (tiny) exchanges
+    live after that wrapper and are expected."""
+    import re
+
     probe, build = _frames(spark)
     bloom = bloom_build(build, "k")
     assert bloom.count() == 1
     plan = bloom_prune(probe, "k", bloom)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
-    head = plan.split("BroadcastNestedLoopJoin")[0]
-    assert "Exchange" not in head  # probe side feeds the prune shuffle-free
+    after = plan.split("BroadcastNestedLoopJoin", 1)[1]
+    streamed = re.split(r"Broadcast(?:Exchange|QueryStage)", after, 1)[0]
+    assert "Range" in streamed  # the probe subtree was actually captured
+    assert "Exchange" not in streamed  # probe feeds the prune shuffle-free
+
+
+def test_null_keys_are_transparent(spark):
+    """NULL build keys must not crash the build (and set no bits); NULL
+    probe keys are dropped by the prune exactly as the exact join drops
+    them — the transparency contract covers null keys too."""
+    probe, build = _frames(spark)
+    null_row = spark.sql("SELECT CAST(NULL AS BIGINT) AS k")
+    build_n = build.unionByName(null_row)
+    probe_n = probe.unionByName(null_row.select("k", F.lit(-1).alias("p_val")))
+    bloom = bloom_build(build_n, "k")
+    composed = bloom_prune(probe_n, "k", bloom).join(build_n, "k")
+    plain = probe_n.join(build_n, "k")
+    assert sorted(map(tuple, composed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
 
 
 def test_rejects_bad_bit_sizes(spark):
