@@ -54,6 +54,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -135,6 +136,20 @@ class EdgyDataSource(DataSource):
         if not root or not table:
             raise ValueError("write format('edgy') requires options root and table")
         return EdgyWriter(root, table, schema, overwrite, self.options.get("txn"))
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "EdgyStreamWriter":  # noqa: N802
+        root = self.options.get("root")
+        table = self.options.get("table")
+        if not root or not table:
+            raise ValueError("writeStream format('edgy') requires options root and table")
+        if overwrite:
+            raise ValueError(
+                "writeStream format('edgy') is append-only (outputMode "
+                "'append'); use df.write for overwrite loads"
+            )
+        return EdgyStreamWriter(
+            root, table, schema, self.options.get("streamId") or f"stream-{table}"
+        )
 
     def streamReader(self, schema: StructType) -> "EdgyStreamReader":  # noqa: N802
         root = self.options.get("root")
@@ -652,6 +667,7 @@ class EdgyWriter(DataSourceArrowWriter):
             # tables are untouched); the loaded table's own were dropped
             # above — GraphStore.rebuild_indexes restores them
             "indexes": indexes,
+            "stream_batches": manifest.get("stream_batches", {}),
             # bulk-writer commits carry the engine-declared defaults
             # forward unchanged (the writer has no GraphSchema); "cdc" is
             # deliberately absent = changes NOT captured for this commit
@@ -664,6 +680,158 @@ class EdgyWriter(DataSourceArrowWriter):
         import shutil as _shutil
 
         _shutil.rmtree(os.path.join(self.root, self.staging), ignore_errors=True)
+
+
+class EdgyStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("edgy")`` — streaming ingestion into the
+    versioned store, one store version per non-empty micro-batch,
+    EXACTLY-ONCE across restarts.
+
+    Completes the source matrix (batch read, streaming read in two CDC
+    modes, batch write, and now streaming write): an event feed can flow
+    INTO the graph store continuously, and every downstream consumer —
+    Engine transactions, time travel, the CDC stream readers — sees each
+    batch as one ordinary committed version.
+
+    Exactly-once: Spark replays an unacknowledged micro-batch after a
+    crash with the SAME batchId, so the manifest records the last
+    committed batchId per ``streamId`` (``stream_batches``, carried
+    forward by every other committer) and a replayed commit becomes a
+    no-op instead of a duplicate append.  Two concurrent queries
+    streaming into one table must use distinct ``streamId`` options (the
+    default is derived from the table name) or the guard will conflate
+    their batch sequences.
+
+    Concurrency: a lost manifest race REBASES like a retried Engine
+    transaction — the vouched batch files are hard-linked (not moved)
+    into the per-batch staging, so losing the link keeps the originals
+    and the commit retries against the new current version.  Validation
+    (schema-vs-footers, id-cursor) reruns per attempt against the base it
+    will publish on.
+
+    Tasks write plain-Row parquet (the streaming DataSource API has no
+    Arrow writer path yet) — fine for micro-batch sizes; bulk history
+    loads should use the Arrow batch writer instead.
+    """
+
+    MAX_COMMIT_ATTEMPTS = 5
+
+    def __init__(self, root: str, table: str, schema: StructType, stream_id: str):
+        import hashlib
+
+        self.root = root
+        self.table = table
+        self.schema = schema
+        self.stream_id = stream_id
+        self.has_id = "id" in [f.name for f in schema.fields]
+        # DETERMINISTIC staging path: Spark re-instantiates the writer for
+        # the driver-side commit runner (and per batch), so a per-instance
+        # uuid would point the commit at a different directory than the
+        # tasks wrote into.  Derived from the streamId — which is also why
+        # concurrent queries on one table need distinct streamIds.
+        tag = hashlib.md5(f"{table}:{stream_id}".encode()).hexdigest()[:16]
+        self.staging = os.path.join("data", f".stream-{tag}")
+        os.makedirs(os.path.join(root, self.staging), exist_ok=True)
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        rows = [r.asDict() for r in iterator]
+        if not rows:
+            return _WriteMessage("", 0, -1, -1)
+        tbl = pa.Table.from_pylist(rows, schema=to_arrow_schema(self.schema))
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(tbl, os.path.join(self.root, self.staging, fname))
+        if self.has_id:
+            mx = pc.max(tbl.column("id")).as_py()
+            mn = pc.min(tbl.column("id")).as_py()
+            if mx is not None:
+                return _WriteMessage(fname, tbl.num_rows, int(mx), int(mn), True)
+        return _WriteMessage(fname, tbl.num_rows, -1, -1, False)
+
+    def _cleanup(self, staged: list[str]) -> None:
+        for n in staged:
+            try:
+                os.unlink(os.path.join(self.root, self.staging, n))
+            except OSError:
+                pass
+
+    def commit(self, messages, batchId):  # noqa: N803 - Spark API name
+        import shutil as _shutil
+        import uuid as _uuid
+
+        msgs = [m for m in messages if m]
+        staged = [m.filename for m in msgs if m.filename]
+        for _attempt in range(self.MAX_COMMIT_ATTEMPTS):
+            current = _current_version(self.root)
+            with open(os.path.join(self.root, f"manifest.v{current}.json")) as f:
+                manifest = json.load(f)
+            committed = manifest.get("stream_batches", {}).get(self.stream_id, -1)
+            if batchId <= committed:
+                self._cleanup(staged)  # replayed batch: already published
+                return
+            if not staged:
+                return  # empty batch: nothing to publish, replay is a no-op
+            err = _validate_staged_schema(
+                self.root, self.staging, self.table, False, manifest, staged
+            ) or _check_id_cursor(manifest, msgs, False, self.has_id)
+            if err:
+                self.abort(messages, batchId)
+                raise ValueError(f"edgy stream sink rejected batch {batchId}: {err}")
+            # hard-link (not move) into a fresh per-batch staging: a lost
+            # manifest race deletes the promoted copy but keeps these
+            # originals, so the retry can re-promote
+            batch_staging = os.path.join("data", f".staging-{_uuid.uuid4().hex}")
+            os.makedirs(os.path.join(self.root, batch_staging), exist_ok=True)
+            for n in staged:
+                os.link(
+                    os.path.join(self.root, self.staging, n),
+                    os.path.join(self.root, batch_staging, n),
+                )
+            new_version = current + 1
+            tables = dict(manifest["tables"])
+            bucketed = dict(manifest.get("bucketed", {}))
+            indexes = dict(manifest.get("indexes", {}))
+            rel = _promote_staging(
+                self.root, manifest, self.table, batch_staging,
+                False, new_version, staged,
+            )
+            tables[self.table] = rel
+            bucketed.pop(self.table, None)
+            _drop_stale_indexes(tables, bucketed, indexes, self.table)
+            batches = dict(manifest.get("stream_batches", {}))
+            batches[self.stream_id] = batchId
+            loaded_max = max(
+                (m.max_id for m in msgs if getattr(m, "has_ids", False)), default=-1
+            )
+            new_manifest = {
+                "version": new_version,
+                "next_id": max(manifest["next_id"], loaded_max + 1),
+                "tables": tables,
+                "bucketed": bucketed,
+                "indexes": indexes,
+                "stream_batches": batches,
+                "defaults": manifest.get("defaults", {}),
+            }
+            try:
+                _link_manifest(self.root, new_manifest, [rel])
+            except RuntimeError:
+                continue  # lost the race: rebase on the new current version
+            _publish_current(self.root, new_version)
+            self._cleanup(staged)
+            return
+        raise RuntimeError(
+            f"edgy stream sink: batch {batchId} lost the manifest race "
+            f"{self.MAX_COMMIT_ATTEMPTS} times; is another writer looping?"
+        )
+
+    def abort(self, messages, batchId):  # noqa: N803 - Spark API name
+        self._cleanup([m.filename for m in messages if m and m.filename])
 
 
 def _current_version(root: str) -> int:
@@ -985,6 +1153,7 @@ def commit_edgy_txn(root: str, txn: str) -> int:
         "tables": tables,
         "bucketed": bucketed,
         "indexes": indexes,
+        "stream_batches": manifest.get("stream_batches", {}),
         "defaults": manifest.get("defaults", {}),
     }
     try:

@@ -471,6 +471,9 @@ class GraphStore:
             "tables": tables,
             "bucketed": bucketed,
             "indexes": indexes,
+            # the streaming sink's exactly-once replay guard must survive
+            # interleaved commits from ANY committer (pysource.EdgyStreamWriter)
+            "stream_batches": base.manifest.get("stream_batches", {}),
             # per-commit (not carried forward): changes base.version -> new.
             # Tri-state — dict = captured (maintenance = captured-empty:
             # compaction is no logical change), null = NOT captured.
