@@ -80,6 +80,8 @@ def main() -> None:
     added_r08 = [
         "sim_ivfpq_topk",
         "dedup_shingle_containment_pairs",
+        # third r8 wave: span-granularity substring dedup
+        "dedup_duplicate_spans",
     ]
     comparable_r05 = round(
         sum(v for k, v in timings.items() if k not in added_r06 + added_r08), 4

@@ -89,7 +89,15 @@ def load_all_registrations() -> None:
     personalized PageRank, the RANGE-frame trailing spend), each evicting
     one unchanged r06-green relational entry — q4/q7/q8/q10,
     variant_event_props_rollup, skew_salted_segment_revenue,
-    repeat_buyers_intersect_all.  Outside the window sit only r07-green
+    repeat_buyers_intersect_all.  A THIRD r8 wave added six more
+    never-verified queries (span-level substring dedup, token-rarity
+    quality scoring, BPE merge-candidate counting, HITS authorities,
+    common-neighbor link prediction, the length-bucket batching profile),
+    evicting the six r06-green relational tail entries
+    json_event_extraction / priciest_parts_topk / grouping_sets_revenue /
+    customer_order_gaps / pivot_orders_priority_by_year /
+    scalar_function_showcase (code unchanged since their green).
+    Outside the window sit only r07-green
     entries (their modules untouched by r8) and the r06-green relational
     queries whose code is likewise unchanged — no query's last green
     predates r06 except where the diff proves the code identical.
@@ -128,6 +136,12 @@ R08_WINDOW: list[str] = [
     # trailing spend) — each evicted one r06-green relational entry whose
     # code is unchanged (q4/q7/q8/q10, variant_event_props_rollup,
     # skew_salted_segment_revenue, repeat_buyers_intersect_all)
+    "dedup_duplicate_spans",
+    "text_token_rarity_scores",
+    "text_bpe_merge_candidates",
+    "graph_hits_authorities",
+    "graph_common_neighbors",
+    "pipeline_length_buckets",
     "incremental_orders_rollup",
     "multimodal_png_pixel_stats",
     "pipeline_temperature_mix",
@@ -177,12 +191,6 @@ R08_WINDOW: list[str] = [
     "repeat_buyers_intersect",
     "lapsed_buyers_except_all",
     "priority_union_all",
-    "scalar_function_showcase",
-    "json_event_extraction",
-    "priciest_parts_topk",
-    "grouping_sets_revenue",
-    "customer_order_gaps",
-    "pivot_orders_priority_by_year",
 ]
 
 

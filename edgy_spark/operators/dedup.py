@@ -773,3 +773,106 @@ def pipeline_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("n_overlap") >= DECON_MIN_OVERLAP)
         .orderBy("doc_id", "eval_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level duplicate detection (substring dedup, Lee et al. 2021 shape)
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # span = word-8-gram (the fixture's 50-token-span stand-in)
+
+
+def _kgrams(k: int) -> Column:
+    """ALL word-``k``-grams of ``text`` with multiplicity, position order —
+    the span stream substring-dedup counts over (contrast ``_shingles``,
+    which is 3-gram and distinct).  Linear-time: one running concat over
+    ``k`` shifted slices via chained ``zip_with`` (a
+    ``transform(sequence, i -> slice(...))`` formulation re-copies per
+    position — O(len*k) array copies; see module docstring)."""
+    w = _words()
+    n = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    acc = F.slice(w, 1, n)
+    for j in range(2, k + 1):
+        acc = F.zip_with(
+            acc, F.slice(w, j, n), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return acc
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=rf"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS w
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, greatest(len(w) - {SPAN_K - 1}, 0) + 1),
+                   i -> array_to_string(w[i:i+{SPAN_K - 1}], ' '))) AS gram
+          FROM w),
+    per AS (SELECT doc_id, {h60_sql('gram')} AS hs, COUNT(*) AS c
+            FROM g GROUP BY 1, 2),
+    corpus AS (SELECT hs, SUM(c) AS gcnt FROM per GROUP BY hs)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN gcnt >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(SUM(CASE WHEN gcnt >= 2 THEN c ELSE 0 END) AS DOUBLE)
+             / SUM(c) AS dup_frac
+    FROM per JOIN corpus USING (hs)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "spans"),
+    bench=True,  # the substring-granularity dedup pattern, tracked per round
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profile per document: how many of a
+    document's word-SPAN_K-gram spans (counted at every position, with
+    multiplicity) occur more than once in the corpus — across documents OR
+    repeated within one.  This is the span-granularity dedup of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+    2021) re-expressed relationally: their suffix-array pass finds repeated
+    substrings; a fixed-k span stream finds the same mass with engine-native
+    aggregation, and ``dup_frac`` is the per-document removal/penalty
+    signal (docs above a threshold get span-pruned or dropped).
+
+    Scale (100 TB): NO pair emission anywhere — unlike the pairwise dedup
+    family above, span counting is one map-side-combinable aggregation
+    (per-(doc, span-hash) counts) plus a windowed corpus sum over the hash
+    partition — a window instead of a groupBy+self-join, saving the join's
+    second shuffle of the per-doc counts; every shuffle row is a (60-bit
+    hash, id, count) triple and text never leaves the scan stage.  Hash
+    partitions are count-sized (a span seen 10^9 times is still one row
+    per holding doc), so no window partition can balloon.  A stop-span
+    needs no DF cap because nothing explodes per posting.  The cross-engine
+    tokenization contract is the module docstring's; determinism is
+    exact-integer (counts and count-ratios).
+    """
+    from pyspark.sql import Window
+
+    d = _spread(spark, load(spark, sf_dir, "documents"))
+    per = (
+        d.select("doc_id", F.explode(_kgrams(SPAN_K)).alias("g"))
+        .select("doc_id", h60(F.col("g")).alias("hs"))
+        .groupBy("doc_id", "hs")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gcnt = F.sum("c").over(Window.partitionBy("hs"))
+    dup_c = F.when(F.col("gcnt") >= 2, F.col("c")).otherwise(F.lit(0))
+    return (
+        per.withColumn("gcnt", gcnt)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(dup_c).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1074,3 +1074,213 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hubs, in scaled-integer arithmetic bit-identical to the unrolled
     oracle."""
     return personalized_pagerank_scaled(copurchase_edges(spark, sf_dir)).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities) over the bipartite purchase graph
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 10**12  # like PR_SCALE: score 1.0 == 10^12, BIGINT units
+HITS_ITERS = 3
+
+
+def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct directed (cust → part) purchase edges — the bipartite graph
+    HITS and common-neighbor link prediction run on.  One equi-join of the
+    two fact projections; Catalyst/AQE owns the join strategy (orders is
+    the dimension-sized side at every SF)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+
+
+def hits_scaled(
+    edges: DataFrame,
+    iters: int = HITS_ITERS,
+    broadcast_state: bool = True,
+    iter_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(authorities, hubs) after ``iters`` synchronous HITS rounds in
+    BIGINT units of 1/HITS_SCALE (Kleinberg 1999, sum-normalized).
+
+    auth_k(p) = Σ_{c→p} hub_{k-1}(c), then scaled so Σ auth = HITS_SCALE;
+    hub_k(c) = Σ_{c→p} auth_k(p), scaled the same way.  The rescale is
+    ``raw * SCALE div Σraw`` with the product in DECIMAL(20+13,0), so the
+    arithmetic is exact integer at any graph size — order-independent
+    sums, bit-identical to the oracle's unrolled SQL (the same stance as
+    :func:`pagerank_scaled`; L2 normalization would put a sqrt in the hot
+    loop and unmatchable float rounding in the oracle).
+
+    Scale: each half-round is one state join + one map-side-combinable
+    groupBy over the edge list; the one-row Σ rides a broadcast.  The edge
+    list is materialized once (localCheckpoint here; persist(DISK) on a
+    cluster) and per-round states are checkpointed at the width
+    :func:`_materialize` derives from the data.
+    """
+    if iters < 1:
+        raise ValueError("hits_scaled needs iters >= 1 (no round 0 scores)")
+    pe, width = _materialize(edges, iter_partitions)
+    custs = pe.select("cust").distinct()
+    n_df = custs.agg(F.count(F.lit(1)).alias("n"))
+    hub = _checkpoint(
+        custs.crossJoin(F.broadcast(n_df)).select(
+            "cust", F.expr(f"{HITS_SCALE} div n").alias("hub")
+        ),
+        width,
+    )
+
+    def _rescale(df: DataFrame, key: str, out: str) -> DataFrame:
+        s = df.agg(F.sum("raw").alias("s"))
+        return df.crossJoin(F.broadcast(s)).select(
+            key,
+            F.expr(
+                f"CAST(raw AS DECIMAL(20,0)) * {HITS_SCALE} div s"
+            ).alias(out),
+        )
+
+    auth = None
+    for i in range(iters):
+        raw_a = (
+            pe.join(_hint(hub, broadcast_state), "cust")
+            .groupBy("part")
+            .agg(F.sum("hub").alias("raw"))
+        )
+        auth = _checkpoint(_rescale(raw_a, "part", "auth"), width)
+        if i < iters - 1:  # the final round's hub update feeds nothing
+            raw_h = (
+                pe.join(_hint(auth, broadcast_state), "part")
+                .groupBy("cust")
+                .agg(F.sum("auth").alias("raw"))
+            )
+            hub = _checkpoint(_rescale(raw_h, "cust", "hub"), width)
+    return auth, hub
+
+
+def _hits_oracle() -> str:
+    cte = [
+        "pe AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS part"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "nc AS (SELECT COUNT(DISTINCT cust) AS n FROM pe)",
+        f"h0 AS (SELECT cust, {HITS_SCALE} // n AS hub"
+        " FROM (SELECT DISTINCT cust FROM pe), nc)",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        cte += [
+            f"a{i}r AS (SELECT part, SUM(hub) AS raw"
+            f" FROM pe JOIN h{i-1} USING (cust) GROUP BY part)",
+            f"a{i}s AS (SELECT SUM(raw) AS s FROM a{i}r)",
+            f"a{i} AS (SELECT part, CAST(CAST(raw AS HUGEINT) * {HITS_SCALE}"
+            f" // s AS BIGINT) AS auth FROM a{i}r, a{i}s)",
+        ]
+        if i < HITS_ITERS:
+            cte += [
+                f"h{i}r AS (SELECT cust, SUM(auth) AS raw"
+                f" FROM pe JOIN a{i} USING (part) GROUP BY cust)",
+                f"h{i}s AS (SELECT SUM(raw) AS s FROM h{i}r)",
+                f"h{i} AS (SELECT cust, CAST(CAST(raw AS HUGEINT) *"
+                f" {HITS_SCALE} // s AS BIGINT) AS hub FROM h{i}r, h{i}s)",
+            ]
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"\nSELECT part, auth FROM a{HITS_ITERS}"
+        " ORDER BY auth DESC, part LIMIT 100"
+    )
+
+
+@register(
+    "graph_hits_authorities",
+    oracle=_hits_oracle(),
+    tags=("graph", "iterative", "hits"),
+)
+def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 authority parts after HITS_ITERS hub/authority rounds on the
+    customer→part purchase graph, in scaled-integer arithmetic
+    (bit-identical to the oracle's unrolled iterations)."""
+    auth, _ = hits_scaled(purchase_edges(spark, sf_dir))
+    return auth.orderBy(F.desc("auth"), F.asc("part")).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# common-neighbor link prediction (bounded posting lists)
+# ---------------------------------------------------------------------------
+
+CN_MAX_DF = 100  # stop-part cap: parts bought by > this many custs dropped
+CN_TOP_K = 50
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH pur AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    posting AS (SELECT part FROM pur GROUP BY part
+                HAVING COUNT(*) BETWEEN 2 AND {CN_MAX_DF}),
+    kept AS (SELECT p.cust, p.part FROM pur p JOIN posting USING (part)),
+    nsz AS (SELECT cust, COUNT(*) AS n FROM kept GROUP BY cust),
+    common AS (
+      SELECT a.cust AS cust_a, b.cust AS cust_b, COUNT(*) AS n_common
+      FROM kept a JOIN kept b ON a.part = b.part AND a.cust < b.cust
+      GROUP BY a.cust, b.cust)
+    SELECT cust_a, cust_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+    FROM common
+    JOIN nsz na ON na.cust = cust_a
+    JOIN nsz nb ON nb.cust = cust_b
+    ORDER BY n_common DESC, cust_a, cust_b LIMIT {CN_TOP_K}
+    """,
+    tags=("graph", "link-prediction"),
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by shared neighborhoods: the top-CN_TOP_K customer
+    pairs ranked by how many (sub-ubiquitous) parts both bought, with the
+    exact neighborhood Jaccard as the tie-quality column — the classic
+    common-neighbors / Jaccard predictor, which is also user-user
+    collaborative filtering's candidate generator.
+
+    Scale: the SAME bounded-posting-list shape as the dedup pair family
+    (one scan, group customers per part, emit pairs per list) with the
+    stop-part cap CN_MAX_DF bounding every list's pair explosion — a part
+    bought by half the planet predicts nothing and would otherwise emit
+    10^17 pairs inside one task.  Per-customer degrees are counted over the
+    SAME capped universe so the Jaccard stays internally consistent
+    (the containment op's denominators move identically).  Ranking is
+    TakeOrderedAndProject — no global sort materializes.
+    """
+    pur = purchase_edges(spark, sf_dir)
+    posting = (
+        pur.groupBy("part")
+        .agg(F.collect_list("cust").alias("custs"))
+        .filter((F.size("custs") >= 2) & (F.size("custs") <= CN_MAX_DF))
+    )
+    kept = posting.select("part", F.explode("custs").alias("cust"))
+    nsz = kept.groupBy("cust").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        posting.select(F.explode("custs").alias("cust_a"), "custs")
+        .select("cust_a", F.explode("custs").alias("cust_b"))
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = nsz.select(F.col("cust").alias("cust_a"), F.col("n").alias("na"))
+    nb = nsz.select(F.col("cust").alias("cust_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "cust_a")
+        .join(nb, "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("n_common"), F.asc("cust_a"), F.asc("cust_b"))
+        .limit(CN_TOP_K)
+    )

@@ -650,3 +650,94 @@ def pipeline_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.filter((F.col("shard") == 0) & (F.col("pos") <= SHUFFLE_SAMPLE))
         .orderBy("epoch", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batching profile
+# ---------------------------------------------------------------------------
+
+#: Fixed power-of-two sequence-length buckets (tokens).  A doc lands in the
+#: smallest bucket >= its token count; longer docs fall into the overflow
+#: bucket (in production those get split/truncated upstream).
+LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+LEN_OVERFLOW = 2 * LEN_BUCKETS[-1]
+_LEN_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _bucket_case_sql(n: str) -> str:
+    arms = " ".join(
+        f"WHEN {n} <= {b} THEN {b}" for b in LEN_BUCKETS
+    )
+    return f"CASE {arms} ELSE {LEN_OVERFLOW} END"
+
+
+@register(
+    "pipeline_length_buckets",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id,
+                      len(regexp_extract_all(lower(text),
+                          '{_LEN_TOKEN_RE}')) AS n_tok
+               FROM documents),
+    b AS (SELECT doc_id, n_tok, {_bucket_case_sql('n_tok')} AS bucket FROM t)
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(bucket * COUNT(*) - SUM(n_tok) AS DOUBLE)
+             / (bucket * COUNT(*)) AS pad_waste_frac,
+           MIN(n_tok) AS min_tokens,
+           MAX(n_tok) AS max_tokens
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("pipeline", "batching"),
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batching-efficiency profile: assign every document to the smallest
+    power-of-two token-length bucket that holds it and report, per bucket,
+    the document count, real token mass, and the padding waste a
+    fixed-shape batch of that bucket would burn (``pad_waste_frac`` —
+    the number a training pipeline watches when tuning bucket edges, since
+    waste is compute burned on pad tokens).  Length-bucketed batching is
+    the standard alternative to block packing (``pipeline_pack_blocks``)
+    when example boundaries must survive (SFT, contrastive pairs).
+
+    Scale: one scan, the bucket id from a constant CASE chain (pure
+    integer comparisons — no log2 floats whose boundary rounding could
+    diverge between engines), one map-side-combinable groupBy over at most
+    ``len(LEN_BUCKETS)+1`` groups.  Output is O(#buckets) regardless of
+    corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(_LEN_TOKEN_RE), F.lit(0)
+        )
+    )
+    bucket = F.lit(LEN_OVERFLOW)
+    for b in reversed(LEN_BUCKETS):
+        bucket = F.when(F.col("n_tok") <= b, F.lit(b)).otherwise(bucket)
+    return (
+        d.select("doc_id", n_tok.alias("n_tok"))
+        .select("doc_id", "n_tok", bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            (
+                (
+                    F.col("bucket") * F.col("n_docs")
+                    - F.col("total_tokens")
+                ).cast("double")
+                / (F.col("bucket") * F.col("n_docs"))
+            ).alias("pad_waste_frac"),
+            "min_tokens",
+            "max_tokens",
+        )
+        .orderBy("bucket")
+    )

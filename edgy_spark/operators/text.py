@@ -576,3 +576,154 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), "doc_id")
         .limit(BM25_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-statistics quality scoring (unigram-LM perplexity proxy)
+# ---------------------------------------------------------------------------
+
+_RARITY_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "text_token_rarity_scores",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id,
+                      unnest(regexp_extract_all(lower(text),
+                             '{_RARITY_TOKEN_RE}')) AS tok
+               FROM documents),
+    per AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    vocab AS (SELECT tok, SUM(c) AS tf FROM per GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n_vocab, SUM(tf) AS n_total FROM vocab)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(c * tf) AS DOUBLE) / SUM(c) AS mean_corpus_tf,
+           CAST(SUM(CASE WHEN tf * n_vocab < n_total THEN c ELSE 0 END)
+                AS DOUBLE) / SUM(c) AS rare_frac
+    FROM per JOIN vocab USING (tok), tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "quality", "corpus-stats"),
+)
+def text_token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy from the corpus's OWN statistics: per
+    document, the mean corpus frequency of its token stream
+    (``mean_corpus_tf`` — high means boilerplate built from ubiquitous
+    tokens, the KenLM-perplexity stand-in when no external LM exists) and
+    the fraction of token positions whose corpus frequency is strictly
+    below the corpus mean (``rare_frac`` — high means hapax-heavy noise or
+    gibberish).  Pipelines threshold both tails, exactly like perplexity
+    filtering in C4/CCNet-style cleaning.
+
+    Unlike the static quality heuristics in ``text_quality_scores`` this is
+    a TWO-PASS corpus operator: per-(doc, token) counts (map-side
+    combinable), then the corpus frequency of each token as a WINDOWED sum
+    over the token partition — the same shape a TF-IDF or tokenizer-fitting
+    pass has at 100 TB, minus the vocabulary self-join (a window costs one
+    shuffle on the token; a groupBy+join would shuffle the per-doc counts
+    twice).  Token partitions are count-sized — one row per holding doc —
+    so no partition balloons.  No text leaves the scan: every carried
+    value is an integer count.  The one-row corpus totals ride a
+    broadcast.  Determinism: counts and ratios of exact integers; the
+    below-mean test multiplies in DECIMAL/HUGEINT so no engine overflows
+    at any scale.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(_RARITY_TOKEN_RE), F.lit(0)
+                )
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    with_tf = per.withColumn(
+        "tf", F.sum("c").over(Window.partitionBy("tok"))
+    )
+    tot = per.agg(
+        F.count_distinct(F.col("tok")).alias("n_vocab"),
+        F.sum("c").alias("n_total"),
+    )
+    is_rare = F.col("tf").cast("decimal(20,0)") * F.col("n_vocab") < F.col(
+        "n_total"
+    )
+    return (
+        with_tf.crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(
+                (F.col("c") * F.col("tf")).cast("decimal(30,0)")
+            ).alias("sum_tf"),
+            F.sum(F.when(is_rare, F.col("c")).otherwise(F.lit(0))).alias(
+                "rare_c"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("sum_tf").cast("double") / F.col("n_tokens")).alias(
+                "mean_corpus_tf"
+            ),
+            (F.col("rare_c").cast("double") / F.col("n_tokens")).alias(
+                "rare_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_bpe_merge_candidates",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id,
+                      regexp_extract_all(lower(text),
+                                         '{_RARITY_TOKEN_RE}') AS tk
+               FROM documents),
+    p AS (SELECT unnest(list_transform(
+                   range(1, greatest(len(tk) - 1, 0) + 1),
+                   i -> tk[i] || ' ' || tk[i+1])) AS pair
+          FROM t)
+    SELECT pair, COUNT(*) AS n_occurrences
+    FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 50
+    """,
+    tags=("text", "tokenizer"),
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistic a BPE/WordPiece trainer computes every merge round:
+    corpus-wide counts of ADJACENT symbol pairs, here at token granularity
+    — the top pair is the next merge.  One distributed round of this is
+    exactly how tokenizers are fitted to a 100 TB corpus (count pairs →
+    merge → recount); this operator is that round as an engine query.
+
+    Scale: pair construction is in-row (``zip_with`` over two shifted
+    slices — zero shuffles until the count), then the canonical word-count
+    shape: one map-side-combinable groupBy whose shuffle rows are (short
+    pair string, partial count), and TakeOrderedAndProject for the top-K —
+    no global sort materializes.  Adjacency order is the regex extraction
+    order in both engines, so the pair stream is bit-identical.
+    """
+    d = load(spark, sf_dir, "documents")
+    tk = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(_RARITY_TOKEN_RE), F.lit(0)
+    )
+    n = F.greatest(F.size(F.col("tk")) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("tk"), 1, n),
+        F.slice(F.col("tk"), 2, n),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(tk.alias("tk"))
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(50)
+    )

@@ -209,3 +209,47 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_spans_uses_window_not_join(spark):
+    """The span-dedup corpus count rides a Window over the hash partition —
+    the per-doc counts must NOT be shuffled a second time through a
+    groupBy+self-join (one Window operator, zero Join nodes)."""
+    plan = _plan(spark, "dedup_duplicate_spans")
+    assert "Window" in plan
+    assert "Join" not in plan, "span counting regressed to a join"
+
+
+def test_token_rarity_window_and_broadcast_totals(spark):
+    """Corpus token frequency via Window over the token partition; the
+    one-row corpus totals must arrive by broadcast, and the only joins in
+    the plan are that singleton broadcast."""
+    plan = _plan(spark, "text_token_rarity_scores")
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals crossJoin
+    assert "SortMergeJoin" not in plan, "vocabulary self-join reappeared"
+
+
+def test_common_neighbors_topk_and_posting_reuse(spark):
+    """Link prediction: top-K must be TakeOrderedAndProject (no global
+    sort), and the degree/pair branches must reuse the single posting-list
+    shuffle at runtime instead of recomputing the purchase scan."""
+    df = QUERIES["graph_common_neighbors"].fn(spark, SF_SMOKE)
+    initial = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in initial
+    df.collect()
+    final = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, final
+
+
+def test_bpe_candidates_partial_agg_and_topk(spark):
+    """The merge-candidate count must combine map-side (partial_count
+    before the exchange) and take the top-K without a global sort."""
+    plan = _plan(spark, "text_bpe_merge_candidates")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan

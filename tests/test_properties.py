@@ -330,3 +330,85 @@ def test_bloom_prune_never_drops_a_true_match(spark, build, probe):
     want_at_least = Counter(x for x in probe if x in in_build)
     for key, n in want_at_least.items():
         assert pruned[key] == n, f"false negative for {key}"
+
+
+# -- span-level dedup / link-prediction / HITS properties -------------------
+
+
+def test_duplicate_spans_counts_cross_doc_and_within_doc_repeats(
+    spark, tmp_path
+):
+    """A span shared by two documents AND a span repeated inside one
+    document both count as duplicated (the Lee et al. suffix-array pass
+    matches within-document repeats too); fully unique docs score zero."""
+    from edgy_spark.operators.dedup import dedup_duplicate_spans
+
+    shared = "p q r s t u v w"  # exactly SPAN_K=8 words
+    rep = "z1 z2 z3 z4 z5 z6 z7 z8"
+    docs = [
+        (1, f"{shared} a1 a2"),          # 3 spans, 1 duplicated (shared)
+        (2, f"b1 b2 {shared}"),          # 3 spans, 1 duplicated (shared)
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8"),  # 1 span, unique
+        (4, f"{rep} {rep}"),             # within-doc repeat of `rep`
+        (5, "short doc"),                # < 8 words: no spans, absent
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in dedup_duplicate_spans(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (3, 1) and got[2] == (3, 1)
+    assert got[3] == (1, 0)
+    n_spans4, n_dup4 = got[4]
+    assert n_spans4 == 9  # 16 words -> 9 positions
+    assert n_dup4 >= 2  # positions 1 and 9 are the identical span `rep`
+    assert 5 not in got  # zero-span docs drop out on both engines
+
+
+def test_common_neighbors_stop_part_cap_bounds_pair_explosion(
+    spark, tmp_path, monkeypatch
+):
+    """A part bought by more than CN_MAX_DF customers must contribute no
+    pairs AND no degree mass: with the cap at 3, a 5-buyer part vanishes
+    and the surviving pair's Jaccard is computed over the capped universe
+    (1/1, not 1/3)."""
+    from edgy_spark.operators import graph_algos
+
+    orders = [(c * 10, c) for c in range(1, 6)]
+    lineitem = [(c * 10, 100) for c in range(1, 6)]  # stop part: DF=5
+    lineitem += [(10, 200), (20, 200)]  # rare part shared by custs 1,2
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lineitem, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    monkeypatch.setattr(graph_algos, "CN_MAX_DF", 3)
+    rows = graph_algos.graph_common_neighbors(spark, str(tmp_path)).collect()
+    assert [(r.cust_a, r.cust_b, r.n_common, r.jaccard) for r in rows] == [
+        (1, 2, 1, 1.0)
+    ]
+
+
+def test_hits_scores_are_positive_and_sum_normalized(spark):
+    """Every HITS authority/hub score is positive and each rescaled vector
+    sums into (SCALE - n, SCALE] — the floor-division mass bound that makes
+    the scaled-integer normalization well-defined at any graph size."""
+    from edgy_spark.operators.graph_algos import (
+        HITS_SCALE,
+        hits_scaled,
+        purchase_edges,
+    )
+    from tests.conftest import SF_SMOKE
+
+    auth, hub = hits_scaled(purchase_edges(spark, SF_SMOKE))
+    for df, col in ((auth, "auth"), (hub, "hub")):
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(col).alias("lo"),
+            F.sum(col).alias("s"),
+        ).collect()[0]
+        assert agg.lo > 0
+        assert HITS_SCALE - agg.n < agg.s <= HITS_SCALE
