@@ -69,9 +69,10 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     # r06 widened the headline set by three queries (join-heavy TPC-H and
-    # the fused training pipeline); r08 by two (the flagship scale ops:
-    # IVF-PQ ANN and DF-capped containment dedup).  The comparable
-    # subtotals keep round-over-round comparisons apples-to-apples.
+    # the fused training pipeline); r08 by three (the flagship scale ops:
+    # IVF-PQ ANN, DF-capped containment dedup, and span-granularity
+    # substring dedup).  The comparable subtotals keep round-over-round
+    # comparisons apples-to-apples.
     added_r06 = [
         "q9_product_type_profit",
         "q18_large_volume_customers",

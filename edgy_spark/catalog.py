@@ -103,8 +103,9 @@ def load_all_registrations() -> None:
     predates r06 except where the diff proves the code identical.
     """
     # module import order only decides what lands AFTER the pinned window
-    # (see the R08 rationale above: 32 relational/TPC-H entries fill the
-    # window tail; the 9 left outside are r06-green on unchanged code)
+    # (see the R08 rationale above: 10 relational/TPC-H entries fill the
+    # window tail; the 71 outside — 27 relational r06-greens plus the
+    # r07-green families — are green on code unchanged since their check)
     import edgy_spark.operators.graph_algos  # noqa: F401
     import edgy_spark.operators.similarity  # noqa: F401
     import edgy_spark.operators.graph_queries  # noqa: F401

@@ -28,6 +28,15 @@ LANG_MARKERS = {
 
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
+#: The BPE-ish cross-engine tokenization contract (lowercase letter runs /
+#: digit runs / single non-space punctuation) shared by text_token_counts,
+#: text_token_rarity_scores, text_bpe_merge_candidates and
+#: pipeline_length_buckets.  ONE definition — Spark expressions and oracle
+#: f-strings both read it, so a pattern change moves every operator's
+#: tokenization in lockstep (syntax restricted to what Java regex and RE2/
+#: DuckDB interpret identically, like the PII patterns below).
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
 # -- PII patterns -----------------------------------------------------------
 # Restricted to syntax Java regex and RE2 (DuckDB) interpret identically, so
 # the scrub is bit-reproducible in the oracle.

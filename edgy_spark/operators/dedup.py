@@ -265,19 +265,10 @@ def _words() -> Column:
 
 
 def _shingles() -> Column:
-    """Distinct word-3-gram shingles, linear-time via shifted zip_with."""
-    w = _words()
-    n = F.greatest(F.size(w) - 2, F.lit(0))
-    return F.array_distinct(
-        F.zip_with(
-            F.zip_with(
-                F.slice(w, 1, n), F.slice(w, 2, n),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            ),
-            F.slice(w, 3, n),
-            lambda ab, c: F.concat(ab, F.lit(" "), c),
-        )
-    )
+    """Distinct word-3-gram shingles — the distinct view of the positional
+    k-gram stream (one shifted-slice construction, shared with the span
+    operator's ``_kgrams`` below)."""
+    return F.array_distinct(_kgrams(3))
 
 
 _SHINGLES_SQL = """
@@ -784,8 +775,8 @@ SPAN_K = 8  # span = word-8-gram (the fixture's 50-token-span stand-in)
 
 def _kgrams(k: int) -> Column:
     """ALL word-``k``-grams of ``text`` with multiplicity, position order —
-    the span stream substring-dedup counts over (contrast ``_shingles``,
-    which is 3-gram and distinct).  Linear-time: one running concat over
+    the span stream substring-dedup counts over (``_shingles`` above is the
+    distinct 3-gram view of this).  Linear-time: one running concat over
     ``k`` shifted slices via chained ``zip_with`` (a
     ``transform(sequence, i -> slice(...))`` formulation re-copies per
     position — O(len*k) array copies; see module docstring)."""

@@ -1135,13 +1135,16 @@ def hits_scaled(
         width,
     )
 
+    # raw sums and Σraw accumulate in DECIMAL(38,0), not BIGINT: a raw score
+    # is bounded by HITS_SCALE * max_degree, so a ~1e7-degree node pushes the
+    # int64 sum past 2^63 (ANSI mode would kill the query; the oracle's SUM
+    # widens to HUGEINT and would diverge).  The rescale product then fits
+    # DECIMAL(38,0) (≲1e21 * 1e12 = 1e33) and `div` lands back in BIGINT.
     def _rescale(df: DataFrame, key: str, out: str) -> DataFrame:
         s = df.agg(F.sum("raw").alias("s"))
         return df.crossJoin(F.broadcast(s)).select(
             key,
-            F.expr(
-                f"CAST(raw AS DECIMAL(20,0)) * {HITS_SCALE} div s"
-            ).alias(out),
+            F.expr(f"raw * {HITS_SCALE} div s").alias(out),
         )
 
     auth = None
@@ -1149,14 +1152,14 @@ def hits_scaled(
         raw_a = (
             pe.join(_hint(hub, broadcast_state), "cust")
             .groupBy("part")
-            .agg(F.sum("hub").alias("raw"))
+            .agg(F.sum(F.col("hub").cast("decimal(38,0)")).alias("raw"))
         )
         auth = _checkpoint(_rescale(raw_a, "part", "auth"), width)
         if i < iters - 1:  # the final round's hub update feeds nothing
             raw_h = (
                 pe.join(_hint(auth, broadcast_state), "part")
                 .groupBy("cust")
-                .agg(F.sum("auth").alias("raw"))
+                .agg(F.sum(F.col("auth").cast("decimal(38,0)")).alias("raw"))
             )
             hub = _checkpoint(_rescale(raw_h, "cust", "hub"), width)
     return auth, hub

@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edgy_spark.catalog import register
-from edgy_spark.functions.textprep import STOPWORDS, scrub_pii, scrub_pii_sql
+from edgy_spark.functions.textprep import (
+    BPE_TOKEN_RE,
+    STOPWORDS,
+    scrub_pii,
+    scrub_pii_sql,
+)
 from edgy_spark.sources import load
 
 # ---------------------------------------------------------------------------
@@ -661,7 +666,9 @@ def pipeline_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bucket (in production those get split/truncated upstream).
 LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
 LEN_OVERFLOW = 2 * LEN_BUCKETS[-1]
-_LEN_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# the tokenization contract lives in textprep.BPE_TOKEN_RE (one definition
+# shared with the text.py token operators)
+_LEN_TOKEN_RE = BPE_TOKEN_RE
 
 
 def _bucket_case_sql(n: str) -> str:
@@ -712,9 +719,9 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.col("text")), F.lit(_LEN_TOKEN_RE), F.lit(0)
         )
     )
-    bucket = F.lit(LEN_OVERFLOW)
-    for b in reversed(LEN_BUCKETS):
-        bucket = F.when(F.col("n_tok") <= b, F.lit(b)).otherwise(bucket)
+    # BOTH engines evaluate the same generated CASE chain — one boundary
+    # definition, no hand-maintained F.when twin to drift
+    bucket = F.expr(_bucket_case_sql("n_tok"))
     return (
         d.select("doc_id", n_tok.alias("n_tok"))
         .select("doc_id", "n_tok", bucket.cast("int").alias("bucket"))

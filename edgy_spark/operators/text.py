@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from edgy_spark.catalog import register
 from edgy_spark.functions.textprep import (
+    BPE_TOKEN_RE,
     LANG_MARKERS,
     PII_EMAIL,
     PII_IPV4,
@@ -30,10 +31,10 @@ from edgy_spark.sources import load
 
 @register(
     "text_token_counts",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_ish_tokens,
+           len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}')) AS n_bpe_ish_tokens,
            length(text) AS n_chars_exact
     FROM documents
     ORDER BY doc_id
@@ -50,7 +51,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
         F.size(
             F.regexp_extract_all(
-                F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+                F.lower(F.col("text")), F.lit(BPE_TOKEN_RE), F.lit(0)
             )
         ).alias("n_bpe_ish_tokens"),
         F.length("text").alias("n_chars_exact"),
@@ -582,7 +583,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-statistics quality scoring (unigram-LM perplexity proxy)
 # ---------------------------------------------------------------------------
 
-_RARITY_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# the tokenization contract lives in textprep.BPE_TOKEN_RE (one definition
+# shared with text_token_counts, text_bpe_merge_candidates and
+# pipeline_length_buckets)
+_RARITY_TOKEN_RE = BPE_TOKEN_RE
 
 
 @register(
@@ -597,8 +601,10 @@ _RARITY_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
     tot AS (SELECT COUNT(*) AS n_vocab, SUM(tf) AS n_total FROM vocab)
     SELECT doc_id,
            CAST(SUM(c) AS BIGINT) AS n_tokens,
-           CAST(SUM(c * tf) AS DOUBLE) / SUM(c) AS mean_corpus_tf,
-           CAST(SUM(CASE WHEN tf * n_vocab < n_total THEN c ELSE 0 END)
+           CAST(SUM(CAST(c AS HUGEINT) * tf) AS DOUBLE) / SUM(c)
+             AS mean_corpus_tf,
+           CAST(SUM(CASE WHEN CAST(tf AS HUGEINT) * n_vocab < n_total
+                         THEN c ELSE 0 END)
                 AS DOUBLE) / SUM(c) AS rare_frac
     FROM per JOIN vocab USING (tok), tot
     GROUP BY doc_id ORDER BY doc_id
@@ -658,8 +664,11 @@ def text_token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_tokens"),
+            # cast tf BEFORE the multiply (like is_rare above): c * tf in
+            # BIGINT overflows int64 once a ubiquitous token's corpus tf
+            # crosses ~1e13 and a document holds it ~1e6 times
             F.sum(
-                (F.col("c") * F.col("tf")).cast("decimal(30,0)")
+                F.col("c") * F.col("tf").cast("decimal(20,0)")
             ).alias("sum_tf"),
             F.sum(F.when(is_rare, F.col("c")).otherwise(F.lit(0))).alias(
                 "rare_c"
