@@ -96,15 +96,17 @@ def load_all_registrations() -> None:
     evicting the six r06-green relational tail entries
     json_event_extraction / priciest_parts_topk / grouping_sets_revenue /
     customer_order_gaps / pivot_orders_priority_by_year /
-    scalar_function_showcase (code unchanged since their green).
+    scalar_function_showcase (code unchanged since their green).  A FOURTH
+    wave added the real WAV audio decode (multimodal_wav_loudness),
+    evicting cube_returnflag_status.
     Outside the window sit only r07-green
     entries (their modules untouched by r8) and the r06-green relational
     queries whose code is likewise unchanged — no query's last green
     predates r06 except where the diff proves the code identical.
     """
     # module import order only decides what lands AFTER the pinned window
-    # (see the R08 rationale above: 10 relational/TPC-H entries fill the
-    # window tail; the 71 outside — 27 relational r06-greens plus the
+    # (see the R08 rationale above: 9 relational/TPC-H entries fill the
+    # window tail; the 72 outside — 28 relational r06-greens plus the
     # r07-green families — are green on code unchanged since their check)
     import edgy_spark.operators.graph_algos  # noqa: F401
     import edgy_spark.operators.similarity  # noqa: F401
@@ -145,6 +147,9 @@ R08_WINDOW: list[str] = [
     "pipeline_length_buckets",
     "incremental_orders_rollup",
     "multimodal_png_pixel_stats",
+    # fourth r8 wave: the real WAV audio decode (evicted
+    # cube_returnflag_status — r06-green, code unchanged since)
+    "multimodal_wav_loudness",
     "pipeline_temperature_mix",
     "text_bm25_topk",
     "graph_kcore_members",
@@ -185,7 +190,6 @@ R08_WINDOW: list[str] = [
     "top_orders_per_customer",
     "customer_order_running_total",
     "rollup_nation_balance",
-    "cube_returnflag_status",
     "distinct_customers_per_priority",
     "customers_without_orders",
     "customers_with_urgent_orders",

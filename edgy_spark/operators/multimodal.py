@@ -477,3 +477,135 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "width", "height", "mean_luma")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# real audio decode (pure-stdlib WAV codec, functions/wav.py)
+# ---------------------------------------------------------------------------
+
+WAV_MAX_FRAMES = 127  # doc_id % 120 + 4, two channels max → 254 samples
+
+
+def decode_features_wav(media_df: DataFrame) -> DataFrame:
+    """ACTUALLY-executing real audio decode: parse genuine RIFF/WAVE bytes
+    back to PCM16 samples with the from-spec stdlib codec
+    (functions/wav.py) inside Arrow-batched ``mapInPandas`` and emit the
+    loudness profile a speech/audio pipeline filters on — frame count,
+    format fields read from the ``fmt `` chunk (NOT trusted metadata),
+    integer peak amplitude and mean-square energy.  The audio twin of
+    :func:`decode_features_png`: same by-value codec shipping, same
+    batch shape, swapping decoders changes one closure.
+
+    Scale: samples never leave the executors — each payload reduces to six
+    small ints in the exchanged rows; decode parallelism is the scan's.
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import wav as _wav
+
+    cloudpickle.register_pickle_by_value(_wav)
+    decode_wav = _wav.decode_wav
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                rate, ch, samples = decode_wav(bytes(payload))
+                n_frames = len(samples) // ch
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        ch,
+                        n_frames,
+                        n_frames * 1_000_000 // rate,
+                        max(abs(s) for s in samples),
+                        sum(s * s for s in samples) // len(samples),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_frames",
+                    "duration_us", "peak_amplitude", "mean_square",
+                ],
+            )
+
+    return media_df.mapInPandas(
+        decode,
+        "doc_id long, sample_rate long, channels long, n_frames long, "
+        "duration_us long, peak_amplitude long, mean_square long",
+    )
+
+
+@register(
+    "multimodal_wav_loudness",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      doc_id % 2 + 1 AS channels,
+                      8000 + (doc_id % 3) * 4000 AS sample_rate,
+                      doc_id % 120 + 4 AS n_frames
+               FROM documents),
+    s AS (SELECT d.doc_id, d.channels, d.sample_rate, d.n_frames,
+                 CASE WHEN (d.doc_id * 131 + t.k * 997) % 65536 >= 32768
+                      THEN (d.doc_id * 131 + t.k * 997) % 65536 - 65536
+                      ELSE (d.doc_id * 131 + t.k * 997) % 65536 END AS smp
+          FROM d, generate_series(0, {2 * WAV_MAX_FRAMES} - 1) AS t(k)
+          WHERE t.k < d.n_frames * d.channels),
+    g AS (SELECT doc_id, channels, sample_rate, n_frames,
+                 MAX(abs(smp)) AS peak, SUM(smp * smp) AS ss, COUNT(*) AS n
+          FROM s GROUP BY 1, 2, 3, 4)
+    SELECT doc_id,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames * 1000000 // sample_rate AS BIGINT) AS duration_us,
+           CAST(peak AS BIGINT) AS peak_amplitude,
+           CAST(ss // n AS BIGINT) AS mean_square
+    FROM g ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio", "decode"),
+)
+def multimodal_wav_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the driver's value-hash gate: each document
+    id deterministically defines a PCM16 track (channels = id%2+1, rate =
+    8000 + (id%3)*4000 Hz, frames = id%120+4, interleaved sample k =
+    signed16((id*131 + k*997) % 65536)), which is ENCODED to genuine WAV
+    bytes and DECODED back by the from-spec stdlib codec (functions/wav.py)
+    inside Arrow-batched ``mapInPandas``.  The oracle recomputes every
+    statistic from the sample formula directly, so a bit error anywhere in
+    the RIFF chunk walk, fmt parsing, or little-endian signed-sample
+    unpacking breaks the hash — note sample_rate/channels come OUT of the
+    decoded fmt chunk, not from the synthesis side.  (The codec is
+    additionally cross-validated against the stdlib ``wave`` module and
+    the JVM's javax.sound.sampled in tests/test_wav.py.)
+
+    Scale: same story as multimodal_png_pixel_stats — with a real media
+    fixture the synth step disappears and decode_features_wav runs over
+    the binary column directly; exchanged rows are seven small ints.
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import wav as _wav
+
+    cloudpickle.register_pickle_by_value(_wav)
+    encode_wav = _wav.encode_wav
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                ch = i % 2 + 1
+                rate = 8000 + (i % 3) * 4000
+                n = (i % 120 + 4) * ch
+                samples = []
+                for k in range(n):
+                    v = (i * 131 + k * 997) % 65536
+                    samples.append(v - 65536 if v >= 32768 else v)
+                media.append(encode_wav(rate, ch, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    return decode_features_wav(media_df).orderBy("doc_id")
