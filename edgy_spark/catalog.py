@@ -97,16 +97,17 @@ def load_all_registrations() -> None:
     json_event_extraction / priciest_parts_topk / grouping_sets_revenue /
     customer_order_gaps / pivot_orders_priority_by_year /
     scalar_function_showcase (code unchanged since their green).  A FOURTH
-    wave added the real WAV audio decode (multimodal_wav_loudness),
-    evicting cube_returnflag_status.
+    wave added the real WAV audio decode (multimodal_wav_loudness) and the
+    iterative BPE trainer (text_bpe_train_merges), evicting
+    cube_returnflag_status / rollup_nation_balance.
     Outside the window sit only r07-green
     entries (their modules untouched by r8) and the r06-green relational
     queries whose code is likewise unchanged — no query's last green
     predates r06 except where the diff proves the code identical.
     """
     # module import order only decides what lands AFTER the pinned window
-    # (see the R08 rationale above: 9 relational/TPC-H entries fill the
-    # window tail; the 72 outside — 28 relational r06-greens plus the
+    # (see the R08 rationale above: 8 relational/TPC-H entries fill the
+    # window tail; the 73 outside — 29 relational r06-greens plus the
     # r07-green families — are green on code unchanged since their check)
     import edgy_spark.operators.graph_algos  # noqa: F401
     import edgy_spark.operators.similarity  # noqa: F401
@@ -147,9 +148,11 @@ R08_WINDOW: list[str] = [
     "pipeline_length_buckets",
     "incremental_orders_rollup",
     "multimodal_png_pixel_stats",
-    # fourth r8 wave: the real WAV audio decode (evicted
-    # cube_returnflag_status — r06-green, code unchanged since)
+    # fourth r8 wave: the real WAV audio decode and the iterative BPE
+    # trainer (evicted cube_returnflag_status / rollup_nation_balance —
+    # r06-green, code unchanged since)
     "multimodal_wav_loudness",
+    "text_bpe_train_merges",
     "pipeline_temperature_mix",
     "text_bm25_topk",
     "graph_kcore_members",
@@ -189,7 +192,6 @@ R08_WINDOW: list[str] = [
     "q5_local_supplier_volume",
     "top_orders_per_customer",
     "customer_order_running_total",
-    "rollup_nation_balance",
     "distinct_customers_per_priority",
     "customers_without_orders",
     "customers_with_urgent_orders",

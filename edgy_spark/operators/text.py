@@ -736,3 +736,148 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# iterative BPE training (Sennrich et al. 2016, on the word-type table)
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 4
+
+
+def _bpe_fold_case(a_sql: str, b_sql: str) -> str:
+    """The DuckDB merge-application fold body (see the Spark twin in
+    :func:`text_bpe_train_merges`): append ``x`` without the separator when
+    the accumulator's LAST symbol is ``a`` and ``x`` is ``b`` — the last
+    symbol becomes ``a||b``, and because a merged symbol is strictly longer
+    than ``a`` it can never immediately re-match as the left side, which is
+    exactly the classic greedy leftmost non-overlapping scan."""
+    return (
+        "(acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]+)$') = {a}"
+        " AND x = {b} THEN acc || x ELSE acc || ' ' || x END"
+    ).format(a=a_sql, b=b_sql)
+
+
+def _bpe_train_oracle() -> str:
+    cte = [
+        """v0 AS (SELECT COUNT(*) AS cnt, string_split(tok, '') AS syms
+           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                   AS tok FROM documents)
+           GROUP BY tok)""",
+    ]
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        cte += [
+            # pairs packed as 'l r' (symbols never contain spaces, and ' '
+            # sorts below [a-z], so string order == (l, r) tuple order)
+            f"""p{r} AS (SELECT pr, SUM(cnt) AS tot
+                FROM (SELECT cnt, unnest(list_transform(
+                        range(1, len(syms)),
+                        i -> syms[i] || ' ' || syms[i+1])) AS pr
+                      FROM v{r-1})
+                GROUP BY pr)""",
+            f"m{r} AS (SELECT pr, tot FROM p{r}"
+            f" ORDER BY tot DESC, pr LIMIT 1)",
+        ]
+        if r < BPE_TRAIN_ROUNDS:
+            fold = _bpe_fold_case(
+                f"split_part(m{r}.pr, ' ', 1)", f"split_part(m{r}.pr, ' ', 2)"
+            )
+            cte.append(
+                f"""v{r} AS (SELECT cnt,
+                    string_split(list_reduce(syms, {fold}), ' ') AS syms
+                    FROM v{r-1}, m{r})"""
+            )
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, split_part(pr, ' ', 1) AS left_sym,"
+        f" split_part(pr, ' ', 2) AS right_sym,"
+        f" CAST(tot AS BIGINT) AS n_occurrences FROM m{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(cte) + "\n" + rows + " ORDER BY merge_rank"
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_train_oracle(),
+    tags=("text", "tokenizer", "iterative"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL BPE training, not just one statistic: learn the first
+    BPE_TRAIN_ROUNDS merges of a byte-pair-encoding tokenizer over the
+    corpus (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of
+    Rare Words with Subword Units") — per round, count corpus-weighted
+    adjacent symbol pairs, pick the most frequent (ties by pair,
+    ascending), and apply the merge greedily left-to-right in every word.
+    Output = the learned merge table, the artifact a tokenizer ships.
+
+    The scale insight is Sennrich's own: after ONE corpus scan the trainer
+    never touches the corpus again — it iterates on the WORD-TYPE table
+    (at 100 TB: ~10^13 tokens collapse to ~10^8 types), weighting pair
+    counts by the type's corpus frequency.  Per round: one vocab-sized
+    map-side-combinable groupBy, a top-1 TakeOrderedAndProject collecting
+    EXACTLY ONE row to the driver (the Lloyd-training precedent in
+    similarity.py), and the merge applied in-row by a string fold —
+    ``F.aggregate`` appends ``x`` separator-free when the accumulator's
+    last symbol is the merge's left side, which reproduces the classic
+    greedy leftmost non-overlapping scan (a merged symbol is strictly
+    longer than its left side, so it can never immediately re-match; the
+    property test pins fold == reference scan).  Word types are
+    ``localCheckpoint``-ed per round so lineage stays O(1).  The oracle
+    unrolls the identical rounds with DuckDB's ``list_reduce`` fold.
+    Training is restricted to pure ``[a-z]+`` word types so the symbol
+    alphabet is engine-neutral (no UTF-16-vs-UTF-8 code-unit splitting
+    divergence).
+    """
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("cnt", F.split("w", "").alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, BPE_TRAIN_ROUNDS + 1):
+        n = F.greatest(F.size("syms") - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice("syms", 1, n),
+            F.slice("syms", 2, n),
+            lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+        )
+        top = (
+            vocab.select("cnt", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("tot"))
+            .orderBy(F.desc("tot"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # degenerate corpus: fewer pair rounds than asked
+            break
+        a, b, tot = top[0].l, top[0].r, int(top[0].tot)
+        merges.append((rank, a, b, tot))
+        if rank < BPE_TRAIN_ROUNDS:
+            folded = F.aggregate(
+                "syms",
+                F.lit(""),
+                lambda acc, x: F.when(acc == "", x).otherwise(
+                    F.when(
+                        (F.regexp_extract(acc, r"([^ ]+)$", 1) == F.lit(a))
+                        & (x == F.lit(b)),
+                        F.concat(acc, x),
+                    ).otherwise(F.concat(acc, F.lit(" "), x))
+                ),
+            )
+            vocab = vocab.select(
+                "cnt", F.split(folded, " ").alias("syms")
+            ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, n_occurrences long",
+    )

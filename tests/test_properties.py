@@ -392,6 +392,100 @@ def test_common_neighbors_stop_part_cap_bounds_pair_explosion(
     ]
 
 
+def _naive_bpe(word_counts: dict[str, int], rounds: int):
+    """Reference BPE trainer: the textbook greedy leftmost non-overlapping
+    re-scan (Sennrich et al. 2016), deliberately implemented the naive way
+    so it shares NO code shape with the engine's fold formulation."""
+    seqs = [(list(w), c) for w, c in sorted(word_counts.items())]
+    merges = []
+    for rank in range(1, rounds + 1):
+        from collections import Counter
+
+        pc: Counter = Counter()
+        for syms, c in seqs:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), tot = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, tot))
+        new = []
+        for syms, c in seqs:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new.append((out, c))
+        seqs = new
+    return merges
+
+
+def test_bpe_trainer_equals_reference_scan(spark, tmp_path):
+    """The distributed trainer (word-type table + string fold) must learn
+    exactly the merges the textbook re-scan learns — including greedy
+    leftmost behavior on self-overlapping pairs (aaaa -> (aa)(aa)) and
+    merged symbols participating in later rounds."""
+    from edgy_spark.operators.text import text_bpe_train_merges
+
+    docs = [
+        (1, "aaaa aaaa banana"),
+        (2, "banana bandana aaaa"),
+        (3, "an anna banana ban"),
+        (4, "naan naan naan a"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    counts: dict[str, int] = {}
+    for _, t in docs:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    want = _naive_bpe(counts, 4)
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.n_occurrences)
+        for r in text_bpe_train_merges(spark, str(tmp_path))
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_bpe_trainer_property_random_corpora(spark, tmp_path):
+    """Hypothesis-style sweep without Spark in the loop being too slow:
+    several seeded random corpora, trainer == reference on every one."""
+    import random
+
+    from edgy_spark.operators.text import text_bpe_train_merges
+
+    for seed in (0, 7):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+            for _ in range(30)
+        ]
+        text = " ".join(words)
+        path = tmp_path / f"c{seed}"
+        path.mkdir()
+        spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        ).write.parquet(str(path / "documents.parquet"))
+        counts: dict[str, int] = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+        want = _naive_bpe(counts, 4)
+        got = [
+            (r.merge_rank, r.left_sym, r.right_sym, r.n_occurrences)
+            for r in text_bpe_train_merges(spark, str(path))
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == want, f"seed {seed}"
+
+
 def test_hits_scores_are_positive_and_sum_normalized(spark):
     """Every HITS authority/hub score is positive and each rescaled vector
     sums into (SCALE - n, SCALE] — the floor-division mass bound that makes
