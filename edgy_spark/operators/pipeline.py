@@ -748,3 +748,88 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding context-window chunking (RAG / embedding prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64   # tokens per context chunk
+CHUNK_STRIDE = 48   # stride between chunk starts (overlap = 64 - 48 = 16)
+
+
+@register(
+    "pipeline_context_chunks",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(text), '\s+') AS w
+               FROM documents),
+    c AS (SELECT doc_id, len(w) AS n, w,
+                 unnest(range(0,
+                   greatest((len(w) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                            // {CHUNK_STRIDE}, 0) + 1)) AS i
+          FROM t)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(least({CHUNK_TOKENS}, n - i * {CHUNK_STRIDE}) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(
+             w[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+             ' ')) AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+    tags=("pipeline", "chunking"),
+)
+def pipeline_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking — the retrieval/embedding prep step:
+    split each document's token stream into CHUNK_TOKENS-token chunks
+    whose starts advance by CHUNK_STRIDE (so consecutive chunks overlap by
+    CHUNK_TOKENS - CHUNK_STRIDE tokens and no token is more than one chunk
+    from a boundary), emitting each chunk's span and a content hash (what
+    an embedding pipeline feeds the encoder and joins back on).  Unlike
+    ``pipeline_pack_blocks`` (which concatenates ACROSS documents for
+    training throughput) chunking never crosses a document boundary —
+    that is the retrieval-correctness requirement.
+
+    Scale: fully in-row — chunk starts come from an integer ``sequence``
+    and the chunk text from ``slice``; there is NO shuffle at all except
+    the presentation orderBy, so a 100 TB corpus chunks at scan speed.
+    The chunk-count formula is pure integer arithmetic
+    (``(n - C + S - 1) div S``), so no float ceil can diverge between
+    engines; hashes are md5 over the space-rejoined token slice.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size("w")
+    i_max = F.greatest(
+        F.expr(
+            f"(size(w) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)"
+            f" div {CHUNK_STRIDE}"
+        ),
+        F.lit(0),
+    )
+    start = F.col("i") * CHUNK_STRIDE
+    return (
+        d.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            n.alias("n"),
+            F.explode(F.sequence(F.lit(0), i_max)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_idx"),
+            start.cast("long").alias("start_tok"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n") - start)
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.md5(
+                F.array_join(
+                    F.slice("w", start + 1, F.lit(CHUNK_TOKENS)), " "
+                ).cast("binary")
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -881,3 +881,146 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "merge_rank int, left_sym string, right_sym string, n_occurrences long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1     # '#' and '...' per word
+GOPHER_MAX_BULLET_FRAC = 0.9      # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3    # lines ending with '...'
+GOPHER_MIN_ALPHA_FRAC = 0.8       # words containing a letter
+GOPHER_MIN_STOPWORDS = 2          # distinct required stopwords present
+GOPHER_REQ_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@register(
+    "text_gopher_quality_flags",
+    oracle=rf"""
+    WITH s AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+             string_split(text, chr(10)) AS lines,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3
+               AS n_ellipsis
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             list_aggregate(list_transform(w, x -> length(x)), 'sum')
+               AS sum_wlen,
+             len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+               AS n_alpha_words,
+             len(list_intersect(w, {GOPHER_REQ_STOPWORDS!r}))
+               AS n_req_stopwords,
+             n_hash + n_ellipsis AS n_symbols,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
+               AS n_bullet_lines,
+             len(list_filter(lines, l -> rtrim(l) LIKE '%...'))
+               AS n_ellipsis_lines
+      FROM s)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(sum_wlen AS DOUBLE) / n_words AS mean_word_len,
+           CAST(n_alpha_words AS DOUBLE) / n_words AS alpha_word_frac,
+           CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+           CAST(n_bullet_lines AS DOUBLE) / n_lines AS bullet_line_frac,
+           CAST(n_ellipsis_lines AS DOUBLE) / n_lines AS ellipsis_line_frac,
+           CAST(n_req_stopwords AS BIGINT) AS n_req_stopwords,
+           CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                 AND CAST(sum_wlen AS DOUBLE) / n_words
+                     BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN}
+                 AND CAST(n_symbols AS DOUBLE) / n_words
+                     <= {GOPHER_MAX_SYMBOL_RATIO}
+                 AND CAST(n_bullet_lines AS DOUBLE) / n_lines
+                     <= {GOPHER_MAX_BULLET_FRAC}
+                 AND CAST(n_ellipsis_lines AS DOUBLE) / n_lines
+                     <= {GOPHER_MAX_ELLIPSIS_FRAC}
+                 AND CAST(n_alpha_words AS DOUBLE) / n_words
+                     >= {GOPHER_MIN_ALPHA_FRAC}
+                 AND n_req_stopwords >= {GOPHER_MIN_STOPWORDS}
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM m ORDER BY doc_id
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule set (Rae et al. 2021, "Scaling Language Models",
+    Appendix A) — the published heuristic battery most pretraining
+    pipelines start from: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio ('#' + '...'), bullet-started and
+    ellipsis-ended line fractions, alphabetic-word fraction, and a
+    required-stopword floor.  Emits every sub-metric plus the composed
+    keep/drop verdict, so a pipeline can tune one threshold without
+    recomputing the rest (compare ``text_quality_scores``, this repo's
+    minimal filter; the Gopher battery is the industry-named one).
+
+    Scale: entirely in-row JVM built-ins over the words/lines arrays —
+    no shuffle except the presentation orderBy, no Python.  Every ratio
+    is exact-integer division in IEEE doubles, bit-identical across
+    engines; thresholds are compile-time literals shared with the oracle
+    f-string.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    lines = F.split(F.col("text"), "\n")
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ellipsis = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / F.lit(3)
+    base = d.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_wlen"),
+        F.size(
+            F.filter(w, lambda x: x.rlike("[a-z]"))
+        ).alias("n_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(w),
+                F.array(*[F.lit(s) for s in GOPHER_REQ_STOPWORDS]),
+            )
+        ).alias("n_req_stopwords"),
+        (n_hash + n_ellipsis).cast("long").alias("n_symbols"),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+        ).alias("n_bullet_lines"),
+        F.size(
+            F.filter(lines, lambda l: F.rtrim(l).endswith("..."))
+        ).alias("n_ellipsis_lines"),
+    )
+    mean_wlen = F.col("sum_wlen").cast("double") / F.col("n_words")
+    alpha_frac = F.col("n_alpha_words").cast("double") / F.col("n_words")
+    sym_ratio = F.col("n_symbols").cast("double") / F.col("n_words")
+    bullet_frac = F.col("n_bullet_lines").cast("double") / F.col("n_lines")
+    ell_frac = F.col("n_ellipsis_lines").cast("double") / F.col("n_lines")
+    keep = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wlen.between(GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN)
+        & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+        & (ell_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("n_req_stopwords") >= GOPHER_MIN_STOPWORDS)
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        F.col("n_req_stopwords").cast("long").alias("n_req_stopwords"),
+        F.when(keep, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+    ).orderBy("doc_id")
