@@ -24,8 +24,26 @@ Scale design:
   reaches the row-group/statistics level (a ``src = K`` point read touches
   only matching row groups), and Spark does not re-filter what the source
   already guaranteed;
+- ZONE-MAP FILE SKIPPING: the bulk writer collects per-file per-column
+  [min, max] stats while the batches stream through (the Delta/Iceberg
+  design — stats cost nothing extra at write time) and commits them as the
+  immutable version directory's ``_zones.json``; at PLANNING time the
+  reader skips whole files a pushed filter cannot match — no task, no
+  footer read.  At 100 TB this is the metadata layer that keeps a
+  selective query from scheduling one task per corpus file.  Entry-less
+  files (engine point-commits, streams, foreign writers) are simply never
+  pruned — the sidecar accelerates, it is never load-bearing for
+  correctness;
 - batches stream back as Arrow ``RecordBatch``es — zero row-at-a-time
   Python cost on the read path.
+
+KNOWN UPSTREAM HAZARD (pyspark 4.1, pinned by
+tests/test_pysource.py::test_spark_reuses_filtered_scan_for_filterless_plans):
+Spark caches a Python source's latest planned scan on the relation and
+reuses it for plans that push NO filters, so running a filtered action and
+then a filterless action on the SAME loaded DataFrame returns the filtered
+rows.  Use one ``load()`` per query (cheap — planning re-runs anyway) until
+the pinned test flips on a fixed Spark.
 
 Schema comes from the stored parquet footer (self-describing), NOT from a
 GraphSchema — so a consumer needs no engine code, and reads of old versions
@@ -172,11 +190,32 @@ class EdgyDataSource(DataSource):
         )
 
 
+def _zone_comparable(v, lo, hi) -> bool:
+    """Prune only when the filter value and both bounds compare by the same
+    total order JSON preserved: all real numbers (bool is NOT a number
+    here — Python would happily order True < 2) or all strings."""
+    trio = (v, lo, hi)
+    if all(isinstance(x, (int, float)) and not isinstance(x, bool) for x in trio):
+        return True
+    return all(isinstance(x, str) for x in trio)
+
+
 class EdgyReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType):
         self.path = path
         self.columns = [f.name for f in schema.fields]
         self._pushed: list[Filter] = []
+        # file-skipping zone maps (filename -> {col: [min, max]}), written
+        # by the writer's commit into the immutable version directory — at
+        # planning time whole files whose range excludes a pushed filter
+        # produce NO task at all (and no footer read); files without an
+        # entry are never pruned, so a missing/foreign sidecar only costs
+        # performance, never rows
+        try:
+            with open(os.path.join(path, ZONES_FILE)) as f:
+                self._zones: dict = json.load(f)
+        except (FileNotFoundError, NotADirectoryError, json.JSONDecodeError):
+            self._zones = {}
 
     # -- pushdown ----------------------------------------------------------
 
@@ -221,14 +260,41 @@ class EdgyReader(DataSourceReader):
 
     # -- execution ---------------------------------------------------------
 
+    def _zone_excluded(self, fname: str) -> bool:
+        """True when the file's zone map PROVES no row can satisfy the
+        pushed conjunction.  Absent file/column entries never prune; type
+        mismatches never prune; bounds are inclusive both ends, so every
+        test errs open (the arrow filter re-checks row-for-row anyway)."""
+        z = self._zones.get(fname)
+        if not z:
+            return False
+        for f in self._pushed:
+            rng = z.get(f.attribute[0])
+            if not rng:
+                continue
+            lo, hi = rng
+            v = getattr(f, "value", None)
+            if v is None or not _zone_comparable(v, lo, hi):
+                continue
+            if (
+                (isinstance(f, EqualTo) and (v < lo or v > hi))
+                or (isinstance(f, GreaterThan) and hi <= v)
+                or (isinstance(f, GreaterThanOrEqual) and hi < v)
+                or (isinstance(f, LessThan) and lo >= v)
+                or (isinstance(f, LessThanOrEqual) and lo > v)
+            ):
+                return True
+        return False
+
     def partitions(self):
         names = [
             n
             for n in sorted(os.listdir(self.path))
             if n.endswith(".parquet") or n.startswith("part-")
         ]
-        if not names:  # empty table version: one no-op partition
-            return [_FilePartition(self.path)]
+        names = [n for n in names if not self._zone_excluded(n)]
+        if not names:  # empty table version (or everything zone-pruned):
+            return [_FilePartition(self.path)]  # one no-op partition
         return [_FilePartition(os.path.join(self.path, n)) for n in names]
 
     def read(self, partition: _FilePartition):
@@ -523,6 +589,46 @@ class _WriteMessage(WriterCommitMessage):
     # genuinely NEGATIVE ids are not conflated with the old -1 "unset"
     # sentinel and silently skipped by the cursor check (review r08)
     has_ids: bool = False
+    # per-column [min, max] zone map of this task's file (JSON-safe
+    # primitive columns only) — free to collect while the batches stream
+    # through, Delta/Iceberg-style, and written as the version directory's
+    # _zones.json sidecar so the reader can plan file skipping with ZERO
+    # footer I/O
+    zones: dict | None = None
+
+
+#: sidecar filename inside each immutable table-version directory.  The
+#: leading underscore keeps it out of both Spark's file index and pyarrow's
+#: dataset discovery (default ignore_prefixes are '.' and '_').
+ZONES_FILE = "_zones.json"
+
+
+def _zone_accumulate(batch, acc: dict) -> None:
+    """Fold one Arrow batch into the per-file zone map: [min, max] per
+    column whose type survives a JSON round-trip unchanged (ints, floats,
+    strings, bools).  Nested/binary/temporal columns are skipped — absent
+    entry = reader never prunes on that column (conservative)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for name in batch.schema.names:
+        t = batch.schema.field(name).type
+        if not (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_boolean(t)
+        ):
+            continue
+        mm = pc.min_max(batch.column(name))
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None or hi is None:  # all-null in this batch
+            continue
+        cur = acc.get(name)
+        acc[name] = (
+            [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
+        )
 
 
 class EdgyWriter(DataSourceArrowWriter):
@@ -575,11 +681,14 @@ class EdgyWriter(DataSourceArrowWriter):
         fpath = os.path.join(self.root, self.staging, fname)
         writer = None
         n_rows, max_id, min_id, has_ids = 0, -1, -1, False
+        zones: dict = {}
         for batch in iterator:
             if writer is None:
                 writer = pq.ParquetWriter(fpath, batch.schema)
             writer.write_table(pa.Table.from_batches([batch]))
             n_rows += batch.num_rows
+            if batch.num_rows:
+                _zone_accumulate(batch, zones)
             if self.has_id and batch.num_rows:
                 col_max = pc.max(batch.column("id")).as_py()
                 col_min = pc.min(batch.column("id")).as_py()
@@ -593,7 +702,7 @@ class EdgyWriter(DataSourceArrowWriter):
             writer.close()
         else:
             return _WriteMessage("", 0, -1, -1)  # empty partition: no file
-        return _WriteMessage(fname, n_rows, max_id, min_id, has_ids)
+        return _WriteMessage(fname, n_rows, max_id, min_id, has_ids, zones or None)
 
     def _validate_schema(self, manifest: dict, messages) -> str | None:
         """Reject writes that would corrupt the store's invariants — a
@@ -655,6 +764,11 @@ class EdgyWriter(DataSourceArrowWriter):
             self.root, manifest, self.table, self.staging,
             self.overwrite, new_version,
             [m.filename for m in messages if m and m.filename],
+            zones={
+                m.filename: m.zones
+                for m in messages
+                if m and m.filename and getattr(m, "zones", None)
+            },
         )
         bucketed.pop(self.table, None)  # a bulk load replaces bucketed layout
         _drop_stale_indexes(tables, bucketed, indexes, self.table)
@@ -932,6 +1046,7 @@ def _check_id_cursor(manifest: dict, messages, overwrite: bool, has_id: bool) ->
 def _promote_staging(
     root: str, manifest: dict, key: str, staging: str,
     overwrite: bool, new_version: int, staged: list[str],
+    zones: dict | None = None,
 ) -> str:
     """Move the ``staged`` files (the ones the commit messages vouch for —
     NEVER the whole directory: a failed-then-retried executor task can
@@ -941,15 +1056,31 @@ def _promote_staging(
     is O(new data), not O(table)).  The per-attempt uuid token keeps a
     racing committer of the same version from writing into — or clobbering
     — this attempt's promoted directory; the manifest's exclusive create is
-    the single arbitration point.  Returns the manifest-relative path."""
+    the single arbitration point.  Returns the manifest-relative path.
+
+    ``zones`` maps each staged filename to its per-column [min, max] zone
+    map; the merged map (appends carry the old version's sidecar forward
+    under the files' final names — linked files are immutable, so their
+    stats stay true) is written as the directory's ZONES_FILE so the batch
+    reader can skip whole files at planning time with no footer I/O.
+    Writers that don't collect stats just produce entry-less files, which
+    the reader never prunes.
+    """
     import shutil as _shutil
 
     token = staging.rsplit("-", 1)[1][:8]
     relpath = os.path.join("data", f"{key}.v{new_version}-{token}.parquet")
     dst_dir = os.path.join(root, relpath)
     os.makedirs(dst_dir, exist_ok=True)
+    merged_zones: dict = {}
     if not overwrite and manifest["tables"].get(key):
         old_dir = os.path.join(root, manifest["tables"][key])
+        old_zones: dict = {}
+        try:
+            with open(os.path.join(old_dir, ZONES_FILE)) as f:
+                old_zones = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
         for n in os.listdir(old_dir):
             if n.startswith("part-") or n.endswith(".parquet"):
                 src = os.path.join(old_dir, n)
@@ -960,11 +1091,18 @@ def _promote_staging(
                     os.link(src, dst)
                 except OSError:
                     _shutil.copy2(src, dst)
+                if n in old_zones:
+                    merged_zones[os.path.basename(dst)] = old_zones[n]
     for n in staged:
         dst = os.path.join(dst_dir, n)
         if os.path.exists(dst):  # vs a linked old file: disambiguate new
             dst = os.path.join(dst_dir, f"new-{n}")
         os.rename(os.path.join(root, staging, n), dst)
+        if zones and n in zones:
+            merged_zones[os.path.basename(dst)] = zones[n]
+    if merged_zones:
+        with open(os.path.join(dst_dir, ZONES_FILE), "w") as f:
+            json.dump(merged_zones, f)
     # whatever remains in staging is abandoned task-attempt garbage
     _shutil.rmtree(os.path.join(root, staging), ignore_errors=True)
     return relpath
@@ -1027,7 +1165,8 @@ def _record_txn_table(
         "messages": [
             {"filename": m.filename, "n_rows": m.n_rows,
              "max_id": m.max_id, "min_id": m.min_id,
-             "has_ids": bool(getattr(m, "has_ids", False))}
+             "has_ids": bool(getattr(m, "has_ids", False)),
+             "zones": getattr(m, "zones", None)}
             for m in messages if m and m.filename  # skip empty partitions
         ],
     }
@@ -1140,6 +1279,11 @@ def commit_edgy_txn(root: str, txn: str) -> int:
         rel = _promote_staging(
             root, manifest, p["table"], p["staging"], p["overwrite"],
             new_version, [m["filename"] for m in p["messages"]],
+            zones={
+                m["filename"]: m["zones"]
+                for m in p["messages"]
+                if m.get("zones")
+            },
         )
         tables[p["table"]] = rel
         bucketed.pop(p["table"], None)

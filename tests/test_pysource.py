@@ -1032,3 +1032,42 @@ def test_promote_moves_only_vouched_files(spark, tmp_path):
         pysource.EdgyWriter.__init__ = orig_init
     names = {r["name"] for r in engine.snapshot().nodes("Person").collect()}
     assert "GHOST" not in names and "Zed" in names
+
+
+def test_spark_reuses_filtered_scan_for_filterless_plans(spark, tmp_path):
+    """PINNED UPSTREAM HAZARD (pyspark 4.1): for a Python data source that
+    implements pushFilters, Spark caches the LATEST planned scan on the
+    relation and reuses it for plans that push no filters — so a filtered
+    action poisons subsequent filterless actions on the SAME DataFrame
+    (fresh load()s are always correct; our reader is re-created per
+    planning by the pushdown worker and never sees the second query).
+
+    This test documents the behavior so a Spark upgrade that fixes the
+    reuse flips it loudly: if the last assert starts failing with 3 == 3
+    becoming the xfail... i.e. df.count() returns 3 again, DELETE this
+    test and the fresh-load workaround notes that cite it."""
+    engine, _ = _store(spark, tmp_path)
+    register_edgy_source(spark)
+
+    def fresh():
+        return (
+            spark.read.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "n_Person")
+            .load()
+        )
+
+    # fresh loads: always correct
+    assert fresh().count() == 3
+    assert fresh().filter(F.col("age") > 1000).count() == 0
+    assert fresh().count() == 3
+
+    # reused DataFrame: the filtered planning poisons the filterless reuse
+    df = fresh()
+    assert df.count() == 3                                # plans cleanly
+    assert df.filter(F.col("age") > 1000).count() == 0    # re-plans, caches
+    assert df.count() == 0, (
+        "Spark stopped reusing the filtered scan for filterless plans — "
+        "the upstream bug is fixed; delete this test and the fresh-load "
+        "workarounds that cite it"
+    )
