@@ -861,12 +861,18 @@ class EdgyStreamWriter(DataSourceStreamWriter):
         tbl = pa.Table.from_pylist(rows, schema=to_arrow_schema(self.schema))
         fname = f"part-{uuid.uuid4().hex}.parquet"
         pq.write_table(tbl, os.path.join(self.root, self.staging, fname))
+        zones: dict = {}
+        for batch in tbl.to_batches():
+            if batch.num_rows:
+                _zone_accumulate(batch, zones)
         if self.has_id:
             mx = pc.max(tbl.column("id")).as_py()
             mn = pc.min(tbl.column("id")).as_py()
             if mx is not None:
-                return _WriteMessage(fname, tbl.num_rows, int(mx), int(mn), True)
-        return _WriteMessage(fname, tbl.num_rows, -1, -1, False)
+                return _WriteMessage(
+                    fname, tbl.num_rows, int(mx), int(mn), True, zones or None
+                )
+        return _WriteMessage(fname, tbl.num_rows, -1, -1, False, zones or None)
 
     def _cleanup(self, staged: list[str]) -> None:
         for n in staged:
@@ -914,6 +920,11 @@ class EdgyStreamWriter(DataSourceStreamWriter):
             rel = _promote_staging(
                 self.root, manifest, self.table, batch_staging,
                 False, new_version, staged,
+                zones={
+                    m.filename: m.zones
+                    for m in msgs
+                    if m.filename and getattr(m, "zones", None)
+                },
             )
             tables[self.table] = rel
             bucketed.pop(self.table, None)

@@ -216,3 +216,25 @@ def test_engine_written_tables_have_no_zones_and_still_read(spark, tmp_path):
         .filter(F.col("age") > 0)
     )
     assert {r["name"] for r in df.collect()} == {"Bob", "Jane", "Jose"}
+
+
+def test_stream_writer_messages_carry_zone_stats(spark, tmp_path):
+    """The streaming sink collects the same per-file stats as the bulk
+    writer (shared _WriteMessage/_promote_staging path), so stream-ingested
+    versions prune too."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import StructType
+
+    from edgy_spark.sources.pysource import EdgyStreamWriter
+
+    engine = _store(spark, tmp_path)
+    schema = (
+        StructType()
+        .add("id", "long")
+        .add("name", "string")
+        .add("age", "long")
+    )
+    w = EdgyStreamWriter(engine.store.root, "n_Person", schema, "zone-test")
+    msg = w.write(iter([Row(id=7, name="Kim", age=41),
+                        Row(id=9, name="Lee", age=39)]))
+    assert msg.zones == {"id": [7, 9], "name": ["Kim", "Lee"], "age": [39, 41]}
