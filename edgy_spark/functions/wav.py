@@ -106,6 +106,8 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         )
     if channels < 1:
         raise ValueError("fmt chunk declares zero channels")
+    if sample_rate < 1:
+        raise ValueError("fmt chunk declares zero sample rate")
     n = len(raw) // 2
     samples = list(struct.unpack(f"<{n}h", raw[: n * 2]))
     if len(samples) % channels:

@@ -483,7 +483,7 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # real audio decode (pure-stdlib WAV codec, functions/wav.py)
 # ---------------------------------------------------------------------------
 
-WAV_MAX_FRAMES = 127  # doc_id % 120 + 4, two channels max → 254 samples
+WAV_MAX_FRAMES = 123  # doc_id % 120 + 4 ∈ [4, 123]; 2 channels → ≤246 samples
 
 
 def decode_features_wav(media_df: DataFrame) -> DataFrame:
@@ -519,8 +519,14 @@ def decode_features_wav(media_df: DataFrame) -> DataFrame:
                         ch,
                         n_frames,
                         n_frames * 1_000_000 // rate,
-                        max(abs(s) for s in samples),
-                        sum(s * s for s in samples) // len(samples),
+                        # an empty data chunk is VALID WAV (review r08):
+                        # a zero-length track scores silence, not a crash
+                        max((abs(s) for s in samples), default=0),
+                        (
+                            sum(s * s for s in samples) // len(samples)
+                            if samples
+                            else 0
+                        ),
                     )
                 )
             yield pd.DataFrame(

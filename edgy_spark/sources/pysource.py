@@ -213,9 +213,21 @@ class EdgyReader(DataSourceReader):
         # performance, never rows
         try:
             with open(os.path.join(path, ZONES_FILE)) as f:
-                self._zones: dict = json.load(f)
+                raw = json.load(f)
         except (FileNotFoundError, NotADirectoryError, json.JSONDecodeError):
-            self._zones = {}
+            raw = {}
+        # sanitize shape, don't trust it: a foreign writer's valid-JSON-but-
+        # wrong-shape sidecar must disable pruning, not crash every read of
+        # the table at planning time (review r08)
+        self._zones: dict = {
+            f: {
+                c: rng
+                for c, rng in stats.items()
+                if isinstance(rng, (list, tuple)) and len(rng) == 2
+            }
+            for f, stats in (raw.items() if isinstance(raw, dict) else ())
+            if isinstance(stats, dict)
+        }
 
     # -- pushdown ----------------------------------------------------------
 
@@ -613,12 +625,13 @@ def _zone_accumulate(batch, acc: dict) -> None:
 
     for name in batch.schema.names:
         t = batch.schema.field(name).type
+        # no is_boolean: _zone_comparable never prunes on bools, so their
+        # stats would be dead weight in every sidecar (review r08)
         if not (
             pa.types.is_integer(t)
             or pa.types.is_floating(t)
             or pa.types.is_string(t)
             or pa.types.is_large_string(t)
-            or pa.types.is_boolean(t)
         ):
             continue
         mm = pc.min_max(batch.column(name))
@@ -629,6 +642,16 @@ def _zone_accumulate(batch, acc: dict) -> None:
         acc[name] = (
             [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
         )
+
+
+def _id_range_from_zones(zones: dict, has_id: bool) -> tuple[int, int, bool]:
+    """(min_id, max_id, has_ids) for the id-cursor check, read off the zone
+    stats already folded over the batches (ids are int64 in every store
+    table, so the zone entry exists whenever any non-null id was seen)."""
+    rng = zones.get("id") if has_id else None
+    if rng and all(isinstance(x, int) and not isinstance(x, bool) for x in rng):
+        return int(rng[0]), int(rng[1]), True
+    return -1, -1, False
 
 
 class EdgyWriter(DataSourceArrowWriter):
@@ -674,13 +697,12 @@ class EdgyWriter(DataSourceArrowWriter):
         import uuid
 
         import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         fname = f"part-{uuid.uuid4().hex}.parquet"
         fpath = os.path.join(self.root, self.staging, fname)
         writer = None
-        n_rows, max_id, min_id, has_ids = 0, -1, -1, False
+        n_rows = 0
         zones: dict = {}
         for batch in iterator:
             if writer is None:
@@ -689,19 +711,13 @@ class EdgyWriter(DataSourceArrowWriter):
             n_rows += batch.num_rows
             if batch.num_rows:
                 _zone_accumulate(batch, zones)
-            if self.has_id and batch.num_rows:
-                col_max = pc.max(batch.column("id")).as_py()
-                col_min = pc.min(batch.column("id")).as_py()
-                if col_max is not None:
-                    max_id = int(col_max) if not has_ids else max(max_id, int(col_max))
-                if col_min is not None:
-                    min_id = int(col_min) if not has_ids else min(min_id, int(col_min))
-                if col_max is not None or col_min is not None:
-                    has_ids = True
         if writer is not None:
             writer.close()
         else:
             return _WriteMessage("", 0, -1, -1)  # empty partition: no file
+        # the id cursor rides the zone stats — one pc.min_max over the id
+        # column instead of three scans of it (review r08)
+        min_id, max_id, has_ids = _id_range_from_zones(zones, self.has_id)
         return _WriteMessage(fname, n_rows, max_id, min_id, has_ids, zones or None)
 
     def _validate_schema(self, manifest: dict, messages) -> str | None:
@@ -851,7 +867,6 @@ class EdgyStreamWriter(DataSourceStreamWriter):
         import uuid
 
         import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -865,14 +880,11 @@ class EdgyStreamWriter(DataSourceStreamWriter):
         for batch in tbl.to_batches():
             if batch.num_rows:
                 _zone_accumulate(batch, zones)
-        if self.has_id:
-            mx = pc.max(tbl.column("id")).as_py()
-            mn = pc.min(tbl.column("id")).as_py()
-            if mx is not None:
-                return _WriteMessage(
-                    fname, tbl.num_rows, int(mx), int(mn), True, zones or None
-                )
-        return _WriteMessage(fname, tbl.num_rows, -1, -1, False, zones or None)
+        # id cursor read off the zone stats — no second scan (review r08)
+        min_id, max_id, has_ids = _id_range_from_zones(zones, self.has_id)
+        return _WriteMessage(
+            fname, tbl.num_rows, max_id, min_id, has_ids, zones or None
+        )
 
     def _cleanup(self, staged: list[str]) -> None:
         for n in staged:

@@ -154,3 +154,27 @@ def test_decode_features_wav_runs_real_decode_in_spark(spark):
         got[2]["sample_rate"], got[2]["channels"], got[2]["n_frames"],
         got[2]["duration_us"], got[2]["peak_amplitude"], got[2]["mean_square"],
     ) == (12000, 2, 6, 500, 30000, 900000000)
+
+
+def test_wav_zero_length_track_scores_silence(spark):
+    """An empty data chunk is valid WAV (review r08): the operator must
+    emit a zero row, not crash the job on one degenerate track."""
+    from edgy_spark.operators.multimodal import decode_features_wav
+
+    empty = encode_wav(8000, 1, [])
+    df = spark.createDataFrame([(1, bytearray(empty))], "doc_id long, media binary")
+    row = decode_features_wav(df).collect()[0]
+    assert (
+        row["n_frames"], row["duration_us"],
+        row["peak_amplitude"], row["mean_square"],
+    ) == (0, 0, 0, 0)
+    assert (row["sample_rate"], row["channels"]) == (8000, 1)
+
+
+def test_wav_decoder_rejects_zero_sample_rate():
+    """A fmt chunk declaring rate=0 must fail in the decoder (review r08),
+    not surface later as ZeroDivisionError in duration math."""
+    good = bytearray(encode_wav(8000, 1, _samples(4, 2)))
+    good[24:28] = struct.pack("<I", 0)  # fmt.sample_rate := 0
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_wav(bytes(good))

@@ -238,3 +238,26 @@ def test_stream_writer_messages_carry_zone_stats(spark, tmp_path):
     msg = w.write(iter([Row(id=7, name="Kim", age=41),
                         Row(id=9, name="Lee", age=39)]))
     assert msg.zones == {"id": [7, 9], "name": ["Kim", "Lee"], "age": [39, 41]}
+
+
+def test_foreign_shaped_sidecar_only_disables_pruning(spark, tmp_path):
+    """Valid JSON of the WRONG shape (a foreign writer's sidecar) must
+    disable pruning, never crash planning (review r08)."""
+    engine = _store(spark, tmp_path)
+    root = engine.store.root
+    _bulk_overwrite(spark, root, ROWS, n_files=3)
+    path = _resolve_table_path(root, "n_Person", None)
+    for payload in ('["f.parquet"]', '{"a.parquet": [1, 2, 3]}',
+                    '{"a.parquet": "zap"}', '{"a.parquet": {"id": 7}}'):
+        with open(os.path.join(path, ZONES_FILE), "w") as f:
+            f.write(payload)
+        r, _ = _reader(spark, root, [LessThan(("id",), 50)])
+        assert len(r.partitions()) == 3, payload  # nothing pruned
+    df = (
+        spark.read.format("edgy")
+        .option("root", root)
+        .option("table", "n_Person")
+        .load()
+        .filter(F.col("id") < 50)
+    )
+    assert df.count() == 50
