@@ -99,18 +99,19 @@ def load_all_registrations() -> None:
     scalar_function_showcase (code unchanged since their green).  A FOURTH
     wave added the real WAV audio decode (multimodal_wav_loudness) and the
     iterative BPE trainer (text_bpe_train_merges), then the context-window
-    chunker (pipeline_context_chunks) and the Gopher rule battery
-    (text_gopher_quality_flags), evicting cube_returnflag_status /
+    chunker (pipeline_context_chunks), the Gopher rule battery
+    (text_gopher_quality_flags), and the hypertable gap-fill rollup
+    (events_gapfill_rollup), evicting cube_returnflag_status /
     rollup_nation_balance / repeat_buyers_intersect /
-    lapsed_buyers_except_all.
+    lapsed_buyers_except_all / priority_union_all.
     Outside the window sit only r07-green
     entries (their modules untouched by r8) and the r06-green relational
     queries whose code is likewise unchanged — no query's last green
     predates r06 except where the diff proves the code identical.
     """
     # module import order only decides what lands AFTER the pinned window
-    # (see the R08 rationale above: 6 relational/TPC-H entries fill the
-    # window tail; the 75 outside — 31 relational r06-greens plus the
+    # (see the R08 rationale above: 5 relational/TPC-H entries fill the
+    # window tail; the 76 outside — 32 relational r06-greens plus the
     # r07-green families — are green on code unchanged since their check)
     import edgy_spark.operators.graph_algos  # noqa: F401
     import edgy_spark.operators.similarity  # noqa: F401
@@ -158,6 +159,7 @@ R08_WINDOW: list[str] = [
     "text_bpe_train_merges",
     "pipeline_context_chunks",
     "text_gopher_quality_flags",
+    "events_gapfill_rollup",
     "pipeline_temperature_mix",
     "text_bm25_topk",
     "graph_kcore_members",
@@ -200,7 +202,6 @@ R08_WINDOW: list[str] = [
     "distinct_customers_per_priority",
     "customers_without_orders",
     "customers_with_urgent_orders",
-    "priority_union_all",
 ]
 
 

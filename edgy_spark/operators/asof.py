@@ -451,3 +451,94 @@ def cogroup_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     return joined.orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# time-bucket gap-fill rollup (the hypertable downsample + LOCF read)
+# ---------------------------------------------------------------------------
+
+GAPFILL_USER_MOD = 10  # roll up every 10th user: output stays compare-sized
+
+
+@register(
+    "events_gapfill_rollup",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_id, date_trunc('hour', ts) AS bucket
+                FROM events WHERE user_id % {GAPFILL_USER_MOD} = 0),
+    hourly AS (SELECT user_id, bucket, COUNT(*) AS n, MAX(event_id) AS max_id
+               FROM ev GROUP BY 1, 2),
+    span AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+             FROM hourly GROUP BY 1),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+             FROM span)
+    SELECT g.user_id,
+           strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+           CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS is_gap,
+           CAST(last_value(h.max_id IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS last_seen_event_id
+    FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+    ORDER BY user_id, bucket
+    """,
+    tags=("events", "timeseries", "gapfill"),
+)
+def events_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable read pattern (TimescaleDB's ``time_bucket_gapfill`` +
+    ``locf``): downsample each user's event stream to hourly buckets, emit
+    a row for EVERY hour in the user's observed span — including silent
+    ones — and carry the last observation forward across the gaps (here
+    the latest ``event_id``; `is_gap` flags synthesized rows).  Gap-aware
+    rollups are what dashboards, SLO monitors, and feature pipelines read:
+    a missing hour must surface as zero, not vanish.
+
+    Spark has no gapfill built-in; the composition is (1) one map-side-
+    combinable hourly count, (2) the per-user dense hour grid from
+    ``sequence(min, max, interval 1 hour)`` — bounded by span/bucket, so a
+    year of retention is ≤8.8k rows per user regardless of event volume —
+    (3) a LEFT join of grid to counts, (4) LOCF as ``last(ignorenulls)``
+    over the user partition.  Everything shuffles on user_id(+bucket):
+    three user-keyed exchanges, no driver loop, no UDF.  The first grid
+    row always holds an event (the span starts at an observed bucket), so
+    the carried value is never null.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id") % GAPFILL_USER_MOD == 0
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.col("n").isNull().cast("int").alias("is_gap"),
+            F.last("max_id", ignorenulls=True).over(w).alias(
+                "last_seen_event_id"
+            ),
+        )
+        .orderBy("user_id", "bucket")
+    )
