@@ -253,3 +253,45 @@ def test_bpe_candidates_partial_agg_and_topk(spark):
     plan = _plan(spark, "text_bpe_merge_candidates")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_context_chunks_has_no_data_shuffle(spark):
+    """Chunking is fully in-row: the only Exchange in the plan is the
+    presentation orderBy's range partitioning — no hash shuffle, no join."""
+    plan = _plan(spark, "pipeline_context_chunks")
+    assert "Join" not in plan
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert all(k == "rangepartitioning" for k in exchanges), exchanges
+
+
+def test_gopher_flags_single_pass_no_shuffle(spark):
+    """The Gopher battery is one scan of per-row built-ins: no Join, no
+    aggregate Exchange — only the presentation sort moves data."""
+    plan = _plan(spark, "text_gopher_quality_flags")
+    assert "Join" not in plan
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert all(k == "rangepartitioning" for k in exchanges), exchanges
+
+
+def test_gapfill_hourly_count_combines_map_side(spark):
+    """The hourly rollup must partial-aggregate before its exchange, and
+    the grid-to-counts join must stay a shuffle join on the user key (a
+    broadcast would materialize the whole hourly table per executor at
+    100 TB)."""
+    plan = _plan(spark, "events_gapfill_rollup")
+    assert "partial_count" in plan
+    assert "Window" in plan  # the LOCF carry-forward
+
+
+def test_wav_loudness_exchanges_only_small_ints(spark):
+    """Media never shuffles: the decode emits seven small ints per doc, so
+    the only exchange in the plan carries no binary column."""
+    plan = _plan(spark, "multimodal_wav_loudness")
+    import re as _re
+
+    for m in _re.finditer(r"Exchange [^\n]*", plan):
+        assert "media" not in m.group(0), m.group(0)
