@@ -280,6 +280,8 @@ class EdgyReader(DataSourceReader):
         z = self._zones.get(fname)
         if not z:
             return False
+        if z.get("__rows__") == [0, 0]:  # recorded-empty file: no rows under
+            return True                  # any predicate (or none)
         for f in self._pushed:
             rng = z.get(f.attribute[0])
             if not rng:
@@ -642,6 +644,70 @@ def _zone_accumulate(batch, acc: dict) -> None:
         acc[name] = (
             [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
         )
+
+
+def write_zones_from_footers(dir_path: str) -> dict:
+    """Derive the ZONES_FILE sidecar for a parquet directory from the files'
+    FOOTERS (metadata pages only — no data read) and write it.  For writer
+    paths where the rows stream through Spark's own parquet writer (engine
+    commits, compaction) rather than our Arrow tasks: one footer read per
+    file at write/commit time buys planning-time file skipping for every
+    later read.  Columns whose stats are absent or not JSON-safe are
+    skipped (the reader then simply never prunes on them); unreadable files
+    contribute no entry rather than failing the commit."""
+    import pyarrow.parquet as pq
+
+    zones: dict = {}
+    for n in sorted(os.listdir(dir_path)):
+        if not (n.endswith(".parquet") or n.startswith("part-")):
+            continue
+        try:
+            md = pq.ParquetFile(os.path.join(dir_path, n)).metadata
+        except Exception:
+            continue
+        if md.num_rows == 0:
+            # Spark writers emit empty part files for empty partitions; an
+            # explicit marker (shaped to survive the reader's sanitizer)
+            # lets the planner skip them under ANY predicate
+            zones[n] = {"__rows__": [0, 0]}
+            continue
+        acc: dict = {}
+        dead: set = set()  # columns with ANY statless/unsafe row group:
+        # their file bounds are unknowable, so they must stay excluded even
+        # if a later row group has stats
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in dead:  # nested / known-unknowable
+                    continue
+                st = col.statistics
+                lo, hi = (
+                    (st.min, st.max)
+                    if st is not None and st.has_min_max
+                    else (None, None)
+                )
+                if not all(
+                    isinstance(x, (int, float, str))
+                    and not isinstance(x, bool)
+                    for x in (lo, hi)
+                ):
+                    dead.add(name)
+                    acc.pop(name, None)
+                    continue
+                cur = acc.get(name)
+                acc[name] = (
+                    [lo, hi]
+                    if cur is None
+                    else [min(cur[0], lo), max(cur[1], hi)]
+                )
+        if acc:
+            zones[n] = acc
+    if zones:
+        with open(os.path.join(dir_path, ZONES_FILE), "w") as f:
+            json.dump(zones, f)
+    return zones
 
 
 def _id_range_from_zones(zones: dict, has_id: bool) -> tuple[int, int, bool]:

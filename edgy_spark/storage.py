@@ -397,6 +397,12 @@ class GraphStore:
             else:
                 df.write.mode("overwrite").parquet(os.path.join(self.root, relpath))
                 bucketed.pop(key, None)
+            # zone-map sidecar from the just-written footers (metadata-only
+            # reads): engine commits and compaction keep the planning-time
+            # file skipping that bulk loads get from their Arrow tasks
+            from edgy_spark.sources.pysource import write_zones_from_footers
+
+            write_zones_from_footers(os.path.join(self.root, relpath))
             tables[key] = relpath
             written_paths.append(relpath)
         # -- secondary indexes: rebuilt INSIDE the same commit as their node

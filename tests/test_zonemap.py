@@ -203,19 +203,38 @@ def test_missing_sidecar_only_disables_pruning(spark, tmp_path):
     assert df.count() == 50  # ...and nothing wrong
 
 
-def test_engine_written_tables_have_no_zones_and_still_read(spark, tmp_path):
-    """Tables written by the Engine's own commit path (no stats collector)
-    must read unchanged — pruning is an opt-in acceleration, not a
-    dependency of correctness."""
+def test_engine_commits_write_footer_derived_zones(spark, tmp_path):
+    """Tables written by the Engine's own commit path get a sidecar too —
+    derived from the parquet footers at commit time (metadata-only reads),
+    so point commits and compaction keep the file skipping bulk loads get
+    from their Arrow tasks.  Values read correctly through it, and an
+    impossible id prunes every file."""
     engine = _store(spark, tmp_path)
+    root = engine.store.root
+    path = _resolve_table_path(root, "n_Person", None)
+    with open(os.path.join(path, ZONES_FILE)) as f:
+        zones = json.load(f)
+    data_entries = {
+        f: s for f, s in zones.items() if s.get("__rows__") != [0, 0]
+    }
+    assert data_entries and all("id" in s for s in data_entries.values())
+    # binary/timestamp-ish columns are absent, never wrong: every recorded
+    # bound is a JSON-safe scalar; empty part files carry the __rows__
+    # marker so the planner can skip them under any predicate
+    for stats in data_entries.values():
+        for lo, hi in stats.values():
+            assert isinstance(lo, (int, float, str))
+            assert isinstance(hi, (int, float, str))
     df = (
         spark.read.format("edgy")
-        .option("root", engine.store.root)
+        .option("root", root)
         .option("table", "n_Person")
         .load()
         .filter(F.col("age") > 0)
     )
     assert {r["name"] for r in df.collect()} == {"Bob", "Jane", "Jose"}
+    r, sentinel = _reader(spark, root, [GreaterThan(("id",), 10_000_000)])
+    assert [p.path for p in r.partitions()] == [sentinel]
 
 
 def test_stream_writer_messages_carry_zone_stats(spark, tmp_path):
