@@ -100,18 +100,20 @@ def load_all_registrations() -> None:
     wave added the real WAV audio decode (multimodal_wav_loudness) and the
     iterative BPE trainer (text_bpe_train_merges), then the context-window
     chunker (pipeline_context_chunks), the Gopher rule battery
-    (text_gopher_quality_flags), and the hypertable gap-fill rollup
-    (events_gapfill_rollup), evicting cube_returnflag_status /
+    (text_gopher_quality_flags), the hypertable gap-fill rollup
+    (events_gapfill_rollup), and DSIR importance weights
+    (pipeline_dsir_importance_weights), evicting cube_returnflag_status /
     rollup_nation_balance / repeat_buyers_intersect /
-    lapsed_buyers_except_all / priority_union_all.
+    lapsed_buyers_except_all / priority_union_all /
+    top_orders_per_customer.
     Outside the window sit only r07-green
     entries (their modules untouched by r8) and the r06-green relational
     queries whose code is likewise unchanged — no query's last green
     predates r06 except where the diff proves the code identical.
     """
     # module import order only decides what lands AFTER the pinned window
-    # (see the R08 rationale above: 5 relational/TPC-H entries fill the
-    # window tail; the 76 outside — 32 relational r06-greens plus the
+    # (see the R08 rationale above: 4 relational/TPC-H entries fill the
+    # window tail; the 77 outside — 33 relational r06-greens plus the
     # r07-green families — are green on code unchanged since their check)
     import edgy_spark.operators.graph_algos  # noqa: F401
     import edgy_spark.operators.similarity  # noqa: F401
@@ -160,6 +162,7 @@ R08_WINDOW: list[str] = [
     "pipeline_context_chunks",
     "text_gopher_quality_flags",
     "events_gapfill_rollup",
+    "pipeline_dsir_importance_weights",
     "pipeline_temperature_mix",
     "text_bm25_topk",
     "graph_kcore_members",
@@ -197,7 +200,6 @@ R08_WINDOW: list[str] = [
     "q6_forecast_revenue",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "top_orders_per_customer",
     "customer_order_running_total",
     "distinct_customers_per_priority",
     "customers_without_orders",

@@ -833,3 +833,112 @@ def pipeline_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (data selection with importance resampling)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"  # the fixture's stand-in for a target domain
+DSIR_MICRO = 1_000_000
+
+
+@register(
+    "pipeline_dsir_importance_weights",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, lang,
+                      unnest(regexp_extract_all(lower(text),
+                             '{BPE_TOKEN_RE}')) AS tok
+               FROM documents),
+    per AS (SELECT doc_id, lang, tok, COUNT(*) AS c FROM t GROUP BY 1, 2, 3),
+    vocab AS (SELECT tok, SUM(c) AS cnt_c,
+                     SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                              THEN c ELSE 0 END) AS cnt_t
+              FROM per GROUP BY tok),
+    tot AS (SELECT SUM(cnt_c) AS total_c, SUM(cnt_t) AS total_t FROM vocab)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(c AS HUGEINT) *
+                    (CAST(cnt_t AS HUGEINT) * total_c * {DSIR_MICRO}
+                     // (CAST(cnt_c AS HUGEINT) * total_t)))
+                AS BIGINT) AS dsir_score_micro
+    FROM per JOIN vocab USING (tok), tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("pipeline", "sampling", "dsir"),
+)
+def pipeline_dsir_importance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Importance weights for target-domain data selection — the DSIR
+    recipe ("Data Selection for Language Models via Importance Resampling",
+    Xie et al. 2023) with the fixture's 'en' documents standing in for
+    the target domain: each document scores by how much more likely its
+    tokens are under the target's unigram distribution than the corpus's.
+    Sampling proportionally to the weight then shifts a generic 100 TB
+    crawl toward the target domain; this operator produces the weight
+    column that `pipeline_stratified_sample`'s deterministic sampler (or a
+    plain threshold) consumes.
+
+    The score is the ratio-sum analogue of DSIR's log-likelihood ratio in
+    EXACT integer micro-units: per token,
+    ``w = cnt_target * total_corpus * 1e6 div (cnt_corpus * target_total)``
+    (floor division, products in DECIMAL/HUGEINT so no engine overflows at
+    any corpus size), summed over the document's token stream with
+    multiplicity — order-independent integer addition, bit-identical
+    across engines and partitionings, where a float log-prob sum would
+    drift in the last ulp.
+
+    Scale: the same two-pass corpus-statistics shape as
+    ``text_token_rarity_scores`` — per-(doc, token) counts (map-side
+    combinable), token-partition windows for the corpus/target frequencies
+    (count-sized partitions, no vocabulary self-join), a broadcast one-row
+    total, and a final doc-keyed aggregation.  Text never leaves the scan;
+    every shuffled value is an integer count.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(BPE_TOKEN_RE), F.lit(0)
+                )
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_tok = Window.partitionBy("tok")
+    c_t = F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(
+        F.lit(0)
+    )
+    with_freq = per.withColumn("cnt_c", F.sum("c").over(w_tok)).withColumn(
+        "cnt_t", F.sum(c_t).over(w_tok)
+    )
+    tot = per.agg(
+        F.sum("c").alias("total_c"), F.sum(c_t).alias("total_t")
+    )
+    w_micro = F.expr(
+        f"CAST(cnt_t AS DECIMAL(20,0)) * total_c * {DSIR_MICRO}"
+        f" div (CAST(cnt_c AS DECIMAL(20,0)) * total_t)"
+    )
+    return (
+        with_freq.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "c",
+            w_micro.alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c").cast("decimal(20,0)") * F.col("w"))
+            .cast("long")
+            .alias("dsir_score_micro"),
+        )
+        .orderBy("doc_id")
+    )
