@@ -896,8 +896,6 @@ def pipeline_dsir_importance_weights(
     total, and a final doc-keyed aggregation.  Text never leaves the scan;
     every shuffled value is an integer count.
     """
-    from pyspark.sql import Window
-
     d = load(spark, sf_dir, "documents")
     per = (
         d.select(
@@ -922,9 +920,15 @@ def pipeline_dsir_importance_weights(
     tot = per.agg(
         F.sum("c").alias("total_c"), F.sum(c_t).alias("total_t")
     )
+    # total_t = 0 (no target-language documents at all) must fail LOUDLY:
+    # silent div-by-NULL would hand a resampler an all-NULL weight column
+    # (and diverge from the oracle, which errors on division by zero)
     w_micro = F.expr(
-        f"CAST(cnt_t AS DECIMAL(20,0)) * total_c * {DSIR_MICRO}"
-        f" div (CAST(cnt_c AS DECIMAL(20,0)) * total_t)"
+        f"CASE WHEN total_t = 0 THEN raise_error("
+        f"'pipeline_dsir_importance_weights: corpus has no "
+        f"{DSIR_TARGET_LANG} documents - importance weights undefined')"
+        f" ELSE CAST(cnt_t AS DECIMAL(20,0)) * total_c * {DSIR_MICRO}"
+        f" div (CAST(cnt_c AS DECIMAL(20,0)) * total_t) END"
     )
     return (
         with_freq.crossJoin(F.broadcast(tot))

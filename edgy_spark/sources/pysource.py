@@ -626,6 +626,11 @@ def _zone_accumulate(batch, acc: dict) -> None:
     import pyarrow.compute as pc
 
     for name in batch.schema.names:
+        if name == "__rows__":
+            # reserved for the empty-file marker: never record a real
+            # column under it, or a genuinely-zero-valued column could make
+            # the reader treat a non-empty file as empty (review r08)
+            continue
         t = batch.schema.field(name).type
         # no is_boolean: _zone_comparable never prunes on bools, so their
         # stats would be dead weight in every sidecar (review r08)
@@ -680,7 +685,8 @@ def write_zones_from_footers(dir_path: str) -> dict:
             for ci in range(row_group.num_columns):
                 col = row_group.column(ci)
                 name = col.path_in_schema
-                if "." in name or name in dead:  # nested / known-unknowable
+                # nested / known-unknowable / reserved marker name
+                if "." in name or name in dead or name == "__rows__":
                     continue
                 st = col.statistics
                 lo, hi = (

@@ -255,15 +255,21 @@ def test_bpe_candidates_partial_agg_and_topk(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def _partitioning_kinds(plan: str) -> list[str]:
+    """Exchange partitioning kinds from a FORMATTED plan: the tree shows
+    only 'Exchange (N)'; the kind lives in the detail section's
+    'Arguments: hashpartitioning(...)' line (review r08 — a regex over the
+    tree line matches nothing and asserts vacuously)."""
+    return re.findall(r"Arguments: (\w+partitioning)", plan)
+
+
 def test_context_chunks_has_no_data_shuffle(spark):
     """Chunking is fully in-row: the only Exchange in the plan is the
     presentation orderBy's range partitioning — no hash shuffle, no join."""
     plan = _plan(spark, "pipeline_context_chunks")
     assert "Join" not in plan
-    import re as _re
-
-    exchanges = _re.findall(r"Exchange (\w+)", plan)
-    assert all(k == "rangepartitioning" for k in exchanges), exchanges
+    kinds = _partitioning_kinds(plan)
+    assert kinds and all(k == "rangepartitioning" for k in kinds), kinds
 
 
 def test_gopher_flags_single_pass_no_shuffle(spark):
@@ -271,17 +277,15 @@ def test_gopher_flags_single_pass_no_shuffle(spark):
     aggregate Exchange — only the presentation sort moves data."""
     plan = _plan(spark, "text_gopher_quality_flags")
     assert "Join" not in plan
-    import re as _re
-
-    exchanges = _re.findall(r"Exchange (\w+)", plan)
-    assert all(k == "rangepartitioning" for k in exchanges), exchanges
+    kinds = _partitioning_kinds(plan)
+    assert kinds and all(k == "rangepartitioning" for k in kinds), kinds
 
 
 def test_gapfill_hourly_count_combines_map_side(spark):
-    """The hourly rollup must partial-aggregate before its exchange, and
-    the grid-to-counts join must stay a shuffle join on the user key (a
-    broadcast would materialize the whole hourly table per executor at
-    100 TB)."""
+    """The hourly rollup must partial-aggregate before its exchange, with
+    the LOCF window present.  (The grid-to-counts join strategy is left to
+    Catalyst/AQE: at smoke scale the hourly side broadcasts; at cluster
+    scale the statistics flip it to a shuffle join on the user key.)"""
     plan = _plan(spark, "events_gapfill_rollup")
     assert "partial_count" in plan
     assert "Window" in plan  # the LOCF carry-forward
@@ -289,9 +293,13 @@ def test_gapfill_hourly_count_combines_map_side(spark):
 
 def test_wav_loudness_exchanges_only_small_ints(spark):
     """Media never shuffles: the decode emits seven small ints per doc, so
-    the only exchange in the plan carries no binary column."""
+    no Exchange node's input columns include the binary media column (read
+    from the detail section's 'Input [...]' list — the tree line carries
+    only a node id)."""
     plan = _plan(spark, "multimodal_wav_loudness")
-    import re as _re
-
-    for m in _re.finditer(r"Exchange [^\n]*", plan):
-        assert "media" not in m.group(0), m.group(0)
+    blocks = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert blocks, "no Exchange detail blocks found"
+    for cols in blocks:
+        assert "media" not in cols, cols

@@ -506,3 +506,22 @@ def test_hits_scores_are_positive_and_sum_normalized(spark):
         ).collect()[0]
         assert agg.lo > 0
         assert HITS_SCALE - agg.n < agg.s <= HITS_SCALE
+
+
+def test_dsir_fails_loudly_without_target_documents(spark, tmp_path):
+    """No target-language documents -> the weight is undefined; the
+    operator must raise, not hand a resampler an all-NULL column."""
+    import pytest
+
+    from edgy_spark.operators.pipeline import (
+        pipeline_dsir_importance_weights,
+    )
+
+    spark.createDataFrame(
+        [(1, "fr", "bonjour le monde"), (2, "de", "hallo welt")],
+        "doc_id long, lang string, text string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    # pyspark surfaces raise_error as SparkRuntimeException; match the
+    # message rather than pin the (version-dependent) wrapper class
+    with pytest.raises(Exception, match="importance weights undefined"):
+        pipeline_dsir_importance_weights(spark, str(tmp_path)).collect()
