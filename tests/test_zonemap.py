@@ -280,3 +280,38 @@ def test_foreign_shaped_sidecar_only_disables_pruning(spark, tmp_path):
         .filter(F.col("id") < 50)
     )
     assert df.count() == 50
+
+
+def test_compaction_regenerates_zone_sidecar(spark, tmp_path):
+    """OPTIMIZE must not destroy the pruning metadata a load created: the
+    compacted version's directory carries a fresh footer-derived sidecar
+    and an impossible-id read still prunes to the no-op sentinel."""
+    engine = _store(spark, tmp_path)
+    root = engine.store.root
+    # fragment the table so compact() rewrites it
+    for i in range(3):
+        rows = [(1000 + i * 10 + j, f"x{i}_{j}", 30) for j in range(4)]
+        (
+            spark.createDataFrame(rows, "id long, name string, age long")
+            .repartition(4)
+            .write.format("edgy")
+            .option("root", root)
+            .option("table", "n_Person")
+            .mode("append")
+            .save()
+        )
+    snap = engine.store.compact(min_files=2)
+    assert snap is not None, "compaction did not trigger"
+    path = _resolve_table_path(root, "n_Person", None)
+    with open(os.path.join(path, ZONES_FILE)) as f:
+        zones = json.load(f)
+    assert zones
+    r, sentinel = _reader(spark, root, [GreaterThan(("id",), 10_000_000)])
+    assert [p.path for p in r.partitions()] == [sentinel]
+    df = (
+        spark.read.format("edgy")
+        .option("root", root)
+        .option("table", "n_Person")
+        .load()
+    )
+    assert df.count() == 15  # 3 big_bang + 12 appended, none lost
