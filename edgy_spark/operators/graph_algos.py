@@ -112,52 +112,74 @@ def undirect(edges: DataFrame) -> DataFrame:
 
 # Partitioning for iteration state (r08: derived from the data, not a
 # constant — the old ITER_PARTITIONS = 8 hard-code would funnel a
-# billion-vertex state through 8 tasks every round at 100x scale).
-# Width = max(floor, ceil(rows / target-rows-per-partition)), resolved ONCE
-# per materialized dataset (counting the just-checkpointed RDD is a
-# scheduler-overhead-only job), overridable per call (iter_partitions=) or
-# per session (spark.edgy.fixpoint.partitions).  The floor preserves the
-# pre-r08 width at fixture scale: the derived co-purchase graphs are orders
-# of magnitude smaller than their source fact tables, and mostly-empty
-# tasks per round cost more stage latency than they save.
+# billion-vertex state through 8 tasks every round at 100x scale; r09:
+# widen only when the ROW COUNT demands it).  The resolved width is
+# ceil(rows / target-rows-per-partition) as a lower bound, but AQE has
+# already right-sized the checkpointed shuffle by BYTES, so the natural
+# width is authoritative whenever it meets that bound — r08's floor of 8
+# force-widened AQE's 2-partition fixture state via a LAZY repartition
+# that re-executed its shuffle inside every round's job (+36% on the
+# sf0.1 CC bench, r08 verdict).  The floor now only CAPS mostly-empty
+# tiny states when narrowing a too-wide (non-AQE) materialization.
+# Overridable per call (iter_partitions=) or per session
+# (spark.edgy.fixpoint.partitions).
 ITER_MIN_PARTITIONS = 8
 ITER_TARGET_ROWS = 2_000_000
 ITER_PARTITIONS_CONF = "spark.edgy.fixpoint.partitions"
 
 
-def _materialize(df: DataFrame, iter_partitions: int | None = None) -> tuple[DataFrame, int]:
-    """Checkpoint ``df`` at its natural width, then coalesce (narrow, no
-    shuffle) to the resolved iteration width.  Returns (state, width) so
-    per-round re-checkpoints reuse the width without re-counting.
+def _num_partitions(df: DataFrame) -> int:
+    """Partition count of a materialized DataFrame via the JVM Dataset's
+    own RDD — ``df.rdd`` builds the Python-serializer conversion pipeline
+    (~50ms of py4j on first touch); the JVM twin answers instantly."""
+    return df._jdf.rdd().getNumPartitions()
 
-    When the width must be derived, the row count rides the checkpoint's
-    OWN materialization job as an ``observe`` metric — the r08 ``ck.count()``
-    here was one extra (cheap but latency-visible) job per materialized
-    dataset, two per graph algorithm, a measured +0.9s on the sf0.1
-    connected-components bench."""
-    obs = None
+
+def _materialize(df: DataFrame, iter_partitions: int | None = None) -> tuple[DataFrame, int]:
+    """Materialize ``df`` as iteration state and resolve its width.
+    Returns (state, width) so per-round re-checkpoints reuse the width
+    without re-counting.
+
+    Explicit width (argument or session conf): coalesce BEFORE the one
+    checkpoint (narrow, no shuffle); if the plan's natural width is below
+    the demanded width (coalesce cannot widen — e.g. a
+    collected-then-parallelized frontier), spread it with ONE materialized
+    shuffle so no round re-executes it.
+
+    Derived width: the row count rides the checkpoint's OWN
+    materialization job as an ``observe`` metric (zero extra jobs), then
+    the policy above picks the width.  Every widening is materialized
+    eagerly — handing rounds a lazy ``repartition`` re-runs that shuffle
+    per round (the r08 regression); narrowing stays a lazy ``coalesce``
+    (narrow dependency over in-memory checkpoint blocks, and at scale the
+    byte-sized natural width is within a small factor of the row-derived
+    bound, so re-checkpointing there would double state storage for
+    nothing)."""
     if iter_partitions is None:
         conf = df.sparkSession.conf.get(ITER_PARTITIONS_CONF, "")
         if conf:
             iter_partitions = int(conf)
-        else:
-            from pyspark.sql import Observation
+    if iter_partitions is not None:
+        ck = df.coalesce(iter_partitions).localCheckpoint(eager=True)
+        if _num_partitions(ck) < iter_partitions:
+            ck = ck.repartition(iter_partitions).localCheckpoint(eager=True)
+        return ck, iter_partitions
+    from pyspark.sql import Observation
 
-            obs = Observation()
-            df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
-    ck = df.localCheckpoint(eager=True)
-    if obs is not None:
-        n = _observed_long(obs, "n_rows", ck.count)
-        iter_partitions = max(
-            ITER_MIN_PARTITIONS, -(-n // ITER_TARGET_ROWS)
-        )
-    if ck.rdd.getNumPartitions() < iter_partitions:
-        # coalesce never WIDENS: a seed materialized narrower than the
-        # resolved width (e.g. a collected-then-parallelized frontier)
-        # must be spread or every subsequent broadcast-join round inherits
-        # the funnel.  One shuffle of narrow rows, once per run.
-        return ck.repartition(iter_partitions), iter_partitions
-    return ck.coalesce(iter_partitions), iter_partitions
+    obs = Observation()
+    ck = df.observe(obs, F.count(F.lit(1)).alias("n_rows")).localCheckpoint(
+        eager=True
+    )
+    n = _observed_long(obs, "n_rows", ck.count)
+    need = max(1, -(-n // ITER_TARGET_ROWS))
+    natural = _num_partitions(ck)
+    if natural < need:
+        ck = ck.repartition(need).localCheckpoint(eager=True)
+        return ck, need
+    width = max(need, min(natural, ITER_MIN_PARTITIONS))
+    if natural > width:
+        return ck.coalesce(width), width
+    return ck, width
 
 
 def _checkpoint(df: DataFrame, parts: int = ITER_MIN_PARTITIONS) -> DataFrame:
