@@ -247,25 +247,65 @@ KM_ROUNDS = 2   # Lloyd refinement rounds (unrolled in the oracle SQL too)
 FP_BITS = 20    # fixed-point quantum for the integer-stable centroid mean
 _FPQ = 1 << FP_BITS
 
+# r09: Lloyd trains on a deterministic 1/TRAIN_SAMPLE_MOD hash-sample of the
+# corpus — the standard 100 TB recipe (a coarse quantizer needs a few dozen
+# examples per centroid, not every vector; FAISS trains on a sample and
+# assigns the rest).  Membership is a pure function of vec_id via the
+# engine-portable md5 hash, so the oracle draws the IDENTICAL sample; the
+# salt decouples this draw from every other hash-sampler in the repo.
+# Below TRAIN_MIN_ROWS sampled rows (~30 per centroid) sampling would
+# starve the cells — both engines then fall back to full-corpus training
+# via the same count predicate, so tiny fixtures keep r08-identical
+# centroids while any corpus of real size trains on the sample.
+TRAIN_SAMPLE_MOD = 4
+TRAIN_SALT = "|ivftrain"
+TRAIN_MIN_ROWS = 30 * K_CELLS
 
-def _nearest_cell(cents: list[tuple[int, list[float]]]) -> "F.Column":
-    """In-row argmax cell over literal centroids: one struct (cos, -cell) per
-    centroid, array_max picks (max cos, tie -> smallest cell) — identical
-    selection to the oracle's ROW_NUMBER(ORDER BY cos DESC, cell).
 
-    Zero extra rows and zero joins: assignment is a pure map, so each Lloyd
-    round costs one corpus scan plus one map-side-combined groupBy(cell)
-    shuffle of k x DIM longs.  At production k (~sqrt(N)) the literals would
-    be swapped for a broadcast join without changing the query shape.
-    """
-    structs = []
-    for cell, cemb in cents:
-        arr = F.array(*[F.lit(c) for c in cemb])
-        cs = cosine_similarity(F.col("embedding"), arr)
-        structs.append(
-            F.struct(cs.alias("cs"), F.lit(-cell).cast("long").alias("nc"))
+def _train_sample(e: DataFrame) -> DataFrame:
+    """The deterministic Lloyd training sample (see TRAIN_SAMPLE_MOD),
+    with the full corpus as the small-fixture fallback."""
+    in_sample = (
+        F.pmod(
+            h60(F.concat(F.col("vec_id").cast("string"), F.lit(TRAIN_SALT))),
+            F.lit(TRAIN_SAMPLE_MOD),
         )
-    return (-F.array_max(F.array(*structs)).getField("nc")).cast("long")
+        == 0
+    )
+    sampled = e.filter(in_sample)
+    # one metadata-cheap count decides the branch; a pure function of the
+    # data, mirrored by the oracle's COUNT(*) subquery
+    return sampled if sampled.count() >= TRAIN_MIN_ROWS else e
+
+
+def _train_sample_sql() -> str:
+    keyed = f"vec_id::VARCHAR || '{TRAIN_SALT}'"
+    member = f"{h60_sql(keyed)} % {TRAIN_SAMPLE_MOD} = 0"
+    return (
+        f"SELECT * FROM embeddings WHERE "
+        f"(SELECT COUNT(*) FROM embeddings WHERE {member}) < {TRAIN_MIN_ROWS} "
+        f"OR {member}"
+    )
+
+
+def _round_centroids(
+    spark: SparkSession, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """One Lloyd round's centroids as a broadcastable (cell, cemb) table.
+
+    r09: assignment joins this instead of folding the centroids into a
+    literal expression tree — the r08 in-row argmax built 16 x DIM-term
+    Catalyst trees whose analysis + codegen cost ~2.4s PER ROUND at any
+    data size (planning, not execution, dominated the ivfpq bench).  The
+    broadcast join evaluates the one cosine expression per (vector,
+    centroid) row — the same selection, a constant-size plan, and the
+    exact shape `_assign_cells` already uses for the full corpus.
+    """
+    return F.broadcast(
+        spark.createDataFrame(
+            [(c, emb) for c, emb in cents], schema="cell bigint, cemb array<double>"
+        )
+    )
 
 
 def train_ivf_centroids(
@@ -274,12 +314,18 @@ def train_ivf_centroids(
     k: int = K_CELLS,
     rounds: int = KM_ROUNDS,
 ) -> list[tuple[int, list[float]]]:
-    """Fixed-seed Lloyd k-means over ``embeddings``, pure DataFrame-side.
+    """Fixed-seed Lloyd k-means over a deterministic hash-sample of
+    ``embeddings``, pure DataFrame-side.
 
     Init = the first ``k`` vectors by vec_id (deterministic seed); each round
-    reassigns every vector to its max-cosine cell (in-row argmax over literal
-    centroids — no join) and recomputes cell means.  Only the k tiny centroid
-    rows are collected per round; the corpus never leaves the executors.
+    reassigns every SAMPLED vector (1/TRAIN_SAMPLE_MOD of the corpus — the
+    r09 change: training a coarse quantizer needs a sample, not the corpus,
+    and the full-corpus scan per Lloyd round was the single most expensive
+    term in the r08 bench) to its max-cosine cell (in-row argmax over
+    literal centroids — no join) and recomputes cell means.  Only the k tiny
+    centroid rows are collected per round; the corpus never leaves the
+    executors, and the full corpus is still assigned to the trained cells
+    exactly once by the caller's search.
 
     The mean is integer-stable: elements are quantized to round(v * 2^20) as
     BIGINT (dyadic scaling of a double is exact, and round-half-away on
@@ -302,8 +348,23 @@ def train_ivf_centroids(
         .collect()
     ]
     dim = len(cents[0][1])
+    et = _train_sample(e)
     for _ in range(rounds):
-        asg = e.select("vec_id", "embedding", _nearest_cell(cents).alias("cell"))
+        cs = cosine_similarity(F.col("embedding"), F.col("cemb"))
+        # argmax(cos, tie -> smallest cell) via struct-ordered max_by:
+        # identical selection to the oracle's ROW_NUMBER(ORDER BY cos
+        # DESC, cell); first("embedding") is deterministic (every row in
+        # a vec_id group carries the same vector)
+        asg = (
+            et.crossJoin(_round_centroids(spark, cents))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cell", F.struct(cs.alias("cs"), (-F.col("cell")).alias("nc"))
+                ).alias("cell"),
+                F.first("embedding").alias("embedding"),
+            )
+        )
         aggs = [F.count(F.lit(1)).alias("n")] + [
             F.sum(
                 F.round(F.col("embedding")[i].cast("double") * _FPQ, 0).cast("long")
@@ -323,21 +384,26 @@ def train_ivf_centroids(
 
 def _km_ctes() -> str:
     """Oracle CTE chain mirroring train_ivf_centroids round-for-round:
-    cent_0 = first-K seed; asg_r = argmax-cosine assignment vs cent_r;
-    cent_{r+1} = per-cell elementwise mean via the same fixed-point
-    (round(v * 2^20) BIGINT) sums, so every round's centroids are
-    bit-identical to the Spark side."""
+    ivftrain = the deterministic hash-sample Lloyd trains on (r09);
+    cent_0 = first-K seed; asg_r = argmax-cosine assignment of the SAMPLE
+    vs cent_r for the training rounds, of the FULL corpus for the final
+    round the search consumes; cent_{r+1} = per-cell elementwise mean via
+    the same fixed-point (round(v * 2^20) BIGINT) sums, so every round's
+    centroids are bit-identical to the Spark side."""
     ctes = [
+        f"""ivftrain AS (
+      {_train_sample_sql()})""",
         f"""cent_0 AS (
-      SELECT vec_id AS cell, embedding AS cemb FROM embeddings WHERE vec_id < {K_CELLS})"""
+      SELECT vec_id AS cell, embedding AS cemb FROM embeddings WHERE vec_id < {K_CELLS})""",
     ]
     for r in range(KM_ROUNDS + 1):
+        src = "embeddings" if r == KM_ROUNDS else "ivftrain"
         ctes.append(f"""asg_{r} AS (
       SELECT vec_id, cell FROM (
         SELECT e.vec_id, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_cos2('e.embedding', 'c.cemb')} DESC, c.cell) AS rn
-        FROM embeddings e CROSS JOIN cent_{r} c) WHERE rn = 1)""")
+        FROM {src} e CROSS JOIN cent_{r} c) WHERE rn = 1)""")
         if r == KM_ROUNDS:
             break
         ctes.append(f"""cent_{r + 1} AS (
@@ -345,7 +411,7 @@ def _km_ctes() -> str:
         SELECT a.cell, i.pos,
                (CAST(SUM(CAST(ROUND(CAST(e.embedding[i.pos] AS DOUBLE) * {_FPQ}, 0) AS BIGINT)) AS DOUBLE)
                 / {float(_FPQ)}) / COUNT(*) AS m
-        FROM asg_{r} a JOIN embeddings e USING (vec_id)
+        FROM asg_{r} a JOIN ivftrain e USING (vec_id)
         CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS pos) i
         GROUP BY a.cell, i.pos)
       GROUP BY cell)""")
@@ -388,9 +454,9 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the k-means rounds into the oracle SQL (possible because the
     fixed-point centroid means are bit-identical across engines).
 
-    Scale: training is rounds x (corpus map + one k x DIM-long shuffle);
-    search probes N_PROBE/k of the corpus.  Recall vs brute force is pinned
-    in tests/test_similarity.py.
+    Scale: training is rounds x (1/TRAIN_SAMPLE_MOD sample map + one
+    k x DIM-long shuffle); search probes N_PROBE/k of the corpus.  Recall
+    vs brute force is pinned in tests/test_similarity.py.
     """
     e = load(spark, sf_dir, "embeddings")
     cents = train_ivf_centroids(spark, sf_dir)

@@ -159,3 +159,28 @@ def test_trained_centroids_deterministic(spark):
     a = train_ivf_centroids(spark, SF_SMOKE)
     b = train_ivf_centroids(spark, SF_SMOKE)
     assert a == b
+
+
+def test_train_sample_floor(spark):
+    """VERDICT r09: Lloyd trains on a deterministic hash-sample, but only
+    when the sample keeps ~30 rows per centroid — below the floor the full
+    corpus is used (tiny fixtures must not starve cells and lose recall)."""
+    from edgy_spark.operators.similarity import (
+        TRAIN_MIN_ROWS,
+        TRAIN_SAMPLE_MOD,
+        _train_sample,
+    )
+
+    big = spark.range(0, TRAIN_MIN_ROWS * TRAIN_SAMPLE_MOD * 2).select(
+        F.col("id").alias("vec_id")
+    )
+    n_big = _train_sample(big).count()
+    assert TRAIN_MIN_ROWS <= n_big < big.count()  # genuinely sampled
+
+    small = spark.range(0, TRAIN_MIN_ROWS).select(F.col("id").alias("vec_id"))
+    assert _train_sample(small).count() == TRAIN_MIN_ROWS  # full fallback
+
+    # membership is a pure function of vec_id: the same ids are drawn twice
+    a = {r.vec_id for r in _train_sample(big).collect()}
+    b = {r.vec_id for r in _train_sample(big).collect()}
+    assert a == b
