@@ -288,3 +288,40 @@ def test_k_core_matches_bruteforce_peeling(spark):
     # empty core: peel everything away
     got = k_core(e, k=3).collect()
     assert got == []
+
+
+def test_scc_members_handmade(spark):
+    """Two cycles joined by a one-way bridge plus a feeder node: SCCs are
+    {1,2,3}, {4,5}, {6} — the bridge (3->4) and feeder (6->1) must not
+    merge components the way undirected CC would."""
+    from edgy_spark.operators.graph_algos import scc_members
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 1)],
+        "src long, dst long",
+    )
+    got = {(r.node, r.scc) for r in scc_members(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)}
+
+
+def test_scc_refines_connected_components(spark):
+    """Every SCC lies inside one undirected component, and two runs agree
+    (determinism) — on the sf fixture's directed co-purchase graph."""
+    from edgy_spark.operators.graph_algos import (
+        connected_components,
+        directed_copurchase_edges,
+        scc_members,
+        undirect,
+    )
+    from tests.conftest import SF_SMOKE
+
+    d = directed_copurchase_edges(spark, SF_SMOKE)
+    scc = {r.node: r.scc for r in scc_members(d).collect()}
+    scc2 = {r.node: r.scc for r in scc_members(d).collect()}
+    assert scc == scc2 and len(scc) > 0
+    # canonical undirected edges from the directed ones
+    canon = d.selectExpr("least(src, dst) AS src", "greatest(src, dst) AS dst").distinct()
+    cc = {r.node: r.component for r in connected_components(canon).collect()}
+    assert set(scc) == set(cc)
+    for node, label in scc.items():
+        assert cc[node] == cc[label]  # SCC members share the CC of their label
