@@ -867,3 +867,100 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+TRIM_SPAN_MIN = 2  # corpus occurrences at/above which a span is "duplicated"
+
+
+@register(
+    "dedup_trim_duplicate_spans",
+    oracle=rf"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS w
+               FROM documents),
+    g AS (SELECT doc_id, pos,
+                 {h60_sql(f"array_to_string(w[pos:pos+{SPAN_K - 1}], ' ')")} AS hs
+          FROM (SELECT doc_id, w,
+                       unnest(range(1, greatest(len(w) - {SPAN_K - 1}, 0) + 1)) AS pos
+                FROM w)),
+    st AS (SELECT doc_id, pos,
+                  COUNT(*) OVER (PARTITION BY hs) AS gcnt,
+                  ROW_NUMBER() OVER (PARTITION BY hs ORDER BY doc_id, pos) AS rn
+           FROM g),
+    dropw AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + {SPAN_K})) AS wp
+              FROM st WHERE gcnt >= {TRIM_SPAN_MIN} AND rn > 1),
+    droplist AS (SELECT doc_id, list(wp) AS drops FROM dropw GROUP BY doc_id)
+    SELECT w.doc_id,
+           COALESCE(array_to_string(
+             list_filter(
+               list_transform(range(1, len(w.w) + 1),
+                 i -> CASE WHEN d.drops IS NOT NULL AND list_contains(d.drops, i)
+                           THEN NULL ELSE w.w[i] END),
+               x -> x IS NOT NULL), ' '), '') AS trimmed_text,
+           CAST(len(w.w) AS BIGINT) AS n_words,
+           CAST(COALESCE(len(d.drops), 0) AS BIGINT) AS n_words_dropped
+    FROM w LEFT JOIN droplist d USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "spans", "trim"),
+)
+def dedup_trim_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup that REMOVES the duplicated text (Lee et al. 2021's
+    actual pipeline step — :func:`dedup_duplicate_spans` above only
+    profiles it).  Every word covered by a duplicated word-SPAN_K-gram
+    occurrence loses its place UNLESS that occurrence is the span's
+    corpus-wide first (minimum (doc_id, position)); each document's
+    trimmed text is reassembled in-row from its surviving word positions.
+
+    Scale (100 TB): the duplicate decision is the profile operator's
+    hash-partition window (narrow (hs, doc_id, pos) rows, count-sized
+    partitions, NO pair emission); dropped word positions explode at most
+    SPAN_K rows per dropped occurrence and collapse to one per-document
+    drop list; reassembly is a single in-row filter + join over the word
+    array — text crosses exactly one shuffle (the per-doc drop-list join),
+    never the span window.  First-occurrence keeping makes the output a
+    deterministic pure function of the corpus on both engines.
+    """
+    from pyspark.sql import Window
+
+    d = _spread(spark, load(spark, sf_dir, "documents"))
+    w = d.select("doc_id", _words().alias("w"))
+    occ = d.select(
+        "doc_id", F.posexplode(_kgrams(SPAN_K)).alias("p0", "g")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        h60(F.col("g")).alias("hs"),
+    )
+    st = occ.withColumn(
+        "gcnt", F.count(F.lit(1)).over(Window.partitionBy("hs"))
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("hs").orderBy("doc_id", "pos")),
+    )
+    dropw = (
+        st.filter((F.col("gcnt") >= TRIM_SPAN_MIN) & (F.col("rn") > 1))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SPAN_K - 1))
+            ).alias("wp"),
+        )
+        .distinct()
+    )
+    droplist = dropw.groupBy("doc_id").agg(F.collect_list("wp").alias("drops"))
+    keep = lambda x, i: F.col("drops").isNull() | ~F.array_contains(  # noqa: E731
+        F.col("drops"), (i + 1).cast("long")
+    )
+    return (
+        w.join(droplist, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(F.filter("w", keep), " ").alias("trimmed_text"),
+            F.size("w").cast("long").alias("n_words"),
+            F.coalesce(F.size("drops"), F.lit(0)).cast("long").alias(
+                "n_words_dropped"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -525,3 +525,31 @@ def test_dsir_fails_loudly_without_target_documents(spark, tmp_path):
     # message rather than pin the (version-dependent) wrapper class
     with pytest.raises(Exception, match="importance weights undefined"):
         pipeline_dsir_importance_weights(spark, str(tmp_path)).collect()
+
+
+def test_trim_duplicate_spans_keeps_first_occurrence(spark, tmp_path):
+    """Hand-checkable span trimming: docs 1 and 2 share the 8-gram
+    'a b c d e f g h'; doc 1 (min doc_id) keeps it, doc 2 loses exactly
+    those 8 words; doc 3 shares no 8-gram and is untouched."""
+    from edgy_spark.operators.dedup import dedup_trim_duplicate_spans
+
+    docs = [
+        (1, "a b c d e f g h tail one"),
+        (2, "a b c d e f g h tail two"),
+        (3, "totally different words that never repeat anywhere at all"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.doc_id: (r.trimmed_text, r.n_words, r.n_words_dropped)
+        for r in dedup_trim_duplicate_spans(spark, str(tmp_path)).collect()
+    }
+    # doc 2's duplicated occurrences: positions 1 and 2 (8-grams 'a..h'
+    # and 'b..tail' — position 3's gram ends in 'two' and is unique), so
+    # words 1..9 are covered and only 'two' survives
+    assert out[1] == ("a b c d e f g h tail one", 10, 0)
+    assert out[2] == ("two", 10, 9)
+    assert out[3] == (
+        "totally different words that never repeat anywhere at all", 9, 0,
+    )
