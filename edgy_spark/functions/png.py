@@ -6,13 +6,18 @@ library and no network, so the multimodal "real decode" path gets an
 actually-executing decoder built from ``zlib`` + ``struct`` alone.
 
 Scope (deliberately bounded, stated loudly):
-- 8-bit-per-sample greyscale (color type 0), RGB (2), and RGBA (6);
+- greyscale (color type 0), RGB (2), grey+alpha (4 — r09), RGBA (6);
+- bit depth 8, plus 16 (r09) — 16-bit samples are reduced to their
+  most-significant byte on output (the fast standard path for pixel
+  statistics; note the spec's exact 16->8 rescale rounds, so the JVM
+  cross-validation compares the 16-bit raster's high byte, not
+  ImageIO's own rounded 8-bit conversion);
 - all five scanline filters (None/Sub/Up/Average/Paeth) — the part of the
   format that is genuinely easy to get wrong, so it is cross-validated
   against the JVM's independent ``javax.imageio`` decoder in
   tests/test_multimodal_real.py;
 - no interlacing (Adam7 rejected with a clear error), no palette, no
-  16-bit, no ancillary-chunk interpretation (they are skipped, per spec).
+  ancillary-chunk interpretation (they are skipped, per spec).
 
 The encoder (filter 0 rows, one IDAT) exists so tests can fabricate valid
 PNGs without any external library; PIL remains the full-format path
@@ -25,18 +30,31 @@ import struct
 import zlib
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
-# samples per pixel by color type (8-bit depth only)
-_CHANNELS = {0: 1, 2: 3, 6: 4}
+# samples per pixel by color type
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# bit depths handled; 16-bit filtering works on BYTES with the pixel
+# offset widened to channels * 2, per spec
+_DEPTHS = (8, 16)
 
 
-def encode_png(width: int, height: int, rows: list[bytes], color_type: int = 2) -> bytes:
-    """Encode 8-bit scanlines (``rows[y]`` = packed samples for row y) as a
-    valid PNG: IHDR + one zlib IDAT with filter byte 0 per row + IEND."""
+def encode_png(
+    width: int,
+    height: int,
+    rows: list[bytes],
+    color_type: int = 2,
+    depth: int = 8,
+) -> bytes:
+    """Encode scanlines (``rows[y]`` = packed samples for row y; big-endian
+    2-byte samples when ``depth=16``) as a valid PNG: IHDR + one zlib IDAT
+    with filter byte 0 per row + IEND."""
     ch = _CHANNELS[color_type]
+    if depth not in _DEPTHS:
+        raise ValueError(f"bit depth {depth} (one of {_DEPTHS})")
     if width <= 0 or height <= 0:
         raise ValueError("zero-dimension PNG")
-    if len(rows) != height or any(len(r) != width * ch for r in rows):
-        raise ValueError("rows do not match width/height/color_type")
+    stride = width * ch * (depth // 8)
+    if len(rows) != height or any(len(r) != stride for r in rows):
+        raise ValueError("rows do not match width/height/color_type/depth")
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         return (
@@ -44,7 +62,7 @@ def encode_png(width: int, height: int, rows: list[bytes], color_type: int = 2) 
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
     raw = b"".join(b"\x00" + r for r in rows)
     return (
         _SIGNATURE
@@ -65,13 +83,15 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG into ``(width, height, channels, pixels)`` with
     ``pixels`` = unfiltered 8-bit samples, row-major, ``width * channels``
-    bytes per row.  Raises ValueError on malformed input and
-    NotImplementedError on spec features outside the documented scope."""
+    bytes per row (16-bit sources yield each sample's most-significant
+    byte — see module docstring).  Raises ValueError on malformed input
+    and NotImplementedError on spec features outside the documented
+    scope."""
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     i, n = 8, len(data)
     width = height = None
-    color_type = None
+    color_type = depth = None
     idat = bytearray()
     while i + 8 <= n:
         (length,) = struct.unpack(">I", data[i:i + 4])
@@ -87,11 +107,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 # invalid per spec — and downstream pixel math (mean luma)
                 # divides by w*h, so reject here with the documented error
                 raise ValueError("zero-dimension PNG")
-            if depth != 8:
-                raise NotImplementedError(f"bit depth {depth} (only 8)")
+            if depth not in _DEPTHS:
+                raise NotImplementedError(f"bit depth {depth} (only {_DEPTHS})")
             if color_type not in _CHANNELS:
                 raise NotImplementedError(
-                    f"color type {color_type} (only grey/RGB/RGBA)"
+                    f"color type {color_type} (only grey/grey+alpha/RGB/RGBA)"
                 )
             if interlace:
                 raise NotImplementedError("Adam7 interlacing")
@@ -106,7 +126,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
     ch = _CHANNELS[color_type]
-    stride = width * ch
+    # filters operate on bytes with the "previous pixel" offset equal to
+    # the pixel's BYTE width (spec: bpp rounded up to whole bytes)
+    bpp = ch * (depth // 8)
+    stride = width * bpp
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
         raise ValueError("decompressed size mismatch")
@@ -116,22 +139,24 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         f = raw[y * (stride + 1)]
         line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
         if f == 1:  # Sub
-            for x in range(ch, stride):
-                line[x] = (line[x] + line[x - ch]) & 0xFF
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
         elif f == 2:  # Up
             for x in range(stride):
                 line[x] = (line[x] + prev[x]) & 0xFF
         elif f == 3:  # Average
             for x in range(stride):
-                a = line[x - ch] if x >= ch else 0
+                a = line[x - bpp] if x >= bpp else 0
                 line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             for x in range(stride):
-                a = line[x - ch] if x >= ch else 0
-                c = prev[x - ch] if x >= ch else 0
+                a = line[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
         elif f != 0:
             raise ValueError(f"invalid filter byte {f}")
         out[y * stride:(y + 1) * stride] = line
         prev = line
+    if depth == 16:
+        out = out[0::2]  # big-endian samples: every even byte is the MSB
     return width, height, ch, bytes(out)

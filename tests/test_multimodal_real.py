@@ -188,8 +188,9 @@ def test_decode_features_png_runs_real_decode_in_spark(spark):
 
 
 def test_png_codec_property_roundtrip():
-    """Hypothesis: any 8-bit image (grey/RGB/RGBA, arbitrary pixel bytes,
-    arbitrary small dimensions) survives encode->decode bit-exactly."""
+    """Hypothesis: any 8-bit image (grey/grey+alpha/RGB/RGBA, arbitrary
+    pixel bytes, arbitrary small dimensions) survives encode->decode
+    bit-exactly."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -199,11 +200,11 @@ def test_png_codec_property_roundtrip():
     @given(
         w=st.integers(1, 12),
         h=st.integers(1, 10),
-        ct=st.sampled_from([0, 2, 6]),
+        ct=st.sampled_from([0, 2, 4, 6]),
         data=st.data(),
     )
     def check(w, h, ct, data):
-        ch = {0: 1, 2: 3, 6: 4}[ct]
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
         rows = [
             bytes(
                 data.draw(
@@ -247,3 +248,91 @@ def test_png_decode_rejects_zero_dimensions():
         decode_png(crafted)
     with _pytest.raises(ValueError, match="zero-dimension"):
         encode_png(0, 1, [], color_type=2)
+
+
+def test_png_codec_grey_alpha_and_16bit_roundtrip():
+    """r09 scope extensions: grey+alpha (color type 4) and 16-bit depth.
+    8-bit images round-trip bit-exactly; 16-bit images decode to each
+    sample's most-significant byte (documented reduction)."""
+    from edgy_spark.functions.png import decode_png, encode_png
+
+    # grey+alpha, 8-bit: exact round-trip
+    w, h = 9, 4
+    rows = _gradient_rows(w, h, 2, 3)
+    assert decode_png(encode_png(w, h, rows, color_type=4)) == (
+        w, h, 2, b"".join(rows)
+    )
+
+    # 16-bit greyscale: MSB reduction
+    w, h = 5, 3
+    rows16 = []
+    vals = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            v = (x * 4099 + y * 257 * 31) % 65536
+            vals.append(v)
+            row += v.to_bytes(2, "big")
+        rows16.append(bytes(row))
+    got = decode_png(encode_png(w, h, rows16, color_type=0, depth=16))
+    assert got == (w, h, 1, bytes(v >> 8 for v in vals))
+
+    # 16-bit RGB: the filter offset must be the BYTE width of a pixel (6),
+    # exercised through the round-trip (filter 0) shape here and against
+    # the JVM's filtered re-encodes in the cross-validation test below
+    w, h = 4, 2
+    rgb16 = [bytes((x * 37 + y * 11 + c) % 256 for x in range(w) for c in range(6))
+             for y in range(h)]
+    dw, dh, ch, px = decode_png(encode_png(w, h, rgb16, color_type=2, depth=16))
+    assert (dw, dh, ch) == (w, h, 3)
+    assert px == b"".join(r[0::2] for r in rgb16)
+
+
+def test_png_codec_grey_alpha_and_16bit_match_jvm(spark):
+    """Cross-engine oracle for the r09 extensions: javax.imageio agrees on
+    grey+alpha pixels/alpha and on 16-bit raster samples (compared at the
+    high byte, our documented 16->8 reduction)."""
+    from edgy_spark.functions.png import decode_png, encode_png
+
+    jvm = spark._sc._jvm
+
+    # grey+alpha
+    w, h = 7, 5
+    rows = _gradient_rows(w, h, 2, 5)
+    png = encode_png(w, h, rows, color_type=4)
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(png))
+    assert (img.getWidth(), img.getHeight()) == (w, h)
+    dw, dh, ch, px = decode_png(png)
+    assert (dw, dh, ch) == (w, h, 2)
+    raster = img.getRaster()
+    for y in (0, h - 1):
+        for x in (0, w // 2, w - 1):
+            i = (y * w + x) * 2
+            assert raster.getSample(x, y, 0) == px[i]      # grey
+            assert raster.getSample(x, y, 1) == px[i + 1]  # alpha
+
+    # 16-bit greyscale, including a JVM-side filtered image: re-encode via
+    # ImageIO (its encoder picks its own scanline filters) and decode THAT
+    w, h = 11, 6
+    rows16 = [
+        bytes(
+            b
+            for x in range(w)
+            for b in (((x * 4099 + y * 31) % 65536).to_bytes(2, "big"))
+        )
+        for y in range(h)
+    ]
+    png16 = encode_png(w, h, rows16, color_type=0, depth=16)
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(png16))
+    assert (img.getWidth(), img.getHeight()) == (w, h)
+    dw, dh, ch, px = decode_png(png16)
+    raster = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            assert raster.getSample(x, y, 0) >> 8 == px[y * w + x], (x, y)
+
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+    reenc = bytes(baos.toByteArray())
+    dw2, dh2, ch2, px2 = decode_png(reenc)
+    assert (dw2, dh2, ch2, px2) == (dw, dh, ch, px)
