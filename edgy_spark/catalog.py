@@ -131,12 +131,88 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.tpch_more  # noqa: F401
     import edgy_spark.operators.incremental  # noqa: F401
 
-    _prioritize(R08_WINDOW)
+    _prioritize(R09_WINDOW)
 
 
-#: The exact first-50 list for the r08 driver gate (see docstring above).
+#: The exact first-50 list for the r09 driver gate.
 #: ``tests/test_registry_window.py`` pins this against the live registry so
 #: a module reorder cannot silently evict an intended entry.
+#:
+#: R09 rotation rationale: (1) the two queries NEW in r9
+#: (``graph_scc_members``, ``dedup_trim_duplicate_spans`` — never
+#: driver-verified); (2) ``text_token_counts`` (its executed regex moved to
+#: a shared constant in r8 while the query sat outside the window — the r08
+#: verdict's explicit pin); (3) every query whose EXECUTED code changed in
+#: r9: the whole fixpoint family (CC/BFS/PR/SSSP/LPA/k-core/personalized
+#: PR/HITS run the rewritten ``_materialize`` width policy) and the two
+#: trained-IVF queries (hash-sampled Lloyd trainer + join-based
+#: assignment); (4) backfill with the stalest greens — the r06
+#: relational/TPC-H tail (code diff-verified unchanged since r06) plus
+#: four of the stalest r06/r07 non-relational entries
+#: (``sim_bruteforce_topk``, ``sim_ivf_topk``, ``dedup_exact_groups``,
+#: ``dedup_minhash_lsh_pairs``).  Everything outside the window is green
+#: in r07/r08 on code unchanged since its check.
+R09_WINDOW: list[str] = [
+    # new in r9 — never driver-verified
+    "graph_scc_members",
+    "dedup_trim_duplicate_spans",
+    # r08-verdict pin: executed code touched in r8 outside the window
+    "text_token_counts",
+    # r9 code changes execute inside these: fixpoint width policy rewrite
+    "graph_connected_components",
+    "graph_bfs_distances",
+    "graph_pagerank",
+    "graph_sssp_weighted",
+    "graph_label_propagation",
+    "graph_kcore_members",
+    "graph_personalized_pagerank",
+    "graph_hits_authorities",
+    # r9 trainer rewrite (hash-sampled Lloyd + join-based assignment)
+    "sim_ivfpq_topk",
+    "sim_ivf_trained_topk",
+    # stalest greens: the r06 relational/TPC-H tail, registration order
+    "top_orders_per_customer",
+    "rollup_nation_balance",
+    "cube_returnflag_status",
+    "repeat_buyers_intersect",
+    "lapsed_buyers_except_all",
+    "priority_union_all",
+    "scalar_function_showcase",
+    "json_event_extraction",
+    "priciest_parts_topk",
+    "grouping_sets_revenue",
+    "customer_order_gaps",
+    "pivot_orders_priority_by_year",
+    "repeat_buyers_intersect_all",
+    "skew_salted_segment_revenue",
+    "variant_event_props_rollup",
+    "q2_min_price_suppliers",
+    "q4_priority_with_returns",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_part_values",
+    "q12_priority_shipping_by_year",
+    "q13_customer_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_sole_returning_suppliers",
+    "q22_lapsed_rich_customers",
+    # stalest non-relational r06/r07 greens
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh_pairs",
+]
+
+
+#: r08's window, kept for the round-history record (the docstring above).
 R08_WINDOW: list[str] = [
     # NEW in r8, never driver-verified: the incremental delta-apply
     # algebra, the real PNG pixel decode, temperature language mixing,
