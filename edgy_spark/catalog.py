@@ -138,9 +138,10 @@ def load_all_registrations() -> None:
 #: ``tests/test_registry_window.py`` pins this against the live registry so
 #: a module reorder cannot silently evict an intended entry.
 #:
-#: R09 rotation rationale: (1) the two queries NEW in r9
-#: (``graph_scc_members``, ``dedup_trim_duplicate_spans`` — never
-#: driver-verified); (2) ``text_token_counts`` (its executed regex moved to
+#: R09 rotation rationale: (1) the queries NEW in r9
+#: (``graph_scc_members``, ``dedup_trim_duplicate_spans``,
+#: ``text_bpe_encode_lengths`` — never driver-verified); (2)
+#: ``text_token_counts`` (its executed regex moved to
 #: a shared constant in r8 while the query sat outside the window — the r08
 #: verdict's explicit pin); (3) every query whose EXECUTED code changed in
 #: r9: the whole fixpoint family (CC/BFS/PR/SSSP/LPA/k-core/personalized
@@ -148,14 +149,15 @@ def load_all_registrations() -> None:
 #: trained-IVF queries (hash-sampled Lloyd trainer + join-based
 #: assignment); (4) backfill with the stalest greens — the r06
 #: relational/TPC-H tail (code diff-verified unchanged since r06) plus
-#: four of the stalest r06/r07 non-relational entries
-#: (``sim_bruteforce_topk``, ``sim_ivf_topk``, ``dedup_exact_groups``,
-#: ``dedup_minhash_lsh_pairs``).  Everything outside the window is green
+#: three of the stalest r06/r07 non-relational entries
+#: (``sim_bruteforce_topk``, ``sim_ivf_topk``, ``dedup_exact_groups``).
+#: Everything outside the window is green
 #: in r07/r08 on code unchanged since its check.
 R09_WINDOW: list[str] = [
     # new in r9 — never driver-verified
     "graph_scc_members",
     "dedup_trim_duplicate_spans",
+    "text_bpe_encode_lengths",
     # r08-verdict pin: executed code touched in r8 outside the window
     "text_token_counts",
     # r9 code changes execute inside these: fixpoint width policy rewrite
@@ -208,7 +210,6 @@ R09_WINDOW: list[str] = [
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "dedup_exact_groups",
-    "dedup_minhash_lsh_pairs",
 ]
 
 

@@ -758,7 +758,10 @@ def _bpe_fold_case(a_sql: str, b_sql: str) -> str:
     ).format(a=a_sql, b=b_sql)
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_train_ctes() -> list[str]:
+    """The trainer CTE chain (v0 word types -> p/m pair counts and top-1
+    merges per round), shared by the trainer oracle and the encoder oracle
+    below."""
     cte = [
         """v0 AS (SELECT COUNT(*) AS cnt, string_split(tok, '') AS syms
            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
@@ -787,13 +790,20 @@ def _bpe_train_oracle() -> str:
                     string_split(list_reduce(syms, {fold}), ' ') AS syms
                     FROM v{r-1}, m{r})"""
             )
+    return cte
+
+
+def _bpe_train_oracle() -> str:
     rows = " UNION ALL ".join(
         f"SELECT {r} AS merge_rank, split_part(pr, ' ', 1) AS left_sym,"
         f" split_part(pr, ' ', 2) AS right_sym,"
         f" CAST(tot AS BIGINT) AS n_occurrences FROM m{r}"
         for r in range(1, BPE_TRAIN_ROUNDS + 1)
     )
-    return "WITH " + ",\n".join(cte) + "\n" + rows + " ORDER BY merge_rank"
+    return (
+        "WITH " + ",\n".join(_bpe_train_ctes()) + "\n" + rows
+        + " ORDER BY merge_rank"
+    )
 
 
 @register(
@@ -880,6 +890,111 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string, n_occurrences long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding (apply the trained merges to the corpus)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle() -> str:
+    """Trainer CTEs (recomputing m1..m{BPE_TRAIN_ROUNDS} from the corpus)
+    + a word-TYPE encode chain t0..t{BPE_TRAIN_ROUNDS} that preserves the
+    word string, then per-document aggregation over the token stream."""
+    cte = _bpe_train_ctes()
+    cte.append(
+        """w AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         FROM documents)"""
+    )
+    cte.append(
+        "t0 AS (SELECT word, string_split(word, '') AS syms"
+        " FROM (SELECT DISTINCT word FROM w))"
+    )
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        fold = _bpe_fold_case(
+            f"split_part(m{r}.pr, ' ', 1)", f"split_part(m{r}.pr, ' ', 2)"
+        )
+        cte.append(
+            f"""t{r} AS (SELECT word,
+                string_split(list_reduce(syms, {fold}), ' ') AS syms
+                FROM t{r-1}, m{r})"""
+        )
+    return (
+        "WITH " + ",\n".join(cte) + f"""
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(syms)) AS BIGINT) AS n_bpe_tokens
+    FROM w JOIN t{BPE_TRAIN_ROUNDS} USING (word)
+    GROUP BY doc_id ORDER BY doc_id"""
+    )
+
+
+@register(
+    "text_bpe_encode_lengths",
+    oracle=_bpe_encode_oracle(),
+    tags=("text", "tokenizer", "iterative"),
+)
+def text_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned tokenizer — the other half of the BPE story
+    (:func:`text_bpe_train_merges` learns the merge table; this encodes
+    the corpus with it): per document, the pure-word token count, the
+    pre-merge symbol count (characters), and the post-merge BPE token
+    count — the number a context-window packer or a price estimator
+    actually needs.
+
+    Scale shape (Sennrich's insight, applied twice): merges are applied to
+    the word-TYPE table (~10^8 types at 100 TB), never to the token
+    stream — each of the BPE_TRAIN_ROUNDS merges is one in-row string
+    fold over a type's symbols (same greedy leftmost scan as the trainer,
+    fold expression kept textually in sync with its twin there) — and the
+    per-type token length then joins back to the corpus token stream on
+    the word key: one shuffle of (word, short ints), with the type side
+    small enough to broadcast at production vocabulary sizes.  Documents
+    with no pure ``[a-z]+`` word are absent on both engines (inner join).
+    """
+    merge_rows = text_bpe_train_merges(spark, sf_dir).collect()
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        ).alias("word"),
+    )
+    types = w.select("word").distinct().select(
+        "word", F.split("word", "").alias("syms")
+    )
+    def _folded(a: str, b: str):
+        # the trainer's greedy-fold twin (see text_bpe_train_merges)
+        return F.aggregate(
+            "syms",
+            F.lit(""),
+            lambda acc, x: F.when(acc == "", x).otherwise(
+                F.when(
+                    (F.regexp_extract(acc, r"([^ ]+)$", 1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(acc, x),
+                ).otherwise(F.concat(acc, F.lit(" "), x))
+            ),
+        )
+
+    for row in merge_rows:
+        types = types.select(
+            "word",
+            F.split(_folded(row.left_sym, row.right_sym), " ").alias("syms"),
+        )
+    enc = types.select("word", F.size("syms").alias("n_toks"))
+    return (
+        w.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
     )
 
 
