@@ -138,9 +138,9 @@ def load_all_registrations() -> None:
 #: ``tests/test_registry_window.py`` pins this against the live registry so
 #: a module reorder cannot silently evict an intended entry.
 #:
-#: R09 rotation rationale: (1) the queries NEW in r9
-#: (``graph_scc_members``, ``dedup_trim_duplicate_spans``,
-#: ``text_bpe_encode_lengths`` — never driver-verified); (2)
+#: R09 rotation rationale: (1) the six queries NEW in r9 (SCC +
+#: condensation levels, span trimming, BPE encode, priority sampling, JL
+#: projection — never driver-verified); (2)
 #: ``text_token_counts`` (its executed regex moved to
 #: a shared constant in r8 while the query sat outside the window — the r08
 #: verdict's explicit pin); (3) every query whose EXECUTED code changed in
@@ -148,16 +148,17 @@ def load_all_registrations() -> None:
 #: PR/HITS run the rewritten ``_materialize`` width policy) and the two
 #: trained-IVF queries (hash-sampled Lloyd trainer + join-based
 #: assignment); (4) backfill with the stalest greens — the r06
-#: relational/TPC-H tail (code diff-verified unchanged since r06) plus
-#: three of the stalest r06/r07 non-relational entries
-#: (``sim_bruteforce_topk``, ``sim_ivf_topk``, ``dedup_exact_groups``).
+#: relational/TPC-H tail (code diff-verified unchanged since r06).
 #: Everything outside the window is green
 #: in r07/r08 on code unchanged since its check.
 R09_WINDOW: list[str] = [
     # new in r9 — never driver-verified
     "graph_scc_members",
+    "graph_scc_condensation_levels",
     "dedup_trim_duplicate_spans",
     "text_bpe_encode_lengths",
+    "pipeline_priority_sample",
+    "sim_jl_projection_topk",
     # r08-verdict pin: executed code touched in r8 outside the window
     "text_token_counts",
     # r9 code changes execute inside these: fixpoint width policy rewrite
@@ -206,10 +207,6 @@ R09_WINDOW: list[str] = [
     "q20_excess_shippers",
     "q21_sole_returning_suppliers",
     "q22_lapsed_rich_customers",
-    # stalest non-relational r06/r07 greens
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-    "dedup_exact_groups",
 ]
 
 

@@ -946,3 +946,67 @@ def pipeline_dsir_importance_weights(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted priority sampling (Duffield/Lund/Thorup, RNG-free)
+# ---------------------------------------------------------------------------
+
+PRIO_SALT = "|prio1"   # independent hash draw from every other sampler here
+PRIO_K = 64            # sample size
+_PRIO_DENOM = float((1 << 60) + 1)  # u = (h60 + 1) / this, strictly in (0, 1)
+
+
+@register(
+    "pipeline_priority_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, source,
+             CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+             CAST(GREATEST(n_chars, 1) AS DOUBLE) /
+               ((('0x' || substr(md5(doc_id::VARCHAR || '{PRIO_SALT}'), 1, 15))::BIGINT + 1)
+                / {_PRIO_DENOM}) AS priority
+      FROM documents)
+    SELECT doc_id, source, weight, priority
+    FROM pri ORDER BY priority DESC, doc_id LIMIT {PRIO_K}
+    """,
+    tags=("pipeline", "sampling", "weighted"),
+)
+def pipeline_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of PRIO_K documents by PRIORITY SAMPLING (Duffield,
+    Lund & Thorup 2007): priority = weight / u with u a per-document
+    uniform draw, keep the top-k priorities — each document's inclusion
+    probability is proportional-to-size-capped, and downstream sums over
+    the sample estimate corpus totals unbiasedly via max(weight, tau).
+    This is how a quality-weighted training-mix samples a 100 TB corpus:
+    up-weight curated text without ever materializing per-source passes.
+
+    The uniform draw is NOT an RNG: u = (md5-hash(doc_id + salt) + 1) /
+    (2^60 + 1), a pure function of the document — reproducible across
+    runs, partitionings, and engines, redrawable by changing the salt.
+    Chosen over the Efraimidis-Spirakis exponential-key scheme because
+    priority needs only IEEE division (bit-identical in Spark and DuckDB),
+    not a transcendental (log/pow are correctly-rounded NOWHERE by
+    standard, so E-S keys could flip ranks across engines).
+
+    Scale: priorities are in-row; the top-k is TakeOrderedAndProject
+    (per-partition heaps + one k-sized merge, no global sort); weight =
+    max(n_chars, 1) so zero-length documents stay sampleable.
+    """
+    from edgy_spark.functions.hashing import h60
+
+    d = load(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    u = (
+        h60(F.concat(F.col("doc_id").cast("string"), F.lit(PRIO_SALT))) + F.lit(1)
+    ).cast("double") / F.lit(_PRIO_DENOM)
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            w.cast("long").alias("weight"),
+            (w.cast("double") / u).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(PRIO_K)
+    )

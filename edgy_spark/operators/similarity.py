@@ -648,3 +648,101 @@ def sim_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# -- Johnson-Lindenstrauss random projection (deterministic sign matrix) -----
+
+RP_DIM = 8       # reduced dimensionality (DIM=64 -> 8: 8x less bandwidth)
+RP_SALT = "|rp1"
+
+
+def _rp_signs() -> list[list[float]]:
+    """The +-1 projection matrix, a pure function of (row, column, salt)
+    via md5 parity — both engines embed the identical literals, so the
+    'random' projection needs no RNG state and redraws by changing the
+    salt (the Achlioptas 2001 sign-matrix JL construction)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{i}|{j}{RP_SALT}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(DIM)
+        ]
+        for j in range(RP_DIM)
+    ]
+
+
+_RP_SIGNS = _rp_signs()
+
+
+def rp_project(emb) -> "F.Column":
+    """RP_DIM in-row sign-dot folds — no shuffle, no UDF.  Unscaled (the
+    JL 1/sqrt(d) factor cancels in cosine)."""
+    return F.array(*[
+        dot(emb, F.array(*[F.lit(s) for s in row])) for row in _RP_SIGNS
+    ])
+
+
+def _rp_proj_sql(emb: str) -> str:
+    cols = []
+    for row in _RP_SIGNS:
+        lits = "[" + ", ".join(f"{s:.1f}" for s in row) + "]"
+        cols.append(
+            f"list_sum(list_transform(list_zip({emb}, {lits}),"
+            f" p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+        )
+    return "[" + ",\n             ".join(cols) + "]"
+
+
+@register(
+    "sim_jl_projection_topk",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id, {_rp_proj_sql('embedding')} AS p
+      FROM embeddings)
+    SELECT query_id, neighbor_id, proj_cos, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cosine_sql('q.p', 'c.p')} AS proj_cos,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cosine_sql('q.p', 'c.p')} DESC,
+                                         c.vec_id) AS rank
+      FROM proj q JOIN proj c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES})
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "projection", "jl"),
+)
+def sim_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k candidate generation in a Johnson-Lindenstrauss-reduced space:
+    every embedding is projected DIM -> RP_DIM by a deterministic +-1 sign
+    matrix (Achlioptas), and the brute-force cosine top-k runs on the
+    8x-smaller vectors — the standard bandwidth lever when even int8 codes
+    are too wide for a first-pass candidate scan.  At 100 TB the projected
+    table is what gets cached hot; survivors re-rank against full vectors
+    exactly like IVF-PQ's shortlist stage.
+
+    Determinism: the sign matrix is md5-parity literals embedded in BOTH
+    engines; projections are the shared left-fold dot; identical doubles
+    in, identical ranks out.  Scale: projection is in-row (zero shuffles),
+    the scan is one pass with broadcast queries, top-k is
+    TakeOrderedAndProject via the rank-filter window.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    p = e.select("vec_id", rp_project(F.col("embedding")).alias("p"))
+    q = p.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("qp")
+    )
+    c = p.select(F.col("vec_id").alias("neighbor_id"), F.col("p").alias("cp"))
+    sim = cosine_similarity(F.col("qp"), F.col("cp"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("proj_cos"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("proj_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

@@ -325,3 +325,17 @@ def test_scc_refines_connected_components(spark):
     assert set(scc) == set(cc)
     for node, label in scc.items():
         assert cc[node] == cc[label]  # SCC members share the CC of their label
+
+
+def test_condensation_levels_handmade(spark):
+    """Condensation of the two-cycle bridge graph: SCCs {1,2,3}, {4,5},
+    {6}; condensed edges 6->1->4; levels 6:0, 1:1, 4:2 with member
+    counts 1, 3, 2."""
+    from edgy_spark.operators.graph_algos import condensation_levels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 1)],
+        "src long, dst long",
+    )
+    got = {(r.scc, r.level, r.n_members) for r in condensation_levels(edges).collect()}
+    assert got == {(6, 0, 1), (1, 1, 3), (4, 2, 2)}

@@ -553,3 +553,22 @@ def test_trim_duplicate_spans_keeps_first_occurrence(spark, tmp_path):
     assert out[3] == (
         "totally different words that never repeat anywhere at all", 9, 0,
     )
+
+
+def test_priority_sample_deterministic_and_weight_dominant(spark, tmp_path):
+    """Priority sampling: two runs agree exactly (hash draw, not RNG); a
+    document whose weight exceeds every possible 1/u (> 2^60) is ALWAYS
+    sampled; sample size is exactly PRIO_K."""
+    from edgy_spark.operators.pipeline import PRIO_K, pipeline_priority_sample
+
+    rows = [(i, f"doc {i}", "en", "crawl", 1) for i in range(200)]
+    rows.append((999, "heavy", "en", "curated", 9 * 10**18))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    a = pipeline_priority_sample(spark, str(tmp_path)).collect()
+    b = pipeline_priority_sample(spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == PRIO_K
+    assert a[0].doc_id == 999  # priority = w/u >= 9e18 > max 1/u ~ 1.2e18

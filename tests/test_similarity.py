@@ -184,3 +184,22 @@ def test_train_sample_floor(spark):
     a = {r.vec_id for r in _train_sample(big).collect()}
     b = {r.vec_id for r in _train_sample(big).collect()}
     assert a == b
+
+
+def test_jl_projection_preserves_exact_duplicates(spark, tmp_path):
+    """An exact duplicate embedding projects to the identical point, so it
+    must be its twin's rank-1 JL-space neighbor with proj_cos ~ 1."""
+    import shutil
+
+    from edgy_spark.operators.similarity import sim_jl_projection_topk
+
+    src = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    dup = src.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    tmp = str(tmp_path)
+    src.unionByName(dup).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    out = sim_jl_projection_topk(spark, tmp).collect()
+    top = {r.query_id: r for r in out if r.rank == 1}
+    assert top[3].neighbor_id == 1_000_003
+    assert top[3].proj_cos > 0.999999
