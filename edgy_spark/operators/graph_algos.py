@@ -140,29 +140,29 @@ def _materialize(df: DataFrame, iter_partitions: int | None = None) -> tuple[Dat
     Returns (state, width) so per-round re-checkpoints reuse the width
     without re-counting.
 
-    Explicit width (argument or session conf): coalesce BEFORE the one
-    checkpoint (narrow, no shuffle); if the plan's natural width is below
-    the demanded width (coalesce cannot widen — e.g. a
-    collected-then-parallelized frontier), spread it with ONE materialized
-    shuffle so no round re-executes it.
-
-    Derived width: the row count rides the checkpoint's OWN
-    materialization job as an ``observe`` metric (zero extra jobs), then
-    the policy above picks the width.  Every widening is materialized
-    eagerly — handing rounds a lazy ``repartition`` re-runs that shuffle
-    per round (the r08 regression); narrowing stays a lazy ``coalesce``
-    (narrow dependency over in-memory checkpoint blocks, and at scale the
-    byte-sized natural width is within a small factor of the row-derived
-    bound, so re-checkpointing there would double state storage for
-    nothing)."""
+    Both paths checkpoint at the plan's NATURAL width first — never
+    coalesce before the materialization, which would cap the upstream
+    stage (the state-computing join/explode itself) at the iteration
+    width's task count (review r09: the explicit-width path briefly
+    resurrected exactly the funnel the width derivation was built to
+    kill).  Then: widening (demanded or row-derived — e.g. a
+    collected-then-parallelized frontier) is ONE materialized shuffle so
+    no round re-executes it (the r08 regression was a lazy
+    ``repartition`` re-running per round); narrowing stays a lazy
+    ``coalesce`` (narrow dependency over in-memory checkpoint blocks).
+    In the derived path the row count rides the checkpoint's OWN
+    materialization job as an ``observe`` metric (zero extra jobs)."""
     if iter_partitions is None:
         conf = df.sparkSession.conf.get(ITER_PARTITIONS_CONF, "")
         if conf:
             iter_partitions = int(conf)
     if iter_partitions is not None:
-        ck = df.coalesce(iter_partitions).localCheckpoint(eager=True)
-        if _num_partitions(ck) < iter_partitions:
+        ck = df.localCheckpoint(eager=True)
+        natural = _num_partitions(ck)
+        if natural < iter_partitions:
             ck = ck.repartition(iter_partitions).localCheckpoint(eager=True)
+        elif natural > iter_partitions:
+            ck = ck.coalesce(iter_partitions)
         return ck, iter_partitions
     from pyspark.sql import Observation
 
@@ -286,10 +286,18 @@ def run_fixpoint(
     broadcast_state: bool = True,
     detect_removals: bool = False,
     iter_partitions: int | None = None,
+    require_converged: bool = False,
 ) -> DataFrame:
     """Iterate ``state = step(state)`` with per-round checkpointing and
     optional change-set convergence — the loop shared by every iterative
     algorithm here (and the one a user would otherwise copy).
+
+    ``require_converged``: raise instead of returning a state the budget
+    cut off mid-flight.  Most canned algorithms are SAFE truncated (BFS/
+    SSSP distances within the explored radius are exact; PageRank runs
+    fixed rounds by design), but an algorithm whose DECISIONS read the
+    converged labels (SCC's f = b test) would silently emit wrong answers
+    from a partial state — those callers set this flag (review r09).
 
     - ``state`` must carry a ``node`` key column; ``step`` returns the next
       state (it may grow the node set, e.g. a BFS frontier).
@@ -319,6 +327,7 @@ def run_fixpoint(
     otherwise terminate.
     """
     state, parts = _materialize(state, iter_partitions)
+    converged = compare_cols is None  # fixed-round loops are complete by definition
     for _ in range(max_iter):
         new = state
         for _ in range(substeps):
@@ -368,7 +377,14 @@ def run_fixpoint(
             "__chg", "__old_present", *[f"__old_{c}" for c in compare_cols]
         )
         if changed == 0:
+            converged = True
             break
+    if require_converged and not converged:
+        raise RuntimeError(
+            f"run_fixpoint: no fixpoint within max_iter={max_iter} rounds"
+            f" (x{substeps} substeps) — raise the budget; the caller"
+            " declared truncated state unusable"
+        )
     return state
 
 
@@ -1317,7 +1333,10 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCC_MAX_PEEL = 8    # outer peel rounds; each assigns >= the SCC of the
 #                     minimum remaining node, measured 4 at sf0.01
-SCC_MAX_ITER = 10   # inner propagation fixpoint bound per peel
+SCC_MAX_ITER = 30   # inner propagation fixpoint bound per peel (x2 substeps
+#                     = 60 label hops; converged loops exit early, and a
+#                     TRUNCATED inner state would assign WRONG labels — the
+#                     loop raises instead, review r09)
 
 _DEDGES_SQL = f"""
   SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
@@ -1425,11 +1444,15 @@ def scc_members(
                 )
             )
 
+        # a TRUNCATED inner state is not merely imprecise here: the f = b
+        # assignment test read against partial windows can match on wrong
+        # labels (splitting a real SCC), so truncation must raise
         st = run_fixpoint(
             state0, step,
             max_iter=max_iter, compare_cols=["f", "b"], substeps=2,
             broadcast_state=broadcast_state,
             iter_partitions=iter_partitions,
+            require_converged=True,
         )
         done = st.filter(F.col("f") == F.col("b")).select(
             "node", F.col("f").alias("scc")
@@ -1450,6 +1473,14 @@ def scc_members(
                 "dst", "left_semi",
             ),
             parts,
+        )
+    else:
+        # budget exhausted with nodes unassigned: returning a partial
+        # labeling would silently drop them — fail loud (review r09)
+        raise RuntimeError(
+            f"scc_members: {max_peel} peel rounds did not settle every node"
+            " — raise max_peel (each round is guaranteed to assign at least"
+            " the minimum remaining node's component)"
         )
     return assigned
 
@@ -1507,13 +1538,18 @@ def condensation_levels(
     exponential-path blowup the fixpoint avoids; the UNION dedup bounds
     it to (component, depth) pairs at fixture scale.
     """
+    # materialize the edge derivation ONCE: scc_members scans it through
+    # its peel rounds and the relabeling below scans it again — handing
+    # both the same checkpoint stops the (expensive) posting-list plan
+    # from executing twice (review r09)
+    ed, _ = _materialize(edges.select("src", "dst"), iter_partitions)
     scc = scc_members(
-        edges, broadcast_state=broadcast_state, iter_partitions=iter_partitions
+        ed, broadcast_state=broadcast_state, iter_partitions=iter_partitions
     )
     s_src = scc.select(F.col("node").alias("src"), F.col("scc").alias("s_scc"))
     s_dst = scc.select(F.col("node").alias("dst"), F.col("scc").alias("d_scc"))
     ced, parts = _materialize(
-        edges.join(_hint(s_src, broadcast_state), "src")
+        ed.join(_hint(s_src, broadcast_state), "src")
         .join(_hint(s_dst, broadcast_state), "dst")
         .filter(F.col("s_scc") != F.col("d_scc"))
         .select(F.col("s_scc").alias("src"), F.col("d_scc").alias("dst"))
@@ -1538,11 +1574,14 @@ def condensation_levels(
             ),
         )
 
+    # truncated max-propagation would return silently UNDERESTIMATED
+    # levels (monotone state, no way to tell from the values) — raise
     levels = run_fixpoint(
         state0, step,
         max_iter=COND_MAX_ITER, compare_cols=["level"], substeps=2,
         broadcast_state=broadcast_state,
         iter_partitions=iter_partitions,
+        require_converged=True,
     )
     members = scc.groupBy("scc").agg(F.count(F.lit(1)).alias("n_members"))
     return levels.select(F.col("node").alias("scc"), "level").join(

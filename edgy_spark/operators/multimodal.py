@@ -178,6 +178,8 @@ def decode_features_png(media_df: DataFrame) -> DataFrame:
                         299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
                         for i in range(0, len(px), ch)
                     ) // (1000 * w * h)
+                elif ch == 2:  # grey+alpha (r09 codec): luma = grey plane
+                    luma = sum(px[0::2]) // (w * h)
                 else:  # greyscale: samples ARE luma
                     luma = sum(px) // (w * h)
                 rows.append(

@@ -321,8 +321,10 @@ def train_ivf_centroids(
     reassigns every SAMPLED vector (1/TRAIN_SAMPLE_MOD of the corpus — the
     r09 change: training a coarse quantizer needs a sample, not the corpus,
     and the full-corpus scan per Lloyd round was the single most expensive
-    term in the r08 bench) to its max-cosine cell (in-row argmax over
-    literal centroids — no join) and recomputes cell means.  Only the k tiny
+    term in the r08 bench) to its max-cosine cell (broadcast join against
+    the round's centroid table + struct-ordered ``max_by`` — also r09: the
+    old in-row argmax over literal centroids cost ~2.4s of Catalyst
+    planning per round) and recomputes cell means.  Only the k tiny
     centroid rows are collected per round; the corpus never leaves the
     executors, and the full corpus is still assigned to the trained cells
     exactly once by the caller's search.

@@ -916,10 +916,15 @@ def _bpe_encode_oracle() -> str:
         fold = _bpe_fold_case(
             f"split_part(m{r}.pr, ' ', 1)", f"split_part(m{r}.pr, ' ', 2)"
         )
+        # LEFT JOIN ON TRUE, not a cross join: a degenerate corpus (all
+        # 1-letter words) has empty m{r}, and the trainer twin handles it
+        # by applying ZERO merges ('if not top: break') — a cross join
+        # would empty the whole encode chain instead (review r09)
         cte.append(
             f"""t{r} AS (SELECT word,
-                string_split(list_reduce(syms, {fold}), ' ') AS syms
-                FROM t{r-1}, m{r})"""
+                CASE WHEN m{r}.pr IS NULL THEN syms
+                     ELSE string_split(list_reduce(syms, {fold}), ' ') END AS syms
+                FROM t{r-1} LEFT JOIN m{r} ON TRUE)"""
         )
     return (
         "WITH " + ",\n".join(cte) + f"""

@@ -160,12 +160,18 @@ def test_iter_partitions_derived_from_state_size(spark, monkeypatch):
     per-session (spark.edgy.fixpoint.partitions) overrides win."""
     from edgy_spark.operators import graph_algos as ga
 
-    state = spark.createDataFrame([(i, 0) for i in range(40)], "node long, v long")
+    # repartition(16) pins the natural width above the floor so the
+    # assertions are host-independent (review r09: a <8-core session's
+    # createDataFrame would otherwise set natural = defaultParallelism
+    # below the cap and the floor no longer force-widens)
+    state = spark.createDataFrame(
+        [(i, 0) for i in range(40)], "node long, v long"
+    ).repartition(16)
 
     def step(s):
         return s.select("node", F.lit(0).alias("v"))
 
-    # small state -> floor width
+    # small state -> capped at the floor width
     out = run_fixpoint(state, step, max_iter=2, compare_cols=["v"])
     assert out.rdd.getNumPartitions() == ga.ITER_MIN_PARTITIONS
 
@@ -339,3 +345,23 @@ def test_condensation_levels_handmade(spark):
     )
     got = {(r.scc, r.level, r.n_members) for r in condensation_levels(edges).collect()}
     assert got == {(6, 0, 1), (1, 1, 3), (4, 2, 2)}
+
+
+def test_run_fixpoint_require_converged_raises_on_budget(spark):
+    """review r09: a caller whose DECISIONS read converged labels (SCC's
+    f = b test) must get an error, never a truncated state."""
+    import pytest
+
+    state = spark.createDataFrame([(1, 10)], "node long, v long")
+
+    def step(s):
+        return s.select("node", (F.col("v") - 1).alias("v"))  # never stable
+
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        run_fixpoint(
+            state, step, max_iter=3, compare_cols=["v"], require_converged=True
+        )
+    # without the flag the truncated state is returned (documented-safe
+    # for radius-bounded algorithms)
+    out = run_fixpoint(state, step, max_iter=3, compare_cols=["v"])
+    assert out.collect()[0].v == 7

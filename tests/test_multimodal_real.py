@@ -336,3 +336,16 @@ def test_png_codec_grey_alpha_and_16bit_match_jvm(spark):
     reenc = bytes(baos.toByteArray())
     dw2, dh2, ch2, px2 = decode_png(reenc)
     assert (dw2, dh2, ch2, px2) == (dw, dh, ch, px)
+
+
+def test_decode_features_png_grey_alpha_luma_ignores_alpha(spark):
+    """review r09: the r09 codec returns ch=2 for grey+alpha, and the
+    luma branch must average the GREY plane only — summing interleaved
+    alpha bytes gave out-of-range lumas (grey 10 + alpha 255 -> 265)."""
+    from edgy_spark.functions.png import encode_png
+    from edgy_spark.operators.multimodal import decode_features_png
+
+    ga = encode_png(3, 2, [bytes([10, 255] * 3)] * 2, color_type=4)
+    df = spark.createDataFrame([(1, bytearray(ga))], "doc_id long, media binary")
+    row = decode_features_png(df).collect()[0]
+    assert (row["width"], row["height"], row["mean_luma"]) == (3, 2, 10)

@@ -189,8 +189,6 @@ def test_train_sample_floor(spark):
 def test_jl_projection_preserves_exact_duplicates(spark, tmp_path):
     """An exact duplicate embedding projects to the identical point, so it
     must be its twin's rank-1 JL-space neighbor with proj_cos ~ 1."""
-    import shutil
-
     from edgy_spark.operators.similarity import sim_jl_projection_topk
 
     src = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
