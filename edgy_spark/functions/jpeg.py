@@ -1,0 +1,374 @@
+"""Minimal pure-stdlib baseline JPEG decoder — real lossy-image decode
+without PIL/libjpeg.
+
+Written against the public JPEG specification (ITU-T T.81 / ISO 10918-1:
+marker segments, canonical Huffman tables, DC prediction + AC run-length
+entropy coding, dequantization, 8x8 inverse DCT, chroma upsampling,
+JFIF YCbCr->RGB).  The container ships no imaging library, so the
+multimodal "real decode" path for the web's dominant image format gets an
+actually-executing decoder built from ``struct`` + ``math`` alone — the
+same from-spec pattern as the PNG (functions/png.py) and WAV
+(functions/wav.py) codecs, cross-validated against the JVM's independent
+``javax.imageio`` codec in tests/test_jpeg_real.py.
+
+Scope (deliberately bounded, stated loudly):
+- baseline and extended sequential DCT, Huffman coded (SOF0/SOF1),
+  8-bit samples; 1 (grayscale) or 3 (JFIF YCbCr) components; any
+  sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart intervals;
+- progressive (SOF2), arithmetic coding, 12-bit, and CMYK are rejected
+  with a clear NotImplementedError;
+- the IDCT is the exact floating-point T.81 definition (rounded then
+  clamped) and chroma upsampling is sample replication — a COMPLIANT
+  decode, but not bit-identical to libjpeg's integer IDCT + smoothing
+  upsampler, so cross-validation asserts closeness (the spec itself
+  only requires IDCT accuracy within a tolerance, T.83), with grayscale
+  images — no upsampling path — held to the tightest bound.
+
+There is deliberately NO encoder here: tests fabricate real JPEGs through
+``javax.imageio`` (an independent implementation shipping with the JDK),
+so the decoder is never checked against bytes produced by its own
+inverse.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# cos((2x+1) u pi / 16) * (C(u)/2) table for the exact T.81 IDCT
+_COS = [
+    [
+        (0.5 * (1.0 / math.sqrt(2.0) if u == 0 else 1.0))
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for u in range(8)
+    ]
+    for x in range(8)
+]
+
+
+class _Huff:
+    """Canonical Huffman table (T.81 Annex C): codes assigned in order of
+    increasing length, then value order within a length."""
+
+    def __init__(self, bits: list[int], vals: bytes) -> None:
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lut[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """Entropy-coded segment reader: MSB-first bits, 0xFF00 byte
+    unstuffing, stop at markers (restarts are consumed by the caller)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+        self.cur = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise ValueError("truncated entropy-coded data")
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos = p + 2  # stuffed 0xFF data byte
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(p)
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        else:
+            self.pos = p + 1
+        self.cur = b
+        self.nbits = 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: _Huff) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            v = table.lut.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid Huffman code")
+
+    def align_to_marker(self) -> None:
+        """Drop partial byte; position must sit on a 0xFFxx marker."""
+        self.nbits = 0
+
+
+class _RestartMarker(Exception):
+    def __init__(self, at: int) -> None:
+        self.at = at
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map magnitude bits to a signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _idct_block(coef: list[int]) -> list[int]:
+    """Exact float 2D IDCT of one dequantized 8x8 block (natural order),
+    +128 level shift, rounded and clamped to [0, 255]."""
+    # rows then columns (separable)
+    tmp = [0.0] * 64
+    for y in range(8):
+        row = coef[y * 8:y * 8 + 8]
+        if not any(row):
+            continue
+        for x in range(8):
+            acc = 0.0
+            cx = _COS[x]
+            for u in range(8):
+                if row[u]:
+                    acc += cx[u] * row[u]
+            tmp[y * 8 + x] = acc
+    out = [0] * 64
+    for x in range(8):
+        col = [tmp[y * 8 + x] for y in range(8)]
+        for y in range(8):
+            acc = 0.0
+            cy = _COS[y]
+            for v in range(8):
+                acc += cy[v] * col[v]
+            s = int(round(acc)) + 128
+            out[y * 8 + x] = 0 if s < 0 else (255 if s > 255 else s)
+    return out
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline/extended-sequential JPEG into ``(width, height,
+    channels, pixels)`` — 8-bit samples, row-major, interleaved (RGB for
+    3-component JFIF images, luma for grayscale).  Raises ValueError on
+    malformed input and NotImplementedError on out-of-scope features."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    restart_interval = 0
+    frame = None
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[i + 2:i + 4])
+        seg = data[i + 4:i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    tbl = list(seg[p:p + 64])
+                    p += 64
+                elif pq == 1:
+                    tbl = list(struct.unpack(">64H", seg[p:p + 128]))
+                    p += 128
+                else:
+                    raise ValueError("bad DQT precision")
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_ZIGZAG[k]] = tbl[k]
+                qt[tq] = nat
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = seg[p + 17:p + 17 + nv]
+                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit samples (only 8)")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc} components (only 1 or 3)")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + c * 3:9 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"SOF marker 0xFF{marker:02X}")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + c * 2:3 + c * 2]
+                comp = next(
+                    (x for x in frame["comps"] if x["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError("scan references unknown component")
+                scan.append((comp, tt >> 4, tt & 0xF))
+            if len(scan) != len(frame["comps"]):
+                raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+            return _decode_scan(
+                data, i + 2 + seglen, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        # APPn / COM / others: skipped
+        i += 2 + seglen
+    raise ValueError("no scan data (missing SOS)")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension JPEG")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("bad sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component sample planes at the component's own resolution
+    planes = []
+    for c in comps:
+        cw, ch = mcux * c["h"] * 8, mcuy * c["v"] * 8
+        planes.append(bytearray(cw * ch))
+        c["cw"], c["ch"] = cw, ch
+    pred = [0] * len(comps)
+    r = _BitReader(data, pos)
+    mcu_count = 0
+    next_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count == restart_interval:
+                # consume the RSTn marker the reader stopped at
+                r.align_to_marker()
+                p = r.pos
+                while p + 1 < len(data) and not (
+                    data[p] == 0xFF and data[p + 1] != 0x00
+                ):
+                    p += 1
+                if p + 1 >= len(data) or not (0xD0 <= data[p + 1] <= 0xD7):
+                    raise ValueError("expected restart marker")
+                if data[p + 1] != 0xD0 + next_rst:
+                    raise ValueError("restart marker out of sequence")
+                next_rst = (next_rst + 1) & 7
+                r = _BitReader(data, p + 2)
+                pred = [0] * len(comps)
+                mcu_count = 0
+            try:
+                for ci, (c, tdc, tac) in enumerate(scan):
+                    q = qt.get(c["tq"])
+                    if q is None:
+                        raise ValueError("missing quantization table")
+                    dc_t = huff_dc.get(tdc)
+                    ac_t = huff_ac.get(tac)
+                    if dc_t is None or ac_t is None:
+                        raise ValueError("missing Huffman table")
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = [0] * 64
+                            t = r.decode_huff(dc_t)
+                            if t > 11:
+                                raise ValueError("bad DC category")
+                            pred[ci] += _extend(r.receive(t), t)
+                            coef[0] = pred[ci] * q[0]
+                            k = 1
+                            while k < 64:
+                                rs = r.decode_huff(ac_t)
+                                rr, ss = rs >> 4, rs & 0xF
+                                if ss == 0:
+                                    if rr == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += rr
+                                if k > 63:
+                                    raise ValueError("AC index overflow")
+                                zz = _ZIGZAG[k]
+                                coef[zz] = _extend(r.receive(ss), ss) * q[zz]
+                                k += 1
+                            px = _idct_block(coef)
+                            ox = (mx * c["h"] + bx) * 8
+                            oy = (my * c["v"] + by) * 8
+                            plane = planes[ci]
+                            cw = c["cw"]
+                            for yy in range(8):
+                                base = (oy + yy) * cw + ox
+                                plane[base:base + 8] = bytes(
+                                    px[yy * 8:yy * 8 + 8]
+                                )
+            except _RestartMarker as e:
+                raise ValueError(
+                    f"restart marker inside MCU at byte {e.at}"
+                ) from None
+            mcu_count += 1
+    # upsample to full resolution and color-convert
+    nc = len(comps)
+    out = bytearray(w * h * nc)
+    if nc == 1:
+        c = comps[0]
+        cw = c["cw"]
+        for y in range(h):
+            row = planes[0][y * cw:y * cw + w]
+            out[y * w:(y + 1) * w] = row
+        return w, h, 1, bytes(out)
+    for y in range(h):
+        for ci, c in enumerate(comps):
+            c[f"_row"] = (y * c["v"]) // vmax * c["cw"]
+        yrow, brow, rrow = (
+            planes[0], planes[1], planes[2],
+        )
+        y0 = comps[0]["_row"]
+        b0 = comps[1]["_row"]
+        r0 = comps[2]["_row"]
+        for x in range(w):
+            lum = yrow[y0 + (x * comps[0]["h"]) // hmax]
+            cb = brow[b0 + (x * comps[1]["h"]) // hmax] - 128
+            cr = rrow[r0 + (x * comps[2]["h"]) // hmax] - 128
+            # JFIF (CCIR 601) conversion, rounded and clamped
+            rv = int(round(lum + 1.402 * cr))
+            gv = int(round(lum - 0.344136 * cb - 0.714136 * cr))
+            bv = int(round(lum + 1.772 * cb))
+            o = (y * w + x) * 3
+            out[o] = 0 if rv < 0 else (255 if rv > 255 else rv)
+            out[o + 1] = 0 if gv < 0 else (255 if gv > 255 else gv)
+            out[o + 2] = 0 if bv < 0 else (255 if bv > 255 else bv)
+    return w, h, 3, bytes(out)

@@ -200,6 +200,60 @@ def decode_features_png(media_df: DataFrame) -> DataFrame:
     )
 
 
+def decode_features_jpeg(media_df: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG decode inside Python workers via the from-spec
+    pure-stdlib codec (functions/jpeg.py — Huffman + dequantize + exact
+    IDCT + chroma upsampling, cross-validated against javax.imageio in
+    tests/test_jpeg_real.py): true dimensions and a pixel-derived Rec.601
+    mean luma per asset.
+
+    Same Arrow-batched ``mapInPandas`` shape and by-value codec shipping
+    as :func:`decode_features_png`.  Unlike the PNG twin this has NO
+    oracle-gated catalog query: JPEG is lossy, so decoded pixel stats are
+    not SQL-predictable from the source bytes — correctness is pinned by
+    the JVM cross-validation suite instead (the driver would record only
+    a rows-only check, which is strictly weaker than those tests).
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import jpeg as _jpeg
+
+    cloudpickle.register_pickle_by_value(_jpeg)
+    decode_jpeg = _jpeg.decode_jpeg
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(payload)
+                w, h, ch, px = decode_jpeg(data)
+                if ch == 3:  # Rec.601 integer luma over RGB
+                    luma = sum(
+                        299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
+                        for i in range(0, len(px), 3)
+                    ) // (1000 * w * h)
+                else:  # grayscale: samples ARE luma
+                    luma = sum(px) // (w * h)
+                rows.append(
+                    (doc_id, len(data), hashlib.md5(data).hexdigest(), w, h, luma)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "content_md5",
+                    "width", "height", "mean_luma",
+                ],
+            )
+
+    return media_df.mapInPandas(
+        decode,
+        "doc_id long, n_bytes long, content_md5 string, "
+        "width long, height long, mean_luma long",
+    )
+
+
 @register(
     "multimodal_image_features",
     oracle="""
