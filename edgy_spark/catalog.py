@@ -138,9 +138,9 @@ def load_all_registrations() -> None:
 #: ``tests/test_registry_window.py`` pins this against the live registry so
 #: a module reorder cannot silently evict an intended entry.
 #:
-#: R09 rotation rationale: (1) the six queries NEW in r9 (SCC +
+#: R09 rotation rationale: (1) the seven queries NEW in r9 (SCC +
 #: condensation levels, span trimming, BPE encode, priority sampling, JL
-#: projection — never driver-verified); (2)
+#: projection, prefix-filter join — never driver-verified); (2)
 #: ``text_token_counts`` (its executed regex moved to
 #: a shared constant in r8 while the query sat outside the window — the r08
 #: verdict's explicit pin); (3) every query whose EXECUTED code changed in
@@ -159,6 +159,7 @@ R09_WINDOW: list[str] = [
     "text_bpe_encode_lengths",
     "pipeline_priority_sample",
     "sim_jl_projection_topk",
+    "dedup_prefix_filter_jaccard_pairs",
     # r08-verdict pin: executed code touched in r8 outside the window
     "text_token_counts",
     # r9 code changes execute inside these: fixpoint width policy rewrite
@@ -206,7 +207,6 @@ R09_WINDOW: list[str] = [
     "q19_disjunctive_revenue",
     "q20_excess_shippers",
     "q21_sole_returning_suppliers",
-    "q22_lapsed_rich_customers",
 ]
 
 

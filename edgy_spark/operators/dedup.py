@@ -964,3 +964,127 @@ def dedup_trim_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join (PPJoin-family, EXACT)
+# ---------------------------------------------------------------------------
+
+PFX_K = 5            # token = distinct word-5-gram shingle (hashed)
+PFX_TAU_NUM = 1      # Jaccard threshold 1/2, kept in exact integers so the
+PFX_TAU_DEN = 2      # prefix length is engine-portable arithmetic
+
+
+def _pfx_prefix_tokens(tok: DataFrame, sz: DataFrame) -> DataFrame:
+    """Each document's PREFIX under the global rarity order: tokens ranked
+    by (corpus document-frequency ASC, hash ASC); prefix length
+    = n - ceil(tau * n) + 1.  The prefix-filter theorem (Chaudhuri et al.
+    2006 / Xiao et al. 2008): any pair with J >= tau shares at least one
+    token inside BOTH prefixes under one global total order — so joining
+    prefixes only is EXACT, no false negatives, while frequent tokens
+    (the posting lists that explode) almost never make a prefix."""
+    from pyspark.sql import Window
+
+    df_freq = tok.groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("hs"))
+    # ceil(tau * n) in EXACT integer arithmetic (ceil(a/b) = (a+b-1) div b)
+    ceil_tau_n = F.expr(
+        f"(n * {PFX_TAU_NUM} + {PFX_TAU_DEN - 1}) DIV {PFX_TAU_DEN}"
+    )
+    return (
+        tok.join(df_freq, "hs")
+        .join(sz, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.col("n") - ceil_tau_n + 1)
+        .select("doc_id", "hs")
+    )
+
+
+@register(
+    "dedup_prefix_filter_jaccard_pairs",
+    oracle=rf"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS w
+               FROM documents),
+    tok AS (SELECT DISTINCT doc_id, {h60_sql('t')} AS hs FROM (
+      SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(w) - {PFX_K - 1}, 0) + 1),
+               i -> array_to_string(w[i:i+{PFX_K - 1}], ' '))) AS t
+      FROM w)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pair AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.hs = b.hs AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM pair
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE inter * {PFX_TAU_DEN} >= (sa.n + sb.n - inter) * {PFX_TAU_NUM}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "jaccard", "prefix-filter"),
+)
+def dedup_prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 1/2 pairs over word-5-gram shingle sets by PREFIX
+    FILTERING — the PPJoin-family algorithm, and the third point in this
+    module's design space: MinHash-LSH is sub-quadratic but approximate;
+    the DF-capped Jaccard operator is exact only over the capped universe;
+    prefix filtering is EXACT over the FULL universe and still never
+    joins full posting lists.  Candidates come from joining only each
+    document's PREFIX (its n - ceil(tau*n) + 1 globally-RAREST tokens):
+    the prefix-filter theorem guarantees every qualifying pair collides
+    there, while the high-frequency tokens that make posting lists
+    explode almost never reach a prefix.  Survivors are verified with an
+    exact intersection count restricted to the (broadcast) candidate
+    list, and the threshold test is exact integer cross-multiplication.
+
+    The oracle is the NAIVE exact join (full posting lists) — equality of
+    results IS the no-false-negative proof, run fresh per round.
+
+    Scale: two narrow shuffles to rank tokens (df join + per-doc window),
+    prefix posting lists for the one pair-emitting join, candidates
+    broadcast into the verification joins so only candidate documents'
+    tokens flow.  A pathological prefix posting list (a token rare
+    everywhere yet shared by millions of docs) is bounded by the same
+    optional DF cap pattern as the capped operators if ever needed.
+    """
+    d = _spread(spark, load(spark, sf_dir, "documents"))
+    tok = (
+        d.select("doc_id", F.explode(F.array_distinct(_kgrams(PFX_K))).alias("t"))
+        .select("doc_id", h60(F.col("t")).alias("hs"))
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    prefix = _pfx_prefix_tokens(tok, sz)
+    cand = (
+        prefix.groupBy("hs")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "hs")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "hs")
+    inter = (
+        F.broadcast(cand)
+        .join(ta, "doc_a")
+        .join(tb, ["doc_b", "hs"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    union_sz = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("inter") * PFX_TAU_DEN >= union_sz * PFX_TAU_NUM)
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter").cast("double") / union_sz).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

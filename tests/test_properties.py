@@ -572,3 +572,48 @@ def test_priority_sample_deterministic_and_weight_dominant(spark, tmp_path):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == PRIO_K
     assert a[0].doc_id == 999  # priority = w/u >= 9e18 > max 1/u ~ 1.2e18
+
+
+def test_prefix_filter_is_exact_and_prunes(spark, tmp_path):
+    """Prefix filtering must lose NO qualifying pair (the oracle equality
+    is the corpus-level proof; this pins a handmade corpus where the only
+    shared token of the near-dup pair is mid-rarity), while a ubiquitous
+    boilerplate shingle shared by EVERY doc stays out of most prefixes."""
+    from edgy_spark.operators.dedup import (
+        dedup_prefix_filter_jaccard_pairs,
+        _pfx_prefix_tokens,
+    )
+
+    # docs 1/2: identical but for the last word -> high Jaccard; docs
+    # 3..8: share only the 'common suffix run' boilerplate 5-gram
+    boiler = "zz yy xx ww vv"
+    common = ("alpha beta gamma delta epsilon zeta eta kappa lambda mu "
+              "nu xi omicron pi rho sigma tau upsilon phi chi")
+    docs = [
+        (1, f"{common} {boiler} theta"),   # differ only in the last word:
+        (2, f"{common} {boiler} iota"),    # 17 of 22 shingles shared, J=17/27
+    ] + [(i, f"unique{i} u{i}a u{i}b u{i}c u{i}d " + boiler) for i in range(3, 9)]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = dedup_prefix_filter_jaccard_pairs(spark, str(tmp_path)).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+    assert rows[0].jaccard > 0.5
+
+    # pruning: the boilerplate token (df = 8, the corpus maximum) must be
+    # absent from the prefixes of the docs that have rarer tokens to offer
+    from pyspark.sql import functions as F
+    from edgy_spark.functions.hashing import h60
+    from edgy_spark.operators.dedup import PFX_K, _kgrams
+    from edgy_spark.sources import load
+
+    d = load(spark, str(tmp_path), "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(_kgrams(PFX_K))).alias("t")
+    ).select("doc_id", h60(F.col("t")).alias("hs"))
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    prefix = _pfx_prefix_tokens(tok, sz)
+    dfmax = tok.groupBy("hs").count().orderBy(F.desc("count")).first()
+    n_prefix_holders = prefix.filter(F.col("hs") == dfmax["hs"]).count()
+    assert dfmax["count"] == 8          # the boilerplate 5-gram
+    assert n_prefix_holders == 0        # ...never reaches any prefix
