@@ -303,3 +303,29 @@ def test_wav_loudness_exchanges_only_small_ints(spark):
     assert blocks, "no Exchange detail blocks found"
     for cols in blocks:
         assert "media" not in cols, cols
+
+
+def test_priority_sample_topk_avoids_global_sort(spark):
+    """Priority sampling's top-k is per-partition heaps + one k-sized
+    merge; a global sort of the corpus would defeat the operator."""
+    plan = _plan(spark, "pipeline_priority_sample")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_jl_projection_broadcasts_queries_and_limits_ranks(spark):
+    """JL top-k: the query side broadcasts (one corpus pass) and the
+    per-query rank filter pushes into WindowGroupLimit."""
+    plan = _plan(spark, "sim_jl_projection_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_prefix_filter_broadcasts_candidates(spark):
+    """Verification joins must be driven by the (tiny) candidate list as
+    the broadcast side, so only candidate documents' tokens flow."""
+    plan = _plan(spark, "dedup_prefix_filter_jaccard_pairs")
+    assert "BroadcastHashJoin" in plan
+    # the one pair-emitting structure is the prefix posting list, never a
+    # full corpus self-join: exactly one Exchange over the raw token hash
+    # feeds both df-rank and posting-list branches via scan reuse
+    assert plan.count("SortMergeJoin") == 0
