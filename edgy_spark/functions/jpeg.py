@@ -24,10 +24,18 @@ Scope (deliberately bounded, stated loudly):
   only requires IDCT accuracy within a tolerance, T.83), with grayscale
   images — no upsampling path — held to the tightest bound.
 
-There is deliberately NO encoder here: tests fabricate real JPEGs through
-``javax.imageio`` (an independent implementation shipping with the JDK),
-so the decoder is never checked against bytes produced by its own
-inverse.
+There is deliberately no GENERAL encoder here: tests fabricate real
+JPEGs through ``javax.imageio`` (an independent implementation shipping
+with the JDK), so the decoder is never checked against bytes produced by
+its own inverse.  The one exception is :func:`encode_jpeg_flat`, a
+DC-only encoder for images whose 8x8 blocks are each a constant sample —
+the single JPEG family whose decode is BIT-EXACT by construction (a
+DC-only block inverse-transforms to DC/8 in every pixel, T.81 A.3.3), so
+an SQL oracle can predict decoded pixel statistics and the driver's
+value-hash gate can cover the full Huffman + dequantize + IDCT path.
+Its output is cross-validated pixel-for-pixel against the JVM's
+independent decoder (not just our own), keeping the no-self-inverse
+property where it matters.
 """
 
 from __future__ import annotations
@@ -372,3 +380,136 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
             out[o + 1] = 0 if gv < 0 else (255 if gv > 255 else gv)
             out[o + 2] = 0 if bv < 0 else (255 if bv > 255 else bv)
     return w, h, 3, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# DC-only flat-block encoder (the bit-exact JPEG family — see module doc)
+# ---------------------------------------------------------------------------
+
+# ITU-T T.81 Annex K.3.1 typical luminance Huffman tables (public spec
+# data).  Real-world tables, so any compliant decoder (javax.imageio,
+# libjpeg, PIL) reads the output; the restart-interval test keeps its own
+# independent copy on purpose.
+STD_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+STD_DC_LUMA_VALS = bytes(range(12))
+STD_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+STD_AC_LUMA_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+#: DC quantizer used by the flat encoder.  The stored DC is the block's
+#: (sample - 128), so the dequantized coefficient is 8*(sample-128) and
+#: the T.81 IDCT of a DC-only block — coefficient/8 in every pixel —
+#: reconstructs sample-128 EXACTLY (the float rounding error is
+#: <= |m| * 2**-50, far below the round-half threshold).
+_FLAT_DC_QUANT = 8
+
+
+def _canonical_codes(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
+    """value -> (length, code) for a T.81 Annex C canonical table (the
+    encode-side inverse of :class:`_Huff`)."""
+    lut: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lut[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+class _BitWriter:
+    """MSB-first entropy-segment writer: 0xFF byte stuffing, final byte
+    padded with 1-bits (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.put(1, 1)
+        return bytes(self.out)
+
+
+def encode_jpeg_flat(width: int, height: int, block_samples: list[int]) -> bytes:
+    """Encode a grayscale baseline JPEG whose 8x8 blocks each hold ONE
+    constant sample value — ``block_samples`` row-major over the
+    (width/8) x (height/8) block grid.
+
+    Every block is a single quantized DC coefficient (sample - 128, DC
+    quantizer 8) plus an end-of-block — so the stream exercises the real
+    decode machinery (marker parse, canonical Huffman DC prediction,
+    dequantize, IDCT, level shift) while the decoded image is bit-exact
+    predictable: pixel == sample.  Dimensions must be block-aligned
+    precisely because exactness is the point: a cropped edge block would
+    still decode exactly, but keeping the grid uniform keeps the SQL
+    oracle a one-liner.
+    """
+    if width <= 0 or height <= 0 or width % 8 or height % 8:
+        raise ValueError("flat encoder needs positive block-aligned dims")
+    bw, bh = width // 8, height // 8
+    if len(block_samples) != bw * bh:
+        raise ValueError(f"need {bw * bh} block samples, got {len(block_samples)}")
+    if any(s < 0 or s > 255 for s in block_samples):
+        raise ValueError("block samples must be 0..255")
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    # flat quant table (zigzag order; only the DC entry matters — every
+    # AC coefficient in the stream is zero)
+    dqt = seg(0xDB, bytes([0x00]) + bytes([_FLAT_DC_QUANT] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(STD_DC_LUMA_BITS) + STD_DC_LUMA_VALS) + seg(
+        0xC4, bytes([0x10]) + bytes(STD_AC_LUMA_BITS) + STD_AC_LUMA_VALS
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    dc_lut = _canonical_codes(STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
+    ac_lut = _canonical_codes(STD_AC_LUMA_BITS, STD_AC_LUMA_VALS)
+    eob_len, eob_code = ac_lut[0x00]
+
+    w = _BitWriter()
+    pred = 0
+    for s in block_samples:
+        dc = s - 128
+        diff = dc - pred
+        pred = dc
+        t = 0 if diff == 0 else abs(diff).bit_length()
+        length, code = dc_lut[t]
+        w.put(code, length)
+        if t:
+            mag = diff if diff >= 0 else diff + (1 << t) - 1
+            w.put(mag, t)
+        w.put(eob_code, eob_len)
+
+    return b"\xff\xd8" + dqt + sof + dht + sos + w.flush() + b"\xff\xd9"

@@ -208,11 +208,12 @@ def decode_features_jpeg(media_df: DataFrame) -> DataFrame:
     mean luma per asset.
 
     Same Arrow-batched ``mapInPandas`` shape and by-value codec shipping
-    as :func:`decode_features_png`.  Unlike the PNG twin this has NO
-    oracle-gated catalog query: JPEG is lossy, so decoded pixel stats are
-    not SQL-predictable from the source bytes — correctness is pinned by
-    the JVM cross-validation suite instead (the driver would record only
-    a rows-only check, which is strictly weaker than those tests).
+    as :func:`decode_features_png`.  General JPEG is lossy, so decoded
+    pixel stats are not SQL-predictable from arbitrary source bytes —
+    the JVM cross-validation suite pins that path — but the DC-only
+    flat-block family IS bit-exact by construction, and
+    :func:`multimodal_jpeg_block_stats` routes it through this decoder
+    under the driver's value-hash gate.
     """
     from pyspark import cloudpickle
 
@@ -530,6 +531,73 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return (
         decode_features_png(media_df)
+        .select("doc_id", "width", "height", "mean_luma")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_jpeg_block_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      doc_id % 5 + 1 AS bw,
+                      (doc_id * 3) % 4 + 1 AS bh
+               FROM documents),
+    s AS (SELECT d.doc_id, d.bw, d.bh,
+                 SUM((d.doc_id * 37 + t.i * 19) % 256) AS total
+          FROM d, generate_series(0, 5 * 4 - 1) AS t(i)
+          WHERE t.i < d.bw * d.bh
+          GROUP BY d.doc_id, d.bw, d.bh)
+    SELECT doc_id,
+           CAST(bw * 8 AS BIGINT) AS width,
+           CAST(bh * 8 AS BIGINT) AS height,
+           CAST(total // (bw * bh) AS BIGINT) AS mean_luma
+    FROM s
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode"),
+)
+def multimodal_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-format decode under the driver's value-hash gate: each
+    document id defines a flat-block grayscale image ((doc_id%5+1) x
+    ((doc_id*3)%4+1) blocks of 8x8, block b's sample =
+    (doc_id*37 + b*19) % 256), ENCODED to genuine baseline JPEG by the
+    DC-only encoder and DECODED back through the full from-spec pipeline
+    (marker parse, canonical Huffman with DC prediction, dequantize,
+    T.81 float IDCT, level shift — functions/jpeg.py) inside
+    Arrow-batched ``mapInPandas``.  DC-only blocks are the one JPEG
+    family whose decode is bit-exact (every pixel = coefficient/8 + 128),
+    so the oracle predicts width/height/mean-luma from the block formula
+    directly and any entropy-coding or IDCT bit error breaks the hash.
+    The encoder itself is cross-validated pixel-for-pixel against the
+    JVM's independent javax.imageio decoder in tests/test_jpeg_real.py.
+
+    Scale: the PNG twin's shape — pixels never leave the executors, the
+    exchanged rows are (doc_id, 3 small ints), decode parallelism is the
+    scan's.  With a real media corpus the synth step disappears and
+    decode_features_jpeg runs over the binary column directly.
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import jpeg as _jpeg
+
+    cloudpickle.register_pickle_by_value(_jpeg)
+    encode_flat = _jpeg.encode_jpeg_flat
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                bw, bh = i % 5 + 1, (i * 3) % 4 + 1
+                blocks = [(i * 37 + b * 19) % 256 for b in range(bw * bh)]
+                media.append(encode_flat(bw * 8, bh * 8, blocks))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    return (
+        decode_features_jpeg(media_df)
         .select("doc_id", "width", "height", "mean_luma")
         .orderBy("doc_id")
     )

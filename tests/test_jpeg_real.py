@@ -233,3 +233,65 @@ def test_jpeg_restart_interval_resets_dc_prediction():
     right = {px[y * 16 + 8 + x] for y in range(8) for x in range(8)}
     assert left == {138}   # round(80/8) + 128
     assert right == {123}  # predictor RESET: round(-40/8) + 128
+
+
+def test_encode_jpeg_flat_roundtrip_exact():
+    """The DC-only flat-block family is bit-exact by construction: encode
+    -> decode must reproduce every block constant EXACTLY (no JPEG
+    tolerance), across extreme samples (0, 255), a predictor walk that
+    exercises every DC category sign, and a single-block image."""
+    from edgy_spark.functions.jpeg import decode_jpeg, encode_jpeg_flat
+
+    cases = [
+        (8, 8, [0]),
+        (8, 8, [255]),
+        (40, 32, [(7 * b * b + 3) % 256 for b in range(20)]),
+        (16, 8, [0, 255]),  # max-magnitude DC swing (diff = 255 then -255)
+    ]
+    for w, h, blocks in cases:
+        dw, dh, ch, px = decode_jpeg(encode_jpeg_flat(w, h, blocks))
+        assert (dw, dh, ch) == (w, h, 1)
+        bw = w // 8
+        for bi, want in enumerate(blocks):
+            by, bx = divmod(bi, bw)
+            got = {
+                px[(by * 8 + y) * w + bx * 8 + x]
+                for y in range(8)
+                for x in range(8)
+            }
+            assert got == {want}, (w, h, bi, want, got)
+
+
+def test_encode_jpeg_flat_matches_jvm_decode(spark):
+    """The flat encoder's output is real JPEG to an INDEPENDENT decoder:
+    javax.imageio reads the bytes and reproduces the same pixels.  libjpeg
+    derivatives shortcut DC-only blocks to an exact shift, so the match is
+    held pixel-exact — any Huffman-table, byte-stuffing, or marker-layout
+    bug in the encoder surfaces here, not just against our own decoder."""
+    from edgy_spark.functions.jpeg import encode_jpeg_flat
+
+    w, h = 32, 24
+    blocks = [(b * 41 + 5) % 256 for b in range(12)]
+    data = encode_jpeg_flat(w, h, blocks)
+    img = _jvm_decode(spark, data)
+    assert (img.getWidth(), img.getHeight()) == (w, h)
+    raster = img.getRaster()
+    for bi, want in enumerate(blocks):
+        by, bx = divmod(bi, w // 8)
+        got = {
+            raster.getSample(bx * 8 + x, by * 8 + y, 0)
+            for y in range(8)
+            for x in range(8)
+        }
+        assert got == {want}, (bi, want, got)
+
+
+def test_encode_jpeg_flat_validates():
+    from edgy_spark.functions.jpeg import encode_jpeg_flat
+
+    with pytest.raises(ValueError, match="block-aligned"):
+        encode_jpeg_flat(12, 8, [0, 0])
+    with pytest.raises(ValueError, match="block samples"):
+        encode_jpeg_flat(16, 8, [0])
+    with pytest.raises(ValueError, match="0..255"):
+        encode_jpeg_flat(8, 8, [256])
