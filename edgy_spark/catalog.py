@@ -130,6 +130,7 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.relational  # noqa: F401
     import edgy_spark.operators.tpch_more  # noqa: F401
     import edgy_spark.operators.incremental  # noqa: F401
+    import edgy_spark.operators.recursive  # noqa: F401
 
     _prioritize(R09_WINDOW)
 
