@@ -131,6 +131,7 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.tpch_more  # noqa: F401
     import edgy_spark.operators.incremental  # noqa: F401
     import edgy_spark.operators.recursive  # noqa: F401
+    import edgy_spark.operators.entity  # noqa: F401
 
     _prioritize(R09_WINDOW)
 
