@@ -151,6 +151,10 @@ def load_all_registrations() -> None:
 #: trained-IVF queries (hash-sampled Lloyd trainer + join-based
 #: assignment); (4) backfill with the stalest greens — the r06
 #: relational/TPC-H tail (code diff-verified unchanged since r06).
+#: A SECOND r9 wave added five more never-verified queries (the DC-exact
+#: JPEG decode, the two WITH RECURSIVE operators, and the two
+#: entity-resolution operators), each evicting one r06-green TPC-H tail
+#: entry (q17..q21 — code unchanged since their green).
 #: Everything outside the window is green
 #: in r07/r08 on code unchanged since its check.
 R09_WINDOW: list[str] = [
@@ -162,6 +166,13 @@ R09_WINDOW: list[str] = [
     "pipeline_priority_sample",
     "sim_jl_projection_topk",
     "dedup_prefix_filter_jaccard_pairs",
+    # second r9 wave — never driver-verified (each evicted one r06-green
+    # TPC-H tail entry, q17..q21: code unchanged since their green)
+    "multimodal_jpeg_block_stats",
+    "recursive_hierarchy_rollup",
+    "recursive_copurchase_reach",
+    "er_fuzzy_part_name_pairs",
+    "er_fuzzy_name_clusters",
     # r08-verdict pin: executed code touched in r8 outside the window
     "text_token_counts",
     # r9 code changes execute inside these: fixpoint width policy rewrite
@@ -204,11 +215,6 @@ R09_WINDOW: list[str] = [
     "q14_promo_effect",
     "q15_top_supplier",
     "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_excess_shippers",
-    "q21_sole_returning_suppliers",
 ]
 
 

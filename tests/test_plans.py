@@ -329,3 +329,37 @@ def test_prefix_filter_broadcasts_candidates(spark):
     # full corpus self-join: exactly one Exchange over the raw token hash
     # feeds both df-rank and posting-list branches via scan reuse
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_recursive_reach_executes_union_loop_without_cartesian(spark):
+    """WITH RECURSIVE compiles to Spark's iterative UnionLoop executor —
+    each step a distributed join of the frontier ref against the edge
+    table, never a cartesian expansion."""
+    plan = _plan(spark, "recursive_copurchase_reach")
+    assert "UnionLoop" in plan
+    assert "UnionLoopRef" in plan
+    assert "Cartesian" not in plan
+
+
+def test_er_pairs_broadcast_dictionary_no_cartesian(spark):
+    """ER's blocked self-join runs on the vocabulary-sized dictionary, so
+    the build side must broadcast (never a shuffle of the fact table) and
+    blocking must keep the join equi-keyed — no cartesian product."""
+    plan = _plan(spark, "er_fuzzy_part_name_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+    # the only base-table pass is the dictionary aggregate: partial
+    # (map-side) aggregation before the exchange
+    assert "partial_count" in plan
+
+
+def test_jpeg_block_stats_scans_one_column(spark):
+    """The JPEG decode pipeline exchanges only (doc_id, 3 small ints):
+    the documents scan must prune to doc_id alone, and both synth and
+    decode run as Arrow-batched MapInPandas stages."""
+    import re
+
+    plan = _plan(spark, "multimodal_jpeg_block_stats")
+    assert plan.count("MapInPandas") >= 2
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).split(":")[0] == "doc_id", m and m.group(1)
