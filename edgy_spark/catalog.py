@@ -154,7 +154,10 @@ def load_all_registrations() -> None:
 #: A SECOND r9 wave added five more never-verified queries (the DC-exact
 #: JPEG decode, the two WITH RECURSIVE operators, and the two
 #: entity-resolution operators), each evicting one r06-green TPC-H tail
-#: entry (q17..q21 — code unchanged since their green).
+#: entry (q17..q21 — code unchanged since their green).  A THIRD wave
+#: added the incremental MinHash probe plus the two MinHash queries whose
+#: executed code its _minhash_bands refactor touched, evicting q14..q16
+#: (likewise r06-green on unchanged code).
 #: Everything outside the window is green
 #: in r07/r08 on code unchanged since its check.
 R09_WINDOW: list[str] = [
@@ -173,6 +176,11 @@ R09_WINDOW: list[str] = [
     "recursive_copurchase_reach",
     "er_fuzzy_part_name_pairs",
     "er_fuzzy_name_clusters",
+    "dedup_incremental_new_docs",
+    # the incremental probe's _minhash_bands refactor executes inside
+    # these two (shared signature pipeline extracted in r9)
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_cluster_keepers",
     # r08-verdict pin: executed code touched in r8 outside the window
     "text_token_counts",
     # r9 code changes execute inside these: fixpoint width policy rewrite
@@ -212,9 +220,6 @@ R09_WINDOW: list[str] = [
     "q11_important_part_values",
     "q12_priority_shipping_by_year",
     "q13_customer_order_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
 ]
 
 

@@ -469,9 +469,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered LSH candidate pairs (shared by the pairs query and the
-    cluster-keeper op, which feeds them into connected components)."""
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bucket_key) LSH band rows for every document with at
+    least one shingle — the shared signature pipeline behind the pairs
+    query, the cluster-keeper op, and the incremental probe (which joins
+    an incoming batch's bands against an index corpus's)."""
     d = _spread(spark, load(spark, sf_dir, "documents"))
     hashed = (
         d.select("doc_id", _shingles().alias("sh"))
@@ -507,9 +509,15 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bi in range(N_BANDS)
         ]
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(band_structs).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket_key").alias("bucket_key"))
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered LSH candidate pairs (shared by the pairs query and the
+    cluster-keeper op, which feeds them into connected components)."""
+    bands = _minhash_bands(spark, sf_dir)
     buckets = (
         bands.groupBy("band", "bucket_key")
         .agg(F.collect_list("doc_id").alias("docs"))
@@ -564,6 +572,74 @@ def dedup_minhash_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame
     comps = connected_components(edges)
     return (
         comps.select(F.col("node").alias("doc_id"), F.col("component").alias("keeper_doc_id"))
+        .orderBy("doc_id")
+    )
+
+
+#: Incremental split: doc_id % INC_MOD == 0 plays the INCOMING batch, the
+#: rest the already-indexed corpus.
+INC_MOD = 10
+
+
+@register(
+    "dedup_incremental_new_docs",
+    oracle=f"""
+    WITH {_MINHASH_PAIR_CTES},
+    hits AS (
+      SELECT n.doc_id, COUNT(DISTINCT o.doc_id) AS n_index_matches
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.bucket_key = o.bucket_key
+           AND o.doc_id % {INC_MOD} <> 0
+      WHERE n.doc_id % {INC_MOD} = 0
+      GROUP BY n.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_index_matches, 0) AS BIGINT) AS n_index_matches,
+           h.n_index_matches IS NULL AS kept
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {INC_MOD} = 0) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup", "minhash", "incremental", "pipeline"),
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: an INCOMING batch
+    (doc_id % {INC_MOD} == 0 stands in for today's crawl) is probed
+    against the band buckets of the already-INDEXED corpus; a new doc is
+    kept only if none of its {N_BANDS} band buckets collides with any
+    index doc.  Nothing is recomputed over the index side's pairs — at
+    100 TB the index bands are a STORED table maintained append-only
+    (each kept batch unions its bands in), so per-batch cost is
+    signature(batch) + one equi-join on (band, bucket_key) against the
+    bucket table, never a corpus-wide re-dedup; cand_pairs-style
+    all-corpus pair emission never runs.  Here both sides derive from
+    one documents scan and split by id, which also lets the oracle share
+    the exact signature CTEs of dedup_minhash_lsh_pairs.
+
+    Shingle-less docs have no bands, collide with nothing, and are kept —
+    the LEFT JOIN from the full incoming id set pins that.
+    """
+    bands = _minhash_bands(spark, sf_dir)
+    incoming = bands.filter(F.col("doc_id") % INC_MOD == 0)
+    index = bands.filter(F.col("doc_id") % INC_MOD != 0).select(
+        "band", "bucket_key", F.col("doc_id").alias("index_doc_id")
+    )
+    hits = (
+        incoming.join(index, ["band", "bucket_key"])
+        .groupBy("doc_id")
+        .agg(F.count_distinct("index_doc_id").alias("n_index_matches"))
+    )
+    all_new = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % INC_MOD == 0)
+    )
+    return (
+        all_new.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_index_matches", F.lit(0)).cast("long").alias("n_index_matches"),
+            F.col("n_index_matches").isNull().alias("kept"),
+        )
         .orderBy("doc_id")
     )
 

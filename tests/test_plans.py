@@ -363,3 +363,15 @@ def test_jpeg_block_stats_scans_one_column(spark):
     assert plan.count("MapInPandas") >= 2
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and m.group(1).split(":")[0] == "doc_id", m and m.group(1)
+
+
+def test_incremental_probe_equi_joins_no_pair_explosion(spark):
+    """The incremental probe must stay an equi-join on (band, bucket_key)
+    — no cartesian/nested-loop anywhere — and must NOT run the pairwise
+    bucket explode (posting-list pair emission is the full-corpus path)."""
+    plan = _plan(spark, "dedup_incremental_new_docs")
+    assert "Cartesian" not in plan
+    assert "NestedLoop" not in plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
