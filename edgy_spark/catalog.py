@@ -157,7 +157,8 @@ def load_all_registrations() -> None:
 #: entry (q17..q21 — code unchanged since their green).  A THIRD wave
 #: added the incremental MinHash probe plus the two MinHash queries whose
 #: executed code its _minhash_bands refactor touched, evicting q14..q16
-#: (likewise r06-green on unchanged code).
+#: (likewise r06-green on unchanged code), and the FULL OUTER
+#: stream-stream ledger's batch twin, evicting q13.
 #: Everything outside the window is green
 #: in r07/r08 on code unchanged since its check.
 R09_WINDOW: list[str] = [
@@ -181,6 +182,7 @@ R09_WINDOW: list[str] = [
     # these two (shared signature pipeline extracted in r9)
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_cluster_keepers",
+    "stream_attribution_ledger",
     # r08-verdict pin: executed code touched in r8 outside the window
     "text_token_counts",
     # r9 code changes execute inside these: fixpoint width policy rewrite
@@ -219,7 +221,6 @@ R09_WINDOW: list[str] = [
     "q10_returned_items",
     "q11_important_part_values",
     "q12_priority_shipping_by_year",
-    "q13_customer_order_distribution",
 ]
 
 

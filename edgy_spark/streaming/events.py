@@ -448,3 +448,105 @@ def unattributed_stream(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
         "user_id",
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
     )
+
+
+@register(
+    "stream_attribution_ledger",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           COALESCE(p.user_id, c.user_id) AS user_id,
+           CASE WHEN p.event_id IS NULL THEN 'click_only'
+                WHEN c.event_id IS NULL THEN 'purchase_only'
+                ELSE 'matched' END AS status
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    FULL OUTER JOIN
+         (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+    ORDER BY user_id, COALESCE(purchase_id, -1), COALESCE(click_id, -1)
+    """,
+    tags=("streaming", "join", "full-outer", "temporal"),
+)
+def stream_attribution_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete attribution ledger (batch twin: FULL OUTER join on the
+    attribution condition): every matched click/purchase pair PLUS every
+    click that never converted PLUS every purchase never attributed, each
+    row labeled.  Completes the stream-stream join matrix — inner
+    (stream_click_purchase_attribution), left outer
+    (stream_unattributed_purchases), and full outer — reconciliation
+    between two feeds where BOTH sides' orphans matter (the billing /
+    clearing-house shape).
+
+    The streaming form is :func:`ledger_stream`; replay equivalence and
+    watermark-gated orphan emission are pinned in tests/test_streaming.py.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (p.p_user == c.c_user)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts >= p.p_ts - F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")),
+        "full_outer",
+    )
+    return (
+        joined.select(
+            "purchase_id",
+            "click_id",
+            F.coalesce("p_user", "c_user").alias("user_id"),
+            F.when(F.col("purchase_id").isNull(), F.lit("click_only"))
+            .when(F.col("click_id").isNull(), F.lit("purchase_only"))
+            .otherwise(F.lit("matched"))
+            .alias("status"),
+        )
+        .orderBy(
+            "user_id",
+            F.coalesce("purchase_id", F.lit(-1)),
+            F.coalesce("click_id", F.lit(-1)),
+        )
+    )
+
+
+def ledger_stream(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Streaming twin: FULL OUTER stream-stream join, watermarks on both
+    sides.  Matches emit as they join; each side's orphans emit exactly
+    once after the OTHER side's watermark proves no partner can still
+    arrive.  State on both sides stays bounded by watermark + window, so
+    the reconciler runs forever on unbounded feeds."""
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (p.p_user == c.c_user)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts >= p.p_ts - F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")),
+        "fullOuter",
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        F.when(F.col("purchase_id").isNull(), F.lit("click_only"))
+        .when(F.col("click_id").isNull(), F.lit("purchase_only"))
+        .otherwise(F.lit("matched"))
+        .alias("status"),
+    )

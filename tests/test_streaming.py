@@ -532,3 +532,55 @@ def test_outer_stream_join_nulls_wait_for_watermark(spark, tmp_path):
         ),
     )
     assert len(got) == 0
+
+
+def test_full_outer_stream_join_equals_batch(spark, tmp_path):
+    """FULL OUTER stream-stream join: matches emit as they join, each
+    side's orphans emit once the OTHER side's watermark proves no partner
+    can arrive — after the sentinel flush chunks, the ledger equals the
+    batch FULL OUTER join row-for-row.  (Sentinel rows ride user -1 and
+    may themselves become provably-orphaned by the second flush; they are
+    excluded — the fixture's ledger is the claim.)"""
+    from edgy_spark.sources import load
+    from edgy_spark.streaming.events import ledger_stream
+
+    ev = load(spark, SF_SMOKE, "events")
+    got = _run_append_stream_staged(
+        spark,
+        tmp_path,
+        [ev, _sentinel_flush(spark, ev), _sentinel_flush(spark, ev, hours_ahead=20)],
+        lambda s: ledger_stream(
+            s.filter("event_type = 'purchase'"), s.filter("event_type = 'click'")
+        ),
+    )
+    cols = ["purchase_id", "click_id", "user_id", "status"]
+
+    def norm(r):  # null ids sort as -1 (they never collide with real ids)
+        return tuple(-1 if r[c] is None else r[c] for c in cols)
+
+    got_rows = sorted(norm(r) for r in got if r["user_id"] >= 0)
+    want = QUERIES["stream_attribution_ledger"].fn(spark, SF_SMOKE)
+    assert got_rows == sorted(norm(r) for r in want.collect())
+    # all three statuses must actually occur, or the full-outer claim is
+    # vacuous at this fixture scale
+    statuses = {r[3] for r in got_rows}
+    assert statuses == {"matched", "click_only", "purchase_only"}
+
+
+def test_full_outer_orphans_wait_for_watermark(spark, tmp_path):
+    """Without a watermark-advancing chunk, the full outer join may emit
+    MATCHES but no orphan of either side — null-padded rows only become
+    provable when the opposite watermark passes the window."""
+    from edgy_spark.sources import load
+    from edgy_spark.streaming.events import ledger_stream
+
+    ev = load(spark, SF_SMOKE, "events")
+    got = _run_append_stream_staged(
+        spark,
+        tmp_path,
+        [ev],
+        lambda s: ledger_stream(
+            s.filter("event_type = 'purchase'"), s.filter("event_type = 'click'")
+        ),
+    )
+    assert all(r["status"] == "matched" for r in got)
