@@ -158,7 +158,8 @@ def load_all_registrations() -> None:
 #: added the incremental MinHash probe plus the two MinHash queries whose
 #: executed code its _minhash_bands refactor touched, evicting q14..q16
 #: (likewise r06-green on unchanged code), and the FULL OUTER
-#: stream-stream ledger's batch twin, evicting q13.
+#: stream-stream ledger's batch twin and the HLL intersection
+#: estimator, evicting q13/q12.
 #: Everything outside the window is green
 #: in r07/r08 on code unchanged since its check.
 R09_WINDOW: list[str] = [
@@ -183,6 +184,7 @@ R09_WINDOW: list[str] = [
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_cluster_keepers",
     "stream_attribution_ledger",
+    "sketch_hll_intersection_users",
     # r08-verdict pin: executed code touched in r8 outside the window
     "text_token_counts",
     # r9 code changes execute inside these: fixpoint width policy rewrite
@@ -220,7 +222,6 @@ R09_WINDOW: list[str] = [
     "q9_product_type_profit",
     "q10_returned_items",
     "q11_important_part_values",
-    "q12_priority_shipping_by_year",
 ]
 
 
