@@ -84,11 +84,27 @@ def main() -> None:
         # third r8 wave: span-granularity substring dedup
         "dedup_duplicate_spans",
     ]
+    # r09 widened the set by three (the session's flagship additions:
+    # recursive-CTE reachability, the incremental MinHash probe, and the
+    # real in-Spark JPEG decode throughput)
+    added_r09 = [
+        "recursive_copurchase_reach",
+        "dedup_incremental_new_docs",
+        "multimodal_jpeg_block_stats",
+    ]
     comparable_r05 = round(
-        sum(v for k, v in timings.items() if k not in added_r06 + added_r08), 4
+        sum(
+            v
+            for k, v in timings.items()
+            if k not in added_r06 + added_r08 + added_r09
+        ),
+        4,
     )
     comparable_r07 = round(
-        sum(v for k, v in timings.items() if k not in added_r08), 4
+        sum(v for k, v in timings.items() if k not in added_r08 + added_r09), 4
+    )
+    comparable_r08 = round(
+        sum(v for k, v in timings.items() if k not in added_r09), 4
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The external recorder keeps only the last ~2,000 bytes of output and
@@ -99,7 +115,7 @@ def main() -> None:
     # headline if they would push it past the window.
     for pass_no, this_pass in enumerate(pass_times):
         print(json.dumps({"detail": "pass_times", "pass": pass_no, "times": this_pass}))
-    print(json.dumps({"detail": "set_history", "added_in_r06": added_r06, "added_in_r08": added_r08}))
+    print(json.dumps({"detail": "set_history", "added_in_r06": added_r06, "added_in_r08": added_r08, "added_in_r09": added_r09}))
     final = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -109,7 +125,7 @@ def main() -> None:
         "estimator": "min",
         "comparable_r05_set_total": comparable_r05,
         "comparable_r07_set_total": comparable_r07,
-        "comparable_r08_set_total": total,
+        "comparable_r08_set_total": comparable_r08,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     line = json.dumps(final)

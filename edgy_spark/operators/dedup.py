@@ -600,6 +600,7 @@ INC_MOD = 10
     ORDER BY d.doc_id
     """,
     tags=("dedup", "minhash", "incremental", "pipeline"),
+    bench=True,
 )
 def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — the production shape: an INCOMING batch

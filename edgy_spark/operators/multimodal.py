@@ -556,6 +556,7 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     tags=("multimodal", "decode"),
+    bench=True,
 )
 def multimodal_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-format decode under the driver's value-hash gate: each

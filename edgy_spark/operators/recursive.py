@@ -147,6 +147,7 @@ def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recursive_copurchase_reach",
     oracle=_REACH_SQL.format(lineitem="lineitem"),
     tags=("recursive", "graph", "sql"),
+    bench=True,
 )
 def recursive_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth reachability on a CYCLIC directed graph via
