@@ -159,11 +159,25 @@ def load_all_registrations() -> None:
 #: executed code its _minhash_bands refactor touched, evicting q14..q16
 #: (likewise r06-green on unchanged code), and the FULL OUTER
 #: stream-stream ledger's batch twin and the HLL intersection
-#: estimator, evicting q13/q12.
+#: estimator, evicting q13/q12.  A FOURTH wave added the exact-integer
+#: rolling z-score anomaly detector, resource-allocation link prediction,
+#: SemDeDup semantic pruning over the trained quantizer, and the
+#: per-language percentile-calibrated quality filter, evicting
+#: q7/q8/q10/q11 (r06-green, code unchanged since); then the perceptual
+#: aHash image-dedup groups (real PNG decode), evicting q9 (likewise);
+#: then market-basket association rules and the weekly cohort-retention
+#: matrix, evicting q2/q4 (likewise).
 #: Everything outside the window is green
 #: in r07/r08 on code unchanged since its check.
 R09_WINDOW: list[str] = [
     # new in r9 — never driver-verified
+    "events_anomaly_zscore",
+    "graph_resource_allocation_links",
+    "dedup_semantic_prune",
+    "text_quality_percentile_filter",
+    "multimodal_phash_dup_groups",
+    "orders_market_basket",
+    "events_retention_cohorts",
     "graph_scc_members",
     "graph_scc_condensation_levels",
     "dedup_trim_duplicate_spans",
@@ -215,13 +229,6 @@ R09_WINDOW: list[str] = [
     "repeat_buyers_intersect_all",
     "skew_salted_segment_revenue",
     "variant_event_props_rollup",
-    "q2_min_price_suppliers",
-    "q4_priority_with_returns",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_part_values",
 ]
 
 

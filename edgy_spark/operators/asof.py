@@ -542,3 +542,181 @@ def events_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling z-score anomaly detection (exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+ANOM_WINDOW = 20  # trailing history rows per user (current row excluded)
+ANOM_MIN_N = 12   # minimum history before a row can be judged
+ANOM_T2 = 9       # threshold on z^2 (|z| > 3 sigma)
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events),
+    win AS (
+      SELECT event_id, user_id, ts, value, v,
+             CAST(COUNT(v) OVER w AS BIGINT) AS n,
+             CAST(SUM(v) OVER w AS BIGINT) AS s,
+             CAST(SUM(v * v) OVER w AS BIGINT) AS q
+      FROM cents
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           value, n AS n_prior,
+           (v * n - s) * (v * n - s) AS dev_sq,
+           n * q - s * s AS var_term
+    FROM win
+    WHERE n >= {ANOM_MIN_N}
+      AND (v * n - s) * (v * n - s) > {ANOM_T2} * (n * q - s * s)
+    ORDER BY event_id
+    """,
+    tags=("temporal", "anomaly", "window", "events"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the event stream: flag an
+    event whose value deviates from its user's trailing-window mean by more
+    than 3 sigma, judged ONLY against prior events (ROWS BETWEEN
+    ANOM_WINDOW PRECEDING AND 1 PRECEDING) so the anomaly itself never
+    contaminates the statistics it is judged by.
+
+    Exactness: z^2 > T^2 is evaluated in integer cents without division or
+    sqrt — with x the current value, s/q/n the window sum / sum-of-squares /
+    count, z^2 = (x*n - s)^2 / (n*q - s^2), so the flag is
+    (x*n - s)^2 > T^2 * (n*q - s^2).  All terms are BIGINT-exact (cents
+    <= 49_102, n <= 20 keeps every product < 2^63), so the distributed
+    result is bit-identical to the single-threaded oracle — no float
+    variance anywhere.  A zero-variance history flags ANY deviation
+    ((x*n-s)^2 > 0), the intended semantics after a constant run.
+
+    Scale: one shuffle on user_id (the window partition key); the frame is
+    O(1) rows per event regardless of corpus size.  No reference
+    counterpart (north-star temporal-analytics scope).
+    """
+    ev = load(spark, sf_dir, "events")
+    v = dec("value", 2)  # value is 2-dp exact; *100 below is integral
+    cents = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (v * 100).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    stats = cents.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "v",
+        F.count("v").over(w).alias("n"),
+        F.sum("v").over(w).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("q"),
+    )
+    dev = F.col("v") * F.col("n") - F.col("s")
+    var_term = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        stats.filter(
+            (F.col("n") >= ANOM_MIN_N) & (dev * dev > F.lit(ANOM_T2) * var_term)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "value",
+            F.col("n").alias("n_prior"),
+            (dev * dev).alias("dev_sq"),
+            var_term.alias("var_term"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# weekly cohort retention (product-analytics cohort matrix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS aweek
+      FROM events),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts
+      GROUP BY cohort_week),
+    cells AS (
+      SELECT f.cohort_week,
+             date_diff('day', f.cohort_week, a.aweek) // 7 AS week_offset,
+             COUNT(*) AS n_active
+      FROM active a JOIN firsts f USING (user_id)
+      GROUP BY 1, 2)
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(cohort_size AS BIGINT) AS cohort_size,
+           CAST(10000 * n_active // cohort_size AS BIGINT) AS retention_bp
+    FROM cells c JOIN sizes s USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("temporal", "cohort", "events"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users are cohorted by the week of
+    their FIRST event; each cell counts how many of a cohort's users were
+    active N weeks later, with retention in exact basis points (10000 *
+    active // cohort_size — floor division, no float ratios).  Week
+    boundaries are Monday-start date_trunc in both engines, and offsets
+    are day-difference floor-div-7 of two week-truncated dates, so every
+    cell is integer-exact.
+
+    Scale: two shuffles (per-user first-event aggregate, then the cohort
+    cell groupBy) — the (user, week) distinct rides the first aggregation's
+    partitioning.  The cohort dimension table (one row per week) joins
+    broadcast.  This is the standard retention query a product-analytics
+    warehouse runs daily at full event-history scale.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("aweek")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(aweek, cohort_week) div 7").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            "n_active",
+            "cohort_size",
+            F.expr("(10000 * n_active) div cohort_size").alias("retention_bp"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

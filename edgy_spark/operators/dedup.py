@@ -1165,3 +1165,115 @@ def dedup_prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: cluster with the trained quantizer, prune
+# near-identical points within each cluster)
+# ---------------------------------------------------------------------------
+
+# Fixture threshold — the synthetic corpus has no true semantic dups (max
+# pair cosine ~0.51), so the registered query runs at 0.3 to exercise the
+# full cluster->prune path on non-empty output; semantic_prune() defaults
+# to the paper's ~0.95 regime.
+SEM_FIXTURE_TAU = 0.3
+
+
+def semantic_prune(
+    spark: SparkSession, sf_dir: str, tau: float = 0.95
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding corpus,
+    then within each cluster drop every point that is cosine-similar
+    (>= ``tau``) to a lower-id point of the same cluster — semantic
+    near-duplicates land in the same cell, so the quadratic pruning pass
+    runs per-cluster, never corpus-wide.  The paper breaks ties toward the
+    centroid; this implementation uses vec_id order as the deterministic
+    keep-priority so the result is reproducible under any partitioning
+    (and oracle-expressible).
+
+    Returns one row per corpus vector: (vec_id, cell, dup_of, is_kept)
+    where dup_of is the smallest same-cell vec_id that shadows it (NULL
+    for keepers).
+
+    Scale: reuses the IVF trainer (hash-sampled Lloyd rounds, k tiny
+    centroid rows to the driver per round); assignment is one broadcast
+    join over the corpus; the prune self-join shuffles on cell and is
+    quadratic ONLY within a cell — production sizing picks k ~ N/target
+    so cells stay O(10^4) rows (the paper uses 50k clusters for LAION),
+    exactly how this plan keeps every task bounded at 100 TB.
+    """
+    from edgy_spark.operators.similarity import (
+        _assign_cells,
+        train_ivf_centroids,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(spark, sf_dir)
+    cent = spark.createDataFrame(
+        [(c, emb) for c, emb in cents], schema="cell bigint, cemb array<double>"
+    )
+    members = _assign_cells(e, cent).join(e, "vec_id")
+    a = members.select(
+        F.col("vec_id"), F.col("cell"), F.col("embedding").alias("ea")
+    )
+    b = members.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("embedding").alias("eb"),
+    )
+    dup = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("vec_b") < F.col("vec_id"))
+            & (cosine_similarity(F.col("ea"), F.col("eb")) >= tau),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("vec_b").alias("dup_of"))
+    )
+    return (
+        members.select("vec_id", "cell")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "dup_of",
+            F.col("dup_of").isNull().cast("int").alias("is_kept"),
+        )
+    )
+
+
+def _sem_oracle() -> str:
+    from edgy_spark.operators.similarity import KM_ROUNDS, _km_ctes
+
+    cos = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH {_km_ctes()},
+    members AS (
+      SELECT g.vec_id, g.cell, e.embedding
+      FROM asg_{KM_ROUNDS} g JOIN embeddings e USING (vec_id)),
+    dup AS (
+      SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+      FROM members a JOIN members b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+       AND {cos} >= {SEM_FIXTURE_TAU}
+      GROUP BY a.vec_id)
+    SELECT m.vec_id, m.cell, d.dup_of,
+           CAST(d.dup_of IS NULL AS INT) AS is_kept
+    FROM members m LEFT JOIN dup d USING (vec_id)
+    ORDER BY m.vec_id
+    """
+
+
+@register(
+    "dedup_semantic_prune",
+    oracle=_sem_oracle(),
+    tags=("dedup", "embedding", "semantic", "kmeans", "pipeline"),
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the trained-quantizer clusters at the fixture
+    threshold — see :func:`semantic_prune` (production calls use the 0.95
+    default).  The oracle unrolls the identical Lloyd rounds
+    (integer-stable centroid means make them bit-identical) and mirrors
+    the within-cluster prune join."""
+    return semantic_prune(spark, sf_dir, tau=SEM_FIXTURE_TAU).orderBy("vec_id")

@@ -1632,3 +1632,77 @@ def graph_scc_condensation_levels(spark: SparkSession, sf_dir: str) -> DataFrame
     return condensation_levels(
         directed_copurchase_edges(spark, sf_dir)
     ).orderBy("scc")
+
+
+# ---------------------------------------------------------------------------
+# resource-allocation link prediction (transcendental-free Adamic-Adar)
+# ---------------------------------------------------------------------------
+
+RA_SCALE = 10**12  # fixed-point scale for the 1/deg contributions
+RA_TOP_K = 50
+
+
+@register(
+    "graph_resource_allocation_links",
+    oracle=f"""
+    WITH pur AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    posting AS (SELECT part, COUNT(*) AS d FROM pur GROUP BY part
+                HAVING COUNT(*) BETWEEN 2 AND {CN_MAX_DF}),
+    kept AS (SELECT p.cust, p.part, posting.d
+             FROM pur p JOIN posting USING (part)),
+    scored AS (
+      SELECT a.cust AS cust_a, b.cust AS cust_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM({RA_SCALE} // a.d) AS BIGINT) AS ra_score_scaled
+      FROM kept a JOIN kept b ON a.part = b.part AND a.cust < b.cust
+      GROUP BY a.cust, b.cust)
+    SELECT cust_a, cust_b, n_common, ra_score_scaled
+    FROM scored
+    ORDER BY ra_score_scaled DESC, cust_a, cust_b LIMIT {RA_TOP_K}
+    """,
+    tags=("graph", "link-prediction"),
+)
+def graph_resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by the resource-allocation index (Zhou/Lu/Zhang's
+    RA, the division-only member of the Adamic-Adar family): score(a,b) =
+    sum over shared neighbors z of 1/deg(z), so a part bought by 3
+    customers is stronger evidence than one bought by 90.  Computed in
+    fixed-point (RA_SCALE // deg, integer floor-division) so the
+    distributed sum is BIGINT-exact and bit-identical to the oracle — the
+    log() in Adamic-Adar proper is exactly what cross-engine float
+    identity cannot survive, and RA is its standard transcendental-free
+    sibling (often the better predictor empirically).
+
+    Scale: identical bounded-posting-list shape as
+    :func:`graph_common_neighbors` — one scan, per-part customer lists
+    capped at CN_MAX_DF, pairs emitted per list each carrying the list's
+    own floor(RA_SCALE/deg) contribution, summed per pair.  Max term
+    RA_SCALE/2 and bounded shared-part counts keep the sum far under
+    2^63.  Ranking is TakeOrderedAndProject.
+    """
+    pur = purchase_edges(spark, sf_dir)
+    posting = (
+        pur.groupBy("part")
+        .agg(F.collect_list("cust").alias("custs"))
+        .filter((F.size("custs") >= 2) & (F.size("custs") <= CN_MAX_DF))
+        .select(
+            "custs",
+            # integral floor-division (Spark's `div`), NOT double `/` —
+            # exactness must not ride on float rounding staying clear of
+            # integer boundaries
+            F.expr(f"{RA_SCALE}L div size(custs)").alias("contrib"),
+        )
+    )
+    return (
+        posting.select(F.explode("custs").alias("cust_a"), "custs", "contrib")
+        .select("cust_a", F.explode("custs").alias("cust_b"), "contrib")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("contrib").alias("ra_score_scaled"),
+        )
+        .orderBy(F.desc("ra_score_scaled"), F.asc("cust_a"), F.asc("cust_b"))
+        .limit(RA_TOP_K)
+    )

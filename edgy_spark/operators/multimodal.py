@@ -740,3 +740,128 @@ def multimodal_wav_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return decode_features_wav(media_df).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup (real decode -> 8x8 block aHash -> groups)
+# ---------------------------------------------------------------------------
+
+PH_GROUPS = 40        # distinct base patterns; ~12 docs share each at sf0.01
+PH_SHIFT_SALT = 7919  # per-doc brightness shift seed ((doc_id*salt) % 3 - 1)
+
+
+@register(
+    "multimodal_phash_dup_groups",
+    oracle=f"""
+    WITH gs AS (SELECT DISTINCT doc_id % {PH_GROUPS} AS g FROM documents),
+    dims AS (SELECT g, g % 13 + 8 AS w, (g * 5) % 11 + 8 AS h FROM gs),
+    px AS (SELECT g, w, h,
+                  ((t.i // w) * 8 // h) * 8 + (t.i % w) * 8 // w AS b,
+                  (g * 41 + t.i * 23) % 254 + 1 AS v
+           FROM dims, generate_series(0, 20 * 18 - 1) AS t(i)
+           WHERE t.i < w * h),
+    blocks AS (SELECT g, w, h, b, SUM(v) AS bs, COUNT(*) AS nb
+               FROM px GROUP BY g, w, h, b),
+    tot AS (SELECT g, SUM(bs) AS ts FROM blocks GROUP BY g),
+    hash AS (SELECT blocks.g,
+                    CAST(SUM(CASE WHEN b >= 32 AND bs * w * h >= ts * nb
+                             THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT)
+                      AS phash_hi,
+                    CAST(SUM(CASE WHEN b < 32 AND bs * w * h >= ts * nb
+                             THEN 1::BIGINT << b ELSE 0 END) AS BIGINT)
+                      AS phash_lo
+             FROM blocks JOIN tot USING (g) GROUP BY blocks.g),
+    perdoc AS (SELECT d.doc_id, h.phash_hi, h.phash_lo
+               FROM (SELECT doc_id, doc_id % {PH_GROUPS} AS g FROM documents) d
+               JOIN hash h USING (g))
+    SELECT doc_id, phash_hi, phash_lo,
+           MIN(doc_id) OVER (PARTITION BY phash_hi, phash_lo) AS keeper_doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY phash_hi, phash_lo) AS BIGINT)
+             AS group_size
+    FROM perdoc
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode", "dedup", "phash"),
+)
+def multimodal_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup with REAL pixel decode: synthesize per-doc
+    greyscale PNGs where docs sharing ``doc_id % PH_GROUPS`` carry the same
+    base pattern under a per-doc global brightness shift of -1/0/+1 (so
+    their BYTES and md5 differ — pinned by tests), decode with the
+    from-spec stdlib codec, compute the classic 8x8 average-hash
+    (downsample to 64 blocks, bit = block mean >= image mean), and group
+    by hash: byte-level dedup misses these, perceptual dedup catches them.
+
+    Exactness: the bit test is the cross-multiplied integer comparison
+    ``block_sum * w * h >= total_sum * n_block`` — no float means, and
+    algebraically invariant under a constant brightness shift (both sides
+    gain exactly ``shift * n_block * w * h``), which is WHY the shifted
+    variants hash identically without any tolerance.  The 64-bit hash is
+    emitted as two BIGINT halves (bit 63 would wrap a signed BIGINT).
+
+    Scale: decode + hash run in one Arrow-batched ``mapInPandas`` pass
+    (pixels never leave the executor); the dedup shuffle carries
+    (doc_id, 2 longs).  With a real media corpus the synth step disappears
+    and near-dup matching extends to Hamming-distance banding over the
+    same two halves (the SimHash operator's bucketing, dedup.py).
+    """
+    from pyspark import cloudpickle
+    from pyspark.sql import Window
+
+    from edgy_spark.functions import png as _png
+
+    cloudpickle.register_pickle_by_value(_png)
+    encode_png = _png.encode_png
+    decode_png = _png.decode_png
+    groups, salt = PH_GROUPS, PH_SHIFT_SALT
+
+    def synth_decode_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                g = i % groups
+                w, h = g % 13 + 8, (g * 5) % 11 + 8
+                shift = (i * salt) % 3 - 1
+                scan = [
+                    bytes(
+                        (g * 41 + (y * w + x) * 23) % 254 + 1 + shift
+                        for x in range(w)
+                    )
+                    for y in range(h)
+                ]
+                # real encode -> real decode round trip (the codec under test)
+                dw, dh, ch, px = decode_png(encode_png(w, h, scan, color_type=0))
+                assert (dw, dh, ch) == (w, h, 1)
+                ts = sum(px)
+                bs = [0] * 64
+                nb = [0] * 64
+                for y in range(dh):
+                    rowbase = y * dw
+                    by = y * 8 // dh
+                    for x in range(dw):
+                        b = by * 8 + x * 8 // dw
+                        bs[b] += px[rowbase + x]
+                        nb[b] += 1
+                wh = dw * dh
+                phash = sum(
+                    1 << b for b in range(64) if bs[b] * wh >= ts * nb[b]
+                )
+                rows.append((doc_id, phash >> 32, phash & 0xFFFFFFFF))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash_hi", "phash_lo"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    hashed = docs.mapInPandas(
+        synth_decode_hash, "doc_id long, phash_hi long, phash_lo long"
+    )
+    w = Window.partitionBy("phash_hi", "phash_lo")
+    return (
+        hashed.select(
+            "doc_id",
+            "phash_hi",
+            "phash_lo",
+            F.min("doc_id").over(w).alias("keeper_doc_id"),
+            F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1144,3 +1144,85 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_req_stopwords").cast("long").alias("n_req_stopwords"),
         F.when(keep, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# per-language percentile-calibrated quality filter
+# ---------------------------------------------------------------------------
+
+QPF_KEEP_PCT = 30  # keep the top 30% of each language's quality distribution
+
+
+@register(
+    "text_quality_percentile_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             (10000 * len(list_filter(
+                          regexp_split_to_array(lower(trim(text)), '\\s+'),
+                          w -> list_contains({STOPWORDS!r}, w))))
+               // len(regexp_split_to_array(trim(text), '\\s+'))
+               AS quality_bp
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, quality_bp,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY quality_bp DESC, doc_id)
+                  AS BIGINT) AS lang_rank,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS lang_n
+      FROM scored)
+    SELECT doc_id, lang, quality_bp, lang_rank, lang_n
+    FROM ranked
+    WHERE lang_rank <= (lang_n * {QPF_KEEP_PCT}) // 100
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "pipeline", "calibration"),
+)
+def text_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile-calibrated quality filter: keep the top
+    QPF_KEEP_PCT% of EACH language's quality distribution, not of the
+    global one — a fixed global threshold silently skews a multilingual
+    corpus toward languages whose surface statistics happen to score high
+    (the stopword list here is English, so en docs would dominate any
+    global cut; per-language calibration is the standard mitigation).
+
+    The score is integer basis points (10000 * stopword_hits // n_words)
+    and the cut is rank <= floor(n_lang * pct / 100) — no float ratios,
+    so the kept set is bit-identical across engines and partitionings.
+
+    Scale: one shuffle on lang for the window (production: quantile cut
+    from a mergeable sketch instead of ROW_NUMBER when a single language
+    exceeds one executor's partition — the GK sketch in
+    operators/sketches.py is that path; the exact window form doubles as
+    its oracle at test scale).
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    lower_words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_stop = F.size(F.filter(lower_words, lambda w: w.isin(STOPWORDS)))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (n_stop * 10000).cast("long").alias("stop_e4"),
+        F.size(words).cast("long").alias("n_words"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr("stop_e4 div n_words").alias("quality_bp"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("quality_bp"), F.asc("doc_id"))
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "quality_bp",
+        F.row_number().over(w).cast("long").alias("lang_rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang"))
+        .cast("long")
+        .alias("lang_n"),
+    )
+    return ranked.filter(
+        F.col("lang_rank") <= F.expr(f"(lang_n * {QPF_KEEP_PCT}) div 100")
+    ).orderBy("doc_id")

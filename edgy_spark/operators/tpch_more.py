@@ -943,3 +943,85 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+MB_MIN_PAIR = 2   # minimum co-occurrence count for a rule
+MB_TOP_K = 50
+MB_E6 = 10**6     # fixed-point scale for confidence / lift
+
+
+@register(
+    "orders_market_basket",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets),
+    freq AS (SELECT part, COUNT(*) AS cnt FROM baskets GROUP BY part),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS pair_cnt
+      FROM baskets a JOIN baskets b
+        ON a.okey = b.okey AND a.part < b.part
+      GROUP BY a.part, b.part
+      HAVING COUNT(*) >= {MB_MIN_PAIR})
+    SELECT part_a, part_b, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+           CAST({MB_E6} * pair_cnt // fa.cnt AS BIGINT) AS conf_ab_e6,
+           CAST({MB_E6} * pair_cnt * n.n_orders // (fa.cnt * fb.cnt)
+                AS BIGINT) AS lift_e6
+    FROM pairs
+    JOIN freq fa ON fa.part = part_a
+    JOIN freq fb ON fb.part = part_b
+    CROSS JOIN n
+    ORDER BY lift_e6 DESC, part_a, part_b LIMIT {MB_TOP_K}
+    """,
+    tags=("relational", "association", "basket"),
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: the top-MB_TOP_K
+    part pairs by lift, with co-occurrence count and confidence(a→b).
+    Confidence and lift are fixed-point e6 integers via floor division —
+    the ratio algebra stays BIGINT-exact across engines (pair*N and
+    cnt_a*cnt_b are < 2^50 at any SF whose counts fit the driver schema).
+
+    Scale: baskets come from ONE distinct projection of lineitem; pair
+    emission is per-order (a TPC-H order holds <= 7 items, so the
+    "posting list" is naturally bounded — the general cap pattern the
+    dedup family uses applies when baskets can be huge); item frequencies
+    are a map-side-combinable count joined back only onto surviving
+    pairs.  The final ranking is TakeOrderedAndProject.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = li.select(F.countDistinct("okey").alias("n_orders"))
+    freq = li.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
+    per_order = li.groupBy("okey").agg(F.collect_list("part").alias("parts"))
+    pairs = (
+        per_order.select(F.explode("parts").alias("part_a"), "parts")
+        .select("part_a", F.explode("parts").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= MB_MIN_PAIR)
+    )
+    fa = freq.select(F.col("part").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    fb = freq.select(F.col("part").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            F.expr(f"({MB_E6} * pair_cnt) div cnt_a").alias("conf_ab_e6"),
+            F.expr(
+                f"({MB_E6} * pair_cnt * n_orders) div (cnt_a * cnt_b)"
+            ).alias("lift_e6"),
+        )
+        .orderBy(F.desc("lift_e6"), F.asc("part_a"), F.asc("part_b"))
+        .limit(MB_TOP_K)
+    )

@@ -349,3 +349,48 @@ def test_decode_features_png_grey_alpha_luma_ignores_alpha(spark):
     df = spark.createDataFrame([(1, bytearray(ga))], "doc_id long, media binary")
     row = decode_features_png(df).collect()[0]
     assert (row["width"], row["height"], row["mean_luma"]) == (3, 2, 10)
+
+
+def test_phash_groups_are_byte_distinct_but_perceptually_equal(spark):
+    """The perceptual claim behind multimodal_phash_dup_groups: documents in
+    the same pattern group carry byte-DIFFERENT PNGs (per-doc brightness
+    shift changes the compressed stream and its md5 — exact dedup misses
+    them) yet hash to the SAME 64-bit aHash (the cross-multiplied bit test
+    is shift-invariant)."""
+    import hashlib
+
+    from edgy_spark.functions.png import encode_png
+    from edgy_spark.operators.multimodal import (
+        PH_GROUPS,
+        PH_SHIFT_SALT,
+        multimodal_phash_dup_groups,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = multimodal_phash_dup_groups(spark, SF_SMOKE).toPandas()
+    assert (out["doc_id"] % PH_GROUPS == out["keeper_doc_id"] % PH_GROUPS).all()
+
+    # pick one group that has >= 2 distinct shifts among its doc_ids
+    by_group: dict[int, list[int]] = {}
+    for doc_id in out["doc_id"]:
+        by_group.setdefault(int(doc_id) % PH_GROUPS, []).append(int(doc_id))
+    group = next(
+        ids
+        for ids in by_group.values()
+        if len({(i * PH_SHIFT_SALT) % 3 for i in ids}) >= 2
+    )
+
+    def png_bytes(i: int) -> bytes:
+        g = i % PH_GROUPS
+        w, h = g % 13 + 8, (g * 5) % 11 + 8
+        shift = (i * PH_SHIFT_SALT) % 3 - 1
+        scan = [
+            bytes((g * 41 + (y * w + x) * 23) % 254 + 1 + shift for x in range(w))
+            for y in range(h)
+        ]
+        return encode_png(w, h, scan, color_type=0)
+
+    md5s = {hashlib.md5(png_bytes(i)).hexdigest() for i in group}
+    assert len(md5s) >= 2, "shifted variants should be byte-distinct"
+    sub = out[out["doc_id"].isin(group)]
+    assert sub["phash_hi"].nunique() == 1 and sub["phash_lo"].nunique() == 1

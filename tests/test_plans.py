@@ -375,3 +375,68 @@ def test_incremental_probe_equi_joins_no_pair_explosion(spark):
     assert any(
         j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_anomaly_zscore_single_shuffle_window(spark):
+    plan = _plan(spark, "events_anomaly_zscore")
+    # all three trailing aggregates ride ONE window over user_id: exactly
+    # one data exchange (hashpartitioning on user_id), no join, no UDF
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "Python" not in plan  # pure JVM expressions
+
+
+def test_ra_links_topk_no_cartesian(spark):
+    plan = _plan(spark, "graph_resource_allocation_links")
+    # posting-list pair emission from ONE grouped scan; ranking never
+    # materializes a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # per-pair RA contributions pre-aggregate map-side before the shuffle
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_quality_percentile_filter_one_shuffle_for_both_windows(spark):
+    plan = _plan(spark, "text_quality_percentile_filter")
+    # rank and count windows share the lang partitioning: one hash
+    # exchange (plus the final presentation sort), zero joins
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Join" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "lang", "text"}
+
+
+def test_semantic_prune_broadcasts_centroids(spark):
+    plan = _plan(spark, "dedup_semantic_prune")
+    # centroid assignment is a broadcast nested-loop over k tiny rows;
+    # the prune self-join shuffles on cell only — never an unkeyed
+    # corpus x corpus cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_groups_exchange_small_ints_only(spark):
+    plan = _plan(spark, "multimodal_phash_dup_groups")
+    # decode+hash happen inside ONE Arrow-batched python stage; the window
+    # shuffle carries (doc_id, two longs) — pixels never cross an exchange
+    assert len(re.findall(r"\(\d+\) (?:ArrowEvalPython|MapInPandas)", plan)) == 1
+    m = re.search(r"Arguments: hashpartitioning\(phash_hi[^)]*\)", plan)
+    assert m, "dedup shuffle should key on the hash halves"
+
+
+def test_market_basket_broadcast_total_and_topk(spark):
+    plan = _plan(spark, "orders_market_basket")
+    assert "TakeOrderedAndProject" in plan
+    # the single-row order count joins broadcast; no unkeyed explosion
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_cohorts_broadcasts_sizes(spark):
+    plan = _plan(spark, "events_retention_cohorts")
+    # the per-week cohort dimension is broadcast; the fact side never
+    # re-shuffles for it
+    assert "BroadcastHashJoin" in plan
