@@ -166,7 +166,9 @@ def load_all_registrations() -> None:
 #: q7/q8/q10/q11 (r06-green, code unchanged since); then the perceptual
 #: aHash image-dedup groups (real PNG decode), evicting q9 (likewise);
 #: then market-basket association rules and the weekly cohort-retention
-#: matrix, evicting q2/q4 (likewise).
+#: matrix, evicting q2/q4 (likewise); then the Markov transition matrix
+#: and RFM quintile segmentation, evicting variant_event_props_rollup /
+#: skew_salted_segment_revenue (likewise).
 #: Everything outside the window is green
 #: in r07/r08 on code unchanged since its check.
 R09_WINDOW: list[str] = [
@@ -178,6 +180,8 @@ R09_WINDOW: list[str] = [
     "multimodal_phash_dup_groups",
     "orders_market_basket",
     "events_retention_cohorts",
+    "events_markov_transitions",
+    "orders_rfm_segments",
     "graph_scc_members",
     "graph_scc_condensation_levels",
     "dedup_trim_duplicate_spans",
@@ -227,8 +231,6 @@ R09_WINDOW: list[str] = [
     "customer_order_gaps",
     "pivot_orders_priority_by_year",
     "repeat_buyers_intersect_all",
-    "skew_salted_segment_revenue",
-    "variant_event_props_rollup",
 ]
 
 

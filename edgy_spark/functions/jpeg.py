@@ -148,6 +148,15 @@ def _extend(v: int, t: int) -> int:
 def _idct_block(coef: list[int]) -> list[int]:
     """Exact float 2D IDCT of one dequantized 8x8 block (natural order),
     +128 level shift, rounded and clamped to [0, 255]."""
+    if not any(coef[1:]):
+        # DC-only shortcut (libjpeg's idct 1x1 special case): the general
+        # path reduces to round(C00 * (C00 * dc)) for every pixel — the
+        # SAME float ops in the SAME order (0.0 + z == z), so this is
+        # bit-identical to the full separable transform, ~6x faster on
+        # flat blocks (tests/test_jpeg_real.py pins the equivalence)
+        s = int(round(_COS[0][0] * (_COS[0][0] * coef[0]))) + 128
+        v = 0 if s < 0 else (255 if s > 255 else s)
+        return [v] * 64
     # rows then columns (separable)
     tmp = [0.0] * 64
     for y in range(8):

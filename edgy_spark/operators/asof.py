@@ -720,3 +720,160 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (first-order Markov estimate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    cnt AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(1000000 * n //
+                (CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT))
+                AS BIGINT) AS prob_e6
+    FROM cnt
+    ORDER BY from_type, to_type
+    """,
+    tags=("temporal", "markov", "events"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current event type), estimated from adjacent event
+    pairs (lead over the same (ts, event_id) total order every temporal
+    operator here uses).  Probabilities are e6 fixed-point floor divisions
+    of exact counts — bit-identical across engines and partitionings.
+
+    Scale: one shuffle on user_id for the lead window, one on the 25-cell
+    transition key (map-side combinable); the row-normalizing window runs
+    over a 5-row partition.  The user-journey estimation every product
+    warehouse derives; also the text-bigram LM shape on a token stream.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    row_total = F.sum("n").over(Window.partitionBy("from_type"))
+    return (
+        cnt.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("1000000 * n").alias("n_e6"),
+            row_total.alias("row_n"),
+        )
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n_e6 div row_n").alias("prob_e6"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    base AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)), anchor.maxd)
+               AS r_days,
+             COUNT(*) AS f_cnt,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS m_total
+      FROM orders CROSS JOIN anchor GROUP BY o_custkey, anchor.maxd),
+    scored AS (
+      SELECT custkey, CAST(r_days AS BIGINT) AS r_days,
+             CAST(f_cnt AS BIGINT) AS f_cnt, m_total,
+             CAST(NTILE(5) OVER (ORDER BY r_days ASC,  custkey) AS BIGINT)
+               AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY f_cnt DESC, custkey) AS BIGINT)
+               AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY m_total DESC, custkey) AS BIGINT)
+               AS m_score
+      FROM base)
+    SELECT custkey, r_days, f_cnt, m_total, r_score, f_score, m_score,
+           r_score || '-' || f_score || '-' || m_score AS segment
+    FROM scored
+    ORDER BY custkey
+    """,
+    tags=("relational", "rfm", "window"),
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: days-since-last-order (vs the corpus's
+    own anchor date), order count, and exact-decimal lifetime spend, each
+    cut into quintiles by NTILE over a tie-broken total order (metric,
+    custkey) — deterministic bucket boundaries on both engines, since
+    NTILE is purely positional once the order is total.  1 is best on
+    every axis (most recent / most frequent / highest spend).
+
+    Scale: one groupBy(custkey) for the per-customer rollup; the anchor
+    is a broadcast single row.  The three NTILEs are UNPARTITIONED windows
+    — Spark executes those single-partition, which is fine here because
+    the input is the per-customer rollup (dimension-sized: the fact table
+    never enters the window).  If the customer dimension itself outgrows
+    one task, the production swap is quintile BOUNDARIES from the GK
+    sketch (operators/sketches.py) broadcast back as a range join — same
+    output contract, fully parallel; this exact form doubles as its
+    oracle at test scale.
+    """
+    o = load(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    base = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("custkey"), "maxd")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("lastd"),
+            F.count(F.lit(1)).alias("f_cnt"),
+            to_dbl(F.sum(dec("o_totalprice", 2)), 2).alias("m_total"),
+        )
+        .select(
+            "custkey",
+            F.datediff("maxd", "lastd").cast("long").alias("r_days"),
+            F.col("f_cnt"),
+            "m_total",
+        )
+    )
+    r_w = Window.orderBy(F.asc("r_days"), F.asc("custkey"))
+    f_w = Window.orderBy(F.desc("f_cnt"), F.asc("custkey"))
+    m_w = Window.orderBy(F.desc("m_total"), F.asc("custkey"))
+    scored = base.select(
+        "custkey",
+        "r_days",
+        "f_cnt",
+        "m_total",
+        F.ntile(5).over(r_w).cast("long").alias("r_score"),
+        F.ntile(5).over(f_w).cast("long").alias("f_score"),
+        F.ntile(5).over(m_w).cast("long").alias("m_score"),
+    )
+    return scored.select(
+        "custkey",
+        "r_days",
+        "f_cnt",
+        "m_total",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws("-", "r_score", "f_score", "m_score").alias("segment"),
+    ).orderBy("custkey")

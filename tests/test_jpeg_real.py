@@ -295,3 +295,49 @@ def test_encode_jpeg_flat_validates():
         encode_jpeg_flat(16, 8, [0])
     with pytest.raises(ValueError, match="0..255"):
         encode_jpeg_flat(8, 8, [256])
+
+
+def test_idct_dc_shortcut_bit_identical_to_general_path():
+    """The DC-only IDCT shortcut must be indistinguishable from the full
+    separable transform — checked across the whole dequantized DC range a
+    baseline JPEG can produce (12-bit coefficient x 8-bit quant), plus the
+    general path still engaging when any AC coefficient is set."""
+    from edgy_spark.functions import jpeg as J
+
+    def general(coef):
+        # the pre-shortcut formulation, kept verbatim for the comparison
+        tmp = [0.0] * 64
+        for y in range(8):
+            row = coef[y * 8:y * 8 + 8]
+            if not any(row):
+                continue
+            for x in range(8):
+                acc = 0.0
+                cx = J._COS[x]
+                for u in range(8):
+                    if row[u]:
+                        acc += cx[u] * row[u]
+                tmp[y * 8 + x] = acc
+        out = [0] * 64
+        for x in range(8):
+            col = [tmp[y * 8 + x] for y in range(8)]
+            for y in range(8):
+                acc = 0.0
+                cy = J._COS[y]
+                for v in range(8):
+                    acc += cy[v] * col[v]
+            # NOTE: indentation preserved from the module's general path
+                s = int(round(acc)) + 128
+                out[y * 8 + x] = 0 if s < 0 else (255 if s > 255 else s)
+        return out
+
+    for dc in range(-522240, 522241, 997):  # stride covers sign/clamp edges
+        coef = [dc] + [0] * 63
+        assert J._idct_block(coef) == general(coef), dc
+    for dc in (-1024, -129, -128, -1, 0, 1, 127, 128, 1023):
+        coef = [dc] + [0] * 63
+        assert J._idct_block(coef) == general(coef), dc
+    # AC set -> shortcut must NOT fire; spot-check against the reference
+    coef = [300] + [0] * 63
+    coef[5] = -77
+    assert J._idct_block(coef) == general(coef)

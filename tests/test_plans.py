@@ -440,3 +440,26 @@ def test_retention_cohorts_broadcasts_sizes(spark):
     # the per-week cohort dimension is broadcast; the fact side never
     # re-shuffles for it
     assert "BroadcastHashJoin" in plan
+
+
+def test_markov_transitions_partial_agg_small_shuffles(spark):
+    plan = _plan(spark, "events_markov_transitions")
+    # pair counting combines map-side; only the lead window touches the
+    # full event stream (one user_id exchange), the rest is 25 cells
+    assert "partial_count" in plan
+    assert "Arguments: hashpartitioning(user_id" in plan
+
+
+def test_rfm_window_input_is_dimension_sized(spark):
+    plan = _plan(spark, "orders_rfm_segments")
+    # the NTILE windows must consume the per-customer AGGREGATE, never raw
+    # orders: a partial_count + final HashAggregate precedes all Windows,
+    # and the anchor row joins broadcast
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # execution order from the numbered tree (leaves have low ids): the
+    # rollup aggregate's id must precede every Window's id
+    nodes = re.findall(r"\((\d+)\) (HashAggregate|Window)", plan)
+    agg_ids = [int(i) for i, k in nodes if k == "HashAggregate"]
+    win_ids = [int(i) for i, k in nodes if k == "Window"]
+    assert agg_ids and win_ids and min(agg_ids) < min(win_ids), nodes
