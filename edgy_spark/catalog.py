@@ -168,7 +168,9 @@ def load_all_registrations() -> None:
 #: then market-basket association rules and the weekly cohort-retention
 #: matrix, evicting q2/q4 (likewise); then the Markov transition matrix
 #: and RFM quintile segmentation, evicting variant_event_props_rollup /
-#: skew_salted_segment_revenue (likewise).
+#: skew_salted_segment_revenue (likewise); then SCD2 validity intervals
+#: and Pareto/ABC classes, evicting repeat_buyers_intersect_all /
+#: pivot_orders_priority_by_year (likewise).
 #: Everything outside the window is green
 #: in r07/r08 on code unchanged since its check.
 R09_WINDOW: list[str] = [
@@ -182,6 +184,8 @@ R09_WINDOW: list[str] = [
     "events_retention_cohorts",
     "events_markov_transitions",
     "orders_rfm_segments",
+    "events_scd2_intervals",
+    "parts_pareto_classes",
     "graph_scc_members",
     "graph_scc_condensation_levels",
     "dedup_trim_duplicate_spans",
@@ -229,8 +233,6 @@ R09_WINDOW: list[str] = [
     "priciest_parts_topk",
     "grouping_sets_revenue",
     "customer_order_gaps",
-    "pivot_orders_priority_by_year",
-    "repeat_buyers_intersect_all",
 ]
 
 

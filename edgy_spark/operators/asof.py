@@ -877,3 +877,84 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_score",
         F.concat_ws("-", "r_score", "f_score", "m_score").alias("segment"),
     ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals (slowly-changing-dimension type 2 build)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type),
+    versions AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes)
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id)
+                AS BIGINT) AS version_no,
+           state,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(valid_to IS NULL AS INT) AS is_current
+    FROM versions
+    ORDER BY user_id, version_no
+    """,
+    tags=("temporal", "scd2", "events"),
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event stream: collapse
+    each user's consecutive equal states (event_type here stands in for the
+    tracked attribute), emit one row per state VERSION with
+    [valid_from, valid_to) and an is_current flag (open interval = NULL
+    valid_to) — the standard warehouse history table, built with two
+    windows over one partitioning (change detection via lag, interval close
+    via lead) instead of a self-join.
+
+    Scale: ONE shuffle on user_id; both windows and the version numbering
+    reuse its sort.  The change-row intermediate is a tiny fraction of the
+    input on real attribute streams, and nothing here is quadratic in a
+    user's history.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = seq.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    versions = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("valid_to"),
+    )
+    return versions.select(
+        "user_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("valid_from", "event_id"))
+        .cast("long")
+        .alias("version_no"),
+        "state",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("valid_to").isNull().cast("int").alias("is_current"),
+    ).orderBy("user_id", "version_no")

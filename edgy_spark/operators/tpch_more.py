@@ -22,7 +22,7 @@ key (partial aggregation map-side; AQE splits skewed keys).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edgy_spark.catalog import register
@@ -1025,3 +1025,83 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_e6"), F.asc("part_a"), F.asc("part_b"))
         .limit(MB_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC revenue classification
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_pareto_classes",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 -
+                            CAST(l_extendedprice AS DECIMAL(18,2)) * 100 *
+                            CAST(l_discount AS DECIMAL(18,4))), 0)
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT partkey, rev_c,
+             CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, partkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_c,
+             CAST(SUM(rev_c) OVER () AS BIGINT) AS total_c,
+             CAST(ROW_NUMBER() OVER (ORDER BY rev_c DESC, partkey)
+                  AS BIGINT) AS rev_rank
+      FROM rev)
+    SELECT partkey, rev_c, rev_rank,
+           CASE WHEN cum_c * 10 <= total_c * 7 THEN 'A'
+                WHEN cum_c * 10 <= total_c * 9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    ORDER BY rev_rank
+    """,
+    tags=("relational", "pareto", "window"),
+)
+def parts_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification of parts by discounted revenue: rank parts
+    by revenue, classify by cumulative share (A = first 70% of total
+    revenue, B = to 90%, C = tail) — the inventory-analysis classic.  The
+    share cut is the cross-multiplied integer comparison
+    ``cum * 10 <= total * k`` on exact revenue cents (the fractional
+    sub-cent from the discount product is ROUNDed identically half-up on
+    both engines before the BIGINT cast — a bare cast truncates in Spark
+    but rounds in DuckDB), so class boundaries cannot drift between
+    engines (a float running share would).
+
+    Scale: revenue per part is one map-side-combinable aggregate; the
+    running sum is an unpartitioned window over the PART dimension (fact
+    rows never enter it).  If the part dimension outgrows one task, the
+    production swap is a two-pass range-partitioned prefix sum (per-range
+    partials broadcast back as offsets) — same contract, fully parallel.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cents = dec("l_extendedprice", 2) * 100
+    rev_expr = cents - cents * dec("l_discount", 4)
+    rev = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.round(F.sum(rev_expr), 0).cast("long").alias("rev_c"))
+    )
+    w = Window.orderBy(F.desc("rev_c"), F.asc("partkey"))
+    ranked = rev.select(
+        "partkey",
+        "rev_c",
+        F.sum("rev_c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_c"),
+        F.sum("rev_c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_c"),
+        F.row_number().over(w).cast("long").alias("rev_rank"),
+    )
+    return ranked.select(
+        "partkey",
+        "rev_c",
+        "rev_rank",
+        F.when(F.col("cum_c") * 10 <= F.col("total_c") * 7, "A")
+        .when(F.col("cum_c") * 10 <= F.col("total_c") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    ).orderBy("rev_rank")

@@ -463,3 +463,22 @@ def test_rfm_window_input_is_dimension_sized(spark):
     agg_ids = [int(i) for i, k in nodes if k == "HashAggregate"]
     win_ids = [int(i) for i, k in nodes if k == "Window"]
     assert agg_ids and win_ids and min(agg_ids) < min(win_ids), nodes
+
+
+def test_scd2_single_shuffle_all_windows(spark):
+    plan = _plan(spark, "events_scd2_intervals")
+    # change-detect lag, interval-closing lead, and version numbering all
+    # ride the user_id partitioning: one hash exchange, no join
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_pareto_window_input_is_part_dimension(spark):
+    plan = _plan(spark, "parts_pareto_classes")
+    # the running-share windows consume the per-part AGGREGATE (fact rows
+    # never enter a single-partition window); revenue combines map-side
+    assert "partial_sum" in plan
+    nodes = re.findall(r"\((\d+)\) (HashAggregate|Window)", plan)
+    agg_ids = [int(i) for i, k in nodes if k == "HashAggregate"]
+    win_ids = [int(i) for i, k in nodes if k == "Window"]
+    assert agg_ids and win_ids and min(agg_ids) < min(win_ids), nodes
