@@ -170,7 +170,8 @@ def load_all_registrations() -> None:
 #: and RFM quintile segmentation, evicting variant_event_props_rollup /
 #: skew_salted_segment_revenue (likewise); then SCD2 validity intervals
 #: and Pareto/ABC classes, evicting repeat_buyers_intersect_all /
-#: pivot_orders_priority_by_year (likewise).
+#: pivot_orders_priority_by_year (likewise); then the stream-static
+#: enrichment join's batch twin, evicting customer_order_gaps (likewise).
 #: Everything outside the window is green
 #: in r07/r08 on code unchanged since its check.
 R09_WINDOW: list[str] = [
@@ -186,6 +187,7 @@ R09_WINDOW: list[str] = [
     "orders_rfm_segments",
     "events_scd2_intervals",
     "parts_pareto_classes",
+    "stream_enriched_cohort_revenue",
     "graph_scc_members",
     "graph_scc_condensation_levels",
     "dedup_trim_duplicate_spans",
@@ -232,7 +234,6 @@ R09_WINDOW: list[str] = [
     "json_event_extraction",
     "priciest_parts_topk",
     "grouping_sets_revenue",
-    "customer_order_gaps",
 ]
 
 

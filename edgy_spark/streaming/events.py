@@ -550,3 +550,88 @@ def ledger_stream(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
         .otherwise(F.lit("matched"))
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-static enrichment join: purchases enriched with a batch dimension
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_enriched_cohort_revenue",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id)
+    SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           strftime(d.cohort_week, '%Y-%m-%d') AS cohort_week,
+           COUNT(*) AS n_purchases,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 6) AS DOUBLE)
+             AS revenue
+    FROM events e JOIN dim d USING (user_id)
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+    ORDER BY window_start, cohort_week
+    """,
+    tags=("streaming", "join", "stream-static", "enrichment"),
+)
+def stream_enriched_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-STATIC enrichment join — the fourth join
+    mode in the streaming matrix (alongside inner/left/full outer
+    stream-stream): a purchase stream enriched against a batch-computed
+    user dimension (signup-cohort week), rolled up to hourly revenue per
+    cohort.  ``enriched_stream`` is the streaming form; the replay test
+    pins stream == batch.
+
+    Scale: the static dimension is loaded once per micro-batch and
+    broadcast when small (user dims usually are after aggregation); the
+    stream side only carries purchases.  No stream-stream state at all —
+    this is the cheap join mode and the first one a production pipeline
+    reaches for.
+    """
+    ev = load(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase")
+    return (
+        pur.join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            to_dbl(F.sum(dec("value", 6, 18)), 6).alias("revenue"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "n_purchases",
+            "revenue",
+        )
+        .orderBy("window_start", "cohort_week")
+    )
+
+
+def enriched_stream(purchases: DataFrame, dim: DataFrame) -> DataFrame:
+    """Streaming form: watermarked purchase stream inner-joined to the
+    STATIC dimension (no state — Spark re-reads/broadcasts the batch side
+    per micro-batch), then windowed per-cohort revenue."""
+    return (
+        purchases.withWatermark("ts", "10 minutes")
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            to_dbl(F.sum(dec("value", 6, 18)), 6).alias("revenue"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "n_purchases",
+            "revenue",
+        )
+    )

@@ -4,6 +4,8 @@ replayed as a bounded stream and the final state is compared."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from edgy_spark.catalog import QUERIES, load_all_registrations
 from edgy_spark.streaming.events import (
     read_events_stream,
@@ -584,3 +586,26 @@ def test_full_outer_orphans_wait_for_watermark(spark, tmp_path):
         ),
     )
     assert all(r["status"] == "matched" for r in got)
+
+
+def test_stream_static_enrichment_equals_batch(spark):
+    """Stream-static join mode: the purchase stream enriched against the
+    batch-computed cohort dimension must equal the all-batch twin — no
+    stream-stream state involved, the static side re-resolves per
+    micro-batch."""
+    from edgy_spark.sources import load
+    from edgy_spark.streaming.events import enriched_stream
+
+    ev = load(spark, SF_SMOKE, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    purchases = read_events_stream(spark, SF_SMOKE).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = _run_stream_to_memory(
+        spark, enriched_stream(purchases, dim), "enriched_test"
+    )
+    want = QUERIES["stream_enriched_cohort_revenue"].fn(spark, SF_SMOKE)
+    cols = ["window_start", "cohort_week", "n_purchases", "revenue"]
+    assert _rows(got, cols) == _rows(want, cols)
