@@ -171,7 +171,8 @@ def load_all_registrations() -> None:
 #: skew_salted_segment_revenue (likewise); then SCD2 validity intervals
 #: and Pareto/ABC classes, evicting repeat_buyers_intersect_all /
 #: pivot_orders_priority_by_year (likewise); then the stream-static
-#: enrichment join's batch twin, evicting customer_order_gaps (likewise).
+#: enrichment join's batch twin, evicting customer_order_gaps (likewise);
+#: then top event-type paths, evicting grouping_sets_revenue (likewise).
 #: Everything outside the window is green
 #: in r07/r08 on code unchanged since its check.
 R09_WINDOW: list[str] = [
@@ -188,6 +189,7 @@ R09_WINDOW: list[str] = [
     "events_scd2_intervals",
     "parts_pareto_classes",
     "stream_enriched_cohort_revenue",
+    "events_top_paths",
     "graph_scc_members",
     "graph_scc_condensation_levels",
     "dedup_trim_duplicate_spans",
@@ -233,7 +235,6 @@ R09_WINDOW: list[str] = [
     "scalar_function_showcase",
     "json_event_extraction",
     "priciest_parts_topk",
-    "grouping_sets_revenue",
 ]
 
 

@@ -600,7 +600,17 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1) rows per event regardless of corpus size.  No reference
     counterpart (north-star temporal-analytics scope).
     """
-    ev = load(spark, sf_dir, "events")
+    return anomaly_zscore_flags(load(spark, sf_dir, "events")).orderBy(
+        "event_id"
+    )
+
+
+def anomaly_zscore_flags(ev: DataFrame) -> DataFrame:
+    """Core of :func:`events_anomaly_zscore`, reusable on any DataFrame with
+    (event_id, user_id, ts, value) — see the registered query's docstring
+    for the exact-integer algebra.  Translation invariance (adding a
+    constant to every value changes nothing) is pinned in
+    tests/test_properties.py."""
     v = dec("value", 2)  # value is 2-dp exact; *100 below is integral
     cents = ev.select(
         "event_id",
@@ -639,7 +649,6 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dev * dev).alias("dev_sq"),
             var_term.alias("var_term"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -958,3 +967,63 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         F.col("valid_to").isNull().cast("int").alias("is_current"),
     ).orderBy("user_id", "version_no")
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern mining: top event-type paths
+# ---------------------------------------------------------------------------
+
+PATH_LEN = 3
+PATH_TOP_K = 20
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS e0,
+             LEAD(event_type, 1) OVER w AS e1,
+             LEAD(event_type, 2) OVER w AS e2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT e0 || '>' || e1 || '>' || e2 AS path, COUNT(*) AS n
+      FROM seq WHERE e2 IS NOT NULL
+      GROUP BY 1),
+    tot AS (SELECT SUM(n) AS t FROM paths)
+    SELECT path, CAST(n AS BIGINT) AS n,
+           CAST(1000000 * n // t AS BIGINT) AS share_e6
+    FROM paths CROSS JOIN tot
+    ORDER BY n DESC, path LIMIT {PATH_TOP_K}
+    """,
+    tags=("temporal", "sequence-mining", "events"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: the top-PATH_TOP_K most frequent 3-step
+    event-type paths across all user journeys (consecutive triples via two
+    leads over the per-user order), with each path's share of all observed
+    triples in e6 fixed point — the "common funnels" discovery query that
+    precedes defining a funnel like events_funnel_conversion.
+
+    Scale: one shuffle on user_id for the leads; the path space is at most
+    |event_types|^3 (125 here), so the count aggregate combines map-side
+    into a tiny table, the total is a broadcast singleton, and the ranking
+    is TakeOrderedAndProject.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e0"),
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    ).filter(F.col("e2").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "e0", "e1", "e2").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = paths.agg(F.sum("n").alias("t"))
+    return (
+        paths.crossJoin(F.broadcast(tot))
+        .select("path", "n", F.expr("(1000000 * n) div t").alias("share_e6"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )

@@ -482,3 +482,12 @@ def test_pareto_window_input_is_part_dimension(spark):
     agg_ids = [int(i) for i, k in nodes if k == "HashAggregate"]
     win_ids = [int(i) for i, k in nodes if k == "Window"]
     assert agg_ids and win_ids and min(agg_ids) < min(win_ids), nodes
+
+
+def test_top_paths_small_aggregate_and_topk(spark):
+    plan = _plan(spark, "events_top_paths")
+    # the triple space is tiny: counts combine map-side, the total joins
+    # as a broadcast singleton, ranking never global-sorts
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

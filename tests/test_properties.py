@@ -617,3 +617,49 @@ def test_prefix_filter_is_exact_and_prunes(spark, tmp_path):
     n_prefix_holders = prefix.filter(F.col("hs") == dfmax["hs"]).count()
     assert dfmax["count"] == 8          # the boilerplate 5-gram
     assert n_prefix_holders == 0        # ...never reaches any prefix
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.integers(min_value=1, max_value=40000), min_size=16, max_size=28
+    ),
+    shift_c=st.integers(min_value=-500, max_value=500),
+    spike=st.integers(min_value=100000, max_value=4000000),
+)
+def test_anomaly_flags_are_translation_invariant_and_catch_spikes(
+    spark, vals, shift_c, spike
+):
+    """The exact-integer z^2 predicate behind events_anomaly_zscore:
+    (1) adding a constant to EVERY value leaves the flagged set unchanged
+    (dev and var_term are both translation-invariant — this is exactly
+    what a float mean/variance would not guarantee bit-for-bit), and
+    (2) a large spike appended after a long benign history is flagged.
+    """
+    from datetime import datetime, timedelta
+
+    from edgy_spark.operators.asof import ANOM_MIN_N, anomaly_zscore_flags
+
+    base = datetime(2024, 1, 1)
+    # keep history variance > 0 and below-spike: alternate +/- jitter
+    rows = [
+        (i, 1, base + timedelta(minutes=i), (v + (i % 3)) / 100.0)
+        for i, v in enumerate(vals)
+    ]
+    rows.append((len(vals), 1, base + timedelta(minutes=len(vals)), spike / 100.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    flagged = {
+        r["event_id"] for r in anomaly_zscore_flags(df).collect()
+    }
+    assert len(vals) in flagged, "the planted spike must be flagged"
+
+    shifted = df.withColumn(
+        "value", F.round(F.col("value") + shift_c, 2)
+    )
+    flagged_shifted = {
+        r["event_id"] for r in anomaly_zscore_flags(shifted).collect()
+    }
+    assert flagged == flagged_shifted
+    assert ANOM_MIN_N <= len(vals) + 1
