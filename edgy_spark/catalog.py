@@ -173,6 +173,10 @@ def load_all_registrations() -> None:
 #: pivot_orders_priority_by_year (likewise); then the stream-static
 #: enrichment join's batch twin, evicting customer_order_gaps (likewise);
 #: then top event-type paths, evicting grouping_sets_revenue (likewise).
+#: The review-driven reuse refactor moved graph_common_neighbors onto the
+#: shared capped-posting helpers and text_quality_scores onto the shared
+#: stopword-scoring contract — their executed code changed, so both rotate
+#: in, evicting priciest_parts_topk / json_event_extraction (likewise).
 #: Everything outside the window is green
 #: in r07/r08 on code unchanged since its check.
 R09_WINDOW: list[str] = [
@@ -190,6 +194,8 @@ R09_WINDOW: list[str] = [
     "parts_pareto_classes",
     "stream_enriched_cohort_revenue",
     "events_top_paths",
+    "graph_common_neighbors",
+    "text_quality_scores",
     "graph_scc_members",
     "graph_scc_condensation_levels",
     "dedup_trim_duplicate_spans",
@@ -233,8 +239,6 @@ R09_WINDOW: list[str] = [
     "lapsed_buyers_except_all",
     "priority_union_all",
     "scalar_function_showcase",
-    "json_event_extraction",
-    "priciest_parts_topk",
 ]
 
 

@@ -657,6 +657,16 @@ def anomaly_zscore_flags(ev: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def user_cohort_dim(ev: DataFrame) -> DataFrame:
+    """Per-user signup-cohort week (Monday-start date of the FIRST event) —
+    the ONE cohort definition shared by the retention matrix, the
+    stream-static enrichment join, and its replay test (a drifting copy in
+    any one of them would silently compare different cohortings)."""
+    return ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+
+
 @register(
     "events_retention_cohorts",
     oracle="""
@@ -701,9 +711,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse runs daily at full event-history scale.
     """
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
-    firsts = ev.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
-    )
+    firsts = user_cohort_dim(ev)
     active = ev.select(
         "user_id", F.to_date(F.date_trunc("week", "ts")).alias("aweek")
     ).distinct()

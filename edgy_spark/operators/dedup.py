@@ -1204,14 +1204,12 @@ def semantic_prune(
     """
     from edgy_spark.operators.similarity import (
         _assign_cells,
+        _round_centroids,
         train_ivf_centroids,
     )
 
     e = load(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(spark, sf_dir)
-    cent = spark.createDataFrame(
-        [(c, emb) for c, emb in cents], schema="cell bigint, cemb array<double>"
-    )
+    cent = _round_centroids(spark, train_ivf_centroids(spark, sf_dir))
     members = _assign_cells(e, cent).join(e, "vec_id")
     a = members.select(
         F.col("vec_id"), F.col("cell"), F.col("embedding").alias("ea")

@@ -1255,6 +1255,29 @@ CN_MAX_DF = 100  # stop-part cap: parts bought by > this many custs dropped
 CN_TOP_K = 50
 
 
+def _capped_custs_per_part(pur: DataFrame) -> DataFrame:
+    """Bounded posting lists: customers per part, kept only when the list
+    has 2..CN_MAX_DF members — the shared pair-generation base for every
+    neighborhood link predictor here (a part bought by half the planet
+    predicts nothing and would otherwise emit 10^17 pairs in one task)."""
+    return (
+        pur.groupBy("part")
+        .agg(F.collect_list("cust").alias("custs"))
+        .filter((F.size("custs") >= 2) & (F.size("custs") <= CN_MAX_DF))
+    )
+
+
+def _posting_pairs(posting: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Emit (cust_a, cust_b[, *carry]) per posting list, a < b — ONE scan of
+    the grouped table, never a corpus self-join; ``carry`` columns ride
+    along per source list (e.g. the list's RA contribution)."""
+    return (
+        posting.select(F.explode("custs").alias("cust_a"), "custs", *carry)
+        .select("cust_a", F.explode("custs").alias("cust_b"), *carry)
+        .filter(F.col("cust_a") < F.col("cust_b"))
+    )
+
+
 @register(
     "graph_common_neighbors",
     oracle=f"""
@@ -1293,18 +1316,11 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the containment op's denominators move identically).  Ranking is
     TakeOrderedAndProject — no global sort materializes.
     """
-    pur = purchase_edges(spark, sf_dir)
-    posting = (
-        pur.groupBy("part")
-        .agg(F.collect_list("cust").alias("custs"))
-        .filter((F.size("custs") >= 2) & (F.size("custs") <= CN_MAX_DF))
-    )
+    posting = _capped_custs_per_part(purchase_edges(spark, sf_dir))
     kept = posting.select("part", F.explode("custs").alias("cust"))
     nsz = kept.groupBy("cust").agg(F.count(F.lit(1)).alias("n"))
     common = (
-        posting.select(F.explode("custs").alias("cust_a"), "custs")
-        .select("cust_a", F.explode("custs").alias("cust_b"))
-        .filter(F.col("cust_a") < F.col("cust_b"))
+        _posting_pairs(posting)
         .groupBy("cust_a", "cust_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -1681,23 +1697,15 @@ def graph_resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFra
     RA_SCALE/2 and bounded shared-part counts keep the sum far under
     2^63.  Ranking is TakeOrderedAndProject.
     """
-    pur = purchase_edges(spark, sf_dir)
-    posting = (
-        pur.groupBy("part")
-        .agg(F.collect_list("cust").alias("custs"))
-        .filter((F.size("custs") >= 2) & (F.size("custs") <= CN_MAX_DF))
-        .select(
-            "custs",
-            # integral floor-division (Spark's `div`), NOT double `/` —
-            # exactness must not ride on float rounding staying clear of
-            # integer boundaries
-            F.expr(f"{RA_SCALE}L div size(custs)").alias("contrib"),
-        )
+    posting = _capped_custs_per_part(purchase_edges(spark, sf_dir)).select(
+        "custs",
+        # integral floor-division (Spark's `div`), NOT double `/` —
+        # exactness must not ride on float rounding staying clear of
+        # integer boundaries
+        F.expr(f"{RA_SCALE}L div size(custs)").alias("contrib"),
     )
     return (
-        posting.select(F.explode("custs").alias("cust_a"), "custs", "contrib")
-        .select("cust_a", F.explode("custs").alias("cust_b"), "contrib")
-        .filter(F.col("cust_a") < F.col("cust_b"))
+        _posting_pairs(posting, carry=("contrib",))
         .groupBy("cust_a", "cust_b")
         .agg(
             F.count(F.lit(1)).alias("n_common"),

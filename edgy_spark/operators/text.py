@@ -58,6 +58,26 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Shared stopword-scoring contract (Spark + SQL sides move in lockstep —
+# the module docstring's tokenization note makes this load-bearing: any
+# change here must change all consumers identically)
+_SQL_N_WORDS = "len(regexp_split_to_array(trim(text), '\\s+'))"
+_SQL_N_STOP = (
+    "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    f"w -> list_contains({STOPWORDS!r}, w)))"
+)
+
+
+def _word_and_stop_counts() -> tuple["F.Column", "F.Column"]:
+    """(n_words, n_stopwords) as Spark columns over ``text`` — the shared
+    scoring base of text_quality_scores and the percentile filter."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    lower_words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return F.size(words), F.size(
+        F.filter(lower_words, lambda w: w.isin(STOPWORDS))
+    )
+
+
 @register(
     "text_quality_scores",
     oracle=f"""
@@ -70,9 +90,8 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'keep' ELSE 'drop' END AS quality_bucket
     FROM (
       SELECT doc_id, text,
-             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
-             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                 w -> list_contains({STOPWORDS!r}, w))) AS n_stop,
+             {_SQL_N_WORDS} AS n_words,
+             {_SQL_N_STOP} AS n_stop,
              len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
       FROM documents
     )
@@ -84,12 +103,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, stopword ratio, punctuation ratio and a
     keep/drop bucket — the standard pretraining-corpus filter shape."""
     d = load(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    lower_words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n_words = F.size(words)
-    n_stop = F.size(
-        F.filter(lower_words, lambda w: w.isin(STOPWORDS))
-    )
+    n_words, n_stop = _word_and_stop_counts()
     n_punct = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0))
     )
@@ -1158,11 +1172,7 @@ QPF_KEEP_PCT = 30  # keep the top 30% of each language's quality distribution
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang,
-             (10000 * len(list_filter(
-                          regexp_split_to_array(lower(trim(text)), '\\s+'),
-                          w -> list_contains({STOPWORDS!r}, w))))
-               // len(regexp_split_to_array(trim(text), '\\s+'))
-               AS quality_bp
+             (10000 * {_SQL_N_STOP}) // {_SQL_N_WORDS} AS quality_bp
       FROM documents),
     ranked AS (
       SELECT doc_id, lang, quality_bp,
@@ -1199,14 +1209,12 @@ def text_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFram
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    lower_words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n_stop = F.size(F.filter(lower_words, lambda w: w.isin(STOPWORDS)))
+    n_words, n_stop = _word_and_stop_counts()
     scored = d.select(
         "doc_id",
         "lang",
         (n_stop * 10000).cast("long").alias("stop_e4"),
-        F.size(words).cast("long").alias("n_words"),
+        n_words.cast("long").alias("n_words"),
     ).select(
         "doc_id",
         "lang",

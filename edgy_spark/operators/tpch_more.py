@@ -1089,10 +1089,11 @@ def parts_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partkey",
         "rev_c",
         F.sum("rev_c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_c"),
+        # grand total over the SAME sorted window spec with a full frame —
+        # a second Window.orderBy(lit(1)) spec would add another
+        # single-partition window Spark cannot always collapse
         F.sum("rev_c").over(
-            Window.orderBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         ).alias("total_c"),
         F.row_number().over(w).cast("long").alias("rev_rank"),
     )

@@ -590,10 +590,10 @@ def stream_enriched_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     this is the cheap join mode and the first one a production pipeline
     reaches for.
     """
+    from edgy_spark.operators.asof import user_cohort_dim
+
     ev = load(spark, sf_dir, "events")
-    dim = ev.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
-    )
+    dim = user_cohort_dim(ev)
     pur = ev.filter(F.col("event_type") == "purchase")
     return (
         pur.join(dim, "user_id")

@@ -416,6 +416,16 @@ def test_semantic_prune_broadcasts_centroids(spark):
     # corpus x corpus cartesian
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+    # and at runtime the a/b sides of the prune join must REUSE the one
+    # assignment exchange (the jaccard lesson: a self-join that executes
+    # the expensive upstream pipeline twice doubles the dominant cost)
+    df = QUERIES["dedup_semantic_prune"].fn(spark, SF_SMOKE)
+    df.collect()
+    final = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 1, final
 
 
 def test_phash_groups_exchange_small_ints_only(spark):

@@ -593,13 +593,11 @@ def test_stream_static_enrichment_equals_batch(spark):
     batch-computed cohort dimension must equal the all-batch twin — no
     stream-stream state involved, the static side re-resolves per
     micro-batch."""
+    from edgy_spark.operators.asof import user_cohort_dim
     from edgy_spark.sources import load
     from edgy_spark.streaming.events import enriched_stream
 
-    ev = load(spark, SF_SMOKE, "events")
-    dim = ev.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
-    )
+    dim = user_cohort_dim(load(spark, SF_SMOKE, "events"))
     purchases = read_events_stream(spark, SF_SMOKE).filter(
         F.col("event_type") == "purchase"
     )
