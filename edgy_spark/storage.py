@@ -608,6 +608,162 @@ class GraphStore:
             _maintenance=True, _reindex=True,
         )
 
+    def merge_nodes(
+        self,
+        node_type: str,
+        source: DataFrame,
+        on: str,
+        delete_where: str | None = None,
+        base: "Snapshot | None" = None,
+    ) -> "Snapshot":
+        """MERGE INTO the node table as ONE transactional commit — the
+        Delta-style three-clause upsert this store lacked (the engine's
+        point ops and the bulk loader cover the two ends; this is the
+        set-based middle a warehouse sync job needs):
+
+        - WHEN MATCHED (target.on == source.on) AND ``delete_where``
+          → DELETE the target row;
+        - WHEN MATCHED otherwise → UPDATE: every attribute column present
+          in ``source`` overwrites the target's (including to NULL — SQL
+          UPDATE semantics; a required attr set NULL surfaces lazily at
+          point-read time, the reference's unset-required error);
+        - WHEN NOT MATCHED → INSERT with freshly assigned engine ids
+          (next_id counter advances in the same manifest), absent optional
+          attrs defaulted, absent required attrs NULL (same lazy error).
+
+        ``on`` is a NATURAL key attribute (e.g. ``name``), not the
+        surrogate id; like Delta, a source with duplicate keys is rejected
+        (two source rows updating one target row is non-deterministic).
+        ``delete_where`` is a SQL boolean over the matched pair: target
+        attributes by name, source attributes as ``_src_<name>``.
+
+        CDC: the commit records the full Delta-CDF shape (insert /
+        update_preimage / update_postimage / delete) computed FROM THE
+        SAME JOIN — set-based, no driver-side row collection (contrast
+        graph.py's point-op path, which builds CDC driver-side because its
+        touched set is id-bounded) — so incremental aggregate maintenance
+        (operators/incremental.py) composes with merges.
+
+        Scale: one equi-join on the key (AQE picks broadcast when the
+        source is delta-sized — the common case), one bounded window over
+        the INSERT subset only for id assignment, never over the target.
+        The joined frame is persisted across the result/CDC/insert-count
+        actions so the join executes once.
+
+        Optimistic concurrency: like every commit, raises ConflictError if
+        CURRENT moved past ``base``; the caller re-runs on a fresh
+        snapshot.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        base = base or self.snapshot()
+        nt = self.schema.node_type(node_type)
+        key_attr = nt.attr(on)  # plan-time validation: `on` must exist
+        attr_names = [a.name for a in nt.attrs]
+        unknown = [c for c in source.columns if c not in attr_names]
+        if unknown or on not in source.columns:
+            raise ValueError(
+                f"merge_nodes source columns must be attributes of "
+                f"{node_type!r} and include {on!r}; unknown={unknown}"
+            )
+        upd_cols = [c for c in source.columns if c != on]
+
+        tgt = base.nodes(node_type)
+        src = source.select(
+            F.col(on).cast(key_attr.spark_type()).alias(f"_src_{on}"),
+            *[F.col(c).alias(f"_src_{c}") for c in upd_cols],
+        )
+        # Delta's multiple-match guard: duplicate source keys make the
+        # update non-deterministic — fail loudly (one bounded 2-number agg)
+        cnts = src.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(f"_src_{on}").alias("d"),
+        ).collect()[0]
+        if cnts["n"] != cnts["d"]:
+            raise ValueError(
+                f"merge_nodes: source has {cnts['n'] - cnts['d']} duplicate "
+                f"{on!r} keys — pre-aggregate the source"
+            )
+        joined = tgt.join(
+            src, tgt[on] == src[f"_src_{on}"], "full_outer"
+        ).persist()
+        try:
+            matched = F.col("id").isNotNull() & F.col(f"_src_{on}").isNotNull()
+            doomed = (
+                matched & F.expr(delete_where) if delete_where else F.lit(False)
+            )
+            # surviving target rows: unmatched pass through; matched get the
+            # source's attribute values for every column the source carries
+            upd_val = {c: F.col(f"_src_{c}") for c in upd_cols}
+            survivors = joined.filter(F.col("id").isNotNull() & ~doomed).select(
+                "id",
+                *[
+                    (
+                        F.when(matched, upd_val[a]).otherwise(F.col(a)).alias(a)
+                        if a in upd_val
+                        else F.col(a)
+                    )
+                    for a in attr_names
+                ],
+            )
+            inserts_src = joined.filter(F.col("id").isNull()).select(
+                *[F.col(f"_src_{on}").alias(on)]
+                + [F.col(f"_src_{c}").alias(c) for c in upd_cols]
+            )
+            n_inserts = inserts_src.count()
+            next_id = base.manifest["next_id"]
+            # fresh ids: deterministic (key-ordered) row_number over the
+            # DELTA-sized insert subset only — the target never enters an
+            # unpartitioned window
+            iw = Window.orderBy(F.col(on))
+            inserts = inserts_src.select(
+                (F.row_number().over(iw) + F.lit(next_id - 1))
+                .cast("long")
+                .alias("id"),
+                *[
+                    (
+                        F.col(a.name)
+                        if a.name in source.columns
+                        else F.lit(a.default if not a.required else None).cast(
+                            a.spark_type()
+                        )
+                    ).alias(a.name)
+                    for a in nt.attrs
+                ],
+            )
+            result = survivors.unionByName(inserts)
+
+            updated_pre = joined.filter(matched & ~doomed).select(
+                "id", *attr_names
+            )
+            updated_post = joined.filter(matched & ~doomed).select(
+                "id",
+                *[
+                    (upd_val[a] if a in upd_val else F.col(a)).alias(a)
+                    for a in attr_names
+                ],
+            )
+            deleted_pre = joined.filter(doomed).select("id", *attr_names)
+            cdc_df = (
+                inserts.withColumn("_change", F.lit("insert"))
+                .unionByName(
+                    updated_pre.withColumn("_change", F.lit("update_preimage"))
+                )
+                .unionByName(
+                    updated_post.withColumn("_change", F.lit("update_postimage"))
+                )
+                .unionByName(deleted_pre.withColumn("_change", F.lit("delete")))
+            )
+            return self.commit(
+                base,
+                {f"n_{node_type}": result},
+                next_id=next_id + n_inserts,
+                cdc={f"n_{node_type}": cdc_df},
+            )
+        finally:
+            joined.unpersist()
+
     def vacuum(self, retain_versions: int | None = None) -> list[str]:
         """Garbage-collect table versions (and their session-catalog bucket
         tables, and manifests) referenced only by snapshots older than the

@@ -1,0 +1,180 @@
+"""GraphStore.merge_nodes — the Delta-style three-clause MERGE as one
+transactional commit: matched+condition deletes, matched updates, unmatched
+inserts with fresh engine ids, full-shape CDC from the same join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from edgy_spark.schema import Attr, GraphSchema, NodeType, optional
+from edgy_spark.storage import ConflictError, GraphStore
+
+
+def _schema() -> GraphSchema:
+    return GraphSchema(
+        node_types=(
+            NodeType(
+                "Person",
+                (Attr("name"), Attr("age", "long"), optional("city")),
+            ),
+        ),
+        relations=(),
+    )
+
+
+def _store(spark, tmp_path) -> GraphStore:
+    store = GraphStore(spark, str(tmp_path / "db"), _schema())
+    base = store.snapshot()
+    seed = spark.createDataFrame(
+        [
+            (1, "ann", 30, "berlin"),
+            (2, "bob", 41, "paris"),
+            (3, "cho", 25, "tokyo"),
+        ],
+        "id long, name string, age long, city string",
+    )
+    store.commit(base, {"n_Person": seed}, next_id=4)
+    return store
+
+
+def test_merge_updates_inserts_and_deletes_in_one_commit(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    source = spark.createDataFrame(
+        [
+            ("bob", 42, "lyon"),      # matched -> update
+            ("cho", 0, "osaka"),      # matched + delete_where -> delete
+            ("dee", 19, "madrid"),    # unmatched -> insert
+        ],
+        "name string, age long, city string",
+    )
+    snap = store.merge_nodes(
+        "Person", source, on="name", delete_where="_src_age = 0"
+    )
+    rows = {r["name"]: r for r in snap.nodes("Person").collect()}
+    assert set(rows) == {"ann", "bob", "dee"}
+    assert rows["ann"]["age"] == 30 and rows["ann"]["city"] == "berlin"
+    assert rows["bob"]["age"] == 42 and rows["bob"]["city"] == "lyon"
+    # fresh engine id from the manifest counter, counter advanced
+    assert rows["dee"]["id"] == 4
+    assert snap.manifest["next_id"] == 5
+
+
+def test_merge_cdc_records_the_full_delta_cdf_shape(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    source = spark.createDataFrame(
+        [("bob", 42, "lyon"), ("cho", 0, "osaka"), ("dee", 19, "madrid")],
+        "name string, age long, city string",
+    )
+    snap = store.merge_nodes(
+        "Person", source, on="name", delete_where="_src_age = 0"
+    )
+    changes = store.table_changes(
+        "n_Person", snap.version - 1, snap.version
+    ).collect()
+    by_kind = {}
+    for r in changes:
+        by_kind.setdefault(r["_change"], []).append(r)
+    assert {r["name"] for r in by_kind["insert"]} == {"dee"}
+    assert {r["name"] for r in by_kind["delete"]} == {"cho"}
+    pre = {r["name"]: r for r in by_kind["update_preimage"]}
+    post = {r["name"]: r for r in by_kind["update_postimage"]}
+    assert pre["bob"]["age"] == 41 and post["bob"]["age"] == 42
+    assert pre["bob"]["id"] == post["bob"]["id"] == 2
+
+
+def test_merge_absent_source_columns_keep_target_values(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    # source carries only (name, age): city must survive on matched rows,
+    # and default (optional -> '') on inserts
+    source = spark.createDataFrame(
+        [("ann", 31), ("eve", 22)], "name string, age long"
+    )
+    snap = store.merge_nodes("Person", source, on="name")
+    rows = {r["name"]: r for r in snap.nodes("Person").collect()}
+    assert rows["ann"]["age"] == 31 and rows["ann"]["city"] == "berlin"
+    assert rows["eve"]["age"] == 22 and rows["eve"]["city"] == ""
+
+
+def test_merge_rejects_duplicate_source_keys_and_unknown_columns(
+    spark, tmp_path
+):
+    store = _store(spark, tmp_path)
+    dup = spark.createDataFrame(
+        [("bob", 1), ("bob", 2)], "name string, age long"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        store.merge_nodes("Person", dup, on="name")
+    bad = spark.createDataFrame([("bob", 1)], "name string, salary long")
+    with pytest.raises(ValueError, match="unknown"):
+        store.merge_nodes("Person", bad, on="name")
+
+
+def test_merge_conflicts_like_any_commit(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    stale = store.snapshot()
+    # another writer commits first
+    store.merge_nodes(
+        "Person",
+        spark.createDataFrame([("fay", 50)], "name string, age long"),
+        on="name",
+    )
+    with pytest.raises(ConflictError):
+        store.merge_nodes(
+            "Person",
+            spark.createDataFrame([("gus", 60)], "name string, age long"),
+            on="name",
+            base=stale,
+        )
+
+
+def test_merge_is_idempotent_reapplied_source_changes_nothing(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    source = spark.createDataFrame(
+        [("bob", 42, "lyon"), ("dee", 19, "madrid")],
+        "name string, age long, city string",
+    )
+    s1 = store.merge_nodes("Person", source, on="name")
+    s2 = store.merge_nodes("Person", source, on="name")
+    a = sorted(map(tuple, s1.nodes("Person").collect()))
+    b = sorted(
+        (r["id"], r["name"], r["age"], r["city"])
+        for r in s2.nodes("Person").collect()
+    )
+    assert a == b
+    # no new ids were burned by the idempotent re-apply (no inserts)
+    assert s2.manifest["next_id"] == s1.manifest["next_id"]
+
+
+def test_merge_cdc_feeds_incremental_rollup_maintenance(spark, tmp_path):
+    """Composition pin: a MERGE's full-shape CDC must drive
+    operators/incremental.py's delta-apply to the same rollup a
+    from-scratch recompute produces — updates subtract their preimage,
+    deletes vanish, inserted groups appear."""
+    from edgy_spark.operators.incremental import (
+        maintain_rollup,
+        rollup_aggregate,
+    )
+
+    store = _store(spark, tmp_path)
+    base_version = store.current_version()
+    agg0 = rollup_aggregate(
+        store.snapshot().nodes("Person"), ["city"], ["age"]
+    )
+    snap = store.merge_nodes(
+        "Person",
+        spark.createDataFrame(
+            [("bob", 42, "lyon"), ("cho", 0, "osaka"), ("dee", 19, "madrid")],
+            "name string, age long, city string",
+        ),
+        on="name",
+        delete_where="_src_age = 0",
+    )
+    maintained, upto = maintain_rollup(
+        store, "n_Person", agg0, ["city"], ["age"], from_version=base_version
+    )
+    assert upto == snap.version
+    recomputed = rollup_aggregate(snap.nodes("Person"), ["city"], ["age"])
+    got = sorted(map(tuple, maintained.collect()))
+    want = sorted(map(tuple, recomputed.collect()))
+    assert got == want
