@@ -177,6 +177,10 @@ def load_all_registrations() -> None:
 #: shared capped-posting helpers and text_quality_scores onto the shared
 #: stopword-scoring contract — their executed code changed, so both rotate
 #: in, evicting priciest_parts_topk / json_event_extraction (likewise).
+#: A FIFTH wave added SimHash near-dup pairs (rotating the fingerprints
+#: query in too — its pipeline moved to the shared _simhash_fp helper)
+#: and per-node clustering coefficients, evicting scalar_function_showcase
+#: / priority_union_all / lapsed_buyers_except_all (likewise).
 #: Everything outside the window is green
 #: in r07/r08 on code unchanged since its check.
 R09_WINDOW: list[str] = [
@@ -196,6 +200,9 @@ R09_WINDOW: list[str] = [
     "events_top_paths",
     "graph_common_neighbors",
     "text_quality_scores",
+    "dedup_simhash_neardup_pairs",
+    "dedup_simhash_fingerprints",
+    "graph_clustering_coefficients",
     "graph_scc_members",
     "graph_scc_condensation_levels",
     "dedup_trim_duplicate_spans",
@@ -236,9 +243,6 @@ R09_WINDOW: list[str] = [
     "rollup_nation_balance",
     "cube_returnflag_status",
     "repeat_buyers_intersect",
-    "lapsed_buyers_except_all",
-    "priority_union_all",
-    "scalar_function_showcase",
 ]
 
 

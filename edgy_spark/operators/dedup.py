@@ -651,10 +651,10 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_SIMHASH_BITS = 32
 
-@register(
-    "dedup_simhash_fingerprints",
-    oracle=f"""
-    WITH w AS (
+# the fingerprint pipeline as a reusable oracle CTE chain (shared by the
+# fingerprints query and the banded near-dup pairs)
+_SIMHASH_CTES = f"""
+    w AS (
       SELECT doc_id, unnest(list_distinct(
                regexp_split_to_array(lower(trim(text)), '\\s+'))) AS word
       FROM documents),
@@ -663,10 +663,19 @@ N_SIMHASH_BITS = 32
       SELECT doc_id, b.i AS bit,
              SUM(CASE WHEN (hw >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
       FROM h, (SELECT unnest(range({N_SIMHASH_BITS})) AS i) b
-      GROUP BY doc_id, b.i)
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id ORDER BY doc_id
+      GROUP BY doc_id, b.i),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    oracle=f"""
+    WITH {_SIMHASH_CTES}
+    SELECT doc_id, simhash FROM fp ORDER BY doc_id
     """,
     tags=("dedup", "simhash"),
 )
@@ -677,6 +686,12 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     One md5 per distinct word, all 32 bit-votes from ONE groupBy(doc_id)
     (map-side partial) — no per-(doc, bit) shuffle.
     """
+    return _simhash_fp(spark, sf_dir).orderBy("doc_id")
+
+
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — the shared fingerprint pipeline (see
+    dedup_simhash_fingerprints for the algorithm notes)."""
     d = _spread(spark, load(spark, sf_dir, "documents"))
     words = F.array_distinct(_words())
     h = (
@@ -693,7 +708,7 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(N_SIMHASH_BITS):
         term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
-    return votes.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
+    return votes.select("doc_id", fp.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -1275,3 +1290,93 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer-stable centroid means make them bit-identical) and mirrors
     the within-cluster prune join."""
     return semantic_prune(spark, sf_dir, tau=SEM_FIXTURE_TAU).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (byte-band blocking + Hamming verify)
+# ---------------------------------------------------------------------------
+
+SIMHASH_N_BANDS = 4        # 4 x 8-bit bands over the 32-bit fingerprint
+SIMHASH_MAX_HAMMING = 2    # < SIMHASH_N_BANDS differing bits, so banding is
+#                            EXHAUSTIVE by pigeonhole (recall = 1): at most
+#                            2 bands can differ, >= 1 of 4 is identical
+
+
+@register(
+    "dedup_simhash_neardup_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTES},
+    bands AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (b.band * 8)) & 255 AS key
+      FROM fp, (SELECT unnest(range({SIMHASH_N_BANDS})) AS band) b),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM cand
+    JOIN fp a ON a.doc_id = doc_a
+    JOIN fp b ON b.doc_id = doc_b
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "simhash", "lsh"),
+)
+def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: byte-band the 32-bit fingerprints
+    (4 x 8-bit keys), emit candidates sharing >= 1 band, verify with exact
+    Hamming distance (bit_count of xor) <= SIMHASH_MAX_HAMMING — the
+    downstream step dedup_simhash_fingerprints' docstring promises.
+
+    Recall contract: a pair at Hamming distance d can differ in at most d
+    bands, so with d < SIMHASH_N_BANDS at least one band is identical and
+    banding finds EVERY qualifying pair (recall = 1) — the same pigeonhole
+    Manku et al. (WWW'07) use for web-scale simhash dedup (64-bit
+    fingerprints, k=3).  SIMHASH_MAX_HAMMING = 2 < 4 bands keeps that
+    guarantee here, and the oracle mirrors the banding exactly so both
+    engines see the identical candidate set.
+
+    Scale: fingerprints computed once (one groupBy); band keys are in-row;
+    the bucket shuffle carries (band, key, doc_id); fingerprints re-join
+    only surviving candidates — the same posting-list economics as the
+    MinHash family, with 8-bit keys swapped for wider bands as corpus
+    size grows.
+    """
+    fp = _simhash_fp(spark, sf_dir)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.shiftright(F.col("simhash"), b * 8)
+                .bitwiseAND(F.lit(255))
+                .alias("key"),
+            )
+            for b in range(SIMHASH_N_BANDS)
+        ]
+    )
+    bands = fp.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    cand = (
+        buckets.select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    hamming = F.bit_count(F.expr("ha ^ hb")).cast("long")
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1714,3 +1714,81 @@ def graph_resource_allocation_links(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("ra_score_scaled"), F.asc("cust_a"), F.asc("cust_b"))
         .limit(RA_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-node clustering coefficients (local triangle density)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_clustering_coefficients",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src),
+    tris AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    per_node AS (
+      SELECT node, COUNT(*) AS n_tri FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris)
+      GROUP BY node)
+    SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+           CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST((2000000 * COALESCE(p.n_tri, 0)) // (d.deg * (d.deg - 1))
+                AS BIGINT) AS clustering_e6
+    FROM deg d LEFT JOIN per_node p USING (node)
+    WHERE d.deg >= 2
+    ORDER BY d.node
+    """,
+    tags=("graph", "triangles", "clustering"),
+)
+def graph_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the co-purchase graph:
+    2 * triangles_at(v) / (deg(v) * (deg(v)-1)) in e6 fixed-point floor
+    division — the transitivity profile (who sits in tight communities vs
+    on bridges), companion to the global triangle count.
+
+    Scale: triangles enumerate once via the same wedge-join + closure as
+    :func:`triangle_count` (canonical a<b<c, so each triangle contributes
+    exactly one row, then fans out to its 3 members — a 3x row multiplier
+    on TRIANGLES, not edges); degrees are one map-side-combinable count
+    over the symmetric adjacency.  The coefficient is exact integers end
+    to end — no float ratio can disagree between engines.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        undirect(edges)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= 2)
+    )
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+            F.expr(
+                "(2000000 * coalesce(n_tri, 0)) div (deg * (deg - 1))"
+            ).alias("clustering_e6"),
+        )
+        .orderBy("node")
+    )

@@ -501,3 +501,23 @@ def test_top_paths_small_aggregate_and_topk(spark):
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_simhash_pairs_reuse_fingerprint_exchange(spark):
+    """The banded near-dup pairs hang three consumers (bands, fa, fb) off
+    ONE fingerprint aggregation — at runtime the exchanges must be reused,
+    not recomputed (the 32-vote groupBy is the expensive stage)."""
+    df = QUERIES["dedup_simhash_neardup_pairs"].fn(spark, SF_SMOKE)
+    df.collect()
+    final = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 2, final
+
+
+def test_clustering_coefficients_no_cartesian_exact_ints(spark):
+    plan = _plan(spark, "graph_clustering_coefficients")
+    assert "CartesianProduct" not in plan
+    # degree counting combines map-side before its exchange
+    assert "partial_count" in plan
