@@ -325,6 +325,7 @@ class GraphStore:
         _maintenance: bool = False,
         cdc: dict[str, DataFrame] | None = None,
         _reindex: bool = False,
+        stream_batch: "tuple[str, int] | None" = None,
     ) -> Snapshot:
         """Write changed tables as new versions and publish atomically.
 
@@ -479,7 +480,13 @@ class GraphStore:
             "indexes": indexes,
             # the streaming sink's exactly-once replay guard must survive
             # interleaved commits from ANY committer (pysource.EdgyStreamWriter)
-            "stream_batches": base.manifest.get("stream_batches", {}),
+            # — ``stream_batch=(stream_id, batch_id)`` stamps THIS commit as
+            # that micro-batch's effect (Delta's idempotent-writes txn
+            # appId/version), advancing the carried-forward cursor map
+            "stream_batches": {
+                **base.manifest.get("stream_batches", {}),
+                **(dict([stream_batch]) if stream_batch else {}),
+            },
             # per-commit (not carried forward): changes base.version -> new.
             # Tri-state — dict = captured (maintenance = captured-empty:
             # compaction is no logical change), null = NOT captured.
@@ -615,6 +622,7 @@ class GraphStore:
         on: str,
         delete_where: str | None = None,
         base: "Snapshot | None" = None,
+        stream_batch: "tuple[str, int] | None" = None,
     ) -> "Snapshot":
         """MERGE INTO the node table as ONE transactional commit — the
         Delta-style three-clause upsert this store lacked (the engine's
@@ -760,6 +768,7 @@ class GraphStore:
                 {f"n_{node_type}": result},
                 next_id=next_id + n_inserts,
                 cdc={f"n_{node_type}": cdc_df},
+                stream_batch=stream_batch,
             )
         finally:
             joined.unpersist()

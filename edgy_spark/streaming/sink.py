@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from edgy_spark.storage import ConflictError
+
 
 def write_stream_exactly_once(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
@@ -54,3 +56,56 @@ def read_stream_output(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read the sink's output back as one table (batch_id becomes an
     auto-discovered partition column; drop it for value comparisons)."""
     return spark.read.parquet(out_dir).drop("batch_id")
+
+
+def stream_merge_into_store(
+    store,
+    node_type: str,
+    on: str,
+    stream_id: str,
+    delete_where: str | None = None,
+    max_retries: int = 5,
+):
+    """``foreachBatch`` factory: MERGE each micro-batch into the store's
+    node table — streaming upsert maintenance of a dimension (the CDC-sync
+    job every lakehouse runs), composing Structured Streaming with
+    :meth:`GraphStore.merge_nodes`.
+
+    Exactly-once across restarts WITHOUT an idempotent sink assumption:
+    each merge commit stamps ``(stream_id, batch_id)`` into the manifest's
+    carried-forward ``stream_batches`` cursor map — the same Delta
+    idempotent-writes txn (appId, version) design the bulk stream writer
+    uses — so the replay of an already-applied batch after a crash sees
+    ``cursor >= batch_id`` in the CURRENT manifest (the commit point
+    itself) and skips.  This matters specifically for merges with a DELETE
+    clause: re-applying a batch whose match was deleted would re-INSERT
+    it; updates/inserts alone are content-idempotent.
+
+    Concurrent writers: on ConflictError the batch re-snapshots and
+    re-applies (re-checking the cursor) up to ``max_retries`` — the
+    engine's optimistic-retry semantics at micro-batch granularity.
+    """
+
+    def apply(batch_df, batch_id: int) -> None:
+        for _ in range(max_retries):
+            base = store.snapshot()
+            if base.manifest.get("stream_batches", {}).get(stream_id, -1) >= batch_id:
+                return  # crash-replay of an applied batch: exactly-once skip
+            try:
+                store.merge_nodes(
+                    node_type,
+                    batch_df,
+                    on=on,
+                    delete_where=delete_where,
+                    base=base,
+                    stream_batch=(stream_id, batch_id),
+                )
+                return
+            except ConflictError:
+                continue  # another committer won the version: re-snapshot
+        raise ConflictError(
+            f"stream merge lost {max_retries} optimistic races for batch "
+            f"{batch_id} — raise max_retries or serialize the writers"
+        )
+
+    return apply

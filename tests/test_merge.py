@@ -178,3 +178,57 @@ def test_merge_cdc_feeds_incremental_rollup_maintenance(spark, tmp_path):
     got = sorted(map(tuple, maintained.collect()))
     want = sorted(map(tuple, recomputed.collect()))
     assert got == want
+
+
+def test_stream_merge_into_store_exactly_once(spark, tmp_path):
+    """Streaming upsert maintenance: replay chunks of a source table as a
+    real file stream, MERGE each micro-batch into the store via
+    foreachBatch, and verify (1) the final table equals the sequential
+    batch merges, (2) a crash-replay of an applied batch is skipped by the
+    manifest's stream-batch cursor — specifically the delete-clause hazard
+    (re-applying would re-insert the deleted row)."""
+    from edgy_spark.streaming.sink import stream_merge_into_store
+
+    store = _store(spark, tmp_path)
+    chunks = [
+        [("bob", 42, "lyon"), ("dee", 19, "madrid")],   # update + insert
+        [("cho", 0, "osaka"), ("eve", 22, "quito")],    # delete + insert
+    ]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(
+            rows, "name string, age long, city string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src_dir / f"c{i}"))
+    schema = "name string, age long, city string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "c*"))
+    )
+    apply = stream_merge_into_store(
+        store, "Person", on="name", stream_id="dimsync",
+        delete_where="_src_age = 0",
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["name"]: r for r in store.snapshot().nodes("Person").collect()}
+    assert set(rows) == {"ann", "bob", "dee", "eve"}  # cho deleted
+    assert rows["bob"]["age"] == 42 and rows["eve"]["city"] == "quito"
+    version_after = store.current_version()
+
+    # crash-replay simulation: re-apply an old batch id — the cursor in the
+    # manifest must skip it (NOT re-insert the deleted cho)
+    replay = spark.createDataFrame(
+        [("cho", 0, "osaka"), ("eve", 22, "quito")], schema
+    )
+    apply(replay, 0)
+    apply(replay, 1)
+    assert store.current_version() == version_after
+    names = {r["name"] for r in store.snapshot().nodes("Person").collect()}
+    assert "cho" not in names
