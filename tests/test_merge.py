@@ -232,3 +232,63 @@ def test_stream_merge_into_store_exactly_once(spark, tmp_path):
     assert store.current_version() == version_after
     names = {r["name"] for r in store.snapshot().nodes("Person").collect()}
     assert "cho" not in names
+
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+_batch = st.dictionaries(
+    st.sampled_from(["ann", "bob", "cho", "dee", "eve", "fay"]),
+    st.tuples(st.integers(min_value=0, max_value=5),
+              st.sampled_from(["x", "y", "z"])),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    deadline=None, max_examples=4, suppress_health_check=list(HealthCheck)
+)
+@given(batches=st.lists(_batch, min_size=1, max_size=3))
+def test_merge_matches_dict_model_under_random_batches(
+    spark, tmp_path_factory, batches
+):
+    """Model-based MERGE semantics: a sequence of random source batches
+    (age 0 = delete marker via delete_where) applied through merge_nodes
+    must agree with a plain dict model — including the subtle case where
+    an UNMATCHED row with the delete marker INSERTS (delete clauses apply
+    only WHEN MATCHED, Delta semantics), and id assignment in key order
+    from the manifest counter."""
+    store = _store(spark, tmp_path_factory.mktemp("merge_model"))
+    model = {
+        "ann": (1, 30, "berlin"),
+        "bob": (2, 41, "paris"),
+        "cho": (3, 25, "tokyo"),
+    }
+    next_id = 4
+    for batch in batches:
+        src = spark.createDataFrame(
+            [(n, a, c) for n, (a, c) in sorted(batch.items())],
+            "name string, age long, city string",
+        )
+        store.merge_nodes(
+            "Person", src, on="name", delete_where="_src_age = 0"
+        )
+        inserts = sorted(n for n in batch if n not in model)
+        for n, (a, c) in sorted(batch.items()):
+            if n in model:
+                if a == 0:
+                    del model[n]
+                else:
+                    model[n] = (model[n][0], a, c)
+        for n in inserts:
+            a, c = batch[n]
+            model[n] = (next_id, a, c)
+            next_id += 1
+    got = sorted(
+        (r["name"], r["id"], r["age"], r["city"])
+        for r in store.snapshot().nodes("Person").collect()
+    )
+    want = sorted((n, i, a, c) for n, (i, a, c) in model.items())
+    assert got == want
+    assert store.snapshot().manifest["next_id"] == next_id
