@@ -292,3 +292,21 @@ def test_merge_matches_dict_model_under_random_batches(
     want = sorted((n, i, a, c) for n, (i, a, c) in model.items())
     assert got == want
     assert store.snapshot().manifest["next_id"] == next_id
+
+
+def test_merge_into_empty_store_inserts_everything(spark, tmp_path):
+    """First merge against a store whose node table has never been written:
+    every source row is unmatched -> inserted with ids from the fresh
+    manifest counter (the empty-table schema still carries id)."""
+    store = GraphStore(spark, str(tmp_path / "db"), _schema())
+    snap = store.merge_nodes(
+        "Person",
+        spark.createDataFrame(
+            [("bob", 41, "paris"), ("ann", 30, "berlin")],
+            "name string, age long, city string",
+        ),
+        on="name",
+    )
+    rows = {r["name"]: r for r in snap.nodes("Person").collect()}
+    assert rows["ann"]["id"] == 1 and rows["bob"]["id"] == 2  # key order
+    assert snap.manifest["next_id"] == 3
