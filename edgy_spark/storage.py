@@ -641,22 +641,34 @@ class GraphStore:
 
         ``on`` is a NATURAL key attribute (e.g. ``name``), not the
         surrogate id; like Delta, a source with duplicate keys is rejected
-        (two source rows updating one target row is non-deterministic).
+        (two source rows updating one target row is non-deterministic),
+        and NULL keys are rejected separately (a NULL can never match
+        anything; silently inserting NULL-keyed rows would poison later
+        merges).  Source columns are cast to their DECLARED attribute
+        types before any of this — a drifted input type (doubles from a
+        JSON feed against a long attr) must not change the stored column
+        type, because the schema-evolution read path treats a re-typed
+        column as an unknown key and defaults the WHOLE column.
         ``delete_where`` is a SQL boolean over the matched pair: target
-        attributes by name, source attributes as ``_src_<name>``.
+        attributes by name, source attributes as ``_src_<name>``; a NULL
+        result means FALSE (SQL MERGE semantics — the row is updated, not
+        silently dropped).
 
         CDC: the commit records the full Delta-CDF shape (insert /
-        update_preimage / update_postimage / delete) computed FROM THE
-        SAME JOIN — set-based, no driver-side row collection (contrast
-        graph.py's point-op path, which builds CDC driver-side because its
-        touched set is id-bounded) — so incremental aggregate maintenance
-        (operators/incremental.py) composes with merges.
+        update_preimage / update_postimage / delete) computed from the
+        same join frames — set-based, no driver-side row collection
+        (contrast graph.py's point-op path, which builds CDC driver-side
+        because its touched set is id-bounded) — so incremental aggregate
+        maintenance (operators/incremental.py) composes with merges.
 
-        Scale: one equi-join on the key (AQE picks broadcast when the
-        source is delta-sized — the common case), one bounded window over
-        the INSERT subset only for id assignment, never over the target.
-        The joined frame is persisted across the result/CDC/insert-count
-        actions so the join executes once.
+        Scale: the matched/unmatched split is deliberate — an INNER join
+        plus a LEFT ANTI for the untouched target rows (both broadcast
+        the delta-sized source; a single FULL OUTER formulation could
+        never broadcast, Spark has no broadcast full-outer), plus one
+        LEFT ANTI of the source against the target's projected KEY column
+        for the inserts.  Id assignment is one bounded window over the
+        INSERT subset only; the target never enters an unpartitioned
+        window.  The source is persisted across its multiple consumers.
 
         Optimistic concurrency: like every commit, raises ConflictError if
         CURRENT moved past ``base``; the caller re-runs on a fresh
@@ -667,7 +679,7 @@ class GraphStore:
 
         base = base or self.snapshot()
         nt = self.schema.node_type(node_type)
-        key_attr = nt.attr(on)  # plan-time validation: `on` must exist
+        nt.attr(on)  # plan-time validation: `on` must exist
         attr_names = [a.name for a in nt.attrs]
         unknown = [c for c in source.columns if c not in attr_names]
         if unknown or on not in source.columns:
@@ -678,52 +690,66 @@ class GraphStore:
         upd_cols = [c for c in source.columns if c != on]
 
         tgt = base.nodes(node_type)
+        # every source column lands at its DECLARED type (see docstring)
         src = source.select(
-            F.col(on).cast(key_attr.spark_type()).alias(f"_src_{on}"),
-            *[F.col(c).alias(f"_src_{c}") for c in upd_cols],
-        )
-        # Delta's multiple-match guard: duplicate source keys make the
-        # update non-deterministic — fail loudly (one bounded 2-number agg)
-        cnts = src.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct(f"_src_{on}").alias("d"),
-        ).collect()[0]
-        if cnts["n"] != cnts["d"]:
-            raise ValueError(
-                f"merge_nodes: source has {cnts['n'] - cnts['d']} duplicate "
-                f"{on!r} keys — pre-aggregate the source"
-            )
-        joined = tgt.join(
-            src, tgt[on] == src[f"_src_{on}"], "full_outer"
+            *[
+                F.col(c).cast(nt.attr(c).spark_type()).alias(f"_src_{c}")
+                for c in [on, *upd_cols]
+            ]
         ).persist()
         try:
-            matched = F.col("id").isNotNull() & F.col(f"_src_{on}").isNotNull()
-            doomed = (
-                matched & F.expr(delete_where) if delete_where else F.lit(False)
+            # Delta's multiple-match guard + the NULL-key guard, one agg
+            cnts = src.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(f"_src_{on}").alias("nn"),
+                F.countDistinct(f"_src_{on}").alias("d"),
+            ).collect()[0]
+            if cnts["nn"] != cnts["n"]:
+                raise ValueError(
+                    f"merge_nodes: source has {cnts['n'] - cnts['nn']} NULL "
+                    f"{on!r} keys — a NULL key can never match; filter or "
+                    "key-fill the source"
+                )
+            if cnts["nn"] != cnts["d"]:
+                raise ValueError(
+                    f"merge_nodes: source has {cnts['nn'] - cnts['d']} "
+                    f"duplicate {on!r} keys — pre-aggregate the source"
+                )
+            matched = tgt.join(
+                F.broadcast(src), tgt[on] == src[f"_src_{on}"], "inner"
             )
-            # surviving target rows: unmatched pass through; matched get the
-            # source's attribute values for every column the source carries
+            untouched = tgt.join(
+                F.broadcast(src.select(f"_src_{on}")),
+                tgt[on] == src[f"_src_{on}"],
+                "left_anti",
+            )
+            # NULL delete_where -> FALSE (update), per SQL MERGE semantics
+            doomed = (
+                F.coalesce(F.expr(delete_where), F.lit(False))
+                if delete_where
+                else F.lit(False)
+            )
             upd_val = {c: F.col(f"_src_{c}") for c in upd_cols}
-            survivors = joined.filter(F.col("id").isNotNull() & ~doomed).select(
+            updated_pre = matched.filter(~doomed).select("id", *attr_names)
+            updated_post = matched.filter(~doomed).select(
                 "id",
                 *[
-                    (
-                        F.when(matched, upd_val[a]).otherwise(F.col(a)).alias(a)
-                        if a in upd_val
-                        else F.col(a)
-                    )
+                    (upd_val[a] if a in upd_val else F.col(a)).alias(a)
                     for a in attr_names
                 ],
             )
-            inserts_src = joined.filter(F.col("id").isNull()).select(
-                *[F.col(f"_src_{on}").alias(on)]
-                + [F.col(f"_src_{c}").alias(c) for c in upd_cols]
+            deleted_pre = matched.filter(doomed).select("id", *attr_names)
+            inserts_src = src.join(
+                tgt.select(F.col(on).alias(f"_src_{on}")),
+                f"_src_{on}",
+                "left_anti",
+            ).select(
+                *[F.col(f"_src_{c}").alias(c) for c in [on, *upd_cols]]
             )
             n_inserts = inserts_src.count()
             next_id = base.manifest["next_id"]
             # fresh ids: deterministic (key-ordered) row_number over the
-            # DELTA-sized insert subset only — the target never enters an
-            # unpartitioned window
+            # DELTA-sized insert subset only
             iw = Window.orderBy(F.col(on))
             inserts = inserts_src.select(
                 (F.row_number().over(iw) + F.lit(next_id - 1))
@@ -740,19 +766,10 @@ class GraphStore:
                     for a in nt.attrs
                 ],
             )
-            result = survivors.unionByName(inserts)
+            result = untouched.select("id", *attr_names).unionByName(
+                updated_post
+            ).unionByName(inserts)
 
-            updated_pre = joined.filter(matched & ~doomed).select(
-                "id", *attr_names
-            )
-            updated_post = joined.filter(matched & ~doomed).select(
-                "id",
-                *[
-                    (upd_val[a] if a in upd_val else F.col(a)).alias(a)
-                    for a in attr_names
-                ],
-            )
-            deleted_pre = joined.filter(doomed).select("id", *attr_names)
             cdc_df = (
                 inserts.withColumn("_change", F.lit("insert"))
                 .unionByName(
@@ -771,7 +788,7 @@ class GraphStore:
                 stream_batch=stream_batch,
             )
         finally:
-            joined.unpersist()
+            src.unpersist()
 
     def vacuum(self, retain_versions: int | None = None) -> list[str]:
         """Garbage-collect table versions (and their session-catalog bucket

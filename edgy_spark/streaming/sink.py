@@ -64,6 +64,7 @@ def stream_merge_into_store(
     on: str,
     stream_id: str,
     delete_where: str | None = None,
+    latest_by: str | None = None,
     max_retries: int = 5,
 ):
     """``foreachBatch`` factory: MERGE each micro-batch into the store's
@@ -81,12 +82,39 @@ def stream_merge_into_store(
     clause: re-applying a batch whose match was deleted would re-INSERT
     it; updates/inserts alone are content-idempotent.
 
+    Duplicate keys inside one micro-batch: merge_nodes rejects them (two
+    rows updating one target row is non-deterministic), and a CDC feed
+    WILL coalesce multiple events for a key into one batch (availableNow
+    groups files; a restart regroups batch boundaries — a batch split
+    that worked once is not stable).  ``latest_by`` names the event-order
+    column (e.g. the source timestamp): the batch is pre-aggregated
+    keep-latest per key, deterministically (remaining columns break
+    ties), BEFORE merging — the standard CDC-compaction step.  Without
+    ``latest_by``, exact duplicate rows (at-least-once redelivery) are
+    dropped and genuinely CONFLICTING rows still fail the whole query —
+    deliberately, because silently picking a winner without an order
+    column would corrupt the dimension.
+
     Concurrent writers: on ConflictError the batch re-snapshots and
     re-applies (re-checking the cursor) up to ``max_retries`` — the
     engine's optimistic-retry semantics at micro-batch granularity.
     """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
 
     def apply(batch_df, batch_id: int) -> None:
+        if latest_by is not None:
+            others = [c for c in batch_df.columns if c != on]
+            w = Window.partitionBy(on).orderBy(
+                F.desc(F.struct(F.col(latest_by), *[F.col(c) for c in others]))
+            )
+            batch_df = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            batch_df = batch_df.dropDuplicates()
         for _ in range(max_retries):
             base = store.snapshot()
             if base.manifest.get("stream_batches", {}).get(stream_id, -1) >= batch_id:

@@ -310,3 +310,72 @@ def test_merge_into_empty_store_inserts_everything(spark, tmp_path):
     rows = {r["name"]: r for r in snap.nodes("Person").collect()}
     assert rows["ann"]["id"] == 1 and rows["bob"]["id"] == 2  # key order
     assert snap.manifest["next_id"] == 3
+
+
+def test_merge_null_delete_condition_updates_instead_of_dropping(
+    spark, tmp_path
+):
+    """SQL MERGE three-valued logic: a delete_where that evaluates to NULL
+    for a matched row means FALSE — the row is UPDATEd, never silently
+    dropped without a CDC record (review r09b finding)."""
+    store = _store(spark, tmp_path)
+    source = spark.createDataFrame(
+        [("bob", None, "lyon")], "name string, age long, city string"
+    )
+    snap = store.merge_nodes(
+        "Person", source, on="name", delete_where="_src_age = 0"
+    )
+    rows = {r["name"]: r for r in snap.nodes("Person").collect()}
+    assert "bob" in rows, "NULL condition must not delete"
+    assert rows["bob"]["age"] is None and rows["bob"]["city"] == "lyon"
+    kinds = {
+        r["_change"]
+        for r in store.table_changes(
+            "n_Person", snap.version - 1, snap.version
+        ).collect()
+        if r["name"] == "bob"
+    }
+    assert kinds == {"update_preimage", "update_postimage"}
+
+
+def test_merge_rejects_null_keys_with_a_specific_error(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(None, 10, "x")], "name string, age long, city string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        store.merge_nodes("Person", src, on="name")
+
+
+def test_merge_casts_source_columns_to_declared_types(spark, tmp_path):
+    """A drifted input type (double age from a JSON feed) must land as the
+    DECLARED long — a re-typed stored column would make the
+    schema-evolution read path default the WHOLE column to NULL."""
+    store = _store(spark, tmp_path)
+    src = spark.createDataFrame(
+        [("bob", 42.0), ("eve", 22.9)], "name string, age double"
+    )
+    snap = store.merge_nodes("Person", src, on="name")
+    rows = {r["name"]: r for r in snap.nodes("Person").collect()}
+    assert rows["bob"]["age"] == 42 and isinstance(rows["bob"]["age"], int)
+    # pre-merge rows must still read their values (no column wipe)
+    assert rows["ann"]["age"] == 30
+
+
+def test_stream_merge_keep_latest_compacts_duplicate_keys(spark, tmp_path):
+    """A micro-batch carrying several events for one key (the CDC reality)
+    must keep-latest by the order column instead of poisoning the query."""
+    from edgy_spark.streaming.sink import stream_merge_into_store
+
+    store = _store(spark, tmp_path)
+    apply = stream_merge_into_store(
+        store, "Person", on="name", stream_id="s", latest_by="age"
+    )
+    batch = spark.createDataFrame(
+        [("bob", 43, "nice"), ("bob", 42, "lyon"), ("gia", 28, "rome")],
+        "name string, age long, city string",
+    )
+    apply(batch, 0)
+    rows = {r["name"]: r for r in store.snapshot().nodes("Person").collect()}
+    assert rows["bob"]["age"] == 43 and rows["bob"]["city"] == "nice"
+    assert rows["gia"]["age"] == 28
