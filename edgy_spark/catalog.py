@@ -180,7 +180,9 @@ def load_all_registrations() -> None:
 #: A FIFTH wave added SimHash near-dup pairs (rotating the fingerprints
 #: query in too — its pipeline moved to the shared _simhash_fp helper)
 #: and per-node clustering coefficients, evicting scalar_function_showcase
-#: / priority_union_all / lapsed_buyers_except_all (likewise).
+#: / priority_union_all / lapsed_buyers_except_all (likewise); and the
+#: language-ID confusion matrix, evicting repeat_buyers_intersect
+#: (likewise).
 #: Everything outside the window is green
 #: in r07/r08 on code unchanged since its check.
 R09_WINDOW: list[str] = [
@@ -203,6 +205,7 @@ R09_WINDOW: list[str] = [
     "dedup_simhash_neardup_pairs",
     "dedup_simhash_fingerprints",
     "graph_clustering_coefficients",
+    "text_langid_confusion",
     "graph_scc_members",
     "graph_scc_condensation_levels",
     "dedup_trim_duplicate_spans",
@@ -242,7 +245,6 @@ R09_WINDOW: list[str] = [
     "top_orders_per_customer",
     "rollup_nation_balance",
     "cube_returnflag_status",
-    "repeat_buyers_intersect",
 ]
 
 

@@ -1234,3 +1234,78 @@ def text_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFram
     return ranked.filter(
         F.col("lang_rank") <= F.expr(f"(lang_n * {QPF_KEEP_PCT}) div 100")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix (classifier quality audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT doc_id, lang,
+             CASE
+               {' '.join(
+                 f"WHEN {_marker_hits_sql(lg)} >= GREATEST("
+                 + ', '.join(_marker_hits_sql(o) for o in _LANGS)
+                 + f") THEN '{lg}'"
+                 for lg in _LANGS)}
+               ELSE 'unk' END AS pred_lang
+      FROM documents),
+    cells AS (
+      SELECT lang AS labeled_lang, pred_lang, COUNT(*) AS n
+      FROM pred GROUP BY 1, 2),
+    tot AS (SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS lang_n
+            FROM cells GROUP BY labeled_lang)
+    SELECT c.labeled_lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+           t.lang_n,
+           CAST(10000 * c.n // t.lang_n AS BIGINT) AS row_share_bp
+    FROM cells c JOIN tot t USING (labeled_lang)
+    ORDER BY labeled_lang, pred_lang
+    """,
+    tags=("text", "langid", "evaluation"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the language-ID heuristic against the corpus's
+    labeled language: per (labeled, predicted) cell count and row share in
+    exact basis points — the evaluation every classifier-driven pipeline
+    stage needs BEFORE its output gates data (a langid filter that eats
+    20% of one language's documents is a data-mix bug the keep-rate alone
+    won't show).
+
+    On the synthetic fixture every row predicts 'en' — correctly: the
+    corpus's lang LABELS are synthetic while all text is English-ish tech
+    vocabulary, and surfacing exactly that label/content disagreement is
+    what this audit is for (a real corpus with consistent labels shows a
+    diagonal matrix instead).
+
+    Scale: the prediction is one pass of in-row regex counts; the matrix
+    is |langs|^2 cells (map-side combinable), row totals broadcast-sized.
+    """
+    d = load(spark, sf_dir, "documents")
+    hits = {lg: _marker_hits_spark(lg) for lg in _LANGS}
+    greatest = F.greatest(*hits.values())
+    expr = None
+    for lg in _LANGS:
+        cond = hits[lg] >= greatest
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    pred = expr.otherwise("unk")
+    cells = (
+        d.select(F.col("lang").alias("labeled_lang"), pred.alias("pred_lang"))
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.groupBy("labeled_lang").agg(F.sum("n").alias("lang_n"))
+    return (
+        cells.join(F.broadcast(tot), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "pred_lang",
+            "n",
+            "lang_n",
+            F.expr("(10000 * n) div lang_n").alias("row_share_bp"),
+        )
+        .orderBy("labeled_lang", "pred_lang")
+    )
