@@ -176,6 +176,7 @@ class GraphStore:
         retain_versions: int = 2,
         index_attrs: dict[str, list[str]] | None = None,
         index_buckets: int = 16,
+        check_constraints: dict[str, str] | None = None,
     ):
         """``bucket_edges=N`` writes edge tables bucketed (and sorted) by
         ``src`` into N buckets via the session catalog: point adjacency
@@ -213,7 +214,19 @@ class GraphStore:
         lookup by the default value still finds never-written attributes.
         Bulk loads bypass the engine and DROP the touched table's indexes
         (readers fall back to scans); :meth:`rebuild_indexes` restores
-        them in one maintenance commit."""
+        them in one maintenance commit.
+
+        ``check_constraints={"Person": "age >= 0 AND age < 200", ...}``
+        declares a CHECK per node type (a SQL boolean over the attribute
+        columns), enforced at COMMIT time on every changed node table — no
+        published version can violate it, whatever the writer (engine txn,
+        MERGE, caller-built DataFrame).  NULL evaluates as a violation
+        (unlike SQL CHECK's permissive NULL — a lakehouse gate that lets
+        NULL through silently admits exactly the rows a quality constraint
+        exists to stop); write ``col IS NULL OR <cond>`` to opt into
+        permissiveness.  Cost: one count aggregate over each changed
+        table per commit (Delta pays the same); maintenance commits skip
+        it (compaction changes no rows)."""
         self.spark = spark
         self.root = root
         self.schema = schema
@@ -226,6 +239,10 @@ class GraphStore:
             for a in attrs:
                 nt.attr(a)
             self.index_attrs[t] = tuple(attrs)
+        self.check_constraints: dict[str, str] = {}
+        for t, cond in (check_constraints or {}).items():
+            schema.node_type(t)  # plan-time validation: type must exist
+            self.check_constraints[t] = cond
         self.compact_every = compact_every
         self.compact_target_file_mb = compact_target_file_mb
         self.retain_versions = retain_versions
@@ -359,6 +376,29 @@ class GraphStore:
                 f"snapshot {base.version} is stale (current={self.current_version()})"
             )
         new_version = base.version + 1
+        # CHECK constraints: no version may publish a violating row — gate
+        # BEFORE any data lands (one count per changed node table; a
+        # maintenance commit rewrites unchanged rows and skips the scan)
+        if self.check_constraints and not _maintenance:
+            from pyspark.sql import functions as F2
+
+            for key_, df_ in changed_tables.items():
+                cond = (
+                    self.check_constraints.get(key_[2:])
+                    if key_.startswith("n_")
+                    else None
+                )
+                if cond is None:
+                    continue
+                # NULL = violation (see __init__ docstring)
+                bad = df_.filter(
+                    ~F2.coalesce(F2.expr(cond), F2.lit(False))
+                ).count()
+                if bad:
+                    raise CheckViolationError(
+                        f"commit rejected: {bad} row(s) of {key_!r} violate "
+                        f"CHECK ({cond})"
+                    )
         # per-attempt token: racing committers from the same base write to
         # DISTINCT data locations (and catalog table names), so the loser's
         # overwrite-mode job can never clobber the winner's committed files.
@@ -1011,6 +1051,10 @@ def _cdc_struct(nt) -> T.StructType:
     fields.append(T.StructField("_change", T.StringType(), False))
     fields.append(T.StructField("_commit_version", T.LongType(), False))
     return T.StructType(fields)
+
+
+class CheckViolationError(Exception):
+    """A commit tried to publish rows violating a declared CHECK constraint."""
 
 
 class ConflictError(Exception):

@@ -379,3 +379,77 @@ def test_stream_merge_keep_latest_compacts_duplicate_keys(spark, tmp_path):
     rows = {r["name"]: r for r in store.snapshot().nodes("Person").collect()}
     assert rows["bob"]["age"] == 43 and rows["bob"]["city"] == "nice"
     assert rows["gia"]["age"] == 28
+
+
+
+def test_check_constraints_gate_every_writer(spark, tmp_path):
+    """Declared CHECKs are commit-time gates: a violating MERGE, a
+    violating raw commit, and a violating engine-free DataFrame all fail
+    BEFORE publishing (no new version appears), a passing write goes
+    through, and NULL evaluates as a violation unless the condition opts
+    into permissiveness."""
+    from edgy_spark.storage import CheckViolationError
+
+    store = GraphStore(
+        spark,
+        str(tmp_path / "db"),
+        _schema(),
+        check_constraints={"Person": "age >= 0 AND age < 200"},
+    )
+    base = store.snapshot()
+    seed = spark.createDataFrame(
+        [(1, "ann", 30, "berlin")], "id long, name string, age long, city string"
+    )
+    store.commit(base, {"n_Person": seed}, next_id=2)
+    v = store.current_version()
+
+    # violating raw commit
+    bad = spark.createDataFrame(
+        [(1, "ann", -5, "berlin")], "id long, name string, age long, city string"
+    )
+    with pytest.raises(CheckViolationError, match="violate"):
+        store.commit(store.snapshot(), {"n_Person": bad}, next_id=2)
+    assert store.current_version() == v  # nothing published
+
+    # violating MERGE
+    with pytest.raises(CheckViolationError):
+        store.merge_nodes(
+            "Person",
+            spark.createDataFrame([("bob", 900)], "name string, age long"),
+            on="name",
+        )
+    assert store.current_version() == v
+
+    # NULL age = violation by default
+    with pytest.raises(CheckViolationError):
+        store.merge_nodes(
+            "Person",
+            spark.createDataFrame(
+                [("cho", None)], "name string, age long"
+            ),
+            on="name",
+        )
+
+    # passing merge commits fine
+    snap = store.merge_nodes(
+        "Person",
+        spark.createDataFrame([("bob", 41)], "name string, age long"),
+        on="name",
+    )
+    assert snap.version == v + 1
+    assert {r["name"] for r in snap.nodes("Person").collect()} == {"ann", "bob"}
+
+
+def test_check_constraints_permissive_null_opt_in(spark, tmp_path):
+    store = GraphStore(
+        spark,
+        str(tmp_path / "db"),
+        _schema(),
+        check_constraints={"Person": "age IS NULL OR age >= 0"},
+    )
+    snap = store.merge_nodes(
+        "Person",
+        spark.createDataFrame([("dee", None)], "name string, age long"),
+        on="name",
+    )
+    assert snap.nodes("Person").collect()[0]["age"] is None
