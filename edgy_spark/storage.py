@@ -830,6 +830,73 @@ class GraphStore:
         finally:
             src.unpersist()
 
+    def restore(self, version: int) -> "Snapshot":
+        """RESTORE the store to a previous version as a NEW commit (Delta's
+        RESTORE): the new manifest re-points at the old version's immutable
+        files — zero data copied or rewritten, and history is preserved
+        (the bad versions stay readable until vacuum retires them; the
+        restore itself can be restored away again).
+
+        Semantics decided deliberately:
+        - ``next_id`` takes the MAX of now and then — ids handed out after
+          the restored version must never be re-issued to different rows;
+        - ``stream_batches`` cursors carry forward from CURRENT, not the
+          restored version — a replayed micro-batch was still APPLIED once
+          (its effect is being undone on purpose), and rewinding the
+          cursor would double-apply every stream since;
+        - the commit's ``cdc`` is NOT captured (null): the row-level delta
+          of a restore is unknowable without a diff join, so
+          completeness-requiring consumers (incremental maintenance) fail
+          loudly and re-seed, exactly like a bulk load;
+        - bucketed-table catalog entries survive only if the session still
+          knows them (readers fall back to the same parquet bytes).
+
+        Raises ValueError if the target manifest or any of its data files
+        has been vacuumed away — raise ``retain_versions`` to keep longer
+        restore horizons.  ConflictError if a concurrent commit races the
+        restore (retry on a fresh look, like any commit).
+        """
+        base = self.snapshot()
+        if version == base.version:
+            return base
+        try:
+            old = self.snapshot(version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"cannot restore to version {version}: its manifest was "
+                "vacuumed (raise retain_versions)"
+            ) from None
+        missing = [
+            rel
+            for rel in old.manifest["tables"].values()
+            if not os.path.exists(os.path.join(self.root, rel))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: data vacuumed: "
+                f"{missing}"
+            )
+        bucketed = {
+            k: t
+            for k, t in old.manifest.get("bucketed", {}).items()
+            if self.spark.catalog.tableExists(t)
+        }
+        manifest = {
+            "version": base.version + 1,
+            "next_id": max(
+                base.manifest["next_id"], old.manifest["next_id"]
+            ),
+            "tables": dict(old.manifest["tables"]),
+            "bucketed": bucketed,
+            "indexes": dict(old.manifest.get("indexes", {})),
+            "stream_batches": base.manifest.get("stream_batches", {}),
+            "cdc": None,
+            "defaults": old.manifest.get("defaults", {}),
+        }
+        self._write_manifest(manifest)
+        self._publish(manifest["version"])
+        return Snapshot(self, manifest)
+
     def vacuum(self, retain_versions: int | None = None) -> list[str]:
         """Garbage-collect table versions (and their session-catalog bucket
         tables, and manifests) referenced only by snapshots older than the

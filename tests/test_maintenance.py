@@ -397,3 +397,49 @@ def test_vacuum_repairs_stale_current_before_dropping_manifests(spark, tmp_path,
     assert engine.store.current_version() == rolled
     names = {r["name"] for r in engine.snapshot().nodes("Person").collect()}
     assert "Crashed" in names and "P3" in names
+
+
+def test_restore_repoints_without_copying_and_preserves_counters(
+    spark, tmp_path
+):
+    """RESTORE = a new commit whose manifest re-points at the old version's
+    files: table contents revert, next_id never rewinds (no id reuse), the
+    restore commit's changes are marked NOT captured (strict change
+    consumers fail loudly, like a bulk load), and restoring a vacuumed
+    version fails with a clear error."""
+    import pytest
+
+    from edgy_spark.schema import Attr, GraphSchema, NodeType
+    from edgy_spark.storage import GraphStore
+
+    schema = GraphSchema(
+        node_types=(NodeType("Person", (Attr("name"), Attr("age", "long"))),),
+        relations=(),
+    )
+    store = GraphStore(spark, str(tmp_path / "db"), schema, retain_versions=10)
+    t1 = spark.createDataFrame(
+        [(1, "ann", 30)], "id long, name string, age long"
+    )
+    store.commit(store.snapshot(), {"n_Person": t1}, next_id=2)
+    v1 = store.current_version()
+    t2 = spark.createDataFrame(
+        [(1, "ann", 31), (2, "bob", 40)], "id long, name string, age long"
+    )
+    store.commit(store.snapshot(), {"n_Person": t2}, next_id=3)
+
+    snap = store.restore(v1)
+    assert snap.version == store.current_version()
+    rows = snap.nodes("Person").collect()
+    assert [(r["id"], r["age"]) for r in rows] == [(1, 30)]
+    # counter took the max: the id bob consumed is never re-issued
+    assert snap.manifest["next_id"] == 3
+    # restore changes are unknowable: strict change feeds refuse the gap
+    with pytest.raises(ValueError, match="no change capture"):
+        store.table_changes("n_Person", snap.version - 1, snap.version)
+    # the undone version remains readable history until vacuumed
+    assert store.snapshot(v1 + 1).nodes("Person").count() == 2
+
+    # restoring to a vacuumed version fails loudly
+    store.vacuum(retain_versions=1)
+    with pytest.raises(ValueError, match="vacuum"):
+        store.restore(v1)
