@@ -750,6 +750,7 @@ class Engine:
         capture_cdc: bool | str = False,
         index_attrs: dict[str, list[str]] | None = None,
         index_buckets: int = 16,
+        check_constraints: dict[str, str] | None = None,
     ):
         """``bucket_edges=N`` turns on the bucketed edge layout: point
         adjacency reads prune to one bucket instead of scanning the whole
@@ -769,7 +770,11 @@ class Engine:
         indexes for equality lookups (see GraphStore / query.NodeSet.lookup):
         the reference's O(N)-scan ``lookupByName`` becomes a one-bucket read
         of a two-column projection, kept transactionally in step with its
-        node table by every commit."""
+        node table by every commit.
+        ``check_constraints={"Person": "age >= 0"}`` forwards to the
+        store's commit-time CHECK gate, so engine transactions are bound
+        by the same declarative constraints as merges and raw commits
+        (see GraphStore)."""
         if capture_cdc not in (False, True, "full"):
             raise ValueError("capture_cdc must be False, True, or 'full'")
         self.spark = spark
@@ -785,6 +790,7 @@ class Engine:
             retain_versions=retain_versions,
             index_attrs=index_attrs,
             index_buckets=index_buckets,
+            check_constraints=check_constraints,
         )
 
     def run(self, fn, retries: int = 3):

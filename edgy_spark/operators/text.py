@@ -138,18 +138,34 @@ def _marker_hits_sql(lang: str) -> str:
 
 _LANGS = list(LANG_MARKERS)
 
-_LANGID_ORACLE = f"""
-SELECT doc_id, lang AS labeled_lang, pred_lang,
-       CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS correct
-FROM (
-  SELECT doc_id, lang,
-         CASE
+# The ONE langid predictor, Spark and SQL sides (shared by
+# text_language_id and text_langid_confusion — the tie-break order and
+# marker regexes must stay bit-identical across all four sites or the two
+# queries desynchronize from their oracles)
+_LANGID_PRED_CASE = f"""CASE
            {' '.join(
              f"WHEN {_marker_hits_sql(lg)} >= GREATEST("
              + ', '.join(_marker_hits_sql(o) for o in _LANGS)
              + f") THEN '{lg}'"
              for lg in _LANGS)}
-           ELSE 'unk' END AS pred_lang
+           ELSE 'unk' END"""
+
+
+def _langid_pred_spark() -> "F.Column":
+    hits = {lg: _marker_hits_spark(lg) for lg in _LANGS}
+    greatest = F.greatest(*hits.values())
+    expr = None
+    for lg in _LANGS:
+        cond = hits[lg] >= greatest
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    return expr.otherwise("unk")
+
+
+_LANGID_ORACLE = f"""
+SELECT doc_id, lang AS labeled_lang, pred_lang,
+       CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS correct
+FROM (
+  SELECT doc_id, lang, {_LANGID_PRED_CASE} AS pred_lang
   FROM documents
 )
 ORDER BY doc_id
@@ -165,13 +181,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification via disjoint stopword-marker hits (n-gram
     heuristic); argmax with fixed tie-break order en>de>fr>es>zh."""
     d = load(spark, sf_dir, "documents")
-    hits = {lg: _marker_hits_spark(lg) for lg in _LANGS}
-    greatest = F.greatest(*hits.values())
-    expr = None
-    for lg in _LANGS:
-        cond = hits[lg] >= greatest
-        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
-    pred = expr.otherwise("unk")
+    pred = _langid_pred_spark()
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -1245,14 +1255,7 @@ def text_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFram
     "text_langid_confusion",
     oracle=f"""
     WITH pred AS (
-      SELECT doc_id, lang,
-             CASE
-               {' '.join(
-                 f"WHEN {_marker_hits_sql(lg)} >= GREATEST("
-                 + ', '.join(_marker_hits_sql(o) for o in _LANGS)
-                 + f") THEN '{lg}'"
-                 for lg in _LANGS)}
-               ELSE 'unk' END AS pred_lang
+      SELECT doc_id, lang, {_LANGID_PRED_CASE} AS pred_lang
       FROM documents),
     cells AS (
       SELECT lang AS labeled_lang, pred_lang, COUNT(*) AS n
@@ -1285,13 +1288,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |langs|^2 cells (map-side combinable), row totals broadcast-sized.
     """
     d = load(spark, sf_dir, "documents")
-    hits = {lg: _marker_hits_spark(lg) for lg in _LANGS}
-    greatest = F.greatest(*hits.values())
-    expr = None
-    for lg in _LANGS:
-        cond = hits[lg] >= greatest
-        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
-    pred = expr.otherwise("unk")
+    pred = _langid_pred_spark()
     cells = (
         d.select(F.col("lang").alias("labeled_lang"), pred.alias("pred_lang"))
         .groupBy("labeled_lang", "pred_lang")

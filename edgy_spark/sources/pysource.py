@@ -843,6 +843,13 @@ class EdgyWriter(DataSourceArrowWriter):
                 self.overwrite, self.has_id, messages,
             )
             return
+        chk = _enforce_manifest_checks(
+            self.root, self.staging, self.table, manifest,
+            [m.filename for m in messages if m and m.filename],
+        )
+        if chk:
+            self.abort(messages)
+            raise ValueError(f"edgy bulk write rejected ({self.table}): {chk}")
         loaded_max = max((m.max_id for m in messages if m), default=-1)
         new_version = current + 1
         tables = dict(manifest["tables"])
@@ -874,6 +881,7 @@ class EdgyWriter(DataSourceArrowWriter):
             # forward unchanged (the writer has no GraphSchema); "cdc" is
             # deliberately absent = changes NOT captured for this commit
             "defaults": manifest.get("defaults", {}),
+            "checks": manifest.get("checks", {}),
         }
         _link_manifest(self.root, new_manifest, [tables[self.table]])
         _publish_current(self.root, new_version)
@@ -981,9 +989,15 @@ class EdgyStreamWriter(DataSourceStreamWriter):
                 return
             if not staged:
                 return  # empty batch: nothing to publish, replay is a no-op
-            err = _validate_staged_schema(
-                self.root, self.staging, self.table, False, manifest, staged
-            ) or _check_id_cursor(manifest, msgs, False, self.has_id)
+            err = (
+                _validate_staged_schema(
+                    self.root, self.staging, self.table, False, manifest, staged
+                )
+                or _check_id_cursor(manifest, msgs, False, self.has_id)
+                or _enforce_manifest_checks(
+                    self.root, self.staging, self.table, manifest, staged
+                )
+            )
             if err:
                 self.abort(messages, batchId)
                 raise ValueError(f"edgy stream sink rejected batch {batchId}: {err}")
@@ -1026,6 +1040,7 @@ class EdgyStreamWriter(DataSourceStreamWriter):
                 "indexes": indexes,
                 "stream_batches": batches,
                 "defaults": manifest.get("defaults", {}),
+                "checks": manifest.get("checks", {}),
             }
             try:
                 _link_manifest(self.root, new_manifest, [rel])
@@ -1135,6 +1150,41 @@ def _check_id_cursor(manifest: dict, messages, overwrite: bool, has_id: bool) ->
             "existing nodes and insert-CDC streams would skip them. "
             "Use ids >= the cursor, or mode('overwrite')."
         )
+    return None
+
+
+def _enforce_manifest_checks(
+    root: str, staging: str, table: str, manifest: dict, staged: list[str]
+) -> str | None:
+    """Enforce the manifest's persisted CHECK declaration (see
+    GraphStore check_constraints — the manifest is the table metadata, so
+    ecosystem writers enforce without a GraphStore object) on the STAGED
+    rows of ``table``.  Returns an error string, or None when compliant /
+    unconstrained.  New rows only: declaring a constraint does not
+    re-validate history, same as Delta."""
+    checks = manifest.get("checks") or {}
+    cond = checks.get(table[2:]) if table.startswith("n_") else None
+    if not cond or not staged:
+        return None
+    # This runs inside the Python DataSource worker process — there is no
+    # JVM SparkSession here (the same reason zone maps are computed from
+    # Arrow footers).  The condition is evaluated by DuckDB over the staged
+    # parquet: this repo's conditions live in the Spark/DuckDB-common SQL
+    # subset by construction (every operator's oracle already requires it),
+    # and a condition outside it fails LOUDLY here rather than admitting
+    # rows.  DuckDB is an optional dependency; without it enforcement falls
+    # to the GraphStore-side writers (documented on check_constraints).
+    try:
+        import duckdb
+    except ImportError:
+        return None
+    paths = [os.path.join(root, staging, n) for n in staged]
+    bad = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet({paths!r}) "
+        f"WHERE NOT coalesce(({cond}), false)"
+    ).fetchone()[0]
+    if bad:
+        return f"{bad} row(s) violate CHECK ({cond})"
     return None
 
 
@@ -1330,10 +1380,17 @@ def commit_edgy_txn(root: str, txn: str) -> int:
     # authoritative validation pass over EVERY table before any promotion
     for p in pend:
         msgs = [_Msg(m) for m in p["messages"]]
-        err = _validate_staged_schema(
-            root, p["staging"], p["table"], p["overwrite"], manifest,
-            [m.filename for m in msgs],
-        ) or _check_id_cursor(manifest, msgs, p["overwrite"], p["has_id"])
+        err = (
+            _validate_staged_schema(
+                root, p["staging"], p["table"], p["overwrite"], manifest,
+                [m.filename for m in msgs],
+            )
+            or _check_id_cursor(manifest, msgs, p["overwrite"], p["has_id"])
+            or _enforce_manifest_checks(
+                root, p["staging"], p["table"], manifest,
+                [m.filename for m in msgs],
+            )
+        )
         if err:
             raise ValueError(f"edgy txn {txn!r} rejected ({p['table']}): {err}")
     # cross-TABLE id arbitration (review r08): each table alone passing the
@@ -1394,6 +1451,7 @@ def commit_edgy_txn(root: str, txn: str) -> int:
         "indexes": indexes,
         "stream_batches": manifest.get("stream_batches", {}),
         "defaults": manifest.get("defaults", {}),
+        "checks": manifest.get("checks", {}),
     }
     try:
         _link_manifest(root, new_manifest, promoted)

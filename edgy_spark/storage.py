@@ -219,8 +219,14 @@ class GraphStore:
         ``check_constraints={"Person": "age >= 0 AND age < 200", ...}``
         declares a CHECK per node type (a SQL boolean over the attribute
         columns), enforced at COMMIT time on every changed node table — no
-        published version can violate it, whatever the writer (engine txn,
-        MERGE, caller-built DataFrame).  NULL evaluates as a violation
+        published version can violate it, whatever the writer: engine txn,
+        MERGE, caller-built DataFrame, and (because the declaration is
+        PERSISTED in every manifest, Delta's table-metadata model) the
+        ecosystem writers too — bulk Arrow loads, the streaming sink, and
+        multi-table txn finalize all enforce the manifest's declaration on
+        their staged rows.  Declaring a NEW constraint does not re-validate
+        history (same as Delta); a restore re-publishes old rows
+        unvalidated.  NULL evaluates as a violation
         (unlike SQL CHECK's permissive NULL — a lakehouse gate that lets
         NULL through silently admits exactly the rows a quality constraint
         exists to stop); write ``col IS NULL OR <cond>`` to opt into
@@ -240,6 +246,7 @@ class GraphStore:
                 nt.attr(a)
             self.index_attrs[t] = tuple(attrs)
         self.check_constraints: dict[str, str] = {}
+        self._checks_declared = check_constraints is not None
         for t, cond in (check_constraints or {}).items():
             schema.node_type(t)  # plan-time validation: type must exist
             self.check_constraints[t] = cond
@@ -248,8 +255,24 @@ class GraphStore:
         self.retain_versions = retain_versions
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         if not os.path.exists(self._current_path):
-            self._write_manifest({"version": 0, "next_id": 1, "tables": {}})
+            self._write_manifest(
+                {
+                    "version": 0,
+                    "next_id": 1,
+                    "tables": {},
+                    "checks": dict(self.check_constraints),
+                }
+            )
             self._publish(0)
+        elif not self._checks_declared:
+            # adopt the PERSISTED declaration (the manifest is the table
+            # metadata, Delta-style): a session that opens an existing
+            # constrained store without re-declaring still enforces — and
+            # does not silently wipe — its CHECKs.  Passing
+            # check_constraints explicitly (even {}) replaces the set.
+            self.check_constraints = dict(
+                self.snapshot().manifest.get("checks") or {}
+            )
 
     # -- manifest plumbing -------------------------------------------------
 
@@ -302,6 +325,23 @@ class GraphStore:
         with os.fdopen(fd, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._current_path)  # atomic pointer swap
+
+    def _defaults_map(self) -> dict:
+        """Manifest encoding of the CURRENT schema's optional-attr defaults
+        (see commit's manifest notes) — shared by commit and restore so the
+        newest manifest ALWAYS reflects the live schema (a restore that
+        copied the restored version's map would feed pre-evolution defaults
+        to the upsert stream's null-fill while engine reads reconcile to
+        the new ones — silent replica divergence, review r09b)."""
+        return {
+            f"n_{nt.name}": {
+                a.name: enc
+                for a in nt.attrs
+                if not a.required
+                and (enc := _jsonable_default(a.default)) is not None
+            }
+            for nt in self.schema.node_types
+        }
 
     def _bucket_table_name(self, key: str, version: int, token: str = "") -> str:
         """Session-catalog name for a bucketed edge-table version, unique
@@ -539,15 +579,11 @@ class GraphStore:
             # byte-equal to engine reads across schema evolution.  Bytes
             # defaults are base64-tagged; anything not representable is
             # omitted (the stream then null-fills, documented).
-            "defaults": {
-                f"n_{nt.name}": {
-                    a.name: enc
-                    for a in nt.attrs
-                    if not a.required
-                    and (enc := _jsonable_default(a.default)) is not None
-                }
-                for nt in self.schema.node_types
-            },
+            "defaults": self._defaults_map(),
+            # the CHECK declaration is table metadata: persisted so any
+            # writer (bulk Arrow loads, the streaming sink, txn finalize)
+            # can enforce it from the manifest alone
+            "checks": dict(self.check_constraints),
         }
         try:
             self._write_manifest(manifest)
@@ -737,6 +773,7 @@ class GraphStore:
                 for c in [on, *upd_cols]
             ]
         ).persist()
+        persisted = [src]
         try:
             # Delta's multiple-match guard + the NULL-key guard, one agg
             cnts = src.agg(
@@ -755,9 +792,13 @@ class GraphStore:
                     f"merge_nodes: source has {cnts['nn'] - cnts['d']} "
                     f"duplicate {on!r} keys — pre-aggregate the source"
                 )
+            # delta-sized: persisted because the result write, the CDC
+            # write, and the insert count each consume them (the old
+            # full-outer persisted the TARGET-sized join; these are tiny)
             matched = tgt.join(
                 F.broadcast(src), tgt[on] == src[f"_src_{on}"], "inner"
-            )
+            ).persist()
+            persisted.append(matched)
             untouched = tgt.join(
                 F.broadcast(src.select(f"_src_{on}")),
                 tgt[on] == src[f"_src_{on}"],
@@ -785,7 +826,8 @@ class GraphStore:
                 "left_anti",
             ).select(
                 *[F.col(f"_src_{c}").alias(c) for c in [on, *upd_cols]]
-            )
+            ).persist()
+            persisted.append(inserts_src)
             n_inserts = inserts_src.count()
             next_id = base.manifest["next_id"]
             # fresh ids: deterministic (key-ordered) row_number over the
@@ -828,7 +870,8 @@ class GraphStore:
                 stream_batch=stream_batch,
             )
         finally:
-            src.unpersist()
+            for df_ in persisted:
+                df_.unpersist()
 
     def restore(self, version: int) -> "Snapshot":
         """RESTORE the store to a previous version as a NEW commit (Delta's
@@ -859,6 +902,11 @@ class GraphStore:
         base = self.snapshot()
         if version == base.version:
             return base
+        if version > base.version or version < 0:
+            raise ValueError(
+                f"cannot restore to version {version}: it does not exist "
+                f"(current={base.version})"
+            )
         try:
             old = self.snapshot(version)
         except FileNotFoundError:
@@ -891,7 +939,10 @@ class GraphStore:
             "indexes": dict(old.manifest.get("indexes", {})),
             "stream_batches": base.manifest.get("stream_batches", {}),
             "cdc": None,
-            "defaults": old.manifest.get("defaults", {}),
+            # from the LIVE schema, never the restored manifest (see
+            # _defaults_map)
+            "defaults": self._defaults_map(),
+            "checks": dict(self.check_constraints),
         }
         self._write_manifest(manifest)
         self._publish(manifest["version"])

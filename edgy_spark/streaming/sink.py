@@ -104,9 +104,18 @@ def stream_merge_into_store(
 
     def apply(batch_df, batch_id: int) -> None:
         if latest_by is not None:
-            others = [c for c in batch_df.columns if c != on]
+            if latest_by not in batch_df.columns:
+                raise ValueError(
+                    f"latest_by column {latest_by!r} is not in the batch "
+                    f"schema {batch_df.columns}"
+                )
+            tiebreak = [
+                c for c in batch_df.columns if c not in (on, latest_by)
+            ]
             w = Window.partitionBy(on).orderBy(
-                F.desc(F.struct(F.col(latest_by), *[F.col(c) for c in others]))
+                F.desc(
+                    F.struct(F.col(latest_by), *[F.col(c) for c in tiebreak])
+                )
             )
             batch_df = (
                 batch_df.withColumn("_rn", F.row_number().over(w))

@@ -453,3 +453,82 @@ def test_check_constraints_permissive_null_opt_in(spark, tmp_path):
         on="name",
     )
     assert snap.nodes("Person").collect()[0]["age"] is None
+
+
+def test_check_constraints_gate_engine_transactions(spark, tmp_path):
+    """The engine-txn writer path is bound by the same declarative CHECK:
+    a transaction staging a violating attribute fails at commit and
+    publishes nothing."""
+    from edgy_spark.graph import Engine
+    from edgy_spark.schema import Attr, GraphSchema, NodeType
+    from edgy_spark.storage import CheckViolationError
+
+    schema = GraphSchema(
+        node_types=(NodeType("Person", (Attr("name"), Attr("age", "long"))),),
+        relations=(),
+    )
+    engine = Engine(
+        spark,
+        str(tmp_path / "db"),
+        schema,
+        check_constraints={"Person": "age >= 0"},
+    )
+    engine.run(lambda t: t.new_node("Person", name="ann", age=30))
+    v = engine.store.current_version()
+    with pytest.raises(CheckViolationError):
+        engine.run(
+            lambda t: t.new_node("Person", name="bad", age=-1), retries=0
+        )
+    assert engine.store.current_version() == v
+
+
+def test_check_constraints_gate_bulk_writer_via_persisted_declaration(
+    spark, tmp_path
+):
+    """The CHECK declaration is table metadata (persisted in every
+    manifest), so the ecosystem bulk writer — which has no GraphStore
+    object — enforces it on staged rows, and a session that re-opens the
+    store WITHOUT re-declaring adopts the persisted set."""
+    from edgy_spark.sources.pysource import register_edgy_source
+    from edgy_spark.storage import CheckViolationError
+
+    root = str(tmp_path / "db")
+    store = GraphStore(
+        spark, root, _schema(), check_constraints={"Person": "age >= 0"}
+    )
+    register_edgy_source(spark)
+
+    bad = spark.createDataFrame(
+        [(1, "ann", -3, "berlin")], "id long, name string, age long, city string"
+    )
+    with pytest.raises(Exception, match="violate CHECK"):
+        (
+            bad.write.format("edgy")
+            .option("root", root)
+            .option("table", "n_Person")
+            .mode("append")
+            .save()
+        )
+    assert store.current_version() == 0  # nothing published
+
+    ok = spark.createDataFrame(
+        [(1, "ann", 3, "berlin")], "id long, name string, age long, city string"
+    )
+    (
+        ok.write.format("edgy")
+        .option("root", root)
+        .option("table", "n_Person")
+        .mode("append")
+        .save()
+    )
+    assert store.current_version() == 1
+
+    # a re-opened store with no declaration ADOPTS the persisted checks
+    reopened = GraphStore(spark, root, _schema())
+    assert reopened.check_constraints == {"Person": "age >= 0"}
+    with pytest.raises(CheckViolationError):
+        reopened.merge_nodes(
+            "Person",
+            spark.createDataFrame([("eve", -1)], "name string, age long"),
+            on="name",
+        )
