@@ -416,13 +416,19 @@ class GraphStore:
                 f"snapshot {base.version} is stale (current={self.current_version()})"
             )
         new_version = base.version + 1
-        # CHECK constraints: no version may publish a violating row — gate
-        # BEFORE any data lands (one count per changed node table; a
-        # maintenance commit rewrites unchanged rows and skips the scan)
+        # CHECK constraints ride the data write itself as observe()
+        # metrics — ONE pass, not a separate count job re-executing the
+        # staged plan (review r09b).  Violations surface BEFORE the
+        # manifest link (the commit point), so nothing publishes; the
+        # already-written files are cleaned up like a lost commit race.
+        # A maintenance commit rewrites unchanged rows and skips the gate.
+        check_obs: dict[str, tuple] = {}
         if self.check_constraints and not _maintenance:
+            from pyspark.sql import Observation
             from pyspark.sql import functions as F2
 
-            for key_, df_ in changed_tables.items():
+            changed_tables = dict(changed_tables)  # never mutate the caller's
+            for key_ in list(changed_tables):
                 cond = (
                     self.check_constraints.get(key_[2:])
                     if key_.startswith("n_")
@@ -430,15 +436,17 @@ class GraphStore:
                 )
                 if cond is None:
                     continue
+                obs = Observation()
                 # NULL = violation (see __init__ docstring)
-                bad = df_.filter(
-                    ~F2.coalesce(F2.expr(cond), F2.lit(False))
-                ).count()
-                if bad:
-                    raise CheckViolationError(
-                        f"commit rejected: {bad} row(s) of {key_!r} violate "
-                        f"CHECK ({cond})"
-                    )
+                changed_tables[key_] = changed_tables[key_].observe(
+                    obs,
+                    F2.sum(
+                        (~F2.coalesce(F2.expr(cond), F2.lit(False))).cast(
+                            "long"
+                        )
+                    ).alias("bad"),
+                )
+                check_obs[key_] = (obs, cond)
         # per-attempt token: racing committers from the same base write to
         # DISTINCT data locations (and catalog table names), so the loser's
         # overwrite-mode job can never clobber the winner's committed files.
@@ -486,6 +494,20 @@ class GraphStore:
             write_zones_from_footers(os.path.join(self.root, relpath))
             tables[key] = relpath
             written_paths.append(relpath)
+            if key in check_obs:
+                obs, cond = check_obs[key]
+                bad = obs.get["bad"] or 0  # sum over zero rows is NULL
+                if bad:
+                    for rel in written_paths:
+                        shutil.rmtree(
+                            os.path.join(self.root, rel), ignore_errors=True
+                        )
+                    for tbl_ in written_tbls:
+                        self.spark.sql(f"DROP TABLE IF EXISTS {tbl_}")
+                    raise CheckViolationError(
+                        f"commit rejected: {bad} row(s) of {key!r} violate "
+                        f"CHECK ({cond})"
+                    )
         # -- secondary indexes: rebuilt INSIDE the same commit as their node
         # table, so no published version can pair a table with a stale
         # index.  Superseded x_ entries are dropped even when the store no
