@@ -649,24 +649,35 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 
-N_SIMHASH_BITS = 32
+N_SIMHASH_BITS = 64  # Manku et al. (WWW'07) web-scale configuration
 
 # the fingerprint pipeline as a reusable oracle CTE chain (shared by the
-# fingerprints query and the banded near-dup pairs)
+# fingerprints query and the banded near-dup pairs).  64 bits come from two
+# independent 60-bit md5 hashes (low 32 bits each, the second salted with a
+# prefix — the same two-hash trick the minhash family uses at dedup.py:425).
+# Bit 63 is the BIGINT sign bit: DuckDB raises on `1::BIGINT << 63`, so that
+# term is spelled as the min-long literal; the vote sum stays in range
+# because bits 0..62 total at most 2^63 - 1 before the negative term lands.
 _SIMHASH_CTES = f"""
     w AS (
       SELECT doc_id, unnest(list_distinct(
                regexp_split_to_array(lower(trim(text)), '\\s+'))) AS word
       FROM documents),
-    h AS (SELECT doc_id, {h60_sql("word")} AS hw FROM w),
+    h AS (SELECT doc_id, {h60_sql("word")} AS hw1,
+                 {h60_sql("'x' || word")} AS hw2 FROM w),
     bits AS (
       SELECT doc_id, b.i AS bit,
-             SUM(CASE WHEN (hw >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+             SUM(CASE WHEN ((CASE WHEN b.i < 32 THEN hw1 >> b.i
+                             ELSE hw2 >> (b.i - 32) END) & 1) = 1
+                 THEN 1 ELSE -1 END) AS vote
       FROM h, (SELECT unnest(range({N_SIMHASH_BITS})) AS i) b
       GROUP BY doc_id, b.i),
     fp AS (
       SELECT doc_id,
-             CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+             CAST(SUM(CASE WHEN vote > 0 THEN
+                    (CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)
+                     ELSE (1::BIGINT << bit) END)
+                  ELSE 0 END) AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id)
 """
 
@@ -680,33 +691,49 @@ _SIMHASH_CTES = f"""
     tags=("dedup", "simhash"),
 )
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (bit-vote over word hashes); near-dups
-    have small Hamming distance — compare with bit_count(xor) downstream.
+    """64-bit SimHash per document (bit-vote over word hashes, the Manku
+    et al. WWW'07 width); near-dups have small Hamming distance — compare
+    with bit_count(xor) downstream.
 
-    One md5 per distinct word, all 32 bit-votes from ONE groupBy(doc_id)
-    (map-side partial) — no per-(doc, bit) shuffle.
+    Two md5-derived 32-bit halves per distinct word, all 64 bit-votes from
+    ONE groupBy(doc_id) (map-side partial) — no per-(doc, bit) shuffle.
     """
     return _simhash_fp(spark, sf_dir).orderBy("doc_id")
 
 
 def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — the shared fingerprint pipeline (see
-    dedup_simhash_fingerprints for the algorithm notes)."""
+    dedup_simhash_fingerprints for the algorithm notes).  Bit 63 is the
+    sign bit: its term is the min-long literal, added LAST so the running
+    sum of bits 0..62 (at most 2^63 - 1) never overflows under ANSI mode —
+    mirrored exactly in the oracle CTE."""
     d = _spread(spark, load(spark, sf_dir, "documents"))
     words = F.array_distinct(_words())
     h = (
         d.select("doc_id", F.explode(words).alias("word"))
-        .select("doc_id", h60(F.col("word")).alias("hw"))
+        .select(
+            "doc_id",
+            h60(F.col("word")).alias("hw1"),
+            h60(F.concat(F.lit("x"), F.col("word"))).alias("hw2"),
+        )
     )
     votes = h.groupBy("doc_id").agg(*[
         F.sum(
-            F.when(F.expr(f"shiftright(hw, {i}) % 2 = 1"), 1).otherwise(-1)
+            F.when(
+                F.expr(
+                    f"shiftright(hw1, {i}) % 2 = 1"
+                    if i < 32
+                    else f"shiftright(hw2, {i - 32}) % 2 = 1"
+                ),
+                1,
+            ).otherwise(-1)
         ).alias(f"v{i}")
         for i in range(N_SIMHASH_BITS)
     ])
     fp = None
     for i in range(N_SIMHASH_BITS):
-        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        const = -(1 << 63) if i == 63 else (1 << i)
+        term = F.when(F.col(f"v{i}") > 0, F.lit(const).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return votes.select("doc_id", fp.alias("simhash"))
 
@@ -1296,10 +1323,14 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash near-dup pairs (byte-band blocking + Hamming verify)
 # ---------------------------------------------------------------------------
 
-SIMHASH_N_BANDS = 4        # 4 x 8-bit bands over the 32-bit fingerprint
-SIMHASH_MAX_HAMMING = 2    # < SIMHASH_N_BANDS differing bits, so banding is
+SIMHASH_N_BANDS = 4        # 4 x 16-bit bands over the 64-bit fingerprint
+SIMHASH_MAX_HAMMING = 3    # < SIMHASH_N_BANDS differing bits, so banding is
 #                            EXHAUSTIVE by pigeonhole (recall = 1): at most
-#                            2 bands can differ, >= 1 of 4 is identical
+#                            3 bands can differ, >= 1 of 4 is identical
+SIMHASH_MAX_BUCKET = 100   # posting-list cap: skip band buckets holding more
+#                            docs than this (the CONT_MAX_DF pattern) — a
+#                            degenerate key (boilerplate-heavy corpora) can
+#                            otherwise collapse N docs into one O(N^2) bucket
 
 
 @register(
@@ -1307,12 +1338,16 @@ SIMHASH_MAX_HAMMING = 2    # < SIMHASH_N_BANDS differing bits, so banding is
     oracle=f"""
     WITH {_SIMHASH_CTES},
     bands AS (
-      SELECT doc_id, simhash, b.band,
-             (simhash >> (b.band * 8)) & 255 AS key
+      SELECT doc_id, b.band,
+             (simhash >> (b.band * 16)) & 65535 AS key
       FROM fp, (SELECT unnest(range({SIMHASH_N_BANDS})) AS band) b),
+    bkt AS (
+      SELECT band, key FROM bands GROUP BY band, key
+      HAVING COUNT(*) BETWEEN 2 AND {SIMHASH_MAX_BUCKET}),
+    kept AS (SELECT x.doc_id, x.band, x.key FROM bands x JOIN bkt USING (band, key)),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM bands x JOIN bands y
+      FROM kept x JOIN kept y
         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
     SELECT doc_a, doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -1325,32 +1360,35 @@ SIMHASH_MAX_HAMMING = 2    # < SIMHASH_N_BANDS differing bits, so banding is
     tags=("dedup", "simhash", "lsh"),
 )
 def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs: byte-band the 32-bit fingerprints
-    (4 x 8-bit keys), emit candidates sharing >= 1 band, verify with exact
+    """SimHash near-duplicate pairs: band the 64-bit fingerprints as
+    4 x 16-bit keys, emit candidates sharing >= 1 band, verify with exact
     Hamming distance (bit_count of xor) <= SIMHASH_MAX_HAMMING — the
     downstream step dedup_simhash_fingerprints' docstring promises.
 
     Recall contract: a pair at Hamming distance d can differ in at most d
     bands, so with d < SIMHASH_N_BANDS at least one band is identical and
-    banding finds EVERY qualifying pair (recall = 1) — the same pigeonhole
-    Manku et al. (WWW'07) use for web-scale simhash dedup (64-bit
-    fingerprints, k=3).  SIMHASH_MAX_HAMMING = 2 < 4 bands keeps that
-    guarantee here, and the oracle mirrors the banding exactly so both
-    engines see the identical candidate set.
+    banding finds EVERY qualifying pair — the pigeonhole Manku et al.
+    (WWW'07) use for web-scale simhash dedup, at their exact configuration
+    (64-bit fingerprints, k=3, 4 blocks).  16-bit keys give 65,536 buckets
+    PER BAND, so expected bucket occupancy stays ~N/65536 per band instead
+    of the 8-bit layout's N/256.  The one deliberate recall exception:
+    buckets over SIMHASH_MAX_BUCKET docs are skipped entirely (same
+    stop-list economics as CONT_MAX_DF) — a degenerate key never explodes
+    into O(bucket^2) pairs, and the oracle mirrors the cap so both engines
+    see the identical candidate set.
 
     Scale: fingerprints computed once (one groupBy); band keys are in-row;
-    the bucket shuffle carries (band, key, doc_id); fingerprints re-join
-    only surviving candidates — the same posting-list economics as the
-    MinHash family, with 8-bit keys swapped for wider bands as corpus
-    size grows.
+    bucket sizes come from a map-side-combinable count (no collect_list —
+    no bucket array is ever materialized); the candidate self-join runs
+    only over kept buckets; fingerprints re-join only surviving candidates.
     """
     fp = _simhash_fp(spark, sf_dir)
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).cast("long").alias("band"),
-                F.shiftright(F.col("simhash"), b * 8)
-                .bitwiseAND(F.lit(255))
+                F.shiftright(F.col("simhash"), b * 16)
+                .bitwiseAND(F.lit(65535))
                 .alias("key"),
             )
             for b in range(SIMHASH_N_BANDS)
@@ -1359,15 +1397,24 @@ def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = fp.select("doc_id", F.explode(band_arr).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
-    buckets = (
+    kept_buckets = (
         bands.groupBy("band", "key")
-        .agg(F.collect_list("doc_id").alias("docs"))
-        .filter(F.size("docs") >= 2)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n").between(2, SIMHASH_MAX_BUCKET))
+        .select("band", "key")
     )
+    kept = bands.join(kept_buckets, ["band", "key"])
     cand = (
-        buckets.select(F.explode("docs").alias("doc_a"), "docs")
-        .select("doc_a", F.explode("docs").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        kept.alias("x")
+        .join(
+            kept.alias("y"),
+            on=[
+                F.col("x.band") == F.col("y.band"),
+                F.col("x.key") == F.col("y.key"),
+                F.col("x.doc_id") < F.col("y.doc_id"),
+            ],
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))

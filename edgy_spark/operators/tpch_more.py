@@ -952,6 +952,11 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 MB_MIN_PAIR = 2   # minimum co-occurrence count for a rule
 MB_TOP_K = 50
 MB_E6 = 10**6     # fixed-point scale for confidence / lift
+MB_MAX_BASKET = 50  # baskets over this size are excluded from pair mining:
+#                     one mega-basket (loyalty card, bot session) otherwise
+#                     emits C(n,2) pairs in a single task.  TPC-H baskets
+#                     hold <= 7 items, so the cap is invisible here — it
+#                     exists for the retail-shaped corpus at scale.
 
 
 @register(
@@ -961,9 +966,12 @@ MB_E6 = 10**6     # fixed-point scale for confidence / lift
       SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
     n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets),
     freq AS (SELECT part, COUNT(*) AS cnt FROM baskets GROUP BY part),
+    sz AS (SELECT okey FROM baskets GROUP BY okey
+           HAVING COUNT(*) BETWEEN 2 AND {MB_MAX_BASKET}),
+    kept AS (SELECT b.okey, b.part FROM baskets b JOIN sz USING (okey)),
     pairs AS (
       SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS pair_cnt
-      FROM baskets a JOIN baskets b
+      FROM kept a JOIN kept b
         ON a.okey = b.okey AND a.part < b.part
       GROUP BY a.part, b.part
       HAVING COUNT(*) >= {MB_MIN_PAIR})
@@ -987,22 +995,36 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt_a*cnt_b are < 2^50 at any SF whose counts fit the driver schema).
 
     Scale: baskets come from ONE distinct projection of lineitem; pair
-    emission is per-order (a TPC-H order holds <= 7 items, so the
-    "posting list" is naturally bounded — the general cap pattern the
-    dedup family uses applies when baskets can be huge); item frequencies
-    are a map-side-combinable count joined back only onto surviving
-    pairs.  The final ranking is TakeOrderedAndProject.
+    emission is bounded by the MB_MAX_BASKET cap (the dedup family's
+    posting-list pattern): basket sizes come from a map-side-combinable
+    count, over-cap baskets are dropped BEFORE the pair self-join, so no
+    task ever materializes a mega-basket's C(n,2) pairs — and no
+    collect_list array exists anywhere.  Item frequencies / n_orders stay
+    computed over ALL baskets (support is a corpus property; the cap only
+    bounds pair mining).  The final ranking is TakeOrderedAndProject.
     """
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
     ).distinct()
     n_orders = li.select(F.countDistinct("okey").alias("n_orders"))
     freq = li.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
-    per_order = li.groupBy("okey").agg(F.collect_list("part").alias("parts"))
+    kept_okeys = (
+        li.groupBy("okey")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz").between(2, MB_MAX_BASKET))
+        .select("okey")
+    )
+    kept = li.join(kept_okeys, "okey")
     pairs = (
-        per_order.select(F.explode("parts").alias("part_a"), "parts")
-        .select("part_a", F.explode("parts").alias("part_b"))
-        .filter(F.col("part_a") < F.col("part_b"))
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            on=[
+                F.col("a.okey") == F.col("b.okey"),
+                F.col("a.part") < F.col("b.part"),
+            ],
+        )
+        .select(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= MB_MIN_PAIR)

@@ -443,6 +443,11 @@ def test_market_basket_broadcast_total_and_topk(spark):
     # the single-row order count joins broadcast; no unkeyed explosion
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+    # MB_MAX_BASKET cap: basket sizes are a map-side-combinable count and
+    # pair mining runs on capped baskets only — no per-order array exists
+    # anywhere (one mega-basket must never emit C(n,2) pairs in one task)
+    assert "partial_count" in plan
+    assert "collect_list" not in plan
 
 
 def test_retention_cohorts_broadcasts_sizes(spark):
@@ -504,9 +509,9 @@ def test_top_paths_small_aggregate_and_topk(spark):
 
 
 def test_simhash_pairs_reuse_fingerprint_exchange(spark):
-    """The banded near-dup pairs hang three consumers (bands, fa, fb) off
-    ONE fingerprint aggregation — at runtime the exchanges must be reused,
-    not recomputed (the 32-vote groupBy is the expensive stage)."""
+    """The banded near-dup pairs hang multiple consumers (bands x2, fa, fb)
+    off ONE fingerprint aggregation — at runtime the exchanges must be
+    reused, not recomputed (the 64-vote groupBy is the expensive stage)."""
     df = QUERIES["dedup_simhash_neardup_pairs"].fn(spark, SF_SMOKE)
     df.collect()
     final = df._sc._jvm.PythonSQLUtils.explainString(
@@ -514,6 +519,17 @@ def test_simhash_pairs_reuse_fingerprint_exchange(spark):
     )
     assert "isFinalPlan=true" in final
     assert final.count("ReusedExchange") >= 2, final
+
+
+def test_simhash_pairs_capped_no_bucket_arrays(spark):
+    """Posting lists are bounded: bucket sizes come from a map-side
+    combinable count (never a collect_list array), and the SIMHASH_MAX_BUCKET
+    cap filters degenerate buckets before any pair emission — the plan must
+    show the partial count and no array aggregation or cartesian."""
+    plan = _plan(spark, "dedup_simhash_neardup_pairs")
+    assert "partial_count" in plan
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_clustering_coefficients_no_cartesian_exact_ints(spark):
