@@ -751,6 +751,7 @@ class Engine:
         index_attrs: dict[str, list[str]] | None = None,
         index_buckets: int = 16,
         check_constraints: dict[str, str] | None = None,
+        commit_arbiter=None,
     ):
         """``bucket_edges=N`` turns on the bucketed edge layout: point
         adjacency reads prune to one bucket instead of scanning the whole
@@ -791,6 +792,7 @@ class Engine:
             index_attrs=index_attrs,
             index_buckets=index_buckets,
             check_constraints=check_constraints,
+            commit_arbiter=commit_arbiter,
         )
 
     def run(self, fn, retries: int = 3):

@@ -716,6 +716,46 @@ def write_zones_from_footers(dir_path: str) -> dict:
     return zones
 
 
+def stats_from_footers(dir_path: str) -> dict:
+    """``{"rows": N, "bytes": B}`` for a table-version directory, from
+    parquet footers (num_rows) + file sizes — metadata-only, no data read.
+    Every manifest writer records these per-table so READERS can make
+    plan-time decisions (broadcast a dimension-sized store table) without
+    waiting for an AQE runtime replan; see ``read_store_table``."""
+    import pyarrow.parquet as pq
+
+    rows = 0
+    size = 0
+    for n in sorted(os.listdir(dir_path)):
+        if not (n.endswith(".parquet") or n.startswith("part-")):
+            continue
+        p = os.path.join(dir_path, n)
+        try:
+            rows += pq.ParquetFile(p).metadata.num_rows
+            size += os.path.getsize(p)
+        except Exception:
+            continue
+    return {"rows": rows, "bytes": size}
+
+
+def _ecosystem_stats(
+    root: str, manifest: dict, tables: dict, changed: list[str]
+) -> dict:
+    """Per-table stats for a manifest published by an ECOSYSTEM writer:
+    untouched tables carry their stats forward (same files), changed tables
+    get rows/bytes recomputed from their promoted footers.  NDV resets to
+    {} — the Arrow writer path has no aggregation engine; the next
+    GraphStore commit of that table restores the sketches."""
+    stats = {
+        k: v for k, v in (manifest.get("stats") or {}).items() if k in tables
+    }
+    for key in changed:
+        s = stats_from_footers(os.path.join(root, tables[key]))
+        s["ndv"] = {}
+        stats[key] = s
+    return stats
+
+
 def _id_range_from_zones(zones: dict, has_id: bool) -> tuple[int, int, bool]:
     """(min_id, max_id, has_ids) for the id-cursor check, read off the zone
     stats already folded over the batches (ids are int64 in every store
@@ -882,6 +922,9 @@ class EdgyWriter(DataSourceArrowWriter):
             # deliberately absent = changes NOT captured for this commit
             "defaults": manifest.get("defaults", {}),
             "checks": manifest.get("checks", {}),
+            "stats": _ecosystem_stats(
+                self.root, manifest, tables, [self.table]
+            ),
         }
         _link_manifest(self.root, new_manifest, [tables[self.table]])
         _publish_current(self.root, new_version)
@@ -1041,6 +1084,9 @@ class EdgyStreamWriter(DataSourceStreamWriter):
                 "stream_batches": batches,
                 "defaults": manifest.get("defaults", {}),
                 "checks": manifest.get("checks", {}),
+                "stats": _ecosystem_stats(
+                    self.root, manifest, tables, [self.table]
+                ),
             }
             try:
                 _link_manifest(self.root, new_manifest, [rel])
@@ -1169,15 +1215,23 @@ def _enforce_manifest_checks(
     # This runs inside the Python DataSource worker process — there is no
     # JVM SparkSession here (the same reason zone maps are computed from
     # Arrow footers).  The condition is evaluated by DuckDB over the staged
-    # parquet: this repo's conditions live in the Spark/DuckDB-common SQL
-    # subset by construction (every operator's oracle already requires it),
-    # and a condition outside it fails LOUDLY here rather than admitting
-    # rows.  DuckDB is an optional dependency; without it enforcement falls
-    # to the GraphStore-side writers (documented on check_constraints).
+    # parquet: GraphStore validates every declared condition in BOTH
+    # dialects at declaration time (storage._validate_check_condition), so
+    # a condition that reaches a manifest parses here; one that still
+    # diverges semantically fails LOUDLY rather than admitting rows.  A
+    # writer process without duckdb cannot enforce at all — that must
+    # REJECT the write (check_constraints promises no published version
+    # can violate the declaration, whatever the writer), never silently
+    # publish unvalidated rows.
     try:
         import duckdb
     except ImportError:
-        return None
+        return (
+            f"manifest declares CHECK ({cond}) but duckdb is not importable "
+            "in this writer process, so the rows cannot be validated here — "
+            "install duckdb or write through the GraphStore/engine paths "
+            "(which enforce in Spark)"
+        )
     paths = [os.path.join(root, staging, n) for n in staged]
     bad = duckdb.sql(
         f"SELECT COUNT(*) FROM read_parquet({paths!r}) "
@@ -1452,6 +1506,9 @@ def commit_edgy_txn(root: str, txn: str) -> int:
         "stream_batches": manifest.get("stream_batches", {}),
         "defaults": manifest.get("defaults", {}),
         "checks": manifest.get("checks", {}),
+        "stats": _ecosystem_stats(
+            root, manifest, tables, [p["table"] for p in pend]
+        ),
     }
     try:
         _link_manifest(root, new_manifest, promoted)
@@ -1491,3 +1548,58 @@ def register_edgy_source(spark) -> None:
     Spark refuses any reader that implements pushFilters)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(EdgyDataSource)
+
+
+def _parse_spark_bytes(s: str) -> int:
+    """Spark size-conf string ("10485760", "10MB", "1g", "-1") -> bytes."""
+    s = s.strip().lower()
+    for suf, mult in (
+        ("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2), ("kb", 1024),
+        ("t", 1024**4), ("g", 1024**3), ("m", 1024**2), ("k", 1024),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * mult
+    return int(float(s))
+
+
+def read_store_table(spark, root: str, table: str, version: int | None = None):
+    """Load a store table via ``format("edgy")`` with the manifest's
+    recorded stats driving the broadcast decision at PLAN time.
+
+    A Python DataSource scan reports no size to Catalyst, so a join
+    against a dimension-sized store table plans as a shuffle join and only
+    AQE's runtime replan can rescue it — one wasted shuffle stage wide.
+    The manifest records {rows, bytes, ndv} per table at every commit
+    (the Delta/Iceberg table-stats model); when the on-disk bytes sit
+    under ``spark.sql.autoBroadcastJoinThreshold`` this helper attaches an
+    explicit broadcast hint, so the FIRST plan is the broadcast plan.
+    (On-disk parquet is compressed, so the threshold compares
+    conservatively against a smaller number — same trade Spark's own
+    file-source sizeInBytes makes.)  Tables over the threshold, or
+    manifests predating stats, load unhinted and rely on AQE as before.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("edgy").option("root", root).option(
+        "table", table
+    )
+    if version is not None:
+        reader = reader.option("version", str(version))
+    df = reader.load()
+    v = version if version is not None else _current_version(root)
+    try:
+        with open(os.path.join(root, f"manifest.v{v}.json")) as f:
+            stats = (json.load(f).get("stats") or {}).get(table)
+    except (FileNotFoundError, json.JSONDecodeError, ValueError):
+        stats = None
+    if stats and isinstance(stats.get("bytes"), int):
+        try:
+            thr = _parse_spark_bytes(
+                spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            )
+        except Exception:
+            thr = -1
+        if 0 <= stats["bytes"] <= thr:
+            df = F.broadcast(df)
+    return df

@@ -163,6 +163,124 @@ def _reconcile_to_schema(df: DataFrame, nt, passthrough: tuple[str, ...] = ()) -
     return df.select(*cols)
 
 
+class CommitArbiter:
+    """The ONE pluggable point of the commit protocol: atomically create a
+    manifest file if and only if it does not already exist (Delta's
+    LogStore seam).  Everything else in the protocol — staleness pre-check,
+    roll-forward past a stale CURRENT pointer, loser cleanup — is
+    arbiter-independent; only "who arbitrates the exclusive create" varies
+    by storage system.  A POSIX filesystem arbitrates via hard-link
+    exclusive create (:class:`HardLinkArbiter`, the default); an object
+    store has no link/rename, so it arbitrates via conditional PUT
+    (If-None-Match — :class:`ConditionalPutArbiter` emulates that API shape
+    locally).  The CURRENT pointer needs NO arbitration (it is a cache:
+    ``current_version`` rolls forward past it), so plain overwrite-PUT
+    suffices there on any backend.
+    """
+
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        """Atomically create ``path`` with ``payload`` iff absent.  Returns
+        True when this call created the file, False when it already
+        existed.  Readers must never observe partial content."""
+        raise NotImplementedError
+
+
+class HardLinkArbiter(CommitArbiter):
+    """POSIX arbitration: write a temp file, then ``os.link`` it to the
+    final name — the link is both an atomic full-content publish and an
+    exclusive create, so the filesystem arbitrates racing committers."""
+
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                return False
+        finally:
+            os.unlink(tmp)
+        return True
+
+
+class ConditionalPutArbiter(CommitArbiter):
+    """Object-store arbitration, emulated locally: a single
+    create-if-absent of the full payload (S3/GCS/ABFS conditional PUT with
+    If-None-Match: * — no link, no rename, which object stores don't
+    have).  The emulation uses O_CREAT|O_EXCL and one write; on a real
+    object store the PUT itself is all-or-nothing, so the no-partial-reads
+    guarantee is the backend's.  Exists so the commit protocol is
+    exercised end-to-end against the object-store API shape (racing
+    committers, crash roll-forward) before any real LogStore lands."""
+
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        return True
+
+
+#: Spark simpleString -> DuckDB type, for the empty-frame declaration-time
+#: validation of CHECK conditions (the scalar types node attributes can be)
+_DUCK_TYPES = {
+    "bigint": "BIGINT", "int": "INTEGER", "smallint": "SMALLINT",
+    "tinyint": "TINYINT", "string": "VARCHAR", "double": "DOUBLE",
+    "float": "FLOAT", "boolean": "BOOLEAN", "binary": "BLOB",
+    "date": "DATE", "timestamp": "TIMESTAMP",
+}
+
+
+def _validate_check_condition(spark: SparkSession, nt, cond: str) -> None:
+    """Declaration-time validation of a CHECK condition in BOTH dialects.
+
+    The condition is enforced by Spark at GraphStore commit time but by
+    DuckDB in the ecosystem writers (the Python DataSource worker has no
+    JVM session — pysource._enforce_manifest_checks), so it must live in
+    the two engines' common SQL subset.  Parsing/analyzing it against an
+    empty frame of the node type's schema in each engine at DECLARATION
+    time turns "my condition uses a DuckDB-only function" from a write-time
+    surprise into an immediate ValueError.  (Expressions that parse in both
+    but differ semantically — collation-dependent compares, cast-failure
+    behavior — remain the declarer's responsibility; stick to column
+    comparisons, arithmetic, IS NULL, AND/OR/NOT, LIKE, IN.)
+    """
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], nt.struct_type())
+    try:
+        empty.filter(F.expr(cond)).schema  # forces analysis
+    except Exception as exc:
+        raise ValueError(
+            f"CHECK condition for {nt.name!r} is not valid Spark SQL: "
+            f"({cond}): {exc}"
+        ) from None
+    try:
+        import duckdb
+    except ImportError:
+        return  # Spark-side writers still enforce; ecosystem writers REJECT
+    decls = [
+        f"CAST(NULL AS {_DUCK_TYPES.get(f.dataType.simpleString(), 'VARCHAR')})"
+        f' AS "{f.name}"'
+        for f in nt.struct_type().fields
+    ]
+    try:
+        duckdb.sql(
+            f"SELECT COUNT(*) FROM (SELECT {', '.join(decls)} WHERE 1=0) "
+            f"WHERE NOT coalesce(({cond}), false)"
+        ).fetchone()
+    except Exception as exc:
+        raise ValueError(
+            f"CHECK condition for {nt.name!r} is not valid DuckDB SQL "
+            f"(ecosystem writers enforce it there): ({cond}): {exc}"
+        ) from None
+
+
 class GraphStore:
     def __init__(
         self,
@@ -177,6 +295,7 @@ class GraphStore:
         index_attrs: dict[str, list[str]] | None = None,
         index_buckets: int = 16,
         check_constraints: dict[str, str] | None = None,
+        commit_arbiter: CommitArbiter | None = None,
     ):
         """``bucket_edges=N`` writes edge tables bucketed (and sorted) by
         ``src`` into N buckets via the session catalog: point adjacency
@@ -230,12 +349,24 @@ class GraphStore:
         (unlike SQL CHECK's permissive NULL — a lakehouse gate that lets
         NULL through silently admits exactly the rows a quality constraint
         exists to stop); write ``col IS NULL OR <cond>`` to opt into
-        permissiveness.  Cost: one count aggregate over each changed
-        table per commit (Delta pays the same); maintenance commits skip
-        it (compaction changes no rows)."""
+        permissiveness.  Conditions must live in the Spark/DuckDB-common
+        SQL subset (commit enforces in Spark; ecosystem writers enforce in
+        DuckDB inside the DataSource worker, and REJECT writes if duckdb
+        is not importable there rather than publish unvalidated rows) —
+        both dialects parse every condition at DECLARATION time, so an
+        engine-specific expression raises ValueError here, not at some
+        later write.  Re-declaring on an existing store (including ``{}``
+        to clear) persists immediately as a metadata-only commit, so
+        manifest-driven writers never enforce a stale set.  Cost: one
+        count aggregate over each changed table per commit (Delta pays the
+        same); maintenance commits skip it (compaction changes no rows)."""
         self.spark = spark
         self.root = root
         self.schema = schema
+        # the commit point's storage-system seam (class docstring on
+        # CommitArbiter): hard-link exclusive create on POSIX (default),
+        # conditional PUT on object stores
+        self.commit_arbiter = commit_arbiter or HardLinkArbiter()
         self.bucket_edges = bucket_edges
         self.bucket_nodes = bucket_nodes
         self.index_buckets = index_buckets
@@ -248,14 +379,17 @@ class GraphStore:
         self.check_constraints: dict[str, str] = {}
         self._checks_declared = check_constraints is not None
         for t, cond in (check_constraints or {}).items():
-            schema.node_type(t)  # plan-time validation: type must exist
+            nt = schema.node_type(t)  # plan-time validation: type must exist
+            # both dialects parse it NOW (commit enforces in Spark, the
+            # ecosystem writers in DuckDB) — see _validate_check_condition
+            _validate_check_condition(spark, nt, cond)
             self.check_constraints[t] = cond
         self.compact_every = compact_every
         self.compact_target_file_mb = compact_target_file_mb
         self.retain_versions = retain_versions
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         if not os.path.exists(self._current_path):
-            self._write_manifest(
+            won = self._write_manifest(
                 {
                     "version": 0,
                     "next_id": 1,
@@ -264,6 +398,12 @@ class GraphStore:
                 }
             )
             self._publish(0)
+            if not won and self._checks_declared:
+                # bootstrap race LOST and this session declared checks: v0
+                # embeds the winner's declaration, which may differ — the
+                # manifest is the enforcement source for ecosystem writers,
+                # so persist ours (no-op commit when the sets match).
+                self._sync_declared_checks()
         elif not self._checks_declared:
             # adopt the PERSISTED declaration (the manifest is the table
             # metadata, Delta-style): a session that opens an existing
@@ -273,6 +413,14 @@ class GraphStore:
             self.check_constraints = dict(
                 self.snapshot().manifest.get("checks") or {}
             )
+        else:
+            # explicit declaration on an EXISTING store: manifest-driven
+            # writers (bulk loader, stream sink, txn finalize) enforce the
+            # PERSISTED set, so an in-memory-only replacement would leave
+            # them on the stale declaration until the next data commit —
+            # publish a metadata-only commit now (like rebuild_indexes'
+            # maintenance commit) whenever the sets differ.
+            self._sync_declared_checks()
 
     # -- manifest plumbing -------------------------------------------------
 
@@ -283,48 +431,65 @@ class GraphStore:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.root, f"manifest.v{version}.json")
 
-    def _write_manifest(self, manifest: dict) -> None:
+    def _write_manifest(self, manifest: dict) -> bool:
         """Atomically create the manifest — the COMMIT POINT of the store.
 
-        The manifest is fully written to a temp file first and then
-        ``os.link``-ed to its final name: the link both (a) publishes a
-        complete file atomically (no reader can ever see partial JSON) and
-        (b) is an exclusive create, so the filesystem arbitrates racing
-        committers — two commits from the same base both pass the staleness
-        check, but only one links ``manifest.v{N+1}``; the loser gets
-        ConflictError and retries instead of silently overwriting the
-        winner's committed transaction.
+        The exclusive create is delegated to the :class:`CommitArbiter`
+        (hard-link on POSIX, conditional PUT on object stores): it both
+        (a) publishes complete content atomically (no reader can ever see
+        partial JSON) and (b) arbitrates racing committers — two commits
+        from the same base both pass the staleness check, but only one
+        creates ``manifest.v{N+1}``; the loser gets ConflictError and
+        retries instead of silently overwriting the winner's committed
+        transaction.
 
         CURRENT is published AFTER this and is only a pointer cache:
         ``current_version`` rolls forward past it, so a crash between the
-        link and the pointer swap neither loses the commit nor wedges the
+        create and the pointer swap neither loses the commit nor wedges the
         store (the next reader/committer adopts the newer manifest).  (The
         version-0 bootstrap in ``__init__`` is the only caller that may
         find a pre-existing file: two sessions opening the same store root
-        race the initial empty manifest, whose bytes are identical —
-        tolerated.)"""
+        race the initial manifest — since v0 embeds the declared ``checks``,
+        the loser returns False so the bootstrap can reconcile its own
+        declaration against the winner's instead of assuming identical
+        bytes.)  Returns True when this call created the manifest."""
         path = self._manifest_path(manifest["version"])
-        fd, tmp = tempfile.mkstemp(dir=self.root)
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f)
-            try:
-                os.link(tmp, path)
-            except FileExistsError:
-                if manifest["version"] == 0:
-                    return  # bootstrap race: other session wrote the same bytes
-                raise ConflictError(
-                    f"concurrent commit already published version "
-                    f"{manifest['version']}"
-                ) from None
-        finally:
-            os.unlink(tmp)
+        if not self.commit_arbiter.put_if_absent(path, json.dumps(manifest)):
+            if manifest["version"] == 0:
+                return False  # bootstrap race: other session won v0
+            raise ConflictError(
+                f"concurrent commit already published version "
+                f"{manifest['version']}"
+            )
+        return True
 
     def _publish(self, version: int) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.root)
         with os.fdopen(fd, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._current_path)  # atomic pointer swap
+
+    def _sync_declared_checks(self) -> None:
+        """Persist this session's explicit ``check_constraints`` declaration
+        when it differs from the current manifest's — as a METADATA-ONLY
+        commit (cdc = captured-empty: no rows change), so manifest-driven
+        writers (bulk Arrow loads, the streaming sink, txn finalize) enforce
+        the new declaration immediately instead of the stale persisted one
+        until some later data commit happens to refresh it (review r09).
+        Retries past concurrent committers like any commit."""
+        for _ in range(5):
+            base = self.snapshot()
+            if (base.manifest.get("checks") or {}) == self.check_constraints:
+                return
+            try:
+                self.commit(base, {}, _maintenance=True)
+                return
+            except ConflictError:
+                continue
+        raise ConflictError(
+            "could not persist check_constraints declaration: a concurrent "
+            "committer won every retry"
+        )
 
     def _defaults_map(self) -> dict:
         """Manifest encoding of the CURRENT schema's optional-attr defaults
@@ -423,30 +588,55 @@ class GraphStore:
         # already-written files are cleaned up like a lost commit race.
         # A maintenance commit rewrites unchanged rows and skips the gate.
         check_obs: dict[str, tuple] = {}
-        if self.check_constraints and not _maintenance:
+        ndv_obs: dict[str, tuple] = {}
+        if not _maintenance:
             from pyspark.sql import Observation
             from pyspark.sql import functions as F2
 
             changed_tables = dict(changed_tables)  # never mutate the caller's
             for key_ in list(changed_tables):
+                df_ = changed_tables[key_]
                 cond = (
                     self.check_constraints.get(key_[2:])
                     if key_.startswith("n_")
                     else None
                 )
-                if cond is None:
+                # per-column NDV sketches ride the SAME observation as the
+                # CHECK gate (HLL++ partial aggregates inside the write job
+                # — no second pass): recorded in the manifest's table stats
+                # so readers and join planners get cardinalities for free.
+                # Scalar columns only (NDV of a binary payload or nested
+                # value is not a join-planning input).
+                ndv_cols = [
+                    c
+                    for c, t in df_.dtypes
+                    if not (
+                        t == "binary"
+                        or t.startswith(("array", "map", "struct"))
+                    )
+                ]
+                metrics = []
+                if cond is not None:
+                    # NULL = violation (see __init__ docstring)
+                    metrics.append(
+                        F2.sum(
+                            (~F2.coalesce(F2.expr(cond), F2.lit(False))).cast(
+                                "long"
+                            )
+                        ).alias("bad")
+                    )
+                metrics += [
+                    F2.approx_count_distinct(c).alias(f"ndv_{c}")
+                    for c in ndv_cols
+                ]
+                if not metrics:
                     continue
                 obs = Observation()
-                # NULL = violation (see __init__ docstring)
-                changed_tables[key_] = changed_tables[key_].observe(
-                    obs,
-                    F2.sum(
-                        (~F2.coalesce(F2.expr(cond), F2.lit(False))).cast(
-                            "long"
-                        )
-                    ).alias("bad"),
-                )
-                check_obs[key_] = (obs, cond)
+                changed_tables[key_] = df_.observe(obs, *metrics)
+                if cond is not None:
+                    check_obs[key_] = (obs, cond)
+                if ndv_cols:
+                    ndv_obs[key_] = (obs, ndv_cols)
         # per-attempt token: racing committers from the same base write to
         # DISTINCT data locations (and catalog table names), so the loser's
         # overwrite-mode job can never clobber the winner's committed files.
@@ -458,6 +648,7 @@ class GraphStore:
         token = _uuid.uuid4().hex[:8]
         tables = dict(base.manifest["tables"])
         bucketed = dict(base.manifest.get("bucketed", {}))
+        table_stats: dict[str, dict] = dict(base.manifest.get("stats", {}))
         written_paths: list[str] = []
         written_tbls: list[str] = []
         for key, df in changed_tables.items():
@@ -489,9 +680,28 @@ class GraphStore:
             # zone-map sidecar from the just-written footers (metadata-only
             # reads): engine commits and compaction keep the planning-time
             # file skipping that bulk loads get from their Arrow tasks
-            from edgy_spark.sources.pysource import write_zones_from_footers
+            from edgy_spark.sources.pysource import (
+                stats_from_footers,
+                write_zones_from_footers,
+            )
 
             write_zones_from_footers(os.path.join(self.root, relpath))
+            # per-table stats (rows/bytes from the same footer pass shape;
+            # NDV from the observation riding the write): plan-time
+            # cardinalities for readers — see read_store_table
+            stat = stats_from_footers(os.path.join(self.root, relpath))
+            if key in ndv_obs:
+                obs_, cols_ = ndv_obs[key]
+                got = obs_.get
+                stat["ndv"] = {
+                    c: int(got[f"ndv_{c}"] or 0) for c in cols_
+                }
+            elif _maintenance and key in table_stats:
+                # compaction rewrites the same rows: NDV carries forward
+                stat["ndv"] = table_stats[key].get("ndv", {})
+            else:
+                stat["ndv"] = {}
+            table_stats[key] = stat
             tables[key] = relpath
             written_paths.append(relpath)
             if key in check_obs:
@@ -606,6 +816,11 @@ class GraphStore:
             # writer (bulk Arrow loads, the streaming sink, txn finalize)
             # can enforce it from the manifest alone
             "checks": dict(self.check_constraints),
+            # per-table {rows, bytes, ndv:{col: estimate}}: plan-time
+            # cardinalities so readers can broadcast dimension-sized store
+            # tables WITHOUT waiting for an AQE runtime replan (the
+            # Delta/Iceberg table-stats model) — see read_store_table
+            "stats": {k: v for k, v in table_stats.items() if k in tables},
         }
         try:
             self._write_manifest(manifest)
@@ -965,6 +1180,8 @@ class GraphStore:
             # _defaults_map)
             "defaults": self._defaults_map(),
             "checks": dict(self.check_constraints),
+            # stats describe the FILES, which are the restored version's
+            "stats": dict(old.manifest.get("stats", {})),
         }
         self._write_manifest(manifest)
         self._publish(manifest["version"])

@@ -443,3 +443,85 @@ def test_restore_repoints_without_copying_and_preserves_counters(
     store.vacuum(retain_versions=1)
     with pytest.raises(ValueError, match="vacuum"):
         store.restore(v1)
+
+
+def test_conditional_put_arbiter_racing_commits(spark, tmp_path, monkeypatch):
+    """The commit protocol must hold on an object store, where there is no
+    atomic link/rename — only conditional PUT (verdict r09).  Same racing
+    scenario as the hard-link test, through ConditionalPutArbiter: exactly
+    one committer publishes, the loser gets ConflictError and cleans up."""
+    import pytest
+
+    from edgy_spark.storage import ConditionalPutArbiter, ConflictError
+
+    root = str(tmp_path / "db")
+    store = GraphStore(
+        spark, root, demo_schema(), commit_arbiter=ConditionalPutArbiter()
+    )
+    base = store.snapshot()
+    df_a = spark.createDataFrame([(1, "A", 1)], "id long, name string, age long")
+    df_b = spark.createDataFrame([(2, "B", 2)], "id long, name string, age long")
+
+    monkeypatch.setattr(store, "current_version", lambda: base.version)
+    store.commit(base, {"n_Person": df_a}, next_id=2)
+    with pytest.raises(ConflictError, match="concurrent commit"):
+        store.commit(base, {"n_Person": df_b}, next_id=3)
+    monkeypatch.undo()
+
+    assert store.current_version() == base.version + 1
+    names = [r["name"] for r in store.snapshot().nodes("Person").collect()]
+    assert names == ["A"]
+    person_dirs = [d for d in _data_dirs(root) if d.startswith("n_Person")]
+    assert len(person_dirs) == 1
+
+
+def test_conditional_put_arbiter_crash_rolls_forward(spark, tmp_path, monkeypatch):
+    """Crash between the conditional PUT (the commit point) and the CURRENT
+    pointer swap: the commit survives and the store rolls forward — the
+    protocol's crash story is arbiter-independent."""
+    import pytest
+
+    from edgy_spark.storage import ConditionalPutArbiter
+
+    root = str(tmp_path / "db")
+    engine = Engine(
+        spark, root, demo_schema(), commit_arbiter=ConditionalPutArbiter()
+    )
+    engine.run(lambda t: t.new_node("Person", name="Before", age=1))
+    v_ok = engine.store.current_version()
+
+    def crash(_version):
+        raise OSError("simulated crash before CURRENT publish")
+
+    monkeypatch.setattr(engine.store, "_publish", crash)
+    with pytest.raises(OSError, match="simulated crash"):
+        engine.run(lambda t: t.new_node("Person", name="Crashed", age=2))
+    monkeypatch.undo()
+
+    assert engine.store.current_version() == v_ok + 1
+    engine.run(lambda t: t.new_node("Person", name="After", age=3))
+    names = {r["name"] for r in engine.snapshot().nodes("Person").collect()}
+    assert {"Before", "Crashed", "After"} <= names
+
+
+def test_conditional_put_manifest_path_never_links(spark, tmp_path, monkeypatch):
+    """With ConditionalPutArbiter the MANIFEST path must not rely on
+    os.link at all (object stores don't have it).  A first commit — whose
+    only hard-link user would be the manifest publish itself — succeeds
+    with os.link disabled entirely."""
+    from edgy_spark.storage import ConditionalPutArbiter
+
+    root = str(tmp_path / "db")
+
+    def no_link(*_a, **_k):
+        raise OSError("os.link is not available on this storage system")
+
+    monkeypatch.setattr(os, "link", no_link)
+    store = GraphStore(
+        spark, root, demo_schema(), commit_arbiter=ConditionalPutArbiter()
+    )
+    df = spark.createDataFrame([(1, "A", 1)], "id long, name string, age long")
+    store.commit(store.snapshot(), {"n_Person": df}, next_id=2)
+    monkeypatch.undo()
+    assert store.current_version() == 1
+    assert [r["name"] for r in store.snapshot().nodes("Person").collect()] == ["A"]

@@ -532,3 +532,117 @@ def test_check_constraints_gate_bulk_writer_via_persisted_declaration(
             spark.createDataFrame([("eve", -1)], "name string, age long"),
             on="name",
         )
+
+
+def test_check_redeclaration_persists_as_metadata_commit(spark, tmp_path):
+    """Passing check_constraints explicitly on an EXISTING store (including
+    {} to clear) publishes a metadata-only commit immediately, so
+    manifest-driven writers (bulk loader, stream sink, txn finalize) never
+    enforce a stale declaration (review r09 advice)."""
+    from edgy_spark.sources.pysource import register_edgy_source
+
+    root = str(tmp_path / "db")
+    GraphStore(spark, root, _schema(), check_constraints={"Person": "age >= 0"})
+    register_edgy_source(spark)
+
+    # re-declare a DIFFERENT set: version bumps, manifest carries it NOW
+    tightened = GraphStore(
+        spark, root, _schema(), check_constraints={"Person": "age >= 10"}
+    )
+    assert tightened.current_version() == 1
+    snap = tightened.snapshot()
+    assert snap.manifest["checks"] == {"Person": "age >= 10"}
+    assert snap.manifest["cdc"] == {}  # metadata-only: captured-empty delta
+    assert snap.manifest["tables"] == {}  # no data rewritten
+
+    # the ecosystem bulk writer (no GraphStore object) sees the NEW set
+    bad = spark.createDataFrame(
+        [(1, "kid", 5, "oslo")], "id long, name string, age long, city string"
+    )
+    with pytest.raises(Exception, match="violate CHECK"):
+        (
+            bad.write.format("edgy")
+            .option("root", root)
+            .option("table", "n_Person")
+            .mode("append")
+            .save()
+        )
+    assert tightened.current_version() == 1
+
+    # clearing with {} also persists immediately; the same write now lands
+    cleared = GraphStore(spark, root, _schema(), check_constraints={})
+    assert cleared.current_version() == 2
+    assert cleared.snapshot().manifest["checks"] == {}
+    (
+        bad.write.format("edgy")
+        .option("root", root)
+        .option("table", "n_Person")
+        .mode("append")
+        .save()
+    )
+    assert cleared.current_version() == 3
+
+    # re-declaring the SAME set is a no-op (no empty commit spam)
+    same = GraphStore(spark, root, _schema(), check_constraints={})
+    assert same.current_version() == 3
+
+
+def test_check_bootstrap_race_reconciles_checks(spark, tmp_path):
+    """Two sessions racing the version-0 bootstrap with DIFFERENT check
+    declarations: the loser detects the winner's v0 embeds another set and
+    persists its own as a follow-up commit instead of returning silently
+    (review r09 advice)."""
+    import os
+
+    root = str(tmp_path / "db")
+    GraphStore(spark, root, _schema(), check_constraints={"Person": "age >= 0"})
+    # simulate the loser's view: manifest.v0 exists but CURRENT does not
+    # yet (the winner sits between its manifest link and pointer swap)
+    os.remove(os.path.join(root, "CURRENT"))
+    loser = GraphStore(
+        spark, root, _schema(), check_constraints={"Person": "age >= 5"}
+    )
+    assert loser.current_version() == 1
+    assert loser.snapshot().manifest["checks"] == {"Person": "age >= 5"}
+
+
+def test_check_condition_validated_in_both_dialects_at_declaration(
+    spark, tmp_path
+):
+    """A condition outside the Spark/DuckDB-common subset raises at
+    DECLARATION time, not at some later write: Spark-side analysis catches
+    unknown columns; DuckDB-side parsing catches Spark-only syntax (the
+    ecosystem writers enforce there)."""
+    with pytest.raises(ValueError, match="not valid Spark SQL"):
+        GraphStore(
+            spark,
+            str(tmp_path / "a"),
+            _schema(),
+            check_constraints={"Person": "no_such_column > 0"},
+        )
+    with pytest.raises(ValueError, match="not valid DuckDB SQL"):
+        GraphStore(
+            spark,
+            str(tmp_path / "b"),
+            _schema(),
+            check_constraints={"Person": "name rlike '^a'"},
+        )
+
+
+def test_enforce_manifest_checks_rejects_without_duckdb(tmp_path, monkeypatch):
+    """A writer process that cannot import duckdb must REJECT a constrained
+    write, never silently publish unvalidated rows (review r09 advice —
+    check_constraints promises enforcement whatever the writer)."""
+    import sys
+
+    from edgy_spark.sources.pysource import _enforce_manifest_checks
+
+    monkeypatch.setitem(sys.modules, "duckdb", None)  # import -> ImportError
+    err = _enforce_manifest_checks(
+        str(tmp_path),
+        "staging",
+        "n_Person",
+        {"checks": {"Person": "age >= 0"}},
+        ["part-0.parquet"],
+    )
+    assert err is not None and "duckdb is not importable" in err

@@ -1071,3 +1071,90 @@ def test_spark_reuses_filtered_scan_for_filterless_plans(spark, tmp_path):
         "the upstream bug is fixed; delete this test and the fresh-load "
         "workarounds that cite it"
     )
+
+
+def test_manifest_stats_recorded_by_engine_and_ecosystem_writers(spark, tmp_path):
+    """Every manifest writer records per-table {rows, bytes, ndv}: engine
+    commits compute NDV sketches riding the write's observation; the bulk
+    Arrow writer recomputes rows/bytes from its promoted footers (NDV
+    resets — no aggregation engine in the DataSource worker)."""
+    from edgy_spark.storage import GraphStore
+
+    root = str(tmp_path / "db")
+    engine = Engine(spark, root, demo_schema())
+    engine.run(big_bang)
+    snap = engine.store.snapshot()
+    stats = snap.manifest["stats"]
+    person = stats["n_Person"]
+    n_person = snap.nodes("Person").count()
+    assert person["rows"] == n_person
+    assert person["bytes"] > 0
+    assert person["ndv"]["id"] >= 1  # HLL estimate, >=1 on non-empty
+    # approx_count_distinct is within 5% at these tiny cardinalities
+    assert abs(person["ndv"]["id"] - n_person) <= max(1, n_person // 10)
+
+    # ecosystem bulk writer: rows/bytes recomputed, ndv honestly empty
+    register_edgy_source(spark)
+    extra = spark.createDataFrame(
+        [(900 + i, f"bulk{i}", 20 + i) for i in range(7)],
+        "id long, name string, age long",
+    )
+    (
+        extra.write.format("edgy")
+        .option("root", root)
+        .option("table", "n_Person")
+        .mode("append")
+        .save()
+    )
+    store2 = GraphStore(spark, root, demo_schema())
+    stats2 = store2.snapshot().manifest["stats"]
+    assert stats2["n_Person"]["rows"] == n_person + 7
+    assert stats2["n_Person"]["ndv"] == {}
+    # untouched tables carried forward
+    for k, v in stats.items():
+        if k != "n_Person" and k in stats2:
+            assert stats2[k] == v
+
+
+def test_read_store_table_broadcasts_small_dims_at_plan_time(spark, tmp_path):
+    """The manifest stats feed the broadcast decision BEFORE execution: a
+    join against a dimension-sized store table read through
+    read_store_table is a BroadcastHashJoin in the INITIAL plan — no AQE
+    runtime replan (and its wasted shuffle stage) needed.  The bare
+    format("edgy") load has no size information and plans a shuffle join."""
+    from edgy_spark.sources.pysource import read_store_table
+
+    root = str(tmp_path / "db")
+    engine = Engine(spark, root, demo_schema())
+    engine.run(big_bang)
+    register_edgy_source(spark)
+
+    fact = spark.range(0, 10000).select(
+        (F.col("id") % 5 + 1).alias("id"), F.col("id").alias("x")
+    )
+
+    dim = read_store_table(spark, root, "n_Person")
+    hinted = fact.join(dim, "id").groupBy("name").count()
+    plan = hinted._sc._jvm.PythonSQLUtils.explainString(
+        hinted._jdf.queryExecution(), "simple"
+    )
+    # initial plan, pre-execution: the STORE side (right) is the build side
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan
+
+    bare = (
+        spark.read.format("edgy")
+        .option("root", root)
+        .option("table", "n_Person")
+        .load()
+    )
+    unhinted = fact.join(bare, "id").groupBy("name").count()
+    plan2 = unhinted._sc._jvm.PythonSQLUtils.explainString(
+        unhinted._jdf.queryExecution(), "simple"
+    )
+    # without stats the sizeless Python scan can never be the build side at
+    # plan time — Catalyst broadcasts the (sized) fact instead, and only an
+    # AQE runtime replan could have rescued a real-sized fact table
+    assert "BuildRight" not in plan2
+
+    # and the hinted read returns the same rows
+    assert hinted.count() == bare.select("name").distinct().count()
