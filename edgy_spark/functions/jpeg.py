@@ -15,8 +15,13 @@ Scope (deliberately bounded, stated loudly):
 - baseline and extended sequential DCT, Huffman coded (SOF0/SOF1),
   8-bit samples; 1 (grayscale) or 3 (JFIF YCbCr) components; any
   sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart intervals;
-- progressive (SOF2), arithmetic coding, 12-bit, and CMYK are rejected
-  with a clear NotImplementedError;
+- progressive DCT, Huffman coded (SOF2, T.81 Annex G): spectral
+  selection + successive approximation, DC/AC first and refinement
+  scans, EOB runs, interleaved DC scans, restart intervals — scans
+  accumulate into a per-block coefficient store, dequantized and
+  inverse-transformed once at EOI;
+- arithmetic coding, 12-bit, hierarchical, and CMYK are rejected with a
+  clear NotImplementedError;
 - the IDCT is the exact floating-point T.81 definition (rounded then
   clamped) and chroma upsampling is sample replication — a COMPLIANT
   decode, but not bit-identical to libjpeg's integer IDCT + smoothing
@@ -96,12 +101,27 @@ class _BitReader:
         b = d[p]
         if b == 0xFF:
             nxt = d[p + 1] if p + 1 < len(d) else None
-            if nxt == 0x00:
-                self.pos = p + 2  # stuffed 0xFF data byte
-            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(p)
+            if nxt == 0x00:  # stuffed data byte — the hot case, keep flat
+                self.pos = p + 2
             else:
-                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+                # T.81 B.1.1.2: any marker may be preceded by any number
+                # of 0xFF fill bytes — skip the run, then classify the
+                # byte after it (stuffed-zero, restart, or a real marker)
+                q = p + 1
+                nd = len(d)
+                while q < nd and d[q] == 0xFF:
+                    q += 1
+                nxt = d[q] if q < nd else None
+                if nxt == 0x00:
+                    self.pos = q + 1  # stuffed 0xFF (the run was fill)
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    raise _RestartMarker(q - 1)
+                elif nxt is None:
+                    raise ValueError("truncated entropy-coded data")
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} in scan"
+                    )
         else:
             self.pos = p + 1
         self.cur = b
@@ -184,10 +204,11 @@ def _idct_block(coef: list[int]) -> list[int]:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline/extended-sequential JPEG into ``(width, height,
-    channels, pixels)`` — 8-bit samples, row-major, interleaved (RGB for
-    3-component JFIF images, luma for grayscale).  Raises ValueError on
-    malformed input and NotImplementedError on out-of-scope features."""
+    """Decode a baseline/extended-sequential (SOF0/SOF1) or progressive
+    (SOF2) JPEG into ``(width, height, channels, pixels)`` — 8-bit
+    samples, row-major, interleaved (RGB for 3-component JFIF images,
+    luma for grayscale).  Raises ValueError on malformed input and
+    NotImplementedError on out-of-scope features."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, list[int]] = {}
@@ -195,6 +216,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     huff_ac: dict[int, _Huff] = {}
     restart_interval = 0
     frame = None
+    store = None  # progressive: per-component quantized-coefficient blocks
     i = 2
     n = len(data)
     while i + 4 <= n:
@@ -231,7 +253,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = seg[p + 17:p + 17 + nv]
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit samples (only 8)")
@@ -241,9 +263,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(nc):
                 cid, hv, tq = seg[6 + c * 3:9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
@@ -255,20 +276,38 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + c * 2:3 + c * 2]
-                comp = next(
-                    (x for x in frame["comps"] if x["id"] == cs), None
+                ci = next(
+                    (
+                        j
+                        for j, x in enumerate(frame["comps"])
+                        if x["id"] == cs
+                    ),
+                    None,
                 )
-                if comp is None:
+                if ci is None:
                     raise ValueError("scan references unknown component")
-                scan.append((comp, tt >> 4, tt & 0xF))
+                scan.append((ci, frame["comps"][ci], tt >> 4, tt & 0xF))
+            if frame["progressive"]:
+                ss, se, ahal = seg[1 + ns * 2:4 + ns * 2]
+                if store is None:
+                    store = _alloc_store(frame)
+                i = _progressive_scan(
+                    data, i + 2 + seglen, frame, scan,
+                    ss, se, ahal >> 4, ahal & 0xF,
+                    store, huff_dc, huff_ac, restart_interval,
+                )
+                continue  # i sits ON the next marker
             if len(scan) != len(frame["comps"]):
                 raise NotImplementedError("multi-scan (non-interleaved) JPEG")
             return _decode_scan(
-                data, i + 2 + seglen, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+                data, i + 2 + seglen, frame,
+                [(c, tdc, tac) for _, c, tdc, tac in scan],
+                qt, huff_dc, huff_ac, restart_interval,
             )
         # APPn / COM / others: skipped
         i += 2 + seglen
+    if store is not None:
+        return _finish_progressive(frame, qt, store)
     raise ValueError("no scan data (missing SOS)")
 
 
@@ -357,7 +396,12 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                     f"restart marker inside MCU at byte {e.at}"
                 ) from None
             mcu_count += 1
-    # upsample to full resolution and color-convert
+    return _planes_to_pixels(w, h, comps, planes, hmax, vmax)
+
+
+def _planes_to_pixels(w, h, comps, planes, hmax, vmax):
+    """Upsample the per-component sample planes to full resolution and
+    color-convert (shared by the sequential and progressive paths)."""
     nc = len(comps)
     out = bytearray(w * h * nc)
     if nc == 1:
@@ -389,6 +433,268 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
             out[o + 1] = 0 if gv < 0 else (255 if gv > 255 else gv)
             out[o + 2] = 0 if bv < 0 else (255 if bv > 255 else bv)
     return w, h, 3, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive decode (T.81 Annex G: spectral selection + successive
+# approximation).  Scans accumulate QUANTIZED coefficients into a
+# per-component block store (natural order); dequantize + IDCT happen once
+# at EOI.  The refinement control flow mirrors the spec's G.1.2.2-G.1.2.3
+# (the same structure libjpeg's jdphuff.c implements).
+# ---------------------------------------------------------------------------
+
+
+def _alloc_store(frame) -> list[list[list[int]]]:
+    """Per-component coefficient store sized to the MCU-padded block grid
+    (interleaved DC scans walk the padded grid; non-interleaved scans walk
+    the component's actual blocks inside it)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("bad sampling factors")
+    w, h = frame["w"], frame["h"]
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension JPEG")
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = -(-w // (8 * hmax))
+    frame["mcuy"] = -(-h // (8 * vmax))
+    store = []
+    for c in comps:
+        bw_m = frame["mcux"] * c["h"]
+        bh_m = frame["mcuy"] * c["v"]
+        c["bw_m"] = bw_m
+        # actual (non-padded) block dims, for non-interleaved scans
+        comp_w = -(-(w * c["h"]) // hmax)
+        comp_h = -(-(h * c["v"]) // vmax)
+        c["bw"] = -(-comp_w // 8)
+        c["bh"] = -(-comp_h // 8)
+        store.append([[0] * 64 for _ in range(bw_m * bh_m)])
+    return store
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos`` — skips entropy
+    bytes, stuffed 0xFF00, stray RSTn, and 0xFF fill runs."""
+    n = len(data)
+    p = pos
+    while p + 1 < n:
+        if data[p] != 0xFF or data[p + 1] == 0x00:
+            p += 1
+        elif data[p + 1] == 0xFF:
+            p += 1  # fill byte
+        elif 0xD0 <= data[p + 1] <= 0xD7:
+            p += 2  # stray restart between scans: tolerate
+        else:
+            return p
+    raise ValueError("truncated JPEG (no marker after scan)")
+
+
+def _consume_restart(data: bytes, r: "_BitReader", next_rst: int):
+    """Expect and consume the next RSTn; returns a fresh reader after it."""
+    r.align_to_marker()
+    p = r.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] != 0xFF or data[p + 1] == 0x00:
+            p += 1
+        elif data[p + 1] == 0xFF:
+            p += 1  # fill byte before the marker (T.81 B.1.1.2)
+        else:
+            break
+    if p + 1 >= n or not (0xD0 <= data[p + 1] <= 0xD7):
+        raise ValueError("expected restart marker")
+    if data[p + 1] != 0xD0 + next_rst:
+        raise ValueError("restart marker out of sequence")
+    return _BitReader(data, p + 2), (next_rst + 1) & 7
+
+
+def _dc_first(r, dc_t, pred, si, blk, al) -> None:
+    t = r.decode_huff(dc_t)
+    if t > 11:
+        raise ValueError("bad DC category")
+    pred[si] += _extend(r.receive(t), t)
+    blk[0] = pred[si] << al
+
+
+def _dc_refine(r, blk, al) -> None:
+    if r.read_bit():
+        blk[0] |= 1 << al
+
+
+def _ac_first(r, ac_t, blk, ss, se, al, eobrun) -> None:
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = r.decode_huff(ac_t)
+        rr, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rr == 15:
+                k += 16  # ZRL
+                continue
+            eobrun[0] = (1 << rr) - 1  # this block is run member #1
+            if rr:
+                eobrun[0] += r.receive(rr)
+            break
+        k += rr
+        if k > se:
+            raise ValueError("AC index overflow")
+        blk[_ZIGZAG[k]] = _extend(r.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine(r, ac_t, blk, ss, se, al, eobrun) -> None:
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = r.decode_huff(ac_t)
+            rr, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if rr != 15:
+                    eobrun[0] = 1 << rr
+                    if rr:
+                        eobrun[0] += r.receive(rr)
+                    break
+                val = None  # ZRL: 16 zero-history coefficients, no new one
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement size")
+                val = p1 if r.read_bit() else m1
+            # advance: append a correction bit to every already-nonzero
+            # coefficient passed over; count rr zero-history positions
+            while k <= se:
+                zz = _ZIGZAG[k]
+                if blk[zz] != 0:
+                    if r.read_bit() and (blk[zz] & p1) == 0:
+                        blk[zz] += p1 if blk[zz] >= 0 else m1
+                else:
+                    rr -= 1
+                    if rr < 0:
+                        break
+                k += 1
+            if val is not None:
+                if k > se:
+                    raise ValueError("AC refinement overflow")
+                blk[_ZIGZAG[k]] = val
+            k += 1
+    if eobrun[0] > 0:
+        # inside an EOB run: only correction bits for nonzero history
+        while k <= se:
+            zz = _ZIGZAG[k]
+            if blk[zz] != 0:
+                if r.read_bit() and (blk[zz] & p1) == 0:
+                    blk[zz] += p1 if blk[zz] >= 0 else m1
+            k += 1
+        eobrun[0] -= 1
+
+
+def _progressive_scan(
+    data, pos, frame, scan, ss, se, ah, al, store, huff_dc, huff_ac, ri
+) -> int:
+    """Decode ONE progressive scan into the coefficient store; returns the
+    position of the marker following its entropy-coded data."""
+    if ss == 0 and se != 0:
+        raise ValueError("DC scan must have Se = 0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("AC scans must be non-interleaved")
+    if ss > 63 or se > 63 or ss > se:
+        raise ValueError("bad spectral selection")
+    r = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    eobrun = [0]
+    next_rst = 0
+    unit = 0
+
+    def tables(ci, c, tdc, tac):
+        if ss == 0:
+            if ah == 0:
+                t = huff_dc.get(tdc)
+                if t is None:
+                    raise ValueError("missing Huffman table")
+                return t
+            return None  # DC refinement reads raw bits
+        t = huff_ac.get(tac)
+        if t is None:
+            raise ValueError("missing Huffman table")
+        return t
+
+    try:
+        if len(scan) > 1:  # interleaved: DC scans only, MCU order
+            for my in range(frame["mcuy"]):
+                for mx in range(frame["mcux"]):
+                    if ri and unit == ri:
+                        r, next_rst = _consume_restart(data, r, next_rst)
+                        pred = [0] * len(scan)
+                        unit = 0
+                    for si, (ci, c, tdc, tac) in enumerate(scan):
+                        tbl = tables(ci, c, tdc, tac)
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = store[ci][
+                                    (my * c["v"] + by) * c["bw_m"]
+                                    + mx * c["h"] + bx
+                                ]
+                                if ah == 0:
+                                    _dc_first(r, tbl, pred, si, blk, al)
+                                else:
+                                    _dc_refine(r, blk, al)
+                    unit += 1
+        else:  # single component: raster over its ACTUAL blocks
+            ci, c, tdc, tac = scan[0]
+            tbl = tables(ci, c, tdc, tac)
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    if ri and unit == ri:
+                        r, next_rst = _consume_restart(data, r, next_rst)
+                        pred = [0] * len(scan)
+                        eobrun[0] = 0
+                        unit = 0
+                    blk = store[ci][by * c["bw_m"] + bx]
+                    if ss == 0:
+                        if ah == 0:
+                            _dc_first(r, tbl, pred, 0, blk, al)
+                        else:
+                            _dc_refine(r, blk, al)
+                    elif ah == 0:
+                        _ac_first(r, tbl, blk, ss, se, al, eobrun)
+                    else:
+                        _ac_refine(r, tbl, blk, ss, se, al, eobrun)
+                    unit += 1
+    except _RestartMarker as e:
+        raise ValueError(
+            f"restart marker inside data unit at byte {e.at}"
+        ) from None
+    return _next_marker(data, r.pos)
+
+
+def _finish_progressive(frame, qt, store) -> tuple[int, int, int, bytes]:
+    """Dequantize + IDCT the accumulated coefficient store, then render
+    through the shared upsample/color-convert path."""
+    comps = frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("missing quantization table")
+        cw = c["bw_m"] * 8
+        ch = (len(store[ci]) // c["bw_m"]) * 8
+        c["cw"], c["ch"] = cw, ch
+        plane = bytearray(cw * ch)
+        for bi, coefq in enumerate(store[ci]):
+            px = _idct_block([coefq[j] * q[j] for j in range(64)])
+            by, bx = divmod(bi, c["bw_m"])
+            ox, oy = bx * 8, by * 8
+            for yy in range(8):
+                base = (oy + yy) * cw + ox
+                plane[base:base + 8] = bytes(px[yy * 8:yy * 8 + 8])
+        planes.append(plane)
+    return _planes_to_pixels(
+        frame["w"], frame["h"], comps, planes, frame["hmax"], frame["vmax"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -522,3 +828,69 @@ def encode_jpeg_flat(width: int, height: int, block_samples: list[int]) -> bytes
         w.put(eob_code, eob_len)
 
     return b"\xff\xd8" + dqt + sof + dht + sos + w.flush() + b"\xff\xd9"
+
+
+def encode_jpeg_flat_progressive(
+    width: int, height: int, block_samples: list[int]
+) -> bytes:
+    """The flat-block family's PROGRESSIVE twin: same bit-exact decoded
+    pixels as :func:`encode_jpeg_flat`, but the stream is a genuine SOF2
+    file whose DC coefficient arrives split by successive approximation —
+    scan 1 sends the high bits (Al=1) Huffman-coded with DC prediction,
+    scan 2 is an AC first scan (Ss=1..63, all EOB: every AC is zero), and
+    scan 3 refines DC with one raw bit per block (Ah=1, Al=0).  The
+    decoder must run real Annex G machinery (coefficient accumulation,
+    point-transform shifts, raw-bit refinement, a non-interleaved AC
+    scan) to reconstruct d = (d >> 1) << 1 | (d & 1) exactly, so the SQL
+    oracle predicts the same pixel statistics as the baseline twin and
+    the driver's value-hash gate covers the progressive path end-to-end.
+    """
+    if width <= 0 or height <= 0 or width % 8 or height % 8:
+        raise ValueError("flat encoder needs positive block-aligned dims")
+    bw, bh = width // 8, height // 8
+    if len(block_samples) != bw * bh:
+        raise ValueError(f"need {bw * bh} block samples, got {len(block_samples)}")
+    if any(s < 0 or s > 255 for s in block_samples):
+        raise ValueError("block samples must be 0..255")
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([_FLAT_DC_QUANT] * 64))
+    sof = seg(0xC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(STD_DC_LUMA_BITS) + STD_DC_LUMA_VALS) + seg(
+        0xC4, bytes([0x10]) + bytes(STD_AC_LUMA_BITS) + STD_AC_LUMA_VALS
+    )
+    dc_lut = _canonical_codes(STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
+    ac_lut = _canonical_codes(STD_AC_LUMA_BITS, STD_AC_LUMA_VALS)
+
+    # scan 1: DC first, Al=1 — diffs over the point-transformed values
+    w1 = _BitWriter()
+    pred = 0
+    for s in block_samples:
+        v = (s - 128) >> 1
+        diff = v - pred
+        pred = v
+        t = 0 if diff == 0 else abs(diff).bit_length()
+        length, code = dc_lut[t]
+        w1.put(code, length)
+        if t:
+            mag = diff if diff >= 0 else diff + (1 << t) - 1
+            w1.put(mag, t)
+    sos1 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + w1.flush()
+
+    # scan 2: AC first over the full band — every block is one EOB code
+    # (EOB run of 1), covering the non-interleaved AC path
+    w2 = _BitWriter()
+    eob_len, eob_code = ac_lut[0x00]
+    for _ in block_samples:
+        w2.put(eob_code, eob_len)
+    sos2 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + w2.flush()
+
+    # scan 3: DC refinement, Ah=1 Al=0 — one raw magnitude bit per block
+    w3 = _BitWriter()
+    for s in block_samples:
+        w3.put((s - 128) & 1, 1)
+    sos3 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + w3.flush()
+
+    return b"\xff\xd8" + dqt + sof + dht + sos1 + sos2 + sos3 + b"\xff\xd9"

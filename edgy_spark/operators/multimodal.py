@@ -604,6 +604,73 @@ def multimodal_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_jpeg_progressive_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      (doc_id * 7) % 5 + 1 AS bw,
+                      doc_id % 3 + 1 AS bh
+               FROM documents),
+    s AS (SELECT d.doc_id, d.bw, d.bh,
+                 SUM((d.doc_id * 53 + t.i * 29) % 256) AS total
+          FROM d, generate_series(0, 5 * 3 - 1) AS t(i)
+          WHERE t.i < d.bw * d.bh
+          GROUP BY d.doc_id, d.bw, d.bh)
+    SELECT doc_id,
+           CAST(bw * 8 AS BIGINT) AS width,
+           CAST(bh * 8 AS BIGINT) AS height,
+           CAST(total // (bw * bh) AS BIGINT) AS mean_luma
+    FROM s
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode", "progressive"),
+)
+def multimodal_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) decode under the driver's value-hash gate — the
+    web-crawl-dominant JPEG flavor the r09 verdict named as the largest
+    env-gated surface, now decoding for real: each document's flat-block
+    image is encoded with the DC coefficient SPLIT across successive-
+    approximation scans (high bits Huffman-coded, an all-EOB AC scan,
+    then one raw refinement bit per block — functions/jpeg.py
+    encode_jpeg_flat_progressive) and decoded through the full Annex G
+    machinery (multi-scan coefficient accumulation, point-transform
+    shifts, EOB-run decode, raw-bit DC refinement) inside Arrow-batched
+    ``mapInPandas``.  DC-only blocks keep the decode bit-exact
+    ((d >> 1) << 1 | (d & 1) must reconstruct d), so the oracle predicts
+    width/height/mean-luma from the block formula and any error anywhere
+    in the progressive path breaks the hash.  Real multi-scan AC
+    progressive streams (JDK-written) are cross-validated against
+    javax.imageio in tests/test_jpeg_real.py.
+
+    Scale: identical to the baseline twin — pixels never leave the
+    executors; exchanged rows are (doc_id, 3 small ints).
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import jpeg as _jpeg
+
+    cloudpickle.register_pickle_by_value(_jpeg)
+    encode_prog = _jpeg.encode_jpeg_flat_progressive
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                bw, bh = (i * 7) % 5 + 1, i % 3 + 1
+                blocks = [(i * 53 + b * 29) % 256 for b in range(bw * bh)]
+                media.append(encode_prog(bw * 8, bh * 8, blocks))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    return (
+        decode_features_jpeg(media_df)
+        .select("doc_id", "width", "height", "mean_luma")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # real audio decode (pure-stdlib WAV codec, functions/wav.py)
 # ---------------------------------------------------------------------------

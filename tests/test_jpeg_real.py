@@ -341,3 +341,136 @@ def test_idct_dc_shortcut_bit_identical_to_general_path():
     coef = [300] + [0] * 63
     coef[5] = -77
     assert J._idct_block(coef) == general(coef)
+
+
+def test_bitreader_skips_ff_fill_bytes():
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a marker
+    (including RSTn inside entropy data); spec-legal streams with fill
+    padding must not be rejected as malformed (review r09 advice)."""
+    from edgy_spark.functions.jpeg import _BitReader, _RestartMarker
+
+    # fill 0xFF before a stuffed 0xFF00 data byte: reads 0xAA, 0xFF, 0xCC
+    r = _BitReader(bytes([0xAA, 0xFF, 0xFF, 0x00, 0xCC]), 0)
+    assert r.receive(8) == 0xAA
+    assert r.receive(8) == 0xFF
+    assert r.receive(8) == 0xCC
+
+    # fill 0xFFs before a restart marker: raises _RestartMarker positioned
+    # ON the marker (caller consumes the two marker bytes from there)
+    r = _BitReader(bytes([0xAB, 0xFF, 0xFF, 0xFF, 0xD3]), 0)
+    assert r.receive(8) == 0xAB
+    try:
+        r.receive(8)
+        raise AssertionError("expected _RestartMarker")
+    except _RestartMarker as m:
+        assert r.data[m.at : m.at + 2] == bytes([0xFF, 0xD3])
+
+
+def _jvm_progressive_jpeg(spark, w, h, fn, gray):
+    """Fabricate a REAL progressive (SOF2) JPEG through the JDK writer
+    (ImageWriteParam.MODE_DEFAULT emits the standard multi-scan script:
+    DC first + spectral-selection AC scans + successive approximation)."""
+    jvm = spark._sc._jvm
+    img = jvm.java.awt.image.BufferedImage(w, h, 10 if gray else 1)
+    if gray:
+        raster = img.getRaster()
+        for y in range(h):
+            for x in range(w):
+                raster.setSample(x, y, 0, fn(x, y))
+    else:
+        for y in range(h):
+            for x in range(w):
+                r, g, b = fn(x, y)
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
+    writer.dispose()
+    data = bytes(baos.toByteArray())
+    assert b"\xff\xc2" in data  # really progressive
+    return data
+
+
+def test_jpeg_progressive_gray_matches_jvm_decode(spark):
+    """Progressive grayscale (DC first/refine + AC first/refine scans with
+    EOB runs, no chroma path): the coefficient store must reconstruct the
+    identical quantized coefficients the sequential decoder would see, so
+    the decode matches the JVM's within the same IDCT-only tolerance."""
+    from edgy_spark.functions.jpeg import decode_jpeg
+
+    w, h = 21, 13
+    data = _jvm_progressive_jpeg(
+        spark, w, h, lambda x, y: (x * 9 + y * 17) % 256, True
+    )
+    dw, dh, ch, px = decode_jpeg(data)
+    assert (dw, dh, ch) == (w, h, 1)
+    raster = _jvm_decode(spark, data).getRaster()
+    worst = max(
+        abs(raster.getSample(x, y, 0) - px[y * w + x])
+        for y in range(h)
+        for x in range(w)
+    )
+    assert worst <= 2, f"worst progressive gray delta {worst}"
+
+
+def test_jpeg_progressive_rgb_matches_jvm_decode(spark):
+    """Progressive color: non-interleaved AC scans per component + the
+    interleaved DC scan + subsampled chroma — same +-8 bound as the
+    baseline color test (upsampler difference dominates)."""
+    from edgy_spark.functions.jpeg import decode_jpeg
+
+    w, h = 19, 11
+    data = _jvm_progressive_jpeg(
+        spark, w, h,
+        lambda x, y: ((x * 6) % 256, (y * 8) % 256, ((x + y) * 4) % 256),
+        False,
+    )
+    dw, dh, ch, px = decode_jpeg(data)
+    assert (dw, dh, ch) == (w, h, 3)
+    img = _jvm_decode(spark, data)
+    worst = 0
+    for y in range(h):
+        for x in range(w):
+            argb = img.getRGB(x, y)
+            want = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
+            i = (y * w + x) * 3
+            got = (px[i], px[i + 1], px[i + 2])
+            worst = max(worst, *(abs(a - b) for a, b in zip(want, got)))
+    assert worst <= 8, f"worst progressive rgb delta {worst}"
+
+
+def test_jpeg_flat_progressive_bit_exact_and_jvm_readable(spark):
+    """The flat progressive encoder's streams decode BIT-EXACTLY (DC split
+    as (d >> 1) << 1 | (d & 1) across first + refinement scans), and the
+    JVM's independent decoder reads the same bytes to the same samples —
+    the no-self-inverse property held for the progressive family too."""
+    from edgy_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_flat_progressive,
+    )
+
+    blocks = [10, 100, 200, 35, 77, 250]
+    data = encode_jpeg_flat_progressive(24, 16, blocks)
+    assert b"\xff\xc2" in data
+    w, h, ch, px = decode_jpeg(data)
+    assert (w, h, ch) == (24, 16, 1)
+    for by in range(2):
+        for bx in range(3):
+            s = blocks[by * 3 + bx]
+            assert all(
+                px[(by * 8 + yy) * w + bx * 8 + xx] == s
+                for yy in range(8)
+                for xx in range(8)
+            )
+    raster = _jvm_decode(spark, data).getRaster()
+    got = [
+        raster.getSample(bx * 8, by * 8, 0)
+        for by in range(2)
+        for bx in range(3)
+    ]
+    assert got == blocks
