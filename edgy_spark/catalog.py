@@ -133,7 +133,86 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.recursive  # noqa: F401
     import edgy_spark.operators.entity  # noqa: F401
 
-    _prioritize(R09_WINDOW)
+    _prioritize(R10_WINDOW)
+
+
+#: The exact first-50 list for the r10 driver gate.
+#: ``tests/test_registry_window.py`` pins this against the live registry.
+#:
+#: R10 rotation rationale: (1) queries NEW in r10, never driver-verified
+#: (k-truss community detection); (2) every query whose EXECUTED code
+#: changed in r10: the two SimHash queries (64-bit fingerprints, 4x16-bit
+#: bands, SIMHASH_MAX_BUCKET posting cap — the r09 verdict's top task),
+#: orders_market_basket (MB_MAX_BASKET cap + join-based pair mining), and
+#: multimodal_jpeg_block_stats (the _BitReader now skips T.81 fill bytes —
+#: r09 ADVICE); (3) the five graph queries whose ORACLE text changed in
+#: r10 (AS MATERIALIZED on every multi-referenced unrolled round — DuckDB
+#: was inlining the CTE chains, re-evaluating them 2^rounds..3^rounds
+#: times; semantics-preserving, but a changed check re-verifies);
+#: (4) backfill with the stalest greens: ALL 30 remaining r06-last-green
+#: queries (the driver has not re-verified them since r06; code unchanged,
+#: but four rounds of engine evolution around them) plus the 10 oldest
+#: r07-last-green entries in registration order.  After this window, no
+#: query's last green predates r07.
+R10_WINDOW: list[str] = [
+    # new in r10 — never driver-verified
+    "graph_ktruss_edges",
+    "multimodal_jpeg_progressive_stats",
+    # r10 executed-code changes
+    "dedup_simhash_neardup_pairs",
+    "dedup_simhash_fingerprints",
+    "orders_market_basket",
+    "multimodal_jpeg_block_stats",
+    # r10 oracle-text changes (AS MATERIALIZED on unrolled rounds — the
+    # CTE-inlining fix; semantics-preserving, but the CHECK itself changed
+    # so they re-verify)
+    "graph_kcore_members",
+    "graph_label_propagation",
+    "graph_pagerank",
+    "graph_personalized_pagerank",
+    "graph_hits_authorities",
+    # stalest greens: every remaining r06-last-green query (reg. order)
+    "repeat_buyers_intersect",
+    "lapsed_buyers_except_all",
+    "priority_union_all",
+    "scalar_function_showcase",
+    "json_event_extraction",
+    "priciest_parts_topk",
+    "grouping_sets_revenue",
+    "customer_order_gaps",
+    "pivot_orders_priority_by_year",
+    "repeat_buyers_intersect_all",
+    "skew_salted_segment_revenue",
+    "variant_event_props_rollup",
+    "q4_priority_with_returns",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_shipping_by_year",
+    "q13_customer_order_distribution",
+    "q14_promo_effect",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_sole_returning_suppliers",
+    "q22_lapsed_rich_customers",
+    "q2_min_price_suppliers",
+    "q11_important_part_values",
+    "q9_product_type_profit",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_excess_shippers",
+    # next-stalest: the oldest r07-last-green entries (reg. order)
+    "sim_bruteforce_topk",
+    "sim_lsh_bucket_candidates",
+    "sim_ivf_topk",
+    "sim_embedding_int8_quantize",
+    "graph_customer_order_rollup",
+    "graph_3hop_nation_parts",
+    "graph_anti_inactive_customers",
+    "graph_semi_nations_with_rich_customers",
+    "graph_cardinality_orders_have_customer",
+]
 
 
 #: The exact first-50 list for the r09 driver gate.

@@ -610,11 +610,11 @@ def _pagerank_oracle() -> str:
     ]
     for i in range(1, PR_ITERS + 1):
         cte.append(
-            f"m{i} AS (SELECT u.dst AS node, SUM(r.rank // r.deg) AS s "
+            f"m{i} AS MATERIALIZED (SELECT u.dst AS node, SUM(r.rank // r.deg) AS s "
             f"FROM undirected u JOIN r{i-1} r ON u.src = r.node GROUP BY u.dst)"
         )
         cte.append(
-            f"r{i} AS (SELECT r.node, r.deg, r.n, "
+            f"r{i} AS MATERIALIZED (SELECT r.node, r.deg, r.n, "
             f"{15 * PR_SCALE} // (100 * r.n) + (85 * COALESCE(m.s, 0)) // 100 AS rank "
             f"FROM r{i-1} r LEFT JOIN m{i} m ON m.node = r.node)"
         )
@@ -875,7 +875,7 @@ def _lpa_round_sql(prev: str, this: str) -> str:
     and label relation ``prev`` → ``this``: deterministic neighbor mode
     with keep-own-label fallback for message-less nodes."""
     return f"""
-    {this} AS (
+    {this} AS MATERIALIZED (
       SELECT p.node,
              COALESCE(v.new_label, p.label) AS label
       FROM {prev} p LEFT JOIN (
@@ -981,7 +981,7 @@ def _kcore_round_sql(prev: str, this: str, k: int) -> str:
     """One unrolled peel round over CTE ``undirected``: degrees within the
     surviving set ``prev``, keeping nodes with degree >= k."""
     return f"""
-    {this} AS (
+    {this} AS MATERIALIZED (
       SELECT u.src AS node, COUNT(*) AS deg
       FROM undirected u
       JOIN {prev} s ON u.src = s.node
@@ -1006,6 +1006,119 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle that unrolls KCORE_ORACLE_ROUNDS idempotent peel rounds
     (safely past the measured 3-round fixpoint)."""
     return k_core(copurchase_edges(spark, sf_dir)).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# k-truss (community detection by triangle-support peeling)
+# ---------------------------------------------------------------------------
+
+TRUSS_K = 4              # every surviving edge sits in >= K-2 = 2 triangles
+TRUSS_ORACLE_ROUNDS = 4  # measured fixpoint at sf0.01 is 1 round; unrolled
+#                          rounds past it are idempotent (k-core pattern)
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = TRUSS_K,
+    max_iter: int = 20,
+    broadcast_state: bool = True,
+    iter_partitions: int | None = None,
+) -> DataFrame:
+    """(node=struct(src,dst), sup) for the k-truss: the maximal subgraph in
+    which every EDGE is supported by >= k-2 triangles within the subgraph —
+    the edge-granularity analogue of k-core, and the classic deterministic
+    community-detection pass (cohesive groups survive; bridges and
+    tree-like fringe peel away).  Iterative peeling (Cohen 2008's
+    MapReduce truss decomposition, re-expressed in DataFrame algebra):
+    count per-edge triangle support via the wedge join, drop edges under
+    k-2, repeat until stable.
+
+    The state is EDGES, so the fixpoint key is a (src, dst) struct — the
+    first run_fixpoint user with a composite node, exercising that the
+    loop's convergence join and removal probe need only column equality.
+
+    Physical shape per round: the triangle enumeration is the same
+    wedge-join + closure-semi-join as triangle_count (canonical a<b<c,
+    each triangle once, no adjacency lists collected); support counting
+    is one map-side-combinable groupBy over the 3 exploded edge sides.
+    Edge payloads are two longs — shuffles stay narrow at any scale; as
+    with k-core, rounds are O(max truss number), and detect_removals
+    keeps a removals-only round from reading as converged.
+    """
+    def peel(state: DataFrame) -> DataFrame:
+        e = state.select(F.col("node.src").alias("src"), F.col("node.dst").alias("dst"))
+        e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"], "left_semi")
+        sides = (
+            tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+            .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+        )
+        return (
+            sides.groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= k - 2)
+            .select(F.struct("src", "dst").alias("node"), "sup")
+        )
+
+    state0 = edges.select(F.struct("src", "dst").alias("node"))
+    return run_fixpoint(
+        peel(state0),
+        peel,
+        max_iter=max_iter,
+        compare_cols=["sup"],
+        broadcast_state=broadcast_state,
+        detect_removals=True,
+        iter_partitions=iter_partitions,
+    )
+
+
+def _truss_round_sql(prev: str, this: str, k: int) -> str:
+    """One unrolled peel round: triangles within the surviving edge set
+    ``prev`` (wedge join on canonical a<b<c), per-edge support from the
+    three sides, keeping edges with support >= k-2."""
+    return f"""
+    tri_{this} AS MATERIALIZED (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM {prev} e1 JOIN {prev} e2 ON e2.src = e1.dst
+      JOIN {prev} e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    {this} AS MATERIALIZED (
+      SELECT src, dst, COUNT(*) AS sup FROM (
+        SELECT a AS src, b AS dst FROM tri_{this}
+        UNION ALL SELECT b AS src, c AS dst FROM tri_{this}
+        UNION ALL SELECT a AS src, c AS dst FROM tri_{this}) u
+      GROUP BY src, dst HAVING COUNT(*) >= {k - 2})"""
+
+
+@register(
+    "graph_ktruss_edges",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    s0 AS (SELECT src, dst FROM edges),
+    {",".join(_truss_round_sql(f"s{i}", f"s{i + 1}", TRUSS_K) for i in range(TRUSS_ORACLE_ROUNDS))}
+    SELECT src, dst, CAST(sup AS BIGINT) AS sup
+    FROM s{TRUSS_ORACLE_ROUNDS} ORDER BY src, dst
+    """,
+    tags=("graph", "iterative", "truss", "community", "pregel-primitive"),
+)
+def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges of the TRUSS_K (= 4)-truss of the co-purchase graph with their
+    in-truss triangle support — the grouped-structure surface the
+    reference's traversal demos motivate (app/Main.hs:148-157), one level
+    beyond LPA/k-core: triangle-supported communities.  Peeling on
+    run_fixpoint(detect_removals=True) vs a DuckDB oracle unrolling
+    TRUSS_ORACLE_ROUNDS idempotent rounds past the measured fixpoint."""
+    return (
+        k_truss(copurchase_edges(spark, sf_dir))
+        .select(
+            F.col("node.src").alias("src"),
+            F.col("node.dst").alias("dst"),
+            F.col("sup").cast("long").alias("sup"),
+        )
+        .orderBy("src", "dst")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1086,11 +1199,11 @@ def _ppr_oracle() -> str:
     ]
     for i in range(1, PR_ITERS + 1):
         cte.append(
-            f"m{i} AS (SELECT u.dst AS node, SUM(r.rank // r.deg) AS s "
+            f"m{i} AS MATERIALIZED (SELECT u.dst AS node, SUM(r.rank // r.deg) AS s "
             f"FROM undirected u JOIN r{i-1} r ON u.src = r.node GROUP BY u.dst)"
         )
         cte.append(
-            f"r{i} AS (SELECT r.node, r.deg, r.seed, r.ns, "
+            f"r{i} AS MATERIALIZED (SELECT r.node, r.deg, r.seed, r.ns, "
             f"r.seed * ({15 * PR_SCALE} // (100 * r.ns)) "
             f"+ (85 * COALESCE(m.s, 0)) // 100 AS rank "
             f"FROM r{i-1} r LEFT JOIN m{i} m ON m.node = r.node)"
@@ -1213,18 +1326,18 @@ def _hits_oracle() -> str:
     ]
     for i in range(1, HITS_ITERS + 1):
         cte += [
-            f"a{i}r AS (SELECT part, SUM(hub) AS raw"
+            f"a{i}r AS MATERIALIZED (SELECT part, SUM(hub) AS raw"
             f" FROM pe JOIN h{i-1} USING (cust) GROUP BY part)",
             f"a{i}s AS (SELECT SUM(raw) AS s FROM a{i}r)",
-            f"a{i} AS (SELECT part, CAST(CAST(raw AS HUGEINT) * {HITS_SCALE}"
+            f"a{i} AS MATERIALIZED (SELECT part, CAST(CAST(raw AS HUGEINT) * {HITS_SCALE}"
             f" // s AS BIGINT) AS auth FROM a{i}r, a{i}s)",
         ]
         if i < HITS_ITERS:
             cte += [
-                f"h{i}r AS (SELECT cust, SUM(auth) AS raw"
+                f"h{i}r AS MATERIALIZED (SELECT cust, SUM(auth) AS raw"
                 f" FROM pe JOIN a{i} USING (part) GROUP BY cust)",
                 f"h{i}s AS (SELECT SUM(raw) AS s FROM h{i}r)",
-                f"h{i} AS (SELECT cust, CAST(CAST(raw AS HUGEINT) *"
+                f"h{i} AS MATERIALIZED (SELECT cust, CAST(CAST(raw AS HUGEINT) *"
                 f" {HITS_SCALE} // s AS BIGINT) AS hub FROM h{i}r, h{i}s)",
             ]
     return (
