@@ -140,7 +140,9 @@ def load_all_registrations() -> None:
 #: ``tests/test_registry_window.py`` pins this against the live registry.
 #:
 #: R10 rotation rationale: (1) queries NEW in r10, never driver-verified
-#: (k-truss community detection); (2) every query whose EXECUTED code
+#: (k-truss community detection, progressive-JPEG decode, Louvain
+#: modularity sweeps, grouped-OLS revenue trend); (2) every query whose
+#: EXECUTED code
 #: changed in r10: the two SimHash queries (64-bit fingerprints, 4x16-bit
 #: bands, SIMHASH_MAX_BUCKET posting cap — the r09 verdict's top task),
 #: orders_market_basket (MB_MAX_BASKET cap + join-based pair mining), and
@@ -158,6 +160,8 @@ R10_WINDOW: list[str] = [
     # new in r10 — never driver-verified
     "graph_ktruss_edges",
     "multimodal_jpeg_progressive_stats",
+    "graph_louvain_communities",
+    "orders_nation_revenue_trend",
     # r10 executed-code changes
     "dedup_simhash_neardup_pairs",
     "dedup_simhash_fingerprints",
@@ -210,8 +214,6 @@ R10_WINDOW: list[str] = [
     "graph_customer_order_rollup",
     "graph_3hop_nation_parts",
     "graph_anti_inactive_customers",
-    "graph_semi_nations_with_rich_customers",
-    "graph_cardinality_orders_have_customer",
 ]
 
 

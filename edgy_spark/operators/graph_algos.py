@@ -870,6 +870,175 @@ def label_propagation(
     return out
 
 
+LOUVAIN_SWEEPS = 2
+
+
+def louvain_communities(
+    edges: DataFrame,
+    sweeps: int = LOUVAIN_SWEEPS,
+    broadcast_state: bool = True,
+    iter_partitions: int | None = None,
+) -> DataFrame:
+    """(node, community) after ``sweeps`` synchronous Louvain phase-1
+    sweeps from singleton communities — MODULARITY-based community
+    detection (Blondel et al. 2008), the third grouped-structure lens
+    next to LPA (message frequency) and k-truss (triangle support).
+
+    Each sweep, every node simultaneously evaluates moving to each
+    neighbor community: the modularity gain of u -> c is
+    e_{u,c}/m - k_u * K_c / (2 m^2), compared against staying in its own
+    community (with K computed EXCLUDING u, the standard isolated-move
+    form).  All comparisons are cross-multiplied to BIGINT —
+    score = 2m * e_{u,c} - k_u * K_c — so both engines rank identically
+    with zero float drift; ties break to the smallest community id, and
+    an exact tie with staying stays (no oscillating swap).  A fixed sweep
+    count is deliberate for the same reason as LPA's: synchronous sweeps
+    can oscillate, and a fixed unroll is what the oracle replicates.
+
+    Physical shape per sweep: community sizes/weights are ONE
+    map-side-combinable groupBy; candidate scores are the edge list
+    joined to the (broadcastable) label and degree states; the argmax is
+    a per-node window over each node's candidate communities (bounded by
+    degree).  2m joins as a broadcast singleton.  No collect, no
+    cartesian, payloads are longs.
+    """
+    und, _ = _materialize(undirect(edges), iter_partitions)
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    m2 = und.agg(F.count(F.lit(1)).alias("m2"))  # doubled edges = 2m
+    labels = deg.select("node", F.col("node").alias("label"))
+
+    def sweep(lbl: DataFrame) -> DataFrame:
+        lbl_dst = lbl.select(F.col("node").alias("dst"), F.col("label").alias("c"))
+        e_uc = (
+            und.join(_hint(lbl_dst, broadcast_state), "dst")
+            .groupBy(F.col("src").alias("node"), "c")
+            .agg(F.count(F.lit(1)).alias("e"))
+        )
+        k_c = (
+            lbl.join(_hint(deg, broadcast_state), "node")
+            .groupBy(F.col("label").alias("c"))
+            .agg(F.sum("k").alias("kc"))
+        )
+        cand = (
+            e_uc.join(_hint(lbl, broadcast_state), "node")
+            .join(_hint(deg, broadcast_state), "node")
+            .join(_hint(k_c, broadcast_state), "c")
+            .crossJoin(F.broadcast(m2))
+            .select(
+                "node", "c", "label", "k",
+                (F.col("m2") * F.col("e") - F.col("k") * F.col("kc")).alias("s"),
+                "e",
+            )
+        )
+        from pyspark.sql import Window
+
+        win = Window.partitionBy("node").orderBy(F.desc("s"), F.asc("c"))
+        best = (
+            cand.filter(F.col("c") != F.col("label"))
+            .withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("c").alias("bc"), F.col("s").alias("bs"))
+        )
+        e_own = cand.filter(F.col("c") == F.col("label")).select(
+            "node", F.col("e").alias("e_own")
+        )
+        stay = (
+            lbl.join(_hint(deg, broadcast_state), "node")
+            .join(
+                _hint(k_c.select(F.col("c").alias("label"), "kc"), broadcast_state),
+                "label",
+            )
+            .join(_hint(e_own, broadcast_state), "node", "left")
+            .crossJoin(F.broadcast(m2))
+            .select(
+                "node",
+                F.col("label").alias("own"),
+                (
+                    F.col("m2") * F.coalesce("e_own", F.lit(0))
+                    - F.col("k") * (F.col("kc") - F.col("k"))
+                ).alias("s0"),
+            )
+        )
+        return stay.join(_hint(best, broadcast_state), "node", "left").select(
+            "node",
+            F.when(F.col("bs") > F.col("s0"), F.col("bc"))
+            .otherwise(F.col("own"))
+            .alias("label"),
+        )
+
+    return run_fixpoint(
+        labels, sweep, max_iter=sweeps, compare_cols=None,
+        broadcast_state=broadcast_state, iter_partitions=iter_partitions,
+    )
+
+
+def _louvain_sweep_sql(prev: str, this: str) -> str:
+    """One unrolled synchronous Louvain sweep over CTEs ``und``/``deg``/
+    ``mm`` — the exact cross-multiplied gain algebra of
+    :func:`louvain_communities`."""
+    return f"""
+    e_{this} AS MATERIALIZED (
+      SELECT u.src AS node, l.label AS c, COUNT(*) AS e
+      FROM und u JOIN {prev} l ON u.dst = l.node GROUP BY 1, 2),
+    k_{this} AS MATERIALIZED (
+      SELECT l.label AS c, SUM(d.k) AS kc
+      FROM {prev} l JOIN deg d USING (node) GROUP BY 1),
+    best_{this} AS MATERIALIZED (
+      SELECT node, c AS bc, s AS bs FROM (
+        SELECT e.node, e.c,
+               mm.m2 * e.e - d.k * k.kc AS s,
+               ROW_NUMBER() OVER (PARTITION BY e.node
+                                  ORDER BY mm.m2 * e.e - d.k * k.kc DESC,
+                                           e.c) AS rk
+        FROM e_{this} e
+        JOIN {prev} l USING (node)
+        JOIN deg d USING (node)
+        JOIN k_{this} k ON k.c = e.c
+        CROSS JOIN mm
+        WHERE e.c <> l.label)
+      WHERE rk = 1),
+    {this} AS MATERIALIZED (
+      SELECT l.node,
+             CASE WHEN b.bs > mm.m2 * COALESCE(eo.e, 0)
+                             - d.k * (k.kc - d.k)
+                  THEN b.bc ELSE l.label END AS label
+      FROM {prev} l
+      JOIN deg d USING (node)
+      JOIN k_{this} k ON k.c = l.label
+      LEFT JOIN e_{this} eo ON eo.node = l.node AND eo.c = l.label
+      LEFT JOIN best_{this} b ON b.node = l.node
+      CROSS JOIN mm)"""
+
+
+@register(
+    "graph_louvain_communities",
+    oracle=f"""
+    WITH {_UND_CTES},
+    deg AS MATERIALIZED (
+      SELECT src AS node, COUNT(*) AS k FROM undirected GROUP BY src),
+    und AS MATERIALIZED (SELECT src, dst FROM undirected),
+    mm AS (SELECT COUNT(*) AS m2 FROM und),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM deg),
+    {",".join(_louvain_sweep_sql(f"l{i}", f"l{i + 1}") for i in range(LOUVAIN_SWEEPS))}
+    SELECT node, CAST(label AS BIGINT) AS community
+    FROM l{LOUVAIN_SWEEPS} ORDER BY node
+    """,
+    tags=("graph", "iterative", "community", "modularity"),
+)
+def graph_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain phase-1 communities of the co-purchase graph after
+    LOUVAIN_SWEEPS synchronous sweeps — modularity-gain moves in exact
+    cross-multiplied BIGINT arithmetic vs a DuckDB oracle unrolling the
+    identical sweeps (see :func:`louvain_communities`)."""
+    return (
+        louvain_communities(copurchase_edges(spark, sf_dir))
+        .select("node", F.col("label").cast("long").alias("community"))
+        .orderBy("node")
+    )
+
+
 def _lpa_round_sql(prev: str, this: str) -> str:
     """One unrolled synchronous LPA round over CTE ``und`` (doubled edges)
     and label relation ``prev`` → ``this``: deterministic neighbor mode

@@ -1128,3 +1128,103 @@ def parts_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     ).orderBy("rev_rank")
+
+
+# ---------------------------------------------------------------------------
+# grouped OLS: per-nation monthly revenue trend (sufficient statistics)
+# ---------------------------------------------------------------------------
+
+TREND_E6 = 10**6
+
+
+@register(
+    "orders_nation_revenue_trend",
+    oracle=f"""
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             (EXTRACT(year FROM o_orderdate) - 1992) * 12
+               + EXTRACT(month FROM o_orderdate) - 1 AS t,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100), 0)
+                  AS BIGINT) AS y_c
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n ON n.n_nationkey = c_nationkey
+      GROUP BY 1, 2),
+    s AS (
+      SELECT nation,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(t) AS HUGEINT) AS st,
+             CAST(SUM(y_c) AS HUGEINT) AS sy,
+             CAST(SUM(t * y_c) AS HUGEINT) AS sty,
+             CAST(SUM(t * t) AS HUGEINT) AS stt
+      FROM m GROUP BY nation)
+    SELECT nation,
+           CAST(n AS BIGINT) AS n_months,
+           CAST(sy AS BIGINT) AS total_cents,
+           CAST(({TREND_E6} * (n * sty - st * sy))
+                // (n * stt - st * st) AS BIGINT) AS slope_e6
+    FROM s
+    WHERE n * stt - st * st <> 0
+    ORDER BY nation
+    """,
+    tags=("relational", "regression", "trend"),
+)
+def orders_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation linear trend of monthly order revenue — grouped ordinary
+    least squares via SUFFICIENT STATISTICS: slope = (n*Sty - St*Sy) /
+    (n*Stt - St^2) over (month-index t, exact-cents revenue y), exposed
+    as an e6 fixed-point integer so both engines agree bit-for-bit
+    (truncating integer division matches across engines for negative
+    slopes too — verified -7 div 2 == -7 // 2 == -3).
+
+    This is THE scalable shape for grouped regression at 100 TB: one
+    map-side-combinable aggregation produces the five sufficient sums per
+    group — no per-group sort, no iteration, no matrix library; the
+    monthly rollup itself is a single groupBy riding the orders scan with
+    the nation dimension broadcast.  Products are computed in
+    DECIMAL(38,0)/HUGEINT so a petabyte-scale Sty cannot overflow the
+    64-bit lane before the final division.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = (
+        (F.year("o_orderdate") - F.lit(1992)) * 12
+        + F.month("o_orderdate") - 1
+    ).cast("long")
+    monthly = (
+        o.join(F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .select("c_custkey", F.col("n_name").alias("nation"))),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy("nation", t.alias("t"))
+        .agg(
+            F.round(F.sum(dec("o_totalprice", 2) * 100), 0)
+            .cast("long")
+            .alias("y_c")
+        )
+    )
+    d38 = "decimal(38,0)"
+    s = monthly.groupBy("nation").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("t").cast(d38).alias("st"),
+        F.sum("y_c").cast(d38).alias("sy"),
+        F.sum(F.col("t") * F.col("y_c")).cast(d38).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).cast(d38).alias("stt"),
+    )
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    num = F.lit(TREND_E6).cast(d38) * (
+        F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    )
+    return (
+        s.filter(den != 0)
+        .select(
+            "nation",
+            F.col("n").cast("long").alias("n_months"),
+            F.col("sy").cast("long").alias("total_cents"),
+            F.expr(
+                f"CAST(({TREND_E6} * (n * sty - st * sy)) div "
+                "(n * stt - st * st) AS BIGINT)"
+            ).alias("slope_e6"),
+        )
+        .orderBy("nation")
+    )
