@@ -1187,6 +1187,83 @@ class GraphStore:
         self._publish(manifest["version"])
         return Snapshot(self, manifest)
 
+    def clone(self, new_root: str) -> "GraphStore":
+        """SHALLOW CLONE (Delta's CLONE TABLE): a new, independent store
+        whose version-0 manifest re-points at this store's CURRENT data
+        files by ABSOLUTE path — zero bytes copied, O(metadata) cost.
+
+        Why it just works: every reader and the append path resolve table
+        entries with ``os.path.join(root, rel)``, and joining an absolute
+        path ignores the left side — so absolute entries read the source
+        files in place, while everything the clone WRITES (new versions,
+        compaction output, staging) lands under ``new_root`` with plain
+        relative entries.  Appends hard-link the referenced source files
+        into the clone's new version dir (copy on cross-device), exactly
+        like any append.  The clone's vacuum sweeps only ``new_root/data``
+        and can never touch the source.
+
+        Semantics decided deliberately:
+        - ``stream_batches`` cursors CARRY into the clone (Delta clears
+          txn identity on clone; we diverge): the cursor records that a
+          micro-batch's effect is already present in these files — as
+          true in the clone as in the source — and clearing it would
+          double-apply every replayed batch into the clone;
+        - ``next_id`` carries, so engine ids never collide with cloned
+          rows; ``checks``/``defaults``/``indexes``/``stats`` carry (the
+          clone is constraint-equivalent until re-declared); ``cdc`` is
+          null (not captured), so strict change consumers re-seed;
+        - CAVEAT (same as Delta shallow clones): vacuum on the SOURCE can
+          retire files the clone still references.  Size the source's
+          retention over the clone's lifetime, or ``compact()`` the clone
+          — rewriting a table localizes it under ``new_root``.
+        """
+        snap = self.snapshot()
+        os.makedirs(os.path.join(new_root, "data"), exist_ok=True)
+        if os.path.exists(os.path.join(new_root, "CURRENT")):
+            raise ValueError(f"clone target {new_root!r} is already a store")
+
+        def _abs(rel: str) -> str:
+            return rel if os.path.isabs(rel) else os.path.join(self.root, rel)
+
+        bucketed = {
+            k: t
+            for k, t in snap.manifest.get("bucketed", {}).items()
+            if self.spark.catalog.tableExists(t)
+        }
+        manifest = {
+            "version": 0,
+            "next_id": snap.manifest["next_id"],
+            "tables": {k: _abs(rel) for k, rel in snap.manifest["tables"].items()},
+            "bucketed": bucketed,
+            "indexes": dict(snap.manifest.get("indexes", {})),
+            "stream_batches": dict(snap.manifest.get("stream_batches", {})),
+            "cdc": None,
+            "defaults": snap.manifest.get("defaults", {}),
+            "checks": dict(snap.manifest.get("checks", {})),
+            "stats": dict(snap.manifest.get("stats", {})),
+            "cloned_from": {"root": self.root, "version": snap.version},
+        }
+        path = os.path.join(new_root, "manifest.v0.json")
+        if not self.commit_arbiter.put_if_absent(path, json.dumps(manifest)):
+            raise ValueError(f"clone target {new_root!r} is already a store")
+        fd, tmp = tempfile.mkstemp(dir=new_root)
+        with os.fdopen(fd, "w") as f:
+            f.write("0")
+        os.replace(tmp, os.path.join(new_root, "CURRENT"))
+        return GraphStore(
+            self.spark,
+            new_root,
+            self.schema,
+            bucket_edges=self.bucket_edges,
+            bucket_nodes=self.bucket_nodes,
+            compact_every=self.compact_every,
+            compact_target_file_mb=self.compact_target_file_mb,
+            retain_versions=self.retain_versions,
+            index_attrs={k: list(v) for k, v in self.index_attrs.items()},
+            index_buckets=self.index_buckets,
+            commit_arbiter=self.commit_arbiter,
+        )
+
     def vacuum(self, retain_versions: int | None = None) -> list[str]:
         """Garbage-collect table versions (and their session-catalog bucket
         tables, and manifests) referenced only by snapshots older than the

@@ -1,0 +1,90 @@
+"""GraphStore.clone — Delta-style SHALLOW CLONE: a new independent store
+re-pointing at the source's current files by absolute path, zero bytes
+copied; divergent writes stay isolated on both sides."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from edgy_spark.demo import big_bang, demo_schema
+from edgy_spark.graph import Engine
+from edgy_spark.storage import GraphStore
+
+
+def _names(store, t="Person"):
+    return sorted(r["name"] for r in store.snapshot().nodes(t).collect())
+
+
+def test_clone_is_zero_copy_and_reads_equal(spark, tmp_path):
+    engine = Engine(spark, str(tmp_path / "src"), demo_schema())
+    engine.run(big_bang)
+    src = engine.store
+    clone = src.clone(str(tmp_path / "dst"))
+    assert _names(clone) == _names(src)
+    # zero bytes copied: the clone's data dir holds no table versions
+    assert os.listdir(os.path.join(str(tmp_path / "dst"), "data")) == []
+    # provenance recorded
+    assert clone.snapshot().manifest["cloned_from"]["root"] == src.root
+
+
+def test_clone_writes_are_isolated_both_ways(spark, tmp_path):
+    engine = Engine(spark, str(tmp_path / "src"), demo_schema())
+    engine.run(big_bang)
+    src = engine.store
+    clone = src.clone(str(tmp_path / "dst"))
+    before = _names(src)
+
+    clone.merge_nodes(
+        "Person",
+        spark.createDataFrame([("CloneOnly", 33)], "name string, age long"),
+        on="name",
+    )
+    assert "CloneOnly" in _names(clone)
+    assert _names(src) == before  # source untouched
+
+    engine.run(lambda t: t.new_node("Person", name="SrcOnly", age=44))
+    assert "SrcOnly" not in _names(clone)  # clone pinned to its manifests
+    # the clone's new version dir lives under ITS root (appends localize
+    # via hard-link/copy of the referenced source files)
+    dirs = os.listdir(os.path.join(str(tmp_path / "dst"), "data"))
+    assert any(d.startswith("n_Person") for d in dirs)
+
+
+def test_clone_vacuum_never_touches_source(spark, tmp_path):
+    engine = Engine(spark, str(tmp_path / "src"), demo_schema())
+    engine.run(big_bang)
+    src = engine.store
+    clone = src.clone(str(tmp_path / "dst"))
+    for i in range(3):
+        clone.merge_nodes(
+            "Person",
+            spark.createDataFrame([(f"c{i}", 20 + i)], "name string, age long"),
+            on="name",
+        )
+    src_data = sorted(os.listdir(os.path.join(src.root, "data")))
+    clone.vacuum(retain_versions=1)
+    assert sorted(os.listdir(os.path.join(src.root, "data"))) == src_data
+    assert _names(src, "Person")  # source still reads fine
+
+
+def test_clone_adopts_checks_and_rejects_double_clone(spark, tmp_path):
+    from edgy_spark.storage import CheckViolationError
+
+    src = GraphStore(
+        spark,
+        str(tmp_path / "src"),
+        demo_schema(),
+        check_constraints={"Person": "age >= 0"},
+    )
+    clone = src.clone(str(tmp_path / "dst"))
+    assert clone.check_constraints == {"Person": "age >= 0"}
+    with pytest.raises(CheckViolationError):
+        clone.merge_nodes(
+            "Person",
+            spark.createDataFrame([("neg", -1)], "name string, age long"),
+            on="name",
+        )
+    with pytest.raises(ValueError, match="already a store"):
+        src.clone(str(tmp_path / "dst"))
