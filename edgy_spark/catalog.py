@@ -141,8 +141,8 @@ def load_all_registrations() -> None:
 #:
 #: R10 rotation rationale: (1) queries NEW in r10, never driver-verified
 #: (k-truss community detection, progressive-JPEG decode, Louvain
-#: modularity sweeps, grouped-OLS revenue trend); (2) every query whose
-#: EXECUTED code
+#: modularity sweeps, grouped-OLS revenue trend, k-NN label-accuracy
+#: eval); (2) every query whose EXECUTED code
 #: changed in r10: the two SimHash queries (64-bit fingerprints, 4x16-bit
 #: bands, SIMHASH_MAX_BUCKET posting cap — the r09 verdict's top task),
 #: orders_market_basket (MB_MAX_BASKET cap + join-based pair mining), and
@@ -153,15 +153,17 @@ def load_all_registrations() -> None:
 #: times; semantics-preserving, but a changed check re-verifies);
 #: (4) backfill with the stalest greens: ALL 30 remaining r06-last-green
 #: queries (the driver has not re-verified them since r06; code unchanged,
-#: but four rounds of engine evolution around them) plus the 10 oldest
-#: r07-last-green entries in registration order.  After this window, no
-#: query's last green predates r07.
+#: but four rounds of engine evolution around them) plus the oldest
+#: r07-last-green entries in registration order (each later r10 addition
+#: evicted the newest r07 backfill).  After this window, no query's last
+#: green predates r07.
 R10_WINDOW: list[str] = [
     # new in r10 — never driver-verified
     "graph_ktruss_edges",
     "multimodal_jpeg_progressive_stats",
     "graph_louvain_communities",
     "orders_nation_revenue_trend",
+    "sim_knn_label_accuracy",
     # r10 executed-code changes
     "dedup_simhash_neardup_pairs",
     "dedup_simhash_fingerprints",
@@ -213,7 +215,6 @@ R10_WINDOW: list[str] = [
     "sim_embedding_int8_quantize",
     "graph_customer_order_rollup",
     "graph_3hop_nation_parts",
-    "graph_anti_inactive_customers",
 ]
 
 

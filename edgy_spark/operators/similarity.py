@@ -748,3 +748,97 @@ def sim_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+# -- k-NN label evaluation ---------------------------------------------------
+
+KNN_EVAL_K = 10
+KNN_EVAL_PROBES = 64  # vec_id < this = the held-out probe set
+
+
+@register(
+    "sim_knn_label_accuracy",
+    oracle=f"""
+    WITH nn AS (
+      SELECT query_id, actual, nl FROM (
+        SELECT q.vec_id AS query_id, q.label AS actual, c.label AS nl,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS_SQL} DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {KNN_EVAL_PROBES})
+      WHERE rank <= {KNN_EVAL_K}),
+    votes AS (
+      SELECT query_id, actual, nl, COUNT(*) AS v
+      FROM nn GROUP BY query_id, actual, nl),
+    pred AS (
+      SELECT query_id, actual, nl AS predicted FROM (
+        SELECT query_id, actual, nl, 
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY v DESC, nl) AS pk
+        FROM votes)
+      WHERE pk = 1)
+    SELECT CAST(actual AS BIGINT) AS label,
+           COUNT(*) AS n_probes,
+           CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred GROUP BY actual ORDER BY label
+    """,
+    tags=("similarity", "knn", "eval", "embedding"),
+)
+def sim_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality evaluation by k-NN label vote: for each probe
+    vector, the KNN_EVAL_K cosine-nearest neighbors vote on its label
+    (majority, smaller label on ties) and the per-label accuracy is
+    rolled up — the standard representation-quality probe a training
+    pipeline runs after producing an embedding column (does the space
+    cluster by label?).
+
+    Exactness: cosine scores are in-row array folds (deterministic
+    summation order → identical doubles in both engines); ranking and
+    voting are integer windows.  Scale: the probe set broadcasts like
+    sim_bruteforce_topk — ONE corpus scan, per-probe top-k via
+    WindowGroupLimit, vote + accuracy are tiny aggregations.  Swap the
+    brute-force candidate stage for the IVF shortlist to evaluate at
+    full corpus scale.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < KNN_EVAL_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("actual"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("nl"),
+    )
+    sim = cosine_similarity(F.col("qe"), F.col("ce"))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    nn = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "actual", "nl", sim.alias("cos_sim"), "neighbor_id")
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= KNN_EVAL_K)
+    )
+    votes = nn.groupBy("query_id", "actual", "nl").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("nl"))
+    pred = (
+        votes.withColumn("pk", F.row_number().over(w_vote))
+        .filter(F.col("pk") == 1)
+        .select("query_id", "actual", F.col("nl").alias("predicted"))
+    )
+    return (
+        pred.groupBy(F.col("actual").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .orderBy("label")
+    )
