@@ -908,7 +908,17 @@ def louvain_communities(
     )
     m2 = und.agg(F.count(F.lit(1)).alias("m2"))  # doubled edges = 2m
     labels = deg.select("node", F.col("node").alias("label"))
+    sweep = _louvain_sweep(und, deg, m2, broadcast_state)
+    return run_fixpoint(
+        labels, sweep, max_iter=sweeps, compare_cols=None,
+        broadcast_state=broadcast_state, iter_partitions=iter_partitions,
+    )
 
+
+def _louvain_sweep(und, deg, m2, broadcast_state=True):
+    """One synchronous Louvain sweep as a reusable (labels) -> labels
+    builder — module-level so plan tests can audit a single
+    un-materialized round (run_fixpoint checkpoints between rounds)."""
     def sweep(lbl: DataFrame) -> DataFrame:
         lbl_dst = lbl.select(F.col("node").alias("dst"), F.col("label").alias("c"))
         e_uc = (
@@ -968,10 +978,7 @@ def louvain_communities(
             .alias("label"),
         )
 
-    return run_fixpoint(
-        labels, sweep, max_iter=sweeps, compare_cols=None,
-        broadcast_state=broadcast_state, iter_partitions=iter_partitions,
-    )
+    return sweep
 
 
 def _louvain_sweep_sql(prev: str, this: str) -> str:
@@ -1214,6 +1221,26 @@ def k_truss(
     with k-core, rounds are O(max truss number), and detect_removals
     keeps a removals-only round from reading as converged.
     """
+    peel = _truss_peel(k)
+    und, _ = _materialize(undirect(edges), iter_partitions)
+    state0 = und.filter(F.col("src") < F.col("dst")).select(
+        F.struct("src", "dst").alias("node")
+    )
+    return run_fixpoint(
+        peel(state0),
+        peel,
+        max_iter=max_iter,
+        compare_cols=["sup"],
+        broadcast_state=broadcast_state,
+        detect_removals=True,
+        iter_partitions=iter_partitions,
+    )
+
+
+def _truss_peel(k: int):
+    """One k-truss peel round as a reusable (state) -> state builder —
+    module-level so plan tests can audit a single un-materialized round
+    (run_fixpoint checkpoints between rounds, which truncates lineage)."""
     def peel(state: DataFrame) -> DataFrame:
         e = state.select(F.col("node.src").alias("src"), F.col("node.dst").alias("dst"))
         e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -1232,16 +1259,7 @@ def k_truss(
             .select(F.struct("src", "dst").alias("node"), "sup")
         )
 
-    state0 = edges.select(F.struct("src", "dst").alias("node"))
-    return run_fixpoint(
-        peel(state0),
-        peel,
-        max_iter=max_iter,
-        compare_cols=["sup"],
-        broadcast_state=broadcast_state,
-        detect_removals=True,
-        iter_partitions=iter_partitions,
-    )
+    return peel
 
 
 def _truss_round_sql(prev: str, this: str, k: int) -> str:

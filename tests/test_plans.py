@@ -537,3 +537,72 @@ def test_clustering_coefficients_no_cartesian_exact_ints(spark):
     assert "CartesianProduct" not in plan
     # degree counting combines map-side before its exchange
     assert "partial_count" in plan
+
+
+def _round_plan(spark, df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_ktruss_wedge_join_no_cartesian(spark):
+    """run_fixpoint checkpoints between rounds (the final plan is just a
+    scan of the checkpointed state), so the audit targets ONE
+    un-materialized peel round."""
+    from pyspark.sql import functions as F
+
+    from edgy_spark.operators.graph_algos import (
+        TRUSS_K,
+        _truss_peel,
+        copurchase_edges,
+    )
+
+    state0 = copurchase_edges(spark, SF_SMOKE).select(
+        F.struct("src", "dst").alias("node")
+    )
+    plan = _round_plan(spark, _truss_peel(TRUSS_K)(state0))
+    # triangle enumeration is the wedge join + closure semi-join; support
+    # counting combines map-side; nothing degenerates to a cross product
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "LeftSemi" in plan  # the closure check is a semi-join
+
+
+def test_louvain_broadcast_singleton_no_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from edgy_spark.operators.graph_algos import (
+        _louvain_sweep,
+        copurchase_edges,
+        undirect,
+    )
+
+    und = undirect(copurchase_edges(spark, SF_SMOKE))
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    m2 = und.agg(F.count(F.lit(1)).alias("m2"))
+    labels = deg.select("node", F.col("node").alias("label"))
+    plan = _round_plan(spark, _louvain_sweep(und, deg, m2)(labels))
+    # 2m joins as a broadcast singleton; community weights/candidate
+    # scores are keyed joins — no unkeyed explosion anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_count" in plan
+
+
+def test_revenue_trend_broadcast_dims_partial_aggs(spark):
+    plan = _plan(spark, "orders_nation_revenue_trend")
+    # customer->nation dimension broadcasts onto the orders scan; both the
+    # monthly rollup and the sufficient-statistic sums combine map-side
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_eval_broadcast_probes_window_limit(spark):
+    plan = _plan(spark, "sim_knn_label_accuracy")
+    # the probe side broadcasts (ONE corpus scan); per-probe top-k runs
+    # under a rank pushdown, never a global sort of all similarities
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
