@@ -164,6 +164,7 @@ R10_WINDOW: list[str] = [
     "graph_louvain_communities",
     "orders_nation_revenue_trend",
     "sim_knn_label_accuracy",
+    "events_late_arrival_audit",
     # r10 executed-code changes
     "dedup_simhash_neardup_pairs",
     "dedup_simhash_fingerprints",
@@ -214,7 +215,6 @@ R10_WINDOW: list[str] = [
     "sim_ivf_topk",
     "sim_embedding_int8_quantize",
     "graph_customer_order_rollup",
-    "graph_3hop_nation_parts",
 ]
 
 

@@ -15,7 +15,7 @@ a 100 TB/day stream holds only the open windows in memory.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from edgy_spark.catalog import register
@@ -634,4 +634,57 @@ def enriched_stream(purchases: DataFrame, dim: DataFrame) -> DataFrame:
             "n_purchases",
             "revenue",
         )
+    )
+
+
+LATE_GRACE_MIN = 15  # lateness tolerance: the watermark delay being audited
+
+
+@register(
+    "events_late_arrival_audit",
+    oracle=f"""
+    WITH o AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS hwm
+      FROM events)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ts < hwm - INTERVAL {LATE_GRACE_MIN} MINUTE
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM o GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "watermark", "observability"),
+)
+def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing observability: per event type, how many events
+    arrive more than LATE_GRACE_MIN behind their user's running
+    high-water mark (arrival order = event_id)?  These are exactly the
+    rows a per-user watermark of that delay would DROP — the audit a
+    team runs on historical data before choosing ``withWatermark``'s
+    delay, and re-runs to monitor drift.
+
+    Scale: ONE per-user window (a single hash exchange on user_id — the
+    stream's natural key), then a map-side-combinable rollup per type.
+    Timestamp comparisons are exact integers in both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hwm = F.max("ts").over(w)
+    late = F.col("ts") < F.col("hwm") - F.expr(
+        f"INTERVAL {LATE_GRACE_MIN} MINUTE"
+    )
+    return (
+        ev.select("event_type", "ts", hwm.alias("hwm"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        )
+        .orderBy("event_type")
     )
