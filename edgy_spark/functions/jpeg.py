@@ -334,19 +334,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count == restart_interval:
-                # consume the RSTn marker the reader stopped at
-                r.align_to_marker()
-                p = r.pos
-                while p + 1 < len(data) and not (
-                    data[p] == 0xFF and data[p + 1] != 0x00
-                ):
-                    p += 1
-                if p + 1 >= len(data) or not (0xD0 <= data[p + 1] <= 0xD7):
-                    raise ValueError("expected restart marker")
-                if data[p + 1] != 0xD0 + next_rst:
-                    raise ValueError("restart marker out of sequence")
-                next_rst = (next_rst + 1) & 7
-                r = _BitReader(data, p + 2)
+                # consume the RSTn marker the reader stopped at (shared
+                # with the progressive path — skips T.81 fill bytes too)
+                r, next_rst = _consume_restart(data, r, next_rst)
                 pred = [0] * len(comps)
                 mcu_count = 0
             try:

@@ -1204,12 +1204,17 @@ def orders_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d38 = "decimal(38,0)"
+    # per-row products stay in the long lane (t <= ~10^3, monthly cents <=
+    # ~10^13 even at petabyte scale), but the ACCUMULATION casts each
+    # operand to DECIMAL(38,0) BEFORE summing — exactly DuckDB's
+    # SUM(BIGINT) -> HUGEINT behavior, so neither engine can overflow the
+    # 64-bit lane mid-aggregation (review r10)
     s = monthly.groupBy("nation").agg(
         F.count(F.lit(1)).cast(d38).alias("n"),
-        F.sum("t").cast(d38).alias("st"),
-        F.sum("y_c").cast(d38).alias("sy"),
-        F.sum(F.col("t") * F.col("y_c")).cast(d38).alias("sty"),
-        F.sum(F.col("t") * F.col("t")).cast(d38).alias("stt"),
+        F.sum(F.col("t").cast(d38)).alias("st"),
+        F.sum(F.col("y_c").cast(d38)).alias("sy"),
+        F.sum((F.col("t") * F.col("y_c")).cast(d38)).alias("sty"),
+        F.sum((F.col("t") * F.col("t")).cast(d38)).alias("stt"),
     )
     den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
     num = F.lit(TREND_E6).cast(d38) * (

@@ -651,7 +651,7 @@ def _zone_accumulate(batch, acc: dict) -> None:
         )
 
 
-def write_zones_from_footers(dir_path: str) -> dict:
+def write_zones_from_footers(dir_path: str) -> tuple[dict, dict]:
     """Derive the ZONES_FILE sidecar for a parquet directory from the files'
     FOOTERS (metadata pages only — no data read) and write it.  For writer
     paths where the rows stream through Spark's own parquet writer (engine
@@ -659,10 +659,16 @@ def write_zones_from_footers(dir_path: str) -> dict:
     file at write/commit time buys planning-time file skipping for every
     later read.  Columns whose stats are absent or not JSON-safe are
     skipped (the reader then simply never prunes on them); unreadable files
-    contribute no entry rather than failing the commit."""
+    contribute no entry rather than failing the commit.
+
+    Returns ``(zones, {"rows": N, "bytes": B})`` — the table stats ride the
+    SAME footer pass so the commit path never reopens the files for them
+    (review r10)."""
     import pyarrow.parquet as pq
 
     zones: dict = {}
+    rows = 0
+    size = 0
     for n in sorted(os.listdir(dir_path)):
         if not (n.endswith(".parquet") or n.startswith("part-")):
             continue
@@ -670,6 +676,11 @@ def write_zones_from_footers(dir_path: str) -> dict:
             md = pq.ParquetFile(os.path.join(dir_path, n)).metadata
         except Exception:
             continue
+        rows += md.num_rows
+        try:
+            size += os.path.getsize(os.path.join(dir_path, n))
+        except OSError:
+            pass
         if md.num_rows == 0:
             # Spark writers emit empty part files for empty partitions; an
             # explicit marker (shaped to survive the reader's sanitizer)
@@ -713,7 +724,7 @@ def write_zones_from_footers(dir_path: str) -> dict:
     if zones:
         with open(os.path.join(dir_path, ZONES_FILE), "w") as f:
             json.dump(zones, f)
-    return zones
+    return zones, {"rows": rows, "bytes": size}
 
 
 def stats_from_footers(dir_path: str) -> dict:
@@ -1111,7 +1122,14 @@ def _current_version(root: str) -> int:
     as GraphStore.current_version)."""
     with open(os.path.join(root, "CURRENT")) as f:
         v = int(f.read().strip())
-    while os.path.exists(os.path.join(root, f"manifest.v{v + 1}.json")):
+    while True:
+        # empty = a ConditionalPutArbiter putter's just-created claim, not
+        # a commit (same rule as GraphStore.current_version)
+        try:
+            if os.path.getsize(os.path.join(root, f"manifest.v{v + 1}.json")) == 0:
+                break
+        except OSError:
+            break
         v += 1
     return v
 

@@ -208,22 +208,46 @@ class ConditionalPutArbiter(CommitArbiter):
     """Object-store arbitration, emulated locally: a single
     create-if-absent of the full payload (S3/GCS/ABFS conditional PUT with
     If-None-Match: * — no link, no rename, which object stores don't
-    have).  The emulation uses O_CREAT|O_EXCL and one write; on a real
-    object store the PUT itself is all-or-nothing, so the no-partial-reads
-    guarantee is the backend's.  Exists so the commit protocol is
-    exercised end-to-end against the object-store API shape (racing
-    committers, crash roll-forward) before any real LogStore lands."""
+    have).  On a real object store the PUT itself is all-or-nothing; the
+    local O_CREAT|O_EXCL emulation has ONE non-atomic observable state —
+    the empty just-created file before its single write lands — so (a)
+    ``current_version``'s roll-forward treats empty manifests as absent,
+    and (b) a putter finding an EMPTY file older than the grace period
+    reclaims a crashed attempt's slot instead of wedging the version
+    forever (review r10).  A live putter's open→write window is
+    microseconds; the grace period keeps reclaim from racing it."""
+
+    RECLAIM_AFTER_S = 60.0
 
     def put_if_absent(self, path: str, payload: str) -> bool:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
-        return True
+        for attempt in range(2):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    st = os.stat(path)
+                except OSError:
+                    continue  # vanished between EXCL and stat: retry once
+                import time as _time
+
+                if (
+                    attempt == 0
+                    and st.st_size == 0
+                    and _time.time() - st.st_mtime >= self.RECLAIM_AFTER_S
+                ):
+                    # crashed putter left an empty claim: reclaim its slot
+                    try:
+                        os.unlink(path)
+                    except OSError:
+                        return False
+                    continue
+                return False
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            return True
+        return False
 
 
 #: Spark simpleString -> DuckDB type, for the empty-frame declaration-time
@@ -264,11 +288,24 @@ def _validate_check_condition(spark: SparkSession, nt, cond: str) -> None:
         import duckdb
     except ImportError:
         return  # Spark-side writers still enforce; ecosystem writers REJECT
-    decls = [
-        f"CAST(NULL AS {_DUCK_TYPES.get(f.dataType.simpleString(), 'VARCHAR')})"
-        f' AS "{f.name}"'
-        for f in nt.struct_type().fields
-    ]
+
+    def _duck(simple: str) -> str | None:
+        if simple.startswith("array<") and simple.endswith(">"):
+            inner = _duck(simple[6:-1])
+            return None if inner is None else f"{inner}[]"
+        return _DUCK_TYPES.get(simple)
+
+    decls = []
+    for f in nt.struct_type().fields:
+        dt = _duck(f.dataType.simpleString())
+        if dt is None:
+            # a column type outside the portable scalar/array set
+            # (struct/map): declaring it as the wrong type would make the
+            # probe falsely reject (or accept) conditions over it — skip
+            # the DuckDB-side probe; the write-time gate still enforces,
+            # and the Spark probe above already ran (review r10)
+            return
+        decls.append(f'CAST(NULL AS {dt}) AS "{f.name}"')
     try:
         duckdb.sql(
             f"SELECT COUNT(*) FROM (SELECT {', '.join(decls)} WHERE 1=0) "
@@ -398,12 +435,21 @@ class GraphStore:
                 }
             )
             self._publish(0)
-            if not won and self._checks_declared:
-                # bootstrap race LOST and this session declared checks: v0
-                # embeds the winner's declaration, which may differ — the
-                # manifest is the enforcement source for ecosystem writers,
-                # so persist ours (no-op commit when the sets match).
-                self._sync_declared_checks()
+            if not won:
+                # bootstrap race LOST: v0 embeds the winner's declaration,
+                # which may differ.  A session that declared checks
+                # persists ITS set (the manifest is the enforcement source
+                # for ecosystem writers; no-op commit when the sets
+                # match); a session that declared nothing ADOPTS the
+                # winner's — never silently enforcing (or later
+                # re-publishing) an empty set over a persisted declaration
+                # (review r10).
+                if self._checks_declared:
+                    self._sync_declared_checks()
+                else:
+                    self.check_constraints = dict(
+                        self.snapshot().manifest.get("checks") or {}
+                    )
         elif not self._checks_declared:
             # adopt the PERSISTED declaration (the manifest is the table
             # metadata, Delta-style): a session that opens an existing
@@ -528,7 +574,17 @@ class GraphStore:
         commit would collide with the orphan manifest forever."""
         with open(self._current_path) as f:
             v = int(f.read().strip())
-        while os.path.exists(self._manifest_path(v + 1)):
+
+        def _complete(path: str) -> bool:
+            # an EMPTY manifest is a ConditionalPutArbiter putter's
+            # just-created (or crashed) claim, not a commit — roll-forward
+            # must not adopt it (the hard-link path never exposes one)
+            try:
+                return os.path.getsize(path) > 0
+            except OSError:
+                return False
+
+        while _complete(self._manifest_path(v + 1)):
             v += 1
         return v
 
@@ -680,16 +736,12 @@ class GraphStore:
             # zone-map sidecar from the just-written footers (metadata-only
             # reads): engine commits and compaction keep the planning-time
             # file skipping that bulk loads get from their Arrow tasks
-            from edgy_spark.sources.pysource import (
-                stats_from_footers,
-                write_zones_from_footers,
-            )
+            from edgy_spark.sources.pysource import write_zones_from_footers
 
-            write_zones_from_footers(os.path.join(self.root, relpath))
-            # per-table stats (rows/bytes from the same footer pass shape;
-            # NDV from the observation riding the write): plan-time
-            # cardinalities for readers — see read_store_table
-            stat = stats_from_footers(os.path.join(self.root, relpath))
+            # per-table stats (rows/bytes riding the SAME footer pass as
+            # the zone maps; NDV from the observation riding the write):
+            # plan-time cardinalities for readers — see read_store_table
+            _, stat = write_zones_from_footers(os.path.join(self.root, relpath))
             if key in ndv_obs:
                 obs_, cols_ = ndv_obs[key]
                 got = obs_.get
@@ -1221,6 +1273,38 @@ class GraphStore:
         os.makedirs(os.path.join(new_root, "data"), exist_ok=True)
         if os.path.exists(os.path.join(new_root, "CURRENT")):
             raise ValueError(f"clone target {new_root!r} is already a store")
+        v0_path = os.path.join(new_root, "manifest.v0.json")
+        if os.path.exists(v0_path):
+            # a prior clone() crashed between the manifest put and the
+            # CURRENT publish: resume (re-point CURRENT) iff the persisted
+            # v0 is OUR clone — same source at the same version (review
+            # r10: the retry must not dead-end on 'already a store')
+            try:
+                with open(v0_path) as f:
+                    prior = json.load(f).get("cloned_from") or {}
+            except (json.JSONDecodeError, OSError):
+                prior = {}
+            if prior.get("root") == self.root and prior.get("version") == snap.version:
+                fd, tmp = tempfile.mkstemp(dir=new_root)
+                with os.fdopen(fd, "w") as f:
+                    f.write("0")
+                os.replace(tmp, os.path.join(new_root, "CURRENT"))
+                return GraphStore(
+                    self.spark, new_root, self.schema,
+                    bucket_edges=self.bucket_edges,
+                    bucket_nodes=self.bucket_nodes,
+                    compact_every=self.compact_every,
+                    compact_target_file_mb=self.compact_target_file_mb,
+                    retain_versions=self.retain_versions,
+                    index_attrs={k: list(v) for k, v in self.index_attrs.items()},
+                    index_buckets=self.index_buckets,
+                    commit_arbiter=self.commit_arbiter,
+                )
+            raise ValueError(
+                f"clone target {new_root!r} holds a half-created clone of "
+                f"a different source/version ({prior or 'unreadable'}) — "
+                "remove it or pick another target"
+            )
 
         def _abs(rel: str) -> str:
             return rel if os.path.isabs(rel) else os.path.join(self.root, rel)
@@ -1243,8 +1327,7 @@ class GraphStore:
             "stats": dict(snap.manifest.get("stats", {})),
             "cloned_from": {"root": self.root, "version": snap.version},
         }
-        path = os.path.join(new_root, "manifest.v0.json")
-        if not self.commit_arbiter.put_if_absent(path, json.dumps(manifest)):
+        if not self.commit_arbiter.put_if_absent(v0_path, json.dumps(manifest)):
             raise ValueError(f"clone target {new_root!r} is already a store")
         fd, tmp = tempfile.mkstemp(dir=new_root)
         with os.fdopen(fd, "w") as f:

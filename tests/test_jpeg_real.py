@@ -474,3 +474,56 @@ def test_jpeg_flat_progressive_bit_exact_and_jvm_readable(spark):
         for bx in range(3)
     ]
     assert got == blocks
+
+
+def test_jpeg_restart_with_fill_bytes_decodes(spark):
+    """T.81 B.1.1.2 fill bytes BEFORE an RSTn in a baseline stream: the
+    sequential restart consumption shares the progressive path's
+    fill-tolerant marker scan (review r10 — the inline copy rejected
+    spec-legal padding)."""
+    import struct
+
+    from edgy_spark.functions.jpeg import (
+        STD_AC_LUMA_BITS,
+        STD_AC_LUMA_VALS,
+        STD_DC_LUMA_BITS,
+        STD_DC_LUMA_VALS,
+        _BitWriter,
+        _canonical_codes,
+        decode_jpeg,
+    )
+
+    dc_lut = _canonical_codes(STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
+    ac_lut = _canonical_codes(STD_AC_LUMA_BITS, STD_AC_LUMA_VALS)
+
+    def dc_only_mcu(diff):
+        b = _BitWriter()
+        t = 0 if diff == 0 else abs(diff).bit_length()
+        length, code = dc_lut[t]
+        b.put(code, length)
+        if t:
+            mag = diff if diff >= 0 else diff + (1 << t) - 1
+            b.put(mag, t)
+        length, code = ac_lut[0x00]
+        b.put(code, length)
+        return b.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(STD_DC_LUMA_BITS) + STD_DC_LUMA_VALS) + seg(
+        0xC4, bytes([0x10]) + bytes(STD_AC_LUMA_BITS) + STD_AC_LUMA_VALS
+    )
+    dri = seg(0xDD, struct.pack(">H", 1))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    stream = (
+        b"\xff\xd8" + qt + sof + dht + dri + sos
+        + dc_only_mcu(80) + b"\xff\xff\xff\xd0"  # two fill bytes + RST0
+        + dc_only_mcu(-40) + b"\xff\xd9"
+    )
+    w, h, ch, px = decode_jpeg(stream)
+    assert (w, h, ch) == (16, 8, 1)
+    assert {px[y * 16 + x] for y in range(8) for x in range(8)} == {138}
+    assert {px[y * 16 + 8 + x] for y in range(8) for x in range(8)} == {123}

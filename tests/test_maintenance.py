@@ -525,3 +525,37 @@ def test_conditional_put_manifest_path_never_links(spark, tmp_path, monkeypatch)
     monkeypatch.undo()
     assert store.current_version() == 1
     assert [r["name"] for r in store.snapshot().nodes("Person").collect()] == ["A"]
+
+
+def test_conditional_put_reclaims_crashed_empty_claim(tmp_path):
+    """A putter that crashed between O_EXCL create and write leaves an
+    empty file; past the grace period the next putter reclaims the slot
+    instead of wedging the version forever, and roll-forward never adopts
+    the empty claim as a commit (review r10)."""
+    from edgy_spark.storage import ConditionalPutArbiter
+
+    arb = ConditionalPutArbiter()
+    path = str(tmp_path / "manifest.v1.json")
+    # simulate the crash: empty file, old mtime
+    open(path, "w").close()
+    os.utime(path, (1, 1))
+    assert arb.put_if_absent(path, '{"version": 1}') is True
+    assert open(path).read() == '{"version": 1}'
+    # a FRESH empty claim (live putter) is NOT stolen
+    path2 = str(tmp_path / "manifest.v2.json")
+    open(path2, "w").close()
+    assert arb.put_if_absent(path2, "x") is False
+
+
+def test_rollforward_skips_empty_manifest_claims(spark, tmp_path):
+    """current_version must not adopt a ConditionalPut claim that has no
+    content yet — an empty manifest.v{N+1} reads as absent."""
+    root = str(tmp_path / "db")
+    store = GraphStore(spark, root, demo_schema())
+    df = spark.createDataFrame([(1, "A", 1)], "id long, name string, age long")
+    store.commit(store.snapshot(), {"n_Person": df}, next_id=2)
+    assert store.current_version() == 1
+    open(os.path.join(root, "manifest.v2.json"), "w").close()
+    assert store.current_version() == 1  # empty claim != commit
+    snap = store.snapshot()
+    assert snap.version == 1

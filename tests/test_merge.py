@@ -646,3 +646,24 @@ def test_enforce_manifest_checks_rejects_without_duckdb(tmp_path, monkeypatch):
         ["part-0.parquet"],
     )
     assert err is not None and "duckdb is not importable" in err
+
+
+def test_lost_bootstrap_without_declaration_adopts_winner_checks(
+    spark, tmp_path
+):
+    """The loser of the v0 bootstrap race that declared NOTHING must adopt
+    the winner's persisted declaration — not run with (and later publish)
+    an empty set over it (review r10)."""
+    import os
+
+    root = str(tmp_path / "db")
+    GraphStore(spark, root, _schema(), check_constraints={"Person": "age >= 0"})
+    os.remove(os.path.join(root, "CURRENT"))  # winner crashed pre-publish
+    loser = GraphStore(spark, root, _schema())
+    assert loser.check_constraints == {"Person": "age >= 0"}
+    with pytest.raises(Exception):
+        loser.merge_nodes(
+            "Person",
+            spark.createDataFrame([("bad", -1)], "name string, age long"),
+            on="name",
+        )
