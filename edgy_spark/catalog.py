@@ -165,6 +165,7 @@ R10_WINDOW: list[str] = [
     "orders_nation_revenue_trend",
     "sim_knn_label_accuracy",
     "events_late_arrival_audit",
+    "graph_modularity_score",
     # r10 executed-code changes
     "dedup_simhash_neardup_pairs",
     "dedup_simhash_fingerprints",
@@ -214,7 +215,6 @@ R10_WINDOW: list[str] = [
     "sim_lsh_bucket_candidates",
     "sim_ivf_topk",
     "sim_embedding_int8_quantize",
-    "graph_customer_order_rollup",
 ]
 
 
