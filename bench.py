@@ -129,19 +129,34 @@ def main() -> None:
         "dedup_incremental_new_docs",
         "multimodal_jpeg_block_stats",
     ]
+    # r10 widened the set by two (the round's flagship additions: the
+    # k-truss edge-state fixpoint and the progressive Annex G decode)
+    added_r10 = [
+        "graph_ktruss_edges",
+        "multimodal_jpeg_progressive_stats",
+    ]
     comparable_r05 = round(
         sum(
             v
             for k, v in timings.items()
-            if k not in added_r06 + added_r08 + added_r09
+            if k not in added_r06 + added_r08 + added_r09 + added_r10
         ),
         4,
     )
     comparable_r07 = round(
-        sum(v for k, v in timings.items() if k not in added_r08 + added_r09), 4
+        sum(
+            v
+            for k, v in timings.items()
+            if k not in added_r08 + added_r09 + added_r10
+        ),
+        4,
     )
     comparable_r08 = round(
-        sum(v for k, v in timings.items() if k not in added_r09), 4
+        sum(v for k, v in timings.items() if k not in added_r09 + added_r10),
+        4,
+    )
+    comparable_r09 = round(
+        sum(v for k, v in timings.items() if k not in added_r10), 4
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The external recorder keeps only the last ~2,000 bytes of output and
@@ -152,7 +167,7 @@ def main() -> None:
     # headline if they would push it past the window.
     for pass_no, this_pass in enumerate(pass_times):
         print(json.dumps({"detail": "pass_times", "pass": pass_no, "times": this_pass}))
-    print(json.dumps({"detail": "set_history", "added_in_r06": added_r06, "added_in_r08": added_r08, "added_in_r09": added_r09}))
+    print(json.dumps({"detail": "set_history", "added_in_r06": added_r06, "added_in_r08": added_r08, "added_in_r09": added_r09, "added_in_r10": added_r10}))
     final = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -163,6 +178,7 @@ def main() -> None:
         "comparable_r05_set_total": comparable_r05,
         "comparable_r07_set_total": comparable_r07,
         "comparable_r08_set_total": comparable_r08,
+        "comparable_r09_set_total": comparable_r09,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "regressions": _regressions_vs_prev_round(timings),
     }

@@ -1397,6 +1397,7 @@ def _truss_round_sql(prev: str, this: str, k: int) -> str:
     FROM s{TRUSS_ORACLE_ROUNDS} ORDER BY src, dst
     """,
     tags=("graph", "iterative", "truss", "community", "pregel-primitive"),
+    bench=True,  # r10: the edge-state fixpoint, tracked round-over-round
 )
 def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edges of the TRUSS_K (= 4)-truss of the co-purchase graph with their

@@ -624,6 +624,7 @@ def multimodal_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     tags=("multimodal", "decode", "progressive"),
+    bench=True,  # r10: Annex G decode throughput, tracked round-over-round
 )
 def multimodal_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROGRESSIVE (SOF2) decode under the driver's value-hash gate — the
