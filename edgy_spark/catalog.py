@@ -166,6 +166,7 @@ R10_WINDOW: list[str] = [
     "sim_knn_label_accuracy",
     "events_late_arrival_audit",
     "graph_modularity_score",
+    "graph_closeness_sampled",
     # r10 executed-code changes
     "dedup_simhash_neardup_pairs",
     "dedup_simhash_fingerprints",
@@ -214,7 +215,6 @@ R10_WINDOW: list[str] = [
     "sim_bruteforce_topk",
     "sim_lsh_bucket_candidates",
     "sim_ivf_topk",
-    "sim_embedding_int8_quantize",
 ]
 
 

@@ -548,6 +548,125 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sampled closeness / harmonic centrality (multi-source BFS)
+# ---------------------------------------------------------------------------
+
+CLOSE_SEEDS = 8
+CLOSE_E6 = 10**6
+
+
+def closeness_sampled(
+    edges: DataFrame,
+    n_seeds: int = CLOSE_SEEDS,
+    max_depth: int = BFS_MAX_DEPTH,
+    broadcast_state: bool = True,
+    iter_partitions: int | None = None,
+) -> DataFrame:
+    """(node, n_reached, total_dist, harmonic_e6) — closeness and harmonic
+    centrality estimated from the ``n_seeds`` highest-degree landmarks
+    (ties to the smaller id), the standard sampling estimator for
+    centrality at graph scales where all-pairs BFS is impossible
+    (Eppstein-Wang).  ``harmonic_e6`` sums floor(1e6 / d) per reached
+    seed — per-term integer floors, so both engines agree exactly where a
+    float 1/d sum would drift.
+
+    The fixpoint state is (node, seed) COMPOSITE keys — all n_seeds BFS
+    frontiers advance in the SAME rounds (one message join per round for
+    all seeds together, not n_seeds sequential traversals): the state key
+    is a struct, the same run_fixpoint capability k-truss exercises with
+    edge keys.  After k rounds every distance <= k is exact, matching the
+    oracle's depth-capped recursive walk.
+    """
+    und, _ = _materialize(undirect(edges), iter_partitions)
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    seeds = deg.orderBy(F.desc("k"), F.asc("node")).limit(n_seeds)
+    state0 = seeds.select(
+        F.struct(
+            F.col("node").alias("n"), F.col("node").alias("s")
+        ).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+
+    def step(st: DataFrame) -> DataFrame:
+        flat = st.select(
+            F.col("node.n").alias("src"), F.col("node.s").alias("s"), "dist"
+        )
+        cand = (
+            und.join(_hint(flat, broadcast_state), "src")
+            .groupBy(F.col("dst").alias("n"), "s")
+            .agg((F.min("dist") + 1).alias("cand"))
+            .select(F.struct("n", "s").alias("node"), "cand")
+        )
+        return st.join(cand, "node", "full_outer").select(
+            "node",
+            F.least(
+                F.coalesce("dist", F.col("cand")),
+                F.coalesce("cand", F.col("dist")),
+            ).alias("dist"),
+        )
+
+    res = run_fixpoint(
+        state0, step,
+        max_iter=max_depth, compare_cols=["dist"],
+        broadcast_state=broadcast_state, iter_partitions=iter_partitions,
+    )
+    return (
+        res.select(F.col("node.n").alias("node"), "dist")
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("dist").alias("total_dist"),
+            F.sum(
+                F.when(
+                    F.col("dist") > 0, F.expr(f"{CLOSE_E6} div dist")
+                ).otherwise(F.lit(0))
+            ).alias("harmonic_e6"),
+        )
+    )
+
+
+@register(
+    "graph_closeness_sampled",
+    oracle=f"""
+    WITH RECURSIVE
+    {_UND_CTES},
+    deg AS (SELECT src AS node, COUNT(*) AS k FROM undirected GROUP BY src),
+    seeds AS (SELECT node FROM deg ORDER BY k DESC, node LIMIT {CLOSE_SEEDS}),
+    walk(seed, node, dist) AS (
+      SELECT node, node, 0 FROM seeds
+      UNION
+      SELECT w.seed, u.dst, w.dist + 1
+      FROM walk w JOIN undirected u ON u.src = w.node
+      WHERE w.dist < {BFS_MAX_DEPTH}),
+    d AS (SELECT seed, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2)
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(dist) AS BIGINT) AS total_dist,
+           CAST(SUM(CASE WHEN dist > 0 THEN {CLOSE_E6} // dist ELSE 0 END)
+                AS BIGINT) AS harmonic_e6
+    FROM d GROUP BY node ORDER BY node
+    """,
+    tags=("graph", "iterative", "centrality", "bfs", "pregel-primitive"),
+)
+def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-sampled closeness/harmonic centrality of the co-purchase
+    graph (see :func:`closeness_sampled`) vs a depth-capped recursive
+    oracle over the identical seed set."""
+    return (
+        closeness_sampled(copurchase_edges(spark, sf_dir))
+        .select(
+            "node",
+            F.col("n_reached").cast("long").alias("n_reached"),
+            F.col("total_dist").cast("long").alias("total_dist"),
+            F.col("harmonic_e6").cast("long").alias("harmonic_e6"),
+        )
+        .orderBy("node")
+    )
+
+
+# ---------------------------------------------------------------------------
 # PageRank (scaled-integer, undirected)
 # ---------------------------------------------------------------------------
 
