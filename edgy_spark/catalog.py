@@ -167,6 +167,7 @@ R10_WINDOW: list[str] = [
     "events_late_arrival_audit",
     "graph_modularity_score",
     "graph_closeness_sampled",
+    "events_cusum_changepoint",
     # r10 executed-code changes
     "dedup_simhash_neardup_pairs",
     "dedup_simhash_fingerprints",
@@ -214,7 +215,6 @@ R10_WINDOW: list[str] = [
     # next-stalest: the oldest r07-last-green entries (reg. order)
     "sim_bruteforce_topk",
     "sim_lsh_bucket_candidates",
-    "sim_ivf_topk",
 ]
 
 

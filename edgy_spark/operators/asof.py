@@ -1035,3 +1035,103 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(PATH_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, event_id, ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events),
+    pre AS (
+      SELECT event_type, event_id,
+             CAST(ROW_NUMBER() OVER w AS HUGEINT) AS i,
+             CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS p,
+             CAST(SUM(v) OVER (PARTITION BY event_type) AS HUGEINT) AS tot,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS HUGEINT) AS n
+      FROM cents
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    dev AS (
+      SELECT event_type, event_id, i, n,
+             n * p - i * tot AS d
+      FROM pre),
+    best AS (
+      SELECT event_type, event_id, i, d, n FROM (
+        SELECT event_type, event_id, i, d, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY abs(d) DESC, event_id) AS rk
+        FROM dev)
+      WHERE rk = 1)
+    SELECT event_type,
+           CAST(event_id AS BIGINT) AS change_event_id,
+           CAST(i AS BIGINT) AS change_idx,
+           CAST(d // n AS BIGINT) AS cusum_c
+    FROM best ORDER BY event_type
+    """,
+    tags=("temporal", "changepoint", "window", "events"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the event where the
+    cumulative deviation from the series mean peaks — the classic
+    mean-shift detector (Page 1954; the argmax form is the standard
+    offline single-changepoint estimator).  A drift/regime change in a
+    telemetry stream lands the peak at the shift boundary.
+
+    Exactness: the CUSUM S_i = sum_{j<=i}(x_j - mean) is cross-multiplied
+    by n to stay integral — d_i = n*prefix_i - i*total (cents), argmax on
+    |d_i| with the smaller event id on ties, and the reported magnitude
+    is d_i div n (floored, matching engines).  Accumulation runs in
+    DECIMAL(38)/HUGEINT so n * prefix cannot overflow the 64-bit lane at
+    any scale.
+
+    Scale: one shuffle on event_type (the ordering window's partition
+    key); prefix/total/count share it; the argmax is a per-type window —
+    no global sort, no collect.
+    """
+    ev = load(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    cents = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        (dec("value", 2, 18) * 100).cast(d38).alias("v"),
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("event_type")
+    pre = cents.select(
+        "event_type",
+        "event_id",
+        F.row_number().over(w_ord).cast(d38).alias("i"),
+        F.sum("v").over(w_run).alias("p"),
+        F.sum("v").over(w_all).alias("tot"),
+        F.count(F.lit(1)).over(w_all).cast(d38).alias("n"),
+    )
+    dev = pre.select(
+        "event_type",
+        "event_id",
+        "i",
+        "n",
+        (F.col("n") * F.col("p") - F.col("i") * F.col("tot")).alias("d"),
+    )
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("d")).desc(), F.asc("event_id")
+    )
+    return (
+        dev.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").cast("long").alias("change_event_id"),
+            F.col("i").cast("long").alias("change_idx"),
+            F.expr("CAST(d div n AS BIGINT)").alias("cusum_c"),
+        )
+        .orderBy("event_type")
+    )
