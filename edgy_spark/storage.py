@@ -1347,6 +1347,87 @@ class GraphStore:
             commit_arbiter=self.commit_arbiter,
         )
 
+    def fsck(self, deep: bool = False) -> dict:
+        """Integrity check of every RETAINED version: manifests parse, every
+        referenced table/CDC directory exists and holds parquet files, zone
+        sidecars parse, and (``deep=True``) footers open and their row
+        total matches the manifest's recorded stats.  Returns
+        ``{"ok", "errors", "warnings", "versions_checked"}`` — it reports,
+        never repairs.
+
+        This is the tool for the documented shallow-clone caveat: a clone
+        whose SOURCE vacuumed files out from under it fails fsck with the
+        absolute paths named, BEFORE a reader trips over them.
+        """
+        errors: list[str] = []
+        warnings: list[str] = []
+        current = self.current_version()
+        horizon = max(0, current - max(1, self.retain_versions) + 1)
+        checked = []
+        for v in range(horizon, current + 1):
+            mpath = self._manifest_path(v)
+            try:
+                with open(mpath) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                continue  # vacuumed inside the horizon: vacuum's business
+            except (json.JSONDecodeError, OSError) as exc:
+                errors.append(f"manifest v{v} unreadable: {exc!r}")
+                continue
+            checked.append(v)
+            refs = dict(m.get("tables", {}))
+            refs.update(
+                {f"cdc:{k}": rel for k, rel in (m.get("cdc") or {}).items()}
+            )
+            for key, rel in refs.items():
+                d = os.path.join(self.root, rel)
+                if not os.path.isdir(d):
+                    errors.append(f"v{v} {key}: missing directory {d}")
+                    continue
+                files = [
+                    n
+                    for n in os.listdir(d)
+                    if n.endswith(".parquet") or n.startswith("part-")
+                ]
+                zpath = os.path.join(d, "_zones.json")
+                if os.path.exists(zpath):
+                    try:
+                        with open(zpath) as f:
+                            zones = json.load(f)
+                        ghost = set(zones) - set(files)
+                        if ghost:
+                            warnings.append(
+                                f"v{v} {key}: zone entries for absent "
+                                f"files {sorted(ghost)}"
+                            )
+                    except (json.JSONDecodeError, OSError) as exc:
+                        errors.append(f"v{v} {key}: bad zone sidecar: {exc!r}")
+                if deep and not key.startswith("cdc:"):
+                    import pyarrow.parquet as pq
+
+                    rows = 0
+                    for n in files:
+                        try:
+                            rows += pq.ParquetFile(
+                                os.path.join(d, n)
+                            ).metadata.num_rows
+                        except Exception as exc:
+                            errors.append(
+                                f"v{v} {key}: unreadable footer {n}: {exc!r}"
+                            )
+                    stat = (m.get("stats") or {}).get(key)
+                    if stat and stat.get("rows") is not None and rows != stat["rows"]:
+                        errors.append(
+                            f"v{v} {key}: footer rows {rows} != recorded "
+                            f"stats rows {stat['rows']}"
+                        )
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "warnings": warnings,
+            "versions_checked": checked,
+        }
+
     def vacuum(self, retain_versions: int | None = None) -> list[str]:
         """Garbage-collect table versions (and their session-catalog bucket
         tables, and manifests) referenced only by snapshots older than the

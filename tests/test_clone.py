@@ -88,3 +88,47 @@ def test_clone_adopts_checks_and_rejects_double_clone(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="already a store"):
         src.clone(str(tmp_path / "dst"))
+
+
+def test_fsck_healthy_then_detects_vacuumed_source(spark, tmp_path):
+    """fsck passes on a healthy store (deep included), and names the
+    missing absolute paths when a clone's SOURCE vacuums files out from
+    under it — the documented shallow-clone caveat, surfaced before a
+    reader trips over it."""
+    import shutil
+
+    engine = Engine(spark, str(tmp_path / "src"), demo_schema())
+    engine.run(big_bang)
+    src = engine.store
+    assert src.fsck(deep=True)["ok"]
+
+    clone = src.clone(str(tmp_path / "dst"))
+    assert clone.fsck(deep=True)["ok"]
+
+    # simulate source vacuum retiring a table version the clone references
+    rel = clone.snapshot().manifest["tables"]["n_Person"]
+    shutil.rmtree(rel)  # absolute path into the source
+    report = clone.fsck()
+    assert not report["ok"]
+    assert any("n_Person" in e and "missing directory" in e for e in report["errors"])
+
+
+def test_fsck_deep_catches_stats_drift(spark, tmp_path):
+    """deep fsck cross-checks footer row totals against the manifest's
+    recorded stats."""
+    import json
+    import os
+
+    engine = Engine(spark, str(tmp_path / "db"), demo_schema())
+    engine.run(big_bang)
+    store = engine.store
+    v = store.current_version()
+    mpath = os.path.join(store.root, f"manifest.v{v}.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["stats"]["n_Person"]["rows"] += 5  # corrupt the recorded count
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    report = store.fsck(deep=True)
+    assert not report["ok"]
+    assert any("recorded stats rows" in e for e in report["errors"])
