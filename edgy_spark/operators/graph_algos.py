@@ -1021,17 +1021,25 @@ def louvain_communities(
     degree).  2m joins as a broadcast singleton.  No collect, no
     cartesian, payloads are longs.
     """
+    und, deg, m2, labels = _louvain_setup(edges, iter_partitions)
+    sweep = _louvain_sweep(und, deg, m2, broadcast_state)
+    return run_fixpoint(
+        labels, sweep, max_iter=sweeps, compare_cols=None,
+        broadcast_state=broadcast_state, iter_partitions=iter_partitions,
+    )
+
+
+def _louvain_setup(edges, iter_partitions=None):
+    """(und, deg, m2, singleton labels) — shared by louvain_communities
+    and graph_modularity_score so the Q audit never recomputes the
+    doubled-edge aggregations its own sweeps just built (review r10b)."""
     und, _ = _materialize(undirect(edges), iter_partitions)
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("k")
     )
     m2 = und.agg(F.count(F.lit(1)).alias("m2"))  # doubled edges = 2m
     labels = deg.select("node", F.col("node").alias("label"))
-    sweep = _louvain_sweep(und, deg, m2, broadcast_state)
-    return run_fixpoint(
-        labels, sweep, max_iter=sweeps, compare_cols=None,
-        broadcast_state=broadcast_state, iter_partitions=iter_partitions,
-    )
+    return und, deg, m2, labels
 
 
 def _louvain_sweep(und, deg, m2, broadcast_state=True):
@@ -1215,14 +1223,15 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the (broadcastable) label state on each endpoint; community
     rollups are map-side-combinable; Q is a one-row total broadcast back.
     """
-    edges = copurchase_edges(spark, sf_dir)
-    edges, _ = _materialize(edges)
-    und = undirect(edges)
-    deg = und.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("k")
+    edges, _ = _materialize(copurchase_edges(spark, sf_dir))
+    und, deg, m2, labels = _louvain_setup(edges)
+    fin = run_fixpoint(
+        labels,
+        _louvain_sweep(und, deg, m2, True),
+        max_iter=LOUVAIN_SWEEPS,
+        compare_cols=None,
+        broadcast_state=True,
     )
-    m2 = und.agg(F.count(F.lit(1)).alias("m2"))
-    fin = louvain_communities(edges)
     la = fin.select(F.col("node").alias("src"), F.col("label").alias("ca"))
     lb = fin.select(F.col("node").alias("dst"), F.col("label").alias("cb"))
     intra = (

@@ -1123,12 +1123,16 @@ def _current_version(root: str) -> int:
     with open(os.path.join(root, "CURRENT")) as f:
         v = int(f.read().strip())
     while True:
-        # empty = a ConditionalPutArbiter putter's just-created claim, not
-        # a commit (same rule as GraphStore.current_version)
+        # an empty/unparseable manifest is a ConditionalPutArbiter putter's
+        # in-flight or crashed claim, not a commit (same completeness rule
+        # as GraphStore.current_version)
+        nxt = os.path.join(root, f"manifest.v{v + 1}.json")
         try:
-            if os.path.getsize(os.path.join(root, f"manifest.v{v + 1}.json")) == 0:
+            if os.path.getsize(nxt) == 0:
                 break
-        except OSError:
+            with open(nxt) as f:
+                json.load(f)
+        except (OSError, json.JSONDecodeError, UnicodeDecodeError):
             break
         v += 1
     return v

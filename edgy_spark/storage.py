@@ -220,34 +220,64 @@ class ConditionalPutArbiter(CommitArbiter):
     RECLAIM_AFTER_S = 60.0
 
     def put_if_absent(self, path: str, payload: str) -> bool:
-        for attempt in range(2):
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                try:
-                    st = os.stat(path)
-                except OSError:
-                    continue  # vanished between EXCL and stat: retry once
-                import time as _time
+        data = payload.encode()
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return self._reclaim_crashed_claim(path, data)
+        self._write_all(fd, data)
+        return True
 
-                if (
-                    attempt == 0
-                    and st.st_size == 0
-                    and _time.time() - st.st_mtime >= self.RECLAIM_AFTER_S
-                ):
-                    # crashed putter left an empty claim: reclaim its slot
-                    try:
-                        os.unlink(path)
-                    except OSError:
-                        return False
-                    continue
-                return False
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
-                f.flush()
-                os.fsync(f.fileno())
+    @staticmethod
+    def _write_all(fd: int, data: bytes) -> None:
+        try:
+            off = 0
+            while off < len(data):
+                off += os.write(fd, data[off:])
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    def _reclaim_crashed_claim(self, path: str, data: bytes) -> bool:
+        """The slot exists.  If it holds a COMPLETE manifest, lose.  If it
+        is a crashed putter's residue (empty, or unparseable torso) past
+        the grace period, write INTO the existing inode under an exclusive
+        flock — never unlink-and-recreate, whose stat-then-unlink TOCTOU
+        let two stealers each believe they won (review r10b).  The locked
+        fd is re-validated with fstat/read, so the decision and the write
+        target are the same inode.  (A real object store does this with a
+        generation-preconditioned PUT; the residual local hazard — a LIVE
+        putter stalled longer than the grace period between its open and
+        its single write — has no analogue there.)"""
+        import fcntl
+        import time as _time
+
+        try:
+            fd = os.open(path, os.O_RDWR)
+        except OSError:
+            return False  # vanished: someone else is arbitrating — lose
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return False  # another reclaimer holds the slot
+            st = os.fstat(fd)
+            if _time.time() - st.st_mtime < self.RECLAIM_AFTER_S:
+                return False  # fresh: a live putter's write is in flight
+            if st.st_size > 0:
+                try:
+                    json.loads(os.pread(fd, st.st_size, 0))
+                    return False  # complete manifest: a real commit won
+                except (json.JSONDecodeError, UnicodeDecodeError):
+                    pass  # crashed mid-flush: reclaimable torso
+            os.ftruncate(fd, 0)
+            off = 0
+            while off < len(data):
+                off += os.write(fd, data[off:])
+            os.fsync(fd)
             return True
-        return False
+        finally:
+            os.close(fd)  # releases the flock
 
 
 #: Spark simpleString -> DuckDB type, for the empty-frame declaration-time
@@ -576,12 +606,18 @@ class GraphStore:
             v = int(f.read().strip())
 
         def _complete(path: str) -> bool:
-            # an EMPTY manifest is a ConditionalPutArbiter putter's
-            # just-created (or crashed) claim, not a commit — roll-forward
-            # must not adopt it (the hard-link path never exposes one)
+            # an empty or UNPARSEABLE manifest is a ConditionalPutArbiter
+            # putter's in-flight/crashed claim, not a commit — roll-forward
+            # must not adopt it (the hard-link path never exposes one; the
+            # parse runs only when a newer manifest actually exists, review
+            # r10b: non-empty-but-truncated torsos wedged the adopt)
             try:
-                return os.path.getsize(path) > 0
-            except OSError:
+                if os.path.getsize(path) == 0:
+                    return False
+                with open(path) as f:
+                    json.load(f)
+                return True
+            except (OSError, json.JSONDecodeError, UnicodeDecodeError):
                 return False
 
         while _complete(self._manifest_path(v + 1)):
@@ -1270,41 +1306,52 @@ class GraphStore:
           — rewriting a table localizes it under ``new_root``.
         """
         snap = self.snapshot()
-        os.makedirs(os.path.join(new_root, "data"), exist_ok=True)
+
+        def _open_clone() -> "GraphStore":
+            fd, tmp = tempfile.mkstemp(dir=new_root)
+            with os.fdopen(fd, "w") as f:
+                f.write("0")
+            os.replace(tmp, os.path.join(new_root, "CURRENT"))
+            return GraphStore(
+                self.spark, new_root, self.schema,
+                bucket_edges=self.bucket_edges,
+                bucket_nodes=self.bucket_nodes,
+                compact_every=self.compact_every,
+                compact_target_file_mb=self.compact_target_file_mb,
+                retain_versions=self.retain_versions,
+                index_attrs={k: list(v) for k, v in self.index_attrs.items()},
+                index_buckets=self.index_buckets,
+                commit_arbiter=self.commit_arbiter,
+            )
+
         if os.path.exists(os.path.join(new_root, "CURRENT")):
             raise ValueError(f"clone target {new_root!r} is already a store")
         v0_path = os.path.join(new_root, "manifest.v0.json")
         if os.path.exists(v0_path):
             # a prior clone() crashed between the manifest put and the
-            # CURRENT publish: resume (re-point CURRENT) iff the persisted
-            # v0 is OUR clone — same source at the same version (review
-            # r10: the retry must not dead-end on 'already a store')
+            # CURRENT publish.  A COMPLETE v0 from THIS source resumes by
+            # re-pointing CURRENT (even if the source has since committed:
+            # the persisted v0 is self-consistent, and the resumed clone
+            # simply reflects the version the original attempt captured —
+            # review r10b).  An empty/unparseable v0 (ConditionalPut crash
+            # residue) falls through to put_if_absent, whose grace-period
+            # reclaim arbitrates it.  Only someone ELSE's half-created
+            # clone is rejected.
+            prior: dict | None = None
             try:
                 with open(v0_path) as f:
                     prior = json.load(f).get("cloned_from") or {}
             except (json.JSONDecodeError, OSError):
-                prior = {}
-            if prior.get("root") == self.root and prior.get("version") == snap.version:
-                fd, tmp = tempfile.mkstemp(dir=new_root)
-                with os.fdopen(fd, "w") as f:
-                    f.write("0")
-                os.replace(tmp, os.path.join(new_root, "CURRENT"))
-                return GraphStore(
-                    self.spark, new_root, self.schema,
-                    bucket_edges=self.bucket_edges,
-                    bucket_nodes=self.bucket_nodes,
-                    compact_every=self.compact_every,
-                    compact_target_file_mb=self.compact_target_file_mb,
-                    retain_versions=self.retain_versions,
-                    index_attrs={k: list(v) for k, v in self.index_attrs.items()},
-                    index_buckets=self.index_buckets,
-                    commit_arbiter=self.commit_arbiter,
+                prior = None  # residue: let the arbiter reclaim below
+            if prior is not None:
+                if prior.get("root") == self.root:
+                    return _open_clone()
+                raise ValueError(
+                    f"clone target {new_root!r} holds a half-created clone "
+                    f"of a different source ({prior}) — remove it or pick "
+                    "another target"
                 )
-            raise ValueError(
-                f"clone target {new_root!r} holds a half-created clone of "
-                f"a different source/version ({prior or 'unreadable'}) — "
-                "remove it or pick another target"
-            )
+        os.makedirs(os.path.join(new_root, "data"), exist_ok=True)
 
         def _abs(rel: str) -> str:
             return rel if os.path.isabs(rel) else os.path.join(self.root, rel)
@@ -1328,24 +1375,12 @@ class GraphStore:
             "cloned_from": {"root": self.root, "version": snap.version},
         }
         if not self.commit_arbiter.put_if_absent(v0_path, json.dumps(manifest)):
-            raise ValueError(f"clone target {new_root!r} is already a store")
-        fd, tmp = tempfile.mkstemp(dir=new_root)
-        with os.fdopen(fd, "w") as f:
-            f.write("0")
-        os.replace(tmp, os.path.join(new_root, "CURRENT"))
-        return GraphStore(
-            self.spark,
-            new_root,
-            self.schema,
-            bucket_edges=self.bucket_edges,
-            bucket_nodes=self.bucket_nodes,
-            compact_every=self.compact_every,
-            compact_target_file_mb=self.compact_target_file_mb,
-            retain_versions=self.retain_versions,
-            index_attrs={k: list(v) for k, v in self.index_attrs.items()},
-            index_buckets=self.index_buckets,
-            commit_arbiter=self.commit_arbiter,
-        )
+            raise ValueError(
+                f"clone target {new_root!r} holds an in-flight or crashed "
+                "clone attempt — retry after the reclaim grace period, or "
+                "remove it"
+            )
+        return _open_clone()
 
     def fsck(self, deep: bool = False) -> dict:
         """Integrity check of every RETAINED version: manifests parse, every

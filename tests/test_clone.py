@@ -132,3 +132,35 @@ def test_fsck_deep_catches_stats_drift(spark, tmp_path):
     report = store.fsck(deep=True)
     assert not report["ok"]
     assert any("recorded stats rows" in e for e in report["errors"])
+
+
+def test_clone_resumes_past_crash_residue_and_source_advance(spark, tmp_path):
+    """Review r10b: the clone retry must survive BOTH crash shapes — a
+    complete v0 whose source has since advanced (resume: the clone
+    reflects the originally captured version), and an in-flight rejection
+    message for arbiter residue rather than a permanent dead-end."""
+    import json
+
+    engine = Engine(spark, str(tmp_path / "src"), demo_schema())
+    engine.run(big_bang)
+    src = engine.store
+
+    # crash between manifest put and CURRENT publish, then source advances
+    dst = str(tmp_path / "dst")
+    clone = src.clone(dst)
+    captured = clone.snapshot().manifest["cloned_from"]["version"]
+    os.remove(os.path.join(dst, "CURRENT"))  # simulate the crash
+    engine.run(lambda t: t.new_node("Person", name="Later", age=9))
+    resumed = src.clone(dst)  # source is one version ahead now
+    assert resumed.snapshot().manifest["cloned_from"]["version"] == captured
+    assert "Later" not in {
+        r["name"] for r in resumed.snapshot().nodes("Person").collect()
+    }
+
+    # someone else's half-created clone still rejects with a clear error
+    other = str(tmp_path / "other")
+    os.makedirs(other, exist_ok=True)
+    with open(os.path.join(other, "manifest.v0.json"), "w") as f:
+        json.dump({"cloned_from": {"root": "/elsewhere", "version": 3}}, f)
+    with pytest.raises(ValueError, match="different source"):
+        src.clone(other)

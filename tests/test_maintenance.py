@@ -559,3 +559,38 @@ def test_rollforward_skips_empty_manifest_claims(spark, tmp_path):
     assert store.current_version() == 1  # empty claim != commit
     snap = store.snapshot()
     assert snap.version == 1
+
+
+def test_conditional_put_reclaims_torso_never_complete(tmp_path):
+    """Review r10b: a crashed putter can also leave a NON-empty truncated
+    torso — reclaimable past the grace period; a COMPLETE manifest is
+    never reclaimed no matter how old."""
+    from edgy_spark.storage import ConditionalPutArbiter
+
+    arb = ConditionalPutArbiter()
+    torso = str(tmp_path / "manifest.v1.json")
+    with open(torso, "w") as f:
+        f.write('{"version": 1, "tab')  # crashed mid-flush
+    os.utime(torso, (1, 1))
+    assert arb.put_if_absent(torso, '{"version": 1}') is True
+    assert open(torso).read() == '{"version": 1}'
+
+    done = str(tmp_path / "manifest.v2.json")
+    with open(done, "w") as f:
+        f.write('{"version": 2}')
+    os.utime(done, (1, 1))
+    assert arb.put_if_absent(done, '{"version": 2, "other": true}') is False
+    assert open(done).read() == '{"version": 2}'
+
+
+def test_rollforward_skips_truncated_manifest_torso(spark, tmp_path):
+    """A non-empty but unparseable manifest.v{N+1} must read as absent —
+    adopting it wedged every snapshot (review r10b)."""
+    root = str(tmp_path / "db")
+    store = GraphStore(spark, root, demo_schema())
+    df = spark.createDataFrame([(1, "A", 1)], "id long, name string, age long")
+    store.commit(store.snapshot(), {"n_Person": df}, next_id=2)
+    with open(os.path.join(root, "manifest.v2.json"), "w") as f:
+        f.write('{"version": 2, "tab')
+    assert store.current_version() == 1
+    assert store.snapshot().version == 1
