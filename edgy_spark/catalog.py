@@ -173,6 +173,9 @@ R10_WINDOW: list[str] = [
     "dedup_simhash_fingerprints",
     "orders_market_basket",
     "multimodal_jpeg_block_stats",
+    # r10 Adam7 PNG decode: the refactored _unfilter executes inside both
+    "multimodal_png_pixel_stats",
+    "multimodal_phash_dup_groups",
     # r10 oracle-text changes (AS MATERIALIZED on unrolled rounds — the
     # CTE-inlining fix; semantics-preserving, but the CHECK itself changed
     # so they re-verify)
@@ -213,8 +216,6 @@ R10_WINDOW: list[str] = [
     "q16_supplier_part_counts",
     "q20_excess_shippers",
     # next-stalest: the oldest r07-last-green entries (reg. order)
-    "sim_bruteforce_topk",
-    "sim_lsh_bucket_candidates",
 ]
 
 

@@ -16,8 +16,9 @@ Scope (deliberately bounded, stated loudly):
   format that is genuinely easy to get wrong, so it is cross-validated
   against the JVM's independent ``javax.imageio`` decoder in
   tests/test_multimodal_real.py;
-- no interlacing (Adam7 rejected with a clear error), no palette, no
-  ancillary-chunk interpretation (they are skipped, per spec).
+- Adam7 interlacing (r10): the seven reduced sub-images are unfiltered
+  independently and scattered back, per spec 8.2;
+- no palette, no ancillary-chunk interpretation (skipped, per spec).
 
 The encoder (filter 0 rows, one IDAT) exists so tests can fabricate valid
 PNGs without any external library; PIL remains the full-format path
@@ -113,8 +114,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 raise NotImplementedError(
                     f"color type {color_type} (only grey/grey+alpha/RGB/RGBA)"
                 )
-            if interlace:
-                raise NotImplementedError("Adam7 interlacing")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid interlace method {interlace}")
             if comp or filt:
                 raise ValueError("invalid compression/filter method")
         elif tag == b"IDAT":
@@ -131,13 +132,57 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     bpp = ch * (depth // 8)
     stride = width * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    if not interlace:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("decompressed size mismatch")
+        out, _ = _unfilter(raw, 0, height, stride, bpp)
+    else:
+        # Adam7 (spec 8.2): the stream is seven reduced sub-images, each
+        # independently filtered (prev row resets per pass); pass pixels
+        # scatter back to (x0 + px*dx, y0 + py*dy).  Empty passes
+        # contribute NO bytes, not even filter bytes.
+        out = bytearray(stride * height)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, pos = _unfilter(raw, pos, ph, pw * bpp, bpp)
+            for py in range(ph):
+                src = py * pw * bpp
+                dst = (y0 + py * dy) * stride
+                for px in range(pw):
+                    xd = dst + (x0 + px * dx) * bpp
+                    out[xd:xd + bpp] = sub[src:src + bpp]
+                    src += bpp
+        if pos != len(raw):
+            raise ValueError("decompressed size mismatch")
+    if depth == 16:
+        out = out[0::2]  # big-endian samples: every even byte is the MSB
+    return width, height, ch, bytes(out)
+
+
+#: Adam7 pass origins and steps: (x0, y0, dx, dy), spec 8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter(raw: bytes, pos: int, n_rows: int, stride: int, bpp: int):
+    """Unfilter ``n_rows`` scanlines of ``stride`` bytes starting at
+    ``raw[pos]`` (each prefixed by its filter byte); returns the
+    reconstructed bytes and the position after the last line."""
+    end = pos + (stride + 1) * n_rows
+    if end > len(raw):
         raise ValueError("decompressed size mismatch")
-    out = bytearray(stride * height)
+    out = bytearray(stride * n_rows)
     prev = bytearray(stride)
-    for y in range(height):
-        f = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+    for y in range(n_rows):
+        base = pos + y * (stride + 1)
+        f = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
         if f == 1:  # Sub
             for x in range(bpp, stride):
                 line[x] = (line[x] + line[x - bpp]) & 0xFF
@@ -157,6 +202,4 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"invalid filter byte {f}")
         out[y * stride:(y + 1) * stride] = line
         prev = line
-    if depth == 16:
-        out = out[0::2]  # big-endian samples: every even byte is the MSB
-    return width, height, ch, bytes(out)
+    return out, end

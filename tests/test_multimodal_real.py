@@ -394,3 +394,64 @@ def test_phash_groups_are_byte_distinct_but_perceptually_equal(spark):
     assert len(md5s) >= 2, "shifted variants should be byte-distinct"
     sub = out[out["doc_id"].isin(group)]
     assert sub["phash_hi"].nunique() == 1 and sub["phash_lo"].nunique() == 1
+
+
+def test_png_adam7_interlaced_decodes_pixel_exact(spark):
+    """Adam7 (r10): the JDK PNG writer's interlaced output (progressive
+    write mode) must decode pixel-exactly — PNG is lossless, so every
+    sample must equal the generator's, across shapes that exercise empty
+    and partial passes (1x1 hits only pass 1; odd dims leave ragged pass
+    widths), and the interlaced stream must agree byte-for-byte with the
+    non-interlaced twin's decode."""
+    from edgy_spark.functions.png import decode_png
+
+    jvm = spark._sc._jvm
+
+    def jvm_png(w, h, fn, gray, interlaced):
+        img = jvm.java.awt.image.BufferedImage(w, h, 10 if gray else 1)
+        if gray:
+            raster = img.getRaster()
+            for y in range(h):
+                for x in range(w):
+                    raster.setSample(x, y, 0, fn(x, y))
+        else:
+            for y in range(h):
+                for x in range(w):
+                    r, g, b = fn(x, y)
+                    img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "png"
+        ).next()
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        param = writer.getDefaultWriteParam()
+        if interlaced:
+            param.setProgressiveMode(
+                jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT
+            )
+        writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+        ios.flush()
+        writer.dispose()
+        return bytes(baos.toByteArray())
+
+    for gray in (True, False):
+        fn = (
+            (lambda x, y: (x * 9 + y * 17) % 256)
+            if gray
+            else (lambda x, y: ((x * 9) % 256, (y * 17) % 256, ((x + y) * 5) % 256))
+        )
+        for w, h in ((21, 13), (1, 1), (3, 2), (16, 9)):
+            data = jvm_png(w, h, fn, gray, True)
+            assert data[8 + 8 + 12] == 1  # IHDR interlace byte: Adam7
+            dw, dh, ch, px = decode_png(data)
+            assert (dw, dh) == (w, h)
+            for y in range(h):
+                for x in range(w):
+                    if gray:
+                        assert px[y * w + x] == fn(x, y), (gray, w, h, x, y)
+                    else:
+                        i = (y * w + x) * 3
+                        assert tuple(px[i:i + 3]) == fn(x, y), (w, h, x, y)
+            plain = jvm_png(w, h, fn, gray, False)
+            assert decode_png(plain)[3] == px
