@@ -455,3 +455,35 @@ def test_png_adam7_interlaced_decodes_pixel_exact(spark):
                         assert tuple(px[i:i + 3]) == fn(x, y), (w, h, x, y)
             plain = jvm_png(w, h, fn, gray, False)
             assert decode_png(plain)[3] == px
+
+
+def test_png_adam7_16bit_gray_matches_jvm(spark):
+    """16-bit + Adam7 combined: the per-pass byte filtering uses bpp = 2
+    and the scatter copies 2-byte pixels — the JDK's USHORT_GRAY writer in
+    progressive mode emits exactly this shape, and every decoded MSB must
+    equal the generator's high byte."""
+    from edgy_spark.functions.png import decode_png
+
+    jvm = spark._sc._jvm
+    w, h = 13, 9
+    img = jvm.java.awt.image.BufferedImage(w, h, 11)  # TYPE_USHORT_GRAY
+    raster = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, (x * 4099 + y * 257) % 65536)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
+    writer.dispose()
+    data = bytes(baos.toByteArray())
+    assert data[8 + 8 + 8] == 16 and data[8 + 8 + 12] == 1  # depth, Adam7
+    dw, dh, ch, px = decode_png(data)
+    assert (dw, dh, ch) == (w, h, 1)
+    for y in range(h):
+        for x in range(w):
+            assert px[y * w + x] == ((x * 4099 + y * 257) % 65536) >> 8
