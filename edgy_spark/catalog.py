@@ -153,9 +153,12 @@ def load_all_registrations() -> None:
 #: times; semantics-preserving, but a changed check re-verifies);
 #: (4) backfill with the stalest greens: ALL 30 remaining r06-last-green
 #: queries (the driver has not re-verified them since r06; code unchanged,
-#: but four rounds of engine evolution around them) plus the oldest
-#: r07-last-green entries in registration order (each later r10 addition
-#: evicted the newest r07 backfill).  After this window, no query's last
+#: but four rounds of engine evolution around them).  The r07 backfills
+#: this plan started with were each evicted by a later r10 addition (9
+#: new queries + 2 Adam7-affected PNG queries landed during the round);
+#: the r07-last-green families (sim_*, stream_*, dedup embedding/exact,
+#: graph query patterns, text/multimodal/pipeline r07 greens) are the
+#: r11 rotation's natural backfill.  After this window, no query's last
 #: green predates r07.
 R10_WINDOW: list[str] = [
     # new in r10 — never driver-verified
@@ -215,7 +218,6 @@ R10_WINDOW: list[str] = [
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q20_excess_shippers",
-    # next-stalest: the oldest r07-last-green entries (reg. order)
 ]
 
 

@@ -1183,12 +1183,12 @@ def graph_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm AS (SELECT COUNT(*) AS m2 FROM und),
     l0 AS MATERIALIZED (SELECT node, node AS label FROM deg),
     {",".join(_louvain_sweep_sql(f"l{i}", f"l{i + 1}") for i in range(LOUVAIN_SWEEPS))},
-    fin AS (SELECT node, label FROM l{LOUVAIN_SWEEPS}),
-    intra AS (
+    fin AS MATERIALIZED (SELECT node, label FROM l{LOUVAIN_SWEEPS}),
+    intra AS MATERIALIZED (
       SELECT a.label AS community, COUNT(*) AS in_edges
       FROM edges e JOIN fin a ON e.src = a.node JOIN fin b ON e.dst = b.node
       WHERE a.label = b.label GROUP BY a.label),
-    comm AS (
+    comm AS MATERIALIZED (
       SELECT f.label AS community, COUNT(*) AS size, SUM(d.k) AS k_sum
       FROM fin f JOIN deg d USING (node) GROUP BY f.label),
     tot AS (

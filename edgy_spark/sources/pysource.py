@@ -1122,20 +1122,26 @@ def _current_version(root: str) -> int:
     as GraphStore.current_version)."""
     with open(os.path.join(root, "CURRENT")) as f:
         v = int(f.read().strip())
-    while True:
-        # an empty/unparseable manifest is a ConditionalPutArbiter putter's
-        # in-flight or crashed claim, not a commit (same completeness rule
-        # as GraphStore.current_version)
-        nxt = os.path.join(root, f"manifest.v{v + 1}.json")
-        try:
-            if os.path.getsize(nxt) == 0:
-                break
-            with open(nxt) as f:
-                json.load(f)
-        except (OSError, json.JSONDecodeError, UnicodeDecodeError):
-            break
+    while manifest_is_complete(os.path.join(root, f"manifest.v{v + 1}.json")):
         v += 1
     return v
+
+
+def manifest_is_complete(path: str) -> bool:
+    """True iff ``path`` holds a COMPLETE manifest.  An empty or
+    unparseable file is a ConditionalPutArbiter putter's in-flight or
+    crashed claim, not a commit — the ONE completeness rule shared by the
+    engine's and this DataSource's roll-forward (review r10c: two
+    divergent copies would let the reader and the engine disagree about
+    the current version)."""
+    try:
+        if os.path.getsize(path) == 0:
+            return False
+        with open(path) as f:
+            json.load(f)
+        return True
+    except (OSError, json.JSONDecodeError, UnicodeDecodeError):
+        return False
 
 
 def _publish_current(root: str, version: int) -> None:

@@ -473,7 +473,23 @@ class GraphStore:
                 # match); a session that declared nothing ADOPTS the
                 # winner's — never silently enforcing (or later
                 # re-publishing) an empty set over a persisted declaration
-                # (review r10).
+                # (review r10).  Under ConditionalPutArbiter the winner's
+                # v0 may be a still-empty claim for a moment — wait for it
+                # to become COMPLETE before reading (review r10c).
+                from edgy_spark.sources.pysource import manifest_is_complete
+
+                import time as _time
+
+                for _ in range(100):
+                    if manifest_is_complete(self._manifest_path(0)):
+                        break
+                    _time.sleep(0.05)
+                else:
+                    raise ConflictError(
+                        "bootstrap race: the winning session's manifest.v0 "
+                        "never became readable — crashed mid-write? retry "
+                        "opening the store"
+                    )
                 if self._checks_declared:
                     self._sync_declared_checks()
                 else:
@@ -605,22 +621,14 @@ class GraphStore:
         with open(self._current_path) as f:
             v = int(f.read().strip())
 
-        def _complete(path: str) -> bool:
-            # an empty or UNPARSEABLE manifest is a ConditionalPutArbiter
-            # putter's in-flight/crashed claim, not a commit — roll-forward
-            # must not adopt it (the hard-link path never exposes one; the
-            # parse runs only when a newer manifest actually exists, review
-            # r10b: non-empty-but-truncated torsos wedged the adopt)
-            try:
-                if os.path.getsize(path) == 0:
-                    return False
-                with open(path) as f:
-                    json.load(f)
-                return True
-            except (OSError, json.JSONDecodeError, UnicodeDecodeError):
-                return False
+        # roll-forward must not adopt a ConditionalPutArbiter putter's
+        # in-flight/crashed claim (the hard-link path never exposes one;
+        # the parse runs only when a newer manifest actually exists —
+        # review r10b: non-empty-but-truncated torsos wedged the adopt).
+        # ONE completeness rule, shared with the DataSource reader.
+        from edgy_spark.sources.pysource import manifest_is_complete
 
-        while _complete(self._manifest_path(v + 1)):
+        while manifest_is_complete(self._manifest_path(v + 1)):
             v += 1
         return v
 
