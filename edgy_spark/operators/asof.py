@@ -1041,6 +1041,9 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CUSUM changepoint detection (exact integer arithmetic)
 # ---------------------------------------------------------------------------
 
+CUSUM_CHUNKS = 64
+"""Ordered time-range chunks per event type for the parallel prefix."""
+
 
 @register(
     "events_cusum_changepoint",
@@ -1091,9 +1094,25 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38)/HUGEINT so n * prefix cannot overflow the 64-bit lane at
     any scale.
 
-    Scale: one shuffle on event_type (the ordering window's partition
-    key); prefix/total/count share it; the argmax is a per-type window —
-    no global sort, no collect.
+    Scale — parallel-prefix decomposition, never a per-type serial scan:
+    event types are a tiny vocabulary, so a running-sum window partitioned
+    on event_type alone would pull each type's ENTIRE history into one
+    task.  Instead each series is cut into CUSUM_CHUNKS ordered time-range
+    chunks (chunk id is a pure map-side function of ts, monotone in ts, so
+    (chunk, ts, event_id) order == (ts, event_id) order):
+
+      1. per-chunk sums/counts via a map-side-combinable groupBy
+         (types × chunks rows — tiny);
+      2. exclusive cumulative offsets per type over that tiny table
+         (the only window keyed on event_type alone — dimension-sized
+         input), broadcast back onto the events;
+      3. in-chunk running prefix + row_number under a window keyed on
+         (event_type, chunk) — parallelism = types × CUSUM_CHUNKS;
+      4. per-chunk argmax of |d| (same key), then the global per-type
+         argmax over the chunk winners (types × chunks rows).
+
+    The chunk-winner reduction is exact: the global argmax row is its own
+    chunk's max-|d|/min-event_id row, so it survives step 4's first cut.
     """
     ev = load(spark, sf_dir, "events")
     d38 = "decimal(38,0)"
@@ -1101,31 +1120,66 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         "ts",
+        F.unix_micros("ts").alias("us"),
         (dec("value", 2, 18) * 100).cast(d38).alias("v"),
     )
-    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy("event_type")
-    pre = cents.select(
+    spans = cents.groupBy("event_type").agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    )
+    chunked = cents.join(F.broadcast(spans), "event_type").withColumn(
+        "chunk",
+        F.expr(
+            f"CAST((us - lo) * {CUSUM_CHUNKS} DIV (hi - lo + 1) AS INT)"
+        ),
+    )
+    per_chunk = chunked.groupBy("event_type", "chunk").agg(
+        F.sum("v").alias("csum"),
+        F.count(F.lit(1)).cast(d38).alias("ccnt"),
+    )
+    zero = F.lit(0).cast(d38)
+    w_chunks = Window.partitionBy("event_type").orderBy("chunk")
+    w_prior = w_chunks.rowsBetween(Window.unboundedPreceding, -1)
+    w_type = Window.partitionBy("event_type")
+    offsets = per_chunk.select(
+        "event_type",
+        "chunk",
+        F.coalesce(F.sum("csum").over(w_prior), zero).alias("p_off"),
+        F.coalesce(F.sum("ccnt").over(w_prior), zero).alias("i_off"),
+        F.sum("csum").over(w_type).alias("tot"),
+        F.sum("ccnt").over(w_type).alias("n"),
+    )
+    w_in = Window.partitionBy("event_type", "chunk").orderBy("ts", "event_id")
+    w_run = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    pre = chunked.join(F.broadcast(offsets), ["event_type", "chunk"]).select(
         "event_type",
         "event_id",
-        F.row_number().over(w_ord).cast(d38).alias("i"),
-        F.sum("v").over(w_run).alias("p"),
-        F.sum("v").over(w_all).alias("tot"),
-        F.count(F.lit(1)).over(w_all).cast(d38).alias("n"),
+        "chunk",
+        (F.col("i_off") + F.row_number().over(w_in).cast(d38)).alias("i"),
+        (F.col("p_off") + F.sum("v").over(w_run)).alias("p"),
+        "tot",
+        "n",
     )
     dev = pre.select(
         "event_type",
         "event_id",
+        "chunk",
         "i",
         "n",
         (F.col("n") * F.col("p") - F.col("i") * F.col("tot")).alias("d"),
+    )
+    w_cbest = Window.partitionBy("event_type", "chunk").orderBy(
+        F.abs(F.col("d")).desc(), F.asc("event_id")
+    )
+    winners = (
+        dev.withColumn("rk", F.row_number().over(w_cbest))
+        .filter(F.col("rk") == 1)
+        .drop("rk", "chunk")
     )
     w_best = Window.partitionBy("event_type").orderBy(
         F.abs(F.col("d")).desc(), F.asc("event_id")
     )
     return (
-        dev.withColumn("rk", F.row_number().over(w_best))
+        winners.withColumn("rk", F.row_number().over(w_best))
         .filter(F.col("rk") == 1)
         .select(
             "event_type",

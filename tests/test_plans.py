@@ -606,3 +606,23 @@ def test_knn_eval_broadcast_probes_window_limit(spark):
     # under a rank pushdown, never a global sort of all similarities
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_cusum_prefix_parallel_by_chunk(spark):
+    """The CUSUM running prefix must NOT serialize each event type into
+    one task: every ordered window that scans the raw event rows (spec
+    orders by ts) has to be keyed on (event_type, chunk) so parallelism
+    is types x CUSUM_CHUNKS, not #types.  Windows keyed on event_type
+    alone are allowed only over the dimension-sized per-chunk/per-winner
+    tables (no ts in their spec)."""
+    plan = _plan(spark, "events_cusum_changepoint")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    row_specs = [s for s in specs if "ts#" in s]
+    assert row_specs, "no row-level ordered window found"
+    for s in row_specs:
+        assert "chunk#" in s, f"row-level window not chunk-keyed: {s}"
+    # per-chunk sums combine map-side; chunk offsets broadcast back
+    assert "partial_sum" in plan
+    assert "BroadcastExchange" in plan
+    # both argmax stages run under a rank pushdown, never a full sort
+    assert "WindowGroupLimit" in plan
