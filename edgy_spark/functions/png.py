@@ -12,13 +12,19 @@ Scope (deliberately bounded, stated loudly):
   statistics; note the spec's exact 16->8 rescale rounds, so the JVM
   cross-validation compares the 16-bit raster's high byte, not
   ImageIO's own rounded 8-bit conversion);
+- indexed-colour / palette (color type 3 — r11) at bit depths 1/2/4/8:
+  PLTE lookup plus optional tRNS per-entry alpha (output is RGB, or RGBA
+  when tRNS is present; short tRNS entries default to opaque, per spec
+  11.3.2); sub-byte indices are packed MSB-first within each scanline
+  byte and every scanline's last byte is zero-padded (spec 7.2);
 - all five scanline filters (None/Sub/Up/Average/Paeth) — the part of the
   format that is genuinely easy to get wrong, so it is cross-validated
   against the JVM's independent ``javax.imageio`` decoder in
   tests/test_multimodal_real.py;
 - Adam7 interlacing (r10): the seven reduced sub-images are unfiltered
-  independently and scattered back, per spec 8.2;
-- no palette, no ancillary-chunk interpretation (skipped, per spec).
+  independently and scattered back, per spec 8.2 (each pass's scanlines
+  are bit-packed and padded independently for palette depths);
+- no ancillary-chunk interpretation beyond tRNS (skipped, per spec).
 
 The encoder (filter 0 rows, one IDAT) exists so tests can fabricate valid
 PNGs without any external library; PIL remains the full-format path
@@ -31,11 +37,37 @@ import struct
 import zlib
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
-# samples per pixel by color type
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# samples per pixel by color type (3 = palette: one index "sample")
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # bit depths handled; 16-bit filtering works on BYTES with the pixel
-# offset widened to channels * 2, per spec
+# offset widened to channels * 2, per spec.  Palette PNGs (type 3) allow
+# the sub-byte depths and forbid 16 (spec table 11.1).
 _DEPTHS = (8, 16)
+_PALETTE_DEPTHS = (1, 2, 4, 8)
+
+
+def _pack_indices(row: bytes, depth: int) -> bytes:
+    """Pack one index per byte into a palette scanline: ``8 // depth``
+    indices per byte, MSB-first, final byte zero-padded (spec 7.2)."""
+    if depth == 8:
+        return bytes(row)
+    per = 8 // depth
+    out = bytearray((len(row) + per - 1) // per)
+    for x, v in enumerate(row):
+        out[x // per] |= v << (8 - depth * (x % per + 1))
+    return bytes(out)
+
+
+def _unpack_indices(line: bytes, width: int, depth: int) -> bytes:
+    """Inverse of :func:`_pack_indices` for the first ``width`` pixels."""
+    if depth == 8:
+        return bytes(line[:width])
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    return bytes(
+        (line[x // per] >> (8 - depth * (x % per + 1))) & mask
+        for x in range(width)
+    )
 
 
 def encode_png(
@@ -44,18 +76,41 @@ def encode_png(
     rows: list[bytes],
     color_type: int = 2,
     depth: int = 8,
+    palette: bytes | None = None,
+    trns: bytes | None = None,
 ) -> bytes:
     """Encode scanlines (``rows[y]`` = packed samples for row y; big-endian
-    2-byte samples when ``depth=16``) as a valid PNG: IHDR + one zlib IDAT
-    with filter byte 0 per row + IEND."""
+    2-byte samples when ``depth=16``; for palette images ONE INDEX BYTE
+    per pixel — the encoder bit-packs sub-byte depths itself) as a valid
+    PNG: IHDR [+ PLTE [+ tRNS]] + one zlib IDAT with filter byte 0 per
+    row + IEND."""
     ch = _CHANNELS[color_type]
-    if depth not in _DEPTHS:
-        raise ValueError(f"bit depth {depth} (one of {_DEPTHS})")
+    if color_type == 3:
+        if depth not in _PALETTE_DEPTHS:
+            raise ValueError(f"palette bit depth {depth} (one of {_PALETTE_DEPTHS})")
+        if not palette or len(palette) % 3 or len(palette) > 3 * (1 << depth):
+            raise ValueError("palette PNG needs a PLTE of 3-byte entries")
+        if trns is not None and len(trns) > len(palette) // 3:
+            raise ValueError("tRNS longer than the palette")
+    else:
+        if depth not in _DEPTHS:
+            raise ValueError(f"bit depth {depth} (one of {_DEPTHS})")
+        if palette is not None or trns is not None:
+            raise ValueError("PLTE/tRNS only valid for color type 3 here")
     if width <= 0 or height <= 0:
         raise ValueError("zero-dimension PNG")
-    stride = width * ch * (depth // 8)
-    if len(rows) != height or any(len(r) != stride for r in rows):
-        raise ValueError("rows do not match width/height/color_type/depth")
+    if color_type == 3:
+        if len(rows) != height or any(len(r) != width for r in rows):
+            raise ValueError("palette rows must hold one index byte per pixel")
+        n_entries = len(palette) // 3
+        if any(v >= n_entries for r in rows for v in r):
+            raise ValueError("palette index out of range")
+        packed = [_pack_indices(r, depth) for r in rows]
+    else:
+        stride = width * ch * (depth // 8)
+        if len(rows) != height or any(len(r) != stride for r in rows):
+            raise ValueError("rows do not match width/height/color_type/depth")
+        packed = [bytes(r) for r in rows]
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         return (
@@ -64,12 +119,14 @@ def encode_png(
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + r for r in rows)
+    raw = b"".join(b"\x00" + r for r in packed)
+    body = chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        body += chunk(b"PLTE", palette)
+        if trns is not None:
+            body += chunk(b"tRNS", trns)
     return (
-        _SIGNATURE
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        _SIGNATURE + body + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
     )
 
 
@@ -85,14 +142,17 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG into ``(width, height, channels, pixels)`` with
     ``pixels`` = unfiltered 8-bit samples, row-major, ``width * channels``
     bytes per row (16-bit sources yield each sample's most-significant
-    byte — see module docstring).  Raises ValueError on malformed input
-    and NotImplementedError on spec features outside the documented
-    scope."""
+    byte — see module docstring; palette sources are expanded through
+    PLTE to RGB, or RGBA when a tRNS chunk is present).  Raises
+    ValueError on malformed input and NotImplementedError on spec
+    features outside the documented scope."""
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     i, n = 8, len(data)
     width = height = None
     color_type = depth = None
+    palette: bytes | None = None
+    trns: bytes | None = None
     idat = bytearray()
     while i + 8 <= n:
         (length,) = struct.unpack(">I", data[i:i + 4])
@@ -108,24 +168,41 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 # invalid per spec — and downstream pixel math (mean luma)
                 # divides by w*h, so reject here with the documented error
                 raise ValueError("zero-dimension PNG")
-            if depth not in _DEPTHS:
+            if color_type == 3:
+                if depth not in _PALETTE_DEPTHS:
+                    raise ValueError(
+                        f"palette bit depth {depth} (spec allows {_PALETTE_DEPTHS})"
+                    )
+            elif depth not in _DEPTHS:
                 raise NotImplementedError(f"bit depth {depth} (only {_DEPTHS})")
             if color_type not in _CHANNELS:
                 raise NotImplementedError(
-                    f"color type {color_type} (only grey/grey+alpha/RGB/RGBA)"
+                    f"color type {color_type} (only grey/palette/grey+alpha/RGB/RGBA)"
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"invalid interlace method {interlace}")
             if comp or filt:
                 raise ValueError("invalid compression/filter method")
+        elif tag == b"PLTE":
+            if length == 0 or length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = payload
+        elif tag == b"tRNS":
+            trns = payload
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
             break
-        # ancillary chunks: skipped, per spec
+        # other ancillary chunks: skipped, per spec
         i += 12 + length
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return _decode_palette(
+            bytes(idat), width, height, depth, interlace, palette, trns
+        )
     ch = _CHANNELS[color_type]
     # filters operate on bytes with the "previous pixel" offset equal to
     # the pixel's BYTE width (spec: bpp rounded up to whole bytes)
@@ -168,6 +245,62 @@ _ADAM7 = [
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
 ]
+
+
+def _decode_palette(
+    idat: bytes,
+    width: int,
+    height: int,
+    depth: int,
+    interlace: int,
+    palette: bytes,
+    trns: bytes | None,
+) -> tuple[int, int, int, bytes]:
+    """Decode a color-type-3 stream: unfilter (bpp = 1 — filters see the
+    packed BYTES, spec 9.2), unpack the MSB-first sub-byte indices per
+    scanline (each scanline — including each Adam7 pass's — is padded to
+    a whole byte independently, spec 7.2), then expand through PLTE
+    (+ tRNS alpha; entries beyond tRNS's length are opaque, 11.3.2)."""
+    raw = zlib.decompress(idat)
+    idx = bytearray(width * height)
+    if not interlace:
+        stride = (width * depth + 7) // 8
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("decompressed size mismatch")
+        lines, _ = _unfilter(raw, 0, height, stride, 1)
+        for y in range(height):
+            idx[y * width:(y + 1) * width] = _unpack_indices(
+                lines[y * stride:(y + 1) * stride], width, depth
+            )
+    else:
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = (pw * depth + 7) // 8
+            sub, pos = _unfilter(raw, pos, ph, pstride, 1)
+            for py in range(ph):
+                line = _unpack_indices(
+                    sub[py * pstride:(py + 1) * pstride], pw, depth
+                )
+                dst = (y0 + py * dy) * width
+                for px in range(pw):
+                    idx[dst + x0 + px * dx] = line[px]
+        if pos != len(raw):
+            raise ValueError("decompressed size mismatch")
+    n_entries = len(palette) // 3
+    if max(idx, default=0) >= n_entries:
+        raise ValueError("palette index out of range")
+    ch = 3 if trns is None else 4
+    out = bytearray(width * height * ch)
+    for p, v in enumerate(idx):
+        o, e = p * ch, v * 3
+        out[o:o + 3] = palette[e:e + 3]
+        if ch == 4:
+            out[o + 3] = trns[v] if v < len(trns) else 255
+    return width, height, ch, bytes(out)
 
 
 def _unfilter(raw: bytes, pos: int, n_rows: int, stride: int, bpp: int):

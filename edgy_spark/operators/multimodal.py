@@ -672,6 +672,105 @@ def multimodal_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@register(
+    "multimodal_png_palette_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      doc_id % 17 + 2 AS w,
+                      (doc_id * 5) % 13 + 2 AS h,
+                      CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+                                      WHEN 2 THEN 16 ELSE 256 END AS n
+               FROM documents),
+    px AS (SELECT d.doc_id, d.w, d.h,
+                  (d.doc_id + t.i * 13) % d.n AS v
+           FROM d, generate_series(0, 18 * 14 - 1) AS t(i)
+           WHERE t.i < d.w * d.h),
+    s AS (SELECT doc_id, w, h,
+                 SUM(299 * ((doc_id * 7 + v * 13) % 256)
+                   + 587 * ((doc_id * 11 + v * 29) % 256)
+                   + 114 * ((doc_id * 3 + v * 47) % 256)) AS total
+          FROM px GROUP BY doc_id, w, h)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(total // (1000 * w * h) AS BIGINT) AS mean_luma
+    FROM s
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode", "palette"),
+)
+def multimodal_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEXED-COLOUR (palette, color type 3) PNG decode under the
+    driver's value-hash gate — the last common web-corpus PNG flavor the
+    codec matrix rejected (r10 verdict #1).  Each document defines a
+    palette image: bit depth cycles 1/2/4/8 with doc_id%4 (so every
+    sub-byte MSB-first unpack path executes), palette entry j is an RGB
+    triple derived from (doc_id, j), pixel p's index is
+    (doc_id + p*13) % n_entries, and every third document carries a
+    partial tRNS chunk (exercising the RGBA expansion + opaque-default
+    tail, spec 11.3.2 — the Rec.601 luma ignores alpha, so the oracle is
+    depth- and alpha-invariant).  The bytes are ENCODED as genuine
+    bit-packed PNGs and DECODED back through PLTE expansion by the
+    from-spec codec (functions/png.py) inside Arrow-batched
+    ``mapInPandas``; the oracle recomputes the luma from the index
+    formula directly, so an error anywhere in the packing, filtering,
+    PLTE lookup, or tRNS handling breaks the hash.  JDK-written palette
+    PNGs (incl. Adam7-interlaced) are cross-validated against
+    javax.imageio in tests/test_multimodal_real.py.
+
+    Scale: identical to the other codec queries — pixels never leave the
+    executors; exchanged rows are (doc_id, 3 small ints).
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import png as _png
+
+    cloudpickle.register_pickle_by_value(_png)
+    encode_png = _png.encode_png
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = i % 17 + 2, (i * 5) % 13 + 2
+                depth = (1, 2, 4, 8)[i % 4]
+                n = 1 << depth
+                pal = bytes(
+                    c
+                    for j in range(n)
+                    for c in (
+                        (i * 7 + j * 13) % 256,
+                        (i * 11 + j * 29) % 256,
+                        (i * 3 + j * 47) % 256,
+                    )
+                )
+                rows = [
+                    bytes((i + (y * w + x) * 13) % n for x in range(w))
+                    for y in range(h)
+                ]
+                trns = (
+                    bytes((i + v * 17) % 256 for v in range((n + 1) // 2))
+                    if i % 3 == 0
+                    else None
+                )
+                media.append(
+                    encode_png(
+                        w, h, rows, color_type=3, depth=depth,
+                        palette=pal, trns=trns,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    return (
+        decode_features_png(media_df)
+        .select("doc_id", "width", "height", "mean_luma")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # real audio decode (pure-stdlib WAV codec, functions/wav.py)
 # ---------------------------------------------------------------------------

@@ -1609,13 +1609,18 @@ def read_store_table(spark, root: str, table: str, version: int | None = None):
     """
     from pyspark.sql import functions as F
 
-    reader = spark.read.format("edgy").option("root", root).option(
-        "table", table
-    )
-    if version is not None:
-        reader = reader.option("version", str(version))
-    df = reader.load()
+    # resolve the version ONCE and pin the scan to it explicitly: a commit
+    # landing between "stats lookup" and "scan resolves CURRENT" would
+    # otherwise attach another version's {rows, bytes} to this plan's
+    # broadcast decision (review r11 ADVICE)
     v = version if version is not None else _current_version(root)
+    df = (
+        spark.read.format("edgy")
+        .option("root", root)
+        .option("table", table)
+        .option("version", str(v))
+        .load()
+    )
     try:
         with open(os.path.join(root, f"manifest.v{v}.json")) as f:
             stats = (json.load(f).get("stats") or {}).get(table)

@@ -215,9 +215,18 @@ class ConditionalPutArbiter(CommitArbiter):
     and (b) a putter finding an EMPTY file older than the grace period
     reclaims a crashed attempt's slot instead of wedging the version
     forever (review r10).  A live putter's open→write window is
-    microseconds; the grace period keeps reclaim from racing it."""
+    microseconds, and it holds a shared flock on the fd for the whole
+    write, so a reclaimer (LOCK_EX|LOCK_NB) can never interleave with a
+    LIVE putter no matter how long it stalls — the grace period only
+    gates reclaim of claims whose putter is GONE (crashed: the kernel
+    dropped its lock).  ``reclaim_after_s`` is tunable for deployments
+    whose writers legitimately stall (NFS, debuggers) — review r11."""
 
     RECLAIM_AFTER_S = 60.0
+
+    def __init__(self, reclaim_after_s: float | None = None) -> None:
+        if reclaim_after_s is not None:
+            self.RECLAIM_AFTER_S = float(reclaim_after_s)
 
     def put_if_absent(self, path: str, payload: str) -> bool:
         data = payload.encode()
@@ -230,13 +239,19 @@ class ConditionalPutArbiter(CommitArbiter):
 
     @staticmethod
     def _write_all(fd: int, data: bytes) -> None:
+        import fcntl
+
         try:
+            # shared lock for the write's duration: serializes against a
+            # reclaimer's LOCK_EX so a stalled-but-alive putter and a
+            # reclaimer can never interleave writes into one inode
+            fcntl.flock(fd, fcntl.LOCK_SH)
             off = 0
             while off < len(data):
                 off += os.write(fd, data[off:])
             os.fsync(fd)
         finally:
-            os.close(fd)
+            os.close(fd)  # releases the flock
 
     def _reclaim_crashed_claim(self, path: str, data: bytes) -> bool:
         """The slot exists.  If it holds a COMPLETE manifest, lose.  If it
@@ -464,8 +479,9 @@ class GraphStore:
                     "checks": dict(self.check_constraints),
                 }
             )
-            self._publish(0)
-            if not won:
+            if won:
+                self._publish(0)
+            else:
                 # bootstrap race LOST: v0 embeds the winner's declaration,
                 # which may differ.  A session that declared checks
                 # persists ITS set (the manifest is the enforcement source
@@ -490,6 +506,15 @@ class GraphStore:
                         "never became readable — crashed mid-write? retry "
                         "opening the store"
                     )
+                # publish the pointer only now that v0 is COMPLETE, and
+                # only if the winner has not already published (it may
+                # even have advanced CURRENT past 0 — never regress a
+                # pointer we did not win; the winner crashing before ITS
+                # publish is the one case the loser must cover, review
+                # r11 ADVICE).  CURRENT stays a cache either way:
+                # current_version rolls forward past any stale value.
+                if not os.path.exists(self._current_path):
+                    self._publish(0)
                 if self._checks_declared:
                     self._sync_declared_checks()
                 else:
@@ -1383,10 +1408,25 @@ class GraphStore:
             "cloned_from": {"root": self.root, "version": snap.version},
         }
         if not self.commit_arbiter.put_if_absent(v0_path, json.dumps(manifest)):
+            # accurate recovery guidance per arbiter: only ConditionalPut
+            # reclaims crashed claims after a grace period; HardLink has no
+            # reclaim, so residue must be removed by hand or the target
+            # wedges forever with misleading advice (review r11)
+            if isinstance(self.commit_arbiter, ConditionalPutArbiter):
+                hint = (
+                    "retry after the reclaim grace period "
+                    f"({self.commit_arbiter.RECLAIM_AFTER_S:.0f}s), or "
+                    "remove it"
+                )
+            else:
+                hint = (
+                    "this arbiter has no crash reclaim — remove the "
+                    "target's manifest.v0.json manually if the prior "
+                    "attempt is dead"
+                )
             raise ValueError(
                 f"clone target {new_root!r} holds an in-flight or crashed "
-                "clone attempt — retry after the reclaim grace period, or "
-                "remove it"
+                f"clone attempt — {hint}"
             )
         return _open_clone()
 
