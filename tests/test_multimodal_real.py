@@ -487,3 +487,131 @@ def test_png_adam7_16bit_gray_matches_jvm(spark):
     for y in range(h):
         for x in range(w):
             assert px[y * w + x] == ((x * 4099 + y * 257) % 65536) >> 8
+
+
+def test_png_palette_roundtrip_all_depths():
+    """Palette (color type 3, r11): encode→decode at every legal palette
+    depth must expand each MSB-first-packed index through PLTE to the
+    exact RGB triple.  Widths are chosen so the final scanline byte is
+    partially filled at every sub-byte depth (padding path, spec 7.2)."""
+    from edgy_spark.functions.png import decode_png, encode_png
+
+    for depth, w, h in ((1, 9, 4), (2, 5, 3), (4, 3, 6), (8, 7, 2)):
+        n = 1 << depth
+        pal = bytes(
+            c for j in range(n) for c in ((j * 37) % 256, (j * 59) % 256, (j * 83) % 256)
+        )
+        rows = [bytes((x + y * 3) % n for x in range(w)) for y in range(h)]
+        dw, dh, ch, px = decode_png(
+            encode_png(w, h, rows, color_type=3, depth=depth, palette=pal)
+        )
+        assert (dw, dh, ch) == (w, h, 3), depth
+        for y in range(h):
+            for x in range(w):
+                j = (x + y * 3) % n
+                i = (y * w + x) * 3
+                assert tuple(px[i:i + 3]) == tuple(pal[j * 3:j * 3 + 3]), (depth, x, y)
+
+
+def test_png_palette_trns_alpha_expansion():
+    """A partial tRNS chunk gives per-entry alpha for its prefix and
+    opaque (255) for every later entry (spec 11.3.2); output becomes
+    4-channel RGBA."""
+    from edgy_spark.functions.png import decode_png, encode_png
+
+    pal = bytes(c for j in range(4) for c in (j * 10, j * 20, j * 30))
+    trns = bytes([0, 128])  # entries 2 and 3 default opaque
+    rows = [bytes([0, 1, 2, 3]), bytes([3, 2, 1, 0])]
+    dw, dh, ch, px = decode_png(
+        encode_png(4, 2, rows, color_type=3, depth=2, palette=pal, trns=trns)
+    )
+    assert (dw, dh, ch) == (4, 2, 4)
+    for p, j in enumerate([0, 1, 2, 3, 3, 2, 1, 0]):
+        want = (j * 10, j * 20, j * 30, trns[j] if j < 2 else 255)
+        assert tuple(px[p * 4:p * 4 + 4]) == want, p
+
+
+def test_png_palette_validation_errors():
+    """Malformed palette inputs raise the documented ValueErrors: an
+    index past the PLTE, a missing PLTE, a 16-bit palette depth."""
+    import pytest as _pytest
+
+    from edgy_spark.functions.png import decode_png, encode_png
+
+    pal = bytes(range(12))  # 4 entries
+    with _pytest.raises(ValueError, match="index out of range"):
+        encode_png(2, 1, [bytes([0, 7])], color_type=3, depth=2, palette=pal)
+    with _pytest.raises(ValueError, match="bit depth"):
+        encode_png(2, 1, [bytes([0, 1])], color_type=3, depth=16, palette=pal)
+    ok = encode_png(2, 1, [bytes([0, 1])], color_type=3, depth=2, palette=pal)
+    # strip the PLTE chunk: palette stream without a palette must raise
+    import struct as _struct
+
+    i, out = 8, bytearray(ok[:8])
+    while i < len(ok):
+        (ln,) = _struct.unpack(">I", ok[i:i + 4])
+        if ok[i + 4:i + 8] != b"PLTE":
+            out.extend(ok[i:i + 12 + ln])
+        i += 12 + ln
+    with _pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(bytes(out))
+
+
+def _jvm_indexed_png(jvm, w, h, bits, pal_rgb, idx_fn, interlaced):
+    """Write an indexed-color PNG with the JDK: an IndexColorModel of
+    ``2**bits`` entries over a TYPE_BYTE_BINARY/TYPE_BYTE_INDEXED raster.
+    The JDK PNG writer emits color type 3 at the model's bit depth."""
+    n = 1 << bits
+    r = bytearray(pal_rgb[j * 3] for j in range(n))
+    g = bytearray(pal_rgb[j * 3 + 1] for j in range(n))
+    b = bytearray(pal_rgb[j * 3 + 2] for j in range(n))
+    icm = jvm.java.awt.image.IndexColorModel(bits, n, r, g, b)
+    # TYPE_BYTE_BINARY covers 1/2/4-bit rasters; TYPE_BYTE_INDEXED is 8
+    img_type = 13 if bits == 8 else 12
+    img = jvm.java.awt.image.BufferedImage(w, h, img_type, icm)
+    raster = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, idx_fn(x, y))
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    param = writer.getDefaultWriteParam()
+    if interlaced:
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
+    writer.dispose()
+    return bytes(baos.toByteArray())
+
+
+def test_png_palette_matches_jvm_imageio(spark):
+    """Cross-engine oracle for indexed color: the JDK's own PNG writer
+    produces the palette stream (PLTE + sub-byte packing chosen by the
+    JDK, not by our encoder), at 2/4/8-bit depths, plain AND
+    Adam7-interlaced — our decoder must reproduce getRGB everywhere."""
+    from edgy_spark.functions.png import decode_png
+
+    jvm = spark._sc._jvm
+    for bits, w, h in ((2, 9, 5), (4, 11, 7), (8, 13, 6)):
+        n = 1 << bits
+        pal = bytes(
+            c for j in range(n) for c in ((j * 41 + 7) % 256, (j * 67 + 11) % 256, (j * 29 + 3) % 256)
+        )
+        idx_fn = lambda x, y: (x * 3 + y * 5) % n  # noqa: E731
+        for interlaced in (False, True):
+            data = _jvm_indexed_png(jvm, w, h, bits, pal, idx_fn, interlaced)
+            # IHDR: color type 3 at the model's depth; interlace as asked
+            assert data[8 + 8 + 9] == 3 and data[8 + 8 + 8] == bits
+            assert data[8 + 8 + 12] == (1 if interlaced else 0)
+            dw, dh, ch, px = decode_png(data)
+            assert (dw, dh, ch) == (w, h, 3), (bits, interlaced)
+            bais = jvm.java.io.ByteArrayInputStream(data)
+            img = jvm.javax.imageio.ImageIO.read(bais)
+            for y in range(h):
+                for x in range(w):
+                    argb = img.getRGB(x, y)
+                    want = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
+                    i = (y * w + x) * 3
+                    assert tuple(px[i:i + 3]) == want, (bits, interlaced, x, y)
