@@ -1427,3 +1427,284 @@ def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# provenance dedup: canonical URLs + per-host caps (r11)
+# ---------------------------------------------------------------------------
+
+#: per-host document cap for pipeline_host_cap_sample (C4/RefinedWeb-style
+#: domain caps: no single host may dominate the training mix)
+HOST_CAP = 10
+
+#: query parameters stripped by URL canonicalization — campaign tags and
+#: click identifiers that vary per crawl visit without changing content
+_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def _raw_url() -> Column:
+    """Deterministic raw URL synthesized in-row from ``doc_id`` (the
+    documents table carries no URL column; same synthesis pattern as the
+    codec queries).  ``g = doc_id % 211`` fixes the CANONICAL identity
+    (scheme, host, non-default port, path, real params) so ~2.4 docs per
+    group collide after canonicalization, while everything a canonicalizer
+    must strip — host case, default ports, tracking params, param order,
+    fragments, trailing slashes — varies per ``doc_id``.  The oracle
+    rebuilds the identical string in SQL, so the canonicalizer itself is
+    what the value-hash checks."""
+    d = F.col("doc_id")
+    g = d % 211
+    scheme = F.when(g % 2 == 1, F.lit("https")).otherwise(F.lit("http"))
+    hostbase = F.concat(F.lit("www.site"), (g % 13).cast("string"), F.lit(".example"))
+    host_raw = (
+        F.when(d % 3 == 0, F.upper(hostbase))
+        .when(d % 3 == 1, F.replace(hostbase, F.lit("site"), F.lit("SITE")))
+        .otherwise(hostbase)
+    )
+    port_raw = (
+        F.when(g % 5 == 0, F.lit(":8080"))
+        .when((d % 2 == 0) & (g % 2 == 1), F.lit(":443"))
+        .when(d % 2 == 0, F.lit(":80"))
+        .otherwise(F.lit(""))
+    )
+    path_raw = F.concat(
+        F.lit("/p"), (g % 7).cast("string"),
+        F.lit("/doc"), (g % 11).cast("string"),
+        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    real = F.concat(
+        F.lit("&id="), (g % 9).cast("string"),
+        F.when(g % 3 == 0, F.concat(F.lit("&page="), (g % 4).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    tracking = F.concat(
+        F.when(d % 2 == 0, F.concat(F.lit("&utm_source=s"), (d % 23).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit("&fbclid=f"), d.cast("string")))
+        .otherwise(F.lit("")),
+    )
+    qs = F.when(d % 4 < 2, F.concat(tracking, real)).otherwise(F.concat(real, tracking))
+    frag = (
+        F.when(d % 4 == 0, F.concat(F.lit("#sec"), (d % 6).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
+        scheme, F.lit("://"), host_raw, port_raw, path_raw,
+        F.lit("?"), F.substring(qs, 2, 1_000_000), frag,
+    )
+
+
+def _canonical_parts(url: Column) -> tuple[Column, Column]:
+    """``(canonical_url, host)`` from a raw URL string — the actual
+    canonicalization under test, all JVM-side built-ins (zero Python in
+    the row path): drop the fragment, lowercase scheme + host, strip
+    scheme-default ports (http:80 / https:443), trim trailing slashes,
+    drop tracking params, and sort the survivors so param order never
+    splits a dup group."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z]+://([^/?:]*)", 1))
+    port = F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/?:]*:([0-9]+)", 1)
+    path = F.regexp_replace(
+        F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/?]*([^?]*)", 1), r"/+$", ""
+    )
+    qs = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    keep = F.filter(
+        F.split(qs, "&"), lambda p: (p != "") & ~p.rlike(_TRACKING_RE)
+    )
+    params = F.array_join(F.array_sort(keep), "&")
+    canon_port = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    canonical = F.concat(
+        scheme, F.lit("://"), host, canon_port, path,
+        F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)),
+    )
+    return canonical, host
+
+
+def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, canonical_url, host)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    canonical, host = _canonical_parts(_raw_url())
+    return d.select("doc_id", canonical.alias("canonical_url"), host.alias("host"))
+
+
+#: DuckDB mirror of _raw_url + _canonical_parts, ending at the ``curl``
+#: CTE (doc_id, canonical_url, host) — queries append their own SELECT.
+_URL_BASE_SQL = r"""
+    WITH u AS (
+      SELECT doc_id, doc_id % 211 AS g,
+             '&id=' || CAST(doc_id % 211 % 9 AS VARCHAR) ||
+               CASE WHEN doc_id % 211 % 3 = 0
+                    THEN '&page=' || CAST(doc_id % 211 % 4 AS VARCHAR)
+                    ELSE '' END AS re,
+             CASE WHEN doc_id % 2 = 0
+                  THEN '&utm_source=s' || CAST(doc_id % 23 AS VARCHAR)
+                  ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN '&fbclid=f' || CAST(doc_id AS VARCHAR)
+                  ELSE '' END AS trk
+      FROM documents
+    ), raw AS (
+      SELECT doc_id,
+        CASE WHEN g % 2 = 1 THEN 'https' ELSE 'http' END || '://' ||
+        CASE doc_id % 3
+          WHEN 0 THEN upper('www.site' || CAST(g % 13 AS VARCHAR) || '.example')
+          WHEN 1 THEN replace('www.site' || CAST(g % 13 AS VARCHAR) || '.example',
+                              'site', 'SITE')
+          ELSE 'www.site' || CAST(g % 13 AS VARCHAR) || '.example' END ||
+        CASE WHEN g % 5 = 0 THEN ':8080'
+             WHEN doc_id % 2 = 0 AND g % 2 = 1 THEN ':443'
+             WHEN doc_id % 2 = 0 THEN ':80'
+             ELSE '' END ||
+        '/p' || CAST(g % 7 AS VARCHAR) || '/doc' || CAST(g % 11 AS VARCHAR) ||
+        CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+        '?' || substr(CASE WHEN doc_id % 4 < 2 THEN trk || re ELSE re || trk END, 2) ||
+        CASE WHEN doc_id % 4 = 0 THEN '#sec' || CAST(doc_id % 6 AS VARCHAR)
+             ELSE '' END AS raw_url
+      FROM u
+    ), parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(no_frag, '^([A-Za-z]+)://', 1)) AS scheme,
+        lower(regexp_extract(no_frag, '^[A-Za-z]+://([^/?:]*)', 1)) AS host,
+        regexp_extract(no_frag, '^[A-Za-z]+://[^/?:]*:([0-9]+)', 1) AS port,
+        regexp_replace(
+          regexp_extract(no_frag, '^[A-Za-z]+://[^/?]*([^?]*)', 1), '/+$', '') AS path,
+        regexp_extract(no_frag, '\?(.*)$', 1) AS qs
+      FROM (SELECT doc_id, regexp_replace(raw_url, '#.*$', '') AS no_frag FROM raw)
+    ), curl AS (
+      SELECT doc_id, host,
+        scheme || '://' || host ||
+        CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+             THEN '' ELSE ':' || port END ||
+        path ||
+        CASE WHEN p = '' THEN '' ELSE '?' || p END AS canonical_url
+      FROM (SELECT *,
+              array_to_string(list_sort(list_filter(str_split(qs, '&'),
+                x -> x <> '' AND NOT regexp_matches(
+                       x, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS p
+            FROM parts)
+    )
+"""
+
+
+@register(
+    "dedup_url_canonical_groups",
+    oracle=_URL_BASE_SQL
+    + """
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS dup_count,
+           MIN(doc_id) AS keeper_doc_id
+    FROM curl
+    GROUP BY canonical_url
+    HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "provenance", "url"),
+)
+def dedup_url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-level dedup (C4 / RefinedWeb hygiene): canonicalize each
+    document's URL in-row, group identical canonical URLs, keeper = min
+    doc_id.  Content dedup cannot see these groups — two crawls of one
+    page differ only in tracking params / host case / fragment.
+
+    Scale: the canonicalization is pure string expressions inside
+    whole-stage codegen; the only shuffle carries (canonical_url, count)
+    after a map-side partial count — documents never move."""
+    return (
+        _url_docs(spark, sf_dir)
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+@register(
+    "pipeline_host_cap_sample",
+    oracle=_URL_BASE_SQL
+    + f"""
+    SELECT host, doc_id, kept_rank
+    FROM (SELECT host, doc_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY host
+                   ORDER BY (doc_id % 1000003) * 2654435761 % 1000003, doc_id
+                 ) AS BIGINT) AS kept_rank
+          FROM curl)
+    WHERE kept_rank <= {HOST_CAP}
+    """,
+    tags=("pipeline", "provenance", "sampling"),
+)
+def pipeline_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap: keep at most HOST_CAP docs per host, chosen
+    by a deterministic salted hash (not doc order, which correlates with
+    crawl time).  The multiplier arithmetic stays under 2^63
+    ((doc_id % 1000003) * 2654435761 < 2.7e15) so both engines compute it
+    exactly — no float, no overflow.
+
+    Scale: rank <= K compiles to partial+final WindowGroupLimit (pinned in
+    tests/test_plans.py), so each map task keeps K rows per host BEFORE
+    the shuffle — the exchange carries at most K * n_hosts rows per task,
+    never the corpus, and there is no global sort."""
+    from pyspark.sql.window import Window
+
+    docs = _url_docs(spark, sf_dir)
+    hk = ((F.col("doc_id") % 1000003) * F.lit(2654435761) % 1000003).alias("hk")
+    w = Window.partitionBy("host").orderBy("hk", "doc_id")
+    return (
+        docs.select("host", "doc_id", hk)
+        .withColumn("kept_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("kept_rank") <= HOST_CAP)
+        .select("host", "doc_id", "kept_rank")
+    )
+
+
+@register(
+    "dedup_host_dup_rate",
+    oracle=_URL_BASE_SQL
+    + r"""
+    , fp AS (SELECT c.host,
+                    md5(lower(regexp_replace(trim(d.text), '\s+', ' ', 'g'))) AS f
+             FROM curl c JOIN documents d USING (doc_id))
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT f) AS BIGINT) AS n_unique,
+           CAST((COUNT(*) - COUNT(DISTINCT f)) * 1000000 // COUNT(*) AS BIGINT)
+             AS dup_rate_e6
+    FROM fp GROUP BY host
+    """,
+    tags=("dedup", "provenance", "profile"),
+)
+def dedup_host_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level exact-duplicate profile: for each host, how much of its
+    crawl is verbatim repeats (normalized-text fingerprints, the
+    dedup_exact_groups convention).  The per-host dup rate is the standard
+    crawl-quality signal for deciding host caps; exact e6 fixed-point so
+    the value-hash is cross-engine stable.
+
+    Scale: one shuffle on (host, fp) for the distinct, then a map-side
+    combinable per-host count — 16-byte digests move, documents don't."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = d.select("doc_id", F.md5(norm.cast("binary")).alias("f"))
+    hosts = _url_docs(spark, sf_dir).select("doc_id", "host")
+    return (
+        hosts.join(fp, "doc_id")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("f").alias("n_unique"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_unique",
+            F.expr("(n_docs - n_unique) * 1000000L div n_docs").alias("dup_rate_e6"),
+        )
+    )

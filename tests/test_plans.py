@@ -626,3 +626,27 @@ def test_cusum_prefix_parallel_by_chunk(spark):
     assert "BroadcastExchange" in plan
     # both argmax stages run under a rank pushdown, never a full sort
     assert "WindowGroupLimit" in plan
+
+
+def test_host_cap_window_group_limit_no_global_sort(spark):
+    """Per-host caps must pre-prune map-side (partial+final
+    WindowGroupLimit) and never single-partition the corpus — the C4-style
+    hygiene step runs over EVERYTHING, so a global sort here is the
+    pipeline's bottleneck at 100 TB."""
+    plan = _plan(spark, "pipeline_host_cap_sample")
+    assert "WindowGroupLimit" in plan
+    assert "Arguments: SinglePartition" not in plan
+    # the only exchange is the hash partition on host
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
+
+
+def test_url_canonical_groups_mapside_combine_no_python(spark):
+    """URL canonicalization stays inside whole-stage codegen: no Python
+    stage anywhere, the dup count combines map-side, and the lone shuffle
+    carries (canonical_url, partial agg) — never document text."""
+    plan = _plan(spark, "dedup_url_canonical_groups")
+    assert not re.search(r"\(\d+\) (MapInPandas|ArrowEvalPython|BatchEvalPython)", plan)
+    assert "partial_count" in plan
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",") if c} == {"doc_id"}
