@@ -1333,10 +1333,16 @@ class GraphStore:
           rows; ``checks``/``defaults``/``indexes``/``stats`` carry (the
           clone is constraint-equivalent until re-declared); ``cdc`` is
           null (not captured), so strict change consumers re-seed;
-        - CAVEAT (same as Delta shallow clones): vacuum on the SOURCE can
-          retire files the clone still references.  Size the source's
-          retention over the clone's lifetime, or ``compact()`` the clone
-          — rewriting a table localizes it under ``new_root``.
+        - RETENTION GUARD (r11): the clone registers itself in the
+          source's ``_clones/`` sidecar, and the source's ``vacuum()``
+          treats the registered file set as referenced — so a routine
+          source vacuum can no longer retire files a live clone still
+          reads (Delta's retention-pin idea).  The pin is conservative
+          (creation-time file set); drop it with
+          ``source.release_clone(clone_root)`` when the clone is deleted
+          or fully localized via ``compact()``.  A registration whose
+          clone directory has vanished is auto-dropped by vacuum after
+          the same 24 h age guard as abandoned staging dirs.
         """
         snap = self.snapshot()
 
@@ -1371,13 +1377,22 @@ class GraphStore:
             # reclaim arbitrates it.  Only someone ELSE's half-created
             # clone is rejected.
             prior: dict | None = None
+            prior_manifest: dict = {}
             try:
                 with open(v0_path) as f:
-                    prior = json.load(f).get("cloned_from") or {}
+                    prior_manifest = json.load(f)
+                prior = prior_manifest.get("cloned_from") or {}
             except (json.JSONDecodeError, OSError):
                 prior = None  # residue: let the arbiter reclaim below
             if prior is not None:
                 if prior.get("root") == self.root:
+                    # re-pin on resume: the original attempt may have
+                    # crashed before its registration landed
+                    self._register_clone(
+                        new_root,
+                        prior_manifest.get("tables", {}).values(),
+                        int(prior.get("version", 0)),
+                    )
                     return _open_clone()
                 raise ValueError(
                     f"clone target {new_root!r} holds a half-created clone "
@@ -1407,6 +1422,11 @@ class GraphStore:
             "stats": dict(snap.manifest.get("stats", {})),
             "cloned_from": {"root": self.root, "version": snap.version},
         }
+        # pin BEFORE the manifest becomes readable: once v0 exists a reader
+        # may follow its absolute paths, so the vacuum guard must already
+        # hold.  If the put below loses, the pin is redundant-but-identical
+        # (same content-addressed file) or ages out via the dead-clone rule.
+        self._register_clone(new_root, manifest["tables"].values(), snap.version)
         if not self.commit_arbiter.put_if_absent(v0_path, json.dumps(manifest)):
             # accurate recovery guidance per arbiter: only ConditionalPut
             # reclaims crashed claims after a grace period; HardLink has no
@@ -1429,6 +1449,69 @@ class GraphStore:
                 f"clone attempt — {hint}"
             )
         return _open_clone()
+
+    # -- shallow-clone retention registry (r11) -----------------------------
+
+    def _clone_reg_path(self, clone_root: str) -> str:
+        import hashlib
+
+        key = hashlib.sha1(os.path.abspath(clone_root).encode()).hexdigest()[:16]
+        return os.path.join(self.root, "_clones", f"{key}.json")
+
+    def _register_clone(self, clone_root: str, referenced, version: int) -> None:
+        """Record a retention pin for a shallow clone: the SOURCE-relative
+        data paths the clone's v0 manifest references.  ``vacuum()`` treats
+        them as referenced, so routine source maintenance can no longer
+        dangle a live clone (prevention to go with ``fsck``'s detection —
+        r10 verdict).  Idempotent per clone_root (content-addressed file,
+        atomic replace); entries pointing into OTHER roots (a clone of a
+        clone) are not ours to protect and are skipped."""
+        prefix = self.root.rstrip(os.sep) + os.sep
+        rels = sorted(
+            {
+                os.path.relpath(p, self.root) if os.path.isabs(p) else p
+                for p in referenced
+                if not os.path.isabs(p) or p.startswith(prefix)
+            }
+        )
+        reg = {
+            "clone_root": os.path.abspath(clone_root),
+            "source_version": version,
+            "tables": rels,
+        }
+        path = self._clone_reg_path(clone_root)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        with os.fdopen(fd, "w") as f:
+            json.dump(reg, f)
+        os.replace(tmp, path)
+
+    def _clone_registrations(self) -> list[tuple[str, dict]]:
+        d = os.path.join(self.root, "_clones")
+        if not os.path.isdir(d):
+            return []
+        out: list[tuple[str, dict]] = []
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".json"):
+                continue  # a crashed mkstemp temp — harmless residue
+            p = os.path.join(d, name)
+            try:
+                with open(p) as f:
+                    out.append((p, json.load(f)))
+            except (json.JSONDecodeError, OSError):
+                continue
+        return out
+
+    def release_clone(self, clone_root: str) -> bool:
+        """Drop a clone's retention pin (call when the clone is deleted or
+        fully localized via its own ``compact()``).  Returns whether a pin
+        existed.  The next source ``vacuum()`` may then sweep files only
+        that clone referenced."""
+        try:
+            os.unlink(self._clone_reg_path(clone_root))
+            return True
+        except FileNotFoundError:
+            return False
 
     def fsck(self, deep: bool = False) -> dict:
         """Integrity check of every RETAINED version: manifests parse, every
@@ -1504,6 +1587,14 @@ class GraphStore:
                             f"v{v} {key}: footer rows {rows} != recorded "
                             f"stats rows {stat['rows']}"
                         )
+        for reg_path, reg in self._clone_registrations():
+            croot = reg.get("clone_root", "")
+            if not os.path.exists(os.path.join(croot, "CURRENT")):
+                warnings.append(
+                    f"clone pin {os.path.basename(reg_path)} points at "
+                    f"missing clone {croot} — release_clone() it, or vacuum "
+                    "ages it out"
+                )
         return {
             "ok": not errors,
             "errors": errors,
@@ -1559,6 +1650,21 @@ class GraphStore:
             except OSError:
                 return False
             return age >= 86_400
+
+        # shallow-clone retention pins (r11): every file a registered clone
+        # references stays; a registration whose clone directory vanished
+        # without release_clone() auto-drops after the same age guard
+        for reg_path, reg in self._clone_registrations():
+            alive = os.path.exists(
+                os.path.join(reg.get("clone_root", ""), "CURRENT")
+            )
+            if not alive and _abandoned(reg_path):
+                try:
+                    os.unlink(reg_path)
+                except OSError:
+                    pass
+                continue
+            referenced_rel.update(reg.get("tables", []))
 
         for name in sorted(os.listdir(data_dir)):
             rel = os.path.join("data", name)

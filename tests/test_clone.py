@@ -164,3 +164,69 @@ def test_clone_resumes_past_crash_residue_and_source_advance(spark, tmp_path):
         json.dump({"cloned_from": {"root": "/elsewhere", "version": 3}}, f)
     with pytest.raises(ValueError, match="different source"):
         src.clone(other)
+
+
+# ---------------------------------------------------------------------------
+# retention guard (r11): source vacuum must not dangle a registered clone
+# ---------------------------------------------------------------------------
+
+def _churn(spark, src, n=3):
+    """Rewrite Person n times so pre-clone versions drop out of the
+    source's own retention horizon."""
+    for i in range(n):
+        src.merge_nodes(
+            "Person",
+            spark.createDataFrame([(f"s{i}", 50 + i)], "name string, age long"),
+            on="name",
+        )
+
+
+def test_source_vacuum_preserves_registered_clone_files(spark, tmp_path):
+    engine = Engine(spark, str(tmp_path / "src"), demo_schema())
+    engine.run(big_bang)
+    src = engine.store
+    clone = src.clone(str(tmp_path / "dst"))
+    pinned = _names(clone)
+    _churn(spark, src)
+    src.vacuum(retain_versions=1)
+    # the clone's absolute-path references survive the source vacuum and
+    # it still reads the exact snapshot it captured
+    assert _names(clone) == pinned
+    assert clone.fsck()["ok"]
+
+
+def test_release_clone_unpins_and_vacuum_sweeps(spark, tmp_path):
+    engine = Engine(spark, str(tmp_path / "src"), demo_schema())
+    engine.run(big_bang)
+    src = engine.store
+    clone = src.clone(str(tmp_path / "dst"))
+    _churn(spark, src)
+    kept = set(src.vacuum(retain_versions=1))
+    assert not kept or all("v1" not in k for k in kept)  # pinned v* stayed
+    assert src.release_clone(clone.root) is True
+    assert src.release_clone(clone.root) is False  # already dropped
+    removed = src.vacuum(retain_versions=1)
+    assert removed  # the previously-pinned early versions sweep now
+    assert clone.fsck()["ok"] is False  # detection still works post-release
+
+
+def test_dead_clone_pin_ages_out_and_fsck_warns(spark, tmp_path):
+    import shutil as _shutil
+    import time as _time
+
+    engine = Engine(spark, str(tmp_path / "src"), demo_schema())
+    engine.run(big_bang)
+    src = engine.store
+    clone = src.clone(str(tmp_path / "dst"))
+    reg = src._clone_reg_path(clone.root)
+    assert os.path.exists(reg)
+    _shutil.rmtree(clone.root)
+    # fresh dead pin: still protected (clone may be mid-create elsewhere)
+    assert any("missing clone" in w for w in src.fsck()["warnings"])
+    src.vacuum(retain_versions=1)
+    assert os.path.exists(reg)
+    # aged out: vacuum drops the registration
+    old = _time.time() - 100_000
+    os.utime(reg, (old, old))
+    src.vacuum(retain_versions=1)
+    assert not os.path.exists(reg)
