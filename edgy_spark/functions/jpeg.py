@@ -15,6 +15,9 @@ Scope (deliberately bounded, stated loudly):
 - baseline and extended sequential DCT, Huffman coded (SOF0/SOF1),
   8-bit samples; 1 (grayscale) or 3 (JFIF YCbCr) components; any
   sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart intervals;
+  MULTI-SCAN sequential frames (r11, T.81 A.2.3) — components arriving
+  in separate or partially-interleaved scans, as older encoders emit —
+  decode through the same coefficient store the progressive path uses;
 - progressive DCT, Huffman coded (SOF2, T.81 Annex G): spectral
   selection + successive approximation, DC/AC first and refinement
   scans, EOB runs, interleaved DC scans, restart intervals — scans
@@ -297,8 +300,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     store, huff_dc, huff_ac, restart_interval,
                 )
                 continue  # i sits ON the next marker
-            if len(scan) != len(frame["comps"]):
-                raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+            if len(scan) != len(frame["comps"]) or store is not None:
+                # sequential MULTI-SCAN (T.81 A.2.3, r11): the components
+                # arrive in separate (possibly partially-interleaved)
+                # scans — common from older encoders.  Reuse the
+                # progressive coefficient store: each scan deposits its
+                # components' full-band quantized coefficients; dequantize
+                # + IDCT happen once at EOI via _finish_progressive.
+                if store is None:
+                    store = _alloc_store(frame)
+                i = _sequential_scan(
+                    data, i + 2 + seglen, frame, scan,
+                    store, huff_dc, huff_ac, restart_interval,
+                )
+                continue  # i sits ON the next marker
             return _decode_scan(
                 data, i + 2 + seglen, frame,
                 [(c, tdc, tac) for _, c, tdc, tac in scan],
@@ -661,6 +676,90 @@ def _progressive_scan(
     return _next_marker(data, r.pos)
 
 
+def _seq_data_unit(r, dc_t, ac_t, pred, si, blk) -> None:
+    """One FULL-BAND sequential data unit into a store block (quantized
+    coefficients — dequantize happens at finish).  Identical coefficient
+    math to _decode_scan's inner loop, minus the eager dequant/IDCT."""
+    t = r.decode_huff(dc_t)
+    if t > 11:
+        raise ValueError("bad DC category")
+    pred[si] += _extend(r.receive(t), t)
+    blk[0] = pred[si]
+    k = 1
+    while k < 64:
+        rs = r.decode_huff(ac_t)
+        rr, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rr == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += rr
+        if k > 63:
+            raise ValueError("AC index overflow")
+        blk[_ZIGZAG[k]] = _extend(r.receive(s), s)
+        k += 1
+
+
+def _sequential_scan(data, pos, frame, scan, store, huff_dc, huff_ac, ri) -> int:
+    """Decode ONE sequential (SOF0/SOF1) scan covering a SUBSET of the
+    frame's components into the coefficient store (T.81 A.2.3: a
+    multi-scan sequential frame codes each component's full coefficients
+    in its own — or a partially-interleaved — scan).  Returns the
+    position of the marker following the entropy-coded data.  MCU
+    geometry: an interleaved scan walks the FRAME-level MCU grid (Hmax/
+    Vmax over all frame components); a single-component scan's MCU is one
+    data unit over that component's actual (non-padded) block grid —
+    same walk the progressive path uses."""
+    r = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    next_rst = 0
+    unit = 0
+
+    def tabs(tdc, tac):
+        dc_t, ac_t = huff_dc.get(tdc), huff_ac.get(tac)
+        if dc_t is None or ac_t is None:
+            raise ValueError("missing Huffman table")
+        return dc_t, ac_t
+
+    try:
+        if len(scan) > 1:  # interleaved subset: MCU order over padded grid
+            for my in range(frame["mcuy"]):
+                for mx in range(frame["mcux"]):
+                    if ri and unit == ri:
+                        r, next_rst = _consume_restart(data, r, next_rst)
+                        pred = [0] * len(scan)
+                        unit = 0
+                    for si, (ci, c, tdc, tac) in enumerate(scan):
+                        dc_t, ac_t = tabs(tdc, tac)
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = store[ci][
+                                    (my * c["v"] + by) * c["bw_m"]
+                                    + mx * c["h"] + bx
+                                ]
+                                _seq_data_unit(r, dc_t, ac_t, pred, si, blk)
+                    unit += 1
+        else:  # MCU = one data unit: raster over the ACTUAL blocks
+            ci, c, tdc, tac = scan[0]
+            dc_t, ac_t = tabs(tdc, tac)
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    if ri and unit == ri:
+                        r, next_rst = _consume_restart(data, r, next_rst)
+                        pred = [0]
+                        unit = 0
+                    _seq_data_unit(
+                        r, dc_t, ac_t, pred, 0, store[ci][by * c["bw_m"] + bx]
+                    )
+                    unit += 1
+    except _RestartMarker as e:
+        raise ValueError(
+            f"restart marker inside data unit at byte {e.at}"
+        ) from None
+    return _next_marker(data, r.pos)
+
+
 def _finish_progressive(frame, qt, store) -> tuple[int, int, int, bytes]:
     """Dequantize + IDCT the accumulated coefficient store, then render
     through the shared upsample/color-convert path."""
@@ -884,3 +983,69 @@ def encode_jpeg_flat_progressive(
     sos3 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + w3.flush()
 
     return b"\xff\xd8" + dqt + sof + dht + sos1 + sos2 + sos3 + b"\xff\xd9"
+
+
+def encode_jpeg_flat_multiscan(
+    width: int, height: int, block_samples: list[int]
+) -> bytes:
+    """The flat-block family's MULTI-SCAN SEQUENTIAL twin: same bit-exact
+    decoded pixels as :func:`encode_jpeg_flat`, but a 3-component SOF0
+    frame whose components arrive in TWO scans — scan 1 codes Y alone
+    (non-interleaved: MCU = one data unit over its actual block grid),
+    scan 2 codes Cb and Cr interleaved (frame-level MCU walk) — the T.81
+    A.2.3 shape older encoders emit.  Cb = Cr = 128 everywhere, so after
+    JFIF color conversion R = G = B = Y exactly and the SQL oracle stays
+    the same one-liner as the baseline twin, while the decoder must run
+    the real multi-scan store machinery to get there.
+    """
+    if width <= 0 or height <= 0 or width % 8 or height % 8:
+        raise ValueError("flat encoder needs positive block-aligned dims")
+    bw, bh = width // 8, height // 8
+    if len(block_samples) != bw * bh:
+        raise ValueError(f"need {bw * bh} block samples, got {len(block_samples)}")
+    if any(s < 0 or s > 255 for s in block_samples):
+        raise ValueError("block samples must be 0..255")
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([_FLAT_DC_QUANT] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(STD_DC_LUMA_BITS) + STD_DC_LUMA_VALS) + seg(
+        0xC4, bytes([0x10]) + bytes(STD_AC_LUMA_BITS) + STD_AC_LUMA_VALS
+    )
+    dc_lut = _canonical_codes(STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
+    ac_lut = _canonical_codes(STD_AC_LUMA_BITS, STD_AC_LUMA_VALS)
+    eob_len, eob_code = ac_lut[0x00]
+    zero_len, zero_code = dc_lut[0]
+
+    # scan 1: Y alone — DC diff + EOB per block, raster order
+    w1 = _BitWriter()
+    pred = 0
+    for s in block_samples:
+        dc = s - 128
+        diff = dc - pred
+        pred = dc
+        t = 0 if diff == 0 else abs(diff).bit_length()
+        length, code = dc_lut[t]
+        w1.put(code, length)
+        if t:
+            mag = diff if diff >= 0 else diff + (1 << t) - 1
+            w1.put(mag, t)
+        w1.put(eob_code, eob_len)
+    sos1 = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + w1.flush()
+
+    # scan 2: Cb + Cr interleaved — both flat 128 (DC 0): per MCU, one
+    # zero-category DC + EOB for each component
+    w2 = _BitWriter()
+    for _ in block_samples:
+        for _component in (2, 3):
+            w2.put(zero_code, zero_len)
+            w2.put(eob_code, eob_len)
+    sos2 = seg(0xDA, bytes([2, 2, 0x00, 3, 0x00, 0, 63, 0])) + w2.flush()
+
+    return b"\xff\xd8" + dqt + sof + dht + sos1 + sos2 + b"\xff\xd9"

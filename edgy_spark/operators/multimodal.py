@@ -673,6 +673,72 @@ def multimodal_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "multimodal_jpeg_multiscan_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      (doc_id * 11) % 5 + 1 AS bw,
+                      (doc_id * 7) % 3 + 1 AS bh
+               FROM documents),
+    s AS (SELECT d.doc_id, d.bw, d.bh,
+                 SUM((d.doc_id * 61 + t.i * 23) % 256) AS total
+          FROM d, generate_series(0, 5 * 3 - 1) AS t(i)
+          WHERE t.i < d.bw * d.bh
+          GROUP BY d.doc_id, d.bw, d.bh)
+    SELECT doc_id,
+           CAST(bw * 8 AS BIGINT) AS width,
+           CAST(bh * 8 AS BIGINT) AS height,
+           CAST(total // (bw * bh) AS BIGINT) AS mean_luma
+    FROM s
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode", "multiscan"),
+)
+def multimodal_jpeg_multiscan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SCAN SEQUENTIAL (SOF0, T.81 A.2.3) decode under the driver's
+    value-hash gate — the last sequential-JPEG shape the codec matrix
+    rejected (r10 verdict #1 secondary): each document's flat-block image
+    is a 3-component frame whose Y component arrives in its own scan and
+    whose Cb+Cr arrive INTERLEAVED in a second scan (functions/jpeg.py
+    encode_jpeg_flat_multiscan), decoded through the shared coefficient
+    store (_sequential_scan — both the single-component raster walk and
+    the partial-interleave MCU walk execute) inside Arrow-batched
+    ``mapInPandas``.  Cb = Cr = 128 keeps R = G = B = Y, so the Rec.601
+    integer luma equals the block sample exactly and the oracle predicts
+    width/height/mean-luma from the block formula; any error in the scan
+    routing, per-scan DC prediction, or store accumulation breaks the
+    hash.  The stream is cross-validated against javax.imageio in
+    tests/test_jpeg_real.py.
+
+    Scale: identical to the other codec queries — pixels never leave the
+    executors; exchanged rows are (doc_id, 3 small ints).
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import jpeg as _jpeg
+
+    cloudpickle.register_pickle_by_value(_jpeg)
+    encode_ms = _jpeg.encode_jpeg_flat_multiscan
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                bw, bh = (i * 11) % 5 + 1, (i * 7) % 3 + 1
+                blocks = [(i * 61 + b * 23) % 256 for b in range(bw * bh)]
+                media.append(encode_ms(bw * 8, bh * 8, blocks))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    return (
+        decode_features_jpeg(media_df)
+        .select("doc_id", "width", "height", "mean_luma")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_png_palette_stats",
     oracle="""
     WITH d AS (SELECT doc_id,

@@ -527,3 +527,34 @@ def test_jpeg_restart_with_fill_bytes_decodes(spark):
     assert (w, h, ch) == (16, 8, 1)
     assert {px[y * 16 + x] for y in range(8) for x in range(8)} == {138}
     assert {px[y * 16 + 8 + x] for y in range(8) for x in range(8)} == {123}
+
+
+def test_jpeg_flat_multiscan_bit_exact_and_jvm_readable(spark):
+    """MULTI-SCAN SEQUENTIAL (T.81 A.2.3, r11): a 3-component SOF0 frame
+    whose Y arrives in its own scan and Cb+Cr arrive interleaved in a
+    second scan must decode bit-exactly (Cb=Cr=128 makes R=G=B=Y), and
+    the JVM's independent decoder must read the same bytes to the same
+    samples."""
+    from edgy_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_flat_multiscan,
+    )
+
+    blocks = [10, 100, 200, 35, 77, 250]
+    data = encode_jpeg_flat_multiscan(24, 16, blocks)
+    assert data.count(b"\xff\xda") == 2  # really two scans
+    w, h, ch, px = decode_jpeg(data)
+    assert (w, h, ch) == (24, 16, 3)
+    for by in range(2):
+        for bx in range(3):
+            s = blocks[by * 3 + bx]
+            for yy in range(8):
+                for xx in range(8):
+                    o = ((by * 8 + yy) * w + bx * 8 + xx) * 3
+                    assert tuple(px[o:o + 3]) == (s, s, s), (by, bx, yy, xx)
+    img = _jvm_decode(spark, data)
+    for by in range(2):
+        for bx in range(3):
+            argb = img.getRGB(bx * 8, by * 8)
+            s = blocks[by * 3 + bx]
+            assert ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF) == (s, s, s)
