@@ -135,11 +135,18 @@ def main() -> None:
         "graph_ktruss_edges",
         "multimodal_jpeg_progressive_stats",
     ]
+    # r11 widened the set by two (the two heaviest fixpoints new in r10,
+    # tracked per the r10 verdict: Louvain label sweeps and the
+    # landmark-sampled multi-source BFS)
+    added_r11 = [
+        "graph_louvain_communities",
+        "graph_closeness_sampled",
+    ]
     comparable_r05 = round(
         sum(
             v
             for k, v in timings.items()
-            if k not in added_r06 + added_r08 + added_r09 + added_r10
+            if k not in added_r06 + added_r08 + added_r09 + added_r10 + added_r11
         ),
         4,
     )
@@ -147,16 +154,19 @@ def main() -> None:
         sum(
             v
             for k, v in timings.items()
-            if k not in added_r08 + added_r09 + added_r10
+            if k not in added_r08 + added_r09 + added_r10 + added_r11
         ),
         4,
     )
     comparable_r08 = round(
-        sum(v for k, v in timings.items() if k not in added_r09 + added_r10),
+        sum(v for k, v in timings.items() if k not in added_r09 + added_r10 + added_r11),
         4,
     )
     comparable_r09 = round(
-        sum(v for k, v in timings.items() if k not in added_r10), 4
+        sum(v for k, v in timings.items() if k not in added_r10 + added_r11), 4
+    )
+    comparable_r10 = round(
+        sum(v for k, v in timings.items() if k not in added_r11), 4
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The external recorder keeps only the last ~2,000 bytes of output and
@@ -167,7 +177,7 @@ def main() -> None:
     # headline if they would push it past the window.
     for pass_no, this_pass in enumerate(pass_times):
         print(json.dumps({"detail": "pass_times", "pass": pass_no, "times": this_pass}))
-    print(json.dumps({"detail": "set_history", "added_in_r06": added_r06, "added_in_r08": added_r08, "added_in_r09": added_r09, "added_in_r10": added_r10}))
+    print(json.dumps({"detail": "set_history", "added_in_r06": added_r06, "added_in_r08": added_r08, "added_in_r09": added_r09, "added_in_r10": added_r10, "added_in_r11": added_r11}))
     final = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -179,6 +189,7 @@ def main() -> None:
         "comparable_r07_set_total": comparable_r07,
         "comparable_r08_set_total": comparable_r08,
         "comparable_r09_set_total": comparable_r09,
+        "comparable_r10_set_total": comparable_r10,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "regressions": _regressions_vs_prev_round(timings),
     }

@@ -649,6 +649,7 @@ def closeness_sampled(
     FROM d GROUP BY node ORDER BY node
     """,
     tags=("graph", "iterative", "centrality", "bfs", "pregel-primitive"),
+    bench=True,  # r11: heaviest multi-source BFS fixpoint, tracked per round
 )
 def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark-sampled closeness/harmonic centrality of the co-purchase
@@ -1160,6 +1161,7 @@ def _louvain_sweep_sql(prev: str, this: str) -> str:
     FROM l{LOUVAIN_SWEEPS} ORDER BY node
     """,
     tags=("graph", "iterative", "community", "modularity"),
+    bench=True,  # r11: the label-sweep fixpoint, tracked round-over-round
 )
 def graph_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain phase-1 communities of the co-purchase graph after
