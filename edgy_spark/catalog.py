@@ -133,7 +133,86 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.recursive  # noqa: F401
     import edgy_spark.operators.entity  # noqa: F401
 
-    _prioritize(R10_WINDOW)
+    _prioritize(R11_WINDOW)
+
+
+#: The exact first-50 list for the r11 driver gate.
+#: ``tests/test_registry_window.py`` pins this against the live registry.
+#:
+#: R11 rotation rationale: (1) the five queries NEW in r11, never
+#: driver-verified (palette-PNG decode, multi-scan sequential JPEG, and
+#: the provenance-dedup family: canonical-URL groups, per-host caps,
+#: host dup-rate); (2) every query whose EXECUTED code changed after its
+#: r10 green: events_cusum_changepoint (the running prefix was rewritten
+#: into the chunked parallel-prefix decomposition — the r10 verdict's top
+#: task), both JPEG decode queries (decode_jpeg's SOS routing changed for
+#: multi-scan support) and both PNG decode queries (decode_png grew the
+#: PLTE/tRNS branches); (3) backfill with the stalest greens: ALL 38
+#: remaining r07-last-green queries (sim_*, stream_*, dedup embedding/
+#: exact, graph query patterns, text/multimodal/pipeline r07 greens —
+#: the r10 verdict's "natural backfill", not driver-verified in three
+#: rounds); (4) the final two slots go to the stalest r08 greens whose
+#: MODULES r11 edited (dedup.py gained the provenance section,
+#: multimodal.py the multiscan query — their executed code is unchanged,
+#: but a changed module re-verifies cheapest).  After this window, no
+#: query's last green predates r08.
+R11_WINDOW: list[str] = [
+    # new in r11 — never driver-verified
+    "multimodal_png_palette_stats",
+    "multimodal_jpeg_multiscan_stats",
+    "dedup_url_canonical_groups",
+    "pipeline_host_cap_sample",
+    "dedup_host_dup_rate",
+    # executed-code changes after the r10 gate
+    "events_cusum_changepoint",
+    "multimodal_jpeg_block_stats",
+    "multimodal_jpeg_progressive_stats",
+    "multimodal_png_pixel_stats",
+    "multimodal_phash_dup_groups",
+    # stalest greens: every remaining r07-last-green query (reg. order
+    # within each family)
+    "sim_bruteforce_topk",
+    "sim_lsh_bucket_candidates",
+    "sim_ivf_topk",
+    "sim_embedding_int8_quantize",
+    "stream_tumbling_hour_counts",
+    "stream_sliding_window_counts",
+    "stream_session_windows",
+    "stream_click_purchase_attribution",
+    "stream_first_threshold_crossing",
+    "sessionize_events",
+    "events_keep_latest",
+    "events_funnel_conversion",
+    "range_join_signup_followups",
+    "asof_purchase_last_error",
+    "dedup_exact_groups",
+    "dedup_shingle_containment_pairs",
+    "dedup_embedding_neardup_pairs",
+    "dedup_embedding_cluster_keepers",
+    "graph_3hop_nation_parts",
+    "graph_anti_inactive_customers",
+    "graph_cardinality_orders_have_customer",
+    "graph_customer_order_rollup",
+    "graph_semi_nations_with_rich_customers",
+    "text_fingerprints",
+    "text_language_id",
+    "text_pii_scrub",
+    "text_sentences",
+    "corpus_clean_pipeline",
+    "corpus_length_percentiles",
+    "multimodal_image_features",
+    "multimodal_audio_energy",
+    "multimodal_frame_sample",
+    "multimodal_thumbnail_resize",
+    "pipeline_balanced_sample_per_lang",
+    "pipeline_pack_blocks",
+    "pipeline_shard_assignment",
+    "pipeline_stratified_sample",
+    "pipeline_training_end2end",
+    # stalest r08 greens in the modules r11 edited
+    "dedup_ngram_jaccard_pairs",
+    "multimodal_wav_loudness",
+]
 
 
 #: The exact first-50 list for the r10 driver gate.
