@@ -139,10 +139,10 @@ def load_all_registrations() -> None:
 #: The exact first-50 list for the r11 driver gate.
 #: ``tests/test_registry_window.py`` pins this against the live registry.
 #:
-#: R11 rotation rationale: (1) the five queries NEW in r11, never
-#: driver-verified (palette-PNG decode, multi-scan sequential JPEG, and
-#: the provenance-dedup family: canonical-URL groups, per-host caps,
-#: host dup-rate); (2) every query whose EXECUTED code changed after its
+#: R11 rotation rationale: (1) the six queries NEW in r11, never
+#: driver-verified (ANF effective diameter, palette-PNG decode,
+#: multi-scan sequential JPEG, and the provenance-dedup family:
+#: canonical-URL groups, per-host caps, host dup-rate); (2) every query whose EXECUTED code changed after its
 #: r10 green: events_cusum_changepoint (the running prefix was rewritten
 #: into the chunked parallel-prefix decomposition — the r10 verdict's top
 #: task), both JPEG decode queries (decode_jpeg's SOS routing changed for
@@ -158,6 +158,7 @@ def load_all_registrations() -> None:
 #: query's last green predates r08.
 R11_WINDOW: list[str] = [
     # new in r11 — never driver-verified
+    "graph_anf_effective_diameter",
     "multimodal_png_palette_stats",
     "multimodal_jpeg_multiscan_stats",
     "dedup_url_canonical_groups",
@@ -209,9 +210,8 @@ R11_WINDOW: list[str] = [
     "pipeline_shard_assignment",
     "pipeline_stratified_sample",
     "pipeline_training_end2end",
-    # stalest r08 greens in the modules r11 edited
+    # stalest r08 green in a module r11 edited
     "dedup_ngram_jaccard_pairs",
-    "multimodal_wav_loudness",
 ]
 
 

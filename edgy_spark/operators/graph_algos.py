@@ -52,6 +52,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from edgy_spark.catalog import register
+from edgy_spark.functions.hashing import h60_sql
 from edgy_spark.sources import load
 
 QTY_THRESHOLD = 48
@@ -2330,4 +2331,170 @@ def graph_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("clustering_e6"),
         )
         .orderBy("node")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANF / HyperBall: neighborhood function + effective diameter (r11)
+# ---------------------------------------------------------------------------
+
+ANF_K = 4        # Flajolet-Martin registers per node (stochastic averaging)
+ANF_ROUNDS = 4   # radii computed: N(v, 1..ANF_ROUNDS)
+ANF_MAXB = 39    # highest settable register bit (keeps 2^b sums in BIGINT)
+ANF_PHI = 77351  # FM correction factor phi = 0.77351, as the e5 ratio
+ANF_INV = 100000  # ... estimate = 2^b * ANF_INV / ANF_PHI
+
+
+def _anf_init_sql(k: int, dialect: str) -> str:
+    """Register init for mask ``k``: one bit at the trailing-zero count of
+    an md5-derived 60-bit hash (geometric, P(bit j) = 2^-(j+1) — Flajolet-
+    Martin), capped at ANF_MAXB.  tz via the identity
+    bit_count((h & -h) - 1); h & -h isolates the lowest set bit."""
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substring(md5(concat(CAST(node AS STRING), "
+            f"':anf{k}')), 1, 15), 16, 10) AS BIGINT)"
+        )
+        one = "CAST(1 AS BIGINT)"
+    else:
+        h = h60_sql(f"node::VARCHAR || ':anf{k}'")
+        one = "1::BIGINT"
+    return (
+        f"({one} << least(bit_count((({h}) & (-({h}))) - 1), {ANF_MAXB}))"
+    )
+
+
+def _anf_pow_sql(mcols: list[str]) -> str:
+    """Sum of per-register FM powers 2^b (b = lowest ZERO bit position):
+    (m + 1) & ~m isolates that bit directly — no log, no float."""
+    return " + ".join(f"((({c}) + 1) & ((-({c})) - 1))" for c in mcols)
+
+
+def _anf_oracle() -> str:
+    mcols = [f"m{k}" for k in range(ANF_K)]
+    init = ",\n        ".join(
+        f"{_anf_init_sql(k, 'duck')} AS m{k}" for k in range(ANF_K)
+    )
+    rounds = []
+    for r in range(1, ANF_ROUNDS + 1):
+        ors = ", ".join(f"BIT_OR(x.{c}) AS o{c}" for c in mcols)
+        merge = ", ".join(f"s.{c} | COALESCE(n.o{c}, 0) AS {c}" for c in mcols)
+        rounds.append(f"""
+    s{r} AS MATERIALIZED (
+      SELECT s.node, {merge}
+      FROM s{r - 1} s LEFT JOIN (
+        SELECT u.dst AS node, {ors}
+        FROM undirected u JOIN s{r - 1} x ON x.node = u.src
+        GROUP BY u.dst) n ON n.node = s.node)""")
+    aggs = "\n      UNION ALL ".join(
+        f"SELECT {r} AS radius, CAST(SUM({_anf_pow_sql(mcols)}) AS BIGINT)"
+        f" AS pow_sum FROM s{r}"
+        for r in range(1, ANF_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_UND_CTES},
+    verts AS MATERIALIZED (SELECT DISTINCT src AS node FROM undirected),
+    s0 AS MATERIALIZED (
+      SELECT node,
+        {init}
+      FROM verts),
+    {",".join(rounds)},
+    agg AS MATERIALIZED ({aggs}),
+    est AS MATERIALIZED (
+      SELECT radius, pow_sum,
+             CAST(pow_sum * {ANF_INV} // {ANF_K * ANF_PHI} AS BIGINT)
+               AS est_pairs
+      FROM agg)
+    SELECT e.radius, e.pow_sum, e.est_pairs,
+           CAST(CASE WHEN e.est_pairs * 10 >= f.est_pairs * 9
+                THEN 1 ELSE 0 END AS BIGINT) AS d90
+    FROM est e, (SELECT est_pairs FROM est WHERE radius = {ANF_ROUNDS}) f
+    ORDER BY e.radius
+    """
+
+
+@register(
+    "graph_anf_effective_diameter",
+    oracle=_anf_oracle(),
+    tags=("graph", "iterative", "sketch", "anf"),
+)
+def graph_anf_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate Neighborhood Function (Palmer et al., ANF KDD'02 /
+    Boldi-Vigna HyperBall): per radius r, estimate the number of reachable
+    (source, target) pairs within r hops via per-node Flajolet-Martin
+    bitmask sketches, and flag the 90%-effective-diameter radius (smallest
+    r whose pair estimate reaches 90% of the horizon's).  Registers are
+    md5-derived (functions/hashing.h60) and every estimator step is
+    integer ((m+1) & ~m isolates the lowest zero bit's power 2^b — no log,
+    no float), so the oracle replays the IDENTICAL register arithmetic
+    unrolled and the driver's value-hash must match bit-for-bit.
+
+    Scale (the reason ANF exists): exact neighborhood functions need
+    all-pairs BFS — O(n^2) state.  Here per-node state is ANF_K 64-bit
+    masks REGARDLESS of graph size; each round is one aggregate_messages
+    superstep (shuffle carries (dst, 4 longs)), masks merge by BIT_OR
+    (map-side combinable, order-independent), and rounds localCheckpoint
+    via _materialize so lineage stays flat.  This is the diameter/
+    reachability profile a 100 TB web-graph crawl audit actually runs.
+    """
+    und, _ = _materialize(undirect(copurchase_edges(spark, sf_dir)))
+    verts = und.select(F.col("src").alias("node")).distinct()
+    mcols = [f"m{k}" for k in range(ANF_K)]
+    state, _ = _materialize(
+        verts.select(
+            "node",
+            *[
+                F.expr(_anf_init_sql(k, "spark")).alias(c)
+                for k, c in enumerate(mcols)
+            ],
+        )
+    )
+    per_round = []
+    for r in range(1, ANF_ROUNDS + 1):
+        msgs = aggregate_messages(
+            und, state,
+            msg={c: F.col(c) for c in mcols},
+            aggs=[F.bit_or(c).alias(f"o_{c}") for c in mcols],
+        )
+        state, _ = _materialize(
+            state.join(_hint(msgs, True), "node", "left").select(
+                "node",
+                *[
+                    F.col(c)
+                    .bitwiseOR(F.coalesce(F.col(f"o_{c}"), F.lit(0)))
+                    .alias(c)
+                    for c in mcols
+                ],
+            )
+        )
+        per_round.append(
+            state.agg(
+                F.sum(
+                    F.expr(_anf_pow_sql(mcols)).cast("decimal(38,0)")
+                ).alias("pow_raw")
+            ).select(
+                F.lit(r).cast("long").alias("radius"),
+                F.expr("CAST(pow_raw AS BIGINT)").alias("pow_sum"),
+            )
+        )
+    rounds = reduce(DataFrame.unionByName, per_round)
+    est = rounds.select(
+        "radius", "pow_sum",
+        F.expr(
+            f"CAST((pow_sum * {ANF_INV}) div {ANF_K * ANF_PHI} AS BIGINT)"
+        ).alias("est_pairs"),
+    )
+    final = est.filter(F.col("radius") == ANF_ROUNDS).select(
+        F.col("est_pairs").alias("est_final")
+    )
+    return (
+        est.crossJoin(F.broadcast(final))
+        .select(
+            "radius", "pow_sum", "est_pairs",
+            F.expr(
+                "CAST(CASE WHEN est_pairs * 10 >= est_final * 9 "
+                "THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("d90"),
+        )
+        .orderBy("radius")
     )

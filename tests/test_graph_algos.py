@@ -365,3 +365,47 @@ def test_run_fixpoint_require_converged_raises_on_budget(spark):
     # for radius-bounded algorithms)
     out = run_fixpoint(state, step, max_iter=3, compare_cols=["v"])
     assert out.collect()[0].v == 7
+
+
+def test_anf_estimates_track_exact_neighborhood_function(spark):
+    """ANF (r11): the FM-sketch pair estimates must be monotone
+    nondecreasing in the radius, within a generous multiplicative band of
+    the EXACT neighborhood function (K=4 registers -> ~50% rsd; the band
+    is wide on purpose — determinism, not tightness, is the contract the
+    oracle pins), and d90 must flag exactly the radii whose estimate
+    reaches 90% of the horizon's."""
+    from edgy_spark.catalog import QUERIES
+    from edgy_spark.operators.graph_algos import (
+        ANF_ROUNDS,
+        copurchase_edges,
+        undirect,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r["radius"]: r
+        for r in QUERIES["graph_anf_effective_diameter"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert sorted(rows) == list(range(1, ANF_ROUNDS + 1))
+    ests = [rows[r]["est_pairs"] for r in sorted(rows)]
+    assert all(a <= b for a, b in zip(ests, ests[1:])), ests
+
+    # exact N(r): iterate reachable sets in driver python (fixture-sized)
+    edges = undirect(copurchase_edges(spark, SF_SMOKE)).collect()
+    adj: dict[int, set[int]] = {}
+    for e in edges:
+        adj.setdefault(e["src"], set()).add(e["dst"])
+    reach = {v: {v} for v in adj}
+    for r in range(1, ANF_ROUNDS + 1):
+        reach = {
+            v: s | {w for u in s for w in adj.get(u, ())} for v, s in reach.items()
+        }
+        exact = sum(len(s) for s in reach.values())
+        est = ests[r - 1]
+        assert exact // 4 <= est <= exact * 4, (r, est, exact)
+
+    final = ests[-1]
+    for r in sorted(rows):
+        assert rows[r]["d90"] == (1 if ests[r - 1] * 10 >= final * 9 else 0)
