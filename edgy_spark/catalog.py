@@ -151,11 +151,10 @@ def load_all_registrations() -> None:
 #: remaining r07-last-green queries (sim_*, stream_*, dedup embedding/
 #: exact, graph query patterns, text/multimodal/pipeline r07 greens —
 #: the r10 verdict's "natural backfill", not driver-verified in three
-#: rounds); (4) the final two slots go to the stalest r08 greens whose
-#: MODULES r11 edited (dedup.py gained the provenance section,
-#: multimodal.py the multiscan query — their executed code is unchanged,
-#: but a changed module re-verifies cheapest).  After this window, no
-#: query's last green predates r08.
+#: rounds); (4) the final slot goes to the stalest r08 green whose
+#: MODULE r11 edited (dedup.py gained the provenance section — its
+#: executed code is unchanged, but a changed module re-verifies
+#: cheapest).  After this window, no query's last green predates r08.
 R11_WINDOW: list[str] = [
     # new in r11 — never driver-verified
     "graph_anf_effective_diameter",

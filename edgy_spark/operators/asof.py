@@ -1051,7 +1051,8 @@ CUSUM_CHUNKS = 64
     WITH cents AS (
       SELECT event_type, event_id, ts,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-      FROM events),
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL),
     pre AS (
       SELECT event_type, event_id,
              CAST(ROW_NUMBER() OVER w AS HUGEINT) AS i,
@@ -1114,7 +1115,16 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     The chunk-winner reduction is exact: the global argmax row is its own
     chunk's max-|d|/min-event_id row, so it survives step 4's first cut.
     """
-    ev = load(spark, sf_dir, "events")
+    # NULL keys are excluded EXPLICITLY on both sides: the chunk id is a
+    # function of ts and the offset/argmax joins are equi-joins, so a NULL
+    # ts/event_type row can never flow through them — and the engines'
+    # window NULL-ordering defaults differ anyway (Spark NULLS FIRST,
+    # DuckDB NULLS LAST).  A changepoint over unkeyed/untimed telemetry is
+    # undefined; stating the filter keeps both dialects in lockstep
+    # (review r11).
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
     d38 = "decimal(38,0)"
     cents = ev.select(
         "event_type",

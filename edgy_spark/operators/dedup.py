@@ -1688,14 +1688,16 @@ def dedup_host_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl-quality signal for deciding host caps; exact e6 fixed-point so
     the value-hash is cross-engine stable.
 
-    Scale: one shuffle on (host, fp) for the distinct, then a map-side
-    combinable per-host count — 16-byte digests move, documents don't."""
+    Scale: host and fingerprint are both in-row expressions, so this is
+    ONE scan of documents and one shuffle on (host, fp) for the distinct,
+    then a map-side combinable per-host count — 16-byte digests move,
+    documents don't (review r11: the first cut self-joined on doc_id,
+    scanning the corpus twice)."""
     d = load(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    fp = d.select("doc_id", F.md5(norm.cast("binary")).alias("f"))
-    hosts = _url_docs(spark, sf_dir).select("doc_id", "host")
+    _, host = _canonical_parts(_raw_url())
     return (
-        hosts.join(fp, "doc_id")
+        d.select(host.alias("host"), F.md5(norm.cast("binary")).alias("f"))
         .groupBy("host")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

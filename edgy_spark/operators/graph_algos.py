@@ -2402,11 +2402,11 @@ def _anf_oracle() -> str:
     agg AS MATERIALIZED ({aggs}),
     est AS MATERIALIZED (
       SELECT radius, pow_sum,
-             CAST(pow_sum * {ANF_INV} // {ANF_K * ANF_PHI} AS BIGINT)
+             CAST(pow_sum::HUGEINT * {ANF_INV} // {ANF_K * ANF_PHI} AS BIGINT)
                AS est_pairs
       FROM agg)
     SELECT e.radius, e.pow_sum, e.est_pairs,
-           CAST(CASE WHEN e.est_pairs * 10 >= f.est_pairs * 9
+           CAST(CASE WHEN e.est_pairs::HUGEINT * 10 >= f.est_pairs::HUGEINT * 9
                 THEN 1 ELSE 0 END AS BIGINT) AS d90
     FROM est e, (SELECT est_pairs FROM est WHERE radius = {ANF_ROUNDS}) f
     ORDER BY e.radius
@@ -2431,7 +2431,10 @@ def graph_anf_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale (the reason ANF exists): exact neighborhood functions need
     all-pairs BFS — O(n^2) state.  Here per-node state is ANF_K 64-bit
-    masks REGARDLESS of graph size; each round is one aggregate_messages
+    masks regardless of graph size (the OUTPUT totals are BIGINT, exact
+    for graphs to ~4M nodes at ANF_MAXB=39 — 4 * 2^39 * n < 2^63; beyond
+    that, widen the outputs to DECIMAL or emit per-node estimates — and
+    the multiply runs in DECIMAL(38,0)/HUGEINT so it cannot wrap); each round is one aggregate_messages
     superstep (shuffle carries (dst, 4 longs)), masks merge by BIT_OR
     (map-side combinable, order-independent), and rounds localCheckpoint
     via _materialize so lineage stays flat.  This is the diameter/
@@ -2481,7 +2484,10 @@ def graph_anf_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = rounds.select(
         "radius", "pow_sum",
         F.expr(
-            f"CAST((pow_sum * {ANF_INV}) div {ANF_K * ANF_PHI} AS BIGINT)"
+            # decimal intermediate: the multiply must not wrap in BIGINT
+            # where the oracle's HUGEINT twin raises (review r11)
+            f"CAST((CAST(pow_sum AS DECIMAL(38,0)) * {ANF_INV}) "
+            f"div {ANF_K * ANF_PHI} AS BIGINT)"
         ).alias("est_pairs"),
     )
     final = est.filter(F.col("radius") == ANF_ROUNDS).select(
@@ -2492,7 +2498,8 @@ def graph_anf_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "radius", "pow_sum", "est_pairs",
             F.expr(
-                "CAST(CASE WHEN est_pairs * 10 >= est_final * 9 "
+                "CAST(CASE WHEN CAST(est_pairs AS DECIMAL(38,0)) * 10 >= "
+                "CAST(est_final AS DECIMAL(38,0)) * 9 "
                 "THEN 1 ELSE 0 END AS BIGINT)"
             ).alias("d90"),
         )

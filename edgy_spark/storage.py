@@ -216,11 +216,12 @@ class ConditionalPutArbiter(CommitArbiter):
     reclaims a crashed attempt's slot instead of wedging the version
     forever (review r10).  A live putter's open→write window is
     microseconds, and it holds a shared flock on the fd for the whole
-    write, so a reclaimer (LOCK_EX|LOCK_NB) can never interleave with a
-    LIVE putter no matter how long it stalls — the grace period only
-    gates reclaim of claims whose putter is GONE (crashed: the kernel
-    dropped its lock).  ``reclaim_after_s`` is tunable for deployments
-    whose writers legitimately stall (NFS, debuggers) — review r11."""
+    write — with the claim re-validated UNDER the lock (the inode must
+    still be empty), so a reclaimer (LOCK_EX|LOCK_NB) either loses the
+    lock race or visibly wins it: a putter stalled past the grace period
+    wakes, sees the reclaimer's bytes, and loses cleanly instead of
+    interleaving (review r11).  ``reclaim_after_s`` is tunable for
+    deployments whose writers legitimately stall (NFS, debuggers)."""
 
     RECLAIM_AFTER_S = 60.0
 
@@ -234,22 +235,31 @@ class ConditionalPutArbiter(CommitArbiter):
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             return self._reclaim_crashed_claim(path, data)
-        self._write_all(fd, data)
-        return True
+        return self._write_all(fd, data)
 
     @staticmethod
-    def _write_all(fd: int, data: bytes) -> None:
+    def _write_all(fd: int, data: bytes) -> bool:
         import fcntl
 
         try:
             # shared lock for the write's duration: serializes against a
             # reclaimer's LOCK_EX so a stalled-but-alive putter and a
-            # reclaimer can never interleave writes into one inode
+            # reclaimer can never interleave writes into one inode.  The
+            # open->flock gap is NOT covered by the lock, so re-validate
+            # under it: we created this inode EMPTY (O_EXCL), and a
+            # reclaimer writes only under LOCK_EX — so any bytes visible
+            # under our lock mean a reclaimer already stole the slot
+            # during a stall longer than the grace period.  Lose cleanly
+            # instead of overwriting its manifest (review r11: the
+            # two-winner interleave the r10 fix missed).
             fcntl.flock(fd, fcntl.LOCK_SH)
+            if os.fstat(fd).st_size != 0:
+                return False
             off = 0
             while off < len(data):
                 off += os.write(fd, data[off:])
             os.fsync(fd)
+            return True
         finally:
             os.close(fd)  # releases the flock
 

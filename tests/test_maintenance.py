@@ -594,3 +594,23 @@ def test_rollforward_skips_truncated_manifest_torso(spark, tmp_path):
         f.write('{"version": 2, "tab')
     assert store.current_version() == 1
     assert store.snapshot().version == 1
+
+
+def test_conditional_put_stalled_putter_loses_to_reclaimer(tmp_path):
+    """Review r11: the open→flock gap is not covered by the lock, so a
+    putter stalled past the grace period can wake AFTER a reclaimer stole
+    its empty claim.  The woken putter must re-validate under its lock
+    (inode still empty) and lose cleanly — never overwrite the
+    reclaimer's manifest (the two-winner interleave)."""
+    from edgy_spark.storage import ConditionalPutArbiter
+
+    arb = ConditionalPutArbiter()
+    path = str(tmp_path / "manifest.v1.json")
+    # putter A: O_EXCL create succeeds ... then stalls holding only the fd
+    fd_a = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.utime(path, (1, 1))  # stall exceeds the grace period
+    # reclaimer B arrives, steals the slot, writes its manifest
+    assert arb.put_if_absent(path, '{"version": 1, "by": "B"}') is True
+    # A wakes and finishes its write path: must LOSE, not interleave
+    assert arb._write_all(fd_a, b'{"version": 1, "by": "A"}') is False
+    assert open(path).read() == '{"version": 1, "by": "B"}'
