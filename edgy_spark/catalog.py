@@ -139,8 +139,9 @@ def load_all_registrations() -> None:
 #: The exact first-50 list for the r11 driver gate.
 #: ``tests/test_registry_window.py`` pins this against the live registry.
 #:
-#: R11 rotation rationale: (1) the six queries NEW in r11, never
-#: driver-verified (ANF effective diameter, palette-PNG decode,
+#: R11 rotation rationale: (1) the seven queries NEW in r11, never
+#: driver-verified (Kneser-Ney bigram LM, ANF effective diameter,
+#: palette-PNG decode,
 #: multi-scan sequential JPEG, and the provenance-dedup family:
 #: canonical-URL groups, per-host caps, host dup-rate); (2) every query whose EXECUTED code changed after its
 #: r10 green: events_cusum_changepoint (the running prefix was rewritten
@@ -151,12 +152,10 @@ def load_all_registrations() -> None:
 #: remaining r07-last-green queries (sim_*, stream_*, dedup embedding/
 #: exact, graph query patterns, text/multimodal/pipeline r07 greens —
 #: the r10 verdict's "natural backfill", not driver-verified in three
-#: rounds); (4) the final slot goes to the stalest r08 green whose
-#: MODULE r11 edited (dedup.py gained the provenance section — its
-#: executed code is unchanged, but a changed module re-verifies
-#: cheapest).  After this window, no query's last green predates r08.
+#: rounds).  After this window, no query's last green predates r08.
 R11_WINDOW: list[str] = [
     # new in r11 — never driver-verified
+    "text_kn_bigram_probs",
     "graph_anf_effective_diameter",
     "multimodal_png_palette_stats",
     "multimodal_jpeg_multiscan_stats",
@@ -209,8 +208,6 @@ R11_WINDOW: list[str] = [
     "pipeline_shard_assignment",
     "pipeline_stratified_sample",
     "pipeline_training_end2end",
-    # stalest r08 green in a module r11 edited
-    "dedup_ngram_jaccard_pairs",
 ]
 
 

@@ -1306,3 +1306,99 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("labeled_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram language model (r11) — exact integer fixed point
+# ---------------------------------------------------------------------------
+
+KN_TOP = 50  # emitted rows: the most frequent bigrams with their P_KN
+
+
+@register(
+    "text_kn_bigram_probs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents),
+    big AS (
+      SELECT bg[1] AS w1, bg[2] AS w2
+      FROM (SELECT unnest(list_transform(
+                     range(1, greatest(len(w) - 1, 0) + 1),
+                     i -> [w[i], w[i + 1]])) AS bg
+            FROM toks)),
+    c12 AS MATERIALIZED (
+      SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY w1, w2),
+    c1 AS MATERIALIZED (
+      SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1, COUNT(*) AS n1r
+      FROM c12 GROUP BY w1),
+    cl AS MATERIALIZED (
+      SELECT w2, COUNT(*) AS n1l FROM c12 GROUP BY w2),
+    t AS (SELECT COUNT(*) AS tt FROM c12)
+    SELECT w1, w2, CAST(n12 AS BIGINT) AS n12,
+           CAST(
+             (GREATEST(4 * n12 - 3, 0)::HUGEINT * 1000000) // (4::HUGEINT * n1)
+             + (3::HUGEINT * n1r * n1l * 1000000) // (4::HUGEINT * n1 * tt)
+           AS BIGINT) AS p_e6
+    FROM c12 JOIN c1 USING (w1) JOIN cl USING (w2) CROSS JOIN t
+    ORDER BY n12 DESC, w1, w2 LIMIT 50
+    """,
+    tags=("text", "lm", "ngram", "kneser-ney"),
+)
+def text_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995 /
+    Chen & Goodman 1999 — THE n-gram smoothing training pipelines use for
+    quality filtering and importance weights):
+
+      P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                 + D * N1+(w1 .)/c(w1) * N1+(. w2)/T,   D = 0.75
+
+    with D = 3/4 cleared by working in QUARTERS, so both terms are pure
+    integer e6 fixed point (each term floored independently — the metric
+    is defined as that sum) and the DuckDB oracle reproduces the hash
+    exactly.  Emits the KN_TOP most frequent bigrams.
+
+    Scale: everything derives from ONE bigram-count table — c(w1,w2) is
+    one map-side-combinable groupBy over the exploded bigram stream
+    (linear zip_with shingling, the dedup module's pattern); c(w1),
+    N1+(w1 .), N1+(. w2), and T are tiny re-aggregations OF THAT TABLE
+    (localCheckpointed so the corpus is scanned once, not four times);
+    the continuation totals broadcast; top-k is TakeOrderedAndProject,
+    never a global sort.  The count tables ARE the trained model — at
+    100 TB this is exactly how KenLM-style corpus LM training shards.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.greatest(F.size(w) - 1, F.lit(0))
+    big = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, n), F.slice(w, 2, n),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("n12").alias("n1"), F.count(F.lit(1)).alias("n1r")
+    )
+    cl = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1l"))
+    t = c12.agg(F.count(F.lit(1)).alias("tt"))
+    p_e6 = F.expr(
+        "CAST((CAST(greatest(4 * n12 - 3, 0) AS DECIMAL(38,0)) * 1000000)"
+        " div (CAST(4 AS DECIMAL(38,0)) * n1)"
+        " + (CAST(3 AS DECIMAL(38,0)) * n1r * n1l * 1000000)"
+        " div (CAST(4 AS DECIMAL(38,0)) * n1 * tt) AS BIGINT)"
+    )
+    return (
+        c12.join(c1, "w1")
+        .join(cl, "w2")
+        .crossJoin(F.broadcast(t))
+        .select("w1", "w2", "n12", p_e6.alias("p_e6"))
+        .orderBy(F.desc("n12"), "w1", "w2")
+        .limit(KN_TOP)
+    )

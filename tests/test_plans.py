@@ -650,3 +650,12 @@ def test_url_canonical_groups_mapside_combine_no_python(spark):
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and {c.split(":")[0] for c in m.group(1).split(",") if c} == {"doc_id"}
+
+
+def test_kn_bigram_topk_pushdown_no_python(spark):
+    """The KN model's top-k must compile to TakeOrderedAndProject (never a
+    global sort of the bigram table) with zero Python stages — the count
+    tables are the model; everything after them is dimension-sized."""
+    plan = _plan(spark, "text_kn_bigram_probs")
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\(\d+\) (MapInPandas|ArrowEvalPython|BatchEvalPython)", plan)
