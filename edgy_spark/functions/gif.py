@@ -1,0 +1,266 @@
+"""Minimal pure-stdlib GIF codec — real LZW image decode without PIL.
+
+Written against the public GIF89a specification (W3C/CompuServe
+GRAPHICS INTERCHANGE FORMAT Version 89a: block layout, logical screen
+descriptor, color tables, interlacing, and Appendix F's variable-width
+LZW) — the same from-spec pattern as the PNG (functions/png.py), JPEG
+(functions/jpeg.py), and WAV (functions/wav.py) codecs, cross-validated
+against the JVM's independent ``javax.imageio`` GIF plugin in
+tests/test_multimodal_real.py (GIF is lossless, so the comparison is
+pixel-exact).
+
+Scope (deliberately bounded, stated loudly):
+- GIF87a and GIF89a, global and local color tables (2/4/8/16/.../256
+  entries), the FIRST image descriptor only (frame 1 of an animation —
+  the corpus-statistics use case; later frames need composition state);
+- variable-width LZW (Appendix F): code width grows 3..12 bits, CLEAR
+  resets the table, EOI ends the stream, LSB-first bit packing in
+  255-byte sub-blocks, including the deferred-clear streams modern
+  encoders emit;
+- 4-pass row interlacing (rows 0,8,16.. then 4,12.. then 2,6.. then
+  odd rows);
+- Graphic Control Extension transparency: output is RGB, or RGBA when
+  the first frame's GCE declares a transparent index (alpha 0 there,
+  255 elsewhere); other extensions are skipped per spec;
+- the first frame is returned at its OWN dimensions (image descriptor
+  w x h); frames offset inside a larger logical screen keep their local
+  coordinates — composition onto the screen canvas is animation
+  territory, out of scope.
+
+The encoder exists so tests and the oracle-gated catalog query can
+fabricate valid GIFs without an imaging library: it emits root codes
+only, issuing CLEAR whenever the decoder's table would force a width
+growth — the classic "uncompressed GIF" technique, legal per Appendix F
+and decodable by ANY compliant reader (the JVM cross-check pins this).
+Real compressed streams come from the JDK's own GIF WRITER in tests, so
+the decoder is never checked only against its own inverse.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]  # (first row, step)
+
+
+def _color_table(data: bytes, pos: int, flag_byte: int) -> tuple[bytes | None, int]:
+    """Read a color table if the descriptor's table flag (bit 7) is set;
+    size = 2^(N+1) where N is the low 3 bits.  Returns (rgb bytes, pos)."""
+    if not flag_byte & 0x80:
+        return None, pos
+    n = 2 << (flag_byte & 0x07)
+    table = data[pos:pos + 3 * n]
+    if len(table) != 3 * n:
+        raise ValueError("truncated color table")
+    return table, pos + 3 * n
+
+
+def _sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a sub-block chain (len byte + payload, 0-terminated)."""
+    out = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated sub-block chain")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        out.extend(data[pos:pos + n])
+        if pos + n > len(data):
+            raise ValueError("truncated sub-block")
+        pos += n
+
+
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF Appendix F LZW: LSB-first variable-width codes, CLEAR/EOI,
+    table grows to 4096 entries then freezes until the next CLEAR."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def reset() -> tuple[list[bytes], int]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""], min_code_size + 1
+
+    table, width = reset()
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    i = 0
+    n = len(data)
+    while len(out) < n_pixels:
+        while nbits < width:
+            if i >= n:
+                raise ValueError("LZW stream ended before all pixels")
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW: first code not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]  # the KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError("LZW: code out of range")
+        out.extend(entry)
+        prev = entry
+        # width grows when the NEXT code could not fit (table full to the
+        # current width's capacity), capped at 12 bits per spec
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return bytes(out[:n_pixels])
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the FIRST frame into ``(width, height, channels, pixels)``
+    with ``pixels`` row-major 8-bit samples — RGB, or RGBA when the
+    frame's Graphic Control Extension declares a transparent index.
+    Raises ValueError on malformed input."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(data) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    _, _, flags, _, _ = struct.unpack("<HHBBB", data[6:13])
+    global_table, pos = _color_table(data, 13, flags)
+    transparent: int | None = None
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos + 2 > len(data):
+                raise ValueError("truncated extension")
+            label = data[pos + 1]
+            body, pos = _sub_blocks(data, pos + 2)
+            if label == 0xF9 and len(body) >= 4:  # Graphic Control Ext
+                if body[0] & 0x01:  # transparency flag
+                    transparent = body[3]
+            continue
+        if b == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("truncated image descriptor")
+            _, _, w, h, iflags = struct.unpack("<HHHHB", data[pos + 1:pos + 10])
+            if w == 0 or h == 0:
+                raise ValueError("zero-dimension GIF frame")
+            local_table, pos = _color_table(data, pos + 10, iflags)
+            table = local_table if local_table is not None else global_table
+            if table is None:
+                raise ValueError("no color table for image")
+            if pos >= len(data):
+                raise ValueError("missing LZW minimum code size")
+            min_code = data[pos]
+            lzw, pos = _sub_blocks(data, pos + 1)
+            idx = _lzw_decode(min_code, lzw, w * h)
+            if iflags & 0x40:  # interlaced: 4-pass row scatter
+                rows = bytearray(w * h)
+                src = 0
+                for first, step in _INTERLACE_PASSES:
+                    for y in range(first, h, step):
+                        rows[y * w:(y + 1) * w] = idx[src:src + w]
+                        src += w
+                idx = bytes(rows)
+            n_entries = len(table) // 3
+            if max(idx, default=0) >= n_entries:
+                raise ValueError("pixel index out of color-table range")
+            ch = 3 if transparent is None else 4
+            out = bytearray(w * h * ch)
+            for p, v in enumerate(idx):
+                o, e = p * ch, v * 3
+                out[o:o + 3] = table[e:e + 3]
+                if ch == 4:
+                    out[o + 3] = 0 if v == transparent else 255
+            return w, h, ch, bytes(out)
+        raise ValueError(f"unknown block 0x{b:02X}")
+    raise ValueError("no image data before trailer")
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    rows: list[bytes],
+    palette: bytes,
+    transparent: int | None = None,
+    interlaced: bool = False,
+) -> bytes:
+    """Encode indexed pixels as a GIF89a with a global color table —
+    root-codes-only LZW (CLEAR before every width growth, Appendix F's
+    uncompressed technique), optional GCE transparency and interlacing.
+    ``palette`` is 3-byte RGB entries (length a power of two, 2..256);
+    each row holds one index byte per pixel."""
+    n = len(palette) // 3
+    if not palette or len(palette) % 3 or n & (n - 1) or not 2 <= n <= 256:
+        raise ValueError("palette must hold a power-of-two count of RGB entries")
+    if len(rows) != height or any(len(r) != width for r in rows):
+        raise ValueError("rows must be height x width index bytes")
+    if any(v >= n for r in rows for v in r):
+        raise ValueError("pixel index out of palette range")
+    if transparent is not None and not 0 <= transparent < n:
+        raise ValueError("transparent index out of palette range")
+    depth = max(n.bit_length() - 1, 1)  # log2(n); table flag stores depth-1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    out += palette
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    iflags = 0x40 if interlaced else 0
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, iflags)
+    min_code = max(depth, 2)
+    clear = 1 << min_code
+    eoi = clear + 1
+    # emit pixels in stream order (interlaced scatter order if asked)
+    if interlaced:
+        ordered = b"".join(
+            rows[y] for first, step in _INTERLACE_PASSES
+            for y in range(first, height, step)
+        )
+    else:
+        ordered = b"".join(rows)
+    acc = 0
+    nbits = 0
+    width_bits = min_code + 1
+    next_code = eoi + 1  # decoder-side table size after each root code
+    codes = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width_bits
+        while nbits >= 8:
+            codes.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    for v in ordered:
+        # the decoder grows its table after every code; CLEAR before the
+        # width would grow keeps every emitted code at width_bits
+        if next_code == (1 << width_bits) - 1:
+            put(clear)
+            next_code = eoi + 1
+        put(v)
+        next_code += 1
+    put(eoi)
+    if nbits:
+        codes.append(acc & 0xFF)
+    out += bytes([min_code])
+    for i in range(0, len(codes), 255):
+        chunk = codes[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

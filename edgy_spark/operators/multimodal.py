@@ -1098,3 +1098,141 @@ def multimodal_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# real GIF decode (pure-stdlib LZW codec, functions/gif.py — r11)
+# ---------------------------------------------------------------------------
+
+def decode_features_gif(media_df: DataFrame) -> DataFrame:
+    """Real GIF first-frame decode — Appendix F variable-width LZW +
+    color-table expansion + 4-pass de-interlacing — via the pure-stdlib
+    codec (functions/gif.py, written from the GIF89a spec), in the same
+    Arrow-batched ``mapInPandas`` shape (and by-value codec shipping) as
+    :func:`decode_features_png`.  Emits true (width, height) plus the
+    Rec.601 integer ``mean_luma`` over every decoded pixel.
+    Cross-validated pixel-exactly against the JVM's independent
+    javax.imageio GIF plugin (both directions: JDK-written compressed
+    streams decode here; our streams decode there) in
+    tests/test_multimodal_real.py."""
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import gif as _gif
+
+    cloudpickle.register_pickle_by_value(_gif)
+    decode_gif = _gif.decode_gif
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(payload)
+                w, h, ch, px = decode_gif(data)
+                luma = sum(
+                    299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
+                    for i in range(0, len(px), ch)
+                ) // (1000 * w * h)
+                rows.append(
+                    (doc_id, len(data), hashlib.md5(data).hexdigest(), w, h, luma)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "content_md5",
+                    "width", "height", "mean_luma",
+                ],
+            )
+
+    return media_df.mapInPandas(
+        decode,
+        "doc_id long, n_bytes long, content_md5 string, "
+        "width long, height long, mean_luma long",
+    )
+
+
+@register(
+    "multimodal_gif_palette_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      doc_id % 19 + 1 AS w,
+                      (doc_id * 3) % 11 + 1 AS h,
+                      CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 16
+                                      ELSE 64 END AS n
+               FROM documents),
+    px AS (SELECT d.doc_id, d.w, d.h,
+                  (d.doc_id * 3 + t.i * 7) % d.n AS v
+           FROM d, generate_series(0, 20 * 12 - 1) AS t(i)
+           WHERE t.i < d.w * d.h),
+    s AS (SELECT doc_id, w, h,
+                 SUM(299 * ((doc_id * 5 + v * 11) % 256)
+                   + 587 * ((doc_id * 13 + v * 17) % 256)
+                   + 114 * ((doc_id * 7 + v * 23) % 256)) AS total
+          FROM px GROUP BY doc_id, w, h)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(total // (1000 * w * h) AS BIGINT) AS mean_luma
+    FROM s
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode", "gif"),
+)
+def multimodal_gif_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode under the driver's value-hash gate — the remaining
+    common web-corpus image container after PNG and JPEG: each document
+    defines an indexed-color image (palette size cycles 4/16/64 with
+    doc_id%3, palette entry j an RGB triple derived from (doc_id, j),
+    pixel p's index (doc_id*3 + p*7) % n), ENCODED as a genuine GIF89a
+    LZW stream (every third document interlaced, so the 4-pass scatter
+    executes) and DECODED back through the from-spec LZW + color-table
+    pipeline (functions/gif.py) inside Arrow-batched ``mapInPandas``.
+    GIF is lossless, so the oracle recomputes the luma from the index
+    formula directly — an error anywhere in the bit unpacking, table
+    reset, interlace scatter, or palette lookup breaks the hash.  Real
+    compressed streams (JDK-written) are cross-validated in
+    tests/test_multimodal_real.py.
+
+    Scale: identical to the other codec queries — pixels never leave the
+    executors; exchanged rows are (doc_id, 3 small ints).
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import gif as _gif
+
+    cloudpickle.register_pickle_by_value(_gif)
+    encode = _gif.encode_gif
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = i % 19 + 1, (i * 3) % 11 + 1
+                n = (4, 16, 64)[i % 3]
+                pal = bytes(
+                    c
+                    for j in range(n)
+                    for c in (
+                        (i * 5 + j * 11) % 256,
+                        (i * 13 + j * 17) % 256,
+                        (i * 7 + j * 23) % 256,
+                    )
+                )
+                rows = [
+                    bytes((i * 3 + (y * w + x) * 7) % n for x in range(w))
+                    for y in range(h)
+                ]
+                media.append(
+                    encode(w, h, rows, pal, interlaced=(i % 3 == 0))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    return (
+        decode_features_gif(media_df)
+        .select("doc_id", "width", "height", "mean_luma")
+        .orderBy("doc_id")
+    )
