@@ -659,3 +659,25 @@ def test_kn_bigram_topk_pushdown_no_python(spark):
     plan = _plan(spark, "text_kn_bigram_probs")
     assert "TakeOrderedAndProject" in plan
     assert not re.search(r"\(\d+\) (MapInPandas|ArrowEvalPython|BatchEvalPython)", plan)
+
+
+def test_codec_queries_scan_doc_id_only(spark):
+    """Every codec query synthesizes media from doc_id, so its parquet
+    scan must read exactly ONE column — a scan dragging `text` (the wide
+    column) through the Python stages would multiply the exchanged bytes
+    at 100 TB.  (r10 verdict: multimodal_jpeg_block_stats sat in the
+    bench top-5 without a plan pin.)"""
+    for q in (
+        "multimodal_jpeg_block_stats",
+        "multimodal_jpeg_progressive_stats",
+        "multimodal_jpeg_multiscan_stats",
+        "multimodal_png_palette_stats",
+        "multimodal_gif_palette_stats",
+    ):
+        plan = _plan(spark, q)
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, q
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"doc_id"}, (q, cols)
+        # exactly two Python stages: synth + decode
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, q
