@@ -1442,9 +1442,9 @@ HOST_CAP = 10
 _TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
 
 
-def _raw_url() -> Column:
-    """Deterministic raw URL synthesized in-row from ``doc_id`` (the
-    documents table carries no URL column; same synthesis pattern as the
+def _raw_url(id_col: str = "doc_id") -> Column:
+    """Deterministic raw URL synthesized in-row from ``id_col`` (the
+    fixture tables carry no URL column; same synthesis pattern as the
     codec queries).  ``g = doc_id % 211`` fixes the CANONICAL identity
     (scheme, host, non-default port, path, real params) so ~2.4 docs per
     group collide after canonicalization, while everything a canonicalizer
@@ -1452,7 +1452,7 @@ def _raw_url() -> Column:
     fragments, trailing slashes — varies per ``doc_id``.  The oracle
     rebuilds the identical string in SQL, so the canonicalizer itself is
     what the value-hash checks."""
-    d = F.col("doc_id")
+    d = F.col(id_col)
     g = d % 211
     scheme = F.when(g % 2 == 1, F.lit("https")).otherwise(F.lit("http"))
     hostbase = F.concat(F.lit("www.site"), (g % 13).cast("string"), F.lit(".example"))
@@ -1535,6 +1535,7 @@ def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: DuckDB mirror of _raw_url + _canonical_parts, ending at the ``curl``
 #: CTE (doc_id, canonical_url, host) — queries append their own SELECT.
+#: ``url_base_sql`` below retargets it to any (table, id) pair.
 _URL_BASE_SQL = r"""
     WITH u AS (
       SELECT doc_id, doc_id % 211 AS g,
@@ -1591,6 +1592,15 @@ _URL_BASE_SQL = r"""
             FROM parts)
     )
 """
+
+
+def url_base_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """The canonical-URL CTE chain over an arbitrary ``(table, id)`` pair —
+    the streaming crawl-frontier twin canonicalizes event URLs with the
+    SAME algorithm and oracle text (streaming/events.py)."""
+    return _URL_BASE_SQL.replace("doc_id", id_col).replace(
+        "FROM documents", f"FROM {table}"
+    )
 
 
 @register(

@@ -688,3 +688,90 @@ def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming crawl-frontier dedup on canonical URLs (r11)
+# ---------------------------------------------------------------------------
+
+def _event_canonical_url():
+    from edgy_spark.operators.dedup import _canonical_parts, _raw_url
+
+    canonical, _host = _canonical_parts(_raw_url("event_id"))
+    return canonical
+
+
+def _url_dedup_oracle() -> str:
+    from edgy_spark.operators.dedup import url_base_sql
+
+    return url_base_sql("events", "event_id") + """
+    , keyed AS (
+      SELECT c.canonical_url, e.event_id,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             ROW_NUMBER() OVER (PARTITION BY c.canonical_url
+                                ORDER BY e.ts, e.event_id) AS rk
+      FROM curl c JOIN events e USING (event_id))
+    SELECT canonical_url,
+           CAST(event_id AS BIGINT) AS first_event_id,
+           ts_s AS first_ts
+    FROM keyed WHERE rk = 1
+    ORDER BY canonical_url
+    """
+
+
+@register(
+    "stream_url_dedup_first_seen",
+    oracle=_url_dedup_oracle(),
+    tags=("streaming", "dedup", "provenance", "url"),
+)
+def stream_url_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`url_dedup_stream` — the crawl-frontier
+    hygiene step AS A STREAM OPERATION: each event carries a synthesized
+    raw URL (dedup._raw_url over event_id: same canonical identity
+    collides across tracking params / host case / fragments), and the
+    first fetch per CANONICAL url wins.  First = min (ts, event_id), the
+    arrival order a time-ordered replay delivers, so the streaming twin's
+    replay-equivalence test (tests/test_streaming.py) pins batch ==
+    stream on the same chunked corpus.
+
+    Scale: canonicalization is in-row JVM string expressions; the only
+    shuffle keys on canonical_url, and rank=1 compiles to the
+    WindowGroupLimit pre-prune."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("canonical_url").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("canonical_url", _event_canonical_url())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "canonical_url",
+            F.col("event_id").alias("first_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+def url_dedup_stream(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Streaming twin: canonicalize in-row, then keyed first-wins dedup on
+    the canonical URL within the watermark (``dropDuplicatesWithinWatermark``
+    — bounded state, exactly like :func:`dedup_stream`).  ``delay`` is the
+    re-crawl horizon: a fetch of the same canonical URL arriving more than
+    ``delay`` of event time after the last one is re-emitted — the
+    frontier semantics you want (content may have changed), and the knob
+    that bounds state at 100 TB/day.  The replay-equivalence test pins
+    batch == stream under a delay covering the whole fixture span (state
+    must carry across micro-batches); the 1-hour default is the
+    production-shaped bound."""
+    return (
+        events.withColumn("canonical_url", _event_canonical_url())
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+        .select(
+            "canonical_url",
+            F.col("event_id").alias("first_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )

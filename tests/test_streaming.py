@@ -607,3 +607,33 @@ def test_stream_static_enrichment_equals_batch(spark):
     want = QUERIES["stream_enriched_cohort_revenue"].fn(spark, SF_SMOKE)
     cols = ["window_start", "cohort_week", "n_purchases", "revenue"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_url_dedup_stream_equals_batch(spark, tmp_path):
+    """Crawl-frontier dedup (r11): replay the events in three time-ordered
+    chunks — canonical-URL collisions land both inside one micro-batch and
+    across batches, and first-wins keyed dedup must equal the batch twin's
+    min-(ts, event_id) keeper for every canonical URL."""
+    from edgy_spark.streaming.events import url_dedup_stream
+
+    chunks, rows, cuts = _event_chunks_by_time(spark)
+    stream = _write_replay_chunks(spark, tmp_path, chunks)
+    got = _run_append_stream(
+        spark, url_dedup_stream(stream, delay="365 days"), "url_dedup_test"
+    )
+    want = QUERIES["stream_url_dedup_first_seen"].fn(spark, SF_SMOKE)
+    cols = ["canonical_url", "first_event_id", "first_ts"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # sanity: some canonical URL's duplicates really did span a chunk cut
+    from edgy_spark.operators.dedup import _canonical_parts, _raw_url
+    from edgy_spark.sources import load
+
+    canonical, _ = _canonical_parts(_raw_url("event_id"))
+    ev = load(spark, SF_SMOKE, "events").withColumn("cu", canonical).collect()
+    first_cut_ts = rows[cuts[0] - 1]["ts"]
+    by_url = {}
+    for r in ev:
+        by_url.setdefault(r["cu"], []).append(r["ts"])
+    spanning = [u for u, ts in by_url.items()
+                if min(ts) <= first_cut_ts < max(ts)]
+    assert spanning, "test split too early: no URL group spans the cut"
