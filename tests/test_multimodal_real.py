@@ -695,3 +695,44 @@ def test_gif_lzw_deferred_clear_and_errors():
         decode_gif(b"NOTGIF" + ok[6:])
     with _pytest.raises(ValueError, match="no image data"):
         decode_gif(ok[:13] + ok[13:19] + b"\x3b")
+
+
+def test_gif_codec_property_roundtrip():
+    """Hypothesis: any indexed image (palette of 2/4/16/256 entries,
+    arbitrary indices, arbitrary small dimensions, interlaced or not,
+    with or without a transparent index) survives encode->decode to the
+    exact palette expansion."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from edgy_spark.functions.gif import decode_gif, encode_gif
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 14),
+        h=st.integers(1, 11),
+        n=st.sampled_from([2, 4, 16, 256]),
+        interlaced=st.booleans(),
+        use_trans=st.booleans(),
+        data=st.data(),
+    )
+    def check(w, h, n, interlaced, use_trans, data):
+        pal = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=3 * n, max_size=3 * n))
+        )
+        rows = [
+            bytes(data.draw(st.lists(st.integers(0, n - 1), min_size=w, max_size=w)))
+            for _ in range(h)
+        ]
+        trans = data.draw(st.integers(0, n - 1)) if use_trans else None
+        dw, dh, ch, px = decode_gif(
+            encode_gif(w, h, rows, pal, transparent=trans, interlaced=interlaced)
+        )
+        assert (dw, dh, ch) == (w, h, 3 if trans is None else 4)
+        for p, v in enumerate(b"".join(rows)):
+            o = p * ch
+            assert px[o:o + 3] == pal[v * 3:v * 3 + 3]
+            if ch == 4:
+                assert px[o + 3] == (0 if v == trans else 255)
+
+    check()
