@@ -141,12 +141,11 @@ def load_all_registrations() -> None:
 #:
 #: R11 rotation rationale: (1) the nine queries NEW in r11, never
 #: driver-verified (streaming canonical-URL dedup twin, GIF LZW decode,
-#: Kneser-Ney bigram LM, ANF effective
-#: diameter,
-#: palette-PNG decode,
+#: Kneser-Ney bigram LM, ANF effective diameter, palette-PNG decode,
 #: multi-scan sequential JPEG, and the provenance-dedup family:
-#: canonical-URL groups, per-host caps, host dup-rate); (2) every query whose EXECUTED code changed after its
-#: r10 green: events_cusum_changepoint (the running prefix was rewritten
+#: canonical-URL groups, per-host caps, host dup-rate); (2) every query
+#: whose EXECUTED code changed after its r10 green:
+#: events_cusum_changepoint (the running prefix was rewritten
 #: into the chunked parallel-prefix decomposition — the r10 verdict's top
 #: task), both JPEG decode queries (decode_jpeg's SOS routing changed for
 #: multi-scan support) and both PNG decode queries (decode_png grew the

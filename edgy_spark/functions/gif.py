@@ -104,6 +104,11 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
             prev = None
             continue
         if code == eoi:
+            # premature EOI must fail loudly like every other truncation
+            # path — padding with zeros (or, interlaced, scattering a short
+            # index buffer) would silently corrupt pixel statistics
+            if len(out) < n_pixels:
+                raise ValueError("LZW stream ended before all pixels")
             break
         if prev is None:
             if code >= len(table):

@@ -736,3 +736,105 @@ def test_gif_codec_property_roundtrip():
                 assert px[o + 3] == (0 if v == trans else 255)
 
     check()
+
+
+def test_gif_lzw_deferred_clear_table_saturation():
+    """A TRUE-LZW stream (dictionary-building encoder, no CLEAR after the
+    initial one) whose table saturates at 4096 entries must keep decoding
+    at frozen 12-bit width until the data ends — the deferred-clear shape
+    modern encoders emit.  The encoder here is written independently in
+    the test (greedy longest-match LZW per Appendix F), so the decoder is
+    not checked against its own inverse."""
+    import struct as _struct
+
+    from edgy_spark.functions.gif import decode_gif
+
+    w, h = 200, 120  # 24000 high-entropy pixels: table saturates past 4096
+    pix = bytes((x * 37 + y * 101 + (x * y) % 13) % 256 for y in range(h) for x in range(w))
+
+    min_code = 8
+    clear, eoi = 256, 257
+    out_codes = []
+    table = {bytes([i]): i for i in range(256)}
+    next_code = eoi + 1
+    out_codes.append(clear)
+    cur = b""
+    for b in pix:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        out_codes.append(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        # no CLEAR: past 4096 the table freezes (deferred clear)
+        cur = bytes([b])
+    out_codes.append(table[cur])
+    out_codes.append(eoi)
+    assert next_code == 4096, "fixture too small: table never saturated"
+
+    # pack with the DECODER's width schedule: width grows when ITS table
+    # size (next_code here mirrors it) reaches 1 << width, capped at 12
+    packed = bytearray()
+    acc = nbits = 0
+    width = min_code + 1
+    size = eoi + 1
+    first_after_clear = True  # the decoder appends NO entry for this code
+    for code in out_codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            size = eoi + 1
+            width = min_code + 1
+            first_after_clear = True
+        elif code != eoi:
+            if first_after_clear:
+                first_after_clear = False
+            elif size < 4096:
+                size += 1
+            if size == (1 << width) and width < 12:
+                width += 1
+    if nbits:
+        packed.append(acc & 0xFF)
+
+    pal = bytes(c for j in range(256) for c in ((j * 7) % 256, (j * 11) % 256, (j * 13) % 256))
+    gif = bytearray(b"GIF89a")
+    gif += _struct.pack("<HHBBB", w, h, 0x87, 0, 0) + pal
+    gif += _struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    gif += bytes([min_code])
+    for i in range(0, len(packed), 255):
+        chunk = packed[i:i + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00\x3b"
+
+    dw, dh, ch, px = decode_gif(bytes(gif))
+    assert (dw, dh, ch) == (w, h, 3)
+    for p, v in enumerate(pix):
+        assert px[p * 3:p * 3 + 3] == pal[v * 3:v * 3 + 3], p
+
+
+def test_gif_premature_eoi_raises():
+    """An LZW stream ending (EOI or data exhaustion) before w*h pixels
+    must raise, never zero-fill — truncated pixels silently corrupt
+    corpus statistics (review r11b)."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from edgy_spark.functions.gif import decode_gif, encode_gif
+
+    pal = bytes(range(12))  # 4 entries
+    ok = encode_gif(4, 2, [bytes([0, 1, 2, 3])] * 2, pal)
+    # patch the image descriptor's height 2 -> 4: now 16 pixels declared,
+    # 8 encoded.  descriptor is at offset 13 + 12 (palette): <BHHHHB
+    desc_off = 13 + 12
+    assert ok[desc_off] == 0x2C
+    bad = bytearray(ok)
+    bad[desc_off + 7:desc_off + 9] = _struct.pack("<H", 4)
+    with _pytest.raises(ValueError, match="before all pixels"):
+        decode_gif(bytes(bad))
