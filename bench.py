@@ -97,6 +97,14 @@ def main() -> None:
             if spec.name not in timings or elapsed < timings[spec.name]:
                 timings[spec.name] = elapsed
             del rows
+            # fixpoint queries leave localCheckpointed RDD blocks alive
+            # until the DRIVER garbage-collects their DataFrame refs; with
+            # louvain/closeness in the set (r11) those blocks measurably
+            # slowed the NEXT queries' shuffles (+30-40% on the dedup
+            # family).  Collect eagerly so each timing starts clean.
+            import gc
+
+            gc.collect()
         pass_times.append(this_pass)
         # guard the harness's own wall budget: on a degraded host one pass
         # is already slow — more would risk the caller's timeout without
