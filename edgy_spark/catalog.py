@@ -139,8 +139,9 @@ def load_all_registrations() -> None:
 #: The exact first-50 list for the r11 driver gate.
 #: ``tests/test_registry_window.py`` pins this against the live registry.
 #:
-#: R11 rotation rationale: (1) the nine queries NEW in r11, never
-#: driver-verified (streaming canonical-URL dedup twin, GIF LZW decode,
+#: R11 rotation rationale: (1) the ten queries NEW in r11, never
+#: driver-verified (seasonal anomaly profile, streaming canonical-URL
+#: dedup twin, GIF LZW decode,
 #: Kneser-Ney bigram LM, ANF effective diameter, palette-PNG decode,
 #: multi-scan sequential JPEG, and the provenance-dedup family:
 #: canonical-URL groups, per-host caps, host dup-rate); (2) every query
@@ -150,15 +151,18 @@ def load_all_registrations() -> None:
 #: task), both JPEG decode queries (decode_jpeg's SOS routing changed for
 #: multi-scan support) and both PNG decode queries (decode_png grew the
 #: PLTE/tRNS branches); (3) backfill with the stalest greens: ALL 38
-#: remaining r07-last-green queries but multimodal_frame_sample and
-#: multimodal_thumbnail_resize — their fake-decode plumbing family
-#: re-verifies via the pinned multimodal_image_features sibling
+#: remaining r07-last-green queries but multimodal_frame_sample /
+#: multimodal_thumbnail_resize (their fake-decode plumbing family
+#: re-verifies via the pinned multimodal_image_features sibling) and
+#: pipeline_stratified_sample (its salted-hash-rank shape re-verifies
+#: via the pinned pipeline_balanced_sample_per_lang)
 #: (sim_*, stream_*, dedup embedding/
 #: exact, graph query patterns, text/multimodal/pipeline r07 greens —
 #: the r10 verdict's "natural backfill", not driver-verified in three
 #: rounds).  After this window, no query's last green predates r08.
 R11_WINDOW: list[str] = [
     # new in r11 — never driver-verified
+    "events_seasonal_anomaly_profile",
     "stream_url_dedup_first_seen",
     "multimodal_gif_palette_stats",
     "text_kn_bigram_probs",
@@ -210,7 +214,6 @@ R11_WINDOW: list[str] = [
     "pipeline_balanced_sample_per_lang",
     "pipeline_pack_blocks",
     "pipeline_shard_assignment",
-    "pipeline_stratified_sample",
     "pipeline_training_end2end",
 ]
 

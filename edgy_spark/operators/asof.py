@@ -1199,3 +1199,84 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal baseline anomaly profile (r11) — exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_seasonal_anomaly_profile",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 % 168 AS BIGINT) AS how,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+    agg AS (
+      SELECT event_type, how,
+             COUNT(*) AS n,
+             CAST(SUM(v) AS HUGEINT) AS s,
+             CAST(SUM(v::HUGEINT * v) AS HUGEINT) AS s2
+      FROM cents GROUP BY event_type, how)
+    SELECT c.event_type, c.how,
+           CAST(MAX(a.n) AS BIGINT) AS n_events,
+           CAST(MAX(a.s // a.n) AS BIGINT) AS mean_cents,
+           CAST(SUM(CASE WHEN (a.n * c.v - a.s) * (a.n * c.v - a.s)
+                          > 9 * (a.n * a.s2 - a.s * a.s)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM cents c JOIN agg a USING (event_type, how)
+    GROUP BY c.event_type, c.how
+    ORDER BY c.event_type, c.how
+    """,
+    tags=("temporal", "anomaly", "seasonal", "events"),
+)
+def events_seasonal_anomaly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-week) baseline anomaly profile — the calendar
+    twin of the rolling z-score: each event is judged against ITS OWN
+    (event_type, hour-of-week) cell's mean/variance, so a Friday-evening
+    traffic spike is normal while the same value at 4am flags.  The
+    z > 3 test is cross-multiplied into pure integers:
+
+      (n*v - s)^2 > 9 * (n*s2 - s^2)   <=>   ((v - mean)/stddev)^2 > 9
+
+    in DECIMAL(38)/HUGEINT, so the flags are bit-identical across
+    engines (no sqrt, no division).  Hour-of-week is epoch-based
+    (hours-since-epoch mod 168) — no timezone/calendar semantics to
+    diverge on.
+
+    Scale: the baseline table is dimension-sized (types x 168) from ONE
+    map-side-combinable groupBy, broadcast back onto the facts; the
+    final per-cell flag count combines map-side.  No window over fact
+    rows, no skewed-key serial scan (contrast the pre-r11 CUSUM).
+    """
+    d38 = "decimal(38,0)"
+    cents = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000 % 168").alias("how"),
+            (dec("value", 2, 18) * 100).cast("long").alias("v"),
+        )
+    )
+    agg = cents.groupBy("event_type", "how").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast(d38)).alias("s"),
+        F.sum((F.col("v").cast(d38) * F.col("v"))).alias("s2"),
+    )
+    flag = F.expr(
+        "CASE WHEN (n * v - s) * (n * v - s) > 9 * (n * s2 - s * s) "
+        "THEN 1 ELSE 0 END"
+    )
+    return (
+        cents.join(F.broadcast(agg), ["event_type", "how"])
+        .groupBy("event_type", "how")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.max(F.expr("s div n")).cast("long").alias("mean_cents"),
+            F.sum(flag).cast("long").alias("n_anomalies"),
+        )
+        .orderBy("event_type", "how")
+    )
