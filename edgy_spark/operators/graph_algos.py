@@ -2370,6 +2370,25 @@ def _anf_pow_sql(mcols: list[str]) -> str:
     return " + ".join(f"((({c}) + 1) & ((-({c})) - 1))" for c in mcols)
 
 
+def _anf_step(und: DataFrame, state: DataFrame) -> DataFrame:
+    """One ANF superstep, un-materialized (module-level so the plan audit
+    in tests/test_plans.py can inspect a single round): BIT_OR the
+    neighbors' masks per destination, merge into the vertex state."""
+    mcols = [f"m{k}" for k in range(ANF_K)]
+    msgs = aggregate_messages(
+        und, state,
+        msg={c: F.col(c) for c in mcols},
+        aggs=[F.bit_or(c).alias(f"o_{c}") for c in mcols],
+    )
+    return state.join(_hint(msgs, True), "node", "left").select(
+        "node",
+        *[
+            F.col(c).bitwiseOR(F.coalesce(F.col(f"o_{c}"), F.lit(0))).alias(c)
+            for c in mcols
+        ],
+    )
+
+
 def _anf_oracle() -> str:
     mcols = [f"m{k}" for k in range(ANF_K)]
     init = ",\n        ".join(
@@ -2454,22 +2473,7 @@ def graph_anf_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_round = []
     for r in range(1, ANF_ROUNDS + 1):
-        msgs = aggregate_messages(
-            und, state,
-            msg={c: F.col(c) for c in mcols},
-            aggs=[F.bit_or(c).alias(f"o_{c}") for c in mcols],
-        )
-        state, _ = _materialize(
-            state.join(_hint(msgs, True), "node", "left").select(
-                "node",
-                *[
-                    F.col(c)
-                    .bitwiseOR(F.coalesce(F.col(f"o_{c}"), F.lit(0)))
-                    .alias(c)
-                    for c in mcols
-                ],
-            )
-        )
+        state, _ = _materialize(_anf_step(und, state))
         per_round.append(
             state.agg(
                 F.sum(

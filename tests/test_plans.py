@@ -681,3 +681,35 @@ def test_codec_queries_scan_doc_id_only(spark):
         assert cols == {"doc_id"}, (q, cols)
         # exactly two Python stages: synth + decode
         assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, q
+
+
+def test_anf_superstep_bitor_combines_mapside_no_wide_shuffle(spark):
+    """One un-materialized ANF superstep: the message shuffle must carry
+    only (node, 4 longs) with the BIT_OR combining map-side, and the
+    vertex-state join must broadcast — at web-graph scale the edge list
+    is the only big thing moving."""
+    from pyspark.sql import functions as F
+
+    from edgy_spark.operators.graph_algos import (
+        ANF_K,
+        _anf_init_sql,
+        _anf_step,
+        copurchase_edges,
+        undirect,
+    )
+
+    und = undirect(copurchase_edges(spark, SF_SMOKE))
+    state = und.select(F.col("src").alias("node")).distinct().select(
+        "node",
+        *[
+            F.expr(_anf_init_sql(k, "spark")).alias(f"m{k}")
+            for k in range(ANF_K)
+        ],
+    )
+    df = _anf_step(und, state)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "partial_bit_or" in plan  # map-side combine of the masks
+    assert "BroadcastExchange" in plan  # vertex state broadcast hint
+    assert "CartesianProduct" not in plan
