@@ -139,8 +139,9 @@ def load_all_registrations() -> None:
 #: The exact first-50 list for the r11 driver gate.
 #: ``tests/test_registry_window.py`` pins this against the live registry.
 #:
-#: R11 rotation rationale: (1) the ten queries NEW in r11, never
-#: driver-verified (seasonal anomaly profile, streaming canonical-URL
+#: R11 rotation rationale: (1) the eleven queries NEW in r11, never
+#: driver-verified (animated-GIF frame sampling, seasonal anomaly
+#: profile, streaming canonical-URL
 #: dedup twin, GIF LZW decode,
 #: Kneser-Ney bigram LM, ANF effective diameter, palette-PNG decode,
 #: multi-scan sequential JPEG, and the provenance-dedup family:
@@ -155,13 +156,16 @@ def load_all_registrations() -> None:
 #: multimodal_thumbnail_resize (their fake-decode plumbing family
 #: re-verifies via the pinned multimodal_image_features sibling) and
 #: pipeline_stratified_sample (its salted-hash-rank shape re-verifies
-#: via the pinned pipeline_balanced_sample_per_lang)
+#: via the pinned pipeline_balanced_sample_per_lang) and
+#: dedup_embedding_cluster_keepers (its pair generator stays pinned and
+#: its CC closure re-verifies via the pinned graph fixpoints)
 #: (sim_*, stream_*, dedup embedding/
 #: exact, graph query patterns, text/multimodal/pipeline r07 greens —
 #: the r10 verdict's "natural backfill", not driver-verified in three
 #: rounds).  After this window, no query's last green predates r08.
 R11_WINDOW: list[str] = [
     # new in r11 — never driver-verified
+    "multimodal_gif_frame_stats",
     "events_seasonal_anomaly_profile",
     "stream_url_dedup_first_seen",
     "multimodal_gif_palette_stats",
@@ -197,7 +201,6 @@ R11_WINDOW: list[str] = [
     "dedup_exact_groups",
     "dedup_shingle_containment_pairs",
     "dedup_embedding_neardup_pairs",
-    "dedup_embedding_cluster_keepers",
     "graph_3hop_nation_parts",
     "graph_anti_inactive_customers",
     "graph_cardinality_orders_have_customer",

@@ -132,11 +132,12 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
     return bytes(out[:n_pixels])
 
 
-def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode the FIRST frame into ``(width, height, channels, pixels)``
-    with ``pixels`` row-major 8-bit samples — RGB, or RGBA when the
-    frame's Graphic Control Extension declares a transparent index.
-    Raises ValueError on malformed input."""
+def _iter_frames(data: bytes):
+    """Yield ``(width, height, channels, pixels)`` per image descriptor,
+    in stream order.  Each frame is returned at its OWN rect with its own
+    color table and GCE transparency (which, per spec 23, applies only to
+    the graphic that follows it); disposal/composition onto the logical
+    screen is deliberately out of scope (module docstring)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     if len(data) < 13:
@@ -144,6 +145,7 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
     _, _, flags, _, _ = struct.unpack("<HHBBB", data[6:13])
     global_table, pos = _color_table(data, 13, flags)
     transparent: int | None = None
+    any_frame = False
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
@@ -154,8 +156,7 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
             label = data[pos + 1]
             body, pos = _sub_blocks(data, pos + 2)
             if label == 0xF9 and len(body) >= 4:  # Graphic Control Ext
-                if body[0] & 0x01:  # transparency flag
-                    transparent = body[3]
+                transparent = body[3] if body[0] & 0x01 else None
             continue
         if b == 0x2C:  # image descriptor
             if pos + 10 > len(data):
@@ -190,9 +191,35 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
                 out[o:o + 3] = table[e:e + 3]
                 if ch == 4:
                     out[o + 3] = 0 if v == transparent else 255
-            return w, h, ch, bytes(out)
+            any_frame = True
+            transparent = None  # a GCE covers ONE following graphic
+            yield w, h, ch, bytes(out)
+            continue
         raise ValueError(f"unknown block 0x{b:02X}")
-    raise ValueError("no image data before trailer")
+    if not any_frame:
+        raise ValueError("no image data before trailer")
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the FIRST frame into ``(width, height, channels, pixels)``
+    with ``pixels`` row-major 8-bit samples — RGB, or RGBA when the
+    frame's Graphic Control Extension declares a transparent index.
+    Raises ValueError on malformed input."""
+    return next(_iter_frames(data))
+
+
+def decode_gif_frames(
+    data: bytes, max_frames: int | None = None
+) -> list[tuple[int, int, int, bytes]]:
+    """Decode up to ``max_frames`` frames of an (animated) GIF — the REAL
+    frame-sampling path: each frame at its own rect, in stream order.
+    Returns a non-empty list or raises ValueError."""
+    frames = []
+    for frame in _iter_frames(data):
+        frames.append(frame)
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    return frames
 
 
 def encode_gif(
@@ -268,4 +295,35 @@ def encode_gif(
         chunk = codes[i:i + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    frames: list[list[bytes]],
+    palette: bytes,
+    delay_cs: int = 10,
+) -> bytes:
+    """Encode several same-size frames as a multi-image GIF89a animation
+    (one GCE with a ``delay_cs`` centisecond delay per frame, shared
+    global color table, root-codes-only LZW per frame).  No NETSCAPE loop
+    extension (plays once) — readers that only take frame 1 (our
+    ``decode_gif``) see the first frame."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    singles = [
+        encode_gif(width, height, rows, palette) for rows in frames
+    ]
+    # splice: header + global table from the first, then per-frame
+    # GCE + image blocks, then one trailer
+    head_len = 13 + len(palette)
+    out = bytearray(singles[0][:head_len])
+    for s in singles:
+        gce = bytes([0x21, 0xF9, 4, 0x00]) + struct.pack("<H", delay_cs) + bytes([0, 0])
+        out += gce
+        # image descriptor .. LZW sub-blocks + their 0x00 terminator,
+        # minus only the single-image trailer byte
+        out += s[head_len:-1]
+    out += b"\x3b"
     return bytes(out)

@@ -1236,3 +1236,123 @@ def multimodal_gif_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "width", "height", "mean_luma")
         .orderBy("doc_id")
     )
+
+
+def decode_frames_gif(media_df: DataFrame, max_frames: int = 8) -> DataFrame:
+    """REAL animation frame sampling (r11) — the genuine-decode upgrade of
+    :func:`sample_frames`' byte-slice stand-in: each GIF's first
+    ``max_frames`` frames decode through the from-spec LZW codec and emit
+    one row per frame with true dimensions and Rec.601 mean luma.  Same
+    Arrow-batched ``mapInPandas`` + by-value codec shipping as every other
+    real-decode operator; the 1→N frame expansion happens executor-side,
+    so a 100 TB corpus of animations fans out at scan parallelism with no
+    driver involvement."""
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import gif as _gif
+
+    cloudpickle.register_pickle_by_value(_gif)
+    decode_frames = _gif.decode_gif_frames
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                for fi, (w, h, ch, px) in enumerate(
+                    decode_frames(bytes(payload), max_frames)
+                ):
+                    luma = sum(
+                        299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
+                        for i in range(0, len(px), ch)
+                    ) // (1000 * w * h)
+                    rows.append((doc_id, fi, w, h, luma))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "mean_luma"],
+            )
+
+    return media_df.mapInPandas(
+        decode,
+        "doc_id long, frame_idx long, width long, height long, mean_luma long",
+    )
+
+
+@register(
+    "multimodal_gif_frame_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      doc_id % 13 + 1 AS w,
+                      (doc_id * 7) % 9 + 1 AS h
+               FROM documents),
+    fr AS (SELECT d.doc_id, d.w, d.h, f.f
+           FROM d, generate_series(0, 2) AS f(f)),
+    px AS (SELECT fr.doc_id, fr.w, fr.h, fr.f,
+                  (fr.doc_id + fr.f * 29 + t.i * 7) % 16 AS v
+           FROM fr, generate_series(0, 13 * 9 - 1) AS t(i)
+           WHERE t.i < fr.w * fr.h),
+    s AS (SELECT doc_id, f, w, h,
+                 SUM(299 * ((doc_id * 5 + v * 19) % 256)
+                   + 587 * ((doc_id * 3 + v * 31) % 256)
+                   + 114 * ((doc_id * 11 + v * 43) % 256)) AS total
+          FROM px GROUP BY doc_id, f, w, h)
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(total // (1000 * w * h) AS BIGINT) AS mean_luma
+    FROM s
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "decode", "gif", "frames"),
+)
+def multimodal_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-GIF frame sampling under the driver's value-hash gate —
+    the video-adjacent path decoding for real: each document defines a
+    3-frame animation (16-entry palette from (doc_id, j), frame f's pixel
+    p indexed (doc_id + f*29 + p*7) % 16), encoded as a genuine
+    multi-image GIF89a (per-frame GCE delays) and decoded back through
+    the frame iterator (functions/gif.py) inside Arrow-batched
+    ``mapInPandas`` — a real 1→N expansion per asset.  The oracle
+    recomputes every frame's luma from the index formula, so an error in
+    the frame walk, per-frame GCE scoping, or LZW restart between images
+    breaks the hash.  The JDK's sequence writer/reader cross-validate
+    both directions in tests/test_multimodal_real.py.
+
+    Scale: identical to the other codec queries; the frame fan-out is
+    executor-side (exchanged rows are (doc_id, frame_idx, 3 ints)).
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import gif as _gif
+
+    cloudpickle.register_pickle_by_value(_gif)
+    encode_anim = _gif.encode_gif_animation
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = i % 13 + 1, (i * 7) % 9 + 1
+                pal = bytes(
+                    c
+                    for j in range(16)
+                    for c in (
+                        (i * 5 + j * 19) % 256,
+                        (i * 3 + j * 31) % 256,
+                        (i * 11 + j * 43) % 256,
+                    )
+                )
+                frames = [
+                    [
+                        bytes((i + f * 29 + (y * w + x) * 7) % 16 for x in range(w))
+                        for y in range(h)
+                    ]
+                    for f in range(3)
+                ]
+                media.append(encode_anim(w, h, frames, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    return decode_frames_gif(media_df).orderBy("doc_id", "frame_idx")

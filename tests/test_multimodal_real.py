@@ -838,3 +838,77 @@ def test_gif_premature_eoi_raises():
     bad[desc_off + 7:desc_off + 9] = _struct.pack("<H", 4)
     with _pytest.raises(ValueError, match="before all pixels"):
         decode_gif(bytes(bad))
+
+
+def test_gif_animation_frames_match_jvm(spark):
+    """Multi-frame GIFs both ways: the JDK's sequence WRITER produces a
+    real animation our frame iterator must decode per-frame pixel-exactly,
+    and OUR animation encoder's streams must read back frame-for-frame in
+    the JDK (getNumImages + read(i))."""
+    from edgy_spark.functions.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    jvm = spark._sc._jvm
+    w, h, n_frames = 9, 7, 3
+
+    # direction 1: JDK writeToSequence -> our decoder
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(None)
+    for f in range(n_frames):
+        img = jvm.java.awt.image.BufferedImage(w, h, 13)  # TYPE_BYTE_INDEXED
+        for y in range(h):
+            for x in range(w):
+                v = ((x * 3 + y * 5 + f * 11) % 32) * 8
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        writer.writeToSequence(jvm.javax.imageio.IIOImage(img, None, None), None)
+    writer.endWriteSequence()
+    ios.flush()
+    writer.dispose()
+    data = bytes(baos.toByteArray())
+    frames = decode_gif_frames(data)
+    assert len(frames) == n_frames
+    # TYPE_BYTE_INDEXED quantizes to the JDK's fixed palette, so the
+    # authority is the JDK's own per-frame read-back, not the generator
+    reader0 = jvm.javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    bais0 = jvm.java.io.ByteArrayInputStream(data)
+    iis0 = jvm.javax.imageio.ImageIO.createImageInputStream(bais0)
+    reader0.setInput(iis0)
+    assert reader0.getNumImages(True) == n_frames
+    for f, (fw, fh, ch, px) in enumerate(frames):
+        assert (fw, fh, ch) == (w, h, 3), f
+        img = reader0.read(f)
+        for y in range(h):
+            for x in range(w):
+                argb = img.getRGB(x, y)
+                want = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
+                o = (y * w + x) * 3
+                assert tuple(px[o:o + 3]) == want, (f, x, y)
+    reader0.dispose()
+
+    # direction 2: our animation encoder -> JDK reader, frame by frame
+    pal = bytes(c for j in range(16) for c in ((j * 31) % 256, (j * 53) % 256, (j * 17) % 256))
+    frames_idx = [
+        [bytes((x + y + f) % 16 for x in range(w)) for y in range(h)]
+        for f in range(n_frames)
+    ]
+    ours = encode_gif_animation(w, h, frames_idx, pal)
+    reader = jvm.javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    bais = jvm.java.io.ByteArrayInputStream(ours)
+    iis = jvm.javax.imageio.ImageIO.createImageInputStream(bais)
+    reader.setInput(iis)
+    assert reader.getNumImages(True) == n_frames
+    for f in range(n_frames):
+        img = reader.read(f)
+        for y in range(h):
+            for x in range(w):
+                argb = img.getRGB(x, y)
+                j = (x + y + f) % 16
+                want = ((j * 31) % 256, (j * 53) % 256, (j * 17) % 256)
+                got = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
+                assert got == want, (f, x, y)
+    reader.dispose()
