@@ -11,8 +11,10 @@ pixel-exact).
 
 Scope (deliberately bounded, stated loudly):
 - GIF87a and GIF89a, global and local color tables (2/4/8/16/.../256
-  entries), the FIRST image descriptor only (frame 1 of an animation —
-  the corpus-statistics use case; later frames need composition state);
+  entries); ``decode_gif`` returns the FIRST frame, ``decode_gif_frames``
+  every frame (r11) — each at its OWN rect with its own color table and
+  GCE transparency; disposal/composition onto the logical screen is out
+  of scope (frames are sampled for statistics, not replayed);
 - variable-width LZW (Appendix F): code width grows 3..12 bits, CLEAR
   resets the table, EOI ends the stream, LSB-first bit packing in
   255-byte sub-blocks, including the deferred-clear streams modern
@@ -213,7 +215,10 @@ def decode_gif_frames(
 ) -> list[tuple[int, int, int, bytes]]:
     """Decode up to ``max_frames`` frames of an (animated) GIF — the REAL
     frame-sampling path: each frame at its own rect, in stream order.
-    Returns a non-empty list or raises ValueError."""
+    Returns a non-empty list (empty only for ``max_frames <= 0``) or
+    raises ValueError."""
+    if max_frames is not None and max_frames <= 0:
+        return []
     frames = []
     for frame in _iter_frames(data):
         frames.append(frame)

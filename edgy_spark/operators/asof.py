@@ -1223,7 +1223,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.event_type, c.how,
            CAST(MAX(a.n) AS BIGINT) AS n_events,
            CAST(MAX(a.s // a.n) AS BIGINT) AS mean_cents,
-           CAST(SUM(CASE WHEN (a.n * c.v - a.s) * (a.n * c.v - a.s)
+           CAST(SUM(CASE WHEN (a.n * c.v::HUGEINT - a.s) * (a.n * c.v::HUGEINT - a.s)
                           > 9 * (a.n * a.s2 - a.s * a.s)
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
     FROM cents c JOIN agg a USING (event_type, how)
@@ -1267,7 +1267,11 @@ def events_seasonal_anomaly_profile(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum((F.col("v").cast(d38) * F.col("v"))).alias("s2"),
     )
     flag = F.expr(
-        "CASE WHEN (n * v - s) * (n * v - s) > 9 * (n * s2 - s * s) "
+        # v joins the DECIMAL(38) lane before the n* cross-multiply — the
+        # CUSUM convention; long n*v wraps in Spark where the oracle's
+        # HUGEINT raises (review r11c)
+        "CASE WHEN (n * CAST(v AS DECIMAL(38,0)) - s) "
+        "* (n * CAST(v AS DECIMAL(38,0)) - s) > 9 * (n * s2 - s * s) "
         "THEN 1 ELSE 0 END"
     )
     return (

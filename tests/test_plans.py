@@ -673,6 +673,7 @@ def test_codec_queries_scan_doc_id_only(spark):
         "multimodal_jpeg_multiscan_stats",
         "multimodal_png_palette_stats",
         "multimodal_gif_palette_stats",
+        "multimodal_gif_frame_stats",
     ):
         plan = _plan(spark, q)
         m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
