@@ -986,7 +986,8 @@ def encode_jpeg_flat_progressive(
 
 
 def encode_jpeg_flat_multiscan(
-    width: int, height: int, block_samples: list[int]
+    width: int, height: int, block_samples: list[int],
+    restart_interval: int = 0,
 ) -> bytes:
     """The flat-block family's MULTI-SCAN SEQUENTIAL twin: same bit-exact
     decoded pixels as :func:`encode_jpeg_flat`, but a 3-component SOF0
@@ -997,6 +998,11 @@ def encode_jpeg_flat_multiscan(
     JFIF color conversion R = G = B = Y exactly and the SQL oracle stays
     the same one-liner as the baseline twin, while the decoder must run
     the real multi-scan store machinery to get there.
+
+    ``restart_interval`` > 0 adds a DRI segment and RSTn markers every
+    that many data units WITHIN EACH SCAN (the restart index and DC
+    prediction reset per scan, T.81 E.1.4) — covering _sequential_scan's
+    restart path with a stream the JDK decoder also accepts.
     """
     if width <= 0 or height <= 0 or width % 8 or height % 8:
         raise ValueError("flat encoder needs positive block-aligned dims")
@@ -1010,6 +1016,11 @@ def encode_jpeg_flat_multiscan(
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
     dqt = seg(0xDB, bytes([0x00]) + bytes([_FLAT_DC_QUANT] * 64))
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sof = seg(
         0xC0,
         struct.pack(">BHHB", 8, height, width, 3)
@@ -1023,10 +1034,21 @@ def encode_jpeg_flat_multiscan(
     eob_len, eob_code = ac_lut[0x00]
     zero_len, zero_code = dc_lut[0]
 
-    # scan 1: Y alone — DC diff + EOB per block, raster order
+    # scan 1: Y alone — DC diff + EOB per block, raster order, restart
+    # segmentation every restart_interval blocks (pred + RSTn reset)
+    parts1: list[bytes] = []
     w1 = _BitWriter()
     pred = 0
+    unit = 0
+    rst = 0
     for s in block_samples:
+        if restart_interval and unit == restart_interval:
+            parts1.append(w1.flush())
+            parts1.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) & 7
+            w1 = _BitWriter()
+            pred = 0
+            unit = 0
         dc = s - 128
         diff = dc - pred
         pred = dc
@@ -1037,15 +1059,29 @@ def encode_jpeg_flat_multiscan(
             mag = diff if diff >= 0 else diff + (1 << t) - 1
             w1.put(mag, t)
         w1.put(eob_code, eob_len)
-    sos1 = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + w1.flush()
+        unit += 1
+    parts1.append(w1.flush())
+    sos1 = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + b"".join(parts1)
 
     # scan 2: Cb + Cr interleaved — both flat 128 (DC 0): per MCU, one
-    # zero-category DC + EOB for each component
+    # zero-category DC + EOB for each component; restart counter and
+    # prediction restart fresh for the new scan
+    parts2: list[bytes] = []
     w2 = _BitWriter()
+    unit = 0
+    rst = 0
     for _ in block_samples:
+        if restart_interval and unit == restart_interval:
+            parts2.append(w2.flush())
+            parts2.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) & 7
+            w2 = _BitWriter()
+            unit = 0
         for _component in (2, 3):
             w2.put(zero_code, zero_len)
             w2.put(eob_code, eob_len)
-    sos2 = seg(0xDA, bytes([2, 2, 0x00, 3, 0x00, 0, 63, 0])) + w2.flush()
+        unit += 1
+    parts2.append(w2.flush())
+    sos2 = seg(0xDA, bytes([2, 2, 0x00, 3, 0x00, 0, 63, 0])) + b"".join(parts2)
 
-    return b"\xff\xd8" + dqt + sof + dht + sos1 + sos2 + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + dri + sof + dht + sos1 + sos2 + b"\xff\xd9"

@@ -558,3 +558,34 @@ def test_jpeg_flat_multiscan_bit_exact_and_jvm_readable(spark):
             argb = img.getRGB(bx * 8, by * 8)
             s = blocks[by * 3 + bx]
             assert ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF) == (s, s, s)
+
+
+def test_jpeg_flat_multiscan_restart_intervals(spark):
+    """Multi-scan sequential WITH restart intervals (r11b): RSTn markers
+    inside both the non-interleaved Y scan and the interleaved Cb/Cr scan
+    must reset DC prediction and the marker sequence per scan
+    (_sequential_scan's restart branch), bit-exactly — and the JVM's
+    independent decoder must agree on the same bytes."""
+    from edgy_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_flat_multiscan,
+    )
+
+    blocks = [10, 100, 200, 35, 77, 250, 5, 130, 222, 64, 99, 180]
+    for ri in (1, 3, 5):
+        data = encode_jpeg_flat_multiscan(32, 24, blocks, restart_interval=ri)
+        assert b"\xff\xdd" in data  # DRI present
+        assert any(bytes([0xFF, 0xD0 + k]) in data for k in range(8))
+        w, h, ch, px = decode_jpeg(data)
+        assert (w, h, ch) == (32, 24, 3)
+        for bi, s in enumerate(blocks):
+            by, bx = divmod(bi, 4)
+            for yy in (0, 7):
+                for xx in (0, 7):
+                    o = ((by * 8 + yy) * w + bx * 8 + xx) * 3
+                    assert tuple(px[o:o + 3]) == (s, s, s), (ri, bi)
+        img = _jvm_decode(spark, data)
+        for bi, s in enumerate(blocks):
+            by, bx = divmod(bi, 4)
+            argb = img.getRGB(bx * 8, by * 8)
+            assert ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF) == (s, s, s), (ri, bi)
