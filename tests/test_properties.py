@@ -663,3 +663,28 @@ def test_anomaly_flags_are_translation_invariant_and_catch_spikes(
     }
     assert flagged == flagged_shifted
     assert ANOM_MIN_N <= len(vals) + 1
+
+
+def test_url_canonicalization_is_a_projection(spark):
+    """canonical(canonical(x)) == canonical(x): the canonicalizer must be
+    idempotent (a projection), or re-processing an already-clean corpus
+    would split dup groups.  Checked over every synthesized raw URL in
+    the fixture id range PLUS the canonical outputs fed back through the
+    parser — which also proves a canonical URL parses as a valid URL."""
+    from edgy_spark.operators.dedup import _canonical_parts, _raw_url
+
+    ids = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    c1, h1 = _canonical_parts(_raw_url())
+    once = ids.select(
+        "doc_id", c1.alias("canonical"), h1.alias("host")
+    )
+    c2, h2 = _canonical_parts(F.col("canonical"))
+    twice = once.select(
+        "doc_id", "canonical", "host",
+        c2.alias("canonical2"), h2.alias("host2"),
+    )
+    bad = twice.filter(
+        (F.col("canonical") != F.col("canonical2"))
+        | (F.col("host") != F.col("host2"))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
