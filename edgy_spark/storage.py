@@ -1460,6 +1460,68 @@ class GraphStore:
             )
         return _open_clone()
 
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY (Delta's audit-trail read): one record per
+        RETAINED version, newest first — operation kind (bootstrap /
+        write / metadata-only / clone), which table versions changed,
+        total recorded rows, the id cursor, CDC capture, and stream
+        cursors.  Read-only: derived entirely from the retained
+        manifests; versions beyond the retention horizon are vacuumed
+        and so absent (like Delta, history is bounded by retention)."""
+        current = self.current_version()
+        horizon = max(0, current - max(1, self.retain_versions) + 1)
+        prev_tables: dict | None = None
+        records: list[dict] = []
+        for v in range(horizon, current + 1):
+            try:
+                with open(self._manifest_path(v)) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                continue  # vacuumed inside the horizon
+            except (json.JSONDecodeError, OSError):
+                records.append({"version": v, "operation": "unreadable"})
+                prev_tables = None
+                continue
+            tables = m.get("tables", {})
+            if m.get("cloned_from"):
+                op = "clone"
+            elif v == 0:
+                op = "bootstrap"
+            elif prev_tables is not None and tables == prev_tables:
+                op = "metadata-only"
+            else:
+                op = "write"
+            changed = (
+                sorted(
+                    k
+                    for k in set(tables) | set(prev_tables)
+                    if prev_tables.get(k) != tables.get(k)
+                )
+                if prev_tables is not None
+                else sorted(tables)
+            )
+            stats = m.get("stats") or {}
+            records.append(
+                {
+                    "version": v,
+                    "operation": op,
+                    "changed_tables": changed,
+                    "n_tables": len(tables),
+                    "total_rows": (
+                        sum(s.get("rows") or 0 for s in stats.values())
+                        if stats
+                        else None
+                    ),
+                    "next_id": m.get("next_id"),
+                    "has_cdc": m.get("cdc") is not None,
+                    "stream_cursors": dict(m.get("stream_batches", {})),
+                    "cloned_from": m.get("cloned_from"),
+                }
+            )
+            prev_tables = tables
+        records.reverse()
+        return records
+
     # -- shallow-clone retention registry (r11) -----------------------------
 
     def _clone_reg_path(self, clone_root: str) -> str:

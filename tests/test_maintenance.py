@@ -614,3 +614,43 @@ def test_conditional_put_stalled_putter_loses_to_reclaimer(tmp_path):
     # A wakes and finishes its write path: must LOSE, not interleave
     assert arb._write_all(fd_a, b'{"version": 1, "by": "A"}') is False
     assert open(path).read() == '{"version": 1, "by": "B"}'
+
+
+def test_history_audit_trail(spark, tmp_path):
+    """DESCRIBE HISTORY (r11): operations classify per retained version —
+    bootstrap, data writes naming the changed table versions,
+    metadata-only commits (a CHECK re-declaration moves no rows), and a
+    clone target's v0; newest first, bounded by retention."""
+    from edgy_spark.demo import big_bang, demo_schema
+    from edgy_spark.graph import Engine
+
+    engine = Engine(
+        spark, str(tmp_path / "src"), demo_schema(), retain_versions=10
+    )
+    engine.run(big_bang)
+    src = engine.store
+    engine.run(lambda t: t.new_node("Person", name="H1", age=31))
+    # metadata-only: re-open with a CHECK declaration (no data moves)
+    src2 = GraphStore(
+        spark, src.root, demo_schema(), retain_versions=10,
+        check_constraints={"Person": "age >= 0"},
+    )
+    hist = src2.history()
+    assert [h["version"] for h in hist] == [3, 2, 1, 0]
+    assert hist[-1]["operation"] == "bootstrap"
+    assert hist[0]["operation"] == "metadata-only"
+    assert hist[0]["changed_tables"] == []
+    writes = [h for h in hist if h["operation"] == "write"]
+    assert writes and all(h["changed_tables"] for h in writes)
+    assert any("n_Person" in h["changed_tables"] for h in writes)
+    # rows recorded and id cursor monotone
+    assert all(
+        h["next_id"] >= p["next_id"]
+        for h, p in zip(hist, hist[1:])
+        if h["next_id"] is not None and p["next_id"] is not None
+    )
+    # a clone's own history starts at a clone v0
+    clone = src2.clone(str(tmp_path / "dst"))
+    chist = clone.history()
+    assert chist[-1]["operation"] == "clone"
+    assert chist[-1]["cloned_from"]["root"] == src.root
