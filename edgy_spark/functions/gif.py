@@ -44,6 +44,12 @@ import struct
 
 _INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]  # (first row, step)
 
+#: Decode-side resource bound: a malformed header must raise, never
+#: allocate — 64M pixels caps the output buffer at ~256 MB RGBA, far above
+#: any legitimate corpus asset and far below an OOM (review r11d).
+MAX_PIXELS = 64_000_000
+
+
 
 def _color_table(data: bytes, pos: int, flag_byte: int) -> tuple[bytes | None, int]:
     """Read a color table if the descriptor's table flag (bit 7) is set;
@@ -166,6 +172,10 @@ def _iter_frames(data: bytes):
             _, _, w, h, iflags = struct.unpack("<HHHHB", data[pos + 1:pos + 10])
             if w == 0 or h == 0:
                 raise ValueError("zero-dimension GIF frame")
+            if w * h > MAX_PIXELS:
+                raise ValueError(
+                    f"implausible dimensions {w}x{h} (> MAX_PIXELS)"
+                )
             local_table, pos = _color_table(data, pos + 10, iflags)
             table = local_table if local_table is not None else global_table
             if table is None:
@@ -206,8 +216,14 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode the FIRST frame into ``(width, height, channels, pixels)``
     with ``pixels`` row-major 8-bit samples — RGB, or RGBA when the
     frame's Graphic Control Extension declares a transparent index.
-    Raises ValueError on malformed input."""
-    return next(_iter_frames(data))
+    Raises ValueError on ANY malformed input (struct/index errors from
+    fuzzed or truncated crawl bytes are normalized)."""
+    try:
+        return next(_iter_frames(data))
+    except ValueError:
+        raise
+    except (struct.error, IndexError, OverflowError) as e:
+        raise ValueError(f"malformed GIF: {type(e).__name__}: {e}") from e
 
 
 def decode_gif_frames(
@@ -220,10 +236,15 @@ def decode_gif_frames(
     if max_frames is not None and max_frames <= 0:
         return []
     frames = []
-    for frame in _iter_frames(data):
-        frames.append(frame)
-        if max_frames is not None and len(frames) >= max_frames:
-            break
+    try:
+        for frame in _iter_frames(data):
+            frames.append(frame)
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+    except ValueError:
+        raise
+    except (struct.error, IndexError, OverflowError) as e:
+        raise ValueError(f"malformed GIF: {type(e).__name__}: {e}") from e
     return frames
 
 

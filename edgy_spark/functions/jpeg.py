@@ -51,6 +51,11 @@ from __future__ import annotations
 import math
 import struct
 
+#: Decode-side resource bound: a malformed header must raise, never
+#: allocate — 64M pixels caps the output buffer at ~256 MB RGBA, far above
+#: any legitimate corpus asset and far below an OOM (review r11d).
+MAX_PIXELS = 64_000_000
+
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -206,7 +211,7 @@ def _idct_block(coef: list[int]) -> list[int]:
     return out
 
 
-def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline/extended-sequential (SOF0/SOF1) or progressive
     (SOF2) JPEG into ``(width, height, channels, pixels)`` — 8-bit
     samples, row-major, interleaved (RGB for 3-component JFIF images,
@@ -266,6 +271,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(nc):
                 cid, hv, tq = seg[6 + c * 3:9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            if w * h > MAX_PIXELS:
+                raise ValueError(
+                    f"implausible dimensions {w}x{h} (> MAX_PIXELS)"
+                )
             frame = {"w": w, "h": h, "comps": comps,
                      "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -324,6 +333,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if store is not None:
         return _finish_progressive(frame, qt, store)
     raise ValueError("no scan data (missing SOS)")
+
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Public entry point over :func:`_decode_jpeg` (see it for the format
+    contract): EVERY malformed-input failure surfaces as ValueError
+    (struct/index errors from fuzzed or truncated crawl bytes are
+    normalized) so per-row error capture can catch one exception type."""
+    try:
+        return _decode_jpeg(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError,
+            ZeroDivisionError) as e:
+        raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):

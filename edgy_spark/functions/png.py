@@ -37,6 +37,12 @@ import struct
 import zlib
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: Decode-side resource bound: a malformed header must raise, never
+#: allocate — 64M pixels caps the output buffer at ~256 MB RGBA, far above
+#: any legitimate corpus asset and far below an OOM (review r11d).
+MAX_PIXELS = 64_000_000
+
 # samples per pixel by color type (3 = palette: one index "sample")
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # bit depths handled; 16-bit filtering works on BYTES with the pixel
@@ -138,7 +144,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG into ``(width, height, channels, pixels)`` with
     ``pixels`` = unfiltered 8-bit samples, row-major, ``width * channels``
     bytes per row (16-bit sources yield each sample's most-significant
@@ -168,6 +174,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 # invalid per spec — and downstream pixel math (mean luma)
                 # divides by w*h, so reject here with the documented error
                 raise ValueError("zero-dimension PNG")
+            if width * height > MAX_PIXELS:
+                raise ValueError(
+                    f"implausible dimensions {width}x{height} (> MAX_PIXELS)"
+                )
             if color_type == 3:
                 if depth not in _PALETTE_DEPTHS:
                     raise ValueError(
@@ -238,6 +248,22 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if depth == 16:
         out = out[0::2]  # big-endian samples: every even byte is the MSB
     return width, height, ch, bytes(out)
+
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG into ``(width, height, channels, pixels)`` — see
+    :func:`_decode_png` for the format contract.  Public entry point:
+    EVERY malformed-input failure surfaces as ValueError (struct/zlib/
+    index errors from fuzzed or truncated crawl bytes are normalized), so
+    per-row error capture in the decode operators can catch one exception
+    type without masking real bugs."""
+    try:
+        return _decode_png(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, zlib.error, IndexError, OverflowError) as e:
+        raise ValueError(f"malformed PNG: {type(e).__name__}: {e}") from e
 
 
 #: Adam7 pass origins and steps: (x0, y0, dx, dy), spec 8.2

@@ -43,6 +43,21 @@ from edgy_spark.sources import load
 FRAME_BYTES = 256  # fake "frame" size for the video-sampling path
 
 
+def _check_on_error(on_error: str) -> bool:
+    """Shared contract for the real-decode operators' error handling:
+    ``"raise"`` fails the job on the first malformed asset (the fixture
+    queries' mode — synthesized bytes are valid by construction);
+    ``"null"`` captures per row — the malformed asset yields NULL stats
+    plus a ``decode_error`` column instead of killing the task, which is
+    the only workable mode over a 100 TB crawl where malformed bytes are
+    a certainty.  The codecs guarantee ValueError/NotImplementedError as
+    the complete failure surface (fuzz-pinned), so "null" cannot mask an
+    operator bug."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    return on_error == "null"
+
+
 def with_media_column(docs: DataFrame) -> DataFrame:
     """Attach a binary payload + typed metadata struct to each document."""
     payload = F.col("text").cast("binary")
@@ -137,7 +152,7 @@ def decode_features_real(media_df: DataFrame) -> DataFrame:
     )
 
 
-def decode_features_png(media_df: DataFrame) -> DataFrame:
+def decode_features_png(media_df: DataFrame, on_error: str = "raise") -> DataFrame:
     """ACTUALLY-executing real decode (r08): full PNG pixel decode — zlib
     inflate + all five scanline unfilters — via the pure-stdlib codec
     (functions/png.py, written from the public PNG spec), so the "real
@@ -164,15 +179,26 @@ def decode_features_png(media_df: DataFrame) -> DataFrame:
 
     cloudpickle.register_pickle_by_value(_png)
     decode_png = _png.decode_png
+    tolerant = _check_on_error(on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
             rows = []
+            err_rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
                 data = bytes(payload)
-                w, h, ch, px = decode_png(data)
+                try:
+                    w, h, ch, px = decode_png(data)
+                except (ValueError, NotImplementedError) as e:
+                    if not tolerant:
+                        raise
+                    err_rows.append(
+                        (doc_id, len(data), hashlib.md5(data).hexdigest(),
+                         None, None, None, str(e))
+                    )
+                    continue
                 if ch >= 3:  # Rec.601 integer luma over RGB(A)
                     luma = sum(
                         299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
@@ -185,22 +211,33 @@ def decode_features_png(media_df: DataFrame) -> DataFrame:
                 rows.append(
                     (doc_id, len(data), hashlib.md5(data).hexdigest(), w, h, luma)
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "n_bytes", "content_md5",
-                    "width", "height", "mean_luma",
-                ],
-            )
+            if tolerant:
+                yield pd.DataFrame(
+                    [r + (None,) for r in rows] + err_rows,
+                    columns=[
+                        "doc_id", "n_bytes", "content_md5",
+                        "width", "height", "mean_luma", "decode_error",
+                    ],
+                )
+            else:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "n_bytes", "content_md5",
+                        "width", "height", "mean_luma",
+                    ],
+                )
 
-    return media_df.mapInPandas(
-        decode,
+    schema = (
         "doc_id long, n_bytes long, content_md5 string, "
-        "width long, height long, mean_luma long",
+        "width long, height long, mean_luma long"
     )
+    if tolerant:
+        schema += ", decode_error string"
+    return media_df.mapInPandas(decode, schema)
 
 
-def decode_features_jpeg(media_df: DataFrame) -> DataFrame:
+def decode_features_jpeg(media_df: DataFrame, on_error: str = "raise") -> DataFrame:
     """REAL baseline-JPEG decode inside Python workers via the from-spec
     pure-stdlib codec (functions/jpeg.py — Huffman + dequantize + exact
     IDCT + chroma upsampling, cross-validated against javax.imageio in
@@ -221,15 +258,26 @@ def decode_features_jpeg(media_df: DataFrame) -> DataFrame:
 
     cloudpickle.register_pickle_by_value(_jpeg)
     decode_jpeg = _jpeg.decode_jpeg
+    tolerant = _check_on_error(on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
             rows = []
+            err_rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
                 data = bytes(payload)
-                w, h, ch, px = decode_jpeg(data)
+                try:
+                    w, h, ch, px = decode_jpeg(data)
+                except (ValueError, NotImplementedError) as e:
+                    if not tolerant:
+                        raise
+                    err_rows.append(
+                        (doc_id, len(data), hashlib.md5(data).hexdigest(),
+                         None, None, None, str(e))
+                    )
+                    continue
                 if ch == 3:  # Rec.601 integer luma over RGB
                     luma = sum(
                         299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
@@ -240,19 +288,30 @@ def decode_features_jpeg(media_df: DataFrame) -> DataFrame:
                 rows.append(
                     (doc_id, len(data), hashlib.md5(data).hexdigest(), w, h, luma)
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "n_bytes", "content_md5",
-                    "width", "height", "mean_luma",
-                ],
-            )
+            if tolerant:
+                yield pd.DataFrame(
+                    [r + (None,) for r in rows] + err_rows,
+                    columns=[
+                        "doc_id", "n_bytes", "content_md5",
+                        "width", "height", "mean_luma", "decode_error",
+                    ],
+                )
+            else:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "n_bytes", "content_md5",
+                        "width", "height", "mean_luma",
+                    ],
+                )
 
-    return media_df.mapInPandas(
-        decode,
+    schema = (
         "doc_id long, n_bytes long, content_md5 string, "
-        "width long, height long, mean_luma long",
+        "width long, height long, mean_luma long"
     )
+    if tolerant:
+        schema += ", decode_error string"
+    return media_df.mapInPandas(decode, schema)
 
 
 @register(
@@ -1104,7 +1163,7 @@ def multimodal_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # real GIF decode (pure-stdlib LZW codec, functions/gif.py — r11)
 # ---------------------------------------------------------------------------
 
-def decode_features_gif(media_df: DataFrame) -> DataFrame:
+def decode_features_gif(media_df: DataFrame, on_error: str = "raise") -> DataFrame:
     """Real GIF first-frame decode — Appendix F variable-width LZW +
     color-table expansion + 4-pass de-interlacing — via the pure-stdlib
     codec (functions/gif.py, written from the GIF89a spec), in the same
@@ -1121,15 +1180,26 @@ def decode_features_gif(media_df: DataFrame) -> DataFrame:
 
     cloudpickle.register_pickle_by_value(_gif)
     decode_gif = _gif.decode_gif
+    tolerant = _check_on_error(on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
             rows = []
+            err_rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
                 data = bytes(payload)
-                w, h, ch, px = decode_gif(data)
+                try:
+                    w, h, ch, px = decode_gif(data)
+                except (ValueError, NotImplementedError) as e:
+                    if not tolerant:
+                        raise
+                    err_rows.append(
+                        (doc_id, len(data), hashlib.md5(data).hexdigest(),
+                         None, None, None, str(e))
+                    )
+                    continue
                 luma = sum(
                     299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
                     for i in range(0, len(px), ch)
@@ -1137,19 +1207,30 @@ def decode_features_gif(media_df: DataFrame) -> DataFrame:
                 rows.append(
                     (doc_id, len(data), hashlib.md5(data).hexdigest(), w, h, luma)
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "n_bytes", "content_md5",
-                    "width", "height", "mean_luma",
-                ],
-            )
+            if tolerant:
+                yield pd.DataFrame(
+                    [r + (None,) for r in rows] + err_rows,
+                    columns=[
+                        "doc_id", "n_bytes", "content_md5",
+                        "width", "height", "mean_luma", "decode_error",
+                    ],
+                )
+            else:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "n_bytes", "content_md5",
+                        "width", "height", "mean_luma",
+                    ],
+                )
 
-    return media_df.mapInPandas(
-        decode,
+    schema = (
         "doc_id long, n_bytes long, content_md5 string, "
-        "width long, height long, mean_luma long",
+        "width long, height long, mean_luma long"
     )
+    if tolerant:
+        schema += ", decode_error string"
+    return media_df.mapInPandas(decode, schema)
 
 
 @register(
@@ -1238,7 +1319,9 @@ def multimodal_gif_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_frames_gif(media_df: DataFrame, max_frames: int = 8) -> DataFrame:
+def decode_frames_gif(
+    media_df: DataFrame, max_frames: int = 8, on_error: str = "raise"
+) -> DataFrame:
     """REAL animation frame sampling (r11) — the genuine-decode upgrade of
     :func:`sample_frames`' byte-slice stand-in: each GIF's first
     ``max_frames`` frames decode through the from-spec LZW codec and emit
@@ -1253,28 +1336,43 @@ def decode_frames_gif(media_df: DataFrame, max_frames: int = 8) -> DataFrame:
 
     cloudpickle.register_pickle_by_value(_gif)
     decode_frames = _gif.decode_gif_frames
+    tolerant = _check_on_error(on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                for fi, (w, h, ch, px) in enumerate(
-                    decode_frames(bytes(payload), max_frames)
-                ):
+                try:
+                    frames = decode_frames(bytes(payload), max_frames)
+                except (ValueError, NotImplementedError) as e:
+                    if not tolerant:
+                        raise
+                    rows.append((doc_id, None, None, None, None, str(e)))
+                    continue
+                for fi, (w, h, ch, px) in enumerate(frames):
                     luma = sum(
                         299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
                         for i in range(0, len(px), ch)
                     ) // (1000 * w * h)
-                    rows.append((doc_id, fi, w, h, luma))
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "frame_idx", "width", "height", "mean_luma"],
-            )
+                    rows.append((doc_id, fi, w, h, luma, None))
+            if tolerant:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "frame_idx", "width", "height",
+                        "mean_luma", "decode_error",
+                    ],
+                )
+            else:
+                yield pd.DataFrame(
+                    [r[:-1] for r in rows],
+                    columns=["doc_id", "frame_idx", "width", "height", "mean_luma"],
+                )
 
-    return media_df.mapInPandas(
-        decode,
-        "doc_id long, frame_idx long, width long, height long, mean_luma long",
-    )
+    schema = "doc_id long, frame_idx long, width long, height long, mean_luma long"
+    if tolerant:
+        schema += ", decode_error string"
+    return media_df.mapInPandas(decode, schema)
 
 
 @register(

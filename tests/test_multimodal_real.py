@@ -912,3 +912,97 @@ def test_gif_animation_frames_match_jvm(spark):
                 got = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
                 assert got == want, (f, x, y)
     reader.dispose()
+
+
+def test_codec_fuzz_raises_only_valueerror():
+    """Crawl-data robustness (r11): random truncations and byte flips of
+    valid PNG/GIF/JPEG streams must either decode or raise ValueError /
+    NotImplementedError — never IndexError/struct.error/zlib.error (which
+    would crash a whole Spark task instead of being per-row capturable),
+    and never attempt an implausible allocation (MAX_PIXELS)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from edgy_spark.functions.gif import decode_gif, encode_gif
+    from edgy_spark.functions.jpeg import decode_jpeg, encode_jpeg_flat
+    from edgy_spark.functions.png import decode_png, encode_png
+
+    pal = bytes(c for j in range(16) for c in ((j * 31) % 256, j * 16 % 256, (j * 7) % 256))
+    seeds = [
+        (decode_png, encode_png(9, 7, [bytes((x * 29 + y) % 256 for x in range(27)) for y in range(7)], color_type=2)),
+        (decode_gif, encode_gif(9, 7, [bytes((x + y) % 16 for x in range(9)) for y in range(7)], pal, interlaced=True)),
+        (decode_jpeg, encode_jpeg_flat(16, 8, [40, 220])),
+    ]
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        which=st.integers(0, len(seeds) - 1),
+        mode=st.sampled_from(["truncate", "flip", "both"]),
+        cut=st.floats(0.01, 0.99),
+        pos=st.floats(0, 0.999),
+        val=st.integers(0, 255),
+    )
+    def check(which, mode, cut, pos, val):
+        decode, stream = seeds[which]
+        data = bytearray(stream)
+        if mode in ("truncate", "both"):
+            data = data[: max(1, int(len(data) * cut))]
+        if mode in ("flip", "both") and data:
+            data[int(len(data) * pos) % len(data)] = val
+        try:
+            w, h, ch, px = decode(bytes(data))
+            assert len(px) == w * h * ch  # a "successful" decode is coherent
+        except (ValueError, NotImplementedError):
+            pass  # the only acceptable failure surface
+
+    check()
+
+
+def test_decode_operators_on_error_null_captures_per_row(spark):
+    """on_error='null' (r11): a malformed asset yields NULL stats plus a
+    decode_error message instead of killing the task — the only workable
+    mode over a real crawl; valid rows are unaffected and the default
+    'raise' mode still fails fast."""
+    import pytest as _pytest
+
+    from edgy_spark.functions.gif import encode_gif
+    from edgy_spark.functions.png import encode_png
+    from edgy_spark.operators.multimodal import (
+        decode_features_gif,
+        decode_features_png,
+        decode_frames_gif,
+    )
+
+    png_ok = encode_png(2, 2, [b"\x80\x80", b"\x40\x40"], color_type=0)
+    pal = bytes(range(12))
+    gif_ok = encode_gif(2, 2, [bytes([0, 1]), bytes([2, 3])], pal)
+    for fn, good in (
+        (decode_features_png, png_ok),
+        (decode_features_gif, gif_ok),
+        (decode_frames_gif, gif_ok),
+    ):
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(good[:9]))],
+            "doc_id long, media binary",
+        )
+        with _pytest.raises(Exception):
+            fn(df).collect()  # default: first malformed asset fails the job
+        rows = {r["doc_id"]: r for r in fn(df, on_error="null").collect()}
+        assert rows[1]["mean_luma"] is not None and rows[1]["decode_error"] is None
+        assert rows[2]["mean_luma"] is None and rows[2]["decode_error"]
+        assert rows[2]["width"] is None
+
+
+def test_decode_features_png_raise_schema_unchanged(spark):
+    """The default mode's schema must stay byte-identical to pre-r11 —
+    the oracle-gated queries select from it."""
+    from edgy_spark.functions.png import encode_png
+    from edgy_spark.operators.multimodal import decode_features_png
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(2, 1, [b"\x10\x20"], color_type=0)))],
+        "doc_id long, media binary",
+    )
+    assert decode_features_png(df).columns == [
+        "doc_id", "n_bytes", "content_md5", "width", "height", "mean_luma"
+    ]
