@@ -64,7 +64,7 @@ def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+def _decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     """Parse WAV bytes to ``(sample_rate, channels, samples)`` with samples
     as interleaved signed ints.  Walks the RIFF chunk stream (unknown
     chunks are skipped, odd-sized chunks consume their pad byte, chunk
@@ -115,3 +115,16 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
             f"{len(samples)} samples do not interleave into {channels} channels"
         )
     return sample_rate, channels, samples
+
+
+def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+    """Public entry point over :func:`_decode_wav` (see it for the format
+    contract): EVERY malformed-input failure surfaces as ValueError
+    (struct errors from fuzzed or truncated bytes are normalized), the
+    same per-row-capturable surface the image codecs guarantee."""
+    try:
+        return _decode_wav(data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, OverflowError, MemoryError) as e:
+        raise ValueError(f"malformed WAV: {type(e).__name__}: {e}") from e

@@ -903,7 +903,7 @@ def multimodal_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WAV_MAX_FRAMES = 123  # doc_id % 120 + 4 ∈ [4, 123]; 2 channels → ≤246 samples
 
 
-def decode_features_wav(media_df: DataFrame) -> DataFrame:
+def decode_features_wav(media_df: DataFrame, on_error: str = "raise") -> DataFrame:
     """ACTUALLY-executing real audio decode: parse genuine RIFF/WAVE bytes
     back to PCM16 samples with the from-spec stdlib codec
     (functions/wav.py) inside Arrow-batched ``mapInPandas`` and emit the
@@ -922,12 +922,22 @@ def decode_features_wav(media_df: DataFrame) -> DataFrame:
 
     cloudpickle.register_pickle_by_value(_wav)
     decode_wav = _wav.decode_wav
+    tolerant = _check_on_error(on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
+            err_rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                rate, ch, samples = decode_wav(bytes(payload))
+                try:
+                    rate, ch, samples = decode_wav(bytes(payload))
+                except (ValueError, NotImplementedError) as e:
+                    if not tolerant:
+                        raise
+                    err_rows.append(
+                        (doc_id, None, None, None, None, None, None, str(e))
+                    )
+                    continue
                 n_frames = len(samples) // ch
                 rows.append(
                     (
@@ -946,19 +956,31 @@ def decode_features_wav(media_df: DataFrame) -> DataFrame:
                         ),
                     )
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "sample_rate", "channels", "n_frames",
-                    "duration_us", "peak_amplitude", "mean_square",
-                ],
-            )
+            if tolerant:
+                yield pd.DataFrame(
+                    [r + (None,) for r in rows] + err_rows,
+                    columns=[
+                        "doc_id", "sample_rate", "channels", "n_frames",
+                        "duration_us", "peak_amplitude", "mean_square",
+                        "decode_error",
+                    ],
+                )
+            else:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "sample_rate", "channels", "n_frames",
+                        "duration_us", "peak_amplitude", "mean_square",
+                    ],
+                )
 
-    return media_df.mapInPandas(
-        decode,
+    schema = (
         "doc_id long, sample_rate long, channels long, n_frames long, "
-        "duration_us long, peak_amplitude long, mean_square long",
+        "duration_us long, peak_amplitude long, mean_square long"
     )
+    if tolerant:
+        schema += ", decode_error string"
+    return media_df.mapInPandas(decode, schema)
 
 
 @register(

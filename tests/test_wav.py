@@ -178,3 +178,55 @@ def test_wav_decoder_rejects_zero_sample_rate():
     good[24:28] = struct.pack("<I", 0)  # fmt.sample_rate := 0
     with pytest.raises(ValueError, match="sample rate"):
         decode_wav(bytes(good))
+
+
+def test_wav_fuzz_raises_only_valueerror():
+    """Same crawl-robustness surface as the image codecs (r11): random
+    truncations and byte flips must decode or raise ValueError."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from edgy_spark.functions.wav import decode_wav, encode_wav
+
+    seed = encode_wav(8000, 2, [100, -100, 32000, -32000, 7, 8])
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        mode=st.sampled_from(["truncate", "flip", "both"]),
+        cut=st.floats(0.01, 0.99),
+        pos=st.floats(0, 0.999),
+        val=st.integers(0, 255),
+    )
+    def check(mode, cut, pos, val):
+        data = bytearray(seed)
+        if mode in ("truncate", "both"):
+            data = data[: max(1, int(len(data) * cut))]
+        if mode in ("flip", "both") and data:
+            data[int(len(data) * pos) % len(data)] = val
+        try:
+            rate, ch, samples = decode_wav(bytes(data))
+            assert rate >= 1 and ch >= 1
+        except ValueError:
+            pass
+
+    check()
+
+
+def test_decode_features_wav_on_error_null(spark):
+    """Per-row capture for audio too: the malformed asset yields NULL
+    stats + decode_error; valid rows unaffected; default raises."""
+    import pytest as _pytest
+
+    from edgy_spark.functions.wav import encode_wav
+    from edgy_spark.operators.multimodal import decode_features_wav
+
+    ok = encode_wav(8000, 1, [5, -5, 100])
+    df = spark.createDataFrame(
+        [(1, bytearray(ok)), (2, bytearray(b"RIFFxxxxNOPE"))],
+        "doc_id long, media binary",
+    )
+    with _pytest.raises(Exception):
+        decode_features_wav(df).collect()
+    rows = {r["doc_id"]: r for r in decode_features_wav(df, on_error="null").collect()}
+    assert rows[1]["peak_amplitude"] == 100 and rows[1]["decode_error"] is None
+    assert rows[2]["sample_rate"] is None and rows[2]["decode_error"]
