@@ -154,6 +154,9 @@ def _iter_frames(data: bytes):
     global_table, pos = _color_table(data, 13, flags)
     transparent: int | None = None
     any_frame = False
+    # ONE pixel budget for the whole asset: per-frame caps alone would
+    # let an N-frame animation allocate N x MAX_PIXELS (review r11d)
+    budget = MAX_PIXELS
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
@@ -172,9 +175,11 @@ def _iter_frames(data: bytes):
             _, _, w, h, iflags = struct.unpack("<HHHHB", data[pos + 1:pos + 10])
             if w == 0 or h == 0:
                 raise ValueError("zero-dimension GIF frame")
-            if w * h > MAX_PIXELS:
+            budget -= w * h
+            if w * h > MAX_PIXELS or budget < 0:
                 raise ValueError(
-                    f"implausible dimensions {w}x{h} (> MAX_PIXELS)"
+                    f"implausible dimensions {w}x{h} (asset exceeds the "
+                    "MAX_PIXELS decode budget)"
                 )
             local_table, pos = _color_table(data, pos + 10, iflags)
             table = local_table if local_table is not None else global_table
@@ -212,18 +217,35 @@ def _iter_frames(data: bytes):
         raise ValueError("no image data before trailer")
 
 
+def iter_gif_frames(data: bytes):
+    """Generator over an asset's frames with the normalized error surface
+    (every malformed-input failure is ValueError): callers that want the
+    frames decoded BEFORE a mid-stream corruption point — an interrupted
+    crawl download's partial animation — iterate this and catch the
+    ValueError after banking the good frames (the on_error='null'
+    operators do exactly that, review r11d)."""
+    it = _iter_frames(data)
+    while True:
+        try:
+            frame = next(it)
+        except StopIteration:
+            return
+        except ValueError:
+            raise
+        except (struct.error, IndexError, OverflowError) as e:
+            raise ValueError(
+                f"malformed GIF: {type(e).__name__}: {e}"
+            ) from e
+        yield frame
+
+
 def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode the FIRST frame into ``(width, height, channels, pixels)``
     with ``pixels`` row-major 8-bit samples — RGB, or RGBA when the
     frame's Graphic Control Extension declares a transparent index.
     Raises ValueError on ANY malformed input (struct/index errors from
     fuzzed or truncated crawl bytes are normalized)."""
-    try:
-        return next(_iter_frames(data))
-    except ValueError:
-        raise
-    except (struct.error, IndexError, OverflowError) as e:
-        raise ValueError(f"malformed GIF: {type(e).__name__}: {e}") from e
+    return next(iter_gif_frames(data))
 
 
 def decode_gif_frames(
@@ -236,15 +258,10 @@ def decode_gif_frames(
     if max_frames is not None and max_frames <= 0:
         return []
     frames = []
-    try:
-        for frame in _iter_frames(data):
-            frames.append(frame)
-            if max_frames is not None and len(frames) >= max_frames:
-                break
-    except ValueError:
-        raise
-    except (struct.error, IndexError, OverflowError) as e:
-        raise ValueError(f"malformed GIF: {type(e).__name__}: {e}") from e
+    for frame in iter_gif_frames(data):
+        frames.append(frame)
+        if max_frames is not None and len(frames) >= max_frames:
+            break
     return frames
 
 

@@ -144,6 +144,23 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+
+def _inflate_exact(idat: bytes, expected: int) -> bytes:
+    """Bounded inflate: decompress EXACTLY ``expected`` bytes (the size
+    the already-validated header implies) and fail on any excess without
+    materializing it — a tiny file whose IDAT is a decompression bomb
+    must raise, never allocate (review r11d: plain ``zlib.decompress``
+    inflated a 200 KB crafted asset to ~459 MB before the size check)."""
+    d = zlib.decompressobj()
+    try:
+        out = d.decompress(idat, expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from e
+    if len(out) != expected:
+        raise ValueError("decompressed size mismatch")
+    return out
+
+
 def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG into ``(width, height, channels, pixels)`` with
     ``pixels`` = unfiltered 8-bit samples, row-major, ``width * channels``
@@ -218,10 +235,18 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     # the pixel's BYTE width (spec: bpp rounded up to whole bytes)
     bpp = ch * (depth // 8)
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
     if not interlace:
-        if len(raw) != (stride + 1) * height:
-            raise ValueError("decompressed size mismatch")
+        expected = (stride + 1) * height
+    else:
+        expected = sum(
+            (((width - x0 + dx - 1) // dx) * bpp + 1)
+            * ((height - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+            if (width - x0 + dx - 1) // dx > 0
+            and (height - y0 + dy - 1) // dy > 0
+        )
+    raw = _inflate_exact(bytes(idat), expected)
+    if not interlace:
         out, _ = _unfilter(raw, 0, height, stride, bpp)
     else:
         # Adam7 (spec 8.2): the stream is seven reduced sub-images, each
@@ -287,12 +312,20 @@ def _decode_palette(
     scanline (each scanline — including each Adam7 pass's — is padded to
     a whole byte independently, spec 7.2), then expand through PLTE
     (+ tRNS alpha; entries beyond tRNS's length are opaque, 11.3.2)."""
-    raw = zlib.decompress(idat)
+    if not interlace:
+        expected = ((width * depth + 7) // 8 + 1) * height
+    else:
+        expected = sum(
+            ((((width - x0 + dx - 1) // dx) * depth + 7) // 8 + 1)
+            * ((height - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+            if (width - x0 + dx - 1) // dx > 0
+            and (height - y0 + dy - 1) // dy > 0
+        )
+    raw = _inflate_exact(idat, expected)
     idx = bytearray(width * height)
     if not interlace:
         stride = (width * depth + 7) // 8
-        if len(raw) != (stride + 1) * height:
-            raise ValueError("decompressed size mismatch")
         lines, _ = _unfilter(raw, 0, height, stride, 1)
         for y in range(height):
             idx[y * width:(y + 1) * width] = _unpack_indices(

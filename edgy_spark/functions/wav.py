@@ -126,5 +126,5 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         return _decode_wav(data)
     except ValueError:
         raise
-    except (struct.error, IndexError, OverflowError, MemoryError) as e:
+    except (struct.error, IndexError, OverflowError) as e:
         raise ValueError(f"malformed WAV: {type(e).__name__}: {e}") from e

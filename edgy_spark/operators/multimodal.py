@@ -188,6 +188,13 @@ def decode_features_png(media_df: DataFrame, on_error: str = "raise") -> DataFra
             rows = []
             err_rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None:
+                    if not tolerant:
+                        raise ValueError("NULL media payload")
+                    err_rows.append(
+                        (doc_id, None, None, None, None, None, "NULL media payload")
+                    )
+                    continue
                 data = bytes(payload)
                 try:
                     w, h, ch, px = decode_png(data)
@@ -267,6 +274,13 @@ def decode_features_jpeg(media_df: DataFrame, on_error: str = "raise") -> DataFr
             rows = []
             err_rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None:
+                    if not tolerant:
+                        raise ValueError("NULL media payload")
+                    err_rows.append(
+                        (doc_id, None, None, None, None, None, "NULL media payload")
+                    )
+                    continue
                 data = bytes(payload)
                 try:
                     w, h, ch, px = decode_jpeg(data)
@@ -929,6 +943,14 @@ def decode_features_wav(media_df: DataFrame, on_error: str = "raise") -> DataFra
             rows = []
             err_rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None:
+                    if not tolerant:
+                        raise ValueError("NULL media payload")
+                    err_rows.append(
+                        (doc_id, None, None, None, None, None, None,
+                         "NULL media payload")
+                    )
+                    continue
                 try:
                     rate, ch, samples = decode_wav(bytes(payload))
                 except (ValueError, NotImplementedError) as e:
@@ -1211,6 +1233,13 @@ def decode_features_gif(media_df: DataFrame, on_error: str = "raise") -> DataFra
             rows = []
             err_rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None:
+                    if not tolerant:
+                        raise ValueError("NULL media payload")
+                    err_rows.append(
+                        (doc_id, None, None, None, None, None, "NULL media payload")
+                    )
+                    continue
                 data = bytes(payload)
                 try:
                     w, h, ch, px = decode_gif(data)
@@ -1357,26 +1386,40 @@ def decode_frames_gif(
     from edgy_spark.functions import gif as _gif
 
     cloudpickle.register_pickle_by_value(_gif)
-    decode_frames = _gif.decode_gif_frames
+    iter_frames = _gif.iter_gif_frames
     tolerant = _check_on_error(on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None:
+                    if not tolerant:
+                        raise ValueError("NULL media payload")
+                    rows.append(
+                        (doc_id, None, None, None, None, "NULL media payload")
+                    )
+                    continue
+                # incremental walk so a MID-STREAM corruption (an
+                # interrupted crawl download) keeps the frames decoded
+                # before it: good frames bank as rows, the failure lands
+                # as ONE error row after them (review r11d)
+                fi = 0
                 try:
-                    frames = decode_frames(bytes(payload), max_frames)
+                    for w, h, ch, px in iter_frames(bytes(payload)):
+                        luma = sum(
+                            299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
+                            for i in range(0, len(px), ch)
+                        ) // (1000 * w * h)
+                        rows.append((doc_id, fi, w, h, luma, None))
+                        fi += 1
+                        if fi >= max_frames:
+                            break
                 except (ValueError, NotImplementedError) as e:
                     if not tolerant:
                         raise
                     rows.append((doc_id, None, None, None, None, str(e)))
                     continue
-                for fi, (w, h, ch, px) in enumerate(frames):
-                    luma = sum(
-                        299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
-                        for i in range(0, len(px), ch)
-                    ) // (1000 * w * h)
-                    rows.append((doc_id, fi, w, h, luma, None))
             if tolerant:
                 yield pd.DataFrame(
                     rows,

@@ -1477,9 +1477,25 @@ class GraphStore:
                 with open(self._manifest_path(v)) as f:
                     m = json.load(f)
             except FileNotFoundError:
-                continue  # vacuumed inside the horizon
+                # vacuumed inside the horizon: the NEXT version must not
+                # be diffed against a non-adjacent predecessor (a RESTORE
+                # back to the older tables would read "metadata-only")
+                prev_tables = None
+                continue
             except (json.JSONDecodeError, OSError):
-                records.append({"version": v, "operation": "unreadable"})
+                records.append(
+                    {
+                        "version": v,
+                        "operation": "unreadable",
+                        "changed_tables": [],
+                        "n_tables": None,
+                        "total_rows": None,
+                        "next_id": None,
+                        "has_cdc": None,
+                        "stream_cursors": {},
+                        "cloned_from": None,
+                    }
+                )
                 prev_tables = None
                 continue
             tables = m.get("tables", {})

@@ -654,3 +654,30 @@ def test_history_audit_trail(spark, tmp_path):
     chist = clone.history()
     assert chist[-1]["operation"] == "clone"
     assert chist[-1]["cloned_from"]["root"] == src.root
+
+
+def test_history_does_not_diff_across_vacuumed_gap(spark, tmp_path):
+    """r11d: a missing manifest inside the horizon resets the diff base —
+    the next version must not be classified against a non-adjacent
+    predecessor (a RESTORE back to older tables would read
+    'metadata-only')."""
+    from edgy_spark.demo import big_bang, demo_schema
+    from edgy_spark.graph import Engine
+
+    engine = Engine(
+        spark, str(tmp_path / "db"), demo_schema(), retain_versions=10
+    )
+    engine.run(big_bang)
+    engine.run(lambda t: t.new_node("Person", name="G1", age=20))
+    engine.run(lambda t: t.new_node("Person", name="G2", age=21))
+    store = engine.store
+    import json as _json
+
+    os.unlink(store._manifest_path(2))  # simulate a partial vacuum
+    hist = {h["version"]: h for h in store.history()}
+    assert 2 not in hist
+    # v3 follows the gap: full table list, classified as a write — never
+    # "metadata-only" by accident of matching a non-adjacent base
+    assert hist[3]["operation"] == "write"
+    with open(store._manifest_path(3)) as f:
+        assert hist[3]["changed_tables"] == sorted(_json.load(f)["tables"])

@@ -1006,3 +1006,53 @@ def test_decode_features_png_raise_schema_unchanged(spark):
     assert decode_features_png(df).columns == [
         "doc_id", "n_bytes", "content_md5", "width", "height", "mean_luma"
     ]
+
+
+def test_gif_frames_partial_capture_and_null_media(spark):
+    """r11d: a mid-stream corruption keeps the frames decoded before it
+    (good frames bank as rows, ONE error row follows); a NULL media cell
+    is captured per-row in 'null' mode and raises in default mode."""
+    import pytest as _pytest
+
+    from edgy_spark.functions.gif import encode_gif_animation
+    from edgy_spark.operators.multimodal import decode_frames_gif
+
+    pal = bytes(range(12))
+    anim = encode_gif_animation(
+        2, 2, [[bytes([0, 1]), bytes([2, 3])]] * 3, pal
+    )
+    # truncate inside the THIRD frame's data: frames 0-1 stay decodable
+    cut = anim[: len(anim) - 8]
+    df = spark.createDataFrame(
+        [(1, bytearray(cut)), (2, None)], "doc_id long, media binary"
+    )
+    with _pytest.raises(Exception):
+        decode_frames_gif(df).collect()
+    rows = sorted(
+        decode_frames_gif(df, on_error="null").collect(),
+        key=lambda r: (r["doc_id"], r["frame_idx"] if r["frame_idx"] is not None else 99),
+    )
+    doc1 = [r for r in rows if r["doc_id"] == 1]
+    good = [r for r in doc1 if r["decode_error"] is None]
+    bad = [r for r in doc1 if r["decode_error"] is not None]
+    assert len(good) >= 1 and all(r["mean_luma"] is not None for r in good)
+    assert len(bad) == 1 and bad[0]["frame_idx"] is None
+    doc2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(doc2) == 1 and doc2[0]["decode_error"] == "NULL media payload"
+
+
+def test_gif_animation_pixel_budget_is_cumulative(monkeypatch):
+    """Per-frame caps alone would let an N-frame animation allocate
+    N x MAX_PIXELS; the budget is per ASSET."""
+    import pytest as _pytest
+
+    from edgy_spark.functions import gif as G
+
+    pal = bytes(range(12))
+    frame = [bytes([0, 1, 2, 3] * 3) for _ in range(5)]  # 12x5 = 60 px
+    anim = G.encode_gif_animation(12, 5, [frame, frame], pal)
+    assert len(G.decode_gif_frames(anim)) == 2
+    monkeypatch.setattr(G, "MAX_PIXELS", 100)
+    assert G.decode_gif(anim)[0] == 12  # first frame fits the budget
+    with _pytest.raises(ValueError, match="budget"):
+        G.decode_gif_frames(anim)  # the second frame exceeds it
