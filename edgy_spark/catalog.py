@@ -139,8 +139,9 @@ def load_all_registrations() -> None:
 #: The exact first-50 list for the r11 driver gate.
 #: ``tests/test_registry_window.py`` pins this against the live registry.
 #:
-#: R11 rotation rationale: (1) the eleven queries NEW in r11, never
-#: driver-verified (animated-GIF frame sampling, seasonal anomaly
+#: R11 rotation rationale: (1) the twelve queries NEW in r11, never
+#: driver-verified (token-budget mixing, animated-GIF frame sampling,
+#: seasonal anomaly
 #: profile, streaming canonical-URL
 #: dedup twin, GIF LZW decode,
 #: Kneser-Ney bigram LM, ANF effective diameter, palette-PNG decode,
@@ -158,13 +159,16 @@ def load_all_registrations() -> None:
 #: pipeline_stratified_sample (its salted-hash-rank shape re-verifies
 #: via the pinned pipeline_balanced_sample_per_lang) and
 #: dedup_embedding_cluster_keepers (its pair generator stays pinned and
-#: its CC closure re-verifies via the pinned graph fixpoints)
+#: its CC closure re-verifies via the pinned graph fixpoints) and
+#: text_fingerprints (its md5 fingerprint convention re-verifies via
+#: the pinned dedup_exact_groups)
 #: (sim_*, stream_*, dedup embedding/
 #: exact, graph query patterns, text/multimodal/pipeline r07 greens —
 #: the r10 verdict's "natural backfill", not driver-verified in three
 #: rounds).  After this window, no query's last green predates r08.
 R11_WINDOW: list[str] = [
     # new in r11 — never driver-verified
+    "pipeline_token_budget_mix",
     "multimodal_gif_frame_stats",
     "events_seasonal_anomaly_profile",
     "stream_url_dedup_first_seen",
@@ -206,7 +210,6 @@ R11_WINDOW: list[str] = [
     "graph_cardinality_orders_have_customer",
     "graph_customer_order_rollup",
     "graph_semi_nations_with_rich_customers",
-    "text_fingerprints",
     "text_language_id",
     "text_pii_scrub",
     "text_sentences",

@@ -1010,3 +1010,92 @@ def pipeline_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("priority"), F.asc("doc_id"))
         .limit(PRIO_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixing (r11) — chunked parallel prefix, the CUSUM pattern
+# ---------------------------------------------------------------------------
+
+TBM_BUDGET = 800   # per-source token budget (fixture-sized: bites mid-source)
+TBM_CHUNKS = 64    # ordered hash-range chunks per source for the prefix
+
+
+@register(
+    "pipeline_token_budget_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+             (doc_id % 1000003) * 2654435761 % 1000003 AS hk
+      FROM documents),
+    c AS (
+      SELECT source, tok,
+             CAST(SUM(tok) OVER (PARTITION BY source ORDER BY hk, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM t)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(tok) AS BIGINT) AS tokens_kept
+    FROM c WHERE cum <= {TBM_BUDGET}
+    GROUP BY source ORDER BY source
+    """,
+    tags=("pipeline", "sampling", "mixing", "parallel-prefix"),
+)
+def pipeline_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUDGET-based pretraining mix: each source contributes documents —
+    in deterministic salted-hash order, so the subset is stable and
+    unbiased by crawl order — until its TOKEN budget is exhausted
+    (cumulative whitespace-token count <= TBM_BUDGET).  The rate-based
+    twin is pipeline_temperature_mix; budgets are what you use when the
+    recipe says "200 B tokens of web, 50 B of code".
+
+    Scale: the running token prefix is the CUSUM decomposition REUSED
+    (operators/asof.py events_cusum_changepoint — the r10 verdict's
+    parallel-prefix pattern): sources are a tiny vocabulary, so a window
+    keyed on source alone would serialize each source's corpus into one
+    task.  Instead: hash-range chunks (the order key is uniform, so
+    chunks are balanced by construction), map-side per-chunk sums,
+    broadcast cumulative offsets (sources x TBM_CHUNKS rows), in-chunk
+    prefixes under windows keyed (source, chunk) — parallelism = sources
+    x TBM_CHUNKS — then one dimension-sized aggregation.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        ((F.col("doc_id") % 1000003) * F.lit(2654435761) % 1000003).alias("hk"),
+    )
+    chunked = d.withColumn(
+        "chunk", F.expr(f"CAST(hk * {TBM_CHUNKS} DIV 1000003 AS INT)")
+    )
+    per_chunk = chunked.groupBy("source", "chunk").agg(
+        F.sum("tok").alias("csum")
+    )
+    w_prior = (
+        Window.partitionBy("source")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_chunk.select(
+        "source",
+        "chunk",
+        F.coalesce(F.sum("csum").over(w_prior), F.lit(0)).alias("t_off"),
+    )
+    w_run = (
+        Window.partitionBy("source", "chunk")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = (
+        chunked.join(F.broadcast(offsets), ["source", "chunk"])
+        .withColumn("cum", F.col("t_off") + F.sum("tok").over(w_run))
+        .filter(F.col("cum") <= TBM_BUDGET)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("tok").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

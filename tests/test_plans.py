@@ -714,3 +714,17 @@ def test_anf_superstep_bitor_combines_mapside_no_wide_shuffle(spark):
     assert "partial_bit_or" in plan  # map-side combine of the masks
     assert "BroadcastExchange" in plan  # vertex state broadcast hint
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_prefix_parallel_by_chunk(spark):
+    """The budget mix's running token prefix must never serialize a
+    source into one task: row-level ordered windows must key on
+    (source, chunk) — the CUSUM parallel-prefix pattern reused."""
+    plan = _plan(spark, "pipeline_token_budget_mix")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    row_specs = [s for s in specs if "hk#" in s]
+    assert row_specs, "no row-level ordered window found"
+    for s in row_specs:
+        assert "chunk#" in s, f"row-level window not chunk-keyed: {s}"
+    assert "partial_sum" in plan
+    assert "BroadcastExchange" in plan
