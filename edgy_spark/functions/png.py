@@ -158,6 +158,11 @@ def _inflate_exact(idat: bytes, expected: int) -> bytes:
         raise ValueError(f"bad IDAT stream: {e}") from e
     if len(out) != expected:
         raise ValueError("decompressed size mismatch")
+    if not d.eof:
+        # the input ran out mid-stream: the pixel bytes happen to be all
+        # there, but the final block / adler32 checksum never arrived —
+        # plain zlib.decompress rejected this, so must the bounded path
+        raise ValueError("truncated IDAT stream")
     return out
 
 

@@ -1393,6 +1393,10 @@ def decode_frames_gif(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if max_frames <= 0:
+                    # decode_gif_frames' contract: sample NO frames (and
+                    # decode nothing) — not the first frame
+                    continue
                 if payload is None:
                     if not tolerant:
                         raise ValueError("NULL media payload")

@@ -1460,6 +1460,12 @@ class GraphStore:
             )
         return _open_clone()
 
+    def _retention_horizon(self, current: int, retain: int | None = None) -> int:
+        """Oldest version still inside the retention window — the same
+        horizon ``vacuum`` deletes up to and ``fsck`` audits from."""
+        r = self.retain_versions if retain is None else retain
+        return max(0, current - max(1, r) + 1)
+
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY (Delta's audit-trail read): one record per
         RETAINED version, newest first — operation kind (bootstrap /
@@ -1469,7 +1475,21 @@ class GraphStore:
         manifests; versions beyond the retention horizon are vacuumed
         and so absent (like Delta, history is bounded by retention)."""
         current = self.current_version()
-        horizon = max(0, current - max(1, self.retain_versions) + 1)
+        horizon = self._retention_horizon(current)
+
+        def _unreadable(v: int) -> dict:
+            return {
+                "version": v,
+                "operation": "unreadable",
+                "changed_tables": [],
+                "n_tables": None,
+                "total_rows": None,
+                "next_id": None,
+                "has_cdc": None,
+                "stream_cursors": {},
+                "cloned_from": None,
+            }
+
         prev_tables: dict | None = None
         records: list[dict] = []
         for v in range(horizon, current + 1):
@@ -1483,42 +1503,30 @@ class GraphStore:
                 prev_tables = None
                 continue
             except (json.JSONDecodeError, OSError):
-                records.append(
-                    {
-                        "version": v,
-                        "operation": "unreadable",
-                        "changed_tables": [],
-                        "n_tables": None,
-                        "total_rows": None,
-                        "next_id": None,
-                        "has_cdc": None,
-                        "stream_cursors": {},
-                        "cloned_from": None,
-                    }
-                )
+                records.append(_unreadable(v))
                 prev_tables = None
                 continue
-            tables = m.get("tables", {})
-            if m.get("cloned_from"):
-                op = "clone"
-            elif v == 0:
-                op = "bootstrap"
-            elif prev_tables is not None and tables == prev_tables:
-                op = "metadata-only"
-            else:
-                op = "write"
-            changed = (
-                sorted(
-                    k
-                    for k in set(tables) | set(prev_tables)
-                    if prev_tables.get(k) != tables.get(k)
+            try:
+                tables = m.get("tables", {})
+                if m.get("cloned_from"):
+                    op = "clone"
+                elif v == 0:
+                    op = "bootstrap"
+                elif prev_tables is not None and tables == prev_tables:
+                    op = "metadata-only"
+                else:
+                    op = "write"
+                changed = (
+                    sorted(
+                        k
+                        for k in set(tables) | set(prev_tables)
+                        if prev_tables.get(k) != tables.get(k)
+                    )
+                    if prev_tables is not None
+                    else sorted(tables)
                 )
-                if prev_tables is not None
-                else sorted(tables)
-            )
-            stats = m.get("stats") or {}
-            records.append(
-                {
+                stats = m.get("stats") or {}
+                record = {
                     "version": v,
                     "operation": op,
                     "changed_tables": changed,
@@ -1533,7 +1541,14 @@ class GraphStore:
                     "stream_cursors": dict(m.get("stream_batches", {})),
                     "cloned_from": m.get("cloned_from"),
                 }
-            )
+            except (AttributeError, TypeError):
+                # parseable JSON but not a manifest shape (a corrupt or
+                # hand-edited file): report it, like an unreadable one,
+                # rather than crash the whole audit trail
+                records.append(_unreadable(v))
+                prev_tables = None
+                continue
+            records.append(record)
             prev_tables = tables
         records.reverse()
         return records
@@ -1616,7 +1631,7 @@ class GraphStore:
         errors: list[str] = []
         warnings: list[str] = []
         current = self.current_version()
-        horizon = max(0, current - max(1, self.retain_versions) + 1)
+        horizon = self._retention_horizon(current)
         checked = []
         for v in range(horizon, current + 1):
             mpath = self._manifest_path(v)
@@ -1713,7 +1728,7 @@ class GraphStore:
         # past this write — harmless, CURRENT is a hint readers roll
         # forward from, never backward-authoritative.
         self._publish(current)
-        horizon = max(0, current - max(1, retain) + 1)
+        horizon = self._retention_horizon(current, retain)
         referenced_rel: set[str] = set()
         referenced_tbl: set[str] = set()
         for v in range(horizon, current + 1):
