@@ -23,8 +23,19 @@ Scope (deliberately bounded, stated loudly):
   scans, EOB runs, interleaved DC scans, restart intervals — scans
   accumulate into a per-block coefficient store, dequantized and
   inverse-transformed once at EOI;
-- arithmetic coding, 12-bit, hierarchical, and CMYK are rejected with a
-  clear NotImplementedError;
+- ADOBE CMYK/YCCK (r12): 4-component frames carrying the Adobe APP14
+  marker decode to RGB.  Transform 0 takes components 0-2 as the stored
+  (Adobe-inverted: 255 = no ink) CMY; transform 2 (YCCK) runs the YCbCr
+  inverse and INVERTS the result (libjpeg's ycck_cmyk_convert emits
+  255 - ycc_inverse, and the Adobe app-level inversion PIL/JDK apply
+  lands the effective sample at 255 - ycc); both finish with the naive
+  integer composition ``rgb = effective * k // 255``.  The JDK instead
+  color-manages (sRGB-encodes the linear product); the cross-validation
+  suite predicts the JDK's value from ours analytically.  A 4-component
+  frame WITHOUT the APP14 marker is rejected (the CMYK polarity would
+  be a guess);
+- arithmetic coding, 12-bit, and hierarchical are rejected with a clear
+  NotImplementedError;
 - the IDCT is the exact floating-point T.81 definition (rounded then
   clamped) and chroma upsampling is sample replication — a COMPLIANT
   decode, but not bit-identical to libjpeg's integer IDCT + smoothing
@@ -225,6 +236,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     frame = None
     store = None  # progressive: per-component quantized-coefficient blocks
+    adobe_transform = None  # APP14 color-transform flag (CMYK/YCCK)
     i = 2
     n = len(data)
     while i + 4 <= n:
@@ -265,8 +277,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit samples (only 8)")
-            if nc not in (1, 3):
-                raise NotImplementedError(f"{nc} components (only 1 or 3)")
+            if nc not in (1, 3, 4):
+                raise NotImplementedError(f"{nc} components (only 1, 3 or 4)")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + c * 3:9 + c * 3]
@@ -281,9 +293,16 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             raise NotImplementedError(f"SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14: "Adobe" + version(2) + flags0(2) + flags1(2) +
+            # color transform (0 = CMYK/RGB passthrough, 1 = YCbCr,
+            # 2 = YCCK) — the public tag that disambiguates 4-component
+            # color AND marks the inverted-sample convention
+            adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            frame["adobe"] = adobe_transform
             ns = seg[0]
             scan = []
             for c in range(ns):
@@ -425,13 +444,17 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                     f"restart marker inside MCU at byte {e.at}"
                 ) from None
             mcu_count += 1
-    return _planes_to_pixels(w, h, comps, planes, hmax, vmax)
+    return _planes_to_pixels(w, h, comps, planes, hmax, vmax, frame.get("adobe"))
 
 
-def _planes_to_pixels(w, h, comps, planes, hmax, vmax):
+def _planes_to_pixels(w, h, comps, planes, hmax, vmax, adobe=None):
     """Upsample the per-component sample planes to full resolution and
-    color-convert (shared by the sequential and progressive paths)."""
+    color-convert (shared by the sequential and progressive paths).
+    4-component (Adobe CMYK/YCCK) frames return 3-channel RGB via the
+    naive non-ICC conversion — see the module docstring."""
     nc = len(comps)
+    if nc == 4:
+        return _cmyk_to_rgb(w, h, comps, planes, hmax, vmax, adobe)
     out = bytearray(w * h * nc)
     if nc == 1:
         c = comps[0]
@@ -461,6 +484,54 @@ def _planes_to_pixels(w, h, comps, planes, hmax, vmax):
             out[o] = 0 if rv < 0 else (255 if rv > 255 else rv)
             out[o + 1] = 0 if gv < 0 else (255 if gv > 255 else gv)
             out[o + 2] = 0 if bv < 0 else (255 if bv > 255 else bv)
+    return w, h, 3, bytes(out)
+
+
+def _cmyk_to_rgb(w, h, comps, planes, hmax, vmax, adobe):
+    """Adobe 4-component color path: YCCK (transform 2) inverts the
+    YCbCr transform on components 0-2 first; transform 0 takes them as
+    stored.  Either way the stored samples follow the Adobe INVERTED
+    convention (255 = no ink), so the naive CMYK->RGB composition is the
+    exact integer ``rgb = stored * k // 255`` — no floats beyond the
+    shared (IEEE-exact at Cb=Cr=128) YCbCr inverse, so flat-block
+    fixtures stay SQL-predictable."""
+    if adobe is None:
+        raise NotImplementedError(
+            "4-component JPEG without Adobe APP14 (CMYK polarity unknown)"
+        )
+    if adobe not in (0, 2):
+        raise ValueError(f"Adobe transform {adobe} invalid for 4 components")
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        rows = [((y * c["v"]) // vmax) * c["cw"] for c in comps]
+        p0, p1, p2, p3 = planes
+        r0, r1, r2, r3 = rows
+        h0, h1, h2, h3 = (c["h"] for c in comps)
+        for x in range(w):
+            k_ = p3[r3 + (x * h3) // hmax]
+            if adobe == 2:
+                # YCCK: YCbCr inverse, then INVERT — the libjpeg
+                # convention (jdcolor.c ycck_cmyk_convert emits
+                # 255 - ycc_inverse) composed with the Adobe app-level
+                # inversion exactly as PIL and the JDK apply it; verified
+                # against javax.imageio in tests/test_jpeg_real.py
+                lum = p0[r0 + (x * h0) // hmax]
+                cb = p1[r1 + (x * h1) // hmax] - 128
+                cr = p2[r2 + (x * h2) // hmax] - 128
+                cv = int(round(lum + 1.402 * cr))
+                mv = int(round(lum - 0.344136 * cb - 0.714136 * cr))
+                yv = int(round(lum + 1.772 * cb))
+                cv = 255 if cv < 0 else (0 if cv > 255 else 255 - cv)
+                mv = 255 if mv < 0 else (0 if mv > 255 else 255 - mv)
+                yv = 255 if yv < 0 else (0 if yv > 255 else 255 - yv)
+            else:  # transform 0: stored inverted CMY directly
+                cv = p0[r0 + (x * h0) // hmax]
+                mv = p1[r1 + (x * h1) // hmax]
+                yv = p2[r2 + (x * h2) // hmax]
+            o = (y * w + x) * 3
+            out[o] = cv * k_ // 255
+            out[o + 1] = mv * k_ // 255
+            out[o + 2] = yv * k_ // 255
     return w, h, 3, bytes(out)
 
 
@@ -806,7 +877,8 @@ def _finish_progressive(frame, qt, store) -> tuple[int, int, int, bytes]:
                 plane[base:base + 8] = bytes(px[yy * 8:yy * 8 + 8])
         planes.append(plane)
     return _planes_to_pixels(
-        frame["w"], frame["h"], comps, planes, frame["hmax"], frame["vmax"]
+        frame["w"], frame["h"], comps, planes, frame["hmax"], frame["vmax"],
+        frame.get("adobe"),
     )
 
 
@@ -1109,3 +1181,85 @@ def encode_jpeg_flat_multiscan(
     sos2 = seg(0xDA, bytes([2, 2, 0x00, 3, 0x00, 0, 63, 0])) + b"".join(parts2)
 
     return b"\xff\xd8" + dqt + dri + sof + dht + sos1 + sos2 + b"\xff\xd9"
+
+
+def encode_jpeg_flat_cmyk(
+    width: int,
+    height: int,
+    luma_samples: list[int],
+    k_samples: list[int],
+    transform: int = 2,
+) -> bytes:
+    """The flat-block family's ADOBE CMYK twin: a 4-component SOF0 frame
+    with the APP14 marker, one fully-interleaved scan, all components
+    1x1-sampled and DC-only.
+
+    ``transform=2`` (YCCK) stores Y = 255 - luma with Cb = Cr = 128, so
+    the decoder's libjpeg-convention 255 - YCbCr-inverse reconstructs
+    C' = M' = Y' = ``luma_samples[b]`` exactly; ``transform=0`` stores
+    the same values directly as inverted CMY.
+    Component 3 stores ``k_samples[b]`` (inverted K).  Either way the
+    decoded RGB pixel of block ``b`` is the exact integer
+    ``luma_samples[b] * k_samples[b] // 255`` in all three channels —
+    bit-predictable, so the SQL oracle covers the full 4-component
+    Huffman + IDCT + APP14 + YCCK/CMYK color path under the value-hash
+    gate (both transform branches)."""
+    if width <= 0 or height <= 0 or width % 8 or height % 8:
+        raise ValueError("flat encoder needs positive block-aligned dims")
+    if transform not in (0, 2):
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    bw, bh = width // 8, height // 8
+    n = bw * bh
+    if len(luma_samples) != n or len(k_samples) != n:
+        raise ValueError(f"need {n} luma and k samples")
+    if any(s < 0 or s > 255 for s in luma_samples + k_samples):
+        raise ValueError("samples must be 0..255")
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    app14 = seg(
+        0xEE,
+        b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform),
+    )
+    dqt = seg(0xDB, bytes([0x00]) + bytes([_FLAT_DC_QUANT] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 4)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(STD_DC_LUMA_BITS) + STD_DC_LUMA_VALS) + seg(
+        0xC4, bytes([0x10]) + bytes(STD_AC_LUMA_BITS) + STD_AC_LUMA_VALS
+    )
+    sos = seg(0xDA, bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00, 0, 63, 0]))
+
+    dc_lut = _canonical_codes(STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
+    ac_lut = _canonical_codes(STD_AC_LUMA_BITS, STD_AC_LUMA_VALS)
+    eob_len, eob_code = ac_lut[0x00]
+
+    w = _BitWriter()
+    pred = [0, 0, 0, 0]
+    for b in range(n):
+        lum = luma_samples[b]
+        # per-MCU component order 0..3; YCCK mid-chroma = flat 128.
+        # YCCK stores Y = 255 - lum: the decoder's libjpeg-convention
+        # inversion (255 - ycc_inverse) then recovers exactly lum, so
+        # both transforms decode to the same RGB and share one oracle.
+        vals = (
+            (255 - lum, 128, 128, k_samples[b])
+            if transform == 2
+            else (lum, lum, lum, k_samples[b])
+        )
+        for ci, s in enumerate(vals):
+            dc = s - 128
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            t = 0 if diff == 0 else abs(diff).bit_length()
+            length, code = dc_lut[t]
+            w.put(code, length)
+            if t:
+                mag = diff if diff >= 0 else diff + (1 << t) - 1
+                w.put(mag, t)
+            w.put(eob_code, eob_len)
+
+    return b"\xff\xd8" + app14 + dqt + sof + dht + sos + w.flush() + b"\xff\xd9"

@@ -915,34 +915,45 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ROUNDS = 3  # fixed synchronous rounds, unrolled identically in the oracle
 
 
-def _deterministic_mode(col: str) -> Column:
-    """Aggregate: most frequent value, smallest value on ties — the
-    deterministic mode LPA needs (plain ``mode()`` breaks ties arbitrarily,
-    which no cross-engine hash compare survives).  Implemented as a linear
-    scan over the SORTED collected values: runs of equal values are
-    contiguous, so the first run of maximal length IS the min-valued mode.
-    In-row, JVM-side, O(degree) per vertex."""
-    labels = F.sort_array(F.collect_list(col))
-    acc0 = F.struct(
-        F.lit(None).cast("long").alias("cur"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(None).cast("long").alias("best"),
-        F.lit(0).cast("long").alias("best_run"),
+def mode_messages(
+    edges: DataFrame,
+    state: DataFrame,
+    msg: Column,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """One message superstep whose per-destination combiner is the
+    DETERMINISTIC MODE (most frequent message, smallest on ties — plain
+    ``mode()`` breaks ties arbitrarily, which no cross-engine hash compare
+    survives).
+
+    The mode is not an algebraic aggregate over one groupBy, so it gets its
+    own primitive next to :func:`aggregate_messages`: a TWO-LEVEL
+    map-side-combinable aggregation —
+
+        groupBy(dst, msg).count()                       # partial combine
+        groupBy(dst).agg(max_by(msg, (count, -msg)))    # max is combinable
+
+    Both levels partial-aggregate before their shuffle, so a celebrity
+    vertex with 10^8 same-label neighbors reduces to one (dst, label, cnt)
+    row per map task — no per-vertex array ever materializes (the previous
+    ``sort_array(collect_list(...))`` fold held the whole neighborhood in
+    a single aggregation buffer, the hot-key failure mode).  Ties on count
+    pick the max of ``-msg`` = the MIN message; (cnt, -msg) is unique per
+    destination because msg is distinct within the first-level groups.
+
+    Returns ``(node, new_label)`` for every destination with >= 1 message.
+    """
+    j = edges.join(_hint(state, broadcast_state), edges["src"] == state["node"])
+    counts = (
+        j.select(F.col("dst").alias("node"), msg.alias("l"))
+        .groupBy("node", "l")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-
-    def scan(acc, x):
-        run = F.when(acc.cur.isNull() | (acc.cur != x), F.lit(1).cast("long")).otherwise(
-            acc.run + F.lit(1).cast("long")
+    return counts.groupBy("node").agg(
+        F.max_by("l", F.struct(F.col("cnt"), (-F.col("l")).alias("neg_l"))).alias(
+            "new_label"
         )
-        better = run > acc.best_run  # strictly greater: keeps FIRST (=min) on ties
-        return F.struct(
-            x.alias("cur"),
-            run.alias("run"),
-            F.when(better, x).otherwise(acc.best).alias("best"),
-            F.when(better, run).otherwise(acc.best_run).alias("best_run"),
-        )
-
-    return F.aggregate(labels, acc0, scan).getField("best")
+    )
 
 
 def label_propagation(
@@ -961,10 +972,11 @@ def label_propagation(
     combinator surface is general.  A fixed round count (not convergence)
     is deliberate: synchronous LPA can oscillate on near-bipartite
     structures, and a fixed unroll is what the SQL oracle replicates
-    bit-for-bit.  Per round: ONE message join + ONE groupBy whose shuffle
-    carries (dst, label) pairs; the mode reduction is in-row over each
-    vertex's collected neighborhood (bounded by degree — at web scale,
-    combine with the skew toolkit for celebrity vertices).
+    bit-for-bit.  Per round: ONE message join + the two-level combinable
+    mode of :func:`mode_messages` — both aggregation levels partial-combine
+    map-side, so no per-vertex array materializes and a celebrity vertex
+    costs one (dst, label, cnt) row per map task, not O(degree) memory in
+    one aggregation buffer (skew-immune without the skew toolkit).
     """
     und, _ = _materialize(undirect(edges), iter_partitions)
     labels = (
@@ -973,11 +985,8 @@ def label_propagation(
     )
 
     def step(lbl: DataFrame) -> DataFrame:
-        votes = aggregate_messages(
-            und, lbl,
-            msg={"l": F.col("label")},
-            aggs=[_deterministic_mode("l").alias("new_label")],
-            broadcast_state=broadcast_state,
+        votes = mode_messages(
+            und, lbl, F.col("label"), broadcast_state=broadcast_state
         )
         return lbl.join(_hint(votes, broadcast_state), "node", "left").select(
             "node", F.coalesce("new_label", "label").alias("label")

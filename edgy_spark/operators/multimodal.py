@@ -812,6 +812,76 @@ def multimodal_jpeg_multiscan_stats(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "multimodal_jpeg_cmyk_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      (doc_id * 13) % 5 + 1 AS bw,
+                      (doc_id * 5) % 3 + 1 AS bh
+               FROM documents),
+    s AS (SELECT d.doc_id, d.bw, d.bh,
+                 SUM(((d.doc_id * 47 + t.i * 31) % 256)
+                     * ((d.doc_id * 19 + t.i * 17) % 256) // 255) AS total
+          FROM d, generate_series(0, 5 * 3 - 1) AS t(i)
+          WHERE t.i < d.bw * d.bh
+          GROUP BY d.doc_id, d.bw, d.bh)
+    SELECT doc_id,
+           CAST(bw * 8 AS BIGINT) AS width,
+           CAST(bh * 8 AS BIGINT) AS height,
+           CAST(total // (bw * bh) AS BIGINT) AS mean_luma
+    FROM s
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode", "cmyk"),
+)
+def multimodal_jpeg_cmyk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADOBE CMYK / YCCK (4-component) decode under the driver's
+    value-hash gate — the most frequent remaining real-crawl decode miss
+    after baseline + progressive + multi-scan (r11 verdict #2:
+    print-origin web assets need the APP14 transform).  Each document's
+    flat-block image is a 4-component SOF0 frame with the Adobe APP14
+    marker (functions/jpeg.py encode_jpeg_flat_cmyk); EVEN doc_ids take
+    transform 0 (stored inverted CMY), ODD doc_ids transform 2 (YCCK —
+    the decoder must run the YCbCr inverse plus the libjpeg-convention
+    inversion), so BOTH color branches sit under the hash.  Per-block
+    C' = M' = Y' = luma and K' = k make the decoded RGB the exact integer
+    ``luma * k // 255``, so the oracle predicts mean luma analytically;
+    JDK cross-validation (the JDK color-manages: sRGB-encode of the
+    linear product, predicted analytically to ±1) is in
+    tests/test_jpeg_real.py.
+
+    Scale: identical to the other codec queries — pixels never leave the
+    executors; exchanged rows are (doc_id, 3 small ints).
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import jpeg as _jpeg
+
+    cloudpickle.register_pickle_by_value(_jpeg)
+    encode_cmyk = _jpeg.encode_jpeg_flat_cmyk
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                bw, bh = (i * 13) % 5 + 1, (i * 5) % 3 + 1
+                lum = [(i * 47 + b * 31) % 256 for b in range(bw * bh)]
+                kk = [(i * 19 + b * 17) % 256 for b in range(bw * bh)]
+                media.append(
+                    encode_cmyk(bw * 8, bh * 8, lum, kk, transform=(i % 2) * 2)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    return (
+        decode_features_jpeg(media_df)
+        .select("doc_id", "width", "height", "mean_luma")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_png_palette_stats",
     oracle="""
     WITH d AS (SELECT doc_id,
@@ -1217,7 +1287,13 @@ def decode_features_gif(media_df: DataFrame, on_error: str = "raise") -> DataFra
     Cross-validated pixel-exactly against the JVM's independent
     javax.imageio GIF plugin (both directions: JDK-written compressed
     streams decode here; our streams decode there) in
-    tests/test_multimodal_real.py."""
+    tests/test_multimodal_real.py.
+
+    Semantic caveat: TRANSPARENT pixels contribute their palette RGB to
+    ``mean_luma`` (the palette entry under a transparent index is encoder
+    residue, so two visually identical GIFs can differ) — the oracle
+    replicates the same convention, so results stay cross-engine exact;
+    alpha-weighted luma is what a perceptual consumer should use."""
     from pyspark import cloudpickle
 
     from edgy_spark.functions import gif as _gif

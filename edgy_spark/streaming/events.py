@@ -710,7 +710,8 @@ def _url_dedup_oracle() -> str:
              strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
              ROW_NUMBER() OVER (PARTITION BY c.canonical_url
                                 ORDER BY e.ts, e.event_id) AS rk
-      FROM curl c JOIN events e USING (event_id))
+      FROM curl c JOIN events e USING (event_id)
+      WHERE e.event_id IS NOT NULL AND e.ts IS NOT NULL)
     SELECT canonical_url,
            CAST(event_id AS BIGINT) AS first_event_id,
            ts_s AS first_ts
@@ -742,7 +743,12 @@ def stream_url_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("canonical_url").orderBy("ts", "event_id")
     return (
-        ev.withColumn("canonical_url", _event_canonical_url())
+        # NULL keys out up front: Spark sorts NULLS FIRST, DuckDB NULLS
+        # LAST, and the oracle's USING join drops NULL ids anyway — the
+        # seasonal/CUSUM convention (a fixture rotation must not flip the
+        # hash on rows neither engine orders the same way).
+        ev.filter(F.col("event_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("canonical_url", _event_canonical_url())
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(

@@ -118,16 +118,55 @@ def test_sssp_weighted_nearest_hub(spark):
 
 def test_deterministic_mode_breaks_ties_to_min(spark):
     """The LPA combiner: most frequent value wins, smallest on ties."""
-    from edgy_spark.operators.graph_algos import _deterministic_mode
+    import pyspark.sql.functions as F
 
-    df = spark.createDataFrame(
-        [(1, 5), (1, 3), (1, 3), (1, 5), (1, 1), (2, 9)], "node long, l long"
+    from edgy_spark.operators.graph_algos import mode_messages
+
+    # edges carry each message once: src holds the label, dst=receiver
+    edges = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (13, 1), (14, 1), (15, 2)],
+        "src long, dst long",
+    )
+    state = spark.createDataFrame(
+        [(10, 5), (11, 3), (12, 3), (13, 5), (14, 1), (15, 9)],
+        "node long, label long",
     )
     got = {
-        r["node"]: r["m"]
-        for r in df.groupBy("node").agg(_deterministic_mode("l").alias("m")).collect()
+        r["node"]: r["new_label"]
+        for r in mode_messages(edges, state, F.col("label")).collect()
     }
     assert got == {1: 3, 2: 9}  # {5:2, 3:2} tie -> 3; singleton -> itself
+
+
+def test_lpa_mode_is_two_level_combinable(spark):
+    """Skew pin: the LPA sweep must contain NO collect_list (the per-vertex
+    array was the hot-key memory risk at web scale) and must show the
+    Louvain-style partial aggregate on (node, label) — i.e. two hash
+    aggregations with map-side partial combine."""
+    import pyspark.sql.functions as F
+
+    from edgy_spark.operators.graph_algos import (
+        copurchase_edges,
+        mode_messages,
+        undirect,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # one superstep, exactly as label_propagation's step builds it
+    # (the fixpoint localCheckpoints per round, so only the per-step plan
+    # is inspectable)
+    und = undirect(copurchase_edges(spark, SF_SMOKE))
+    lbl = (
+        und.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    df = mode_messages(und, lbl, F.col("label"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "collect_list" not in plan, "degree-unbounded in-row array is back"
+    assert "max_by" in plan  # combinable second level
+    assert "partial_count" in plan or "partial count" in plan.lower()
 
 
 def test_label_propagation_fixed_rounds_deterministic(spark):

@@ -589,3 +589,70 @@ def test_jpeg_flat_multiscan_restart_intervals(spark):
             by, bx = divmod(bi, 4)
             argb = img.getRGB(bx * 8, by * 8)
             assert ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF) == (s, s, s), (ri, bi)
+
+
+def test_jpeg_cmyk_bit_exact_both_transforms():
+    """Adobe 4-component decode (r12): transform 0 (inverted CMY stored
+    directly) and transform 2 (YCCK — YCbCr inverse + libjpeg-convention
+    inversion) must both reconstruct RGB = luma * k // 255 exactly."""
+    from edgy_spark.functions.jpeg import decode_jpeg, encode_jpeg_flat_cmyk
+
+    lum = [0, 17, 128, 255, 77, 200]
+    kk = [255, 128, 0, 255, 31, 99]
+    for tr in (0, 2):
+        data = encode_jpeg_flat_cmyk(24, 16, lum, kk, transform=tr)
+        assert b"Adobe" in data
+        w, h, ch, px = decode_jpeg(data)
+        assert (w, h, ch) == (24, 16, 3)
+        for b in range(6):
+            exp = lum[b] * kk[b] // 255
+            by, bx = divmod(b, 3)
+            for yy in (0, 7):
+                for xx in (0, 7):
+                    o = ((by * 8 + yy) * w + bx * 8 + xx) * 3
+                    assert tuple(px[o:o + 3]) == (exp, exp, exp), (tr, b)
+
+
+def test_jpeg_cmyk_without_app14_is_rejected():
+    """A 4-component frame with no Adobe APP14 marker has unknowable CMYK
+    polarity — honest NotImplementedError, never a silently-wrong guess."""
+    import struct
+
+    import pytest
+
+    from edgy_spark.functions.jpeg import decode_jpeg, encode_jpeg_flat_cmyk
+
+    data = encode_jpeg_flat_cmyk(8, 8, [100], [200])
+    seglen = struct.unpack(">H", data[4:6])[0]
+    stripped = data[:2] + data[4 + seglen:]  # drop the APP14 segment
+    with pytest.raises(NotImplementedError, match="APP14"):
+        decode_jpeg(stripped)
+
+
+def test_jpeg_cmyk_matches_jvm_decode(spark):
+    """Cross-validation against javax.imageio (JDK-8041125 reads Adobe
+    CMYK/YCCK): the JDK color-manages — its RGB is the sRGB encoding of
+    the linear product — so the prediction from OUR decoded samples is
+    round(255 * srgb(luma * k / 255^2)); agreement within +-1 proves both
+    decoders recover the same underlying 4-component samples through the
+    Huffman / APP14 / YCCK machinery."""
+    from edgy_spark.functions.jpeg import decode_jpeg, encode_jpeg_flat_cmyk
+
+    def srgb(p: float) -> float:
+        return p * 12.92 if p <= 0.0031308 else 1.055 * p ** (1 / 2.4) - 0.055
+
+    lum = [0, 17, 128, 255, 77, 200]
+    kk = [255, 128, 0, 255, 31, 99]
+    for tr in (0, 2):
+        data = encode_jpeg_flat_cmyk(24, 16, lum, kk, transform=tr)
+        w, h, ch, px = decode_jpeg(data)
+        img = _jvm_decode(spark, data)
+        assert (img.getWidth(), img.getHeight()) == (w, h)
+        for b in range(6):
+            by, bx = divmod(b, 3)
+            argb = img.getRGB(bx * 8 + 3, by * 8 + 3)
+            jdk = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
+            pred = round(255 * srgb(lum[b] * kk[b] / 65025))
+            assert all(abs(c - pred) <= 1 for c in jdk), (tr, b, jdk, pred)
+            o = ((by * 8 + 3) * w + bx * 8 + 3) * 3
+            assert px[o] == lum[b] * kk[b] // 255, (tr, b)
