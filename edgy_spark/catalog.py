@@ -133,7 +133,91 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.recursive  # noqa: F401
     import edgy_spark.operators.entity  # noqa: F401
 
-    _prioritize(R11_WINDOW)
+    _prioritize(R12_WINDOW)
+
+
+#: The exact first-50 list for the r12 driver gate.
+#: ``tests/test_registry_window.py`` pins this against the live registry.
+#:
+#: R12 rotation rationale: (1) the two queries NEW in r12, never
+#: driver-verified (Adobe CMYK/YCCK JPEG decode; composed-frame GIF
+#: sampling with offsets/transparency/disposal); (2) every query whose
+#: EXECUTED code changed after its r11 green: graph_label_propagation
+#: (the deterministic mode was rewritten into the two-level combinable
+#: aggregation — the r11 verdict's top task), stream_url_dedup_first_seen
+#: (NULL-key filter added on both engine and oracle sides), the three
+#: existing JPEG decode queries (decode_jpeg grew the 4-component/APP14
+#: path and _planes_to_pixels changed signature), and both GIF queries
+#: (_iter_frames was refactored over the new raw-frame walk and
+#: encode_gif over the extracted _lzw_blocks); (3) backfill with the
+#: stalest greens: ALL 5 r07-last-green queries (the r11 verdict's
+#: missing-list #1 — dedup_embedding_cluster_keepers,
+#: multimodal_frame_sample, multimodal_thumbnail_resize,
+#: pipeline_stratified_sample, text_fingerprints) and 36 of the 39
+#: r08-last-green queries.  The three r08 greens deferred to r13 —
+#: q1_pricing_summary, q3_shipping_priority, q6_forecast_revenue — are
+#: the lowest-risk tail: code unchanged since r08, continuously
+#: exercised by bench.py every round and by their exact-value pytest
+#: oracles (tests/test_catalog_oracle.py).  After this window, no
+#: query's last DRIVER green predates r08, and only those three sit
+#: at r08.
+R12_WINDOW: list[str] = [
+    # new in r12 — never driver-verified
+    "multimodal_jpeg_cmyk_stats",
+    "multimodal_gif_composed_stats",
+    # executed-code changes after the r11 gate
+    "graph_label_propagation",
+    "stream_url_dedup_first_seen",
+    "multimodal_jpeg_block_stats",
+    "multimodal_jpeg_progressive_stats",
+    "multimodal_jpeg_multiscan_stats",
+    "multimodal_gif_frame_stats",
+    "multimodal_gif_palette_stats",
+    # stalest greens: all five r07-last-green queries
+    "dedup_embedding_cluster_keepers",
+    "multimodal_frame_sample",
+    "multimodal_thumbnail_resize",
+    "pipeline_stratified_sample",
+    "text_fingerprints",
+    # stalest greens: 36 of the 39 r08-last-green queries (reg. order
+    # within each family; q1/q3/q6 defer to r13 — see rationale)
+    "cogroup_asof_purchase_last_click",
+    "customer_order_running_total",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "dedup_duplicate_spans",
+    "dedup_ngram_jaccard_pairs",
+    "distinct_customers_per_priority",
+    "events_gapfill_rollup",
+    "graph_triangle_count",
+    "incremental_orders_rollup",
+    "join_bloom_pruned_building_revenue",
+    "multimodal_wav_loudness",
+    "pipeline_context_chunks",
+    "pipeline_decontaminate_overlap",
+    "pipeline_dsir_importance_weights",
+    "pipeline_epoch_reshuffle",
+    "pipeline_length_buckets",
+    "pipeline_temperature_mix",
+    "q5_local_supplier_volume",
+    "sketch_count_min_user_counts",
+    "sketch_distinct_users_bounded",
+    "sketch_heavy_hitters_words",
+    "sketch_hll_mergeable_rollup",
+    "sketch_price_quantile_bounded",
+    "stream_dedup_event_delivery",
+    "stream_unattributed_purchases",
+    "text_bm25_topk",
+    "text_bpe_merge_candidates",
+    "text_bpe_train_merges",
+    "text_gopher_quality_flags",
+    "text_repetition_scores",
+    "text_salient_terms",
+    "text_token_rarity_scores",
+    "trailing_30d_customer_spend",
+    "udaf_gini_order_concentration",
+    "udtf_block_windows",
+]
 
 
 #: The exact first-50 list for the r11 driver gate.

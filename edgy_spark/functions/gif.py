@@ -13,8 +13,11 @@ Scope (deliberately bounded, stated loudly):
 - GIF87a and GIF89a, global and local color tables (2/4/8/16/.../256
   entries); ``decode_gif`` returns the FIRST frame, ``decode_gif_frames``
   every frame (r11) — each at its OWN rect with its own color table and
-  GCE transparency; disposal/composition onto the logical screen is out
-  of scope (frames are sampled for statistics, not replayed);
+  GCE transparency; ``decode_gif_frames_composed`` (r12) returns frames
+  COMPOSED onto the logical screen — offsets, transparency show-through,
+  and disposal methods 0-3 applied (restore-to-background renders as
+  transparency, the modern-browser convention) — what a vision-training
+  frame sampler consumes;
 - variable-width LZW (Appendix F): code width grows 3..12 bits, CLEAR
   resets the table, EOI ends the stream, LSB-first bit packing in
   255-byte sub-blocks, including the deferred-clear streams modern
@@ -140,12 +143,14 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
     return bytes(out[:n_pixels])
 
 
-def _iter_frames(data: bytes):
-    """Yield ``(width, height, channels, pixels)`` per image descriptor,
-    in stream order.  Each frame is returned at its OWN rect with its own
-    color table and GCE transparency (which, per spec 23, applies only to
-    the graphic that follows it); disposal/composition onto the logical
-    screen is deliberately out of scope (module docstring)."""
+def _iter_raw_frames(data: bytes):
+    """Low-level frame walk: yield
+    ``(left, top, w, h, disposal, transparent, idx, table)`` per image
+    descriptor, in stream order — index bytes already de-interlaced and
+    range-checked against the frame's color table, GCE state (transparent
+    index + disposal method, spec 23) attached to the ONE graphic it
+    covers.  Shared by the per-rect view (:func:`_iter_frames`) and the
+    logical-screen composer (:func:`iter_gif_frames_composed`)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     if len(data) < 13:
@@ -153,6 +158,7 @@ def _iter_frames(data: bytes):
     _, _, flags, _, _ = struct.unpack("<HHBBB", data[6:13])
     global_table, pos = _color_table(data, 13, flags)
     transparent: int | None = None
+    disposal = 0
     any_frame = False
     # ONE pixel budget for the whole asset: per-frame caps alone would
     # let an N-frame animation allocate N x MAX_PIXELS (review r11d)
@@ -168,11 +174,14 @@ def _iter_frames(data: bytes):
             body, pos = _sub_blocks(data, pos + 2)
             if label == 0xF9 and len(body) >= 4:  # Graphic Control Ext
                 transparent = body[3] if body[0] & 0x01 else None
+                disposal = (body[0] >> 2) & 0x07
             continue
         if b == 0x2C:  # image descriptor
             if pos + 10 > len(data):
                 raise ValueError("truncated image descriptor")
-            _, _, w, h, iflags = struct.unpack("<HHHHB", data[pos + 1:pos + 10])
+            left, top, w, h, iflags = struct.unpack(
+                "<HHHHB", data[pos + 1:pos + 10]
+            )
             if w == 0 or h == 0:
                 raise ValueError("zero-dimension GIF frame")
             budget -= w * h
@@ -201,20 +210,33 @@ def _iter_frames(data: bytes):
             n_entries = len(table) // 3
             if max(idx, default=0) >= n_entries:
                 raise ValueError("pixel index out of color-table range")
-            ch = 3 if transparent is None else 4
-            out = bytearray(w * h * ch)
-            for p, v in enumerate(idx):
-                o, e = p * ch, v * 3
-                out[o:o + 3] = table[e:e + 3]
-                if ch == 4:
-                    out[o + 3] = 0 if v == transparent else 255
             any_frame = True
+            yield left, top, w, h, disposal, transparent, idx, table
             transparent = None  # a GCE covers ONE following graphic
-            yield w, h, ch, bytes(out)
+            disposal = 0
             continue
         raise ValueError(f"unknown block 0x{b:02X}")
     if not any_frame:
         raise ValueError("no image data before trailer")
+
+
+def _iter_frames(data: bytes):
+    """Yield ``(width, height, channels, pixels)`` per image descriptor,
+    in stream order.  Each frame is returned at its OWN rect with its own
+    color table and GCE transparency (which, per spec 23, applies only to
+    the graphic that follows it); for disposal/composition onto the
+    logical screen use :func:`iter_gif_frames_composed` (r12)."""
+    for _left, _top, w, h, _disp, transparent, idx, table in _iter_raw_frames(
+        data
+    ):
+        ch = 3 if transparent is None else 4
+        out = bytearray(w * h * ch)
+        for p, v in enumerate(idx):
+            o, e = p * ch, v * 3
+            out[o:o + 3] = table[e:e + 3]
+            if ch == 4:
+                out[o + 3] = 0 if v == transparent else 255
+        yield w, h, ch, bytes(out)
 
 
 def iter_gif_frames(data: bytes):
@@ -265,6 +287,105 @@ def decode_gif_frames(
     return frames
 
 
+def iter_gif_frames_composed(data: bytes):
+    """Yield ``(screen_w, screen_h, 4, rgba)`` per frame, each frame
+    COMPOSED onto the logical screen — what a vision-training frame
+    sampler actually consumes (r12; the per-rect view is
+    :func:`iter_gif_frames`).
+
+    Spec-conformant composition (GIF89a 23, as browsers render it):
+
+    - frames draw at their (left, top) offset; transparent pixels leave
+      the existing canvas content visible (show-through);
+    - disposal 0/1 (unspecified / do not dispose): the drawn frame stays;
+    - disposal 2 (restore to background): the frame's RECT is cleared to
+      fully transparent after its yield — modern renderers composite the
+      "background" as transparency, ignoring the legacy background-color
+      index;
+    - disposal 3 (restore to previous): the canvas reverts to its state
+      before the frame was drawn.
+
+    The canvas starts fully transparent (alpha 0, RGB 0).  A frame rect
+    extending outside the logical screen is malformed (ValueError), as is
+    a composed-output total above the MAX_PIXELS asset budget — callers
+    sampling the head of a long animation should stop iterating (or use
+    ``decode_gif_frames_composed(max_frames=...)``) before the budget
+    trips.  Error surface normalized to ValueError like the per-rect
+    iterator."""
+    try:
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF (bad signature)")
+        if len(data) < 13:
+            raise ValueError("truncated logical screen descriptor")
+        sw, sh, _, _, _ = struct.unpack("<HHBBB", data[6:13])
+    except struct.error as e:
+        raise ValueError(f"malformed GIF: {e}") from e
+    if sw == 0 or sh == 0:
+        raise ValueError("zero-dimension logical screen")
+    if sw * sh > MAX_PIXELS:
+        raise ValueError(
+            f"implausible logical screen {sw}x{sh} (> MAX_PIXELS)"
+        )
+    canvas = bytearray(sw * sh * 4)
+    budget = MAX_PIXELS  # composed-output budget, separate from decode's
+    it = _iter_raw_frames(data)
+    while True:
+        try:
+            rec = next(it)
+        except StopIteration:
+            return
+        except ValueError:
+            raise
+        except (struct.error, IndexError, OverflowError) as e:
+            raise ValueError(f"malformed GIF: {type(e).__name__}: {e}") from e
+        left, top, w, h, disposal, transparent, idx, table = rec
+        if left + w > sw or top + h > sh:
+            raise ValueError(
+                f"frame rect {w}x{h}@({left},{top}) outside logical "
+                f"screen {sw}x{sh}"
+            )
+        budget -= sw * sh
+        if budget < 0:
+            raise ValueError(
+                "composed animation exceeds the MAX_PIXELS output budget"
+            )
+        prev = bytes(canvas) if disposal == 3 else None
+        for y in range(h):
+            co = ((top + y) * sw + left) * 4
+            ro = y * w
+            for x in range(w):
+                v = idx[ro + x]
+                if v != transparent:
+                    o = co + x * 4
+                    e = v * 3
+                    canvas[o:o + 3] = table[e:e + 3]
+                    canvas[o + 3] = 255
+        yield sw, sh, 4, bytes(canvas)
+        if disposal == 2:
+            blank = b"\x00" * (4 * w)
+            for y in range(h):
+                o = ((top + y) * sw + left) * 4
+                canvas[o:o + 4 * w] = blank
+        elif disposal == 3:
+            canvas = bytearray(prev)
+
+
+def decode_gif_frames_composed(
+    data: bytes, max_frames: int | None = None
+) -> list[tuple[int, int, int, bytes]]:
+    """Decode up to ``max_frames`` COMPOSED frames (logical-screen RGBA
+    with offsets, transparency show-through, and disposal methods
+    applied — see :func:`iter_gif_frames_composed`)."""
+    if max_frames is not None and max_frames <= 0:
+        return []
+    frames = []
+    for frame in iter_gif_frames_composed(data):
+        frames.append(frame)
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    return frames
+
+
 def encode_gif(
     width: int,
     height: int,
@@ -295,9 +416,6 @@ def encode_gif(
         out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
     iflags = 0x40 if interlaced else 0
     out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, iflags)
-    min_code = max(depth, 2)
-    clear = 1 << min_code
-    eoi = clear + 1
     # emit pixels in stream order (interlaced scatter order if asked)
     if interlaced:
         ordered = b"".join(
@@ -306,6 +424,20 @@ def encode_gif(
         )
     else:
         ordered = b"".join(rows)
+    out += _lzw_blocks(ordered, depth)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _lzw_blocks(ordered: bytes, depth: int) -> bytes:
+    """Root-codes-only LZW of ``ordered`` index bytes: min-code byte +
+    255-byte sub-blocks + terminator.  CLEAR is issued before every point
+    the decoder's table would force a code-width growth (Appendix F's
+    uncompressed technique), so every emitted code stays at the initial
+    width and any compliant reader decodes it."""
+    min_code = max(depth, 2)
+    clear = 1 << min_code
+    eoi = clear + 1
     acc = 0
     nbits = 0
     width_bits = min_code + 1
@@ -333,11 +465,11 @@ def encode_gif(
     put(eoi)
     if nbits:
         codes.append(acc & 0xFF)
-    out += bytes([min_code])
+    out = bytearray([min_code])
     for i in range(0, len(codes), 255):
         chunk = codes[i:i + 255]
         out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
+    out += b"\x00"
     return bytes(out)
 
 
@@ -368,5 +500,52 @@ def encode_gif_animation(
         # image descriptor .. LZW sub-blocks + their 0x00 terminator,
         # minus only the single-image trailer byte
         out += s[head_len:-1]
+    out += b"\x3b"
+    return bytes(out)
+
+
+def encode_gif_animation_rects(
+    screen_w: int,
+    screen_h: int,
+    frames: list[dict],
+    palette: bytes,
+    delay_cs: int = 10,
+) -> bytes:
+    """Encode an animation whose frames are SUB-RECTS of the logical
+    screen with per-frame disposal and transparency — the fixture
+    generator for the composed-frame decode path (r12).
+
+    Each ``frames`` entry: ``{"left", "top", "rows" (h x w index bytes),
+    "disposal" (0-3), "transparent" (index or None)}``.  Shared global
+    color table, root-codes-only LZW per frame."""
+    n = len(palette) // 3
+    if not palette or len(palette) % 3 or n & (n - 1) or not 2 <= n <= 256:
+        raise ValueError("palette must hold a power-of-two count of RGB entries")
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    depth = max(n.bit_length() - 1, 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", screen_w, screen_h, 0x80 | (depth - 1), 0, 0)
+    out += palette
+    for fr in frames:
+        rows = fr["rows"]
+        w, h = len(rows[0]), len(rows)
+        left, top = fr.get("left", 0), fr.get("top", 0)
+        disposal = fr.get("disposal", 0)
+        transparent = fr.get("transparent")
+        if any(len(r) != w for r in rows):
+            raise ValueError("ragged frame rows")
+        if any(v >= n for r in rows for v in r):
+            raise ValueError("pixel index out of palette range")
+        if left + w > screen_w or top + h > screen_h:
+            raise ValueError("frame rect outside logical screen")
+        if not 0 <= disposal <= 3:
+            raise ValueError("disposal must be 0..3")
+        gce_flags = (disposal << 2) | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gce_flags])
+        out += struct.pack("<H", delay_cs)
+        out += bytes([transparent or 0, 0])
+        out += struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
+        out += _lzw_blocks(b"".join(bytes(r) for r in rows), depth)
     out += b"\x3b"
     return bytes(out)

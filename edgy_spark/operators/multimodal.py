@@ -1520,6 +1520,179 @@ def decode_frames_gif(
     return media_df.mapInPandas(decode, schema)
 
 
+def decode_frames_gif_composed(
+    media_df: DataFrame, max_frames: int = 8, on_error: str = "raise"
+) -> DataFrame:
+    """COMPOSED animation frame sampling (r12): like
+    :func:`decode_frames_gif` but each emitted row is a frame composed
+    onto the LOGICAL SCREEN — offsets, transparency show-through, and
+    disposal methods 0-3 applied (functions/gif.py
+    iter_gif_frames_composed) — the frame a vision-training sampler
+    would feed a model, not the raw sub-rect.  Dimensions are the
+    logical screen's (constant per asset); mean_luma is Rec.601 over
+    the composed RGBA, transparent canvas pixels contributing RGB 0.
+    Same Arrow-batched ``mapInPandas`` shape, per-asset on_error
+    capture, and mid-stream banking as the per-rect operator."""
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import gif as _gif
+
+    cloudpickle.register_pickle_by_value(_gif)
+    iter_composed = _gif.iter_gif_frames_composed
+    tolerant = _check_on_error(on_error)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if max_frames <= 0:
+                    continue
+                if payload is None:
+                    if not tolerant:
+                        raise ValueError("NULL media payload")
+                    rows.append(
+                        (doc_id, None, None, None, None, "NULL media payload")
+                    )
+                    continue
+                fi = 0
+                try:
+                    for w, h, ch, px in iter_composed(bytes(payload)):
+                        luma = sum(
+                            299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
+                            for i in range(0, len(px), ch)
+                        ) // (1000 * w * h)
+                        rows.append((doc_id, fi, w, h, luma, None))
+                        fi += 1
+                        if fi >= max_frames:
+                            break
+                except (ValueError, NotImplementedError) as e:
+                    if not tolerant:
+                        raise
+                    rows.append((doc_id, None, None, None, None, str(e)))
+                    continue
+            if tolerant:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "frame_idx", "width", "height",
+                        "mean_luma", "decode_error",
+                    ],
+                )
+            else:
+                yield pd.DataFrame(
+                    [r[:-1] for r in rows],
+                    columns=["doc_id", "frame_idx", "width", "height", "mean_luma"],
+                )
+
+    schema = "doc_id long, frame_idx long, width long, height long, mean_luma long"
+    if tolerant:
+        schema += ", decode_error string"
+    return media_df.mapInPandas(decode, schema)
+
+
+@register(
+    "multimodal_gif_composed_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      (doc_id * 3) % 5 + 2 AS a,
+                      (doc_id * 7) % 5 + 2 AS h,
+                      (doc_id * 31) % 255 AS c0,
+                      (doc_id * 37) % 255 AS c1,
+                      (doc_id * 41) % 255 AS c2,
+                      doc_id % 3 + 1 AS disp
+               FROM documents),
+    s AS (SELECT doc_id, a, h, disp,
+                 2 * a AS w,
+                 (a + 1) // 2 AS even_cols,
+                 a // 2 AS odd_cols,
+                 c0, c1, c2
+          FROM d),
+    fr AS (
+      SELECT doc_id, 0 AS f, w, h, 2 * a * c0 AS rowsum FROM s
+      UNION ALL
+      SELECT doc_id, 1, w, h,
+             even_cols * c0 + odd_cols * c1 + a * c0
+      FROM s
+      UNION ALL
+      SELECT doc_id, 2, w, h,
+             CASE disp
+               WHEN 1 THEN even_cols * c0 + odd_cols * c1 + a * c2
+               WHEN 2 THEN a * c2
+               ELSE a * c0 + a * c2
+             END
+      FROM s)
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST((rowsum * h) // (w * h) AS BIGINT) AS mean_luma
+    FROM fr
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "decode", "gif", "frames", "composed"),
+)
+def multimodal_gif_composed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED-frame GIF sampling under the driver's value-hash gate
+    (r11 verdict #4: per-frame stats were fine, but an actual
+    vision-training frame sampler consumes composed frames).  Each
+    document is a 3-frame animation on a 2a x h logical screen with a
+    256-entry grayscale palette (index v -> (v,v,v), so luma == index):
+    frame 0 fills the screen with c0 (disposal 1); frame 1 is a LEFT-HALF
+    sub-rect whose even columns are the TRANSPARENT index (c0 shows
+    through) and odd columns c1, with disposal doc_id % 3 + 1 — so
+    do-not-dispose, restore-to-background (renders transparent, RGB 0),
+    and restore-to-previous all sit under the hash; frame 2 is a
+    RIGHT-HALF flat-c2 sub-rect whose composed stats differ per disposal
+    branch.  The oracle computes every composed frame's mean luma in
+    closed form; any error in offset placement, transparency
+    show-through, or disposal handling breaks the value hash.
+
+    Scale: identical to the other codec queries — composition happens
+    executor-side inside Arrow-batched ``mapInPandas``; exchanged rows
+    are (doc_id, frame_idx, 3 small ints).
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import gif as _gif
+
+    cloudpickle.register_pickle_by_value(_gif)
+    encode_rects = _gif.encode_gif_animation_rects
+    pal = bytes(v for v in range(256) for _ in range(3))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                a, h = (i * 3) % 5 + 2, (i * 7) % 5 + 2
+                c0, c1, c2 = (i * 31) % 255, (i * 37) % 255, (i * 41) % 255
+                ct = 255
+                frames = [
+                    {
+                        "left": 0, "top": 0, "disposal": 1,
+                        "rows": [bytes([c0]) * (2 * a) for _ in range(h)],
+                    },
+                    {
+                        "left": 0, "top": 0, "disposal": i % 3 + 1,
+                        "transparent": ct,
+                        "rows": [
+                            bytes(ct if x % 2 == 0 else c1 for x in range(a))
+                            for _ in range(h)
+                        ],
+                    },
+                    {
+                        "left": a, "top": 0, "disposal": 0,
+                        "rows": [bytes([c2]) * a for _ in range(h)],
+                    },
+                ]
+                media.append(encode_rects(2 * a, h, frames, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    return decode_frames_gif_composed(media_df).orderBy("doc_id", "frame_idx")
+
+
 @register(
     "multimodal_gif_frame_stats",
     oracle="""

@@ -13,6 +13,10 @@ code.  This source reads any ``GraphStore`` root directly::
         .option("root", "/path/to/db")
         .option("table", "n_Person")      # n_<NodeType> | e_<relation table>
         .option("version", "3")           # optional: time travel (default CURRENT)
+        .option("timestampAsOf", "2026-08-16 12:00:00")  # or by commit time
+                                          # (newest version <= ts; epoch
+                                          # seconds also accepted; errors
+                                          # past retention — Delta semantics)
         .load()
 
 Scale design:
@@ -118,7 +122,20 @@ class EdgyDataSource(DataSource):
         table = self.options.get("table")
         if not root or not table:
             raise ValueError("format('edgy') requires options root and table")
-        return _resolve_table_path(root, table, self.options.get("version"))
+        version = self.options.get("version")
+        # Spark hands DataSource options through case-insensitively and
+        # some paths lowercase the keys — accept both spellings
+        ts = self.options.get("timestampAsOf") or self.options.get(
+            "timestampasof"
+        )
+        if ts is not None:
+            if version is not None:
+                raise ValueError(
+                    "options version and timestampAsOf are mutually "
+                    "exclusive"
+                )
+            version = str(resolve_timestamp(root, ts))
+        return _resolve_table_path(root, table, version)
 
     def schema(self) -> StructType:
         import pyarrow.dataset as ds
@@ -1127,6 +1144,79 @@ def _current_version(root: str) -> int:
     return v
 
 
+def stamp_committed_at(root: str, manifest: dict) -> None:
+    """Stamp the wall-clock commit time (epoch seconds, float) into the
+    manifest as ``committed_at`` — the Delta DESCRIBE-HISTORY timestamp
+    and the key ``timestampAsOf`` reads resolve against.  Nudged strictly
+    past the predecessor version's stamp (Delta's own +1 ms adjustment),
+    so version order and timestamp order agree even when the committer's
+    clock stepped backward; a predecessor without a stamp (pre-r12 store)
+    or an unreadable one leaves the raw clock value."""
+    import time
+
+    now = time.time()
+    v = manifest.get("version", 0)
+    if v > 0:
+        try:
+            with open(os.path.join(root, f"manifest.v{v - 1}.json")) as f:
+                prev = json.load(f).get("committed_at")
+            if isinstance(prev, (int, float)) and now <= prev:
+                now = prev + 0.001
+        except (OSError, json.JSONDecodeError, ValueError):
+            pass
+    manifest["committed_at"] = now
+
+
+def resolve_timestamp(root: str, ts) -> int:
+    """Resolve a timestamp to the NEWEST retained version whose
+    ``committed_at`` <= ts — ``TIMESTAMP AS OF`` semantics (Delta: a
+    timestamp before the earliest retained commit errors; one after the
+    latest resolves to the latest).
+
+    ``ts``: epoch seconds (int/float or numeric string) or an ISO-ish
+    ``YYYY-MM-DD HH:MM:SS[.ffffff]`` string, interpreted in LOCAL time
+    (``datetime.fromisoformat`` + ``.timestamp()`` — the session-timezone
+    convention Delta uses).  Manifests predating the stamp (pre-r12)
+    count as epoch 0, i.e. "very old"."""
+    if isinstance(ts, str):
+        try:
+            target = float(ts)
+        except ValueError:
+            from datetime import datetime
+
+            try:
+                target = datetime.fromisoformat(ts).timestamp()
+            except ValueError as exc:
+                raise ValueError(
+                    f"timestampAsOf {ts!r} is neither epoch seconds nor "
+                    "an ISO timestamp"
+                ) from exc
+    else:
+        target = float(ts)
+    oldest_seen = None
+    for v in range(_current_version(root), -1, -1):
+        try:
+            with open(os.path.join(root, f"manifest.v{v}.json")) as f:
+                stamp = json.load(f).get("committed_at")
+        except FileNotFoundError:
+            break  # vacuumed: nothing older is retained
+        except (OSError, json.JSONDecodeError, ValueError):
+            continue  # unreadable manifest: not resolvable, keep walking
+        stamp = stamp if isinstance(stamp, (int, float)) else 0.0
+        oldest_seen = stamp
+        if stamp <= target:
+            return v
+    raise ValueError(
+        f"timestampAsOf {ts!r} predates the earliest retained commit"
+        + (
+            f" (committed_at={oldest_seen})"
+            if oldest_seen is not None
+            else ""
+        )
+        + "; older versions are beyond retention"
+    )
+
+
 def manifest_is_complete(path: str) -> bool:
     """True iff ``path`` holds a COMPLETE manifest.  An empty or
     unparseable file is a ConditionalPutArbiter putter's in-flight or
@@ -1347,6 +1437,7 @@ def _link_manifest(root: str, new_manifest: dict, promoted_rel: list[str]) -> No
     import tempfile
 
     new_version = new_manifest["version"]
+    stamp_committed_at(root, new_manifest)
     fd, tmp = tempfile.mkstemp(dir=root)
     try:
         with os.fdopen(fd, "w") as f:
@@ -1591,7 +1682,13 @@ def _parse_spark_bytes(s: str) -> int:
     return int(float(s))
 
 
-def read_store_table(spark, root: str, table: str, version: int | None = None):
+def read_store_table(
+    spark,
+    root: str,
+    table: str,
+    version: int | None = None,
+    timestamp=None,
+):
     """Load a store table via ``format("edgy")`` with the manifest's
     recorded stats driving the broadcast decision at PLAN time.
 
@@ -1612,8 +1709,15 @@ def read_store_table(spark, root: str, table: str, version: int | None = None):
     # resolve the version ONCE and pin the scan to it explicitly: a commit
     # landing between "stats lookup" and "scan resolves CURRENT" would
     # otherwise attach another version's {rows, bytes} to this plan's
-    # broadcast decision (review r11 ADVICE)
-    v = version if version is not None else _current_version(root)
+    # broadcast decision (review r11 ADVICE).  ``timestamp`` (epoch
+    # seconds or ISO string) resolves TIMESTAMP-AS-OF style — newest
+    # version committed at or before it.
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("version and timestamp are mutually exclusive")
+        v = resolve_timestamp(root, timestamp)
+    else:
+        v = version if version is not None else _current_version(root)
     df = (
         spark.read.format("edgy")
         .option("root", root)

@@ -29,6 +29,7 @@ only the tiny manifest is driver-side.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
@@ -453,7 +454,10 @@ class GraphStore:
         count aggregate over each changed table per commit (Delta pays the
         same); maintenance commits skip it (compaction changes no rows)."""
         self.spark = spark
-        self.root = root
+        # normalized: relative roots would make _register_clone's pins
+        # non-absolute and vacuum's pin comparison silently miss (r11
+        # advice) — every downstream path join/compare assumes one spelling
+        self.root = os.path.abspath(root)
         self.schema = schema
         # the commit point's storage-system seam (class docstring on
         # CommitArbiter): hard-link exclusive create on POSIX (default),
@@ -506,16 +510,27 @@ class GraphStore:
 
                 import time as _time
 
-                for _ in range(100):
-                    if manifest_is_complete(self._manifest_path(0)):
-                        break
+                # wait at least the arbiter's crash-reclaim window (a
+                # stalled-but-alive winner may legitimately take that
+                # long; before it elapses a retry could not reclaim the
+                # claim anyway), floored at 5 s for arbiters with no
+                # reclaim concept (hard links publish atomically)
+                wait_s = max(
+                    5.0,
+                    float(
+                        getattr(self.commit_arbiter, "RECLAIM_AFTER_S", 0.0)
+                    ),
+                )
+                deadline = _time.monotonic() + wait_s
+                while not manifest_is_complete(self._manifest_path(0)):
+                    if _time.monotonic() >= deadline:
+                        raise ConflictError(
+                            "bootstrap race: the winning session's "
+                            f"manifest.v0 never became readable within "
+                            f"{wait_s:.0f}s — crashed mid-write? retry "
+                            "opening the store"
+                        )
                     _time.sleep(0.05)
-                else:
-                    raise ConflictError(
-                        "bootstrap race: the winning session's manifest.v0 "
-                        "never became readable — crashed mid-write? retry "
-                        "opening the store"
-                    )
                 # publish the pointer only now that v0 is COMPLETE, and
                 # only if the winner has not already published (it may
                 # even have advanced CURRENT past 0 — never regress a
@@ -580,7 +595,10 @@ class GraphStore:
         the loser returns False so the bootstrap can reconcile its own
         declaration against the winner's instead of assuming identical
         bytes.)  Returns True when this call created the manifest."""
+        from edgy_spark.sources.pysource import stamp_committed_at
+
         path = self._manifest_path(manifest["version"])
+        stamp_committed_at(self.root, manifest)
         if not self.commit_arbiter.put_if_absent(path, json.dumps(manifest)):
             if manifest["version"] == 0:
                 return False  # bootstrap race: other session won v0
@@ -1437,6 +1455,9 @@ class GraphStore:
         # hold.  If the put below loses, the pin is redundant-but-identical
         # (same content-addressed file) or ages out via the dead-clone rule.
         self._register_clone(new_root, manifest["tables"].values(), snap.version)
+        from edgy_spark.sources.pysource import stamp_committed_at
+
+        stamp_committed_at(new_root, manifest)
         if not self.commit_arbiter.put_if_absent(v0_path, json.dumps(manifest)):
             # accurate recovery guidance per arbiter: only ConditionalPut
             # reclaims crashed claims after a grace period; HardLink has no
@@ -1469,11 +1490,15 @@ class GraphStore:
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY (Delta's audit-trail read): one record per
         RETAINED version, newest first — operation kind (bootstrap /
-        write / metadata-only / clone), which table versions changed,
-        total recorded rows, the id cursor, CDC capture, and stream
-        cursors.  Read-only: derived entirely from the retained
-        manifests; versions beyond the retention horizon are vacuumed
-        and so absent (like Delta, history is bounded by retention)."""
+        write / metadata-only / clone), commit timestamp (r12:
+        ``committed_at`` epoch seconds + ``timestamp`` local ISO — the
+        same wall clock ``timestampAsOf`` reads resolve against; None on
+        manifests committed before stamping existed), which table
+        versions changed, total recorded rows, the id cursor, CDC
+        capture, and stream cursors.  Read-only: derived entirely from
+        the retained manifests; versions beyond the retention horizon
+        are vacuumed and so absent (like Delta, history is bounded by
+        retention)."""
         current = self.current_version()
         horizon = self._retention_horizon(current)
 
@@ -1488,6 +1513,8 @@ class GraphStore:
                 "has_cdc": None,
                 "stream_cursors": {},
                 "cloned_from": None,
+                "committed_at": None,
+                "timestamp": None,
             }
 
         prev_tables: dict | None = None
@@ -1526,9 +1553,21 @@ class GraphStore:
                     else sorted(tables)
                 )
                 stats = m.get("stats") or {}
+                committed_at = m.get("committed_at")
+                if not isinstance(committed_at, (int, float)):
+                    committed_at = None  # pre-r12 manifest: no stamp
                 record = {
                     "version": v,
                     "operation": op,
+                    # Delta DESCRIBE HISTORY's timestamp: epoch seconds
+                    # (raw, for timestampAsOf math) + local ISO rendering
+                    "committed_at": committed_at,
+                    "timestamp": (
+                        datetime.datetime.fromtimestamp(committed_at)
+                        .isoformat(sep=" ", timespec="milliseconds")
+                        if committed_at is not None
+                        else None
+                    ),
                     "changed_tables": changed,
                     "n_tables": len(tables),
                     "total_rows": (
@@ -1558,7 +1597,10 @@ class GraphStore:
     def _clone_reg_path(self, clone_root: str) -> str:
         import hashlib
 
-        key = hashlib.sha1(os.path.abspath(clone_root).encode()).hexdigest()[:16]
+        # realpath, not abspath: a register/release pair spelled through
+        # different symlinks must key the SAME registration, or the pin
+        # silently survives release and vacuum retains forever (r11 advice)
+        key = hashlib.sha1(os.path.realpath(clone_root).encode()).hexdigest()[:16]
         return os.path.join(self.root, "_clones", f"{key}.json")
 
     def _register_clone(self, clone_root: str, referenced, version: int) -> None:
@@ -1578,7 +1620,7 @@ class GraphStore:
             }
         )
         reg = {
-            "clone_root": os.path.abspath(clone_root),
+            "clone_root": os.path.realpath(clone_root),
             "source_version": version,
             "tables": rels,
         }
@@ -1614,7 +1656,19 @@ class GraphStore:
             os.unlink(self._clone_reg_path(clone_root))
             return True
         except FileNotFoundError:
-            return False
+            pass
+        # fallback: a pin registered under an older key scheme or through a
+        # path spelling realpath can no longer reproduce (the clone dir was
+        # moved/deleted) — match on the recorded clone_root field instead
+        target = os.path.realpath(clone_root)
+        for path, reg in self._clone_registrations():
+            if reg.get("clone_root") in (target, clone_root):
+                try:
+                    os.unlink(path)
+                    return True
+                except FileNotFoundError:
+                    return False
+        return False
 
     def fsck(self, deep: bool = False) -> dict:
         """Integrity check of every RETAINED version: manifests parse, every

@@ -1056,3 +1056,97 @@ def test_gif_animation_pixel_budget_is_cumulative(monkeypatch):
     assert G.decode_gif(anim)[0] == 12  # first frame fits the budget
     with _pytest.raises(ValueError, match="budget"):
         G.decode_gif_frames(anim)  # the second frame exceeds it
+
+
+def test_gif_composed_disposal_and_transparency():
+    """r12 composed-frame decode: offsets, transparency show-through, and
+    all three disposal methods against hand-computed canvases."""
+    from edgy_spark.functions.gif import (
+        decode_gif_frames,
+        decode_gif_frames_composed,
+        encode_gif_animation_rects,
+    )
+
+    pal = bytes(b for v in range(16) for b in (v * 16, v * 16, v * 16))
+    W, H, a = 8, 4, 4
+    c0, c1, c2, ct = 3, 9, 12, 15
+    base = {"left": 0, "top": 0, "disposal": 1,
+            "rows": [bytes([c0]) * W for _ in range(H)]}
+    patch = {"left": 0, "top": 0, "transparent": ct,
+             "rows": [bytes(ct if x % 2 == 0 else c1 for x in range(a))
+                      for _ in range(H)]}
+    right = {"left": a, "top": 0, "disposal": 0,
+             "rows": [bytes([c2]) * a for _ in range(H)]}
+
+    for disp, left_expect in (
+        (1, lambda x: c1 * 16 if x % 2 == 1 else c0 * 16),  # stays
+        (2, lambda x: 0),                                   # cleared
+        (3, lambda x: c0 * 16),                             # restored
+    ):
+        data = encode_gif_animation_rects(
+            W, H, [base, {**patch, "disposal": disp}, right], pal
+        )
+        frames = decode_gif_frames_composed(data)
+        assert [f[:3] for f in frames] == [(W, H, 4)] * 3
+        # frame 1: odd cols of left half c1, everything else c0 (alpha 255)
+        px = frames[1][3]
+        for y in range(H):
+            for x in range(W):
+                o = (y * W + x) * 4
+                want = c1 * 16 if (x < a and x % 2 == 1) else c0 * 16
+                assert (px[o], px[o + 3]) == (want, 255), (disp, x, y)
+        # frame 2: left half per disposal, right half c2
+        px = frames[2][3]
+        for y in range(H):
+            for x in range(W):
+                o = (y * W + x) * 4
+                if x < a:
+                    assert px[o] == left_expect(x), (disp, x, y)
+                    assert px[o + 3] == (0 if disp == 2 else 255)
+                else:
+                    assert (px[o], px[o + 3]) == (c2 * 16, 255)
+        # the per-rect view of the same stream keeps frame-local coords
+        raw = decode_gif_frames(data)
+        assert raw[1][0] == a and raw[1][2] == 4  # sub-rect, RGBA
+        assert raw[2][0] == a and raw[2][2] == 3
+
+    # a rect escaping the logical screen is malformed
+    import pytest
+
+    bad = encode_gif_animation_rects(
+        W, H, [base], pal
+    ).replace(b"\x2c\x00\x00\x00\x00", b"\x2c\x06\x00\x00\x00", 1)
+    with pytest.raises(ValueError, match="outside logical screen"):
+        decode_gif_frames_composed(bad)
+
+
+def test_gif_rect_animation_read_by_jdk(spark):
+    """Our rect/disposal animation streams are spec-valid: the JDK reader
+    sees every sub-rect frame at its own size with our palette colors."""
+    from edgy_spark.functions.gif import encode_gif_animation_rects
+
+    pal = bytes(b for v in range(16) for b in (v * 16, v * 16, v * 16))
+    W, H, a = 8, 4, 4
+    frames = [
+        {"left": 0, "top": 0, "disposal": 1,
+         "rows": [bytes([3]) * W for _ in range(H)]},
+        {"left": a, "top": 1, "disposal": 2, "transparent": 15,
+         "rows": [bytes([9, 15, 9, 15]) for _ in range(2)]},
+    ]
+    data = encode_gif_animation_rects(W, H, frames, pal)
+    jvm = spark._sc._jvm
+    reader = jvm.javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    iis = jvm.javax.imageio.ImageIO.createImageInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(data))
+    )
+    reader.setInput(iis)
+    assert reader.getNumImages(True) == 2
+    f0 = reader.read(0)
+    assert (f0.getWidth(), f0.getHeight()) == (W, H)
+    assert f0.getRGB(0, 0) & 0xFFFFFF == 0x303030  # index 3 -> 48
+    f1 = reader.read(1)
+    assert (f1.getWidth(), f1.getHeight()) == (4, 2)
+    assert f1.getRGB(0, 0) & 0xFFFFFF == 0x909090  # index 9 -> 144
+    # transparent index: alpha 0 in the JDK's ARGB read-back too
+    assert (f1.getRGB(1, 0) >> 24) & 0xFF == 0
+    reader.dispose()

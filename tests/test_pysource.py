@@ -1158,3 +1158,87 @@ def test_read_store_table_broadcasts_small_dims_at_plan_time(spark, tmp_path):
 
     # and the hinted read returns the same rows
     assert hinted.count() == bare.select("name").distinct().count()
+
+
+def test_edgy_source_timestamp_as_of(spark, tmp_path):
+    """r12 Delta-style TIMESTAMP AS OF: commits stamp committed_at into
+    the manifest; .option("timestampAsOf", ts) resolves to the newest
+    version committed at or before ts, a too-early ts errors (past
+    retention), and the timestamp read equals the version-number read."""
+    import json
+
+    import pytest
+
+    engine, _ = _store(spark, tmp_path)
+    v1 = engine.store.current_version()
+    engine.run(lambda t: t.new_node("Person", name="Ann", age=33))
+    v2 = engine.store.current_version()
+    assert v2 == v1 + 1
+    register_edgy_source(spark)
+
+    def stamp(v):
+        with open(os.path.join(engine.store.root, f"manifest.v{v}.json")) as f:
+            return json.load(f)["committed_at"]
+
+    s1, s2 = stamp(v1), stamp(v2)
+    assert isinstance(s1, float) and isinstance(s2, float)
+    assert s1 < s2  # monotonic even under clock jitter
+
+    def names(**opts):
+        r = (
+            spark.read.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "n_Person")
+        )
+        for k, val in opts.items():
+            r = r.option(k, val)
+        return {x["name"] for x in r.load().collect()}
+
+    # exactly v1's stamp -> v1; midway between stamps -> still v1;
+    # far future -> newest
+    assert names(timestampAsOf=str(s1)) == {"Bob", "Jane", "Jose"}
+    assert names(timestampAsOf=str((s1 + s2) / 2)) == {"Bob", "Jane", "Jose"}
+    assert names(timestampAsOf=str(s2 + 3600)) == {
+        "Bob", "Jane", "Jose", "Ann",
+    }
+    # ISO local-time spelling resolves too
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(s2 + 1).isoformat(sep=" ")
+    assert names(timestampAsOf=iso) == {"Bob", "Jane", "Jose", "Ann"}
+    # before the earliest retained commit: error, not a silent oldest
+    with pytest.raises(Exception, match="predates"):
+        names(timestampAsOf=str(s1 - 3600))
+    # version and timestampAsOf together are ambiguous
+    with pytest.raises(Exception, match="mutually exclusive"):
+        names(version=str(v1), timestampAsOf=str(s1))
+
+
+def test_read_store_table_timestamp_and_history_timestamps(spark, tmp_path):
+    """read_store_table(timestamp=...) pins the same version as the
+    explicit version read, and GraphStore.history() surfaces the commit
+    wall clock (epoch + ISO rendering), newest first."""
+    from edgy_spark.sources.pysource import read_store_table
+
+    engine, _ = _store(spark, tmp_path)
+    v1 = engine.store.current_version()
+    engine.run(lambda t: t.new_node("Person", name="Ann", age=33))
+    register_edgy_source(spark)
+
+    hist = engine.store.history()
+    assert [h["version"] for h in hist][0] == engine.store.current_version()
+    stamps = {h["version"]: h["committed_at"] for h in hist}
+    assert all(isinstance(s, float) for s in stamps.values())
+    isos = [h["timestamp"] for h in hist]
+    assert all(iso and iso[:2] == "20" for iso in isos)
+    # newest-first order means descending stamps
+    vals = [h["committed_at"] for h in hist]
+    assert vals == sorted(vals, reverse=True)
+
+    by_ts = read_store_table(
+        spark, engine.store.root, "n_Person", timestamp=stamps[v1]
+    )
+    by_v = read_store_table(spark, engine.store.root, "n_Person", version=v1)
+    assert {r["name"] for r in by_ts.collect()} == {
+        r["name"] for r in by_v.collect()
+    }
