@@ -239,17 +239,14 @@ def _iter_frames(data: bytes):
         yield w, h, ch, bytes(out)
 
 
-def iter_gif_frames(data: bytes):
-    """Generator over an asset's frames with the normalized error surface
-    (every malformed-input failure is ValueError): callers that want the
-    frames decoded BEFORE a mid-stream corruption point — an interrupted
-    crawl download's partial animation — iterate this and catch the
-    ValueError after banking the good frames (the on_error='null'
-    operators do exactly that, review r11d)."""
-    it = _iter_frames(data)
+def _normalize_gif_errors(it):
+    """Wrap a frame generator so every malformed-input failure surfaces
+    as ValueError (struct/index errors from fuzzed or truncated crawl
+    bytes are normalized) — the ONE error-contract wrapper shared by the
+    per-rect and composed iterators, so their surfaces cannot drift."""
     while True:
         try:
-            frame = next(it)
+            item = next(it)
         except StopIteration:
             return
         except ValueError:
@@ -258,7 +255,28 @@ def iter_gif_frames(data: bytes):
             raise ValueError(
                 f"malformed GIF: {type(e).__name__}: {e}"
             ) from e
-        yield frame
+        yield item
+
+
+def _screen_dims(data: bytes) -> tuple[int, int]:
+    """Logical-screen (width, height) from the header, with the same
+    signature/truncation errors the frame walk raises."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(data) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    sw, sh, _, _, _ = struct.unpack("<HHBBB", data[6:13])
+    return sw, sh
+
+
+def iter_gif_frames(data: bytes):
+    """Generator over an asset's frames with the normalized error surface
+    (every malformed-input failure is ValueError): callers that want the
+    frames decoded BEFORE a mid-stream corruption point — an interrupted
+    crawl download's partial animation — iterate this and catch the
+    ValueError after banking the good frames (the on_error='null'
+    operators do exactly that, review r11d)."""
+    yield from _normalize_gif_errors(_iter_frames(data))
 
 
 def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
@@ -312,14 +330,7 @@ def iter_gif_frames_composed(data: bytes):
     ``decode_gif_frames_composed(max_frames=...)``) before the budget
     trips.  Error surface normalized to ValueError like the per-rect
     iterator."""
-    try:
-        if data[:6] not in (b"GIF87a", b"GIF89a"):
-            raise ValueError("not a GIF (bad signature)")
-        if len(data) < 13:
-            raise ValueError("truncated logical screen descriptor")
-        sw, sh, _, _, _ = struct.unpack("<HHBBB", data[6:13])
-    except struct.error as e:
-        raise ValueError(f"malformed GIF: {e}") from e
+    sw, sh = _screen_dims(data)
     if sw == 0 or sh == 0:
         raise ValueError("zero-dimension logical screen")
     if sw * sh > MAX_PIXELS:
@@ -328,17 +339,14 @@ def iter_gif_frames_composed(data: bytes):
         )
     canvas = bytearray(sw * sh * 4)
     budget = MAX_PIXELS  # composed-output budget, separate from decode's
-    it = _iter_raw_frames(data)
-    while True:
-        try:
-            rec = next(it)
-        except StopIteration:
-            return
-        except ValueError:
-            raise
-        except (struct.error, IndexError, OverflowError) as e:
-            raise ValueError(f"malformed GIF: {type(e).__name__}: {e}") from e
+    for rec in _normalize_gif_errors(_iter_raw_frames(data)):
         left, top, w, h, disposal, transparent, idx, table = rec
+        if disposal > 3:
+            # 4 is the historical off-by-one spelling of restore-to-
+            # previous (old encoders); browsers (Firefox, libnsgif) map
+            # it to 3.  5-7 are reserved with no de-facto meaning —
+            # treated as do-not-dispose like disposal 0/1.
+            disposal = 3 if disposal == 4 else 1
         if left + w > sw or top + h > sh:
             raise ValueError(
                 f"frame rect {w}x{h}@({left},{top}) outside logical "
@@ -541,6 +549,8 @@ def encode_gif_animation_rects(
             raise ValueError("frame rect outside logical screen")
         if not 0 <= disposal <= 3:
             raise ValueError("disposal must be 0..3")
+        if transparent is not None and not 0 <= transparent < n:
+            raise ValueError("transparent index out of palette range")
         gce_flags = (disposal << 2) | (1 if transparent is not None else 0)
         out += bytes([0x21, 0xF9, 4, gce_flags])
         out += struct.pack("<H", delay_cs)

@@ -463,6 +463,11 @@ def _planes_to_pixels(w, h, comps, planes, hmax, vmax, adobe=None):
             row = planes[0][y * cw:y * cw + w]
             out[y * w:(y + 1) * w] = row
         return w, h, 1, bytes(out)
+    # Adobe APP14 transform 0 on a 3-component frame means the samples
+    # are STORED RGB, not YCbCr (libjpeg's jdcolor honors this); running
+    # them through the YCbCr inverse would garble every pixel silently.
+    # Absent APP14 (or transform 1), 3 components are JFIF YCbCr.
+    rgb_stored = nc == 3 and adobe == 0
     for y in range(h):
         for ci, c in enumerate(comps):
             c[f"_row"] = (y * c["v"]) // vmax * c["cw"]
@@ -472,6 +477,13 @@ def _planes_to_pixels(w, h, comps, planes, hmax, vmax, adobe=None):
         y0 = comps[0]["_row"]
         b0 = comps[1]["_row"]
         r0 = comps[2]["_row"]
+        if rgb_stored:
+            for x in range(w):
+                o = (y * w + x) * 3
+                out[o] = yrow[y0 + (x * comps[0]["h"]) // hmax]
+                out[o + 1] = brow[b0 + (x * comps[1]["h"]) // hmax]
+                out[o + 2] = rrow[r0 + (x * comps[2]["h"]) // hmax]
+            continue
         for x in range(w):
             lum = yrow[y0 + (x * comps[0]["h"]) // hmax]
             cb = brow[b0 + (x * comps[1]["h"]) // hmax] - 128

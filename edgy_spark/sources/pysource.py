@@ -124,17 +124,25 @@ class EdgyDataSource(DataSource):
             raise ValueError("format('edgy') requires options root and table")
         version = self.options.get("version")
         # Spark hands DataSource options through case-insensitively and
-        # some paths lowercase the keys — accept both spellings
-        ts = self.options.get("timestampAsOf") or self.options.get(
-            "timestampasof"
-        )
+        # some paths lowercase the keys — accept both spellings.  Explicit
+        # None tests (not `or`): an EMPTY timestamp string must reach
+        # resolve_timestamp and raise, never silently fall back to a
+        # CURRENT read the caller believes is point-in-time pinned.
+        ts = self.options.get("timestampAsOf")
+        if ts is None:
+            ts = self.options.get("timestampasof")
         if ts is not None:
             if version is not None:
                 raise ValueError(
                     "options version and timestampAsOf are mutually "
                     "exclusive"
                 )
-            version = str(resolve_timestamp(root, ts))
+            # resolve ONCE per DataSource instance: schema() and reader()
+            # both land here, and a vacuum between two independent walks
+            # could resolve them to different versions (review r12)
+            if not hasattr(self, "_ts_version"):
+                self._ts_version = resolve_timestamp(root, ts)
+            version = str(self._ts_version)
         return _resolve_table_path(root, table, version)
 
     def schema(self) -> StructType:

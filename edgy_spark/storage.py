@@ -1652,23 +1652,32 @@ class GraphStore:
         fully localized via its own ``compact()``).  Returns whether a pin
         existed.  The next source ``vacuum()`` may then sweep files only
         that clone referenced."""
+        removed = False
         try:
             os.unlink(self._clone_reg_path(clone_root))
-            return True
+            removed = True
         except FileNotFoundError:
             pass
-        # fallback: a pin registered under an older key scheme or through a
-        # path spelling realpath can no longer reproduce (the clone dir was
-        # moved/deleted) — match on the recorded clone_root field instead
-        target = os.path.realpath(clone_root)
+        # ALSO sweep field matches — a pin can exist under another key:
+        # registered pre-r12 (abspath-keyed) or through a symlink spelling
+        # realpath can no longer reproduce (the clone dir was deleted).
+        # Match the recorded clone_root against every spelling we can
+        # derive, and remove ALL matches, not just the first — duplicate
+        # registrations from mixed key schemes must not leave a survivor
+        # pinning vacuum forever (review r12).
+        spellings = {
+            clone_root,
+            os.path.abspath(clone_root),
+            os.path.realpath(clone_root),
+        }
         for path, reg in self._clone_registrations():
-            if reg.get("clone_root") in (target, clone_root):
+            if reg.get("clone_root") in spellings:
                 try:
                     os.unlink(path)
-                    return True
+                    removed = True
                 except FileNotFoundError:
-                    return False
-        return False
+                    pass
+        return removed
 
     def fsck(self, deep: bool = False) -> dict:
         """Integrity check of every RETAINED version: manifests parse, every

@@ -230,3 +230,33 @@ def test_dead_clone_pin_ages_out_and_fsck_warns(spark, tmp_path):
     os.utime(reg, (old, old))
     src.vacuum(retain_versions=1)
     assert not os.path.exists(reg)
+
+
+def test_release_clone_sweeps_legacy_and_duplicate_pins(spark, tmp_path):
+    """release_clone removes EVERY registration matching the clone root —
+    including a pre-r12 abspath-keyed file next to the realpath-keyed one
+    — so mixed key schemes cannot leave a survivor pinning vacuum."""
+    import hashlib
+    import json
+    import os
+
+    engine = Engine(spark, str(tmp_path / "src"), demo_schema())
+    engine.run(big_bang)
+    src = engine.store
+    clone_root = str(tmp_path / "clone")
+    src.clone(clone_root)
+    reg_dir = os.path.join(src.root, "_clones")
+    assert len(os.listdir(reg_dir)) == 1
+    # fabricate a legacy pin: same clone_root field, different key
+    legacy_key = hashlib.sha1(b"legacy-spelling").hexdigest()[:16]
+    with open(os.path.join(reg_dir, f"{legacy_key}.json"), "w") as f:
+        json.dump(
+            {"clone_root": os.path.realpath(clone_root),
+             "source_version": 0, "tables": []},
+            f,
+        )
+    assert len(os.listdir(reg_dir)) == 2
+    assert src.release_clone(clone_root) is True
+    assert [n for n in os.listdir(reg_dir) if n.endswith(".json")] == []
+    # releasing again reports no pin
+    assert src.release_clone(clone_root) is False

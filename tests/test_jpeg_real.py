@@ -656,3 +656,34 @@ def test_jpeg_cmyk_matches_jvm_decode(spark):
             assert all(abs(c - pred) <= 1 for c in jdk), (tr, b, jdk, pred)
             o = ((by * 8 + 3) * w + bx * 8 + 3) * 3
             assert px[o] == lum[b] * kk[b] // 255, (tr, b)
+
+
+def test_jpeg_3comp_adobe_transform0_is_rgb_passthrough():
+    """APP14 transform 0 on a THREE-component frame means the samples are
+    stored RGB, not YCbCr (libjpeg's jdcolor convention) — the decoder
+    must pass them through instead of garbling via the YCbCr inverse."""
+    import struct
+
+    from edgy_spark.functions.jpeg import decode_jpeg, encode_jpeg_flat_multiscan
+
+    blocks = [10, 100, 200, 35, 77, 250]
+    data = encode_jpeg_flat_multiscan(24, 16, blocks)
+    # without APP14: JFIF YCbCr, Cb=Cr=128 -> gray (s, s, s)
+    _, _, _, px = decode_jpeg(data)
+    assert tuple(px[:3]) == (blocks[0], blocks[0], blocks[0])
+    # splice an Adobe APP14 transform-0 right after SOI: channels are now
+    # stored RGB -> (s, 128, 128) verbatim
+    app14 = b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + struct.pack(
+        ">HHHB", 100, 0, 0, 0
+    )
+    tagged = data[:2] + app14 + data[2:]
+    w, h, ch, px = decode_jpeg(tagged)
+    assert (w, h, ch) == (24, 16, 3)
+    for b, s in enumerate(blocks):
+        by, bx = divmod(b, 3)
+        o = ((by * 8 + 3) * w + bx * 8 + 3) * 3
+        assert tuple(px[o:o + 3]) == (s, 128, 128), b
+    # transform 1 (explicit YCbCr) keeps the JFIF conversion
+    app14_ycc = app14[:-1] + b"\x01"
+    _, _, _, px = decode_jpeg(data[:2] + app14_ycc + data[2:])
+    assert tuple(px[:3]) == (blocks[0], blocks[0], blocks[0])

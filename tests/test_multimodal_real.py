@@ -1150,3 +1150,49 @@ def test_gif_rect_animation_read_by_jdk(spark):
     # transparent index: alpha 0 in the JDK's ARGB read-back too
     assert (f1.getRGB(1, 0) >> 24) & 0xFF == 0
     reader.dispose()
+
+
+def test_gif_rects_encoder_validates_transparent_index():
+    """Out-of-palette transparent indexes must be a clear ValueError, not
+    a raw bytes() crash (>255) or a silently-opaque stream (n..255)."""
+    import pytest
+
+    from edgy_spark.functions.gif import encode_gif_animation_rects
+
+    pal = bytes(b for v in range(16) for b in (v, v, v))
+    frame = {"left": 0, "top": 0, "rows": [bytes([1, 2])],
+             "transparent": 16}  # valid byte, outside the 16-entry palette
+    with pytest.raises(ValueError, match="transparent index"):
+        encode_gif_animation_rects(4, 2, [frame], pal)
+    frame["transparent"] = 300
+    with pytest.raises(ValueError, match="transparent index"):
+        encode_gif_animation_rects(4, 2, [frame], pal)
+
+
+def test_gif_composed_disposal4_maps_to_restore_previous():
+    """Real-crawl streams from old encoders use disposal 4 as the
+    off-by-one spelling of restore-to-previous; browsers map it to 3 and
+    so does the composer (5-7 reserved -> do-not-dispose)."""
+    from edgy_spark.functions.gif import (
+        decode_gif_frames_composed,
+        encode_gif_animation_rects,
+    )
+
+    pal = bytes(b for v in range(16) for b in (v * 16, v * 16, v * 16))
+    W, H, a = 8, 4, 4
+    base = {"left": 0, "top": 0, "disposal": 1,
+            "rows": [bytes([3]) * W for _ in range(H)]}
+    patch = {"left": 0, "top": 0, "disposal": 3,
+             "rows": [bytes([9]) * a for _ in range(H)]}
+    right = {"left": a, "top": 0, "disposal": 0,
+             "rows": [bytes([12]) * a for _ in range(H)]}
+    d3 = encode_gif_animation_rects(W, H, [base, patch, right], pal)
+    # patch the GCE disposal bits of the SECOND frame from 3 to 4
+    gce3 = bytes([0x21, 0xF9, 4, 3 << 2])
+    assert d3.count(gce3) == 1
+    d4 = d3.replace(gce3, bytes([0x21, 0xF9, 4, 4 << 2]))
+    assert decode_gif_frames_composed(d4) == decode_gif_frames_composed(d3)
+    # reserved 5: do-not-dispose -> frame 2 keeps the patch like disposal 1
+    d5 = d3.replace(gce3, bytes([0x21, 0xF9, 4, 5 << 2]))
+    d1 = d3.replace(gce3, bytes([0x21, 0xF9, 4, 1 << 2]))
+    assert decode_gif_frames_composed(d5) == decode_gif_frames_composed(d1)

@@ -1242,3 +1242,21 @@ def test_read_store_table_timestamp_and_history_timestamps(spark, tmp_path):
     assert {r["name"] for r in by_ts.collect()} == {
         r["name"] for r in by_v.collect()
     }
+
+
+def test_timestamp_as_of_empty_string_errors(spark, tmp_path):
+    """An EMPTY timestampAsOf must raise, never silently fall back to a
+    CURRENT read the caller believes is point-in-time pinned."""
+    import pytest
+
+    engine, _ = _store(spark, tmp_path)
+    register_edgy_source(spark)
+    with pytest.raises(Exception, match="neither epoch seconds nor"):
+        (
+            spark.read.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "n_Person")
+            .option("timestampAsOf", "")
+            .load()
+            .collect()
+        )
