@@ -151,11 +151,7 @@ def _iter_raw_frames(data: bytes):
     index + disposal method, spec 23) attached to the ONE graphic it
     covers.  Shared by the per-rect view (:func:`_iter_frames`) and the
     logical-screen composer (:func:`iter_gif_frames_composed`)."""
-    if data[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF (bad signature)")
-    if len(data) < 13:
-        raise ValueError("truncated logical screen descriptor")
-    _, _, flags, _, _ = struct.unpack("<HHBBB", data[6:13])
+    _, _, flags = _screen_dims(data)
     global_table, pos = _color_table(data, 13, flags)
     transparent: int | None = None
     disposal = 0
@@ -258,15 +254,17 @@ def _normalize_gif_errors(it):
         yield item
 
 
-def _screen_dims(data: bytes) -> tuple[int, int]:
-    """Logical-screen (width, height) from the header, with the same
-    signature/truncation errors the frame walk raises."""
+def _screen_dims(data: bytes) -> tuple[int, int, int]:
+    """Logical-screen (width, height, flags) from the header — the ONE
+    copy of the signature + descriptor-truncation validation, shared by
+    the frame walk and the composer so their error surfaces cannot
+    drift."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     if len(data) < 13:
         raise ValueError("truncated logical screen descriptor")
-    sw, sh, _, _, _ = struct.unpack("<HHBBB", data[6:13])
-    return sw, sh
+    sw, sh, flags, _, _ = struct.unpack("<HHBBB", data[6:13])
+    return sw, sh, flags
 
 
 def iter_gif_frames(data: bytes):
@@ -330,7 +328,7 @@ def iter_gif_frames_composed(data: bytes):
     ``decode_gif_frames_composed(max_frames=...)``) before the budget
     trips.  Error surface normalized to ValueError like the per-rect
     iterator."""
-    sw, sh = _screen_dims(data)
+    sw, sh, _ = _screen_dims(data)
     if sw == 0 or sh == 0:
         raise ValueError("zero-dimension logical screen")
     if sw * sh > MAX_PIXELS:

@@ -466,8 +466,13 @@ def _planes_to_pixels(w, h, comps, planes, hmax, vmax, adobe=None):
     # Adobe APP14 transform 0 on a 3-component frame means the samples
     # are STORED RGB, not YCbCr (libjpeg's jdcolor honors this); running
     # them through the YCbCr inverse would garble every pixel silently.
-    # Absent APP14 (or transform 1), 3 components are JFIF YCbCr.
-    rgb_stored = nc == 3 and adobe == 0
+    # Same for APP14-less frames whose component IDs literally spell
+    # 'R','G','B' (libjpeg jdmaster's fallback guess).  Otherwise 3
+    # components are JFIF YCbCr.
+    rgb_stored = nc == 3 and (
+        adobe == 0
+        or (adobe is None and [c["id"] for c in comps] == [0x52, 0x47, 0x42])
+    )
     for y in range(h):
         for ci, c in enumerate(comps):
             c[f"_row"] = (y * c["v"]) // vmax * c["cw"]

@@ -687,3 +687,29 @@ def test_jpeg_3comp_adobe_transform0_is_rgb_passthrough():
     app14_ycc = app14[:-1] + b"\x01"
     _, _, _, px = decode_jpeg(data[:2] + app14_ycc + data[2:])
     assert tuple(px[:3]) == (blocks[0], blocks[0], blocks[0])
+
+
+def test_jpeg_3comp_rgb_component_ids_passthrough():
+    """APP14-less 3-component frames whose component IDs spell 'R','G','B'
+    are stored RGB (libjpeg jdmaster's fallback guess) — passthrough, not
+    the YCbCr inverse."""
+    from edgy_spark.functions.jpeg import decode_jpeg, encode_jpeg_flat_multiscan
+
+    blocks = [10, 100, 200, 35, 77, 250]
+    data = encode_jpeg_flat_multiscan(24, 16, blocks)
+    sof_ids = b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    sos1_ids = b"\x01\x01\x00\x00\x3f\x00"
+    sos2_ids = b"\x02\x02\x00\x03\x00\x00\x3f\x00"
+    assert data.count(sof_ids) == 1 and data.count(sos1_ids) == 1
+    assert data.count(sos2_ids) == 1
+    patched = (
+        data.replace(sof_ids, b"\x52\x11\x00\x47\x11\x00\x42\x11\x00")
+        .replace(sos1_ids, b"\x01\x52\x00\x00\x3f\x00")
+        .replace(sos2_ids, b"\x02\x47\x00\x42\x00\x00\x3f\x00")
+    )
+    w, h, ch, px = decode_jpeg(patched)
+    assert (w, h, ch) == (24, 16, 3)
+    for b, s in enumerate(blocks):
+        by, bx = divmod(b, 3)
+        o = ((by * 8 + 3) * w + bx * 8 + 3) * 3
+        assert tuple(px[o:o + 3]) == (s, 128, 128), b
