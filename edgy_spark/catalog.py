@@ -139,9 +139,10 @@ def load_all_registrations() -> None:
 #: The exact first-50 list for the r12 driver gate.
 #: ``tests/test_registry_window.py`` pins this against the live registry.
 #:
-#: R12 rotation rationale: (1) the two queries NEW in r12, never
+#: R12 rotation rationale: (1) the three queries NEW in r12, never
 #: driver-verified (Adobe CMYK/YCCK JPEG decode; composed-frame GIF
-#: sampling with offsets/transparency/disposal); (2) every query whose
+#: sampling with offsets/transparency/disposal; stored-RGB JPEG decode
+#: via APP14 transform-0 and R/G/B component IDs); (2) every query whose
 #: EXECUTED code changed after its r11 green: graph_label_propagation
 #: (the deterministic mode was rewritten into the two-level combinable
 #: aggregation — the r11 verdict's top task), stream_url_dedup_first_seen
@@ -153,18 +154,21 @@ def load_all_registrations() -> None:
 #: stalest greens: ALL 5 r07-last-green queries (the r11 verdict's
 #: missing-list #1 — dedup_embedding_cluster_keepers,
 #: multimodal_frame_sample, multimodal_thumbnail_resize,
-#: pipeline_stratified_sample, text_fingerprints) and 36 of the 39
-#: r08-last-green queries.  The three r08 greens deferred to r13 —
-#: q1_pricing_summary, q3_shipping_priority, q6_forecast_revenue — are
-#: the lowest-risk tail: code unchanged since r08, continuously
-#: exercised by bench.py every round and by their exact-value pytest
-#: oracles (tests/test_catalog_oracle.py).  After this window, no
-#: query's last DRIVER green predates r08, and only those three sit
-#: at r08.
+#: pipeline_stratified_sample, text_fingerprints) and 35 of the 39
+#: r08-last-green queries.  The four r08 greens deferred to r13 —
+#: q1_pricing_summary, q3_shipping_priority, q6_forecast_revenue
+#: (continuously exercised by bench.py every round and by their
+#: exact-value pytest oracles, tests/test_catalog_oracle.py) and
+#: trailing_30d_customer_spend (its RANGE-frame windowed-sum shape
+#: re-verifies via the in-window customer_order_running_total sibling)
+#: — are the lowest-risk tail: code unchanged since r08.  After this
+#: window, no query's last DRIVER green predates r08, and only those
+#: four sit at r08.
 R12_WINDOW: list[str] = [
     # new in r12 — never driver-verified
     "multimodal_jpeg_cmyk_stats",
     "multimodal_gif_composed_stats",
+    "multimodal_jpeg_rgb_stats",
     # executed-code changes after the r11 gate
     "graph_label_propagation",
     "stream_url_dedup_first_seen",
@@ -179,8 +183,8 @@ R12_WINDOW: list[str] = [
     "multimodal_thumbnail_resize",
     "pipeline_stratified_sample",
     "text_fingerprints",
-    # stalest greens: 36 of the 39 r08-last-green queries (reg. order
-    # within each family; q1/q3/q6 defer to r13 — see rationale)
+    # stalest greens: 35 of the 39 r08-last-green queries (reg. order
+    # within each family; q1/q3/q6/trailing_30d defer to r13 — rationale)
     "cogroup_asof_purchase_last_click",
     "customer_order_running_total",
     "customers_with_urgent_orders",
@@ -214,7 +218,6 @@ R12_WINDOW: list[str] = [
     "text_repetition_scores",
     "text_salient_terms",
     "text_token_rarity_scores",
-    "trailing_30d_customer_spend",
     "udaf_gini_order_concentration",
     "udtf_block_windows",
 ]
@@ -541,7 +544,6 @@ R08_WINDOW: list[str] = [
     "stream_unattributed_purchases",
     "pipeline_epoch_reshuffle",
     "graph_personalized_pagerank",
-    "trailing_30d_customer_spend",
     # r8 code changes execute inside these: jaccard DF-cap rewrite; the
     # fixpoint family (data-derived iteration width + bounded metric read)
     "dedup_ngram_jaccard_pairs",

@@ -882,6 +882,102 @@ def multimodal_jpeg_cmyk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_rgb_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      (doc_id * 11) % 5 + 1 AS bw,
+                      (doc_id * 3) % 3 + 1 AS bh
+               FROM documents),
+    s AS (SELECT d.doc_id, d.bw, d.bh,
+                 SUM(299 * ((d.doc_id * 43 + t.i * 37) % 256)
+                     + 587 * 128 + 114 * 128) AS total
+          FROM d, generate_series(0, 5 * 3 - 1) AS t(i)
+          WHERE t.i < d.bw * d.bh
+          GROUP BY d.doc_id, d.bw, d.bh)
+    SELECT doc_id,
+           CAST(bw * 8 AS BIGINT) AS width,
+           CAST(bh * 8 AS BIGINT) AS height,
+           CAST(total // (1000 * bw * bh) AS BIGINT) AS mean_luma
+    FROM s
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode", "rgb", "adobe"),
+)
+def multimodal_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED-RGB JPEG decode under the driver's value-hash gate (r12
+    review finding: 3-component Adobe transform-0 / R-G-B-component-ID
+    frames are stored RGB and must NOT run the YCbCr inverse).  Each
+    document's flat-block multiscan stream is tagged stored-RGB — EVEN
+    doc_ids via an Adobe APP14 transform-0 marker, ODD doc_ids via
+    R/G/B component IDs with no APP14 (libjpeg jdmaster's fallback
+    guess) — so a decoded block is literally (lum, 128, 128) and the
+    Rec.601 mean luma is (299*lum + 587*128 + 114*128) // 1000,
+    predicted exactly by the oracle.  A regression back to the YCbCr
+    inverse shifts every pixel and breaks the hash.
+
+    Scale: identical to the other codec queries — pixels never leave the
+    executors; exchanged rows are (doc_id, 3 small ints).
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import jpeg as _jpeg
+
+    cloudpickle.register_pickle_by_value(_jpeg)
+    encode_ms = _jpeg.encode_jpeg_flat_multiscan
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        app14 = (
+            b"\xff\xee"
+            + _struct.pack(">H", 14)
+            + b"Adobe"
+            + _struct.pack(">HHHB", 100, 0, 0, 0)
+        )
+        # marker-anchored patterns: _BitWriter stuffs 0xFF inside entropy
+        # data (T.81 F.1.2.3), so \xff\xda cannot occur by chance; the
+        # SOF component list is anchored by its nc=3 count byte
+        sof_ids = b"\x03\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+        sos1_ids = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+        sos2_ids = b"\xff\xda\x00\x0a\x02\x02\x00\x03\x00\x00\x3f\x00"
+
+        for pdf in batches:
+            media = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                bw, bh = (i * 11) % 5 + 1, (i * 3) % 3 + 1
+                blocks = [(i * 43 + b * 37) % 256 for b in range(bw * bh)]
+                data = encode_ms(bw * 8, bh * 8, blocks)
+                if i % 2 == 0:  # Adobe APP14 transform 0 after SOI
+                    data = data[:2] + app14 + data[2:]
+                else:  # component IDs spell R/G/B, no APP14
+                    data = (
+                        data.replace(
+                            sof_ids,
+                            b"\x03\x52\x11\x00\x47\x11\x00\x42\x11\x00",
+                        )
+                        .replace(
+                            sos1_ids,
+                            b"\xff\xda\x00\x08\x01\x52\x00\x00\x3f\x00",
+                        )
+                        .replace(
+                            sos2_ids,
+                            b"\xff\xda\x00\x0a\x02\x47\x00\x42\x00\x00\x3f\x00",
+                        )
+                    )
+                media.append(data)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    return (
+        decode_features_jpeg(media_df)
+        .select("doc_id", "width", "height", "mean_luma")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_png_palette_stats",
     oracle="""
     WITH d AS (SELECT doc_id,
