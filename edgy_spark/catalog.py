@@ -139,10 +139,11 @@ def load_all_registrations() -> None:
 #: The exact first-50 list for the r12 driver gate.
 #: ``tests/test_registry_window.py`` pins this against the live registry.
 #:
-#: R12 rotation rationale: (1) the three queries NEW in r12, never
+#: R12 rotation rationale: (1) the four queries NEW in r12, never
 #: driver-verified (Adobe CMYK/YCCK JPEG decode; composed-frame GIF
 #: sampling with offsets/transparency/disposal; stored-RGB JPEG decode
-#: via APP14 transform-0 and R/G/B component IDs); (2) every query whose
+#: via APP14 transform-0 and R/G/B component IDs; time-based GIF frame
+#: sampling over the GCE delay track); (2) every query whose
 #: EXECUTED code changed after its r11 green: graph_label_propagation
 #: (the deterministic mode was rewritten into the two-level combinable
 #: aggregation — the r11 verdict's top task), stream_url_dedup_first_seen
@@ -160,15 +161,18 @@ def load_all_registrations() -> None:
 #: (continuously exercised by bench.py every round and by their
 #: exact-value pytest oracles, tests/test_catalog_oracle.py) and
 #: trailing_30d_customer_spend (its RANGE-frame windowed-sum shape
-#: re-verifies via the in-window customer_order_running_total sibling)
-#: — are the lowest-risk tail: code unchanged since r08.  After this
-#: window, no query's last DRIVER green predates r08, and only those
-#: four sit at r08.
+#: re-verifies via the in-window customer_order_running_total sibling),
+#: and stream_dedup_event_delivery (its dropDuplicatesWithinWatermark
+#: batch-twin shape re-verifies via the pinned r12-green
+#: stream_url_dedup_first_seen) — are the lowest-risk tail: code
+#: unchanged since r08.  After this window, no query's last DRIVER green
+#: predates r08, and only those five sit at r08.
 R12_WINDOW: list[str] = [
     # new in r12 — never driver-verified
     "multimodal_jpeg_cmyk_stats",
     "multimodal_gif_composed_stats",
     "multimodal_jpeg_rgb_stats",
+    "multimodal_gif_timesample_stats",
     # executed-code changes after the r11 gate
     "graph_label_propagation",
     "stream_url_dedup_first_seen",
@@ -183,8 +187,9 @@ R12_WINDOW: list[str] = [
     "multimodal_thumbnail_resize",
     "pipeline_stratified_sample",
     "text_fingerprints",
-    # stalest greens: 35 of the 39 r08-last-green queries (reg. order
-    # within each family; q1/q3/q6/trailing_30d defer to r13 — rationale)
+    # stalest greens: 34 of the 39 r08-last-green queries (reg. order
+    # within each family; q1/q3/q6/trailing_30d/stream_dedup defer to r13
+    # — rationale)
     "cogroup_asof_purchase_last_click",
     "customer_order_running_total",
     "customers_with_urgent_orders",
@@ -209,7 +214,6 @@ R12_WINDOW: list[str] = [
     "sketch_heavy_hitters_words",
     "sketch_hll_mergeable_rollup",
     "sketch_price_quantile_bounded",
-    "stream_dedup_event_delivery",
     "stream_unattributed_purchases",
     "text_bm25_topk",
     "text_bpe_merge_candidates",
@@ -561,7 +565,6 @@ R08_WINDOW: list[str] = [
     # r06 greens, non-relational: refresh alongside
     "sim_ivfpq_topk",
     "pipeline_decontaminate_overlap",
-    "stream_dedup_event_delivery",
     "text_repetition_scores",
     "text_salient_terms",
     "sketch_heavy_hitters_words",

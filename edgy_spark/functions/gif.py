@@ -27,10 +27,14 @@ Scope (deliberately bounded, stated loudly):
 - Graphic Control Extension transparency: output is RGB, or RGBA when
   the first frame's GCE declares a transparent index (alpha 0 there,
   255 elsewhere); other extensions are skipped per spec;
-- the first frame is returned at its OWN dimensions (image descriptor
-  w x h); frames offset inside a larger logical screen keep their local
-  coordinates — composition onto the screen canvas is animation
-  territory, out of scope.
+- the per-rect views (``decode_gif`` / ``decode_gif_frames``) return each
+  frame at its OWN dimensions (image descriptor w x h) with frame-local
+  coordinates; the composed views apply screen placement;
+- GCE centisecond delays are decoded and drive
+  ``time_sampled_composed_frames`` (r12): the composed frame VISIBLE at
+  each regular wall-clock tick — time-based frame sampling for video-style
+  training data, where a 2-frame-per-second sampler must not oversample
+  short-delay frames.
 
 The encoder exists so tests and the oracle-gated catalog query can
 fabricate valid GIFs without an imaging library: it emits root codes
@@ -145,16 +149,18 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
 
 def _iter_raw_frames(data: bytes):
     """Low-level frame walk: yield
-    ``(left, top, w, h, disposal, transparent, idx, table)`` per image
-    descriptor, in stream order — index bytes already de-interlaced and
-    range-checked against the frame's color table, GCE state (transparent
-    index + disposal method, spec 23) attached to the ONE graphic it
-    covers.  Shared by the per-rect view (:func:`_iter_frames`) and the
-    logical-screen composer (:func:`iter_gif_frames_composed`)."""
+    ``(left, top, w, h, disposal, transparent, delay_cs, idx, table)``
+    per image descriptor, in stream order — index bytes already
+    de-interlaced and range-checked against the frame's color table, GCE
+    state (transparent index + disposal method + centisecond delay,
+    spec 23) attached to the ONE graphic it covers.  Shared by the
+    per-rect view (:func:`_iter_frames`), the logical-screen composer
+    (:func:`iter_gif_frames_composed`), and the time sampler."""
     _, _, flags = _screen_dims(data)
     global_table, pos = _color_table(data, 13, flags)
     transparent: int | None = None
     disposal = 0
+    delay_cs = 0
     any_frame = False
     # ONE pixel budget for the whole asset: per-frame caps alone would
     # let an N-frame animation allocate N x MAX_PIXELS (review r11d)
@@ -171,6 +177,7 @@ def _iter_raw_frames(data: bytes):
             if label == 0xF9 and len(body) >= 4:  # Graphic Control Ext
                 transparent = body[3] if body[0] & 0x01 else None
                 disposal = (body[0] >> 2) & 0x07
+                delay_cs = body[1] | (body[2] << 8)  # little-endian cs
             continue
         if b == 0x2C:  # image descriptor
             if pos + 10 > len(data):
@@ -207,9 +214,12 @@ def _iter_raw_frames(data: bytes):
             if max(idx, default=0) >= n_entries:
                 raise ValueError("pixel index out of color-table range")
             any_frame = True
-            yield left, top, w, h, disposal, transparent, idx, table
+            yield (
+                left, top, w, h, disposal, transparent, delay_cs, idx, table
+            )
             transparent = None  # a GCE covers ONE following graphic
             disposal = 0
+            delay_cs = 0
             continue
         raise ValueError(f"unknown block 0x{b:02X}")
     if not any_frame:
@@ -222,9 +232,9 @@ def _iter_frames(data: bytes):
     color table and GCE transparency (which, per spec 23, applies only to
     the graphic that follows it); for disposal/composition onto the
     logical screen use :func:`iter_gif_frames_composed` (r12)."""
-    for _left, _top, w, h, _disp, transparent, idx, table in _iter_raw_frames(
-        data
-    ):
+    for (
+        _left, _top, w, h, _disp, transparent, _delay, idx, table
+    ) in _iter_raw_frames(data):
         ch = 3 if transparent is None else 4
         out = bytearray(w * h * ch)
         for p, v in enumerate(idx):
@@ -303,9 +313,10 @@ def decode_gif_frames(
     return frames
 
 
-def iter_gif_frames_composed(data: bytes):
-    """Yield ``(screen_w, screen_h, 4, rgba)`` per frame, each frame
-    COMPOSED onto the logical screen — what a vision-training frame
+def iter_gif_frames_composed(data: bytes, with_delay: bool = False):
+    """Yield ``(screen_w, screen_h, 4, rgba)`` per frame — or, with
+    ``with_delay``, ``(delay_cs, screen_w, screen_h, 4, rgba)`` — each
+    frame COMPOSED onto the logical screen — what a vision-training frame
     sampler actually consumes (r12; the per-rect view is
     :func:`iter_gif_frames`).
 
@@ -338,7 +349,7 @@ def iter_gif_frames_composed(data: bytes):
     canvas = bytearray(sw * sh * 4)
     budget = MAX_PIXELS  # composed-output budget, separate from decode's
     for rec in _normalize_gif_errors(_iter_raw_frames(data)):
-        left, top, w, h, disposal, transparent, idx, table = rec
+        left, top, w, h, disposal, transparent, delay_cs, idx, table = rec
         if disposal > 3:
             # 4 is the historical off-by-one spelling of restore-to-
             # previous (old encoders); browsers (Firefox, libnsgif) map
@@ -366,7 +377,8 @@ def iter_gif_frames_composed(data: bytes):
                     e = v * 3
                     canvas[o:o + 3] = table[e:e + 3]
                     canvas[o + 3] = 255
-        yield sw, sh, 4, bytes(canvas)
+        out = (sw, sh, 4, bytes(canvas))
+        yield (delay_cs,) + out if with_delay else out
         if disposal == 2:
             blank = b"\x00" * (4 * w)
             for y in range(h):
@@ -510,6 +522,47 @@ def encode_gif_animation(
     return bytes(out)
 
 
+def time_sampled_composed_frames(
+    data: bytes, every_cs: int = 50, max_samples: int | None = 8
+) -> list[tuple[int, int, int, tuple[int, int, int, bytes]]]:
+    """TIME-BASED frame sampling (r12): the composed frame VISIBLE at
+    each regular tick t = 0, every_cs, 2*every_cs, ... centiseconds —
+    what a video-style training sampler extracts (a fixed frame rate over
+    the animation's own GCE delays, so short-delay frames are not
+    oversampled and long-delay frames are not undersampled).
+
+    Frame i is visible during [start_i, start_i + delay_i) with
+    start_0 = 0; the LAST frame stays visible from its start onward, so
+    exactly one tick at or after it is sampled (the final state).
+    Zero-delay frames are replaced instantly and never sampled unless
+    last — the browser behavior.  Returns
+    ``(sample_idx, t_cs, frame_idx, (w, h, 4, rgba))`` tuples, at most
+    ``max_samples``."""
+    if every_cs <= 0:
+        raise ValueError("every_cs must be positive")
+    if max_samples is not None and max_samples <= 0:
+        return []
+    frames: list[tuple[int, tuple[int, int, int, bytes]]] = []
+    for delay, w, h, ch, px in iter_gif_frames_composed(data, with_delay=True):
+        frames.append((delay, (w, h, ch, px)))
+    starts = [0]
+    for delay, _ in frames:
+        starts.append(starts[-1] + delay)
+    last_start = starts[len(frames) - 1]
+    samples = []
+    k = 0
+    fi = 0
+    while max_samples is None or len(samples) < max_samples:
+        t = k * every_cs
+        while fi < len(frames) - 1 and starts[fi + 1] <= t:
+            fi += 1
+        samples.append((k, t, fi, frames[fi][1]))
+        if t >= last_start:
+            break  # every later tick shows the same final state
+        k += 1
+    return samples
+
+
 def encode_gif_animation_rects(
     screen_w: int,
     screen_h: int,
@@ -522,7 +575,8 @@ def encode_gif_animation_rects(
     generator for the composed-frame decode path (r12).
 
     Each ``frames`` entry: ``{"left", "top", "rows" (h x w index bytes),
-    "disposal" (0-3), "transparent" (index or None)}``.  Shared global
+    "disposal" (0-3), "transparent" (index or None), "delay_cs"
+    (optional per-frame override of ``delay_cs``)}``.  Shared global
     color table, root-codes-only LZW per frame."""
     n = len(palette) // 3
     if not palette or len(palette) % 3 or n & (n - 1) or not 2 <= n <= 256:
@@ -551,7 +605,7 @@ def encode_gif_animation_rects(
             raise ValueError("transparent index out of palette range")
         gce_flags = (disposal << 2) | (1 if transparent is not None else 0)
         out += bytes([0x21, 0xF9, 4, gce_flags])
-        out += struct.pack("<H", delay_cs)
+        out += struct.pack("<H", int(fr.get("delay_cs", delay_cs)))
         out += bytes([transparent or 0, 0])
         out += struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
         out += _lzw_blocks(b"".join(bytes(r) for r in rows), depth)

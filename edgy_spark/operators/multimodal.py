@@ -1686,6 +1686,183 @@ def decode_frames_gif_composed(
     return media_df.mapInPandas(decode, schema)
 
 
+def decode_frames_gif_timesampled(
+    media_df: DataFrame,
+    every_cs: int = 2,
+    max_samples: int = 8,
+    on_error: str = "raise",
+) -> DataFrame:
+    """TIME-BASED animation sampling (r12): one row per regular tick —
+    the composed frame VISIBLE at t = 0, every_cs, 2*every_cs, ...
+    centiseconds of the animation's own GCE delay track
+    (functions/gif.py time_sampled_composed_frames) — the fixed-rate
+    extraction a video-style training pipeline uses, where frame count
+    per asset reflects DURATION, not frame-record count.  Emits
+    (doc_id, sample_idx, t_cs, frame_idx, width, height, mean_luma);
+    the same Arrow-batched ``mapInPandas`` shape and on_error capture
+    as every other real-decode operator."""
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import gif as _gif
+
+    cloudpickle.register_pickle_by_value(_gif)
+    sample_frames_at = _gif.time_sampled_composed_frames
+    tolerant = _check_on_error(on_error)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None:
+                    if not tolerant:
+                        raise ValueError("NULL media payload")
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None,
+                         "NULL media payload")
+                    )
+                    continue
+                try:
+                    samples = sample_frames_at(
+                        bytes(payload), every_cs, max_samples
+                    )
+                except (ValueError, NotImplementedError) as e:
+                    if not tolerant:
+                        raise
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None, str(e))
+                    )
+                    continue
+                for k, t, fi, (w, h, ch, px) in samples:
+                    luma = sum(
+                        299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
+                        for i in range(0, len(px), ch)
+                    ) // (1000 * w * h)
+                    rows.append((doc_id, k, t, fi, w, h, luma, None))
+            cols = [
+                "doc_id", "sample_idx", "t_cs", "frame_idx",
+                "width", "height", "mean_luma",
+            ]
+            if tolerant:
+                yield pd.DataFrame(rows, columns=cols + ["decode_error"])
+            else:
+                yield pd.DataFrame([r[:-1] for r in rows], columns=cols)
+
+    schema = (
+        "doc_id long, sample_idx long, t_cs long, frame_idx long, "
+        "width long, height long, mean_luma long"
+    )
+    if tolerant:
+        schema += ", decode_error string"
+    return media_df.mapInPandas(decode, schema)
+
+
+@register(
+    "multimodal_gif_timesample_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      (doc_id * 3) % 5 + 2 AS a,
+                      (doc_id * 7) % 5 + 2 AS h,
+                      (doc_id * 31) % 255 AS c0,
+                      (doc_id * 37) % 255 AS c1,
+                      (doc_id * 41) % 255 AS c2,
+                      doc_id % 3 + 1 AS disp,
+                      (doc_id * 13) % 5 + 1 AS s1,
+                      (doc_id * 13) % 5 + 1 + (doc_id * 7) % 5 + 1 AS s2
+               FROM documents),
+    s AS (SELECT *, 2 * a AS w,
+                 (a + 1) // 2 AS even_cols, a // 2 AS odd_cols
+          FROM d),
+    ticks AS (SELECT s.*, k.k, 2 * k.k AS t
+              FROM s, generate_series(0, 7) AS k(k)
+              WHERE 2 * k.k < s.s2
+                 OR 2 * k.k = 2 * ((s.s2 + 1) // 2)),
+    m AS (SELECT doc_id, k, t, w, h,
+                 CASE WHEN t >= s2 THEN 2
+                      WHEN t >= s1 THEN 1 ELSE 0 END AS frame_idx,
+                 CASE WHEN t >= s2 THEN
+                        CASE disp
+                          WHEN 1 THEN even_cols * c0 + odd_cols * c1 + a * c2
+                          WHEN 2 THEN a * c2
+                          ELSE a * c0 + a * c2
+                        END
+                      WHEN t >= s1
+                        THEN even_cols * c0 + odd_cols * c1 + a * c0
+                      ELSE 2 * a * c0 END AS rowsum
+          FROM ticks)
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS sample_idx,
+           CAST(t AS BIGINT) AS t_cs,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST((rowsum * h) // (w * h) AS BIGINT) AS mean_luma
+    FROM m
+    ORDER BY doc_id, sample_idx
+    """,
+    tags=("multimodal", "decode", "gif", "frames", "timesample"),
+)
+def multimodal_gif_timesample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BASED composed-frame sampling under the driver's value-hash
+    gate: the same 3-frame composition fixture as
+    :func:`multimodal_gif_composed_stats` but with per-frame GCE delays
+    (1-5 cs from doc_id), sampled at a fixed 2 cs tick — so the emitted
+    rows depend on the DELAY TRACK (which frame is visible at each tick,
+    when the final state is reached), not just frame order.  The oracle
+    reproduces the visibility windows in closed form; an error in delay
+    decode, window arithmetic, or the one-final-sample stop rule breaks
+    the hash.
+
+    Scale: identical to the other codec queries — sampling happens
+    executor-side inside Arrow-batched ``mapInPandas``; exchanged rows
+    are (doc_id, 6 small ints).
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import gif as _gif
+
+    cloudpickle.register_pickle_by_value(_gif)
+    encode_rects = _gif.encode_gif_animation_rects
+    pal = bytes(v for v in range(256) for _ in range(3))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                a, h = (i * 3) % 5 + 2, (i * 7) % 5 + 2
+                c0, c1, c2 = (i * 31) % 255, (i * 37) % 255, (i * 41) % 255
+                ct = 255
+                d0, d1, d2 = (
+                    (i * 13) % 5 + 1, (i * 7) % 5 + 1, (i * 11) % 5 + 1,
+                )
+                frames = [
+                    {
+                        "left": 0, "top": 0, "disposal": 1, "delay_cs": d0,
+                        "rows": [bytes([c0]) * (2 * a) for _ in range(h)],
+                    },
+                    {
+                        "left": 0, "top": 0, "disposal": i % 3 + 1,
+                        "transparent": ct, "delay_cs": d1,
+                        "rows": [
+                            bytes(ct if x % 2 == 0 else c1 for x in range(a))
+                            for _ in range(h)
+                        ],
+                    },
+                    {
+                        "left": a, "top": 0, "disposal": 0, "delay_cs": d2,
+                        "rows": [bytes([c2]) * a for _ in range(h)],
+                    },
+                ]
+                media.append(encode_rects(2 * a, h, frames, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    return decode_frames_gif_timesampled(media_df).orderBy(
+        "doc_id", "sample_idx"
+    )
+
+
 @register(
     "multimodal_gif_composed_stats",
     oracle="""

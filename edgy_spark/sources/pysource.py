@@ -209,6 +209,23 @@ class EdgyDataSource(DataSource):
                 "commit-time node change capture; edge tables have neither)"
             )
         start = self.options.get("startVersion")
+        if start is None:
+            start = self.options.get("startversion")
+        # Delta's startingTimestamp analogue (r12): resolve the wall clock
+        # to the newest version committed at or before it, then stream
+        # changes AFTER that version — what a consumer seeded from a
+        # point-in-time snapshot needs.  Same mutual exclusion as batch
+        # version/timestampAsOf.
+        start_ts = self.options.get("startTimestamp")
+        if start_ts is None:
+            start_ts = self.options.get("starttimestamp")
+        if start_ts is not None:
+            if start is not None:
+                raise ValueError(
+                    "options startVersion and startTimestamp are mutually "
+                    "exclusive"
+                )
+            start = resolve_timestamp(root, start_ts)
         return EdgyStreamReader(
             root, table, schema, mode,
             start_version=int(start) if start is not None else None,
@@ -393,7 +410,9 @@ class EdgyStreamReader(DataSourceStreamReader):
     (changes-only) unless ``.option("startVersion", V)`` pins the exact
     exclusive lower bound (Delta's ``startingVersion`` analogue — what a
     consumer seeded from a version-V snapshot needs to be gap-free under
-    concurrent commits); a vacuumed manifest inside the needed range
+    concurrent commits) or ``.option("startTimestamp", ts)`` resolves
+    that bound from the commit wall clock (r12, Delta's
+    ``startingTimestamp``); a vacuumed manifest inside the needed range
     raises rather than silently dropping changes — size
     ``retain_versions`` to the longest stream downtime.
 

@@ -1196,3 +1196,39 @@ def test_gif_composed_disposal4_maps_to_restore_previous():
     d5 = d3.replace(gce3, bytes([0x21, 0xF9, 4, 5 << 2]))
     d1 = d3.replace(gce3, bytes([0x21, 0xF9, 4, 1 << 2]))
     assert decode_gif_frames_composed(d5) == decode_gif_frames_composed(d1)
+
+
+def test_gif_time_sampling_follows_the_delay_track():
+    """Time sampler: ticks land on the frame visible per GCE delays, the
+    last frame is sampled exactly once from its start onward, zero-delay
+    frames are skipped unless last, and max_samples caps the row count."""
+    from edgy_spark.functions.gif import (
+        encode_gif_animation_rects,
+        time_sampled_composed_frames,
+    )
+
+    pal = bytes(b for v in range(16) for b in (v * 16,) * 3)
+    W, H = 4, 2
+
+    def flat(c, d):
+        return {"left": 0, "top": 0, "disposal": 1, "delay_cs": d,
+                "rows": [bytes([c]) * W for _ in range(H)]}
+
+    # delays 3,1,4 -> starts 0,3,4: tick 4 lands on frame 2; frame 1's
+    # [3,4) window falls between ticks and is (correctly) never sampled
+    data = encode_gif_animation_rects(W, H, [flat(1, 3), flat(2, 1), flat(3, 4)], pal)
+    got = [(k, t, fi) for k, t, fi, _ in time_sampled_composed_frames(data, 2)]
+    assert got == [(0, 0, 0), (1, 2, 0), (2, 4, 2)]
+    # zero-delay first frame is invisible; single sample of the final state
+    data = encode_gif_animation_rects(W, H, [flat(1, 0), flat(2, 2)], pal)
+    got = [(k, t, fi) for k, t, fi, _ in time_sampled_composed_frames(data, 2)]
+    assert got == [(0, 0, 1)]
+    # long delays + cap
+    data = encode_gif_animation_rects(W, H, [flat(1, 100), flat(2, 100)], pal)
+    s = time_sampled_composed_frames(data, 2, max_samples=3)
+    assert [(k, t, fi) for k, t, fi, _ in s] == [(0, 0, 0), (1, 2, 0), (2, 4, 0)]
+    assert time_sampled_composed_frames(data, 2, max_samples=0) == []
+    import pytest
+
+    with pytest.raises(ValueError, match="every_cs"):
+        time_sampled_composed_frames(data, 0)

@@ -1260,3 +1260,61 @@ def test_timestamp_as_of_empty_string_errors(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_edgy_stream_start_timestamp(spark, tmp_path):
+    """Delta's startingTimestamp analogue: .option("startTimestamp", ts)
+    resolves the commit wall clock to a version and streams only changes
+    AFTER it — equal to the startVersion read at the resolved version."""
+    import json
+
+    import pytest
+
+    engine, _ = _store(spark, tmp_path)
+    v1 = engine.store.current_version()
+    engine.run(lambda t: t.new_node("Person", name="Ann", age=33))
+    engine.run(lambda t: t.new_node("Person", name="Cid", age=44))
+    register_edgy_source(spark)
+    with open(os.path.join(engine.store.root, f"manifest.v{v1}.json")) as f:
+        s1 = json.load(f)["committed_at"]
+
+    def names_from(opts, tag):
+        out = str(tmp_path / f"out-{tag}")
+        q = (
+            spark.readStream.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "n_Person")
+            .options(**opts)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt-{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["name"] for r in spark.read.parquet(out).collect()}
+
+    by_ts = names_from({"startTimestamp": str(s1)}, "ts")
+    by_v = names_from({"startVersion": str(v1)}, "v")
+    assert by_ts == by_v == {"Ann", "Cid"}  # only post-v1 inserts
+    # both options together: the error surfaces when the stream STARTS
+    # (Python DataSource construction is lazy), as a StreamingQueryException
+    # wrapping the ValueError
+    with pytest.raises(Exception, match="mutually exclusive"):
+        q = (
+            spark.readStream.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "n_Person")
+            .option("startVersion", str(v1))
+            .option("startTimestamp", str(s1))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out-both"))
+            .option("checkpointLocation", str(tmp_path / "ckpt-both"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
