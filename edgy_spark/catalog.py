@@ -155,8 +155,8 @@ def load_all_registrations() -> None:
 #: stalest greens: ALL 5 r07-last-green queries (the r11 verdict's
 #: missing-list #1 — dedup_embedding_cluster_keepers,
 #: multimodal_frame_sample, multimodal_thumbnail_resize,
-#: pipeline_stratified_sample, text_fingerprints) and 35 of the 39
-#: r08-last-green queries.  The four r08 greens deferred to r13 —
+#: pipeline_stratified_sample, text_fingerprints) and 34 of the 39
+#: r08-last-green queries.  The five r08 greens deferred to r13 —
 #: q1_pricing_summary, q3_shipping_priority, q6_forecast_revenue
 #: (continuously exercised by bench.py every round and by their
 #: exact-value pytest oracles, tests/test_catalog_oracle.py) and
@@ -548,6 +548,7 @@ R08_WINDOW: list[str] = [
     "stream_unattributed_purchases",
     "pipeline_epoch_reshuffle",
     "graph_personalized_pagerank",
+    "trailing_30d_customer_spend",
     # r8 code changes execute inside these: jaccard DF-cap rewrite; the
     # fixpoint family (data-derived iteration width + bounded metric read)
     "dedup_ngram_jaccard_pairs",
@@ -565,6 +566,7 @@ R08_WINDOW: list[str] = [
     # r06 greens, non-relational: refresh alongside
     "sim_ivfpq_topk",
     "pipeline_decontaminate_overlap",
+    "stream_dedup_event_delivery",
     "text_repetition_scores",
     "text_salient_terms",
     "sketch_heavy_hitters_words",

@@ -534,32 +534,47 @@ def time_sampled_composed_frames(
     Frame i is visible during [start_i, start_i + delay_i) with
     start_0 = 0; the LAST frame stays visible from its start onward, so
     exactly one tick at or after it is sampled (the final state).
-    Zero-delay frames are replaced instantly and never sampled unless
-    last — the browser behavior.  Returns
+    Delays of 0 and 1 cs are CLAMPED to 10 cs — the convention every
+    major browser applies (the extremely common all-zero-delay GIF plays
+    at ~100 ms/frame, it does not collapse instantly), so such frames
+    ARE sampled at the clamped rate.
+
+    Decode is LAZY with one-frame lookahead: once ``max_samples`` ticks
+    are emitted, no further frame is decoded or composed — sampling the
+    head of a long animation never trips the composed-output budget and
+    holds at most one frame in memory (unlike an eager decode of the
+    whole animation).  Returns
     ``(sample_idx, t_cs, frame_idx, (w, h, 4, rgba))`` tuples, at most
     ``max_samples``."""
     if every_cs <= 0:
         raise ValueError("every_cs must be positive")
     if max_samples is not None and max_samples <= 0:
         return []
-    frames: list[tuple[int, tuple[int, int, int, bytes]]] = []
-    for delay, w, h, ch, px in iter_gif_frames_composed(data, with_delay=True):
-        frames.append((delay, (w, h, ch, px)))
-    starts = [0]
-    for delay, _ in frames:
-        starts.append(starts[-1] + delay)
-    last_start = starts[len(frames) - 1]
-    samples = []
-    k = 0
+
+    def clamped(delay: int) -> int:
+        return 10 if delay <= 1 else delay
+
+    samples: list[tuple[int, int, int, tuple[int, int, int, bytes]]] = []
+    gen = iter_gif_frames_composed(data, with_delay=True)
+    prev = next(gen)  # no-frame streams raise inside the iterator
+    start = 0
     fi = 0
-    while max_samples is None or len(samples) < max_samples:
-        t = k * every_cs
-        while fi < len(frames) - 1 and starts[fi + 1] <= t:
-            fi += 1
-        samples.append((k, t, fi, frames[fi][1]))
-        if t >= last_start:
-            break  # every later tick shows the same final state
-        k += 1
+    k = 0
+    for nxt in gen:
+        end = start + clamped(prev[0])
+        while (
+            max_samples is None or len(samples) < max_samples
+        ) and k * every_cs < end:
+            samples.append((k, k * every_cs, fi, prev[1:]))
+            k += 1
+        if max_samples is not None and len(samples) >= max_samples:
+            return samples  # stop DECODING, not just emitting
+        prev = nxt
+        fi += 1
+        start = end
+    # prev is the last frame: visible from `start` onward — one final
+    # sample at the first remaining tick (all later ticks are identical)
+    samples.append((k, k * every_cs, fi, prev[1:]))
     return samples
 
 

@@ -886,7 +886,7 @@ def multimodal_jpeg_cmyk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (SELECT doc_id,
                       (doc_id * 11) % 5 + 1 AS bw,
-                      (doc_id * 3) % 3 + 1 AS bh
+                      (doc_id * 7) % 3 + 1 AS bh
                FROM documents),
     s AS (SELECT d.doc_id, d.bw, d.bh,
                  SUM(299 * ((d.doc_id * 43 + t.i * 37) % 256)
@@ -945,7 +945,7 @@ def multimodal_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             media = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
-                bw, bh = (i * 11) % 5 + 1, (i * 3) % 3 + 1
+                bw, bh = (i * 11) % 5 + 1, (i * 7) % 3 + 1
                 blocks = [(i * 43 + b * 37) % 256 for b in range(bw * bh)]
                 data = encode_ms(bw * 8, bh * 8, blocks)
                 if i % 2 == 0:  # Adobe APP14 transform 0 after SOI
@@ -1732,12 +1732,16 @@ def decode_frames_gif_timesampled(
                         (doc_id, None, None, None, None, None, None, str(e))
                     )
                     continue
+                luma_cache: dict[int, int] = {}
                 for k, t, fi, (w, h, ch, px) in samples:
-                    luma = sum(
-                        299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
-                        for i in range(0, len(px), ch)
-                    ) // (1000 * w * h)
-                    rows.append((doc_id, k, t, fi, w, h, luma, None))
+                    if fi not in luma_cache:
+                        luma_cache[fi] = sum(
+                            299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
+                            for i in range(0, len(px), ch)
+                        ) // (1000 * w * h)
+                    rows.append(
+                        (doc_id, k, t, fi, w, h, luma_cache[fi], None)
+                    )
             cols = [
                 "doc_id", "sample_idx", "t_cs", "frame_idx",
                 "width", "height", "mean_luma",
@@ -1766,8 +1770,8 @@ def decode_frames_gif_timesampled(
                       (doc_id * 37) % 255 AS c1,
                       (doc_id * 41) % 255 AS c2,
                       doc_id % 3 + 1 AS disp,
-                      (doc_id * 13) % 5 + 1 AS s1,
-                      (doc_id * 13) % 5 + 1 + (doc_id * 7) % 5 + 1 AS s2
+                      (doc_id * 13) % 5 + 2 AS s1,
+                      (doc_id * 13) % 5 + 2 + (doc_id * 7) % 5 + 2 AS s2
                FROM documents),
     s AS (SELECT *, 2 * a AS w,
                  (a + 1) // 2 AS even_cols, a // 2 AS odd_cols
@@ -1805,7 +1809,8 @@ def multimodal_gif_timesample_stats(spark: SparkSession, sf_dir: str) -> DataFra
     """TIME-BASED composed-frame sampling under the driver's value-hash
     gate: the same 3-frame composition fixture as
     :func:`multimodal_gif_composed_stats` but with per-frame GCE delays
-    (1-5 cs from doc_id), sampled at a fixed 2 cs tick — so the emitted
+    (2-6 cs from doc_id, above the browser zero-delay clamp), sampled at
+    a fixed 2 cs tick — so the emitted
     rows depend on the DELAY TRACK (which frame is visible at each tick,
     when the final state is reached), not just frame order.  The oracle
     reproduces the visibility windows in closed form; an error in delay
@@ -1832,8 +1837,10 @@ def multimodal_gif_timesample_stats(spark: SparkSession, sf_dir: str) -> DataFra
                 a, h = (i * 3) % 5 + 2, (i * 7) % 5 + 2
                 c0, c1, c2 = (i * 31) % 255, (i * 37) % 255, (i * 41) % 255
                 ct = 255
+                # delays 2..6 cs: above the browser <=1 cs -> 10 cs clamp,
+                # so the oracle's window arithmetic is the raw delay track
                 d0, d1, d2 = (
-                    (i * 13) % 5 + 1, (i * 7) % 5 + 1, (i * 11) % 5 + 1,
+                    (i * 13) % 5 + 2, (i * 7) % 5 + 2, (i * 11) % 5 + 2,
                 )
                 frames = [
                     {

@@ -225,7 +225,9 @@ class EdgyDataSource(DataSource):
                     "options startVersion and startTimestamp are mutually "
                     "exclusive"
                 )
-            start = resolve_timestamp(root, start_ts)
+            start = resolve_timestamp(
+                root, start_ts, option="startTimestamp", inclusive=False
+            )
         return EdgyStreamReader(
             root, table, schema, mode,
             start_version=int(start) if start is not None else None,
@@ -1194,17 +1196,30 @@ def stamp_committed_at(root: str, manifest: dict) -> None:
     manifest["committed_at"] = now
 
 
-def resolve_timestamp(root: str, ts) -> int:
+def resolve_timestamp(
+    root: str,
+    ts,
+    option: str = "timestampAsOf",
+    inclusive: bool = True,
+) -> int:
     """Resolve a timestamp to the NEWEST retained version whose
     ``committed_at`` <= ts — ``TIMESTAMP AS OF`` semantics (Delta: a
     timestamp before the earliest retained commit errors; one after the
     latest resolves to the latest).
 
+    ``inclusive=False`` resolves the STREAM lower bound instead: the
+    newest version committed STRICTLY BEFORE ts, so "changes after the
+    resolved version" INCLUDES a commit stamped exactly at ts — Delta's
+    ``startingTimestamp`` is at-or-after.  A ts at or before every
+    retained stamp resolves to version 0 (the empty bootstrap: streaming
+    after v0 replays everything) rather than erroring.
+
     ``ts``: epoch seconds (int/float or numeric string) or an ISO-ish
     ``YYYY-MM-DD HH:MM:SS[.ffffff]`` string, interpreted in LOCAL time
     (``datetime.fromisoformat`` + ``.timestamp()`` — the session-timezone
     convention Delta uses).  Manifests predating the stamp (pre-r12)
-    count as epoch 0, i.e. "very old"."""
+    count as epoch 0, i.e. "very old".  ``option`` names the read option
+    in error messages."""
     if isinstance(ts, str):
         try:
             target = float(ts)
@@ -1215,7 +1230,7 @@ def resolve_timestamp(root: str, ts) -> int:
                 target = datetime.fromisoformat(ts).timestamp()
             except ValueError as exc:
                 raise ValueError(
-                    f"timestampAsOf {ts!r} is neither epoch seconds nor "
+                    f"{option} {ts!r} is neither epoch seconds nor "
                     "an ISO timestamp"
                 ) from exc
     else:
@@ -1231,10 +1246,12 @@ def resolve_timestamp(root: str, ts) -> int:
             continue  # unreadable manifest: not resolvable, keep walking
         stamp = stamp if isinstance(stamp, (int, float)) else 0.0
         oldest_seen = stamp
-        if stamp <= target:
+        if (stamp <= target) if inclusive else (stamp < target):
             return v
+    if not inclusive:
+        return 0  # before every retained commit: stream from the start
     raise ValueError(
-        f"timestampAsOf {ts!r} predates the earliest retained commit"
+        f"{option} {ts!r} predates the earliest retained commit"
         + (
             f" (committed_at={oldest_seen})"
             if oldest_seen is not None

@@ -1214,15 +1214,18 @@ def test_gif_time_sampling_follows_the_delay_track():
         return {"left": 0, "top": 0, "disposal": 1, "delay_cs": d,
                 "rows": [bytes([c]) * W for _ in range(H)]}
 
-    # delays 3,1,4 -> starts 0,3,4: tick 4 lands on frame 2; frame 1's
-    # [3,4) window falls between ticks and is (correctly) never sampled
+    # delays 3,1,4 -> 1 cs clamps to 10 (browser rule) -> starts 0,3,13:
+    # two ticks on frame 0, frame 1 until t=12, one final sample of frame 2
     data = encode_gif_animation_rects(W, H, [flat(1, 3), flat(2, 1), flat(3, 4)], pal)
     got = [(k, t, fi) for k, t, fi, _ in time_sampled_composed_frames(data, 2)]
-    assert got == [(0, 0, 0), (1, 2, 0), (2, 4, 2)]
-    # zero-delay first frame is invisible; single sample of the final state
+    assert got == [(0, 0, 0), (1, 2, 0), (2, 4, 1), (3, 6, 1),
+                   (4, 8, 1), (5, 10, 1), (6, 12, 1), (7, 14, 2)]
+    # zero-delay frames clamp to 10 cs too (the common all-zero-delay GIF
+    # must not collapse to a single sample)
     data = encode_gif_animation_rects(W, H, [flat(1, 0), flat(2, 2)], pal)
     got = [(k, t, fi) for k, t, fi, _ in time_sampled_composed_frames(data, 2)]
-    assert got == [(0, 0, 1)]
+    assert got == [(0, 0, 0), (1, 2, 0), (2, 4, 0), (3, 6, 0),
+                   (4, 8, 0), (5, 10, 1)]
     # long delays + cap
     data = encode_gif_animation_rects(W, H, [flat(1, 100), flat(2, 100)], pal)
     s = time_sampled_composed_frames(data, 2, max_samples=3)
@@ -1232,3 +1235,28 @@ def test_gif_time_sampling_follows_the_delay_track():
 
     with pytest.raises(ValueError, match="every_cs"):
         time_sampled_composed_frames(data, 0)
+
+
+def test_gif_time_sampling_head_is_lazy(monkeypatch):
+    """Sampling the head of a long animation must stop DECODING at
+    max_samples — the composed-output budget only counts frames actually
+    pulled, so a duration-long asset still yields its head."""
+    from edgy_spark.functions import gif as gifmod
+
+    pal = bytes(b for v in range(4) for b in (v * 80 % 256,) * 3)
+    W, H = 8, 8
+    frames = [
+        {"left": 0, "top": 0, "disposal": 1, "delay_cs": 5,
+         "rows": [bytes([f % 4]) * W for _ in range(H)]}
+        for f in range(30)
+    ]
+    data = gifmod.encode_gif_animation_rects(W, H, frames, pal)
+    # budget fits ~6 composed frames; eager full-animation decode trips it
+    monkeypatch.setattr(gifmod, "MAX_PIXELS", W * H * 6)
+    import pytest
+
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        gifmod.decode_gif_frames_composed(data)
+    # ...but head sampling pulls only what the ticks need (2 frames here)
+    got = gifmod.time_sampled_composed_frames(data, 5, max_samples=2)
+    assert [(k, t, fi) for k, t, fi, _ in got] == [(0, 0, 0), (1, 5, 1)]

@@ -1264,8 +1264,9 @@ def test_timestamp_as_of_empty_string_errors(spark, tmp_path):
 
 def test_edgy_stream_start_timestamp(spark, tmp_path):
     """Delta's startingTimestamp analogue: .option("startTimestamp", ts)
-    resolves the commit wall clock to a version and streams only changes
-    AFTER it — equal to the startVersion read at the resolved version."""
+    streams changes committed AT OR AFTER ts (inclusive, like Delta) —
+    a mid-gap ts equals the startVersion read at the preceding version,
+    and a ts landing exactly on a commit's stamp includes that commit."""
     import json
 
     import pytest
@@ -1273,10 +1274,17 @@ def test_edgy_stream_start_timestamp(spark, tmp_path):
     engine, _ = _store(spark, tmp_path)
     v1 = engine.store.current_version()
     engine.run(lambda t: t.new_node("Person", name="Ann", age=33))
+    v2 = engine.store.current_version()
     engine.run(lambda t: t.new_node("Person", name="Cid", age=44))
     register_edgy_source(spark)
-    with open(os.path.join(engine.store.root, f"manifest.v{v1}.json")) as f:
-        s1 = json.load(f)["committed_at"]
+
+    def stamp(v):
+        with open(
+            os.path.join(engine.store.root, f"manifest.v{v}.json")
+        ) as f:
+            return json.load(f)["committed_at"]
+
+    s1, s2 = stamp(v1), stamp(v2)
 
     def names_from(opts, tag):
         out = str(tmp_path / f"out-{tag}")
@@ -1296,9 +1304,16 @@ def test_edgy_stream_start_timestamp(spark, tmp_path):
         q.awaitTermination(120)
         return {r["name"] for r in spark.read.parquet(out).collect()}
 
-    by_ts = names_from({"startTimestamp": str(s1)}, "ts")
+    # mid-gap ts: resolves to "after v1", like startVersion=v1
+    by_ts = names_from({"startTimestamp": str((s1 + s2) / 2)}, "ts")
     by_v = names_from({"startVersion": str(v1)}, "v")
     assert by_ts == by_v == {"Ann", "Cid"}  # only post-v1 inserts
+    # AT-or-after: ts exactly on v2's stamp INCLUDES v2's commit
+    by_exact = names_from({"startTimestamp": str(s2)}, "exact")
+    assert by_exact == {"Ann", "Cid"}
+    # before every stamp: stream from the start (bootstrap v0 is empty)
+    by_early = names_from({"startTimestamp": str(s1 - 3600)}, "early")
+    assert by_early == {"Bob", "Jane", "Jose", "Ann", "Cid"}
     # both options together: the error surfaces when the stream STARTS
     # (Python DataSource construction is lazy), as a StreamingQueryException
     # wrapping the ValueError
