@@ -139,11 +139,12 @@ def load_all_registrations() -> None:
 #: The exact first-50 list for the r12 driver gate.
 #: ``tests/test_registry_window.py`` pins this against the live registry.
 #:
-#: R12 rotation rationale: (1) the four queries NEW in r12, never
+#: R12 rotation rationale: (1) the five queries NEW in r12, never
 #: driver-verified (Adobe CMYK/YCCK JPEG decode; composed-frame GIF
 #: sampling with offsets/transparency/disposal; stored-RGB JPEG decode
 #: via APP14 transform-0 and R/G/B component IDs; time-based GIF frame
-#: sampling over the GCE delay track); (2) every query whose
+#: sampling over the GCE delay track; Brandes-style sampled stress
+#: centrality with integer path counts); (2) every query whose
 #: EXECUTED code changed after its r11 green: graph_label_propagation
 #: (the deterministic mode was rewritten into the two-level combinable
 #: aggregation — the r11 verdict's top task), stream_url_dedup_first_seen
@@ -155,24 +156,28 @@ def load_all_registrations() -> None:
 #: stalest greens: ALL 5 r07-last-green queries (the r11 verdict's
 #: missing-list #1 — dedup_embedding_cluster_keepers,
 #: multimodal_frame_sample, multimodal_thumbnail_resize,
-#: pipeline_stratified_sample, text_fingerprints) and 34 of the 39
-#: r08-last-green queries.  The five r08 greens deferred to r13 —
+#: pipeline_stratified_sample, text_fingerprints) and 33 of the 39
+#: r08-last-green queries.  The six r08 greens deferred to r13 —
 #: q1_pricing_summary, q3_shipping_priority, q6_forecast_revenue
 #: (continuously exercised by bench.py every round and by their
 #: exact-value pytest oracles, tests/test_catalog_oracle.py) and
 #: trailing_30d_customer_spend (its RANGE-frame windowed-sum shape
 #: re-verifies via the in-window customer_order_running_total sibling),
-#: and stream_dedup_event_delivery (its dropDuplicatesWithinWatermark
+#: stream_dedup_event_delivery (its dropDuplicatesWithinWatermark
 #: batch-twin shape re-verifies via the pinned r12-green
-#: stream_url_dedup_first_seen) — are the lowest-risk tail: code
-#: unchanged since r08.  After this window, no query's last DRIVER green
-#: predates r08, and only those five sit at r08.
+#: stream_url_dedup_first_seen), and customers_with_urgent_orders (its
+#: EXISTS semi-join shape re-verifies via the in-window
+#: customers_without_orders anti sibling and the TPC-H semi-join unit
+#: oracles) — are the lowest-risk tail: code unchanged since r08.
+#: After this window, no query's last DRIVER green predates r08, and
+#: only those six sit at r08.
 R12_WINDOW: list[str] = [
     # new in r12 — never driver-verified
     "multimodal_jpeg_cmyk_stats",
     "multimodal_gif_composed_stats",
     "multimodal_jpeg_rgb_stats",
     "multimodal_gif_timesample_stats",
+    "graph_stress_centrality_sampled",
     # executed-code changes after the r11 gate
     "graph_label_propagation",
     "stream_url_dedup_first_seen",
@@ -187,12 +192,11 @@ R12_WINDOW: list[str] = [
     "multimodal_thumbnail_resize",
     "pipeline_stratified_sample",
     "text_fingerprints",
-    # stalest greens: 34 of the 39 r08-last-green queries (reg. order
-    # within each family; q1/q3/q6/trailing_30d/stream_dedup defer to r13
-    # — rationale)
+    # stalest greens: 33 of the 39 r08-last-green queries (reg. order
+    # within each family; q1/q3/q6/trailing_30d/stream_dedup/
+    # customers_with_urgent defer to r13 — rationale)
     "cogroup_asof_purchase_last_click",
     "customer_order_running_total",
-    "customers_with_urgent_orders",
     "customers_without_orders",
     "dedup_duplicate_spans",
     "dedup_ngram_jaccard_pairs",

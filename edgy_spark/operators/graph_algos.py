@@ -669,6 +669,216 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sampled stress centrality (Brandes-style path counting, all-integer)
+# ---------------------------------------------------------------------------
+
+STRESS_SEEDS = 16
+STRESS_DEPTH = 4
+
+
+def stress_centrality_sampled(
+    edges: DataFrame,
+    n_seeds: int = STRESS_SEEDS,
+    max_depth: int = STRESS_DEPTH,
+    broadcast_state: bool = True,
+    iter_partitions: int | None = None,
+) -> DataFrame:
+    """(node, stress) — STRESS centrality (Shimbel 1953: the number of
+    shortest paths passing through a node) estimated from the ``n_seeds``
+    highest-degree landmark sources, depth-capped at ``max_depth``.
+
+    This is the Brandes (2001) two-pass framework with an ALL-INTEGER
+    accumulation — the reason stress (path counts) is implemented rather
+    than betweenness (whose dependency accumulation is fractional,
+    sigma_v/sigma_w, and no cross-engine float hash survives that):
+
+    - FORWARD: a multi-seed synchronous BFS on (node, seed) struct keys
+      (the closeness machinery) that also counts shortest paths —
+      sigma(v) = sum of sigma over the parents that achieve the minimum
+      candidate distance, a two-level combinable aggregate
+      (groupBy(dst, seed, cand_dist).sum(sigma) then min_by) with no
+      per-vertex arrays.
+    - REVERSE: tau(v) = 1 + sum of tau over BFS-DAG successors — the
+      count of shortest-path SUFFIXES starting at v (every DAG path from
+      v is one).  Iterated ``max_depth`` rounds over the materialized
+      per-seed DAG, deepest level correct first, one level per round.
+    - The number of shortest s->t paths through v (t != v, v != s) is
+      exactly sigma_s(v) * (tau_s(v) - 1): a DAG edge always increases
+      dist by 1, so prefix x suffix compositions are precisely the
+      shortest paths through v.
+
+    Scale: state is O(reached x seeds); the DAG materialization is
+    O(|E| x seeds) with seeds a small constant; every aggregation is
+    map-side combinable; products are summed through DECIMAL(38,0) so
+    the distributed sum is bit-identical to the oracle's HUGEINT."""
+    und, _ = _materialize(undirect(edges), iter_partitions)
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    seeds = deg.orderBy(F.desc("k"), F.asc("node")).limit(n_seeds)
+    state0 = seeds.select(
+        F.struct(
+            F.col("node").alias("n"), F.col("node").alias("s")
+        ).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    )
+
+    def step(st: DataFrame) -> DataFrame:
+        flat = st.select(
+            F.col("node.n").alias("src"), F.col("node.s").alias("s"),
+            "dist", "sigma",
+        )
+        by_d = (
+            und.join(_hint(flat, broadcast_state), "src")
+            .groupBy(
+                F.col("dst").alias("n"), "s",
+                (F.col("dist") + 1).alias("cand"),
+            )
+            .agg(F.sum("sigma").alias("sig"))
+        )
+        cand = (
+            by_d.groupBy("n", "s")
+            .agg(
+                F.min("cand").alias("cand"),
+                # cand values are distinct within the group, so min_by is
+                # deterministic: the sigma-sum at the minimum distance
+                F.min_by("sig", "cand").alias("cand_sig"),
+            )
+            .select(F.struct("n", "s").alias("node"), "cand", "cand_sig")
+        )
+        return st.join(cand, "node", "full_outer").select(
+            "node",
+            F.coalesce("dist", "cand").alias("dist"),
+            F.coalesce("sigma", "cand_sig").alias("sigma"),
+        )
+
+    fwd_res = run_fixpoint(
+        state0, step,
+        max_iter=max_depth, compare_cols=["dist"],
+        broadcast_state=broadcast_state, iter_partitions=iter_partitions,
+    )
+    fwd = fwd_res.select(
+        F.col("node.n").alias("n"), F.col("node.s").alias("s"),
+        "dist", "sigma",
+    )
+    # per-seed BFS DAG, materialized once: edge (v -> w) iff dist_w
+    # = dist_v + 1 under that seed
+    v_side = fwd.select(F.col("n").alias("src"), "s", F.col("dist").alias("dv"))
+    w_side = fwd.select(F.col("n").alias("dst"), "s", F.col("dist").alias("dw"))
+    dag = (
+        und.join(_hint(v_side, broadcast_state), "src")
+        .join(_hint(w_side, broadcast_state), ["dst", "s"])
+        .filter(F.col("dw") == F.col("dv") + 1)
+        .select(F.col("src").alias("v"), "s", F.col("dst").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    t0 = fwd.select(
+        F.struct("n", "s").alias("node"), F.lit(1).cast("long").alias("tau")
+    )
+
+    def rstep(st: DataFrame) -> DataFrame:
+        flat = st.select(
+            F.col("node.n").alias("w"), F.col("node.s").alias("s"), "tau"
+        )
+        inc = (
+            dag.join(_hint(flat, broadcast_state), ["w", "s"])
+            .groupBy(F.col("v").alias("n"), "s")
+            .agg(F.sum("tau").alias("children"))
+            .select(F.struct("n", "s").alias("node"), "children")
+        )
+        return st.select("node").join(inc, "node", "left").select(
+            "node",
+            (F.lit(1) + F.coalesce("children", F.lit(0))).alias("tau"),
+        )
+
+    taus = run_fixpoint(
+        t0, rstep,
+        max_iter=max_depth, compare_cols=["tau"],
+        broadcast_state=broadcast_state, iter_partitions=iter_partitions,
+    ).select(F.col("node.n").alias("n"), F.col("node.s").alias("s"), "tau")
+    return (
+        fwd.join(taus, ["n", "s"])
+        .filter(F.col("n") != F.col("s"))
+        .groupBy(F.col("n").alias("node"))
+        .agg(
+            F.sum(
+                (F.col("sigma") * (F.col("tau") - 1)).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("stress")
+        )
+    )
+
+
+def _stress_oracle_sql(depth: int, n_seeds: int) -> str:
+    """Unrolled forward-level + reverse-tau CTE chain mirroring
+    :func:`stress_centrality_sampled` (AS MATERIALIZED per round — the
+    r10 CTE-inlining lesson)."""
+    parts = [
+        "l0 AS MATERIALIZED (SELECT node AS seed, node, "
+        "CAST(1 AS BIGINT) AS sigma FROM seeds)",
+        "a0 AS MATERIALIZED (SELECT seed, node FROM l0)",
+    ]
+    for k in range(1, depth + 1):
+        parts.append(f"""l{k} AS MATERIALIZED (
+      SELECT p.seed, u.dst AS node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+      FROM l{k - 1} p JOIN undirected u ON u.src = p.node
+      WHERE NOT EXISTS (SELECT 1 FROM a{k - 1} a
+                        WHERE a.seed = p.seed AND a.node = u.dst)
+      GROUP BY 1, 2)""")
+        parts.append(f"""a{k} AS MATERIALIZED (
+      SELECT seed, node FROM a{k - 1}
+      UNION ALL SELECT seed, node FROM l{k})""")
+    parts.append(f"""t{depth} AS MATERIALIZED (
+      SELECT seed, node, CAST(1 AS BIGINT) AS tau FROM l{depth})""")
+    for k in range(depth - 1, -1, -1):
+        parts.append(f"""t{k} AS MATERIALIZED (
+      SELECT l.seed, l.node,
+             CAST(1 + COALESCE(SUM(t.tau), 0) AS BIGINT) AS tau
+      FROM l{k} l
+      LEFT JOIN undirected u ON u.src = l.node
+      LEFT JOIN t{k + 1} t ON t.seed = l.seed AND t.node = u.dst
+      GROUP BY 1, 2)""")
+    f_union = " UNION ALL ".join(
+        f"SELECT seed, node, sigma FROM l{k}" for k in range(depth + 1)
+    )
+    t_union = " UNION ALL ".join(
+        f"SELECT seed, node, tau FROM t{k}" for k in range(depth + 1)
+    )
+    return f"""
+    WITH {_UND_CTES},
+    deg AS (SELECT src AS node, COUNT(*) AS k FROM undirected GROUP BY src),
+    seeds AS (SELECT node FROM deg ORDER BY k DESC, node LIMIT {n_seeds}),
+    {",".join(parts)},
+    f AS (SELECT * FROM ({f_union})),
+    t AS (SELECT * FROM ({t_union}))
+    SELECT f.node,
+           CAST(SUM(f.sigma * (t.tau - 1)) AS BIGINT) AS stress
+    FROM f JOIN t USING (seed, node)
+    WHERE f.node <> f.seed
+    GROUP BY f.node ORDER BY f.node
+    """
+
+
+@register(
+    "graph_stress_centrality_sampled",
+    oracle=_stress_oracle_sql(STRESS_DEPTH, STRESS_SEEDS),
+    tags=("graph", "iterative", "centrality", "brandes", "pregel-primitive"),
+)
+def graph_stress_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-sampled stress centrality of the co-purchase graph (see
+    :func:`stress_centrality_sampled`) vs an unrolled forward-sigma /
+    reverse-tau oracle over the identical seed set — the Brandes two-pass
+    shape with integer path counts, so the value hash is exact."""
+    return (
+        stress_centrality_sampled(copurchase_edges(spark, sf_dir))
+        .select("node", F.col("stress").cast("long").alias("stress"))
+        .orderBy("node")
+    )
+
+
+# ---------------------------------------------------------------------------
 # PageRank (scaled-integer, undirected)
 # ---------------------------------------------------------------------------
 

@@ -448,3 +448,33 @@ def test_anf_estimates_track_exact_neighborhood_function(spark):
     final = ests[-1]
     for r in sorted(rows):
         assert rows[r]["d90"] == (1 if ests[r - 1] * 10 >= final * 9 else 0)
+
+
+def test_stress_centrality_diamond_by_hand(spark):
+    """Sampled stress on the 4-cycle (diamond) 1-2-4-3-1: every node lies
+    on exactly the two shortest paths between its two neighbors' opposite
+    pair (ordered s,t pairs), so stress == 2 everywhere — hand-computed
+    Brandes prefix x suffix counts."""
+    from edgy_spark.operators.graph_algos import stress_centrality_sampled
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    got = {r["node"]: r["stress"] for r in stress_centrality_sampled(e).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+    # deterministic across runs (integer path counts, no float anywhere)
+    again = {r["node"]: r["stress"] for r in stress_centrality_sampled(e).collect()}
+    assert got == again
+
+
+def test_stress_centrality_path_graph(spark):
+    """On the path 1-2-3-4-5: interior nodes carry all (s,t) pairs that
+    straddle them — stress(3) = 2*2*2 = 8 ordered pairs, stress(2) =
+    stress(4) = 2*1*3 = 6, endpoints 0."""
+    from edgy_spark.operators.graph_algos import stress_centrality_sampled
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r["node"]: r["stress"] for r in stress_centrality_sampled(e).collect()}
+    assert got == {1: 0, 2: 6, 3: 8, 4: 6, 5: 0}
