@@ -556,6 +556,27 @@ CLOSE_SEEDS = 8
 CLOSE_E6 = 10**6
 
 
+def _landmark_seed_state(
+    und: DataFrame, n_seeds: int, *extra: Column
+) -> DataFrame:
+    """Initial multi-seed fixpoint state from the ``n_seeds`` highest-
+    degree landmarks (ties to the smaller id): (node=(n,s) struct, dist=0,
+    *extra).  ONE definition so closeness and stress — and their oracles,
+    which re-derive the same ORDER BY k DESC, node LIMIT n seed set —
+    can never desynchronize on degree source or tie-break order."""
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    seeds = deg.orderBy(F.desc("k"), F.asc("node")).limit(n_seeds)
+    return seeds.select(
+        F.struct(
+            F.col("node").alias("n"), F.col("node").alias("s")
+        ).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+        *extra,
+    )
+
+
 def closeness_sampled(
     edges: DataFrame,
     n_seeds: int = CLOSE_SEEDS,
@@ -579,16 +600,7 @@ def closeness_sampled(
     oracle's depth-capped recursive walk.
     """
     und, _ = _materialize(undirect(edges), iter_partitions)
-    deg = und.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("k")
-    )
-    seeds = deg.orderBy(F.desc("k"), F.asc("node")).limit(n_seeds)
-    state0 = seeds.select(
-        F.struct(
-            F.col("node").alias("n"), F.col("node").alias("s")
-        ).alias("node"),
-        F.lit(0).cast("long").alias("dist"),
-    )
+    state0 = _landmark_seed_state(und, n_seeds)
 
     def step(st: DataFrame) -> DataFrame:
         flat = st.select(
@@ -712,16 +724,8 @@ def stress_centrality_sampled(
     map-side combinable; products are summed through DECIMAL(38,0) so
     the distributed sum is bit-identical to the oracle's HUGEINT."""
     und, _ = _materialize(undirect(edges), iter_partitions)
-    deg = und.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("k")
-    )
-    seeds = deg.orderBy(F.desc("k"), F.asc("node")).limit(n_seeds)
-    state0 = seeds.select(
-        F.struct(
-            F.col("node").alias("n"), F.col("node").alias("s")
-        ).alias("node"),
-        F.lit(0).cast("long").alias("dist"),
-        F.lit(1).cast("long").alias("sigma"),
+    state0 = _landmark_seed_state(
+        und, n_seeds, F.lit(1).cast("long").alias("sigma")
     )
 
     def step(st: DataFrame) -> DataFrame:
@@ -802,8 +806,10 @@ def stress_centrality_sampled(
         .filter(F.col("n") != F.col("s"))
         .groupBy(F.col("n").alias("node"))
         .agg(
+            # cast an OPERAND before multiplying (the modularity-audit
+            # pattern): a long*long product could wrap before the cast
             F.sum(
-                (F.col("sigma") * (F.col("tau") - 1)).cast("decimal(38,0)")
+                F.col("sigma").cast("decimal(38,0)") * (F.col("tau") - 1)
             )
             .cast("long")
             .alias("stress")
