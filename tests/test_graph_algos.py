@@ -478,3 +478,40 @@ def test_stress_centrality_path_graph(spark):
     )
     got = {r["node"]: r["stress"] for r in stress_centrality_sampled(e).collect()}
     assert got == {1: 0, 2: 6, 3: 8, 4: 6, 5: 0}
+
+
+def test_stress_sigma_step_is_two_level_combinable(spark):
+    """Skew pin for the Brandes forward pass: the sigma candidate
+    aggregation must be the two-level combinable shape (partial sum per
+    (node, seed, cand_dist), then min_by) with no collect_list and no
+    cartesian product in the superstep plan."""
+    import pyspark.sql.functions as F
+
+    from edgy_spark.operators.graph_algos import (
+        _landmark_seed_state,
+        copurchase_edges,
+        undirect,
+    )
+    from tests.conftest import SF_SMOKE
+
+    und = undirect(copurchase_edges(spark, SF_SMOKE))
+    st = _landmark_seed_state(und, 16, F.lit(1).cast("long").alias("sigma"))
+    flat = st.select(
+        F.col("node.n").alias("src"), F.col("node.s").alias("s"),
+        "dist", "sigma",
+    )
+    by_d = (
+        und.join(flat, "src")
+        .groupBy(F.col("dst").alias("n"), "s", (F.col("dist") + 1).alias("cand"))
+        .agg(F.sum("sigma").alias("sig"))
+    )
+    cand = by_d.groupBy("n", "s").agg(
+        F.min("cand").alias("cand"), F.min_by("sig", "cand").alias("cand_sig")
+    )
+    plan = cand._sc._jvm.PythonSQLUtils.explainString(
+        cand._jdf.queryExecution(), "formatted"
+    )
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial sum" in plan.lower()
+    assert "min_by" in plan

@@ -1333,3 +1333,29 @@ def test_edgy_stream_start_timestamp(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
+
+
+def test_committed_at_monotonic_under_clock_skew(spark, tmp_path, monkeypatch):
+    """stamp_committed_at nudges past the predecessor when the wall clock
+    steps BACKWARD between commits, so timestampAsOf resolution stays
+    well-ordered (version order == timestamp order)."""
+    import json
+    import time as _time
+
+    from edgy_spark.sources import pysource as ps
+
+    engine, _ = _store(spark, tmp_path)
+    v1 = engine.store.current_version()
+    with open(os.path.join(engine.store.root, f"manifest.v{v1}.json")) as f:
+        s1 = json.load(f)["committed_at"]
+    # wind the clock back one hour for the next commit
+    real_time = _time.time
+    monkeypatch.setattr(
+        "time.time", lambda: real_time() - 3600, raising=True
+    )
+    engine.run(lambda t: t.new_node("Person", name="Ann", age=33))
+    v2 = engine.store.current_version()
+    with open(os.path.join(engine.store.root, f"manifest.v{v2}.json")) as f:
+        s2 = json.load(f)["committed_at"]
+    assert v2 == v1 + 1 and s2 > s1  # nudged past, not backdated
+    assert ps.resolve_timestamp(engine.store.root, s2) == v2
