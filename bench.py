@@ -187,11 +187,16 @@ def main() -> None:
         "graph_louvain_communities",
         "graph_closeness_sampled",
     ]
+    added_r12 = [
+        "graph_stress_centrality_sampled",
+        "multimodal_jpeg_cmyk_stats",
+    ]
     comparable_r05 = round(
         sum(
             v
             for k, v in timings.items()
-            if k not in added_r06 + added_r08 + added_r09 + added_r10 + added_r11
+            if k not in added_r06 + added_r08 + added_r09 + added_r10
+            + added_r11 + added_r12
         ),
         4,
     )
@@ -200,18 +205,32 @@ def main() -> None:
             v
             for k, v in timings.items()
             if k not in added_r08 + added_r09 + added_r10 + added_r11
+            + added_r12
         ),
         4,
     )
     comparable_r08 = round(
-        sum(v for k, v in timings.items() if k not in added_r09 + added_r10 + added_r11),
+        sum(
+            v
+            for k, v in timings.items()
+            if k not in added_r09 + added_r10 + added_r11 + added_r12
+        ),
         4,
     )
     comparable_r09 = round(
-        sum(v for k, v in timings.items() if k not in added_r10 + added_r11), 4
+        sum(
+            v
+            for k, v in timings.items()
+            if k not in added_r10 + added_r11 + added_r12
+        ),
+        4,
     )
     comparable_r10 = round(
-        sum(v for k, v in timings.items() if k not in added_r11), 4
+        sum(v for k, v in timings.items() if k not in added_r11 + added_r12),
+        4,
+    )
+    comparable_r11 = round(
+        sum(v for k, v in timings.items() if k not in added_r12), 4
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The external recorder keeps only the last ~2,000 bytes of output and
@@ -222,7 +241,7 @@ def main() -> None:
     # headline if they would push it past the window.
     for pass_no, this_pass in enumerate(pass_times):
         print(json.dumps({"detail": "pass_times", "pass": pass_no, "times": this_pass}))
-    print(json.dumps({"detail": "set_history", "added_in_r06": added_r06, "added_in_r08": added_r08, "added_in_r09": added_r09, "added_in_r10": added_r10, "added_in_r11": added_r11}))
+    print(json.dumps({"detail": "set_history", "added_in_r06": added_r06, "added_in_r08": added_r08, "added_in_r09": added_r09, "added_in_r10": added_r10, "added_in_r11": added_r11, "added_in_r12": added_r12}))
     vs_floor = _regressions_vs_floor(timings)
     # full floor diff goes on a detail line; the final line carries only
     # the names (the 2,000-byte recorder-window rule)
@@ -239,6 +258,7 @@ def main() -> None:
         "comparable_r08_set_total": comparable_r08,
         "comparable_r09_set_total": comparable_r09,
         "comparable_r10_set_total": comparable_r10,
+        "comparable_r11_set_total": comparable_r11,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "regressions": _regressions_vs_prev_round(timings),
         "regressions_vs_floor_named": sorted(vs_floor["named"]),

@@ -871,6 +871,7 @@ def _stress_oracle_sql(depth: int, n_seeds: int) -> str:
     "graph_stress_centrality_sampled",
     oracle=_stress_oracle_sql(STRESS_DEPTH, STRESS_SEEDS),
     tags=("graph", "iterative", "centrality", "brandes", "pregel-primitive"),
+    bench=True,  # r12: double-fixpoint Brandes shape, tracked per round
 )
 def graph_stress_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark-sampled stress centrality of the co-purchase graph (see

@@ -832,6 +832,7 @@ def multimodal_jpeg_multiscan_stats(spark: SparkSession, sf_dir: str) -> DataFra
     ORDER BY doc_id
     """,
     tags=("multimodal", "decode", "cmyk"),
+    bench=True,  # r12: 4-component codec branch, tracked per round
 )
 def multimodal_jpeg_cmyk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADOBE CMYK / YCCK (4-component) decode under the driver's
