@@ -522,6 +522,17 @@ def encode_gif_animation(
     return bytes(out)
 
 
+def rec601_mean(px: bytes, ch: int, w: int, h: int) -> int:
+    """Integer Rec.601 mean luma over an interleaved RGB/RGBA buffer —
+    THE one luma convention shared by every GIF feature/frame operator
+    (and their SQL oracles), extracted so a future change cannot
+    desynchronize the operators from each other (review r12)."""
+    return sum(
+        299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
+        for i in range(0, len(px), ch)
+    ) // (1000 * w * h)
+
+
 def time_sampled_composed_frames(
     data: bytes, every_cs: int = 50, max_samples: int | None = 8
 ) -> list[tuple[int, int, int, tuple[int, int, int, bytes]]]:
@@ -546,15 +557,28 @@ def time_sampled_composed_frames(
     whole animation).  Returns
     ``(sample_idx, t_cs, frame_idx, (w, h, 4, rgba))`` tuples, at most
     ``max_samples``."""
+    return list(iter_time_sampled_composed_frames(data, every_cs, max_samples))
+
+
+def iter_time_sampled_composed_frames(
+    data: bytes, every_cs: int = 50, max_samples: int | None = 8
+):
+    """Generator form of :func:`time_sampled_composed_frames`: samples
+    yield as each frame's visibility WINDOW completes, so a caller over
+    crawl bytes can bank the head samples before a mid-stream corruption
+    raises (the r11d banking contract the on_error='null' operators
+    rely on).  The one-final-sample of the last frame yields only on
+    clean stream exhaustion — before that, whether a frame is last is
+    unknowable."""
     if every_cs <= 0:
         raise ValueError("every_cs must be positive")
     if max_samples is not None and max_samples <= 0:
-        return []
+        return
 
     def clamped(delay: int) -> int:
         return 10 if delay <= 1 else delay
 
-    samples: list[tuple[int, int, int, tuple[int, int, int, bytes]]] = []
+    emitted = 0
     gen = iter_gif_frames_composed(data, with_delay=True)
     prev = next(gen)  # no-frame streams raise inside the iterator
     start = 0
@@ -563,19 +587,19 @@ def time_sampled_composed_frames(
     for nxt in gen:
         end = start + clamped(prev[0])
         while (
-            max_samples is None or len(samples) < max_samples
+            max_samples is None or emitted < max_samples
         ) and k * every_cs < end:
-            samples.append((k, k * every_cs, fi, prev[1:]))
+            yield (k, k * every_cs, fi, prev[1:])
+            emitted += 1
             k += 1
-        if max_samples is not None and len(samples) >= max_samples:
-            return samples  # stop DECODING, not just emitting
+        if max_samples is not None and emitted >= max_samples:
+            return  # stop DECODING, not just emitting
         prev = nxt
         fi += 1
         start = end
     # prev is the last frame: visible from `start` onward — one final
     # sample at the first remaining tick (all later ticks are identical)
-    samples.append((k, k * every_cs, fi, prev[1:]))
-    return samples
+    yield (k, k * every_cs, fi, prev[1:])
 
 
 def encode_gif_animation_rects(

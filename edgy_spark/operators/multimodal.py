@@ -952,6 +952,20 @@ def multimodal_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if i % 2 == 0:  # Adobe APP14 transform 0 after SOI
                     data = data[:2] + app14 + data[2:]
                 else:  # component IDs spell R/G/B, no APP14
+                    # loud fixture guard: each pattern must occur exactly
+                    # once (the SOS patterns are marker-anchored; the SOF
+                    # pattern is anchored by its nc=3 count byte) — a
+                    # header-layout drift or an entropy collision must
+                    # fail HERE, not as an opaque oracle hash mismatch
+                    if not (
+                        data.count(sof_ids) == 1
+                        and data.count(sos1_ids) == 1
+                        and data.count(sos2_ids) == 1
+                    ):
+                        raise ValueError(
+                            "rgb_stats fixture patterns did not match "
+                            "exactly once — encoder layout drifted?"
+                        )
                     data = (
                         data.replace(
                             sof_ids,
@@ -1397,6 +1411,7 @@ def decode_features_gif(media_df: DataFrame, on_error: str = "raise") -> DataFra
 
     cloudpickle.register_pickle_by_value(_gif)
     decode_gif = _gif.decode_gif
+    rec601 = _gif.rec601_mean
     tolerant = _check_on_error(on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1424,10 +1439,7 @@ def decode_features_gif(media_df: DataFrame, on_error: str = "raise") -> DataFra
                          None, None, None, str(e))
                     )
                     continue
-                luma = sum(
-                    299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
-                    for i in range(0, len(px), ch)
-                ) // (1000 * w * h)
+                luma = rec601(px, ch, w, h)
                 rows.append(
                     (doc_id, len(data), hashlib.md5(data).hexdigest(), w, h, luma)
                 )
@@ -1560,16 +1572,17 @@ def decode_frames_gif(
 
     cloudpickle.register_pickle_by_value(_gif)
     iter_frames = _gif.iter_gif_frames
+    rec601 = _gif.rec601_mean
     tolerant = _check_on_error(on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                if max_frames <= 0:
-                    # decode_gif_frames' contract: sample NO frames (and
-                    # decode nothing) — not the first frame
-                    continue
+            # decode_gif_frames' contract: max_frames <= 0 samples NO
+            # frames (and decodes nothing) — constant per operator, so
+            # decided once per batch, not per row
+            media = zip(pdf["doc_id"], pdf["media"]) if max_frames > 0 else ()
+            for doc_id, payload in media:
                 if payload is None:
                     if not tolerant:
                         raise ValueError("NULL media payload")
@@ -1584,10 +1597,7 @@ def decode_frames_gif(
                 fi = 0
                 try:
                     for w, h, ch, px in iter_frames(bytes(payload)):
-                        luma = sum(
-                            299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
-                            for i in range(0, len(px), ch)
-                        ) // (1000 * w * h)
+                        luma = rec601(px, ch, w, h)
                         rows.append((doc_id, fi, w, h, luma, None))
                         fi += 1
                         if fi >= max_frames:
@@ -1636,14 +1646,15 @@ def decode_frames_gif_composed(
 
     cloudpickle.register_pickle_by_value(_gif)
     iter_composed = _gif.iter_gif_frames_composed
+    rec601 = _gif.rec601_mean
     tolerant = _check_on_error(on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                if max_frames <= 0:
-                    continue
+            # same max_frames <= 0 short-circuit as decode_frames_gif
+            media = zip(pdf["doc_id"], pdf["media"]) if max_frames > 0 else ()
+            for doc_id, payload in media:
                 if payload is None:
                     if not tolerant:
                         raise ValueError("NULL media payload")
@@ -1654,10 +1665,7 @@ def decode_frames_gif_composed(
                 fi = 0
                 try:
                     for w, h, ch, px in iter_composed(bytes(payload)):
-                        luma = sum(
-                            299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
-                            for i in range(0, len(px), ch)
-                        ) // (1000 * w * h)
+                        luma = rec601(px, ch, w, h)
                         rows.append((doc_id, fi, w, h, luma, None))
                         fi += 1
                         if fi >= max_frames:
@@ -1707,7 +1715,8 @@ def decode_frames_gif_timesampled(
     from edgy_spark.functions import gif as _gif
 
     cloudpickle.register_pickle_by_value(_gif)
-    sample_frames_at = _gif.time_sampled_composed_frames
+    iter_samples = _gif.iter_time_sampled_composed_frames
+    _rec601_mean = _gif.rec601_mean
     tolerant = _check_on_error(on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1722,10 +1731,19 @@ def decode_frames_gif_timesampled(
                          "NULL media payload")
                     )
                     continue
+                # incremental walk: samples from completed visibility
+                # windows BANK before a mid-stream corruption raises —
+                # the same r11d contract as the per-rect/composed ops
+                luma_cache: dict[int, int] = {}
                 try:
-                    samples = sample_frames_at(
+                    for k, t, fi, (w, h, ch, px) in iter_samples(
                         bytes(payload), every_cs, max_samples
-                    )
+                    ):
+                        if fi not in luma_cache:
+                            luma_cache[fi] = _rec601_mean(px, ch, w, h)
+                        rows.append(
+                            (doc_id, k, t, fi, w, h, luma_cache[fi], None)
+                        )
                 except (ValueError, NotImplementedError) as e:
                     if not tolerant:
                         raise
@@ -1733,16 +1751,6 @@ def decode_frames_gif_timesampled(
                         (doc_id, None, None, None, None, None, None, str(e))
                     )
                     continue
-                luma_cache: dict[int, int] = {}
-                for k, t, fi, (w, h, ch, px) in samples:
-                    if fi not in luma_cache:
-                        luma_cache[fi] = sum(
-                            299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
-                            for i in range(0, len(px), ch)
-                        ) // (1000 * w * h)
-                    rows.append(
-                        (doc_id, k, t, fi, w, h, luma_cache[fi], None)
-                    )
             cols = [
                 "doc_id", "sample_idx", "t_cs", "frame_idx",
                 "width", "height", "mean_luma",

@@ -1203,9 +1203,12 @@ def resolve_timestamp(
     inclusive: bool = True,
 ) -> int:
     """Resolve a timestamp to the NEWEST retained version whose
-    ``committed_at`` <= ts — ``TIMESTAMP AS OF`` semantics (Delta: a
-    timestamp before the earliest retained commit errors; one after the
-    latest resolves to the latest).
+    ``committed_at`` <= ts — ``TIMESTAMP AS OF`` semantics for the
+    retained range (a timestamp before the earliest retained commit
+    errors, like Delta).  DELIBERATE divergence: a timestamp AFTER the
+    latest commit resolves to the latest version (a point-in-time read
+    of "now or later" is well-defined), where Delta raises
+    temporallyUnstable/after-latest instead.
 
     ``inclusive=False`` resolves the STREAM lower bound instead: the
     newest version committed STRICTLY BEFORE ts, so "changes after the

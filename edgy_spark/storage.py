@@ -1488,6 +1488,19 @@ class GraphStore:
         return max(0, current - max(1, r) + 1)
 
     def history(self) -> list[dict]:
+        def _render_ts(committed_at):
+            if committed_at is None:
+                return None
+            try:
+                return datetime.datetime.fromtimestamp(
+                    committed_at
+                ).isoformat(sep=" ", timespec="milliseconds")
+            except (OverflowError, OSError, ValueError):
+                # a hand-edited/corrupt stamp outside the platform range
+                # must not take down the whole audit trail — the raw
+                # committed_at is still in the record
+                return None
+
         """DESCRIBE HISTORY (Delta's audit-trail read): one record per
         RETAINED version, newest first — operation kind (bootstrap /
         write / metadata-only / clone), commit timestamp (r12:
@@ -1562,12 +1575,7 @@ class GraphStore:
                     # Delta DESCRIBE HISTORY's timestamp: epoch seconds
                     # (raw, for timestampAsOf math) + local ISO rendering
                     "committed_at": committed_at,
-                    "timestamp": (
-                        datetime.datetime.fromtimestamp(committed_at)
-                        .isoformat(sep=" ", timespec="milliseconds")
-                        if committed_at is not None
-                        else None
-                    ),
+                    "timestamp": _render_ts(committed_at),
                     "changed_tables": changed,
                     "n_tables": len(tables),
                     "total_rows": (

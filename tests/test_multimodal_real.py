@@ -1200,8 +1200,9 @@ def test_gif_composed_disposal4_maps_to_restore_previous():
 
 def test_gif_time_sampling_follows_the_delay_track():
     """Time sampler: ticks land on the frame visible per GCE delays, the
-    last frame is sampled exactly once from its start onward, zero-delay
-    frames are skipped unless last, and max_samples caps the row count."""
+    last frame is sampled exactly once from its start onward, 0-1 cs
+    delays clamp to 10 cs (browser rule — they are sampled at the
+    clamped rate, never skipped), and max_samples caps the row count."""
     from edgy_spark.functions.gif import (
         encode_gif_animation_rects,
         time_sampled_composed_frames,
@@ -1260,3 +1261,43 @@ def test_gif_time_sampling_head_is_lazy(monkeypatch):
     # ...but head sampling pulls only what the ticks need (2 frames here)
     got = gifmod.time_sampled_composed_frames(data, 5, max_samples=2)
     assert [(k, t, fi) for k, t, fi, _ in got] == [(0, 0, 0), (1, 5, 1)]
+
+
+def test_gif_time_sampling_banks_head_on_midstream_corruption(spark):
+    """r12 banking contract: a truncated animation yields the samples from
+    COMPLETED visibility windows as good rows plus one error row — same
+    behavior as the per-rect and composed frame operators."""
+    import pandas as pd
+
+    from edgy_spark.functions.gif import encode_gif_animation_rects
+    from edgy_spark.operators.multimodal import decode_frames_gif_timesampled
+
+    pal = bytes(b for v in range(16) for b in (v * 16,) * 3)
+    W, H = 4, 2
+
+    def flat(c, d):
+        return {"left": 0, "top": 0, "disposal": 1, "delay_cs": d,
+                "rows": [bytes([c]) * W for _ in range(H)]}
+
+    data = encode_gif_animation_rects(
+        W, H, [flat(1, 4), flat(2, 4), flat(3, 4)], pal
+    )
+    truncated = data[:-6]  # rips into the last frame's LZW tail
+    media = spark.createDataFrame(
+        [(1, bytearray(data)), (2, bytearray(truncated))],
+        "doc_id long, media binary",
+    )
+    out = decode_frames_gif_timesampled(
+        media, every_cs=2, max_samples=8, on_error="null"
+    ).collect()
+    good = [(r["doc_id"], r["sample_idx"], r["frame_idx"]) for r in out
+            if r["decode_error"] is None]
+    errs = [r["doc_id"] for r in out if r["decode_error"] is not None]
+    # intact doc: frames 0,1 fully windowed + final sample of frame 2
+    assert [(s, f) for d, s, f in good if d == 1] == [
+        (0, 0), (1, 0), (2, 1), (3, 1), (4, 2),
+    ]
+    # truncated doc: frame 0's completed window banks (frame 1 decoded ok,
+    # frame 2's pull raised before frame 1's window could complete)
+    assert [(s, f) for d, s, f in good if d == 2] == [(0, 0), (1, 0)]
+    assert errs == [2]
