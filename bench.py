@@ -191,47 +191,29 @@ def main() -> None:
         "graph_stress_centrality_sampled",
         "multimodal_jpeg_cmyk_stats",
     ]
-    comparable_r05 = round(
-        sum(
-            v
-            for k, v in timings.items()
-            if k not in added_r06 + added_r08 + added_r09 + added_r10
-            + added_r11 + added_r12
-        ),
-        4,
-    )
-    comparable_r07 = round(
-        sum(
-            v
-            for k, v in timings.items()
-            if k not in added_r08 + added_r09 + added_r10 + added_r11
-            + added_r12
-        ),
-        4,
-    )
-    comparable_r08 = round(
-        sum(
-            v
-            for k, v in timings.items()
-            if k not in added_r09 + added_r10 + added_r11 + added_r12
-        ),
-        4,
-    )
-    comparable_r09 = round(
-        sum(
-            v
-            for k, v in timings.items()
-            if k not in added_r10 + added_r11 + added_r12
-        ),
-        4,
-    )
-    comparable_r10 = round(
-        sum(v for k, v in timings.items() if k not in added_r11 + added_r12),
-        4,
-    )
-    comparable_r11 = round(
-        sum(v for k, v in timings.items() if k not in added_r12), 4
-    )
+    # comparable_rNN = total over the queries that existed at round NN:
+    # derived in ONE loop so adding added_r13 next round is a one-entry
+    # change (the hand-edited six-expression chain this replaces is the
+    # repeated-list-editing bug class the r12 window edit hit)
+    additions = {
+        6: added_r06,
+        8: added_r08,
+        9: added_r09,
+        10: added_r10,
+        11: added_r11,
+        12: added_r12,
+    }
+    comparable = {}
+    for base in (5, 7, 8, 9, 10, 11):
+        later = {
+            name
+            for rnd, names in additions.items()
+            if rnd > base
+            for name in names
+        }
+        comparable[base] = round(
+            sum(v for k, v in timings.items() if k not in later), 4
+        )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The external recorder keeps only the last ~2,000 bytes of output and
     # parses the FINAL line (r06-r08 lesson: one oversized line carrying
@@ -253,12 +235,12 @@ def main() -> None:
         "queries": timings,
         "passes": len(pass_times),
         "estimator": "min",
-        "comparable_r05_set_total": comparable_r05,
-        "comparable_r07_set_total": comparable_r07,
-        "comparable_r08_set_total": comparable_r08,
-        "comparable_r09_set_total": comparable_r09,
-        "comparable_r10_set_total": comparable_r10,
-        "comparable_r11_set_total": comparable_r11,
+        "comparable_r05_set_total": comparable[5],
+        "comparable_r07_set_total": comparable[7],
+        "comparable_r08_set_total": comparable[8],
+        "comparable_r09_set_total": comparable[9],
+        "comparable_r10_set_total": comparable[10],
+        "comparable_r11_set_total": comparable[11],
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "regressions": _regressions_vs_prev_round(timings),
         "regressions_vs_floor_named": sorted(vs_floor["named"]),

@@ -570,8 +570,14 @@ def iter_time_sampled_composed_frames(
     rely on).  The one-final-sample of the last frame yields only on
     clean stream exhaustion — before that, whether a frame is last is
     unknowable."""
+    # validate at CALL time (a generator body runs only on first next(),
+    # which would surface a bad argument far from where it was passed)
     if every_cs <= 0:
         raise ValueError("every_cs must be positive")
+    return _iter_time_samples(data, every_cs, max_samples)
+
+
+def _iter_time_samples(data: bytes, every_cs: int, max_samples: int | None):
     if max_samples is not None and max_samples <= 0:
         return
 

@@ -1488,6 +1488,18 @@ class GraphStore:
         return max(0, current - max(1, r) + 1)
 
     def history(self) -> list[dict]:
+        """DESCRIBE HISTORY (Delta's audit-trail read): one record per
+        RETAINED version, newest first — operation kind (bootstrap /
+        write / metadata-only / clone), commit timestamp (r12:
+        ``committed_at`` epoch seconds + ``timestamp`` local ISO — the
+        same wall clock ``timestampAsOf`` reads resolve against; None on
+        manifests committed before stamping existed), which table
+        versions changed, total recorded rows, the id cursor, CDC
+        capture, and stream cursors.  Read-only: derived entirely from
+        the retained manifests; versions beyond the retention horizon
+        are vacuumed and so absent (like Delta, history is bounded by
+        retention)."""
+
         def _render_ts(committed_at):
             if committed_at is None:
                 return None
@@ -1501,17 +1513,6 @@ class GraphStore:
                 # committed_at is still in the record
                 return None
 
-        """DESCRIBE HISTORY (Delta's audit-trail read): one record per
-        RETAINED version, newest first — operation kind (bootstrap /
-        write / metadata-only / clone), commit timestamp (r12:
-        ``committed_at`` epoch seconds + ``timestamp`` local ISO — the
-        same wall clock ``timestampAsOf`` reads resolve against; None on
-        manifests committed before stamping existed), which table
-        versions changed, total recorded rows, the id cursor, CDC
-        capture, and stream cursors.  Read-only: derived entirely from
-        the retained manifests; versions beyond the retention horizon
-        are vacuumed and so absent (like Delta, history is bounded by
-        retention)."""
         current = self.current_version()
         horizon = self._retention_horizon(current)
 

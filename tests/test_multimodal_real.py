@@ -1267,8 +1267,6 @@ def test_gif_time_sampling_banks_head_on_midstream_corruption(spark):
     """r12 banking contract: a truncated animation yields the samples from
     COMPLETED visibility windows as good rows plus one error row — same
     behavior as the per-rect and composed frame operators."""
-    import pandas as pd
-
     from edgy_spark.functions.gif import encode_gif_animation_rects
     from edgy_spark.operators.multimodal import decode_frames_gif_timesampled
 
