@@ -245,6 +245,30 @@ def main() -> None:
         "regressions": _regressions_vs_prev_round(timings),
         "regressions_vs_floor_named": sorted(vs_floor["named"]),
     }
+    # Persist the FULL per-query detail to a committed artifact so drift
+    # adjudication is a file diff, not a two-checkout re-run (r12 verdict
+    # task #3).  The round number is the next after the latest recorded
+    # BENCH_r{N}.json — i.e. the round currently being built; repeated
+    # local runs within a round overwrite (last run wins, min-of-3 each).
+    here = os.path.dirname(os.path.abspath(__file__))
+    next_round = 1 + max(
+        (n for n in range(1, 100)
+         if os.path.exists(os.path.join(here, f"BENCH_r{n:02d}.json"))),
+        default=0,
+    )
+    detail = {
+        "round": next_round,
+        "sf": final["sf"],
+        "timings_min": timings,
+        "pass_times": pass_times,
+        "regressions_vs_prev_round": final["regressions"],
+        "regressions_vs_floor": vs_floor,
+        "comparable_set_totals": {f"r{b:02d}": v for b, v in comparable.items()},
+        "set_additions": {f"r{r:02d}": names for r, names in additions.items()},
+    }
+    with open(os.path.join(here, f"BENCH_DETAIL_r{next_round:02d}.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
     line = json.dumps(final)
     if len(line) > 1800:
         final.pop("queries")

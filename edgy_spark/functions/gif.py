@@ -648,9 +648,12 @@ def encode_gif_animation_rects(
             raise ValueError("disposal must be 0..3")
         if transparent is not None and not 0 <= transparent < n:
             raise ValueError("transparent index out of palette range")
+        fr_delay = int(fr.get("delay_cs", delay_cs))
+        if not 0 <= fr_delay <= 0xFFFF:
+            raise ValueError("delay_cs must be 0..65535")
         gce_flags = (disposal << 2) | (1 if transparent is not None else 0)
         out += bytes([0x21, 0xF9, 4, gce_flags])
-        out += struct.pack("<H", int(fr.get("delay_cs", delay_cs)))
+        out += struct.pack("<H", fr_delay)
         out += bytes([transparent or 0, 0])
         out += struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
         out += _lzw_blocks(b"".join(bytes(r) for r in rows), depth)

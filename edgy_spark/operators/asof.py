@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from edgy_spark.catalog import register
 from edgy_spark.functions.exact import dec, to_dbl
+from edgy_spark.plans.prefix import ntile_expr, ranked_prefix
 from edgy_spark.sources import load
 
 
@@ -846,14 +847,16 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     every axis (most recent / most frequent / highest spend).
 
     Scale: one groupBy(custkey) for the per-customer rollup; the anchor
-    is a broadcast single row.  The three NTILEs are UNPARTITIONED windows
-    — Spark executes those single-partition, which is fine here because
-    the input is the per-customer rollup (dimension-sized: the fact table
-    never enters the window).  If the customer dimension itself outgrows
-    one task, the production swap is quintile BOUNDARIES from the GK
-    sketch (operators/sketches.py) broadcast back as a range join — same
-    output contract, fully parallel; this exact form doubles as its
-    oracle at test scale.
+    is a broadcast single row.  NTILE is positional, so each quintile is
+    computed WITHOUT an unpartitioned window (r12 verdict task #1): the
+    global position under each total order comes from the chunked
+    parallel-prefix combinator (plans/prefix.py — metric-range chunk ids
+    map-side, per-chunk counts, broadcast offsets, chunk-keyed in-chunk
+    row_number; parallelism = PREFIX_CHUNKS), and the bucket is then the
+    exact SQL-standard NTILE formula over (rank, n) — a map-side
+    expression (plans/prefix.py:ntile_expr).  Monetary ranks order by the
+    exact cents (injective into the m_total double up to 2^53), so the
+    quintiles match the oracle's ORDER BY m_total bit-for-bit.
     """
     o = load(spark, sf_dir, "orders")
     anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
@@ -863,26 +866,36 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.to_date("o_orderdate")).alias("lastd"),
             F.count(F.lit(1)).alias("f_cnt"),
-            to_dbl(F.sum(dec("o_totalprice", 2)), 2).alias("m_total"),
+            F.sum(dec("o_totalprice", 2)).alias("m_dec"),
         )
         .select(
             "custkey",
             F.datediff("maxd", "lastd").cast("long").alias("r_days"),
             F.col("f_cnt"),
-            "m_total",
+            to_dbl(F.col("m_dec"), 2).alias("m_total"),
+            (F.col("m_dec") * 100).cast("long").alias("m_cents"),
         )
     )
-    r_w = Window.orderBy(F.asc("r_days"), F.asc("custkey"))
-    f_w = Window.orderBy(F.desc("f_cnt"), F.asc("custkey"))
-    m_w = Window.orderBy(F.desc("m_total"), F.asc("custkey"))
-    scored = base.select(
+    ranked = ranked_prefix(
+        base, "r_days", descending=False, tiebreak=["custkey"],
+        rank_col="__r_rk", n_col="__n",
+    )
+    ranked = ranked_prefix(
+        ranked, "f_cnt", descending=True, tiebreak=["custkey"],
+        rank_col="__f_rk", n_col="__n2",
+    )
+    ranked = ranked_prefix(
+        ranked, "m_cents", descending=True, tiebreak=["custkey"],
+        rank_col="__m_rk", n_col="__n3",
+    )
+    scored = ranked.select(
         "custkey",
         "r_days",
         "f_cnt",
         "m_total",
-        F.ntile(5).over(r_w).cast("long").alias("r_score"),
-        F.ntile(5).over(f_w).cast("long").alias("f_score"),
-        F.ntile(5).over(m_w).cast("long").alias("m_score"),
+        ntile_expr("__r_rk", "__n").alias("r_score"),
+        ntile_expr("__f_rk", "__n").alias("f_score"),
+        ntile_expr("__m_rk", "__n").alias("m_score"),
     )
     return scored.select(
         "custkey",

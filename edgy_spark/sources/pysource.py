@@ -1245,8 +1245,19 @@ def resolve_timestamp(
                 stamp = json.load(f).get("committed_at")
         except FileNotFoundError:
             break  # vacuumed: nothing older is retained
-        except (OSError, json.JSONDecodeError, ValueError):
-            continue  # unreadable manifest: not resolvable, keep walking
+        except (OSError, json.JSONDecodeError, ValueError) as exc:
+            # Versions ≤ current are dense and committed (manifest creation
+            # is the commit point), so a present-but-unparseable manifest in
+            # the walk is corruption, not an in-flight claim.  Skipping it
+            # would silently resolve to an OLDER version — a stale
+            # point-in-time read the caller believes is pinned (never
+            # silently fall back; same principle as the empty-string
+            # timestamp check above).  Review r12.
+            raise ValueError(
+                f"{option} {ts!r}: manifest.v{v}.json is present but "
+                f"unreadable ({exc}); cannot prove which version was "
+                "current at that timestamp"
+            ) from exc
         stamp = stamp if isinstance(stamp, (int, float)) else 0.0
         oldest_seen = stamp
         if (stamp <= target) if inclusive else (stamp < target):

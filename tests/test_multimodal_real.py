@@ -1120,6 +1120,26 @@ def test_gif_composed_disposal_and_transparency():
         decode_gif_frames_composed(bad)
 
 
+def test_gif_encoder_rejects_out_of_range_delay():
+    """delay_cs is packed into a u16 GCE field: out-of-range values must
+    fail the encoder's loud-validation contract (ValueError, like every
+    sibling field check), not leak a struct.error (r12 advice)."""
+    import pytest
+
+    from edgy_spark.functions.gif import encode_gif_animation_rects
+
+    pal = bytes(b for v in range(4) for b in (v * 64, v * 64, v * 64))
+    frame = {"left": 0, "top": 0, "rows": [bytes([1, 2])]}
+    for bad in (-1, 0x10000):
+        with pytest.raises(ValueError, match="delay_cs"):
+            encode_gif_animation_rects(
+                2, 1, [dict(frame, delay_cs=bad)], pal
+            )
+    # boundary values stay encodable
+    for ok in (0, 0xFFFF):
+        encode_gif_animation_rects(2, 1, [dict(frame, delay_cs=ok)], pal)
+
+
 def test_gif_rect_animation_read_by_jdk(spark):
     """Our rect/disposal animation streams are spec-valid: the JDK reader
     sees every sub-rect frame at its own size with our palette colors."""

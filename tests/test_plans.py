@@ -467,9 +467,9 @@ def test_markov_transitions_partial_agg_small_shuffles(spark):
 
 def test_rfm_window_input_is_dimension_sized(spark):
     plan = _plan(spark, "orders_rfm_segments")
-    # the NTILE windows must consume the per-customer AGGREGATE, never raw
+    # the quintile ranks must consume the per-customer AGGREGATE, never raw
     # orders: a partial_count + final HashAggregate precedes all Windows,
-    # and the anchor row joins broadcast
+    # and the anchor row / chunk spans / offsets all join broadcast
     assert "partial_count" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # execution order from the numbered tree (leaves have low ids): the
@@ -478,6 +478,23 @@ def test_rfm_window_input_is_dimension_sized(spark):
     agg_ids = [int(i) for i, k in nodes if k == "HashAggregate"]
     win_ids = [int(i) for i, k in nodes if k == "Window"]
     assert agg_ids and win_ids and min(agg_ids) < min(win_ids), nodes
+
+
+def test_rfm_no_unpartitioned_customer_window(spark):
+    """The three quintile ranks must NOT serialize the customer dimension
+    into one task (r12 verdict task #1): every ordered window whose spec
+    touches a customer-level column has to be keyed on the parallel-prefix
+    chunk; unpartitioned windows are allowed only over the ≤PREFIX_CHUNKS
+    offset tables (specs ordering by __pp_chunk alone)."""
+    plan = _plan(spark, "orders_rfm_segments")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    row_specs = [s for s in specs if "custkey#" in s or "r_days#" in s]
+    assert row_specs, "no customer-level ordered window found"
+    for s in row_specs:
+        assert "__pp_chunk#" in s, f"customer-level window not chunk-keyed: {s}"
+    # NTILE itself is gone — the bucket is the positional formula, a
+    # map-side expression over (rank, n)
+    assert "ntile" not in plan.lower()
 
 
 def test_scd2_single_shuffle_all_windows(spark):
@@ -491,12 +508,28 @@ def test_scd2_single_shuffle_all_windows(spark):
 def test_pareto_window_input_is_part_dimension(spark):
     plan = _plan(spark, "parts_pareto_classes")
     # the running-share windows consume the per-part AGGREGATE (fact rows
-    # never enter a single-partition window); revenue combines map-side
+    # never enter any window); revenue combines map-side
     assert "partial_sum" in plan
     nodes = re.findall(r"\((\d+)\) (HashAggregate|Window)", plan)
     agg_ids = [int(i) for i, k in nodes if k == "HashAggregate"]
     win_ids = [int(i) for i, k in nodes if k == "Window"]
     assert agg_ids and win_ids and min(agg_ids) < min(win_ids), nodes
+
+
+def test_pareto_no_unpartitioned_part_window(spark):
+    """The revenue running sum and rank must NOT serialize the part
+    dimension into one task (r12 verdict task #1): every ordered window
+    whose spec touches a part-level column has to be keyed on the
+    parallel-prefix chunk; unpartitioned windows are allowed only over the
+    ≤PREFIX_CHUNKS offset tables (specs ordering by __pp_chunk alone)."""
+    plan = _plan(spark, "parts_pareto_classes")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    row_specs = [s for s in specs if "partkey#" in s or "rev_c#" in s]
+    assert row_specs, "no part-level ordered window found"
+    for s in row_specs:
+        assert "__pp_chunk#" in s, f"part-level window not chunk-keyed: {s}"
+    # offsets broadcast back onto the chunked rows
+    assert "BroadcastExchange" in plan
 
 
 def test_top_paths_small_aggregate_and_topk(spark):

@@ -1262,6 +1262,39 @@ def test_timestamp_as_of_empty_string_errors(spark, tmp_path):
         )
 
 
+def test_timestamp_as_of_corrupt_manifest_in_walk_errors(spark, tmp_path):
+    """A present-but-unparseable manifest encountered while walking
+    newest-to-oldest must RAISE, not be skipped: skipping would silently
+    resolve timestampAsOf to an OLDER version than the one actually
+    current at that instant — a stale read the caller believes is pinned
+    (r12 advice)."""
+    import json
+
+    import pytest
+
+    engine, _ = _store(spark, tmp_path)
+    v1 = engine.store.current_version()
+    engine.run(lambda t: t.new_node("Person", name="Ann", age=33))
+    register_edgy_source(spark)
+    with open(os.path.join(engine.store.root, f"manifest.v{v1}.json")) as f:
+        s1 = json.load(f)["committed_at"]
+    # corrupt the OLDER committed manifest; ask for a ts before v2 so the
+    # walk must consult it
+    with open(
+        os.path.join(engine.store.root, f"manifest.v{v1}.json"), "w"
+    ) as f:
+        f.write("{not json")
+    with pytest.raises(Exception, match="unreadable"):
+        (
+            spark.read.format("edgy")
+            .option("root", engine.store.root)
+            .option("table", "n_Person")
+            .option("timestampAsOf", str(s1))
+            .load()
+            .collect()
+        )
+
+
 def test_edgy_stream_start_timestamp(spark, tmp_path):
     """Delta's startingTimestamp analogue: .option("startTimestamp", ts)
     streams changes committed AT OR AFTER ts (inclusive, like Delta) —
