@@ -195,6 +195,11 @@ def main() -> None:
     # derived in ONE loop so adding added_r13 next round is a one-entry
     # change (the hand-edited six-expression chain this replaces is the
     # repeated-list-editing bug class the r12 window edit hit)
+    # r13 widened the set by one (the round's flagship addition: the
+    # zero-shuffle frozen-vocab tokenizer over the documents corpus)
+    added_r13 = [
+        "text_tokenize_ids",
+    ]
     additions = {
         6: added_r06,
         8: added_r08,
@@ -202,9 +207,10 @@ def main() -> None:
         10: added_r10,
         11: added_r11,
         12: added_r12,
+        13: added_r13,
     }
     comparable = {}
-    for base in (5, 7, 8, 9, 10, 11):
+    for base in (5, 7, 8, 9, 10, 11, 12):
         later = {
             name
             for rnd, names in additions.items()
@@ -223,7 +229,7 @@ def main() -> None:
     # headline if they would push it past the window.
     for pass_no, this_pass in enumerate(pass_times):
         print(json.dumps({"detail": "pass_times", "pass": pass_no, "times": this_pass}))
-    print(json.dumps({"detail": "set_history", "added_in_r06": added_r06, "added_in_r08": added_r08, "added_in_r09": added_r09, "added_in_r10": added_r10, "added_in_r11": added_r11, "added_in_r12": added_r12}))
+    print(json.dumps({"detail": "set_history", "added_in_r06": added_r06, "added_in_r08": added_r08, "added_in_r09": added_r09, "added_in_r10": added_r10, "added_in_r11": added_r11, "added_in_r12": added_r12, "added_in_r13": added_r13}))
     vs_floor = _regressions_vs_floor(timings)
     # full floor diff goes on a detail line; the final line carries only
     # the names (the 2,000-byte recorder-window rule)
@@ -241,6 +247,7 @@ def main() -> None:
         "comparable_r09_set_total": comparable[9],
         "comparable_r10_set_total": comparable[10],
         "comparable_r11_set_total": comparable[11],
+        "comparable_r12_set_total": comparable[12],
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "regressions": _regressions_vs_prev_round(timings),
         "regressions_vs_floor_named": sorted(vs_floor["named"]),

@@ -133,7 +133,86 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.recursive  # noqa: F401
     import edgy_spark.operators.entity  # noqa: F401
 
-    _prioritize(R12_WINDOW)
+    _prioritize(R13_WINDOW)
+
+
+#: The exact first-50 list for the r13 driver gate.
+#: ``tests/test_registry_window.py`` pins this against the live registry.
+#:
+#: R13 rotation rationale: (1) the queries NEW in r13, never
+#: driver-verified (fixed-vocab tokenization to token-id sequences and
+#: the composed tokenize→pack placement); (2) every query whose EXECUTED
+#: code changed after its last driver green: parts_pareto_classes and
+#: orders_rfm_segments (both rewritten in r13 onto the chunked
+#: parallel-prefix combinator, plans/prefix.py — the r12 verdict's task
+#: #1; both last green r09) and graph_closeness_sampled (its seed state
+#: was refactored into _landmark_seed_state in r12 while it sat outside
+#: the r12 window — the r12 verdict's discipline-slip pin; last green
+#: r10); (3) the six r08-last-green queries the r12 rotation deferred
+#: (q1_pricing_summary, q6_forecast_revenue, q3_shipping_priority,
+#: customers_with_urgent_orders, stream_dedup_event_delivery,
+#: trailing_30d_customer_spend — the r12 verdict's task #2: after this
+#: window no entry's last driver green predates r09); (4) backfill with
+#: ALL 38 remaining r09-last-green queries (registration order within
+#: each family); (5) one r10-green filler (dedup_simhash_fingerprints)
+#: holding the last slot for the round's next never-verified addition.
+R13_WINDOW: list[str] = [
+    # new in r13 — never driver-verified
+    "text_tokenize_ids",
+    "pipeline_pack_tokenized_blocks",
+    # executed-code changes after the last driver green
+    "parts_pareto_classes",
+    "orders_rfm_segments",
+    "graph_closeness_sampled",
+    # the six r08-last-green queries deferred by the r12 rotation
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "customers_with_urgent_orders",
+    "stream_dedup_event_delivery",
+    "trailing_30d_customer_spend",
+    # stalest greens: all 38 remaining r09-last-green queries
+    "cube_returnflag_status",
+    "dedup_incremental_new_docs",
+    "dedup_minhash_cluster_keepers",
+    "dedup_minhash_lsh_pairs",
+    "dedup_prefix_filter_jaccard_pairs",
+    "dedup_semantic_prune",
+    "dedup_trim_duplicate_spans",
+    "er_fuzzy_name_clusters",
+    "er_fuzzy_part_name_pairs",
+    "events_anomaly_zscore",
+    "events_markov_transitions",
+    "events_retention_cohorts",
+    "events_scd2_intervals",
+    "events_top_paths",
+    "graph_bfs_distances",
+    "graph_clustering_coefficients",
+    "graph_common_neighbors",
+    "graph_connected_components",
+    "graph_resource_allocation_links",
+    "graph_scc_condensation_levels",
+    "graph_scc_members",
+    "graph_sssp_weighted",
+    "pipeline_priority_sample",
+    "recursive_copurchase_reach",
+    "recursive_hierarchy_rollup",
+    "rollup_nation_balance",
+    "sim_ivf_trained_topk",
+    "sim_ivfpq_topk",
+    "sim_jl_projection_topk",
+    "sketch_hll_intersection_users",
+    "stream_attribution_ledger",
+    "stream_enriched_cohort_revenue",
+    "text_bpe_encode_lengths",
+    "text_langid_confusion",
+    "text_quality_percentile_filter",
+    "text_quality_scores",
+    "text_token_counts",
+    "top_orders_per_customer",
+    # r10-green filler (slot reserved for the round's next new query)
+    "dedup_simhash_fingerprints",
+]
 
 
 #: The exact first-50 list for the r12 driver gate.

@@ -922,20 +922,15 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_encode_oracle() -> str:
-    """Trainer CTEs (recomputing m1..m{BPE_TRAIN_ROUNDS} from the corpus)
-    + a word-TYPE encode chain t0..t{BPE_TRAIN_ROUNDS} that preserves the
-    word string, then per-document aggregation over the token stream."""
-    cte = _bpe_train_ctes()
-    cte.append(
-        """w AS (SELECT doc_id,
-                unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-         FROM documents)"""
-    )
-    cte.append(
+def _bpe_type_chain_ctes() -> list[str]:
+    """The word-TYPE encode chain t0..t{BPE_TRAIN_ROUNDS} (word string
+    preserved, merges m1.. applied in rank order), assuming a ``w`` CTE
+    with a ``word`` column is already in scope.  Shared by the encoder,
+    tokenizer, and composed-pack oracles."""
+    cte = [
         "t0 AS (SELECT word, string_split(word, '') AS syms"
         " FROM (SELECT DISTINCT word FROM w))"
-    )
+    ]
     for r in range(1, BPE_TRAIN_ROUNDS + 1):
         fold = _bpe_fold_case(
             f"split_part(m{r}.pr, ' ', 1)", f"split_part(m{r}.pr, ' ', 2)"
@@ -950,6 +945,20 @@ def _bpe_encode_oracle() -> str:
                      ELSE string_split(list_reduce(syms, {fold}), ' ') END AS syms
                 FROM t{r-1} LEFT JOIN m{r} ON TRUE)"""
         )
+    return cte
+
+
+def _bpe_encode_oracle() -> str:
+    """Trainer CTEs (recomputing m1..m{BPE_TRAIN_ROUNDS} from the corpus)
+    + a word-TYPE encode chain t0..t{BPE_TRAIN_ROUNDS} that preserves the
+    word string, then per-document aggregation over the token stream."""
+    cte = _bpe_train_ctes()
+    cte.append(
+        """w AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         FROM documents)"""
+    )
+    cte.extend(_bpe_type_chain_ctes())
     return (
         "WITH " + ",\n".join(cte) + f"""
     SELECT doc_id,
@@ -1402,3 +1411,166 @@ def text_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n12"), "w1", "w2")
         .limit(KN_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-vocab tokenization (freeze the trained vocab → token-id sequences)
+# ---------------------------------------------------------------------------
+#
+# Vocab id convention (pure function of the frozen merge table, identical on
+# both engines): 'a'..'z' → 1..26; merge r's concatenated surface string →
+# 26 + r.  Two merges can in principle produce the same surface string
+# (e.g. (t,he) and (th,e) both yield "the"); the EARLIEST merge's id wins —
+# the Spark when-chain and the oracle CASE both test merges in rank order.
+
+
+def _greedy_merge_fold(syms, a: str, b: str):
+    """Apply ONE frozen merge (a, b) to a symbol array, in-row: the
+    trainer's greedy leftmost non-overlapping fold (kept textually in sync
+    with :func:`text_bpe_train_merges` / :func:`text_bpe_encode_lengths` —
+    append ``x`` separator-free when the accumulator's last symbol is
+    ``a`` and ``x`` is ``b``), then re-split into the merged symbol array.
+    """
+    folded = F.aggregate(
+        syms,
+        F.lit(""),
+        lambda acc, x: F.when(acc == "", x).otherwise(
+            F.when(
+                (F.regexp_extract(acc, r"([^ ]+)$", 1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit(" "), x))
+        ),
+    )
+    return F.split(folded, " ")
+
+
+def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual tokenize step a pretraining run executes at 100 TB: apply
+    a FROZEN vocab (here the corpus-trained ``text_bpe_train_merges`` table,
+    collected once — BPE_TRAIN_ROUNDS driver rows, the broadcast-vocab
+    stand-in) to every document and emit the real token-id sequence:
+    ``(doc_id, token_ids array<int>)``.
+
+    Scale shape: the merge table ships as literals inside one nested in-row
+    expression (literals ARE the broadcast — a 32k-merge production vocab
+    rides the same way as a small broadcast join or literal map), so the
+    whole plan is scan → project: ZERO corpus shuffles, no explode, no
+    regroup — the token-id array lands in the same row as the document that
+    produced it, ready for a per-shard packer.  Per word: split to
+    characters, fold each frozen merge in rank order (the property-pinned
+    greedy leftmost scan), then map each surviving symbol to its vocab id.
+    """
+    merge_rows = text_bpe_train_merges(spark, sf_dir).collect()
+
+    def sym_id(s):
+        # rank-ordered when-chain == the oracle's CASE; letters first
+        # (merged symbols are always ≥2 chars, so no overlap), then merges
+        e = F.when(F.length(s) == F.lit(1), F.ascii(s) - F.lit(96))
+        for row in merge_rows:
+            e = e.when(
+                s == F.lit(row.left_sym + row.right_sym),
+                F.lit(26 + int(row.merge_rank)),
+            )
+        # unreachable by construction (folds only ever create the surface
+        # strings tested above); NULL rather than a wrong id if violated
+        return e.cast("int")
+
+    def word_to_ids(w):
+        syms = F.split(w, "")
+        for row in merge_rows:
+            syms = _greedy_merge_fold(syms, row.left_sym, row.right_sym)
+        return F.transform(syms, sym_id)
+
+    d = load(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
+    )
+    return d.select(
+        "doc_id",
+        F.flatten(F.transform(words, word_to_ids)).alias("token_ids"),
+    )
+
+
+def _tokenize_ids_oracle() -> str:
+    """Trainer CTEs + the shared word-type encode chain, then symbol→id
+    mapping (the rank-ordered CASE twin of the Spark when-chain) and
+    per-document reassembly in word order."""
+    cte = _bpe_train_ctes()
+    cte.append(
+        """w AS (SELECT doc_id, unnest(words) AS word,
+                unnest(range(1, len(words) + 1)) AS pos
+         FROM (SELECT doc_id,
+                      regexp_extract_all(lower(text), '[a-z]+') AS words
+               FROM documents))"""
+    )
+    cte.extend(_bpe_type_chain_ctes())
+    id_cases = " ".join(
+        f"WHEN m{r}.pr IS NOT NULL AND s = replace(m{r}.pr, ' ', '')"
+        f" THEN {26 + r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN m{r} ON TRUE" for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    cte.append(
+        f"""wid AS (SELECT word, list_transform(syms,
+                s -> CASE WHEN length(s) = 1 THEN ascii(s) - 96
+                          {id_cases} END) AS ids
+         FROM t{BPE_TRAIN_ROUNDS} {joins})"""
+    )
+    cte.append(
+        """agg AS (SELECT doc_id, flatten(list(ids ORDER BY pos)) AS tids
+         FROM w JOIN wid USING (word) GROUP BY doc_id)"""
+    )
+    return (
+        "WITH " + ",\n".join(cte) + """
+    SELECT d.doc_id,
+           CAST(COALESCE(len(tids), 0) AS INT) AS n_tokens,
+           CAST(tids[1] AS INT) AS first_id,
+           CAST(tids[len(tids)] AS INT) AS last_id,
+           CAST(COALESCE(list_sum(list_transform(
+                  range(1, len(tids) + 1), i -> tids[i] * i)), 0)
+                AS BIGINT) AS id_checksum
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    ORDER BY d.doc_id"""
+    )
+
+
+@register(
+    "text_tokenize_ids",
+    oracle=_tokenize_ids_oracle(),
+    tags=("text", "tokenizer", "iterative"),
+    bench=True,
+)
+def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-vocab tokenization, hash-gated: tokenize every document with
+    the frozen trained vocab (:func:`bpe_token_ids` — the zero-shuffle
+    scan → project plan) and emit per-document sequence evidence the
+    oracle can reproduce exactly: token count, first/last token id, and a
+    position-weighted checksum ``Σ id[i]·i`` (1-based) that pins the FULL
+    id sequence and its order, not just a bag — while keeping the gated
+    row scalar (cross-engine array hashing is not part of the driver
+    contract).  Wordless documents tokenize to the empty sequence:
+    0 tokens, NULL endpoints, checksum 0 on both engines.
+    """
+    t = bpe_token_ids(spark, sf_dir)
+    ids = F.col("token_ids")
+    checksum = F.aggregate(
+        ids,
+        F.struct(
+            F.lit(0).cast("long").alias("s"), F.lit(1).cast("long").alias("i")
+        ),
+        lambda acc, x: F.struct(
+            (acc["s"] + x.cast("long") * acc["i"]).alias("s"),
+            (acc["i"] + F.lit(1)).alias("i"),
+        ),
+        lambda acc: acc["s"],
+    )
+    return t.select(
+        "doc_id",
+        F.size(ids).alias("n_tokens"),
+        F.get(ids, F.lit(0)).alias("first_id"),
+        F.get(ids, F.size(ids) - 1).alias("last_id"),
+        checksum.alias("id_checksum"),
+    ).orderBy("doc_id")

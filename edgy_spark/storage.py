@@ -1131,6 +1131,14 @@ class GraphStore:
         for the inserts.  Id assignment is one bounded window over the
         INSERT subset only; the target never enters an unpartitioned
         window.  The source is persisted across its multiple consumers.
+        DELTA-SIZED ASSUMPTION: that id window is unpartitioned by design
+        and serializes the INSERT subset into one task — correct at the
+        transactional-merge granularity this API serves (a sync job's
+        changed-row delta), NOT a bulk-load path.  A merge whose unmatched
+        side approaches dimension scale (10⁹ rows) should go through the
+        Arrow bulk loader, or this window gets the chunked parallel-prefix
+        rank treatment (plans/prefix.py:ranked_prefix, the pareto/RFM
+        pattern).
 
         Optimistic concurrency: like every commit, raises ConflictError if
         CURRENT moved past ``base``; the caller re-runs on a fresh

@@ -749,6 +749,37 @@ def test_anf_superstep_bitor_combines_mapside_no_wide_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_tokenize_ids_zero_corpus_shuffle(spark):
+    """The frozen-vocab tokenizer is scan → project: the merge table rides
+    as in-row literals (the broadcast-vocab stand-in), so producing the
+    per-document token-id array introduces NO exchange, join, or regroup —
+    at 100 TB tokenization runs at scan speed."""
+    from edgy_spark.operators.text import bpe_token_ids
+
+    df = bpe_token_ids(spark, SF_SMOKE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}  # column pruning reaches the scan
+
+
+def test_pack_tokenized_windows_are_per_shard(spark):
+    """The composed tokenize→pack plan: tokenization stays in-row (no
+    join anywhere) and the only ordered window is the per-shard cumsum —
+    never an unpartitioned token-stream scan."""
+    plan = _plan(spark, "pipeline_pack_tokenized_blocks")
+    assert "Join" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "no window found"
+    for s in specs:
+        assert "shard#" in s, f"pack window not shard-keyed: {s}"
+
+
 def test_token_budget_prefix_parallel_by_chunk(spark):
     """The budget mix's running token prefix must never serialize a
     source into one task: row-level ordered windows must key on

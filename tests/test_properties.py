@@ -486,6 +486,89 @@ def test_bpe_trainer_property_random_corpora(spark, tmp_path):
         assert got == want, f"seed {seed}"
 
 
+def _naive_tokenize_ids(text: str, merges) -> list[int]:
+    """Reference frozen-vocab tokenizer: naive per-word greedy leftmost
+    re-scan of each trained merge in rank order, then the vocab id
+    convention ('a'..'z' → 1..26, merge r's surface → 26+r, earliest merge
+    wins a surface collision) — shares no code shape with the engine's
+    fold/when-chain formulation."""
+    import re as _re
+
+    vocab = {chr(96 + i): i for i in range(1, 27)}
+    for rank, a, b, _ in merges:
+        vocab.setdefault(a + b, 26 + rank)
+    ids: list[int] = []
+    for w in _re.findall("[a-z]+", text.lower()):
+        syms = list(w)
+        for _, a, b, _tot in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        ids.extend(vocab[s] for s in syms)
+    return ids
+
+
+def test_tokenize_ids_equal_reference_scan(spark, tmp_path):
+    """The zero-shuffle in-row tokenizer must emit exactly the token-id
+    sequence the textbook re-scan produces — including merged symbols
+    spanning later merges and the self-overlap greedy-leftmost case."""
+    from edgy_spark.operators.text import bpe_token_ids
+
+    docs = [
+        (1, "aaaa aaaa banana"),
+        (2, "banana bandana aaaa"),
+        (3, "an anna banana ban 123 !!"),
+        (4, "naan naan naan a"),
+        (5, "mixed 42 digits and words 7"),
+        (6, "1234 %%% 99"),  # wordless → empty sequence
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    counts: dict[str, int] = {}
+    import re as _re
+
+    for _, t in docs:
+        for w in _re.findall("[a-z]+", t.lower()):
+            counts[w] = counts.get(w, 0) + 1
+    merges = _naive_bpe(counts, 4)
+    got = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe_token_ids(spark, str(tmp_path)).collect()
+    }
+    for doc_id, text in docs:
+        assert got[doc_id] == _naive_tokenize_ids(text, merges), doc_id
+    assert got[6] == []
+
+
+def test_tokenize_ids_query_scalars_pin_the_sequence(spark, tmp_path):
+    """The gated projection (count / endpoints / position-weighted
+    checksum) must derive from the reference sequence; wordless documents
+    emit (0, NULL, NULL, 0)."""
+    from edgy_spark.operators.text import text_tokenize_ids
+
+    docs = [(1, "abab abab baba"), (2, "??? 88 ---")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    counts = {"abab": 2, "baba": 1}
+    merges = _naive_bpe(counts, 4)
+    seq = _naive_tokenize_ids(docs[0][1], merges)
+    rows = {r.doc_id: r for r in text_tokenize_ids(spark, str(tmp_path)).collect()}
+    r1 = rows[1]
+    assert r1.n_tokens == len(seq)
+    assert r1.first_id == seq[0] and r1.last_id == seq[-1]
+    assert r1.id_checksum == sum(v * (i + 1) for i, v in enumerate(seq))
+    r2 = rows[2]
+    assert (r2.n_tokens, r2.first_id, r2.last_id, r2.id_checksum) == (0, None, None, 0)
+
+
 def test_hits_scores_are_positive_and_sum_normalized(spark):
     """Every HITS authority/hub score is positive and each rescaled vector
     sums into (SCALE - n, SCALE] — the floor-division mass bound that makes
