@@ -195,10 +195,13 @@ def main() -> None:
     # derived in ONE loop so adding added_r13 next round is a one-entry
     # change (the hand-edited six-expression chain this replaces is the
     # repeated-list-editing bug class the r12 window edit hit)
-    # r13 widened the set by one (the round's flagship addition: the
-    # zero-shuffle frozen-vocab tokenizer over the documents corpus)
+    # r13 widened the set by three (the round's flagship additions: the
+    # zero-shuffle frozen-vocab tokenizer and the from-spec VP8L WebP and
+    # FLAC decode gates)
     added_r13 = [
         "text_tokenize_ids",
+        "multimodal_webp_stats",
+        "multimodal_flac_loudness",
     ]
     additions = {
         6: added_r06,

@@ -153,9 +153,12 @@ def load_all_registrations() -> None:
 #: customers_with_urgent_orders, stream_dedup_event_delivery,
 #: trailing_30d_customer_spend — the r12 verdict's task #2: after this
 #: window no entry's last driver green predates r09); (4) backfill with
-#: ALL 38 remaining r09-last-green queries (registration order within
-#: each family); (5) one r10-green filler (dedup_simhash_fingerprints)
-#: holding the last slot for the round's next never-verified addition.
+#: 37 of the 38 remaining r09-last-green queries (registration order
+#: within each family; dedup_minhash_cluster_keepers defers — its pair
+#: generator re-verifies via the in-window dedup_minhash_lsh_pairs and
+#: its CC closure via the in-window graph_connected_components); (5) the
+#: round's later waves — the VP8L WebP decode gate and the FLAC decode
+#: gate (both never driver-verified) — in the final slots.
 R13_WINDOW: list[str] = [
     # new in r13 — never driver-verified
     "text_tokenize_ids",
@@ -174,7 +177,6 @@ R13_WINDOW: list[str] = [
     # stalest greens: all 38 remaining r09-last-green queries
     "cube_returnflag_status",
     "dedup_incremental_new_docs",
-    "dedup_minhash_cluster_keepers",
     "dedup_minhash_lsh_pairs",
     "dedup_prefix_filter_jaccard_pairs",
     "dedup_semantic_prune",
@@ -210,8 +212,16 @@ R13_WINDOW: list[str] = [
     "text_quality_scores",
     "text_token_counts",
     "top_orders_per_customer",
-    # r10-green filler (slot reserved for the round's next new query)
-    "dedup_simhash_fingerprints",
+    # new in r13 (second wave) — never driver-verified: the VP8L WebP
+    # decode gate (took the slot the r10-green dedup_simhash_fingerprints
+    # filler held; that query's code is unchanged since its r10 green)
+    "multimodal_webp_stats",
+    # new in r13 (third wave) — never driver-verified: the FLAC decode
+    # gate (displaced r09-green dedup_minhash_cluster_keepers: its pair
+    # generator re-verifies via the in-window dedup_minhash_lsh_pairs and
+    # its connected-components closure via the in-window
+    # graph_connected_components — the r11/r12 sibling-deferral rationale)
+    "multimodal_flac_loudness",
 ]
 
 

@@ -193,28 +193,18 @@ def _read_tree(br: _BitReader, alphabet: int) -> _Tree:
             if s1 == s0:
                 raise ValueError("duplicate symbol in simple code")
             lengths[s1] = 1
-        else:
-            lengths = {s0: 1}  # single symbol: zero-bit code (see _Tree)
-            tree = _Tree({s0: 1})
-            tree.single = s0  # force zero-bit reads
-            if max(lengths) >= alphabet:
-                raise ValueError("simple-code symbol out of alphabet")
-            return tree
         if max(lengths) >= alphabet:
             raise ValueError("simple-code symbol out of alphabet")
-        return _Tree(lengths)
+        return _Tree(lengths)  # one used symbol → zero-bit code (see _Tree)
     num_codes = br.read(4) + 4
     if num_codes > len(_CODE_LENGTH_ORDER):
         raise ValueError("invalid code-length count")
     lc_lengths: dict[int, int] = {}
     for i in range(num_codes):
         lc_lengths[_CODE_LENGTH_ORDER[i]] = br.read(3)
-    lc_used = {s: l for s, l in lc_lengths.items() if l > 0}
-    if len(lc_used) == 1:
-        lc_tree = _Tree(lc_used)
-    else:
-        # code-length code is 7-bit-limited canonical (3-bit lengths)
-        lc_tree = _Tree(lc_lengths)
+    # the code-length code itself is canonical over <=19 symbols (a single
+    # used symbol again collapses to the zero-bit tree)
+    lc_tree = _Tree(lc_lengths)
     lengths = _read_code_lengths(br, lc_tree, alphabet)
     return _Tree(lengths)
 
@@ -340,7 +330,7 @@ def _decode_image_stream(
         raise ValueError("image too large")
     pixels: list[int] = []
     group = groups[0]
-    last_meta_x = -1
+    last_meta = (-1, -1)
 
     def insert_cache(argb: int) -> None:
         if cache_size:
@@ -350,10 +340,12 @@ def _decode_image_stream(
         pos = len(pixels)
         x = pos % xsize
         y = pos // xsize
-        if entropy_image is not None and (x >> huffman_bits) != last_meta_x:
-            last_meta_x = x >> huffman_bits
-            meta = entropy_image[(y >> huffman_bits) * huffman_xsize + last_meta_x]
-            group = groups[(meta >> 8) & 0xFFFF]
+        if entropy_image is not None:
+            key = (x >> huffman_bits, y >> huffman_bits)
+            if key != last_meta:
+                last_meta = key
+                meta = entropy_image[key[1] * huffman_xsize + key[0]]
+                group = groups[(meta >> 8) & 0xFFFF]
         g_tree, r_tree, b_tree, a_tree, d_tree = group
         s = g_tree.read(br)
         if s < _NUM_LITERALS:
@@ -373,7 +365,7 @@ def _decode_image_stream(
                 argb = pixels[-dist]
                 pixels.append(argb)
                 insert_cache(argb)
-            last_meta_x = -1  # row/group may have changed mid-copy
+            last_meta = (-1, -1)  # position may have jumped blocks mid-copy
         else:
             idx = s - (_NUM_LITERALS + _NUM_LENGTH_CODES)
             if idx >= cache_size:

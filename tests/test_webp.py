@@ -1,0 +1,381 @@
+"""From-spec VP8L (lossless WebP) codec tests.
+
+The JDK's javax.imageio has no WebP plugin (and PIL is absent in this
+container), so the cross-validation lane used for PNG/GIF/JPEG does not
+apply here.  Conformance is anchored three ways instead:
+
+1. HAND-BUILT bitstreams (an independent little bit-writer below, not the
+   encoder) decoded against hand-computed pixels — covering simple and
+   code-length-coded prefix codes, repeat codes, LZ77 backrefs through the
+   2D distance map, the color cache, and meta prefix (entropy) images.
+2. Arithmetic pins of the transform inverses against values computed
+   by hand from the spec formulas (Select / ClampAddSubtract / Average2 /
+   ColorTransformDelta).
+3. Encoder round-trips across all 14 predictor modes, subtract-green,
+   and palette packing widths (1/2/4/8-bit indices).
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from edgy_spark.functions.webp import (
+    _DISTANCE_MAP,
+    MAX_PIXELS,
+    decode_webp,
+    encode_webp_lossless,
+)
+
+
+class _BW:
+    """Independent LSB-first bit writer for hand-built streams."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def w(self, v: int, n: int) -> None:  # LSB-first field
+        for i in range(n):
+            self.bits.append((v >> i) & 1)
+
+    def wc(self, code: int, n: int) -> None:  # prefix code, MSB-first
+        for i in range(n - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _riff(vp8l_payload: bytes) -> bytes:
+    chunk = b"VP8L" + struct.pack("<I", len(vp8l_payload)) + vp8l_payload
+    if len(vp8l_payload) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _header(bw: _BW, w: int, h: int) -> None:
+    bw.w(0x2F, 8)
+    bw.w(w - 1, 14)
+    bw.w(h - 1, 14)
+    bw.w(0, 1)  # alpha hint
+    bw.w(0, 3)  # version
+
+
+def _simple_single(bw: _BW, sym: int) -> None:
+    """Simple prefix code carrying ONE symbol (zero bits per read)."""
+    bw.w(1, 1)
+    bw.w(0, 1)  # num_symbols - 1
+    if sym < 2:
+        bw.w(0, 1)
+        bw.w(sym, 1)
+    else:
+        bw.w(1, 1)
+        bw.w(sym, 8)
+
+
+def _simple_pair(bw: _BW, s0: int, s1: int) -> None:
+    """Simple prefix code with TWO 8-bit symbols (1 bit per read;
+    canonical: smaller symbol gets code 0)."""
+    bw.w(1, 1)
+    bw.w(1, 1)
+    bw.w(1, 1)  # first symbol in 8 bits
+    bw.w(s0, 8)
+    bw.w(s1, 8)
+
+
+def _complex_two_len1(bw: _BW, sym_a: int, sym_b: int, alphabet: int) -> None:
+    """Code-length-coded tree: two symbols at length 1, zeros elsewhere,
+    exercising repeat codes 17/18.  Code-length code: {1: len1, 17: len2,
+    0: len3, 18: len3} → canonical 1→0, 17→10, 0→110, 18→111."""
+    assert sym_a < sym_b < alphabet
+    bw.w(0, 1)  # not simple
+    bw.w(19 - 4, 4)  # all 19 code-length-code lengths present
+    lengths = {17: 2, 18: 3, 0: 3, 1: 1}
+    for s in (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15):
+        bw.w(lengths.get(s, 0), 3)
+    bw.w(0, 1)  # no max_symbol
+
+    def emit_len1():
+        bw.wc(0b0, 1)
+
+    def emit_zeros(n: int) -> None:
+        while n >= 11:
+            take = min(n, 138)
+            bw.wc(0b111, 3)
+            bw.w(take - 11, 7)
+            n -= take
+        while n >= 3:
+            take = min(n, 10)
+            bw.wc(0b10, 2)
+            bw.w(take - 3, 3)
+            n -= take
+        for _ in range(n):
+            bw.wc(0b110, 3)
+
+    emit_zeros(sym_a)
+    emit_len1()
+    emit_zeros(sym_b - sym_a - 1)
+    emit_len1()
+    emit_zeros(alphabet - sym_b - 1)
+
+
+def test_hand_vector_simple_codes_two_literals():
+    """2x1 image, literal-only, simple prefix codes (hand-computed)."""
+    bw = _BW()
+    _header(bw, 2, 1)
+    bw.w(0, 1)  # no transforms
+    bw.w(0, 1)  # no color cache
+    bw.w(0, 1)  # no meta prefix image
+    _simple_pair(bw, 10, 20)  # green
+    _simple_single(bw, 30)  # red
+    _simple_single(bw, 40)  # blue
+    _simple_single(bw, 255)  # alpha
+    _simple_single(bw, 0)  # distance
+    bw.wc(0, 1)  # green 10
+    bw.wc(1, 1)  # green 20
+    w, h, ch, px = decode_webp(_riff(bw.bytes()))
+    assert (w, h, ch) == (2, 1, 4)
+    assert px == bytes([30, 10, 40, 255, 30, 20, 40, 255])
+
+
+def test_hand_vector_lz77_backref_through_distance_map():
+    """3x1: one literal + a length-2 distance-1 backref (distance symbol 1
+    → copy distance 2 → plane code 2 → map entry (1, 0) → pixel distance
+    1).  Green tree is code-length-coded (symbol 257 needs >8 bits)."""
+    bw = _BW()
+    _header(bw, 3, 1)
+    bw.w(0, 1)
+    bw.w(0, 1)
+    bw.w(0, 1)
+    _complex_two_len1(bw, 10, 257, 280)  # green: literal 10, length-sym 1
+    _simple_single(bw, 30)
+    _simple_single(bw, 40)
+    _simple_single(bw, 255)
+    _simple_single(bw, 1)  # distance: always symbol 1
+    bw.wc(0, 1)  # green 10 literal (canonical: 10 < 257 → code 0)
+    bw.wc(1, 1)  # green 257 = length symbol 1 → length 2, no extra bits
+    # distance symbol read consumes zero bits (single-symbol tree)
+    w, h, ch, px = decode_webp(_riff(bw.bytes()))
+    assert (w, h, ch) == (3, 1, 4)
+    assert px == bytes([30, 10, 40, 255] * 3)
+
+
+def test_hand_vector_color_cache_roundtrip():
+    """2x1 with a 2-entry color cache: literal then a cache hit."""
+    argb = 0xFF000000  # a=255, r=g=b=0
+    cache_bits = 1
+    key = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+    alphabet = 256 + 24 + 2
+    bw = _BW()
+    _header(bw, 2, 1)
+    bw.w(0, 1)  # no transforms
+    bw.w(1, 1)  # color cache present
+    bw.w(cache_bits, 4)
+    bw.w(0, 1)  # no meta prefix image
+    _complex_two_len1(bw, 0, 280 + key, alphabet)  # green: literal 0 + cache ref
+    _simple_single(bw, 0)  # red
+    _simple_single(bw, 0)  # blue
+    _simple_single(bw, 255)  # alpha
+    _simple_single(bw, 0)  # distance
+    bw.wc(0, 1)  # literal green 0
+    bw.wc(1, 1)  # cache symbol
+    w, h, ch, px = decode_webp(_riff(bw.bytes()))
+    assert (w, h, ch) == (2, 1, 4)
+    assert px == bytes([0, 0, 0, 255] * 2)
+
+
+def test_hand_vector_meta_prefix_image_two_groups():
+    """8x1 with a meta prefix image (block bits 2 → two 4-pixel blocks),
+    two prefix-code groups of single-symbol trees — the left half decodes
+    through group 0, the right half through group 1, zero payload bits."""
+    bw = _BW()
+    _header(bw, 8, 1)
+    bw.w(0, 1)  # no transforms
+    bw.w(0, 1)  # no color cache
+    bw.w(1, 1)  # meta prefix image present
+    bw.w(0, 3)  # huffman_bits = 2 → huffman image 2x1
+    # --- entropy sub-image stream (2x1, no transform/meta bits) ---
+    bw.w(0, 1)  # no color cache
+    _simple_pair(bw, 0, 1)  # green = meta code low byte: 0 then 1
+    _simple_single(bw, 0)  # red (meta code high byte)
+    _simple_single(bw, 0)  # blue
+    _simple_single(bw, 255)  # alpha
+    _simple_single(bw, 0)  # distance
+    bw.wc(0, 1)  # meta pixel 0 → group 0
+    bw.wc(1, 1)  # meta pixel 1 → group 1
+    # --- group 0 trees ---
+    _simple_single(bw, 10)
+    _simple_single(bw, 30)
+    _simple_single(bw, 40)
+    _simple_single(bw, 255)
+    _simple_single(bw, 0)
+    # --- group 1 trees ---
+    _simple_single(bw, 20)
+    _simple_single(bw, 31)
+    _simple_single(bw, 41)
+    _simple_single(bw, 254)
+    _simple_single(bw, 0)
+    # payload: every tree is single-symbol → zero bits
+    w, h, ch, px = decode_webp(_riff(bw.bytes()))
+    assert (w, h, ch) == (8, 1, 4)
+    assert px == bytes([30, 10, 40, 255] * 4 + [31, 20, 41, 254] * 4)
+
+
+def test_distance_map_matches_spec_table():
+    """Pin the spec's published 2D distance table: the first dozen
+    entries verbatim plus spot checks deeper in (the generation rule —
+    Euclidean order, |dx| then +dx-first ties — must reproduce it)."""
+    assert _DISTANCE_MAP[:12] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+        (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+    ]
+    assert _DISTANCE_MAP[12:22] == [
+        (0, 3), (3, 0), (1, 3), (-1, 3), (3, 1), (-3, 1),
+        (2, 3), (-2, 3), (3, 2), (-3, 2),
+    ]
+    assert _DISTANCE_MAP[22:24] == [(0, 4), (4, 0)]
+    assert _DISTANCE_MAP[34] == (0, 5)
+    assert len(_DISTANCE_MAP) == 120
+    assert len(set(_DISTANCE_MAP)) == 120
+    assert _DISTANCE_MAP[-1] == (8, 7)
+
+
+def test_transform_arithmetic_pins():
+    """Hand-computed spec-formula pins for the predictor/color helpers."""
+    from edgy_spark.functions.webp import (
+        _avg2,
+        _clamp_add_full,
+        _clamp_add_half,
+        _ct_delta,
+        _select,
+    )
+
+    # Average2: per-channel floor mean
+    assert _avg2(0xFF00FF00, 0x00FF00FF) == 0x7F7F7F7F
+    assert _avg2(0x01010101, 0x02020202) == 0x01010101
+    # Select: predict T when sum|L-TL| <= sum|T-TL| else L
+    t, l, tl = 0xFF000000 | (100 << 8), 0xFF000000 | (10 << 8), 0xFF000000 | (12 << 8)
+    # gradient p = L + T - TL = 98: both argument orders pick the
+    # neighbor closest to p — the 100-green pixel
+    assert _select(t, l, tl) == t
+    assert _select(l, t, tl) == t
+    # ClampAddSubtractFull: clamp(L + T - TL) per channel
+    assert _clamp_add_full(0x00FF0000, 0x00FF0000, 0x00000000) == 0x00FF0000
+    assert _clamp_add_full(0x00100000, 0x00100000, 0x00300000) == 0x00000000
+    # ClampAddSubtractHalf: ave + trunc((ave - TL)/2), clamped
+    # ave(200,100)=150, TL=0 → 150 + 75 = 225
+    assert _clamp_add_half(200 << 8, 100 << 8, 0) == 225 << 8
+    # negative C-truncation: ave=10, TL=13 → 10 + trunc(-3/2)= 10-1 = 9
+    assert _clamp_add_half(10 << 8, 10 << 8, 13 << 8) == 9 << 8
+    # ColorTransformDelta: signed 3.5 fixed point, arithmetic shift
+    assert _ct_delta(0, 100) == 0
+    assert _ct_delta(64, 64) == 128  # 64*64 >> 5
+    assert _ct_delta(255, 2) == ((-1) * 2) >> 5  # == -1 (floor shift)
+    assert _ct_delta(128, 4) == ((-128) * 4) >> 5  # == -16
+
+
+def test_roundtrip_all_predictor_modes_and_transform_combos():
+    rng = random.Random(7)
+    for w, h in [(1, 1), (4, 3), (13, 11)]:
+        rgba = bytes(rng.randrange(256) for _ in range(w * h * 4))
+        for kwargs in (
+            [{}, {"subtract_green": True}]
+            + [{"predictor_mode": m} for m in range(14)]
+            + [{"subtract_green": True, "predictor_mode": 12}]
+        ):
+            data = encode_webp_lossless(w, h, rgba, **kwargs)
+            assert decode_webp(data) == (w, h, 4, rgba), kwargs
+
+
+def test_roundtrip_palette_packing_widths():
+    rng = random.Random(3)
+    for n_colors, w, h in [(2, 9, 4), (3, 7, 3), (4, 8, 2), (16, 10, 5), (250, 30, 9)]:
+        colors = [bytes(rng.randrange(256) for _ in range(4)) for _ in range(n_colors)]
+        # force every color to appear so the palette is exactly n_colors
+        idx = list(range(n_colors)) + [
+            rng.randrange(n_colors) for _ in range(w * h - n_colors)
+        ]
+        rng.shuffle(idx)
+        rgba = b"".join(colors[i] for i in idx)
+        data = encode_webp_lossless(w, h, rgba, palette=True)
+        assert decode_webp(data) == (w, h, 4, rgba), n_colors
+
+
+def test_lossy_vp8_raises_honest_not_implemented_with_dims():
+    payload = bytes([0x00, 0x00, 0x00]) + b"\x9d\x01\x2a" + struct.pack("<HH", 33, 17)
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    body = b"WEBP" + chunk
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="33x17"):
+        decode_webp(data)
+
+
+def test_animated_webp_raises_not_implemented():
+    for tag, payload in [
+        (b"ANIM", b"\x00" * 6),
+        (b"VP8X", bytes([0x02]) + b"\x00" * 9),  # animation flag
+    ]:
+        chunk = tag + struct.pack("<I", len(payload)) + payload
+        body = b"WEBP" + chunk
+        data = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(NotImplementedError):
+            decode_webp(data)
+
+
+def test_vp8x_then_vp8l_and_odd_chunk_padding():
+    """A VP8X header (no animation) and an odd-sized metadata chunk before
+    the VP8L frame — the walk must skip both (with even padding)."""
+    inner = encode_webp_lossless(2, 2, bytes(range(16)))
+    vp8l_chunk = inner[12:]  # VP8L chunk incl. header (+pad if any)
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x00]) * 4 + b"\x01\x00\x00\x01\x00\x00"
+    meta = b"XMP " + struct.pack("<I", 3) + b"abc\x00"  # odd size + pad
+    body = b"WEBP" + vp8x + meta + vp8l_chunk
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_webp(data) == (2, 2, 4, bytes(range(16)))
+
+
+def test_dimension_cap_before_allocation():
+    bw = _BW()
+    _header(bw, 1 << 14, 1 << 14)  # 268M pixels > MAX_PIXELS
+    with pytest.raises(ValueError, match="too large"):
+        decode_webp(_riff(bw.bytes()))
+    assert (1 << 14) * (1 << 14) > MAX_PIXELS
+
+
+def test_malformed_inputs_normalize_to_value_error():
+    base = encode_webp_lossless(6, 5, bytes((i * 37) % 256 for i in range(120)))
+    rng = random.Random(11)
+    # (cutting ONLY the final byte can still decode — it may hold nothing
+    # but bit padding — so the deepest cut is mid-payload, not len-1)
+    for cut in (0, 4, 11, 13, 20, len(base) // 2):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_webp(base[:cut])
+    flips = 0
+    for _ in range(120):
+        pos = rng.randrange(12, len(base))
+        mutated = bytearray(base)
+        mutated[pos] ^= 1 << rng.randrange(8)
+        try:
+            decode_webp(bytes(mutated))
+        except (ValueError, NotImplementedError):
+            flips += 1
+        # any non-(ValueError|NotImplementedError) escapes and fails the test
+    assert flips > 0  # most single-bit flips must be caught, none escape
+
+
+def test_not_a_webp_raises():
+    with pytest.raises(ValueError):
+        decode_webp(b"")
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        decode_webp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
