@@ -148,7 +148,13 @@ def load_all_registrations() -> None:
 #: #1; both last green r09) and graph_closeness_sampled (its seed state
 #: was refactored into _landmark_seed_state in r12 while it sat outside
 #: the r12 window — the r12 verdict's discipline-slip pin; last green
-#: r10); (3) the six r08-last-green queries the r12 rotation deferred
+#: r10) and text_bpe_train_merges (r12-green, but the review-r13 fold
+#: dedup moved its merge application onto the shared _greedy_merge_fold
+#: — same expression, but executed code changed, so it re-verifies;
+#: er_fuzzy_name_clusters defers to make room: it builds directly on the
+#: in-window er_fuzzy_part_name_pairs and its CC closure re-verifies via
+#: the in-window graph_connected_components); (3) the six r08-last-green
+#: queries the r12 rotation deferred
 #: (q1_pricing_summary, q6_forecast_revenue, q3_shipping_priority,
 #: customers_with_urgent_orders, stream_dedup_event_delivery,
 #: trailing_30d_customer_spend — the r12 verdict's task #2: after this
@@ -167,6 +173,7 @@ R13_WINDOW: list[str] = [
     "parts_pareto_classes",
     "orders_rfm_segments",
     "graph_closeness_sampled",
+    "text_bpe_train_merges",
     # the six r08-last-green queries deferred by the r12 rotation
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -181,7 +188,6 @@ R13_WINDOW: list[str] = [
     "dedup_prefix_filter_jaccard_pairs",
     "dedup_semantic_prune",
     "dedup_trim_duplicate_spans",
-    "er_fuzzy_name_clusters",
     "er_fuzzy_part_name_pairs",
     "events_anomaly_zscore",
     "events_markov_transitions",

@@ -444,29 +444,8 @@ def _rice_param(res: list[int], param_bits: int) -> int:
     return param
 
 
-def _write_subframe(bw: _BitWriter, samples: list[int], bps: int) -> None:
-    if all(s == samples[0] for s in samples):
-        bw.write(0, 1)
-        bw.write(0, 6)  # CONSTANT
-        bw.write(0, 1)  # no wasted bits
-        bw.write_signed(samples[0], bps)
-        return
-    order, res = _best_fixed_order(samples)
-    # Rice cost check vs verbatim; escape to VERBATIM when residuals blow up
-    param = _rice_param(res, 4)
-    rice_bits = sum((abs(2 * r) >> param) + 1 + param for r in res)
-    if param >= 15 or rice_bits > len(samples) * bps:
-        bw.write(0, 1)
-        bw.write(1, 6)  # VERBATIM
-        bw.write(0, 1)
-        for s in samples:
-            bw.write_signed(s, bps)
-        return
-    bw.write(0, 1)
-    bw.write(0b001000 | order, 6)  # FIXED
-    bw.write(0, 1)  # no wasted bits
-    for s in samples[:order]:
-        bw.write_signed(s, bps)
+def _write_rice(bw: _BitWriter, res: list[int], param: int) -> None:
+    """Single-partition 4-bit-parameter Rice residual section."""
     bw.write(0, 2)  # 4-bit Rice parameters
     bw.write(0, 4)  # partition order 0
     bw.write(param, 4)
@@ -477,6 +456,86 @@ def _write_subframe(bw: _BitWriter, samples: list[int], bps: int) -> None:
             bw.write(v & ((1 << param) - 1), param)
 
 
+#: the fixture LPC model (order 2, 12-bit coefficients, shift 4):
+#: pred = (26*s[-1] - 13*s[-2]) >> 4 — any quantized coefficients make a
+#: valid stream; these keep residuals small on smooth fixtures
+_LPC_COEFS = [26, -13]
+_LPC_SHIFT = 4
+_LPC_PRECISION = 12
+
+
+def _write_subframe(
+    bw: _BitWriter,
+    samples: list[int],
+    bps: int,
+    method: str = "fixed",
+    wasted_bits: int = 0,
+) -> None:
+    if wasted_bits:
+        mask = (1 << wasted_bits) - 1
+        if any(s & mask for s in samples):
+            raise ValueError("samples lack the declared wasted low bits")
+        samples = [s >> wasted_bits for s in samples]
+        bps -= wasted_bits
+
+    def wasted_field() -> None:
+        if wasted_bits:
+            bw.write(1, 1)
+            for _ in range(wasted_bits - 1):
+                bw.write(0, 1)  # unary: wasted = zeros + 1
+            bw.write(1, 1)
+        else:
+            bw.write(0, 1)
+
+    if all(s == samples[0] for s in samples):
+        bw.write(0, 1)
+        bw.write(0, 6)  # CONSTANT
+        wasted_field()
+        bw.write_signed(samples[0], bps)
+        return
+    if method == "lpc" and len(samples) > len(_LPC_COEFS):
+        order = len(_LPC_COEFS)
+        res = [
+            samples[i]
+            - (
+                sum(c * samples[i - 1 - j] for j, c in enumerate(_LPC_COEFS))
+                >> _LPC_SHIFT
+            )
+            for i in range(order, len(samples))
+        ]
+        param = _rice_param(res, 4)
+        if param < 15:
+            bw.write(0, 1)
+            bw.write(0b100000 | (order - 1), 6)  # LPC
+            wasted_field()
+            for s in samples[:order]:
+                bw.write_signed(s, bps)
+            bw.write(_LPC_PRECISION - 1, 4)
+            bw.write_signed(_LPC_SHIFT, 5)
+            for c in _LPC_COEFS:
+                bw.write_signed(c, _LPC_PRECISION)
+            _write_rice(bw, res, param)
+            return
+        # residuals too hot for Rice → fall through to fixed/verbatim
+    order, res = _best_fixed_order(samples)
+    # Rice cost check vs verbatim; escape to VERBATIM when residuals blow up
+    param = _rice_param(res, 4)
+    rice_bits = sum((abs(2 * r) >> param) + 1 + param for r in res)
+    if param >= 15 or rice_bits > len(samples) * bps:
+        bw.write(0, 1)
+        bw.write(1, 6)  # VERBATIM
+        wasted_field()
+        for s in samples:
+            bw.write_signed(s, bps)
+        return
+    bw.write(0, 1)
+    bw.write(0b001000 | order, 6)  # FIXED
+    wasted_field()
+    for s in samples[:order]:
+        bw.write_signed(s, bps)
+    _write_rice(bw, res, param)
+
+
 def encode_flac(
     sample_rate: int,
     channels: int,
@@ -484,13 +543,22 @@ def encode_flac(
     *,
     block_size: int = 1024,
     stereo_mode: str = "independent",
+    method: str = "fixed",
+    wasted_bits: int = 0,
 ) -> bytes:
     """Encode interleaved signed PCM16 frames to a genuine FLAC stream:
-    STREAMINFO + fixed-blocking frames, best-of fixed predictors with
-    single-partition Rice residuals (VERBATIM escape), optional stereo
-    decorrelation (``mid_side`` / ``left_side`` / ``right_side``)."""
+    STREAMINFO + fixed-blocking frames, best-of fixed predictors
+    (``method='fixed'``) or the order-2 quantized-coefficient LPC model
+    (``method='lpc'``) with single-partition Rice residuals (VERBATIM
+    escape), optional stereo decorrelation (``mid_side`` / ``left_side``
+    / ``right_side``), optional declared ``wasted_bits`` (every sample
+    must then carry that many zero low bits)."""
     if channels < 1 or channels > 8:
         raise ValueError("channels out of range")
+    if method not in ("fixed", "lpc"):
+        raise ValueError("method must be 'fixed' or 'lpc'")
+    if not 0 <= wasted_bits < 15:
+        raise ValueError("wasted_bits out of range")
     if len(samples) % channels:
         raise ValueError("samples do not interleave into channels")
     if stereo_mode != "independent" and channels != 2:
@@ -601,7 +669,9 @@ def encode_flac(
         assert hdr is not None, "frame header must be byte-aligned"
         bw.write(_crc8(hdr), 8)
         for c in range(channels):
-            _write_subframe(bw, chans[c], sub_bps[c])
+            # wasted bits compose with decorrelation only when the derived
+            # channel still carries them; _write_subframe checks loudly
+            _write_subframe(bw, chans[c], sub_bps[c], method, wasted_bits)
         bw.align()
         body = bw.bytes()
         crc16 = _crc16(body)

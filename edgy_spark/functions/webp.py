@@ -837,12 +837,15 @@ def encode_webp_lossless(
     subtract_green: bool = False,
     predictor_mode: int | None = None,
     palette: bool = False,
+    color_cte: tuple[int, int, int] | None = None,
 ) -> bytes:
     """Encode RGBA bytes to a genuine VP8L WebP (fixture/round-trip lane).
     Literal-only entropy coding with real canonical prefix codes; optional
     forward transforms exercise the decoder's inverse paths: SUBTRACT_GREEN,
     a single-mode PREDICTOR (one block covering the image, modes 0-13),
-    COLOR_INDEXING (<=256 distinct colors, packed when small)."""
+    COLOR_INDEXING (<=256 distinct colors, packed when small), and the
+    cross-COLOR transform with one fixed element ``color_cte =
+    (green_to_red, green_to_blue, red_to_blue)`` bytes covering the image."""
     if len(rgba) != width * height * 4:
         raise ValueError("rgba length mismatch")
     if not 1 <= width <= 1 << 14 or not 1 <= height <= 1 << 14:
@@ -909,6 +912,35 @@ def encode_webp_lossless(
             | ((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF
             for p in px
         ]
+    if color_cte is not None:
+        if palette:
+            raise ValueError("fixture encoder: color transform over palette unsupported")
+        g2r, g2b, r2b = color_cte
+        if not all(0 <= v <= 255 for v in (g2r, g2b, r2b)):
+            raise ValueError("color transform element bytes out of range")
+        size_bits = 2
+        while (1 << size_bits) < max(width, height):
+            size_bits += 1
+        if size_bits > 9:
+            raise ValueError("image too large for single-block color transform")
+        bw.write(1, 1)
+        bw.write(_COLOR, 2)
+        bw.write(size_bits - 2, 3)
+        _write_literal_image(
+            bw, [0xFF000000 | (r2b << 16) | (g2b << 8) | g2r], meta_allowed=False
+        )
+        # forward: the inverse ADDS delta(g2r, green) to red and
+        # delta(g2b, green) + delta(r2b, RESTORED red) to blue, so the
+        # stored channels subtract those deltas of the ORIGINAL values
+        fwd = []
+        for p in px:
+            green = (p >> 8) & 0xFF
+            red = (p >> 16) & 0xFF
+            blue = p & 0xFF
+            s_red = (red - _ct_delta(g2r, green)) & 0xFF
+            s_blue = (blue - _ct_delta(g2b, green) - _ct_delta(r2b, red)) & 0xFF
+            fwd.append((p & 0xFF00FF00) | (s_red << 16) | s_blue)
+        px = fwd
     if predictor_mode is not None:
         if not 0 <= predictor_mode <= 13:
             raise ValueError("predictor mode out of range")

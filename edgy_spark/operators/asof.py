@@ -876,26 +876,39 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m_dec") * 100).cast("long").alias("m_cents"),
         )
     )
-    ranked = ranked_prefix(
+    # The three ranks are INDEPENDENT of each other, so each derives
+    # straight from the rollup and they assemble with two custkey joins —
+    # never a chain.  A chained formulation (rank2 over rank1's output)
+    # nests each level's 3 input references multiplicatively: 27 logical
+    # copies of the rollup, a 382-HashAggregate static plan, and measured
+    # 3-5x wall-time regression at sf0.01 even though AQE deduplicates
+    # most exchanges at runtime (review r13; an explicit .persist() was
+    # worse still — it defeats exchange reuse entirely).  This shape keeps
+    # the rollup at 9 references in three shallow subtrees.
+    r = ranked_prefix(
         base, "r_days", descending=False, tiebreak=["custkey"],
         rank_col="__r_rk", n_col="__n",
     )
-    ranked = ranked_prefix(
-        ranked, "f_cnt", descending=True, tiebreak=["custkey"],
-        rank_col="__f_rk", n_col="__n2",
+    f = ranked_prefix(
+        base.select("custkey", "f_cnt"), "f_cnt", descending=True,
+        tiebreak=["custkey"], rank_col="__f_rk", n_col="__n2",
     )
-    ranked = ranked_prefix(
-        ranked, "m_cents", descending=True, tiebreak=["custkey"],
-        rank_col="__m_rk", n_col="__n3",
+    m = ranked_prefix(
+        base.select("custkey", "m_cents"), "m_cents", descending=True,
+        tiebreak=["custkey"], rank_col="__m_rk", n_col="__n3",
     )
-    scored = ranked.select(
-        "custkey",
-        "r_days",
-        "f_cnt",
-        "m_total",
-        ntile_expr("__r_rk", "__n").alias("r_score"),
-        ntile_expr("__f_rk", "__n").alias("f_score"),
-        ntile_expr("__m_rk", "__n").alias("m_score"),
+    scored = (
+        r.join(f.select("custkey", "__f_rk"), "custkey")
+        .join(m.select("custkey", "__m_rk"), "custkey")
+        .select(
+            "custkey",
+            "r_days",
+            "f_cnt",
+            "m_total",
+            ntile_expr("__r_rk", "__n").alias("r_score"),
+            ntile_expr("__f_rk", "__n").alias("f_score"),
+            ntile_expr("__m_rk", "__n").alias("m_score"),
+        )
     )
     return scored.select(
         "custkey",

@@ -2185,10 +2185,12 @@ def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (id*13+i*5)%256, b = (id*17+i*3)%256, alpha opaque), ENCODED to a
     genuine VP8L stream and DECODED back by the from-spec codec inside
     Arrow-batched ``mapInPandas`` — rotating the encode path per document
-    so the gate exercises ALL decoder transform inverses: id%3==0 →
+    so the gate exercises ALL FOUR decoder transform inverses: id%4==0 →
     COLOR_INDEXING (the image always has <=180 distinct colors, packed
-    indices when few), id%3==1 → SUBTRACT_GREEN + PREDICTOR(id%14),
-    id%3==2 → PREDICTOR(id%14) alone.  The oracle recomputes
+    indices when few), id%4==1 → SUBTRACT_GREEN + PREDICTOR(id%14),
+    id%4==2 → PREDICTOR(id%14) alone, id%4==3 → SUBTRACT_GREEN + the
+    cross-COLOR transform with id-derived element bytes.  The oracle
+    recomputes
     width/height/mean-luma from the pixel formula directly, so a bit error
     anywhere in the prefix-code plumbing, transform inverses, or luma math
     breaks the hash.
@@ -2221,16 +2223,23 @@ def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         255,
                     )
                 )
-                if i % 3 == 0:
+                if i % 4 == 0:
                     media.append(encode_webp(w, h, rgba, palette=True))
-                elif i % 3 == 1:
+                elif i % 4 == 1:
                     media.append(
                         encode_webp(
                             w, h, rgba, subtract_green=True, predictor_mode=i % 14
                         )
                     )
-                else:
+                elif i % 4 == 2:
                     media.append(encode_webp(w, h, rgba, predictor_mode=i % 14))
+                else:
+                    media.append(
+                        encode_webp(
+                            w, h, rgba, subtract_green=True,
+                            color_cte=((i * 7) % 256, (i * 11) % 256, (i * 13) % 256),
+                        )
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
@@ -2369,11 +2378,13 @@ def multimodal_flac_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately the EXACT SAME synthetic track as multimodal_wav_loudness
     (channels = id%2+1, rate = 8000+(id%3)*4000 Hz, frames = id%120+4,
     interleaved sample k = signed16((id*131 + k*997)%65536)) — but the
-    bytes on the wire are genuine FLAC: fixed-blocking frames, best-of
-    fixed predictors with Rice residuals, and a per-document rotation of
-    the stereo decorrelation mode (id%3: independent / mid-side /
-    left-side for 2-channel docs) so the gate exercises every
-    reconstruction path plus both CRCs.  The shared oracle IS the
+    bytes on the wire are genuine FLAC: fixed-blocking frames, Rice
+    residuals, and a per-document rotation across BOTH predictor families
+    (fixed orders and the quantized-coefficient LPC model) and ALL FOUR
+    stereo layouts (independent / mid-side / left-side / right-side for
+    2-channel docs) so the gate exercises every subframe decode branch
+    and every stereo reconstruction plus both CRCs.  The shared oracle
+    IS the
     WAV-transcode equivalence the codec's conformance anchors on: a FLAC
     bit error anywhere decodes to different samples than the WAV original
     and breaks the hash.
@@ -2403,9 +2414,17 @@ def multimodal_flac_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
                     samples.append(v - 65536 if v >= 32768 else v)
                 mode = "independent"
                 if ch == 2:
-                    mode = ("independent", "mid_side", "left_side")[i % 3]
+                    # ch == 2 ⇔ odd id, so rotate on id//2 (odd ids mod 4
+                    # alone would only ever hit two of the four layouts)
+                    mode = (
+                        "independent", "mid_side", "left_side", "right_side"
+                    )[(i // 2) % 4]
+                method = ("fixed", "lpc")[(i // 3) % 2]
                 media.append(
-                    encode_flac(rate, ch, samples, block_size=64, stereo_mode=mode)
+                    encode_flac(
+                        rate, ch, samples, block_size=64,
+                        stereo_mode=mode, method=method,
+                    )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 

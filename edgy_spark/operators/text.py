@@ -897,19 +897,10 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, tot = top[0].l, top[0].r, int(top[0].tot)
         merges.append((rank, a, b, tot))
         if rank < BPE_TRAIN_ROUNDS:
-            folded = F.aggregate(
-                "syms",
-                F.lit(""),
-                lambda acc, x: F.when(acc == "", x).otherwise(
-                    F.when(
-                        (F.regexp_extract(acc, r"([^ ]+)$", 1) == F.lit(a))
-                        & (x == F.lit(b)),
-                        F.concat(acc, x),
-                    ).otherwise(F.concat(acc, F.lit(" "), x))
-                ),
-            )
+            # the shared greedy-leftmost fold (defined with the tokenizer
+            # section below; single implementation, review r13)
             vocab = vocab.select(
-                "cnt", F.split(folded, " ").alias("syms")
+                "cnt", _greedy_merge_fold("syms", a, b).alias("syms")
             ).localCheckpoint()
     return spark.createDataFrame(
         merges,
@@ -1004,24 +995,12 @@ def text_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = w.select("word").distinct().select(
         "word", F.split("word", "").alias("syms")
     )
-    def _folded(a: str, b: str):
-        # the trainer's greedy-fold twin (see text_bpe_train_merges)
-        return F.aggregate(
-            "syms",
-            F.lit(""),
-            lambda acc, x: F.when(acc == "", x).otherwise(
-                F.when(
-                    (F.regexp_extract(acc, r"([^ ]+)$", 1) == F.lit(a))
-                    & (x == F.lit(b)),
-                    F.concat(acc, x),
-                ).otherwise(F.concat(acc, F.lit(" "), x))
-            ),
-        )
-
     for row in merge_rows:
+        # the shared greedy-leftmost fold (single implementation,
+        # review r13; see _greedy_merge_fold)
         types = types.select(
             "word",
-            F.split(_folded(row.left_sym, row.right_sym), " ").alias("syms"),
+            _greedy_merge_fold("syms", row.left_sym, row.right_sym).alias("syms"),
         )
     enc = types.select("word", F.size("syms").alias("n_toks"))
     return (
@@ -1425,11 +1404,16 @@ def text_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _greedy_merge_fold(syms, a: str, b: str):
-    """Apply ONE frozen merge (a, b) to a symbol array, in-row: the
-    trainer's greedy leftmost non-overlapping fold (kept textually in sync
-    with :func:`text_bpe_train_merges` / :func:`text_bpe_encode_lengths` —
-    append ``x`` separator-free when the accumulator's last symbol is
-    ``a`` and ``x`` is ``b``), then re-split into the merged symbol array.
+    """Apply ONE merge (a, b) to a symbol array, in-row: the greedy
+    leftmost non-overlapping fold — append ``x`` separator-free when the
+    accumulator's last symbol is ``a`` and ``x`` is ``b`` (a merged symbol
+    is strictly longer than its left side, so it can never immediately
+    re-match; the property tests pin fold == the textbook re-scan) — then
+    re-split into the merged symbol array.  THE single implementation the
+    trainer (:func:`text_bpe_train_merges`), encoder
+    (:func:`text_bpe_encode_lengths`), and tokenizer
+    (:func:`bpe_token_ids`) all execute (review r13: three textual copies
+    collapsed here); the DuckDB twin is :func:`_bpe_fold_case`.
     """
     folded = F.aggregate(
         syms,

@@ -47,6 +47,7 @@ def ranked_prefix(
     cum_col: str = "cum",
     total_col: str = "total",
     n_chunks: int = PREFIX_CHUNKS,
+    chunk_col: str | None = None,
 ) -> DataFrame:
     """Global 1-based ``row_number`` (and optionally a running sum) over the
     total order (``metric`` asc/desc, ``tiebreak...`` asc) — fully parallel.
@@ -56,29 +57,55 @@ def ranked_prefix(
       - ``n_col``     (BIGINT): total row count;
       - ``cum_col``   (DECIMAL(38,0), when ``prefix`` given): running sum of
         ``prefix`` over rows at position ≤ rank (inclusive);
-      - ``total_col`` (DECIMAL(38,0), when ``prefix`` given): grand total.
+      - ``total_col`` (DECIMAL(38,0), when ``prefix`` given): grand total;
+      - ``chunk_col`` (INT, when given): the parallel-prefix chunk id —
+        a skew-audit hook, not an output contract.
 
     ``metric`` must be a non-null integral column (cents / counts / days —
     the repo's exact-arithmetic convention); ``tiebreak`` must make the
-    order total, or ranks within a metric tie are nondeterministic.
+    order total, or ranks within a metric tie are nondeterministic, and
+    its FIRST column must also be integral — it refines the chunking
+    under metric ties (below).
+
+    Skew floor (review r13): a value-range chunk id alone collapses all
+    ties of one metric value into one chunk — for a low-cardinality
+    metric (RFM's order counts: a handful of distinct values, heavily
+    modal) that silently recreates the single-task window this combinator
+    exists to kill.  When the metric domain is NARROWER than ``n_chunks``,
+    each metric value therefore gets ``n_chunks div domain`` sub-chunks
+    split by the first tiebreak's value range: chunk-major order still
+    equals the global (metric, tiebreak) order — sub-chunks only ever
+    partition rows of a SINGLE metric value, ordered by the tiebreak —
+    so ranks are unchanged while the modal value's population fans out.
+    (A wide-domain skewed metric still concentrates; frequency-aware
+    boundaries from a quantile sketch are the next escalation if a real
+    workload hits that.)
     """
     out_cols = list(df.columns)
+    tb0 = tiebreak[0]
     span = df.agg(
         F.min(metric).cast(_D38).alias("__pp_lo"),
         F.max(metric).cast(_D38).alias("__pp_hi"),
+        F.min(tb0).cast(_D38).alias("__pp_tlo"),
+        F.max(tb0).cast(_D38).alias("__pp_thi"),
     )
     m38 = F.col(metric).cast(_D38)
     pos = (F.col("__pp_hi") - m38) if descending else (m38 - F.col("__pp_lo"))
+    chunk_expr = F.expr(
+        f"""CAST(CASE
+            WHEN (__pp_hi - __pp_lo + 1) >= {n_chunks}
+            THEN __pp_pos * {n_chunks} DIV (__pp_hi - __pp_lo + 1)
+            ELSE __pp_pos * ({n_chunks} DIV (__pp_hi - __pp_lo + 1))
+                 + (CAST({tb0} AS {_D38}) - __pp_tlo)
+                   * ({n_chunks} DIV (__pp_hi - __pp_lo + 1))
+                   DIV (__pp_thi - __pp_tlo + 1)
+            END AS INT)"""
+    )
     chunked = (
         df.crossJoin(F.broadcast(span))
         .withColumn("__pp_pos", pos)
-        .withColumn(
-            "__pp_chunk",
-            F.expr(
-                f"CAST(__pp_pos * {n_chunks} DIV (__pp_hi - __pp_lo + 1) AS INT)"
-            ),
-        )
-        .drop("__pp_pos", "__pp_lo", "__pp_hi")
+        .withColumn("__pp_chunk", chunk_expr)
+        .drop("__pp_pos", "__pp_lo", "__pp_hi", "__pp_tlo", "__pp_thi")
     )
     zero = F.lit(0).cast(_D38)
     aggs = [F.count(F.lit(1)).cast(_D38).alias("__pp_ccnt")]
@@ -118,6 +145,8 @@ def ranked_prefix(
         .alias(rank_col),
         F.col("__pp_n").cast("long").alias(n_col),
     ]
+    if chunk_col is not None:
+        proj.append(F.col("__pp_chunk").alias(chunk_col))
     if prefix is not None:
         proj += [
             (

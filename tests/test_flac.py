@@ -178,6 +178,99 @@ def test_hand_vector_fixed_order1_rice_and_escape():
         assert decode_flac(data) == (8000, 1, [100, 101, 100, 102]), escape
 
 
+def test_hand_vector_lpc_order2():
+    """4-sample mono LPC order-2 vector, every field hand-written:
+    coefficients [3, -2] at precision 4, shift 1 — pred = (3*s1 - 2*s2)>>1.
+    Warm-ups 10, 12; residuals +1, +2 → samples 10, 12, 9, 3
+    (i=2: pred (36-20)>>1 = 8, +1 = 9; i=3: pred (27-24)>>1 = 1, +2 = 3)."""
+    bw = _BW()
+    bw.w(0b11111111111110, 14)
+    bw.w(0, 1)
+    bw.w(0, 1)
+    bw.w(6, 4)
+    bw.w(0b0100, 4)
+    bw.w(0, 4)
+    bw.w(0b100, 3)
+    bw.w(0, 1)
+    bw.w(0, 8)
+    bw.w(3, 8)  # block size 4 - 1
+    hdr = bw.bytes()
+    bw.w(_crc8(hdr), 8)
+    bw.w(0, 1)
+    bw.w(0b100001, 6)  # LPC, order = 1 + 1 = 2
+    bw.w(0, 1)  # no wasted bits
+    bw.ws(10, 16)
+    bw.ws(12, 16)
+    bw.w(4 - 1, 4)  # precision 4
+    bw.ws(1, 5)  # shift 1
+    bw.ws(3, 4)  # coef for s[i-1]
+    bw.ws(-2, 4)  # coef for s[i-2]
+    bw.w(0, 2)  # 4-bit Rice
+    bw.w(0, 4)  # partition order 0
+    bw.w(1, 4)  # Rice param 1
+    # zigzag: +1 → 2 → (q=1, rem 0); +2 → 4 → (q=2, rem 0)
+    for q, rem in ((1, 0), (2, 0)):
+        for _ in range(q):
+            bw.w(0, 1)
+        bw.w(1, 1)
+        bw.w(rem, 1)
+    while len(bw.bits) % 8:
+        bw.w(0, 1)
+    body = bw.bytes()
+    data = _streaminfo(8000, 1, 16, 4) + body + struct.pack(">H", _crc16(body))
+    assert decode_flac(data) == (8000, 1, [10, 12, 9, 3])
+
+
+def test_hand_vector_wasted_bits_constant():
+    """CONSTANT subframe with 2 declared wasted bits: the coded value 25
+    at 14 bits must decode to 25 << 2 = 100."""
+    bw = _BW()
+    bw.w(0b11111111111110, 14)
+    bw.w(0, 1)
+    bw.w(0, 1)
+    bw.w(6, 4)
+    bw.w(0b0100, 4)
+    bw.w(0, 4)
+    bw.w(0b100, 3)
+    bw.w(0, 1)
+    bw.w(0, 8)
+    bw.w(2, 8)  # block size 3 - 1
+    hdr = bw.bytes()
+    bw.w(_crc8(hdr), 8)
+    bw.w(0, 1)
+    bw.w(0, 6)  # CONSTANT
+    bw.w(1, 1)  # wasted-bits flag
+    bw.w(0b01, 2)  # unary: one zero then 1 → wasted = 2
+    bw.ws(25, 14)  # bps reduced 16 → 14
+    while len(bw.bits) % 8:
+        bw.w(0, 1)
+    body = bw.bytes()
+    data = _streaminfo(8000, 1, 16, 3) + body + struct.pack(">H", _crc16(body))
+    assert decode_flac(data) == (8000, 1, [100] * 3)
+
+
+def test_lpc_and_wasted_bits_roundtrip():
+    rng = random.Random(17)
+    smooth = []
+    v = 0
+    for _ in range(2 * 400):
+        v = max(-8000, min(8000, v + rng.randrange(-40, 41)))
+        smooth.append(v)
+    for mode in ("independent", "mid_side", "right_side"):
+        data = encode_flac(16000, 2, smooth, block_size=128,
+                           stereo_mode=mode, method="lpc")
+        assert decode_flac(data) == (16000, 2, smooth), mode
+    # declared wasted bits: all samples share 3 zero low bits
+    shifted = [s * 8 for s in smooth[:500]]
+    data = encode_flac(8000, 1, shifted, block_size=100, wasted_bits=3)
+    assert decode_flac(data) == (8000, 1, shifted)
+    data = encode_flac(8000, 1, shifted, block_size=100,
+                       method="lpc", wasted_bits=3)
+    assert decode_flac(data) == (8000, 1, shifted)
+    with pytest.raises(ValueError, match="wasted"):
+        encode_flac(8000, 1, [1, 2, 3, 4], wasted_bits=2)
+
+
 def test_coded_frame_number_multibyte():
     """A stream whose 200th frame exercises the 2-byte coded number."""
     samples = list(range(-100, 100)) * 130  # 26000 samples → 135 frames

@@ -497,6 +497,18 @@ def test_rfm_no_unpartitioned_customer_window(spark):
     assert "ntile" not in plan.lower()
 
 
+def test_rfm_ranks_do_not_nest(spark):
+    """The three quintile ranks must derive INDEPENDENTLY from the rollup
+    and assemble by join — a chained formulation (rank over rank's
+    output) nests each ranked_prefix's 3 input references multiplicatively
+    (27 logical rollup copies, a 382-HashAggregate static plan, measured
+    3-5x wall regression; review r13).  Bound the static plan size so a
+    refactor back to nesting fails here, not on the cluster."""
+    plan = _plan(spark, "orders_rfm_segments")
+    n_aggs = len(re.findall(r"\(\d+\) HashAggregate", plan))
+    assert n_aggs <= 90, f"RFM plan re-nested? {n_aggs} HashAggregates"
+
+
 def test_scd2_single_shuffle_all_windows(spark):
     plan = _plan(spark, "events_scd2_intervals")
     # change-detect lag, interval-closing lead, and version numbering all

@@ -70,13 +70,16 @@ def test_ntile_expr_matches_spark_ntile(spark):
             assert got_m[r["id"]] == r["b"], (n, k, r["id"])
 
 
-def test_ranked_prefix_constant_metric_single_chunk(spark):
-    # hi == lo: the span denominator is 1 and every row lands in chunk 0;
-    # rank must still be the tiebreak order
+def test_ranked_prefix_constant_metric_fans_out_by_tiebreak(spark):
+    # hi == lo is the WORST skew case: with metric-only chunking every row
+    # would serialize into chunk 0 (the review-r13 skew floor).  The
+    # tiebreak refinement must spread the single value across chunks while
+    # ranks stay the tiebreak order.
     df = _df(spark, [(i, 42, i * 10) for i in range(20)])
     got = ranked_prefix(
         df, "v", descending=True, tiebreak=["id"],
         rank_col="rk", prefix="w", cum_col="cum", total_col="tot",
+        n_chunks=8, chunk_col="ck",
     )
     rows = {r["id"]: r for r in got.collect()}
     cum = 0
@@ -84,3 +87,29 @@ def test_ranked_prefix_constant_metric_single_chunk(spark):
         cum += i * 10
         assert rows[i]["rk"] == i + 1
         assert int(rows[i]["cum"]) == cum
+    spread = {r["ck"] for r in rows.values()}
+    assert len(spread) >= 6  # 20 rows over 8 tiebreak-range sub-chunks
+    assert max(
+        sum(1 for r in rows.values() if r["ck"] == c) for c in spread
+    ) <= 3
+
+
+def test_ranked_prefix_low_cardinality_metric_subchunks(spark):
+    # 2-value modal metric, n_chunks=8 → 4 sub-chunks per value: the modal
+    # value's population must fan out, and chunk-major order must equal
+    # the global (metric desc, id asc) order so ranks are exact.
+    rows_in = [(i, 1 if i % 5 else 0, i) for i in range(40)]
+    df = _df(spark, rows_in)
+    got = ranked_prefix(
+        df, "v", descending=True, tiebreak=["id"],
+        rank_col="rk", n_col="n", n_chunks=8, chunk_col="ck",
+    )
+    ref_w = Window.orderBy(F.desc("v"), F.asc("id"))
+    ref = {r["id"]: r["rk"] for r in df.select(
+        "id", F.row_number().over(ref_w).cast("long").alias("rk")
+    ).collect()}
+    got_rows = got.collect()
+    for r in got_rows:
+        assert r["rk"] == ref[r["id"]], r["id"]
+    modal_chunks = {r["ck"] for r in got_rows if r["id"] % 5}
+    assert len(modal_chunks) >= 3  # 32 modal rows spread over sub-chunks

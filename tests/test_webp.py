@@ -230,6 +230,51 @@ def test_hand_vector_meta_prefix_image_two_groups():
     assert px == bytes([30, 10, 40, 255] * 4 + [31, 20, 41, 254] * 4)
 
 
+def test_hand_vector_color_transform_inverse():
+    """1x1 image through the cross-COLOR transform, hand-computed per the
+    spec: cte (g2r=32, g2b=64, r2b=16) on stored (a=255, r=50, g=8, b=80):
+    delta(32,8) = (32*8)>>5 = 8 → red 58; blue 80 + (64*8)>>5=16
+    + (16*58)>>5=29 (with the RESTORED red) → 125."""
+    bw = _BW()
+    _header(bw, 1, 1)
+    bw.w(1, 1)  # transform present
+    bw.w(1, 2)  # COLOR transform
+    bw.w(0, 3)  # size_bits = 2 (one block covers 1x1)
+    # transform sub-image (1x1): cte rides (red=r2b, green=g2b, blue=g2r)
+    bw.w(0, 1)  # no color cache
+    _simple_single(bw, 64)  # green = g2b
+    _simple_single(bw, 16)  # red = r2b
+    _simple_single(bw, 32)  # blue = g2r
+    _simple_single(bw, 255)
+    _simple_single(bw, 0)
+    bw.w(0, 1)  # end of transforms
+    bw.w(0, 1)  # no color cache
+    bw.w(0, 1)  # no meta prefix image
+    _simple_single(bw, 8)  # green
+    _simple_single(bw, 50)  # red (stored)
+    _simple_single(bw, 80)  # blue (stored)
+    _simple_single(bw, 255)
+    _simple_single(bw, 0)
+    w, h, ch, px = decode_webp(_riff(bw.bytes()))
+    assert (w, h, ch) == (1, 1, 4)
+    assert px == bytes([58, 8, 125, 255])
+
+
+def test_roundtrip_color_transform_combos():
+    rng = random.Random(23)
+    for w, h in [(1, 1), (5, 7), (16, 3)]:
+        rgba = bytes(rng.randrange(256) for _ in range(w * h * 4))
+        for kwargs in (
+            {"color_cte": (200, 13, 77)},
+            {"color_cte": (255, 128, 1), "subtract_green": True},
+            {"color_cte": (32, 64, 16), "predictor_mode": 11},
+            {"color_cte": (5, 250, 99), "subtract_green": True,
+             "predictor_mode": 12},
+        ):
+            data = encode_webp_lossless(w, h, rgba, **kwargs)
+            assert decode_webp(data) == (w, h, 4, rgba), (w, h, kwargs)
+
+
 def test_distance_map_matches_spec_table():
     """Pin the spec's published 2D distance table: the first dozen
     entries verbatim plus spot checks deeper in (the generation rule —
