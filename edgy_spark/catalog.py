@@ -159,10 +159,13 @@ def load_all_registrations() -> None:
 #: customers_with_urgent_orders, stream_dedup_event_delivery,
 #: trailing_30d_customer_spend — the r12 verdict's task #2: after this
 #: window no entry's last driver green predates r09); (4) backfill with
-#: 37 of the 38 remaining r09-last-green queries (registration order
-#: within each family; dedup_minhash_cluster_keepers defers — its pair
-#: generator re-verifies via the in-window dedup_minhash_lsh_pairs and
-#: its CC closure via the in-window graph_connected_components); (5) the
+#: 36 of the 38 remaining r09-last-green queries (registration order
+#: within each family; two sibling-covered deferrals —
+#: dedup_minhash_cluster_keepers: its pair generator re-verifies via the
+#: in-window dedup_minhash_lsh_pairs and its CC closure via the
+#: in-window graph_connected_components; er_fuzzy_name_clusters: builds
+#: directly on the in-window er_fuzzy_part_name_pairs, CC closure
+#: likewise); (5) the
 #: round's later waves — the VP8L WebP decode gate and the FLAC decode
 #: gate (both never driver-verified) — in the final slots.
 R13_WINDOW: list[str] = [
@@ -181,7 +184,8 @@ R13_WINDOW: list[str] = [
     "customers_with_urgent_orders",
     "stream_dedup_event_delivery",
     "trailing_30d_customer_spend",
-    # stalest greens: all 38 remaining r09-last-green queries
+    # stalest greens: 36 of the 38 remaining r09-last-green queries
+    # (two sibling-covered deferrals — rationale above)
     "cube_returnflag_status",
     "dedup_incremental_new_docs",
     "dedup_minhash_lsh_pairs",

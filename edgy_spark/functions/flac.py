@@ -504,7 +504,8 @@ def _write_subframe(
             for i in range(order, len(samples))
         ]
         param = _rice_param(res, 4)
-        if param < 15:
+        rice_bits = sum((abs(2 * r) >> param) + 1 + param for r in res)
+        if rice_bits <= len(samples) * bps:
             bw.write(0, 1)
             bw.write(0b100000 | (order - 1), 6)  # LPC
             wasted_field()
@@ -516,7 +517,8 @@ def _write_subframe(
                 bw.write_signed(c, _LPC_PRECISION)
             _write_rice(bw, res, param)
             return
-        # residuals too hot for Rice → fall through to fixed/verbatim
+        # residuals cost more than raw samples → fall through to the
+        # fixed/verbatim arbitration (same escape the FIXED path applies)
     order, res = _best_fixed_order(samples)
     # Rice cost check vs verbatim; escape to VERBATIM when residuals blow up
     param = _rice_param(res, 4)

@@ -678,6 +678,17 @@ class _BitWriter:
         return bytes(self.out)
 
 
+def _single_block_size_bits(width: int, height: int, what: str) -> int:
+    """The size_bits whose single block covers the whole image (the
+    fixture encoder writes one transform element for PREDICTOR/COLOR)."""
+    size_bits = 2
+    while (1 << size_bits) < max(width, height):
+        size_bits += 1
+    if size_bits > 9:
+        raise ValueError(f"image too large for single-block {what}")
+    return size_bits
+
+
 def _package_merge(freqs: dict[int, int], limit: int) -> dict[int, int]:
     """Length-limited optimal prefix code lengths (package-merge)."""
     items = sorted((f, s) for s, f in freqs.items() if f > 0)
@@ -918,11 +929,7 @@ def encode_webp_lossless(
         g2r, g2b, r2b = color_cte
         if not all(0 <= v <= 255 for v in (g2r, g2b, r2b)):
             raise ValueError("color transform element bytes out of range")
-        size_bits = 2
-        while (1 << size_bits) < max(width, height):
-            size_bits += 1
-        if size_bits > 9:
-            raise ValueError("image too large for single-block color transform")
+        size_bits = _single_block_size_bits(width, height, "color transform")
         bw.write(1, 1)
         bw.write(_COLOR, 2)
         bw.write(size_bits - 2, 3)
@@ -946,12 +953,7 @@ def encode_webp_lossless(
             raise ValueError("predictor mode out of range")
         if palette:
             raise ValueError("fixture encoder: predictor over palette unsupported")
-        # one block covering the whole image: size_bits = max needed, <=9
-        size_bits = 2
-        while (1 << size_bits) < max(width, height):
-            size_bits += 1
-        if size_bits > 9:
-            raise ValueError("image too large for single-block predictor")
+        size_bits = _single_block_size_bits(width, height, "predictor")
         bw.write(1, 1)
         bw.write(_PREDICTOR, 2)
         bw.write(size_bits - 2, 3)

@@ -2187,8 +2187,9 @@ def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched ``mapInPandas`` — rotating the encode path per document
     so the gate exercises ALL FOUR decoder transform inverses: id%4==0 →
     COLOR_INDEXING (the image always has <=180 distinct colors, packed
-    indices when few), id%4==1 → SUBTRACT_GREEN + PREDICTOR(id%14),
-    id%4==2 → PREDICTOR(id%14) alone, id%4==3 → SUBTRACT_GREEN + the
+    indices when few), id%4==1 → SUBTRACT_GREEN + PREDICTOR((id//4)%14),
+    id%4==2 → PREDICTOR((id//4)%14) alone (the mode cycles on id//4 so it
+    does not alias with the %4 rotation), id%4==3 → SUBTRACT_GREEN + the
     cross-COLOR transform with id-derived element bytes.  The oracle
     recomputes
     width/height/mean-luma from the pixel formula directly, so a bit error
@@ -2223,16 +2224,22 @@ def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         255,
                     )
                 )
+                # mode cycles on i//4 — gcd(4,14)=2, so an i%14 mode would
+                # alias with the %4 rotation and each branch would only
+                # ever see half the predictor modes (review r13)
                 if i % 4 == 0:
                     media.append(encode_webp(w, h, rgba, palette=True))
                 elif i % 4 == 1:
                     media.append(
                         encode_webp(
-                            w, h, rgba, subtract_green=True, predictor_mode=i % 14
+                            w, h, rgba, subtract_green=True,
+                            predictor_mode=(i // 4) % 14,
                         )
                     )
                 elif i % 4 == 2:
-                    media.append(encode_webp(w, h, rgba, predictor_mode=i % 14))
+                    media.append(
+                        encode_webp(w, h, rgba, predictor_mode=(i // 4) % 14)
+                    )
                 else:
                     media.append(
                         encode_webp(

@@ -64,8 +64,10 @@ def ranked_prefix(
     ``metric`` must be a non-null integral column (cents / counts / days —
     the repo's exact-arithmetic convention); ``tiebreak`` must make the
     order total, or ranks within a metric tie are nondeterministic, and
-    its FIRST column must also be integral — it refines the chunking
-    under metric ties (below).
+    its FIRST column must be integral (enforced loudly) — it refines the
+    chunking under metric ties (below).  An EMPTY tiebreak is allowed
+    when the metric itself is unique; chunking then stays value-range
+    only.
 
     Skew floor (review r13): a value-range chunk id alone collapses all
     ties of one metric value into one chunk — for a low-cardinality
@@ -82,30 +84,52 @@ def ranked_prefix(
     workload hits that.)
     """
     out_cols = list(df.columns)
-    tb0 = tiebreak[0]
-    span = df.agg(
+    integral = ("byte", "short", "int", "integer", "long", "bigint")
+    tb0 = tiebreak[0] if tiebreak else None
+    if tb0 is not None and df.schema[tb0].dataType.simpleString() not in integral:
+        # a failed CAST(tb0 AS DECIMAL) would NULL the chunk id and the
+        # offsets join would then silently DROP the row — refuse loudly
+        raise ValueError(
+            f"ranked_prefix: first tiebreak {tb0!r} must be integral to "
+            f"refine chunking under metric ties "
+            f"(got {df.schema[tb0].dataType.simpleString()})"
+        )
+    span_aggs = [
         F.min(metric).cast(_D38).alias("__pp_lo"),
         F.max(metric).cast(_D38).alias("__pp_hi"),
-        F.min(tb0).cast(_D38).alias("__pp_tlo"),
-        F.max(tb0).cast(_D38).alias("__pp_thi"),
-    )
+    ]
+    if tb0 is not None:
+        span_aggs += [
+            F.min(tb0).cast(_D38).alias("__pp_tlo"),
+            F.max(tb0).cast(_D38).alias("__pp_thi"),
+        ]
+    span = df.agg(*span_aggs)
     m38 = F.col(metric).cast(_D38)
     pos = (F.col("__pp_hi") - m38) if descending else (m38 - F.col("__pp_lo"))
-    chunk_expr = F.expr(
-        f"""CAST(CASE
-            WHEN (__pp_hi - __pp_lo + 1) >= {n_chunks}
-            THEN __pp_pos * {n_chunks} DIV (__pp_hi - __pp_lo + 1)
-            ELSE __pp_pos * ({n_chunks} DIV (__pp_hi - __pp_lo + 1))
-                 + (CAST({tb0} AS {_D38}) - __pp_tlo)
-                   * ({n_chunks} DIV (__pp_hi - __pp_lo + 1))
-                   DIV (__pp_thi - __pp_tlo + 1)
-            END AS INT)"""
-    )
+    if tb0 is None:
+        # no tiebreak to refine by (caller guarantees a unique metric):
+        # plain value-range chunking
+        chunk_expr = F.expr(
+            f"CAST(__pp_pos * {n_chunks} DIV (__pp_hi - __pp_lo + 1) AS INT)"
+        )
+        drop_cols = ["__pp_pos", "__pp_lo", "__pp_hi"]
+    else:
+        chunk_expr = F.expr(
+            f"""CAST(CASE
+                WHEN (__pp_hi - __pp_lo + 1) >= {n_chunks}
+                THEN __pp_pos * {n_chunks} DIV (__pp_hi - __pp_lo + 1)
+                ELSE __pp_pos * ({n_chunks} DIV (__pp_hi - __pp_lo + 1))
+                     + (CAST({tb0} AS {_D38}) - __pp_tlo)
+                       * ({n_chunks} DIV (__pp_hi - __pp_lo + 1))
+                       DIV (__pp_thi - __pp_tlo + 1)
+                END AS INT)"""
+        )
+        drop_cols = ["__pp_pos", "__pp_lo", "__pp_hi", "__pp_tlo", "__pp_thi"]
     chunked = (
         df.crossJoin(F.broadcast(span))
         .withColumn("__pp_pos", pos)
         .withColumn("__pp_chunk", chunk_expr)
-        .drop("__pp_pos", "__pp_lo", "__pp_hi", "__pp_tlo", "__pp_thi")
+        .drop(*drop_cols)
     )
     zero = F.lit(0).cast(_D38)
     aggs = [F.count(F.lit(1)).cast(_D38).alias("__pp_ccnt")]

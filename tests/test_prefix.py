@@ -94,6 +94,29 @@ def test_ranked_prefix_constant_metric_fans_out_by_tiebreak(spark):
     ) <= 3
 
 
+def test_ranked_prefix_rejects_non_integral_tiebreak(spark):
+    # a silently-NULL chunk id would DROP rows through the offsets join
+    # (review r13 second pass) — the combinator must refuse loudly instead
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, 1, f"k{i}") for i in range(5)], "id long, v long, name string"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        ranked_prefix(df, "v", descending=False, tiebreak=["name"])
+
+
+def test_ranked_prefix_empty_tiebreak_unique_metric(spark):
+    # a unique metric needs no tiebreak: ranks must come out exact with
+    # plain value-range chunking (pre-refinement behavior preserved)
+    df = _df(spark, [(i, 1000 - i, i) for i in range(30)])
+    got = ranked_prefix(
+        df, "v", descending=True, tiebreak=[], rank_col="rk", n_chunks=8
+    )
+    for r in got.collect():
+        assert r["rk"] == r["id"] + 1  # v = 1000 - id, descending
+
+
 def test_ranked_prefix_low_cardinality_metric_subchunks(spark):
     # 2-value modal metric, n_chunks=8 → 4 sub-chunks per value: the modal
     # value's population must fan out, and chunk-major order must equal
