@@ -148,24 +148,31 @@ def load_all_registrations() -> None:
 #: #1; both last green r09) and graph_closeness_sampled (its seed state
 #: was refactored into _landmark_seed_state in r12 while it sat outside
 #: the r12 window — the r12 verdict's discipline-slip pin; last green
-#: r10) and text_bpe_train_merges (r12-green, but the review-r13 fold
+#: r10), text_bpe_train_merges (r12-green, but the review-r13 fold
 #: dedup moved its merge application onto the shared _greedy_merge_fold
 #: — same expression, but executed code changed, so it re-verifies;
 #: er_fuzzy_name_clusters defers to make room: it builds directly on the
 #: in-window er_fuzzy_part_name_pairs and its CC closure re-verifies via
-#: the in-window graph_connected_components); (3) the six r08-last-green
+#: the in-window graph_connected_components), and both composed-GIF gate
+#: queries multimodal_gif_composed_stats / multimodal_gif_timesample_stats
+#: (r12-green, but the r13 ADVICE fix added delay_cs validation to
+#: encode_gif_animation_rects, which executes inside their synth step;
+#: graph_scc_condensation_levels defers — it builds directly on the
+#: in-window graph_scc_members — and recursive_hierarchy_rollup defers —
+#: the in-window recursive_copurchase_reach runs the same WITH RECURSIVE
+#: executor); (3) the six r08-last-green
 #: queries the r12 rotation deferred
 #: (q1_pricing_summary, q6_forecast_revenue, q3_shipping_priority,
 #: customers_with_urgent_orders, stream_dedup_event_delivery,
 #: trailing_30d_customer_spend — the r12 verdict's task #2: after this
 #: window no entry's last driver green predates r09); (4) backfill with
-#: 36 of the 38 remaining r09-last-green queries (registration order
-#: within each family; two sibling-covered deferrals —
-#: dedup_minhash_cluster_keepers: its pair generator re-verifies via the
-#: in-window dedup_minhash_lsh_pairs and its CC closure via the
-#: in-window graph_connected_components; er_fuzzy_name_clusters: builds
-#: directly on the in-window er_fuzzy_part_name_pairs, CC closure
-#: likewise); (5) the
+#: 34 of the 38 remaining r09-last-green queries (registration order
+#: within each family; four sibling-covered deferrals — listed with
+#: their rationales in (2) above and: dedup_minhash_cluster_keepers,
+#: whose pair generator re-verifies via the in-window
+#: dedup_minhash_lsh_pairs and CC closure via the in-window
+#: graph_connected_components; er_fuzzy_name_clusters, which builds
+#: directly on the in-window er_fuzzy_part_name_pairs); (5) the
 #: round's later waves — the VP8L WebP decode gate and the FLAC decode
 #: gate (both never driver-verified) — in the final slots.
 R13_WINDOW: list[str] = [
@@ -177,6 +184,8 @@ R13_WINDOW: list[str] = [
     "orders_rfm_segments",
     "graph_closeness_sampled",
     "text_bpe_train_merges",
+    "multimodal_gif_composed_stats",
+    "multimodal_gif_timesample_stats",
     # the six r08-last-green queries deferred by the r12 rotation
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -184,8 +193,8 @@ R13_WINDOW: list[str] = [
     "customers_with_urgent_orders",
     "stream_dedup_event_delivery",
     "trailing_30d_customer_spend",
-    # stalest greens: 36 of the 38 remaining r09-last-green queries
-    # (two sibling-covered deferrals — rationale above)
+    # stalest greens: 34 of the 38 remaining r09-last-green queries
+    # (four sibling-covered deferrals — rationale above)
     "cube_returnflag_status",
     "dedup_incremental_new_docs",
     "dedup_minhash_lsh_pairs",
@@ -203,12 +212,10 @@ R13_WINDOW: list[str] = [
     "graph_common_neighbors",
     "graph_connected_components",
     "graph_resource_allocation_links",
-    "graph_scc_condensation_levels",
     "graph_scc_members",
     "graph_sssp_weighted",
     "pipeline_priority_sample",
     "recursive_copurchase_reach",
-    "recursive_hierarchy_rollup",
     "rollup_nation_balance",
     "sim_ivf_trained_topk",
     "sim_ivfpq_topk",
