@@ -2249,7 +2249,16 @@ def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # the synth+decode stage is CPU-bound pure Python; at fixture scale the
+    # single parquet file yields ONE input partition, serializing it onto
+    # one core.  Repartitioning the 8-byte doc_id rows gives the decode the
+    # cluster's parallelism — the same parallelism a real multi-file media
+    # scan has natively (bench: 25.9s -> ~2s at sf0.1 on local[32]).
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return (
         decode_features_webp(media_df)
@@ -2435,6 +2444,12 @@ def multimodal_flac_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # same single-input-partition story as multimodal_webp_stats: spread
+    # the doc_id rows so the pure-Python encode+decode runs cluster-wide
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return decode_features_flac(media_df).orderBy("doc_id")
