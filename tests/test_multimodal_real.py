@@ -1319,3 +1319,66 @@ def test_gif_time_sampling_banks_head_on_midstream_corruption(spark):
     # frame 2's pull raised before frame 1's window could complete)
     assert [(s, f) for d, s, f in good if d == 2] == [(0, 0), (1, 0)]
     assert errs == [2]
+
+
+def test_decode_features_webp_on_error_null_and_lossy(spark):
+    """The WebP operator's crawl contract: a truncated stream, a NULL
+    payload, and an honest lossy-VP8 NotImplementedError all land as
+    decode_error rows under on_error='null'; valid rows are unaffected
+    and default 'raise' fails fast."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from edgy_spark.functions.webp import encode_webp_lossless
+    from edgy_spark.operators.multimodal import decode_features_webp
+
+    good = encode_webp_lossless(2, 2, bytes(range(16)), subtract_green=True)
+    vp8_payload = bytes([0, 0, 0]) + b"\x9d\x01\x2a" + _struct.pack("<HH", 9, 7)
+    lossy = (
+        b"RIFF"
+        + _struct.pack("<I", 4 + 8 + len(vp8_payload))
+        + b"WEBP"
+        + b"VP8 "
+        + _struct.pack("<I", len(vp8_payload))
+        + vp8_payload
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(good[:15])), (3, None),
+         (4, bytearray(lossy))],
+        "doc_id long, media binary",
+    )
+    with _pytest.raises(Exception):
+        decode_features_webp(df).collect()
+    rows = {r["doc_id"]: r for r in decode_features_webp(df, on_error="null").collect()}
+    assert rows[1]["mean_luma"] is not None and rows[1]["decode_error"] is None
+    assert (rows[1]["width"], rows[1]["height"]) == (2, 2)
+    assert rows[2]["mean_luma"] is None and rows[2]["decode_error"]
+    assert rows[3]["decode_error"] == "NULL media payload"
+    assert "9x7" in rows[4]["decode_error"]  # honest lossy scope boundary
+
+
+def test_decode_features_flac_on_error_null(spark):
+    """FLAC operator crawl contract: corrupt payload (CRC-caught), NULL
+    payload, and a non-FLAC byte string all land as decode_error rows;
+    a valid stream decodes to the WAV-identical loudness columns."""
+    import pytest as _pytest
+
+    from edgy_spark.functions.flac import encode_flac
+    from edgy_spark.operators.multimodal import decode_features_flac
+
+    good = encode_flac(8000, 1, [10, -20, 30, -40] * 32, block_size=64)
+    corrupt = bytearray(good)
+    corrupt[-3] ^= 0x40  # payload flip the frame CRC-16 must catch
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, corrupt), (3, None), (4, bytearray(b"ID3junk"))],
+        "doc_id long, media binary",
+    )
+    with _pytest.raises(Exception):
+        decode_features_flac(df).collect()
+    rows = {r["doc_id"]: r for r in decode_features_flac(df, on_error="null").collect()}
+    assert rows[1]["peak_amplitude"] == 40 and rows[1]["decode_error"] is None
+    assert rows[1]["n_frames"] == 128 and rows[1]["sample_rate"] == 8000
+    assert rows[2]["peak_amplitude"] is None and rows[2]["decode_error"]
+    assert rows[3]["decode_error"] == "NULL media payload"
+    assert rows[4]["peak_amplitude"] is None and rows[4]["decode_error"]
