@@ -167,12 +167,11 @@ def load_all_registrations() -> None:
 #: trailing_30d_customer_spend — the r12 verdict's task #2: after this
 #: window no entry's last driver green predates r09); (4) backfill with
 #: 34 of the 38 remaining r09-last-green queries (registration order
-#: within each family; four sibling-covered deferrals — listed with
-#: their rationales in (2) above and: dedup_minhash_cluster_keepers,
+#: within each family; four sibling-covered deferrals — three are listed
+#: with their rationales in (2) above, plus dedup_minhash_cluster_keepers,
 #: whose pair generator re-verifies via the in-window
 #: dedup_minhash_lsh_pairs and CC closure via the in-window
-#: graph_connected_components; er_fuzzy_name_clusters, which builds
-#: directly on the in-window er_fuzzy_part_name_pairs); (5) the
+#: graph_connected_components); (5) the
 #: round's later waves — the VP8L WebP decode gate and the FLAC decode
 #: gate (both never driver-verified) — in the final slots.
 R13_WINDOW: list[str] = [

@@ -2063,6 +2063,29 @@ def multimodal_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_frames_gif(media_df).orderBy("doc_id", "frame_idx")
 
 
+def _parallel_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id scan spread to the cluster's parallelism for the CPU-bound
+    synth+decode gates: at fixture scale the single documents parquet file
+    yields ONE input partition, serializing a pure-Python codec gate onto
+    one core (webp measured 25.9s -> 3.0s at sf0.1 on local[32]).  The
+    repartition moves only 8-byte doc_id rows — the parallelism a real
+    multi-file media scan has natively.
+
+    NOTE (r13 review): every older synth gate in this module
+    (png/jpeg/gif/wav/phash families) has the same single-partition shape
+    and should move onto this helper — but adding the repartition changes
+    each query's executed plan, which rotates it through the driver
+    verification window, and the r13 window is full.  Scheduled as an r14
+    window wave; multimodal_jpeg_cmyk_stats (11.3s at sf0.1) is the
+    biggest beneficiary.
+    """
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 # ---------------------------------------------------------------------------
 # WebP (VP8L lossless) — the highest-frequency web image format (r12
 # verdict missing-list #1); lossy VP8 frames surface as honest
@@ -2197,9 +2220,11 @@ def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the hash.
 
     Scale: pixels never leave the executors — the exchanged rows are
-    (doc_id, 3 small ints); decode parallelism is the scan's.  With a real
-    media fixture the synth step disappears and decode_features_webp runs
-    over the binary column directly.
+    (doc_id, 3 small ints); decode parallelism is the cluster's (the
+    fixture's single-partition scan is spread by the 8-byte doc_id
+    repartition in ``_parallel_doc_ids``).  With a real media fixture the
+    synth step disappears and decode_features_webp runs over the binary
+    column directly at the scan's natural multi-file parallelism.
     """
     from pyspark import cloudpickle
 
@@ -2249,17 +2274,9 @@ def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    # the synth+decode stage is CPU-bound pure Python; at fixture scale the
-    # single parquet file yields ONE input partition, serializing it onto
-    # one core.  Repartitioning the 8-byte doc_id rows gives the decode the
-    # cluster's parallelism — the same parallelism a real multi-file media
-    # scan has natively (bench: 25.9s -> ~2s at sf0.1 on local[32]).
-    docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    media_df = _parallel_doc_ids(spark, sf_dir).mapInPandas(
+        synth, "doc_id long, media binary"
     )
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return (
         decode_features_webp(media_df)
         .select("doc_id", "width", "height", "mean_luma")
@@ -2405,9 +2422,11 @@ def multimodal_flac_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit error anywhere decodes to different samples than the WAV original
     and breaks the hash.
 
-    Scale: same story as multimodal_wav_loudness — with a real media
+    Scale: exchanged rows are seven small ints; the fixture's
+    single-partition scan is spread by ``_parallel_doc_ids`` so the
+    pure-Python encode+decode runs cluster-wide.  With a real media
     fixture the synth step disappears and decode_features_flac runs over
-    the binary column directly; exchanged rows are seven small ints.
+    the binary column directly at the scan's natural parallelism.
     """
     from pyspark import cloudpickle
 
@@ -2444,12 +2463,7 @@ def multimodal_flac_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    # same single-input-partition story as multimodal_webp_stats: spread
-    # the doc_id rows so the pure-Python encode+decode runs cluster-wide
-    docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    media_df = _parallel_doc_ids(spark, sf_dir).mapInPandas(
+        synth, "doc_id long, media binary"
     )
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return decode_features_flac(media_df).orderBy("doc_id")
