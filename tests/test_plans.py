@@ -792,6 +792,22 @@ def test_pack_tokenized_windows_are_per_shard(spark):
         assert "shard#" in s, f"pack window not shard-keyed: {s}"
 
 
+def test_codec_gates_decode_in_parallel(spark):
+    """The pure-Python codec gates must not serialize onto the fixture
+    scan's single partition: the plan carries the round-robin doc_id
+    spread ahead of the Python stage (review r13 — webp ran 25.9s on one
+    core before this), and the scan still prunes to doc_id alone."""
+    for name in ("multimodal_webp_stats", "multimodal_flac_loudness"):
+        plan = _plan(spark, name)
+        assert "Arguments: roundrobinpartitioning" in plan.lower() or \
+            "roundrobinpartitioning" in plan.lower(), name
+        assert re.search(r"\(\d+\) MapInPandas", plan), name
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and {c.split(":")[0] for c in m.group(1).split(",") if c} == {
+            "doc_id"
+        }, name
+
+
 def test_token_budget_prefix_parallel_by_chunk(spark):
     """The budget mix's running token prefix must never serialize a
     source into one task: row-level ordered windows must key on
