@@ -567,6 +567,12 @@ def encode_flac(
         raise ValueError("stereo decorrelation needs exactly 2 channels")
     if any(not -32768 <= s <= 32767 for s in samples):
         raise ValueError("samples out of PCM16 range")
+    # STREAMINFO packs by shift-OR: an out-of-width value would silently
+    # corrupt adjacent fields, so refuse loudly (review r13 ADVICE)
+    if not 16 <= block_size <= 65535:
+        raise ValueError("block_size out of STREAMINFO range (16..65535)")
+    if not 0 < sample_rate < (1 << 20):
+        raise ValueError("sample_rate out of STREAMINFO range (1..2^20-1)")
     bps = 16
     n_frames_total = len(samples) // channels
     # STREAMINFO

@@ -610,9 +610,11 @@ def _decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     while pos + 8 <= end:
         tag = data[pos : pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
-        payload = data[pos + 8 : pos + 8 + size]
-        if len(payload) < size:
+        # a chunk must fit inside the DECLARED RIFF size, not just the
+        # buffer — an overrun is a container inconsistency (review r13)
+        if pos + 8 + size > end:
             raise ValueError("truncated chunk")
+        payload = data[pos + 8 : pos + 8 + size]
         if tag == b"VP8L":
             return _decode_vp8l(payload)
         if tag == b"VP8 ":

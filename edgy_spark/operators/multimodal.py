@@ -576,9 +576,11 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal_real.py; the encoder emits filter-0 rows.)
 
     Scale: pixels never leave the executors — the exchanged rows are
-    (doc_id, 3 small ints); decode parallelism is the scan's.  With a real
-    media fixture the synth step disappears and decode_features_png runs
-    over the binary column directly.
+    (doc_id, 3 small ints); the CPU-bound synth+decode stage is spread to
+    cluster parallelism by ``_parallel_doc_ids`` (the fixture scan is one
+    file → one partition).  With a real media fixture the synth step
+    disappears and decode_features_png runs over the binary column
+    directly, with the multi-file scan's native parallelism.
     """
     from pyspark import cloudpickle
 
@@ -600,7 +602,7 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 media.append(encode_png(w, h, rows, color_type=0))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return (
         decode_features_png(media_df)
@@ -668,7 +670,7 @@ def multimodal_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 media.append(encode_flat(bw * 8, bh * 8, blocks))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return (
         decode_features_jpeg(media_df)
@@ -736,7 +738,7 @@ def multimodal_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataF
                 media.append(encode_prog(bw * 8, bh * 8, blocks))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return (
         decode_features_jpeg(media_df)
@@ -802,7 +804,7 @@ def multimodal_jpeg_multiscan_stats(spark: SparkSession, sf_dir: str) -> DataFra
                 media.append(encode_ms(bw * 8, bh * 8, blocks))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return (
         decode_features_jpeg(media_df)
@@ -873,7 +875,7 @@ def multimodal_jpeg_cmyk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return (
         decode_features_jpeg(media_df)
@@ -983,7 +985,7 @@ def multimodal_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 media.append(data)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return (
         decode_features_jpeg(media_df)
@@ -1082,7 +1084,7 @@ def multimodal_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return (
         decode_features_png(media_df)
@@ -1254,7 +1256,7 @@ def multimodal_wav_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 media.append(encode_wav(rate, ch, samples))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return decode_features_wav(media_df).orderBy("doc_id")
 
@@ -1367,7 +1369,7 @@ def multimodal_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((doc_id, phash >> 32, phash & 0xFFFFFFFF))
             yield pd.DataFrame(rows, columns=["doc_id", "phash_hi", "phash_lo"])
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _parallel_doc_ids(spark, sf_dir)
     hashed = docs.mapInPandas(
         synth_decode_hash, "doc_id long, phash_hi long, phash_lo long"
     )
@@ -1546,7 +1548,7 @@ def multimodal_gif_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return (
         decode_features_gif(media_df)
@@ -1872,7 +1874,7 @@ def multimodal_gif_timesample_stats(spark: SparkSession, sf_dir: str) -> DataFra
                 media.append(encode_rects(2 * a, h, frames, pal))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return decode_frames_gif_timesampled(media_df).orderBy(
         "doc_id", "sample_idx"
@@ -1977,7 +1979,7 @@ def multimodal_gif_composed_stats(spark: SparkSession, sf_dir: str) -> DataFrame
                 media.append(encode_rects(2 * a, h, frames, pal))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return decode_frames_gif_composed(media_df).orderBy("doc_id", "frame_idx")
 
@@ -2058,7 +2060,7 @@ def multimodal_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 media.append(encode_anim(w, h, frames, pal))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
     return decode_frames_gif(media_df).orderBy("doc_id", "frame_idx")
 
@@ -2069,15 +2071,10 @@ def _parallel_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields ONE input partition, serializing a pure-Python codec gate onto
     one core (webp measured 25.9s -> 3.0s at sf0.1 on local[32]).  The
     repartition moves only 8-byte doc_id rows — the parallelism a real
-    multi-file media scan has natively.
-
-    NOTE (r13 review): every older synth gate in this module
-    (png/jpeg/gif/wav/phash families) has the same single-partition shape
-    and should move onto this helper — but adding the repartition changes
-    each query's executed plan, which rotates it through the driver
-    verification window, and the r13 window is full.  Scheduled as an r14
-    window wave; multimodal_jpeg_cmyk_stats (11.3s at sf0.1) is the
-    biggest beneficiary.
+    multi-file media scan has natively.  As of r14 every synth gate in
+    this module (png/jpeg/gif/wav/webp/flac/phash families) goes through
+    this helper; the plan pin in tests/test_plans.py
+    (test_codec_gates_decode_in_parallel) covers them all.
     """
     return (
         load(spark, sf_dir, "documents")

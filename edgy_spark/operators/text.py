@@ -976,15 +976,15 @@ def text_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (Sennrich's insight, applied twice): merges are applied to
     the word-TYPE table (~10^8 types at 100 TB), never to the token
-    stream — each of the BPE_TRAIN_ROUNDS merges is one in-row string
-    fold over a type's symbols (same greedy leftmost scan as the trainer,
-    fold expression kept textually in sync with its twin there) — and the
-    per-type token length then joins back to the corpus token stream on
-    the word key: one shuffle of (word, short ints), with the type side
-    small enough to broadcast at production vocabulary sizes.  Documents
-    with no pure ``[a-z]+`` word are absent on both engines (inner join).
+    stream — the whole FROZEN table folds in one constant-depth in-row
+    expression (:func:`fold_merges_expr`, same greedy leftmost scan as
+    the trainer) — and the per-type token length then joins back to the
+    corpus token stream on the word key: one shuffle of (word, short
+    ints), with the type side small enough to broadcast at production
+    vocabulary sizes.  Documents with no pure ``[a-z]+`` word are absent
+    on both engines (inner join).
     """
-    merge_rows = text_bpe_train_merges(spark, sf_dir).collect()
+    merge_rows = trained_merges(spark, sf_dir)
     d = load(spark, sf_dir, "documents")
     w = d.select(
         "doc_id",
@@ -995,14 +995,10 @@ def text_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = w.select("word").distinct().select(
         "word", F.split("word", "").alias("syms")
     )
-    for row in merge_rows:
-        # the shared greedy-leftmost fold (single implementation,
-        # review r13; see _greedy_merge_fold)
-        types = types.select(
-            "word",
-            _greedy_merge_fold("syms", row.left_sym, row.right_sym).alias("syms"),
-        )
-    enc = types.select("word", F.size("syms").alias("n_toks"))
+    enc = types.select(
+        "word",
+        F.size(fold_merges_expr(F.col("syms"), merge_rows)).alias("n_toks"),
+    )
     return (
         w.join(enc, "word")
         .groupBy("doc_id")
@@ -1409,11 +1405,12 @@ def _greedy_merge_fold(syms, a: str, b: str):
     accumulator's last symbol is ``a`` and ``x`` is ``b`` (a merged symbol
     is strictly longer than its left side, so it can never immediately
     re-match; the property tests pin fold == the textbook re-scan) — then
-    re-split into the merged symbol array.  THE single implementation the
-    trainer (:func:`text_bpe_train_merges`), encoder
-    (:func:`text_bpe_encode_lengths`), and tokenizer
-    (:func:`bpe_token_ids`) all execute (review r13: three textual copies
-    collapsed here); the DuckDB twin is :func:`_bpe_fold_case`.
+    re-split into the merged symbol array.  The trainer
+    (:func:`text_bpe_train_merges`) executes this once per round (one
+    merge per round is inherent to BPE training); the encoder and
+    tokenizer apply the whole FROZEN table in one constant-depth
+    expression instead (:func:`fold_merges_expr` — review r13 task #2).
+    The DuckDB twin is :func:`_bpe_fold_case`.
     """
     folded = F.aggregate(
         syms,
@@ -1429,6 +1426,69 @@ def _greedy_merge_fold(syms, a: str, b: str):
     return F.split(folded, " ")
 
 
+def fold_merges_expr(syms, merge_rows):
+    """Apply a FROZEN merge table to a symbol array in ONE constant-depth
+    expression: an outer ``F.aggregate`` over the merge-table array
+    literal whose step applies one merge via the same greedy leftmost
+    fold as :func:`_greedy_merge_fold` (kept semantically in lockstep;
+    the equivalence is property-pinned in tests/test_text_bpe.py).
+
+    Scale (review r13 task #2): the r13 formulation chained one
+    ``F.aggregate`` lambda PER merge, so expression depth — and Catalyst
+    analysis cost — grew with |vocab| (the r09 lesson measured ~2.4s of
+    planning for a 16-step literal fold).  Here the merge table rides as
+    a flat ``array<struct<a,b>>`` literal (literals ARE the broadcast)
+    and the fold structure is two nested lambdas regardless of vocab
+    size: plan DEPTH is O(1), plan width is the one flat literal.
+    tests/test_text_bpe.py pins a 1,000-merge vocab planning + executing
+    in bounded time.
+    """
+    if not merge_rows:
+        return syms
+    table = F.array(
+        *[
+            F.struct(
+                F.lit(r.left_sym).alias("a"), F.lit(r.right_sym).alias("b")
+            )
+            for r in merge_rows
+        ]
+    )
+    return F.aggregate(
+        table,
+        syms,
+        lambda acc, m: F.split(
+            F.aggregate(
+                acc,
+                F.lit(""),
+                lambda folded, x: F.when(folded == "", x).otherwise(
+                    F.when(
+                        (F.regexp_extract(folded, r"([^ ]+)$", 1) == m["a"])
+                        & (x == m["b"]),
+                        F.concat(folded, x),
+                    ).otherwise(F.concat(folded, F.lit(" "), x))
+                ),
+            ),
+            " ",
+        ),
+    )
+
+
+#: trained merge tables memoized per (Spark application, sf_dir): four
+#: catalog queries consume the same frozen vocab (tokenize, encode, the
+#: tokenized packer, and the trainer gate itself) — without this each one
+#: re-ran the trainer's driver rounds (review r13: 32.3s cold vs 6.4s
+#: warm on the first bench pass of text_tokenize_ids was mostly this).
+_MERGE_CACHE: dict[tuple[str, str], list] = {}
+
+
+def trained_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Collect (memoized) the frozen trained merge table for ``sf_dir``."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MERGE_CACHE:
+        _MERGE_CACHE[key] = text_bpe_train_merges(spark, sf_dir).collect()
+    return _MERGE_CACHE[key]
+
+
 def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual tokenize step a pretraining run executes at 100 TB: apply
     a FROZEN vocab (here the corpus-trained ``text_bpe_train_merges`` table,
@@ -1436,39 +1496,51 @@ def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in) to every document and emit the real token-id sequence:
     ``(doc_id, token_ids array<int>)``.
 
-    Scale shape: the merge table ships as literals inside one nested in-row
-    expression (literals ARE the broadcast — a 32k-merge production vocab
-    rides the same way as a small broadcast join or literal map), so the
-    whole plan is scan → project: ZERO corpus shuffles, no explode, no
-    regroup — the token-id array lands in the same row as the document that
-    produced it, ready for a per-shard packer.  Per word: split to
-    characters, fold each frozen merge in rank order (the property-pinned
-    greedy leftmost scan), then map each surviving symbol to its vocab id.
+    Scale shape: the merge table ships as ONE flat
+    ``array<struct<a,b>>`` literal consumed by a constant-depth fold
+    (:func:`fold_merges_expr` — plan depth does not grow with |vocab|;
+    a 1,000-merge table is planning-time-pinned in tests/test_text_bpe.py)
+    and the symbol→id mapping as one literal map, so the whole plan is
+    scan → project: ZERO corpus shuffles, no explode, no regroup — the
+    token-id array lands in the same row as the document that produced
+    it, ready for a per-shard packer.  Per word: split to characters,
+    fold the frozen table in rank order (the property-pinned greedy
+    leftmost scan), then map each surviving symbol to its vocab id.
+    NULL text tokenizes like wordless text: the empty sequence.
     """
-    merge_rows = text_bpe_train_merges(spark, sf_dir).collect()
+    merge_rows = trained_merges(spark, sf_dir)
+
+    # surface string → vocab id (EARLIEST merge wins on duplicate
+    # surfaces — e.g. (t,he) and (th,e) both yield "the" — matching the
+    # oracle's rank-ordered CASE); single chars map positionally, and a
+    # merged symbol is always ≥2 chars so the two ranges never overlap
+    surface_ids: dict[str, int] = {}
+    for row in merge_rows:
+        surface_ids.setdefault(
+            row.left_sym + row.right_sym, 26 + int(row.merge_rank)
+        )
+    id_map = (
+        F.create_map(
+            *[F.lit(v) for kv in surface_ids.items() for v in kv]
+        )
+        if surface_ids
+        else None
+    )
 
     def sym_id(s):
-        # rank-ordered when-chain == the oracle's CASE; letters first
-        # (merged symbols are always ≥2 chars, so no overlap), then merges
         e = F.when(F.length(s) == F.lit(1), F.ascii(s) - F.lit(96))
-        for row in merge_rows:
-            e = e.when(
-                s == F.lit(row.left_sym + row.right_sym),
-                F.lit(26 + int(row.merge_rank)),
-            )
-        # unreachable by construction (folds only ever create the surface
-        # strings tested above); NULL rather than a wrong id if violated
+        if id_map is not None:
+            # NULL rather than a wrong id if a surface is somehow absent
+            # (unreachable: folds only create the surfaces in the map)
+            e = e.otherwise(F.element_at(id_map, s))
         return e.cast("int")
 
     def word_to_ids(w):
-        syms = F.split(w, "")
-        for row in merge_rows:
-            syms = _greedy_merge_fold(syms, row.left_sym, row.right_sym)
-        return F.transform(syms, sym_id)
+        return F.transform(fold_merges_expr(F.split(w, ""), merge_rows), sym_id)
 
     d = load(spark, sf_dir, "documents")
     words = F.regexp_extract_all(
-        F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
+        F.lower(F.coalesce(F.col("text"), F.lit(""))), F.lit("[a-z]+"), F.lit(0)
     )
     return d.select(
         "doc_id",

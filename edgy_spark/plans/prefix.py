@@ -65,7 +65,11 @@ def ranked_prefix(
     the repo's exact-arithmetic convention); ``tiebreak`` must make the
     order total, or ranks within a metric tie are nondeterministic, and
     its FIRST column must be integral (enforced loudly) — it refines the
-    chunking under metric ties (below).  An EMPTY tiebreak is allowed
+    chunking under metric ties (below).  NULL values in ``metric`` or the
+    first tiebreak raise at runtime (NULL sort keys have no position in
+    the total order; silently dropping them through the NULL-chunk join
+    is the failure mode both guards exist to prevent).  An EMPTY tiebreak
+    is allowed
     when the metric itself is unique; chunking then stays value-range
     only.
 
@@ -125,10 +129,25 @@ def ranked_prefix(
                 END AS INT)"""
         )
         drop_cols = ["__pp_pos", "__pp_lo", "__pp_hi", "__pp_tlo", "__pp_thi"]
+    # NULL metric/tiebreak VALUES would NULL the chunk id and the inner
+    # offsets join would then silently drop the row (the same failure the
+    # integral-type guard above refuses at plan time) — raise at runtime
+    # instead of losing rows (review r13 ADVICE)
+    non_null = F.col(metric).isNotNull()
+    if tb0 is not None:
+        non_null = non_null & F.col(tb0).isNotNull()
+    guard = F.assert_true(
+        non_null,
+        F.lit(
+            f"ranked_prefix: NULL in {metric!r}"
+            + (f"/{tb0!r}" if tb0 is not None else "")
+            + " — NULL sort keys have no position in the total order"
+        ),
+    )
     chunked = (
         df.crossJoin(F.broadcast(span))
         .withColumn("__pp_pos", pos)
-        .withColumn("__pp_chunk", chunk_expr)
+        .withColumn("__pp_chunk", F.when(guard.isNull(), chunk_expr))
         .drop(*drop_cols)
     )
     zero = F.lit(0).cast(_D38)

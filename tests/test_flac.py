@@ -324,3 +324,21 @@ def test_not_flac_raises():
         decode_flac(b"RIFF\x00\x00\x00\x00WAVE")
     with pytest.raises(ValueError):
         decode_flac(b"fLaC")  # marker but no STREAMINFO
+
+
+def test_encode_flac_validates_streaminfo_field_widths():
+    """STREAMINFO packs by shift-OR: out-of-width block_size/sample_rate
+    would silently corrupt adjacent fields — must raise instead
+    (review r13 ADVICE)."""
+    pcm = [0] * 32
+    with pytest.raises(ValueError, match="block_size"):
+        encode_flac(44100, 1, pcm, block_size=15)
+    with pytest.raises(ValueError, match="block_size"):
+        encode_flac(44100, 1, pcm, block_size=65536)
+    with pytest.raises(ValueError, match="sample_rate"):
+        encode_flac(1 << 20, 1, pcm)
+    with pytest.raises(ValueError, match="sample_rate"):
+        encode_flac(0, 1, pcm)
+    # boundary values stay encodable and round-trip
+    out = decode_flac(encode_flac(44100, 1, pcm, block_size=16))
+    assert out[2] == pcm

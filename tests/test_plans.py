@@ -796,8 +796,26 @@ def test_codec_gates_decode_in_parallel(spark):
     """The pure-Python codec gates must not serialize onto the fixture
     scan's single partition: the plan carries the round-robin doc_id
     spread ahead of the Python stage (review r13 — webp ran 25.9s on one
-    core before this), and the scan still prunes to doc_id alone."""
-    for name in ("multimodal_webp_stats", "multimodal_flac_loudness"):
+    core before this), and the scan still prunes to doc_id alone.
+    r14 extends the pin from the two r13 gates to EVERY synth gate in
+    operators/multimodal.py (the r13 verdict's weak marks)."""
+    for name in (
+        "multimodal_webp_stats",
+        "multimodal_flac_loudness",
+        "multimodal_png_pixel_stats",
+        "multimodal_jpeg_block_stats",
+        "multimodal_jpeg_progressive_stats",
+        "multimodal_jpeg_multiscan_stats",
+        "multimodal_jpeg_cmyk_stats",
+        "multimodal_jpeg_rgb_stats",
+        "multimodal_png_palette_stats",
+        "multimodal_wav_loudness",
+        "multimodal_phash_dup_groups",
+        "multimodal_gif_palette_stats",
+        "multimodal_gif_timesample_stats",
+        "multimodal_gif_composed_stats",
+        "multimodal_gif_frame_stats",
+    ):
         plan = _plan(spark, name)
         assert "Arguments: roundrobinpartitioning" in plan.lower() or \
             "roundrobinpartitioning" in plan.lower(), name

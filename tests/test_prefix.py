@@ -136,3 +136,22 @@ def test_ranked_prefix_low_cardinality_metric_subchunks(spark):
         assert r["rk"] == ref[r["id"]], r["id"]
     modal_chunks = {r["ck"] for r in got_rows if r["id"] % 5}
     assert len(modal_chunks) >= 3  # 32 modal rows spread over sub-chunks
+
+
+def test_ranked_prefix_null_sort_key_raises_not_drops(spark):
+    # a NULL metric or first-tiebreak value would NULL the chunk id and
+    # the inner offsets join would silently drop the row — the combinator
+    # must raise at runtime instead (review r13 ADVICE)
+    import pytest
+
+    bad_metric = spark.createDataFrame(
+        [(1, 10, 0), (2, None, 0)], "id long, v long, w long"
+    )
+    with pytest.raises(Exception, match="NULL"):
+        ranked_prefix(bad_metric, "v", descending=True, tiebreak=["id"]).collect()
+
+    bad_tb = spark.createDataFrame(
+        [(1, 10, 0), (None, 10, 0)], "id long, v long, w long"
+    )
+    with pytest.raises(Exception, match="NULL"):
+        ranked_prefix(bad_tb, "v", descending=True, tiebreak=["id"]).collect()

@@ -424,3 +424,17 @@ def test_not_a_webp_raises():
         decode_webp(b"RIFF\x04\x00\x00\x00WAVE")
     with pytest.raises(ValueError):
         decode_webp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+
+
+def test_chunk_overrunning_declared_riff_size_rejected():
+    """A chunk whose size runs past the DECLARED RIFF size (but still
+    inside the buffer) is a container inconsistency, not decodable data
+    (review r13 ADVICE)."""
+    inner = encode_webp_lossless(2, 2, bytes(range(16)))
+    vp8l_chunk = inner[12:]
+    body = b"WEBP" + vp8l_chunk
+    # declare the RIFF 5 bytes SHORTER than the real body, then append
+    # padding so the chunk still fits in the buffer
+    data = b"RIFF" + struct.pack("<I", len(body) - 5) + body + b"\x00" * 16
+    with pytest.raises(ValueError, match="truncated chunk|no image chunk"):
+        decode_webp(data)
