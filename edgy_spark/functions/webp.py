@@ -5,10 +5,14 @@ WebP container + lossless bitstream specification (RFC 9649 / the Google
 Scope (the crawl-robust contract shared with functions/{png,jpeg,gif}.py):
 
 - RIFF container walk: ``VP8X`` extended header, ``VP8L`` lossless frames
-  (fully decoded), ``VP8 `` lossy frames (dimensions parsed, then an honest
-  ``NotImplementedError`` — the pre-r12 CMYK convention; lossy VP8 is a
-  DCT codec and a from-spec build is a later round), ``ANIM``/``ANMF``
-  animations (``NotImplementedError``).
+  (fully decoded), ``VP8 `` lossy key frames (fully decoded via the
+  from-spec RFC 6386 intra decoder in functions/vp8.py, presented as RGBA
+  through a BT.601 conversion — native planes via
+  :func:`decode_webp_planes`), ``ANIM``/``ANMF`` animations (composed
+  frame iteration + time sampling via :func:`iter_webp_frames_composed` /
+  :func:`iter_time_sampled_composed_webp_frames`; the still API returns
+  the first composed frame, GIF's convention), ``ALPH`` lossy alpha
+  (``NotImplementedError`` — skipping it would silently drop alpha).
 - VP8L: LSB-first bit reader, canonical prefix codes (simple two-symbol and
   full code-length-coded forms incl. the 16/17/18 repeat codes and the
   max_symbol short-circuit), optional color cache, meta prefix (entropy)
@@ -37,6 +41,8 @@ decode semantics here are north-star scope, not reference parity.
 from __future__ import annotations
 
 import struct
+
+from edgy_spark.functions import vp8 as _vp8
 
 MAX_PIXELS = 64_000_000
 
@@ -618,27 +624,37 @@ def _decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
         if tag == b"VP8L":
             return _decode_vp8l(payload)
         if tag == b"VP8 ":
-            w, h = _parse_vp8_dims(payload)
-            raise NotImplementedError(
-                f"lossy VP8 decode not implemented ({w}x{h})"
-            )
+            _parse_vp8_dims(payload)  # fast container-level validation
+            w, h, y, u, v = _vp8.decode_vp8(payload)
+            return w, h, 4, _vp8.yuv420_to_rgba(w, h, y, u, v)
+        if tag == b"ALPH":
+            # skipping it would decode the lossy frame with its alpha
+            # silently dropped — honest boundary instead
+            raise NotImplementedError("lossy alpha (ALPH) not implemented")
         if tag in (b"ANIM", b"ANMF"):
-            raise NotImplementedError("animated WebP not implemented")
+            # the still API's convention for animations mirrors GIF's
+            # decode_gif: the FIRST composed frame
+            w, h, ch, px = next(iter_webp_frames_composed(data))
+            return w, h, ch, px
         if tag == b"VP8X":
             if size < 10:
                 raise ValueError("truncated VP8X header")
-            flags = payload[0]
-            if flags & 0x02:  # animation bit
-                raise NotImplementedError("animated WebP not implemented")
+            # an animation flag just announces ANIM/ANMF chunks ahead;
+            # the walk reaches them and composes the first frame
         pos += 8 + size + (size & 1)  # chunks are even-padded
     raise ValueError("no image chunk in WebP container")
 
 
 def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a WebP into ``(width, height, 4, RGBA bytes)`` (VP8L frames;
-    lossy/animated raise NotImplementedError — honest scope boundaries).
-    EVERY malformed-input failure surfaces as ValueError (struct/index
-    errors from fuzzed or truncated crawl bytes are normalized)."""
+    """Decode a WebP into ``(width, height, 4, RGBA bytes)``.  VP8L frames
+    decode natively; lossy "VP8 " key frames decode through functions/vp8.py
+    with a BT.601 YUV->RGBA presentation conversion (use
+    :func:`decode_webp_planes` for the native planes); animations return
+    the FIRST composed frame (GIF's still-lane convention); standalone
+    lossy alpha (ALPH) raises NotImplementedError — an honest scope
+    boundary.  EVERY malformed-input failure surfaces as ValueError
+    (struct/index errors from fuzzed or truncated crawl bytes are
+    normalized)."""
     try:
         return _decode_webp(data)
     except (ValueError, NotImplementedError):
@@ -1006,3 +1022,290 @@ def encode_webp_lossless(
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def encode_webp_lossy_flat(
+    mb_w: int,
+    mb_h: int,
+    lumas: list[int],
+    modes: list[int] | None = None,
+) -> bytes:
+    """Wrap :func:`vp8.encode_vp8_flat` in a WebP RIFF container — a
+    genuine LOSSY "VP8 " still whose flat-macroblock content the integer
+    transforms reconstruct exactly (see vp8.py module docstring)."""
+    payload = _vp8.encode_vp8_flat(mb_w, mb_h, lumas, modes=modes)
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_webp_planes(data: bytes) -> tuple[int, int, bytes, bytes, bytes]:
+    """Decode a LOSSY WebP to its native (width, height, Y, U, V) planes —
+    no YUV->RGB presentation conversion, so Y-plane statistics stay
+    integer-exact for the oracle gate.  Lossless (VP8L) frames raise
+    ValueError (their native space is RGBA; use :func:`decode_webp`)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    riff_size = struct.unpack_from("<I", data, 4)[0]
+    end = min(len(data), 8 + riff_size)
+    pos = 12
+    try:
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            if pos + 8 + size > end:
+                raise ValueError("truncated chunk")
+            payload = data[pos + 8 : pos + 8 + size]
+            if tag == b"VP8 ":
+                return _vp8.decode_vp8(payload)
+            if tag == b"VP8L":
+                raise ValueError("lossless WebP has no YUV planes")
+            if tag in (b"ANIM", b"ANMF"):
+                raise NotImplementedError("animated WebP not implemented")
+            pos += 8 + size + (size & 1)
+    except (struct.error, IndexError, OverflowError, MemoryError) as e:
+        raise ValueError(f"malformed WebP: {type(e).__name__}: {e}") from e
+    raise ValueError("no VP8 chunk in WebP container")
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (VP8X + ANIM/ANMF) — r14: the GIF composition machinery's
+# analogue over per-frame VP8L/VP8 payloads (WebP container spec;
+# reference parity note: media decode is north-star scope, the reference
+# stores Binary attributes only).
+# ---------------------------------------------------------------------------
+
+
+def _int24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def _pack24(v: int) -> bytes:
+    return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+
+
+def _decode_frame_payload(sub: bytes) -> tuple[int, int, bytes]:
+    """Decode the image subchunks inside an ANMF payload to RGBA; ALPH
+    (lossy alpha) is an honest NotImplementedError."""
+    pos = 0
+    while pos + 8 <= len(sub):
+        tag = sub[pos : pos + 4]
+        size = struct.unpack_from("<I", sub, pos + 4)[0]
+        if pos + 8 + size > len(sub):
+            raise ValueError("truncated frame subchunk")
+        payload = sub[pos + 8 : pos + 8 + size]
+        if tag == b"ALPH":
+            raise NotImplementedError("lossy alpha (ALPH) not implemented")
+        if tag == b"VP8L":
+            w, h, _ch, px = _decode_vp8l(payload)
+            return w, h, px
+        if tag == b"VP8 ":
+            w, h, y, u, v = _vp8.decode_vp8(payload)
+            return w, h, _vp8.yuv420_to_rgba(w, h, y, u, v)
+        pos += 8 + size + (size & 1)
+    raise ValueError("no image chunk in ANMF frame")
+
+
+def iter_webp_frames_composed(data: bytes, with_duration: bool = False):
+    """Yield each animation frame COMPOSED onto the canvas —
+    ``(width, height, 4, rgba)`` tuples (prefixed with the frame's
+    duration in ms when ``with_duration``) — honoring frame offsets,
+    alpha blending vs replacement, and dispose-to-background, per the
+    WebP container spec's pseudocode (integer arithmetic; fixtures keep
+    alpha in {0, 255} so no hash depends on blend rounding).  Composition
+    state is one canvas; decode is lazy, so a caller over crawl bytes can
+    bank the head frames before a mid-stream corruption raises (the GIF
+    iterators' banking contract)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    riff_size = struct.unpack_from("<I", data, 4)[0]
+    end = min(len(data), 8 + riff_size)
+    pos = 12
+    canvas_w = canvas_h = 0
+    bg = (0, 0, 0, 0)
+    canvas: bytearray | None = None
+    saw_anim = False
+    n_frames = 0
+    while pos + 8 <= end:
+        tag = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        if pos + 8 + size > end:
+            raise ValueError("truncated chunk")
+        payload = data[pos + 8 : pos + 8 + size]
+        if tag == b"VP8X":
+            if size < 10:
+                raise ValueError("truncated VP8X header")
+            canvas_w = _int24(payload, 4) + 1
+            canvas_h = _int24(payload, 7) + 1
+            if canvas_w * canvas_h > MAX_PIXELS:
+                raise ValueError("canvas too large")
+        elif tag == b"ANIM":
+            if size < 6:
+                raise ValueError("truncated ANIM chunk")
+            # background color is stored Blue, Green, Red, Alpha
+            bg = (payload[2], payload[1], payload[0], payload[3])
+            saw_anim = True
+            if canvas_w == 0:
+                raise ValueError("ANIM without VP8X canvas")
+            canvas = bytearray(canvas_w * canvas_h * 4)
+        elif tag == b"ANMF":
+            if not saw_anim or canvas is None:
+                raise ValueError("ANMF without ANIM header")
+            if size < 16:
+                raise ValueError("truncated ANMF header")
+            fx = _int24(payload, 0) * 2
+            fy = _int24(payload, 3) * 2
+            fw = _int24(payload, 6) + 1
+            fh = _int24(payload, 9) + 1
+            dur = _int24(payload, 12)
+            flags = payload[15]
+            dispose_bg = bool(flags & 0x01)
+            no_blend = bool(flags & 0x02)
+            if fx + fw > canvas_w or fy + fh > canvas_h:
+                raise ValueError("frame rect outside canvas")
+            w, h, px = _decode_frame_payload(payload[16:])
+            if (w, h) != (fw, fh):
+                raise ValueError("frame dimensions disagree with ANMF header")
+            for j in range(fh):
+                crow = ((fy + j) * canvas_w + fx) * 4
+                frow = j * fw * 4
+                for i in range(fw):
+                    co = crow + 4 * i
+                    fo = frow + 4 * i
+                    fa = px[fo + 3]
+                    if no_blend or fa == 255:
+                        canvas[co : co + 4] = px[fo : fo + 4]
+                    elif fa == 0:
+                        pass  # fully transparent: canvas shows through
+                    else:
+                        ca = canvas[co + 3]
+                        oa = fa + ca * (255 - fa) // 255
+                        if oa == 0:
+                            canvas[co : co + 4] = b"\x00\x00\x00\x00"
+                        else:
+                            for c in range(3):
+                                canvas[co + c] = (
+                                    px[fo + c] * fa * 255
+                                    + canvas[co + c] * ca * (255 - fa)
+                                ) // (oa * 255)
+                            canvas[co + 3] = oa
+            out = (canvas_w, canvas_h, 4, bytes(canvas))
+            yield (dur,) + out if with_duration else out
+            n_frames += 1
+            if dispose_bg:
+                fill = bytes(bg)
+                for j in range(fh):
+                    crow = ((fy + j) * canvas_w + fx) * 4
+                    for i in range(fw):
+                        canvas[crow + 4 * i : crow + 4 * i + 4] = fill
+        pos += 8 + size + (size & 1)
+    if not saw_anim:
+        raise ValueError("not an animated WebP")
+    if n_frames == 0:
+        raise ValueError("animated WebP with no frames")
+
+
+def iter_time_sampled_composed_webp_frames(
+    data: bytes, every_ms: int = 100, max_samples: int | None = 8
+):
+    """TIME-BASED sampling over the composed animation — the GIF
+    ``iter_time_sampled_composed_frames`` contract in milliseconds:
+    frame i is visible during [start_i, start_i + duration_i) with the
+    last frame visible from its start onward (exactly one final sample);
+    durations <= 10 ms are clamped to 100 ms (the browser convention for
+    the common all-zero-duration file).  Yields
+    ``(sample_idx, t_ms, frame_idx, (w, h, 4, rgba))`` lazily (head
+    samples bank before a mid-stream corruption raises)."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+    return _iter_webp_time_samples(data, every_ms, max_samples)
+
+
+def _iter_webp_time_samples(data: bytes, every_ms: int, max_samples: int | None):
+    if max_samples is not None and max_samples <= 0:
+        return
+
+    def clamped(dur: int) -> int:
+        return 100 if dur <= 10 else dur
+
+    emitted = 0
+    gen = iter_webp_frames_composed(data, with_duration=True)
+    prev = next(gen)
+    start = 0
+    fi = 0
+    k = 0
+    for nxt in gen:
+        stop = start + clamped(prev[0])
+        while (
+            max_samples is None or emitted < max_samples
+        ) and k * every_ms < stop:
+            yield (k, k * every_ms, fi, prev[1:])
+            emitted += 1
+            k += 1
+        if max_samples is not None and emitted >= max_samples:
+            return  # stop DECODING, not just emitting
+        prev = nxt
+        fi += 1
+        start = stop
+    yield (k, k * every_ms, fi, prev[1:])
+
+
+def encode_webp_anim(
+    canvas_w: int,
+    canvas_h: int,
+    frames: list[dict],
+    bg_rgba: tuple[int, int, int, int] = (0, 0, 0, 0),
+    loop_count: int = 0,
+) -> bytes:
+    """Encode an animated WebP whose frames are VP8L-coded SUB-RECTS of
+    the canvas — the fixture generator for the composed decode path
+    (the ``encode_gif_animation_rects`` analogue).  Each frame dict:
+    ``x``/``y`` (even, per the stored-halved container fields), ``w``,
+    ``h``, ``rgba`` (w*h*4 bytes), ``duration_ms`` (default 100),
+    ``blend`` (default True: alpha-composite onto the canvas; False
+    replaces the rect), ``dispose_bg`` (default False: True fills the
+    rect with ``bg_rgba`` after display)."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    if canvas_w < 1 or canvas_h < 1 or canvas_w * canvas_h > MAX_PIXELS:
+        raise ValueError("bad canvas dimensions")
+    if not 0 <= loop_count <= 0xFFFF:
+        raise ValueError("loop_count out of range")
+    chunks = []
+    for f in frames:
+        x, y = f.get("x", 0), f.get("y", 0)
+        w, h = f["w"], f["h"]
+        dur = f.get("duration_ms", 100)
+        if x % 2 or y % 2:
+            raise ValueError("frame offsets must be even")
+        if x + w > canvas_w or y + h > canvas_h:
+            raise ValueError("frame rect outside canvas")
+        if not 0 <= dur < (1 << 24):
+            raise ValueError("duration out of range")
+        inner = encode_webp_lossless(w, h, f["rgba"])
+        # slice the VP8L chunk (incl. pad) out of the still container
+        sub = inner[12:]
+        flags = (0x02 if not f.get("blend", True) else 0) | (
+            0x01 if f.get("dispose_bg", False) else 0
+        )
+        payload = (
+            _pack24(x // 2) + _pack24(y // 2)
+            + _pack24(w - 1) + _pack24(h - 1)
+            + _pack24(dur) + bytes([flags]) + sub
+        )
+        chunk = b"ANMF" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        chunks.append(chunk)
+    r, g, b, a = bg_rgba
+    anim = b"ANIM" + struct.pack("<I", 6) + bytes((b, g, r, a)) + struct.pack(
+        "<H", loop_count
+    )
+    vp8x_payload = bytes([0x02]) + b"\x00" * 3 + _pack24(canvas_w - 1) + _pack24(
+        canvas_h - 1
+    )
+    vp8x = b"VP8X" + struct.pack("<I", 10) + vp8x_payload
+    body = b"WEBP" + vp8x + anim + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -1323,29 +1323,39 @@ def test_gif_time_sampling_banks_head_on_midstream_corruption(spark):
 
 def test_decode_features_webp_on_error_null_and_lossy(spark):
     """The WebP operator's crawl contract: a truncated stream, a NULL
-    payload, and an honest lossy-VP8 NotImplementedError all land as
-    decode_error rows under on_error='null'; valid rows are unaffected
-    and default 'raise' fails fast."""
+    payload, and an honest standalone-ALPH NotImplementedError all land
+    as decode_error rows under on_error='null'; valid rows — lossless,
+    (since r14) lossy VP8, and an animation's first composed frame — are
+    unaffected and default 'raise' fails fast."""
     import struct as _struct
 
     import pytest as _pytest
 
-    from edgy_spark.functions.webp import encode_webp_lossless
+    from edgy_spark.functions.webp import (
+        encode_webp_anim,
+        encode_webp_lossless,
+        encode_webp_lossy_flat,
+    )
     from edgy_spark.operators.multimodal import decode_features_webp
 
     good = encode_webp_lossless(2, 2, bytes(range(16)), subtract_green=True)
-    vp8_payload = bytes([0, 0, 0]) + b"\x9d\x01\x2a" + _struct.pack("<HH", 9, 7)
-    lossy = (
+    lossy = encode_webp_lossy_flat(1, 1, [100])  # BT.601 gray 100 -> RGB 98
+    anim = encode_webp_anim(
+        2, 2,
+        [{"x": 0, "y": 0, "w": 2, "h": 2,
+          "rgba": bytes((60, 60, 60, 255)) * 4, "blend": False}],
+    )
+    alph = (
         b"RIFF"
-        + _struct.pack("<I", 4 + 8 + len(vp8_payload))
+        + _struct.pack("<I", 4 + 8 + 2)
         + b"WEBP"
-        + b"VP8 "
-        + _struct.pack("<I", len(vp8_payload))
-        + vp8_payload
+        + b"ALPH"
+        + _struct.pack("<I", 2)
+        + b"\x00\x00"
     )
     df = spark.createDataFrame(
         [(1, bytearray(good)), (2, bytearray(good[:15])), (3, None),
-         (4, bytearray(lossy))],
+         (4, bytearray(lossy)), (5, bytearray(anim)), (6, bytearray(alph))],
         "doc_id long, media binary",
     )
     with _pytest.raises(Exception):
@@ -1355,7 +1365,42 @@ def test_decode_features_webp_on_error_null_and_lossy(spark):
     assert (rows[1]["width"], rows[1]["height"]) == (2, 2)
     assert rows[2]["mean_luma"] is None and rows[2]["decode_error"]
     assert rows[3]["decode_error"] == "NULL media payload"
-    assert "9x7" in rows[4]["decode_error"]  # honest lossy scope boundary
+    assert (rows[4]["width"], rows[4]["height"]) == (16, 16)
+    assert rows[4]["mean_luma"] == 98 and rows[4]["decode_error"] is None
+    assert rows[5]["mean_luma"] == 60 and rows[5]["decode_error"] is None
+    assert "ALPH" in rows[6]["decode_error"]  # honest scope boundary
+
+
+def test_decode_features_webp_lossy_on_error_null(spark):
+    """The lossy-lane operator (native Y-plane luma): valid rows are
+    integer-exact; truncated/NULL/lossless-mismatch rows land as
+    decode_error under on_error='null'."""
+    import pytest as _pytest
+
+    from edgy_spark.functions.webp import (
+        encode_webp_lossless,
+        encode_webp_lossy_flat,
+    )
+    from edgy_spark.operators.multimodal import decode_features_webp_lossy
+
+    good = encode_webp_lossy_flat(2, 1, [40, 200], modes=[0, 4])
+    lossless = encode_webp_lossless(2, 2, bytes(range(16)))
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(good[:20])), (3, None),
+         (4, bytearray(lossless))],
+        "doc_id long, media binary",
+    )
+    with _pytest.raises(Exception):
+        decode_features_webp_lossy(df).collect()
+    rows = {
+        r["doc_id"]: r
+        for r in decode_features_webp_lossy(df, on_error="null").collect()
+    }
+    assert (rows[1]["width"], rows[1]["height"]) == (32, 16)
+    assert rows[1]["mean_luma"] == 120  # exact mean of the Y plane
+    assert rows[2]["mean_luma"] is None and rows[2]["decode_error"]
+    assert rows[3]["decode_error"] == "NULL media payload"
+    assert "no YUV planes" in rows[4]["decode_error"]
 
 
 def test_decode_features_flac_on_error_null(spark):

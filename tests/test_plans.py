@@ -801,6 +801,7 @@ def test_codec_gates_decode_in_parallel(spark):
     operators/multimodal.py (the r13 verdict's weak marks)."""
     for name in (
         "multimodal_webp_stats",
+        "multimodal_webp_lossy_stats",
         "multimodal_flac_loudness",
         "multimodal_png_pixel_stats",
         "multimodal_jpeg_block_stats",

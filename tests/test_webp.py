@@ -355,25 +355,38 @@ def test_roundtrip_palette_packing_widths():
         assert decode_webp(data) == (w, h, 4, rgba), n_colors
 
 
-def test_lossy_vp8_raises_honest_not_implemented_with_dims():
-    payload = bytes([0x00, 0x00, 0x00]) + b"\x9d\x01\x2a" + struct.pack("<HH", 33, 17)
-    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
-    body = b"WEBP" + chunk
-    data = b"RIFF" + struct.pack("<I", len(body)) + body
-    with pytest.raises(NotImplementedError, match="33x17"):
-        decode_webp(data)
+def test_lossy_vp8_decodes_through_container():
+    """The r14 lossy lane: a genuine "VP8 " still decodes through the
+    container walk via functions/vp8.py (exact flat fixture; gray 100 maps
+    to BT.601 studio-swing RGB 98)."""
+    from edgy_spark.functions.webp import encode_webp_lossy_flat
+
+    data = encode_webp_lossy_flat(1, 1, [100])
+    w, h, ch, px = decode_webp(data)
+    assert (w, h, ch) == (16, 16, 4)
+    assert set(px[0::4]) == {98} and set(px[3::4]) == {255}
 
 
-def test_animated_webp_raises_not_implemented():
+def test_malformed_animation_containers_raise_value_error():
+    # an ANIM with no VP8X canvas, and a VP8X announcing animation with
+    # no ANIM/ANMF chunks behind it — both container inconsistencies
     for tag, payload in [
         (b"ANIM", b"\x00" * 6),
-        (b"VP8X", bytes([0x02]) + b"\x00" * 9),  # animation flag
+        (b"VP8X", bytes([0x02]) + b"\x00" * 9),  # animation flag, no frames
     ]:
         chunk = tag + struct.pack("<I", len(payload)) + payload
         body = b"WEBP" + chunk
         data = b"RIFF" + struct.pack("<I", len(body)) + body
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_webp(data)
+
+
+def test_standalone_alph_raises_honest_not_implemented():
+    chunk = b"ALPH" + struct.pack("<I", 2) + b"\x00\x00"
+    body = b"WEBP" + chunk
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="ALPH"):
+        decode_webp(data)
 
 
 def test_vp8x_then_vp8l_and_odd_chunk_padding():
@@ -438,3 +451,163 @@ def test_chunk_overrunning_declared_riff_size_rejected():
     data = b"RIFF" + struct.pack("<I", len(body) - 5) + body + b"\x00" * 16
     with pytest.raises(ValueError, match="truncated chunk|no image chunk"):
         decode_webp(data)
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (r14): ANIM/ANMF walk, composition, time sampling
+# ---------------------------------------------------------------------------
+
+
+def _anim_fixture():
+    from edgy_spark.functions.webp import encode_webp_anim
+
+    c0 = bytes((10, 10, 10, 255)) * 16
+    f1 = bytes(
+        b
+        for i in range(8)
+        for b in ((0, 0, 0, 0) if i % 2 == 0 else (200, 200, 200, 255))
+    )
+    f2 = bytes((99, 99, 99, 255)) * 8
+    return encode_webp_anim(
+        4, 4,
+        [
+            {"x": 0, "y": 0, "w": 4, "h": 4, "rgba": c0, "blend": False,
+             "duration_ms": 50},
+            {"x": 0, "y": 0, "w": 2, "h": 4, "rgba": f1, "blend": True,
+             "dispose_bg": True, "duration_ms": 5},
+            {"x": 2, "y": 0, "w": 2, "h": 4, "rgba": f2, "blend": False,
+             "duration_ms": 40},
+        ],
+        bg_rgba=(7, 7, 7, 255),
+    )
+
+
+def test_anim_composition_offsets_blend_dispose():
+    from edgy_spark.functions.webp import iter_webp_frames_composed
+
+    frames = list(iter_webp_frames_composed(_anim_fixture()))
+    assert len(frames) == 3
+    reds = [[px[4 * k] for k in range(16)] for (_w, _h, _c, px) in frames]
+    # frame 0: full replace
+    assert reds[0] == [10] * 16
+    # frame 1: transparent even columns show frame 0 through the blend
+    assert reds[1] == [10, 200, 10, 10] * 4
+    # frame 2: frame 1's rect disposed to background 7, right half 99
+    assert reds[2] == [7, 7, 99, 99] * 4
+    # every composed canvas is fully opaque after the full-cover frame 0
+    assert all(set(px[3::4]) == {255} for (_w, _h, _c, px) in frames)
+
+
+def test_anim_time_sampling_windows_and_clamp():
+    from edgy_spark.functions.webp import (
+        iter_time_sampled_composed_webp_frames,
+    )
+
+    # durations 50 / 5 (clamped to 100) / 40: windows [0,50), [50,150),
+    # [150, inf) — ticks every 30 ms
+    got = [
+        (k, t, fi)
+        for k, t, fi, _frame in iter_time_sampled_composed_webp_frames(
+            _anim_fixture(), every_ms=30
+        )
+    ]
+    assert got == [
+        (0, 0, 0), (1, 30, 0),
+        (2, 60, 1), (3, 90, 1), (4, 120, 1),
+        (5, 150, 2),
+    ]
+
+
+def test_anim_max_samples_stops_decoding():
+    from edgy_spark.functions.webp import (
+        iter_time_sampled_composed_webp_frames,
+    )
+
+    # corrupt the LAST frame's chunk: sampling only the head must succeed
+    data = bytearray(_anim_fixture())
+    data[-10] ^= 0xFF
+    head = [
+        s[:3]
+        for s in iter_time_sampled_composed_webp_frames(
+            bytes(data), every_ms=30, max_samples=2
+        )
+    ]
+    assert head == [(0, 0, 0), (1, 30, 0)]
+
+
+def test_anim_still_api_returns_first_composed_frame():
+    w, h, ch, px = decode_webp(_anim_fixture())
+    assert (w, h, ch) == (4, 4, 4)
+    assert set(px[0::4]) == {10}
+
+
+def test_anim_lossy_vp8_frames_compose():
+    from edgy_spark.functions.vp8 import encode_vp8_flat
+    from edgy_spark.functions.webp import iter_webp_frames_composed
+
+    # hand-wrap a lossy VP8 payload in an ANMF chunk
+    payload = encode_vp8_flat(1, 1, [100])
+    sub = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        sub += b"\x00"
+    anmf_payload = (
+        b"\x00\x00\x00" * 2            # x, y
+        + bytes((15, 0, 0))            # w - 1
+        + bytes((15, 0, 0))            # h - 1
+        + b"\x64\x00\x00"              # 100 ms
+        + bytes([0x02])                # no blend
+        + sub
+    )
+    anmf = b"ANMF" + struct.pack("<I", len(anmf_payload)) + anmf_payload
+    if len(anmf_payload) & 1:
+        anmf += b"\x00"
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x02]) + b"\x00" * 3 \
+        + bytes((15, 0, 0)) + bytes((15, 0, 0))
+    anim = b"ANIM" + struct.pack("<I", 6) + b"\x00" * 6
+    body = b"WEBP" + vp8x + anim + anmf
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    frames = list(iter_webp_frames_composed(data))
+    assert len(frames) == 1
+    w, h, ch, px = frames[0]
+    assert (w, h) == (16, 16)
+    assert set(px[0::4]) == {98}  # BT.601 gray 100 -> RGB 98
+
+
+def test_anim_container_validation():
+    from edgy_spark.functions.webp import (
+        encode_webp_anim,
+        iter_webp_frames_composed,
+    )
+
+    rgba = bytes((1, 1, 1, 255)) * 4
+    with pytest.raises(ValueError, match="even"):
+        encode_webp_anim(8, 8, [{"x": 1, "y": 0, "w": 2, "h": 2, "rgba": rgba}])
+    with pytest.raises(ValueError, match="outside"):
+        encode_webp_anim(2, 2, [{"x": 0, "y": 0, "w": 4, "h": 1, "rgba": rgba}])
+    with pytest.raises(ValueError, match="at least one"):
+        encode_webp_anim(2, 2, [])
+    good = encode_webp_anim(2, 2, [{"x": 0, "y": 0, "w": 2, "h": 2, "rgba": rgba}])
+    # truncations raise ValueError, never crash
+    for cut in range(12, len(good)):
+        try:
+            list(iter_webp_frames_composed(good[:cut]))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_anim_alph_subchunk_is_honest():
+    from edgy_spark.functions.webp import iter_webp_frames_composed
+
+    alph_sub = b"ALPH" + struct.pack("<I", 2) + b"\x00\x00"
+    anmf_payload = (
+        b"\x00\x00\x00" * 2 + bytes((1, 0, 0)) + bytes((1, 0, 0))
+        + b"\x64\x00\x00" + bytes([0x02]) + alph_sub
+    )
+    anmf = b"ANMF" + struct.pack("<I", len(anmf_payload)) + anmf_payload
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x02]) + b"\x00" * 3 \
+        + bytes((1, 0, 0)) + bytes((1, 0, 0))
+    anim = b"ANIM" + struct.pack("<I", 6) + b"\x00" * 6
+    body = b"WEBP" + vp8x + anim + anmf
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="ALPH"):
+        list(iter_webp_frames_composed(data))
