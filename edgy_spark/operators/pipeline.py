@@ -362,19 +362,20 @@ def pipeline_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pack_tokenized_oracle() -> str:
     """BPE trainer + word-type encode chain (shared text.py builders) to get
     the REAL per-document token count, then the pack_blocks placement SQL
-    over it.  Documents with no pure ``[a-z]+`` word tokenize to the empty
-    sequence and are excluded from packing on both engines (inner join here,
+    over it.  Wordless documents tokenize to the empty sequence and are
+    excluded from packing on both engines (inner join here,
     ``n_tokens > 0`` filter in Spark)."""
     from edgy_spark.operators.text import (
         BPE_TRAIN_ROUNDS,
+        BPE_WORDS_SQL,
         _bpe_train_ctes,
         _bpe_type_chain_ctes,
     )
 
     cte = _bpe_train_ctes()
     cte.append(
-        """w AS (SELECT doc_id,
-                unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        f"""w AS (SELECT doc_id,
+                unnest({BPE_WORDS_SQL}) AS word
          FROM documents)"""
     )
     cte.extend(_bpe_type_chain_ctes())

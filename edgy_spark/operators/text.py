@@ -768,6 +768,39 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_TRAIN_ROUNDS = 4
 
+#: r14 BYTE-LEVEL alphabet (r13 verdict missing-list #2): pre-tokenization
+#: splits on an EXPLICIT ASCII-whitespace class (identical in Java and RE2
+#: regex — the shorthand \s has engine-specific Unicode/vertical-tab
+#: membership), and a word's symbols are its UTF-8 BYTES rendered as
+#: two-digit uppercase hex pairs — `hex(encode(word))` chunked by '..' on
+#: both engines, so the symbol stream is engine-neutral BY CONSTRUCTION
+#: (no UTF-16-vs-UTF-8 code-unit splitting divergence for any input, the
+#: hazard that previously forced the `[a-z]+`-only alphabet) and nothing
+#: vanishes: digits, punctuation, and non-Latin scripts all tokenize,
+#: GPT-2-style.  Case is preserved (real byte-level tokenizers do not
+#: fold case).
+BPE_WORD_RE = r"[^ \t\n\r]+"
+BPE_WORDS_SQL = r"regexp_extract_all(text, '[^ \t\n\r]+')"
+
+
+def bpe_words(text_col):
+    """Pre-tokenize a text column to byte-level BPE words (NULL-safe:
+    NULL text yields the empty word list, the documented contract)."""
+    return F.regexp_extract_all(
+        F.coalesce(text_col, F.lit("")), F.lit(BPE_WORD_RE), F.lit(0)
+    )
+
+
+def bpe_syms(word_col):
+    """A word's symbol array: UTF-8 bytes as uppercase hex pairs."""
+    return F.regexp_extract_all(
+        F.hex(F.encode(word_col, "UTF-8")), F.lit(".."), F.lit(0)
+    )
+
+
+def _bpe_syms_sql(expr: str) -> str:
+    return f"regexp_extract_all(hex(encode({expr})), '..')"
+
 
 def _bpe_fold_case(a_sql: str, b_sql: str) -> str:
     """The DuckDB merge-application fold body (see the Spark twin in
@@ -787,15 +820,16 @@ def _bpe_train_ctes() -> list[str]:
     merges per round), shared by the trainer oracle and the encoder oracle
     below."""
     cte = [
-        """v0 AS (SELECT COUNT(*) AS cnt, string_split(tok, '') AS syms
-           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        f"""v0 AS (SELECT COUNT(*) AS cnt, {_bpe_syms_sql('tok')} AS syms
+           FROM (SELECT unnest({BPE_WORDS_SQL})
                    AS tok FROM documents)
            GROUP BY tok)""",
     ]
     for r in range(1, BPE_TRAIN_ROUNDS + 1):
         cte += [
-            # pairs packed as 'l r' (symbols never contain spaces, and ' '
-            # sorts below [a-z], so string order == (l, r) tuple order)
+            # pairs packed as 'l r' (hex-pair symbols never contain
+            # spaces, and ' ' sorts below [0-9A-F], so string order ==
+            # (l, r) tuple order)
             f"""p{r} AS (SELECT pr, SUM(cnt) AS tot
                 FROM (SELECT cnt, unnest(list_transform(
                         range(1, len(syms)),
@@ -858,22 +892,17 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     property test pins fold == reference scan).  Word types are
     ``localCheckpoint``-ed per round so lineage stays O(1).  The oracle
     unrolls the identical rounds with DuckDB's ``list_reduce`` fold.
-    Training is restricted to pure ``[a-z]+`` word types so the symbol
-    alphabet is engine-neutral (no UTF-16-vs-UTF-8 code-unit splitting
-    divergence).
+    Since r14 training is BYTE-LEVEL over every non-whitespace word type
+    (``BPE_WORD_RE``/``bpe_syms`` — UTF-8 bytes as hex-pair symbols,
+    engine-neutral by construction; digits, punctuation, and non-Latin
+    scripts no longer vanish from the alphabet).
     """
     d = load(spark, sf_dir, "documents")
     vocab = (
-        d.select(
-            F.explode(
-                F.regexp_extract_all(
-                    F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
-                )
-            ).alias("w")
-        )
+        d.select(F.explode(bpe_words(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("cnt", F.split("w", "").alias("syms"))
+        .select("cnt", bpe_syms(F.col("w")).alias("syms"))
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
@@ -919,7 +948,7 @@ def _bpe_type_chain_ctes() -> list[str]:
     with a ``word`` column is already in scope.  Shared by the encoder,
     tokenizer, and composed-pack oracles."""
     cte = [
-        "t0 AS (SELECT word, string_split(word, '') AS syms"
+        f"t0 AS (SELECT word, {_bpe_syms_sql('word')} AS syms"
         " FROM (SELECT DISTINCT word FROM w))"
     ]
     for r in range(1, BPE_TRAIN_ROUNDS + 1):
@@ -945,8 +974,8 @@ def _bpe_encode_oracle() -> str:
     word string, then per-document aggregation over the token stream."""
     cte = _bpe_train_ctes()
     cte.append(
-        """w AS (SELECT doc_id,
-                unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        f"""w AS (SELECT doc_id,
+                unnest({BPE_WORDS_SQL}) AS word
          FROM documents)"""
     )
     cte.extend(_bpe_type_chain_ctes())
@@ -954,7 +983,7 @@ def _bpe_encode_oracle() -> str:
         "WITH " + ",\n".join(cte) + f"""
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+           CAST(SUM(octet_length(encode(word))) AS BIGINT) AS n_bytes,
            CAST(SUM(len(syms)) AS BIGINT) AS n_bpe_tokens
     FROM w JOIN t{BPE_TRAIN_ROUNDS} USING (word)
     GROUP BY doc_id ORDER BY doc_id"""
@@ -981,19 +1010,16 @@ def text_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trainer) — and the per-type token length then joins back to the
     corpus token stream on the word key: one shuffle of (word, short
     ints), with the type side small enough to broadcast at production
-    vocabulary sizes.  Documents with no pure ``[a-z]+`` word are absent
-    on both engines (inner join).
+    vocabulary sizes.  Wordless (whitespace-only or NULL) documents are
+    absent on both engines (inner join).  Since r14 the alphabet is
+    BYTE-LEVEL (``BPE_WORD_RE``/``bpe_syms``); ``n_bytes`` is the word
+    stream's total UTF-8 length.
     """
     merge_rows = trained_merges(spark, sf_dir)
     d = load(spark, sf_dir, "documents")
-    w = d.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
-        ).alias("word"),
-    )
+    w = d.select("doc_id", F.explode(bpe_words(F.col("text"))).alias("word"))
     types = w.select("word").distinct().select(
-        "word", F.split("word", "").alias("syms")
+        "word", bpe_syms(F.col("word")).alias("syms")
     )
     enc = types.select(
         "word",
@@ -1004,7 +1030,7 @@ def text_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.length("word")).alias("n_chars"),
+            F.sum(F.octet_length("word")).alias("n_bytes"),
             F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
         )
         .orderBy("doc_id")
@@ -1393,8 +1419,10 @@ def text_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 #
 # Vocab id convention (pure function of the frozen merge table, identical on
-# both engines): 'a'..'z' → 1..26; merge r's concatenated surface string →
-# 26 + r.  Two merges can in principle produce the same surface string
+# both engines): byte value b → b + 1 (ids 1..256, from the symbol's hex
+# pair); merge r's concatenated surface string → 256 + r.  A single-byte
+# symbol is exactly 2 hex chars and a merged one ≥ 4, so the ranges never
+# collide.  Two merges can in principle produce the same surface string
 # (e.g. (t,he) and (th,e) both yield "the"); the EARLIEST merge's id wins —
 # the Spark when-chain and the oracle CASE both test merges in rank order.
 
@@ -1503,7 +1531,8 @@ def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the symbol→id mapping as one literal map, so the whole plan is
     scan → project: ZERO corpus shuffles, no explode, no regroup — the
     token-id array lands in the same row as the document that produced
-    it, ready for a per-shard packer.  Per word: split to characters,
+    it, ready for a per-shard packer.  Per word: split to UTF-8 byte
+    symbols (hex pairs — the r14 byte-level alphabet, ``bpe_syms``),
     fold the frozen table in rank order (the property-pinned greedy
     leftmost scan), then map each surviving symbol to its vocab id.
     NULL text tokenizes like wordless text: the empty sequence.
@@ -1512,12 +1541,13 @@ def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # surface string → vocab id (EARLIEST merge wins on duplicate
     # surfaces — e.g. (t,he) and (th,e) both yield "the" — matching the
-    # oracle's rank-ordered CASE); single chars map positionally, and a
-    # merged symbol is always ≥2 chars so the two ranges never overlap
+    # oracle's rank-ordered CASE); single-byte symbols (2 hex chars) map
+    # to byte+1, and a merged symbol is always ≥4 hex chars so the two
+    # ranges never overlap
     surface_ids: dict[str, int] = {}
     for row in merge_rows:
         surface_ids.setdefault(
-            row.left_sym + row.right_sym, 26 + int(row.merge_rank)
+            row.left_sym + row.right_sym, 256 + int(row.merge_rank)
         )
     id_map = (
         F.create_map(
@@ -1528,7 +1558,9 @@ def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def sym_id(s):
-        e = F.when(F.length(s) == F.lit(1), F.ascii(s) - F.lit(96))
+        e = F.when(
+            F.length(s) == F.lit(2), F.conv(s, 16, 10).cast("int") + F.lit(1)
+        )
         if id_map is not None:
             # NULL rather than a wrong id if a surface is somehow absent
             # (unreachable: folds only create the surfaces in the map)
@@ -1536,15 +1568,14 @@ def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         return e.cast("int")
 
     def word_to_ids(w):
-        return F.transform(fold_merges_expr(F.split(w, ""), merge_rows), sym_id)
+        return F.transform(fold_merges_expr(bpe_syms(w), merge_rows), sym_id)
 
     d = load(spark, sf_dir, "documents")
-    words = F.regexp_extract_all(
-        F.lower(F.coalesce(F.col("text"), F.lit(""))), F.lit("[a-z]+"), F.lit(0)
-    )
     return d.select(
         "doc_id",
-        F.flatten(F.transform(words, word_to_ids)).alias("token_ids"),
+        F.flatten(
+            F.transform(bpe_words(F.col("text")), word_to_ids)
+        ).alias("token_ids"),
     )
 
 
@@ -1554,24 +1585,28 @@ def _tokenize_ids_oracle() -> str:
     per-document reassembly in word order."""
     cte = _bpe_train_ctes()
     cte.append(
-        """w AS (SELECT doc_id, unnest(words) AS word,
+        f"""w AS (SELECT doc_id, unnest(words) AS word,
                 unnest(range(1, len(words) + 1)) AS pos
          FROM (SELECT doc_id,
-                      regexp_extract_all(lower(text), '[a-z]+') AS words
+                      {BPE_WORDS_SQL} AS words
                FROM documents))"""
     )
     cte.extend(_bpe_type_chain_ctes())
     id_cases = " ".join(
         f"WHEN m{r}.pr IS NOT NULL AND s = replace(m{r}.pr, ' ', '')"
-        f" THEN {26 + r}"
+        f" THEN {256 + r}"
         for r in range(1, BPE_TRAIN_ROUNDS + 1)
     )
     joins = " ".join(
         f"LEFT JOIN m{r} ON TRUE" for r in range(1, BPE_TRAIN_ROUNDS + 1)
     )
+    # a single-byte symbol is its 2-digit hex pair: id = byte value + 1
+    hexd = "'0123456789ABCDEF'"
     cte.append(
         f"""wid AS (SELECT word, list_transform(syms,
-                s -> CASE WHEN length(s) = 1 THEN ascii(s) - 96
+                s -> CASE WHEN length(s) = 2 THEN
+                          (strpos({hexd}, substr(s, 1, 1)) - 1) * 16
+                          + strpos({hexd}, substr(s, 2, 1))
                           {id_cases} END) AS ids
          FROM t{BPE_TRAIN_ROUNDS} {joins})"""
     )

@@ -395,8 +395,15 @@ def test_common_neighbors_stop_part_cap_bounds_pair_explosion(
 def _naive_bpe(word_counts: dict[str, int], rounds: int):
     """Reference BPE trainer: the textbook greedy leftmost non-overlapping
     re-scan (Sennrich et al. 2016), deliberately implemented the naive way
-    so it shares NO code shape with the engine's fold formulation."""
-    seqs = [(list(w), c) for w, c in sorted(word_counts.items())]
+    so it shares NO code shape with the engine's fold formulation.
+    Symbols are the r14 byte-level alphabet: UTF-8 bytes as uppercase hex
+    pairs (computed here via Python's own codec, not the engine's SQL)."""
+
+    def to_syms(w: str) -> list[str]:
+        h = w.encode("utf-8").hex().upper()
+        return [h[i : i + 2] for i in range(0, len(h), 2)]
+
+    seqs = [(to_syms(w), c) for w, c in sorted(word_counts.items())]
     merges = []
     for rank in range(1, rounds + 1):
         from collections import Counter

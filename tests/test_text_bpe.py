@@ -96,12 +96,13 @@ def test_fold_merges_matches_naive_rescan(spark):
 def test_null_text_tokenizes_like_wordless_text(spark, tmp_path):
     # r13 ADVICE: a NULL documents.text must follow the documented
     # empty-sequence contract — (0, NULL, NULL, 0) — exactly as the
-    # oracle's COALESCE produces, not propagate NULL through the fold
+    # oracle's COALESCE produces, not propagate NULL through the fold.
+    # Whitespace-only text is the other empty-sequence case.
     from edgy_spark.operators.text import text_tokenize_ids
 
     docs_schema = "doc_id long, text string"
     spark.createDataFrame(
-        [(1, "abab abab baba"), (2, None), (3, "?? 12 --")], docs_schema
+        [(1, "abab abab baba"), (2, None), (3, " \t\n ")], docs_schema
     ).write.parquet(str(tmp_path / "documents.parquet"))
     rows = {r.doc_id: r for r in text_tokenize_ids(spark, str(tmp_path)).collect()}
     for doc_id in (2, 3):
@@ -113,6 +114,43 @@ def test_null_text_tokenizes_like_wordless_text(spark, tmp_path):
             0,
         ), doc_id
     assert rows[1].n_tokens > 0
+
+
+def test_byte_level_alphabet_keeps_punct_digits_nonlatin(spark, tmp_path):
+    # r14 (r13 verdict missing-list #2): the pre-r14 `[a-z]+` alphabet
+    # silently dropped digits, punctuation, and every non-Latin script.
+    # Byte-level symbols (UTF-8 hex pairs) must tokenize ALL of them to
+    # non-empty streams, with ids in the byte range (b+1, 1..256) or the
+    # merged range (257+).
+    from edgy_spark.operators.text import (
+        bpe_token_ids,
+        text_bpe_encode_lengths,
+    )
+
+    docs_schema = "doc_id long, text string"
+    texts = {1: "?? 12 --", 2: "héj héj", 3: "日本語 テスト", 4: "mixed π≈3.14"}
+    spark.createDataFrame(
+        sorted(texts.items()), docs_schema
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    ids = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe_token_ids(spark, str(tmp_path)).collect()
+    }
+    for doc_id, text in texts.items():
+        assert len(ids[doc_id]) > 0, text
+        assert all(1 <= i for i in ids[doc_id]), text
+    # an unmerged single-byte token id is its byte value + 1
+    assert ids[1][0] == ord("?") + 1
+
+    lens = {
+        r.doc_id: r
+        for r in text_bpe_encode_lengths(spark, str(tmp_path)).collect()
+    }
+    for doc_id, text in texts.items():
+        expect_bytes = sum(len(w.encode()) for w in text.split())
+        assert lens[doc_id].n_bytes == expect_bytes, text
+        assert 0 < lens[doc_id].n_bpe_tokens <= expect_bytes, text
 
 
 def test_trained_merges_memoized_per_app_and_sfdir(spark, tmp_path):
