@@ -2811,3 +2811,187 @@ def multimodal_flac_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, "doc_id long, media binary"
     )
     return decode_features_flac(media_df).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG audio) — r14: the frame/metadata layer of crawl audio.  Full
+# Layer III sample decode is float-valued DSP with no integer-exact
+# cross-engine formulation (and no decoder library ships here), so the
+# sample-exact lanes stay WAV/FLAC; this lane parses the REAL frame
+# stream — the statistics an audio-corpus pipeline filters on.
+# ---------------------------------------------------------------------------
+
+
+def decode_features_mp3(media_df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """REAL MPEG-audio frame-stream parsing inside Python workers via the
+    from-spec pure-stdlib parser (functions/mp3.py — sync walk, header
+    field decode against the published bitrate/sample-rate tables, spec-
+    formula Layer III frame sizing, ID3v1/v2 tag skipping).  Emits the
+    crawl-metadata profile: frame count, sample rate, channel mode, total
+    samples, summed per-frame bitrate, and the exact audio byte span —
+    every component integer, so the synth gate can hash-pin the whole
+    walk.  Sample decode is an honest NotImplementedError in the codec
+    (module docstring there); crawl contract (`on_error='null'`) as
+    everywhere.
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import mp3 as _mp3
+
+    cloudpickle.register_pickle_by_value(_mp3)
+    stream_stats = _mp3.mp3_stream_stats
+    tolerant = _check_on_error(on_error)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            err_rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None:
+                    if not tolerant:
+                        raise ValueError("NULL media payload")
+                    err_rows.append(
+                        (doc_id, None, None)
+                        + (None,) * 6
+                        + ("NULL media payload",)
+                    )
+                    continue
+                data = bytes(payload)
+                try:
+                    stats = stream_stats(data)
+                except (ValueError, NotImplementedError) as e:
+                    if not tolerant:
+                        raise
+                    err_rows.append(
+                        (doc_id, len(data), hashlib.md5(data).hexdigest())
+                        + (None,) * 6
+                        + (str(e),)
+                    )
+                    continue
+                rows.append(
+                    (doc_id, len(data), hashlib.md5(data).hexdigest()) + stats
+                )
+            cols = [
+                "doc_id", "n_bytes", "content_md5", "n_frames",
+                "sample_rate", "channel_mode", "total_samples",
+                "sum_bitrate_kbps", "audio_bytes",
+            ]
+            if tolerant:
+                yield pd.DataFrame(
+                    [r + (None,) for r in rows] + err_rows,
+                    columns=cols + ["decode_error"],
+                )
+            else:
+                yield pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        "doc_id long, n_bytes long, content_md5 string, n_frames long, "
+        "sample_rate long, channel_mode string, total_samples long, "
+        "sum_bitrate_kbps long, audio_bytes long"
+    )
+    if tolerant:
+        schema += ", decode_error string"
+    return media_df.mapInPandas(decode, schema)
+
+
+def _mp3_oracle() -> str:
+    from edgy_spark.functions.mp3 import BITRATES_V1_L3
+
+    kbps_case = " ".join(
+        f"WHEN {i} THEN {BITRATES_V1_L3[i]}" for i in range(1, 15)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      doc_id % 5 + 2 AS nf,
+                      CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                           ELSE 32000 END AS sr,
+                      CASE doc_id % 4 WHEN 0 THEN 'stereo'
+                           WHEN 1 THEN 'joint_stereo'
+                           WHEN 2 THEN 'dual_channel' ELSE 'mono' END AS cm
+               FROM documents),
+    f AS (SELECT d.doc_id, d.nf, d.sr, d.cm,
+                 CASE (d.doc_id + t.i) % 14 + 1 {kbps_case} END AS kbps,
+                 (d.doc_id + t.i) % 2 AS pad
+          FROM d, generate_series(0, 6) AS t(i)
+          WHERE t.i < d.nf)
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(sr AS BIGINT) AS sample_rate,
+           cm AS channel_mode,
+           CAST(nf * 1152 AS BIGINT) AS total_samples,
+           CAST(SUM(kbps) AS BIGINT) AS sum_bitrate_kbps,
+           CAST(SUM(144 * kbps * 1000 // sr + pad) AS BIGINT) AS audio_bytes
+    FROM f
+    GROUP BY doc_id, nf, sr, cm
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "multimodal_mp3_frame_stats",
+    oracle=_mp3_oracle(),
+    tags=("multimodal", "audio", "mp3"),
+)
+def multimodal_mp3_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 frame-stream parsing under the driver's value-hash gate:
+    each document id defines a Layer III stream of doc_id%5+2 frames with
+    ROTATING bitrate indices ((doc_id+f)%14+1 — all fourteen table rows
+    under the hash), alternating padding bits, an id-derived sample rate
+    and channel mode, an ID3v2 prefix tag when doc_id%4==0 (size
+    (doc_id%37)+10 — the syncsafe skip executes under the hash) and an
+    ID3v1 trailer when doc_id%3==0 — ENCODED as genuine spec-formula
+    frames and PARSED back (functions/mp3.py) inside Arrow-batched
+    ``mapInPandas``.  ``audio_bytes`` equals the summed spec frame sizes
+    floor(144*kbps*1000/sr)+pad, so a single mis-stepped frame boundary,
+    table row, or tag skip breaks the hash.
+
+    Scale: the codec-gate shape — payloads never leave the executors,
+    exchanged rows are (doc_id, 5 small ints + 1 short string); the
+    fixture scan is spread by ``_parallel_doc_ids``.  With a real audio
+    corpus the synth step disappears and decode_features_mp3 runs over
+    the binary column directly.
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import mp3 as _mp3
+
+    cloudpickle.register_pickle_by_value(_mp3)
+    encode_frames = _mp3.encode_mp3_frames
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nf = i % 5 + 2
+                specs = [
+                    {
+                        "bitrate_idx": (i + f) % 14 + 1,
+                        "padding": (i + f) % 2,
+                        "sr_idx": i % 3,
+                        "channel_mode": i % 4,
+                    }
+                    for f in range(nf)
+                ]
+                media.append(
+                    encode_frames(
+                        specs,
+                        id3v2_size=(i % 37) + 10 if i % 4 == 0 else None,
+                        id3v1=i % 3 == 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    media_df = _parallel_doc_ids(spark, sf_dir).mapInPandas(
+        synth, "doc_id long, media binary"
+    )
+    return (
+        decode_features_mp3(media_df)
+        .select(
+            "doc_id", "n_frames", "sample_rate", "channel_mode",
+            "total_samples", "sum_bitrate_kbps", "audio_bytes",
+        )
+        .orderBy("doc_id")
+    )

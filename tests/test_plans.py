@@ -816,6 +816,8 @@ def test_codec_gates_decode_in_parallel(spark):
         "multimodal_gif_timesample_stats",
         "multimodal_gif_composed_stats",
         "multimodal_gif_frame_stats",
+        "multimodal_webp_anim_stats",
+        "multimodal_mp3_frame_stats",
     ):
         plan = _plan(spark, name)
         assert "Arguments: roundrobinpartitioning" in plan.lower() or \
