@@ -526,11 +526,13 @@ def rec601_mean(px: bytes, ch: int, w: int, h: int) -> int:
     """Integer Rec.601 mean luma over an interleaved RGB/RGBA buffer —
     THE one luma convention shared by every GIF feature/frame operator
     (and their SQL oracles), extracted so a future change cannot
-    desynchronize the operators from each other (review r12)."""
-    return sum(
-        299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
-        for i in range(0, len(px), ch)
-    ) // (1000 * w * h)
+    desynchronize the operators from each other (review r12).  numpy
+    int64 arithmetic since r14 — identical sums to the python-int loop
+    (sums stay far below 2^63), severalfold faster post-decode."""
+    import numpy as np
+
+    rgb = np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(-1, ch)[:, :3]
+    return int((rgb * np.array([299, 587, 114])).sum()) // (1000 * w * h)
 
 
 def time_sampled_composed_frames(

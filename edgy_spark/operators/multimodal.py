@@ -206,15 +206,21 @@ def decode_features_png(media_df: DataFrame, on_error: str = "raise") -> DataFra
                          None, None, None, str(e))
                     )
                     continue
+                # Rec.601 integer luma — numpy int64 arithmetic, exact
+                # (same sums as the python-int loop, severalfold faster
+                # post-decode; review r13 finding #3)
+                import numpy as np
+
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
                 if ch >= 3:  # Rec.601 integer luma over RGB(A)
-                    luma = sum(
-                        299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
-                        for i in range(0, len(px), ch)
+                    rgb = arr.reshape(-1, ch)[:, :3]
+                    luma = int(
+                        (rgb * np.array([299, 587, 114])).sum()
                     ) // (1000 * w * h)
                 elif ch == 2:  # grey+alpha (r09 codec): luma = grey plane
-                    luma = sum(px[0::2]) // (w * h)
+                    luma = int(arr[0::2].sum()) // (w * h)
                 else:  # greyscale: samples ARE luma
-                    luma = sum(px) // (w * h)
+                    luma = int(arr.sum()) // (w * h)
                 rows.append(
                     (doc_id, len(data), hashlib.md5(data).hexdigest(), w, h, luma)
                 )
@@ -292,13 +298,16 @@ def decode_features_jpeg(media_df: DataFrame, on_error: str = "raise") -> DataFr
                          None, None, None, str(e))
                     )
                     continue
+                # numpy int64 luma — exact, severalfold faster (review r13)
+                import numpy as np
+
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
                 if ch == 3:  # Rec.601 integer luma over RGB
-                    luma = sum(
-                        299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
-                        for i in range(0, len(px), 3)
+                    luma = int(
+                        (arr.reshape(-1, 3) * np.array([299, 587, 114])).sum()
                     ) // (1000 * w * h)
                 else:  # grayscale: samples ARE luma
-                    luma = sum(px) // (w * h)
+                    luma = int(arr.sum()) // (w * h)
                 rows.append(
                     (doc_id, len(data), hashlib.md5(data).hexdigest(), w, h, luma)
                 )
@@ -2143,9 +2152,16 @@ def decode_features_webp(media_df: DataFrame, on_error: str = "raise") -> DataFr
                          None, None, None, str(e))
                     )
                     continue
-                luma = sum(
-                    299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
-                    for i in range(0, len(px), ch)
+                # numpy int64 luma — exact, severalfold faster (review r13)
+                import numpy as np
+
+                luma = int(
+                    (
+                        np.frombuffer(px, dtype=np.uint8)
+                        .astype(np.int64)
+                        .reshape(-1, ch)[:, :3]
+                        * np.array([299, 587, 114])
+                    ).sum()
                 ) // (1000 * w * h)
                 rows.append(
                     (doc_id, len(data), hashlib.md5(data).hexdigest(), w, h, luma)
@@ -2334,7 +2350,10 @@ def decode_features_webp_lossy(
                          None, None, None, str(e))
                     )
                     continue
-                luma = sum(y) // (w * h)
+                # numpy int64 sum — exact (review r13 finding #3)
+                import numpy as np
+
+                luma = int(np.frombuffer(y, dtype=np.uint8).sum(dtype=np.int64)) // (w * h)
                 rows.append(
                     (doc_id, len(data), hashlib.md5(data).hexdigest(), w, h, luma)
                 )
