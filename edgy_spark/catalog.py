@@ -133,7 +133,98 @@ def load_all_registrations() -> None:
     import edgy_spark.operators.recursive  # noqa: F401
     import edgy_spark.operators.entity  # noqa: F401
 
-    _prioritize(R13_WINDOW)
+    _prioritize(R14_WINDOW)
+
+
+#: The exact first-50 list for the r14 driver gate.
+#: ``tests/test_registry_window.py`` pins this against the live registry.
+#:
+#: R14 rotation rationale: (1) the three queries NEW in r14, never
+#: driver-verified (lossy-VP8 WebP decode, animated-WebP composition,
+#: MP3 frame-stream parsing); (2) every query whose EXECUTED code
+#: changed after its last driver green — the thirteen older codec synth
+#: gates that adopted the ``_parallel_doc_ids`` round-robin spread after
+#: the r13 gate ran (the r13 verdict's task #1: png_pixel/png_palette,
+#: the five jpeg gates, wav, phash, the four gif gates) plus
+#: ``multimodal_webp_stats`` (r14 container-walk changes: VP8 routing,
+#: first-composed-frame animations, the ALPH boundary — its VP8L decode
+#: path also gained the numpy luma rewrite, as did every other image
+#: gate listed here) and ``multimodal_flac_loudness`` (its synth now
+#: executes encode_flac's STREAMINFO field-width validation, the r13
+#: ADVICE fix); the four BPE-family queries rebuilt on the r14
+#: BYTE-LEVEL alphabet (train/encode/tokenize/pack — oracles and engine
+#: code changed in lockstep; ``text_bpe_merge_candidates`` is untouched,
+#: it tokenizes at word granularity); and ``parts_pareto_classes`` /
+#: ``orders_rfm_segments`` (plans/prefix.py's NULL-tiebreak loud-refusal
+#: guard, the r13 ADVICE fix, executes inside their chunked
+#: parallel-prefix); (3) the r13 verdict's task #4 — the last four
+#: r09-green entries retire their staleness (dedup_minhash_cluster_keepers,
+#: er_fuzzy_name_clusters, graph_scc_condensation_levels,
+#: recursive_hierarchy_rollup; after this window no entry's last driver
+#: green predates r10); (4) backfill with the 22 stalest greens — the
+#: r10-last-green families in registration order (graph fixpoints,
+#: simhash pair family, relational/set-op tail).  The 21 r10-green
+#: TPC-H/relational entries that remain outside (q2/q4/q7-q22 tail,
+#: market-basket, nation-revenue-trend, variant rollup) are green on
+#: code untouched since their check — next round's backfill.
+R14_WINDOW: list[str] = [
+    # new in r14 — never driver-verified
+    "multimodal_webp_lossy_stats",
+    "multimodal_webp_anim_stats",
+    "multimodal_mp3_frame_stats",
+    # executed-code changes after the last driver green: codec gates
+    "multimodal_webp_stats",
+    "multimodal_flac_loudness",
+    "multimodal_png_pixel_stats",
+    "multimodal_png_palette_stats",
+    "multimodal_jpeg_block_stats",
+    "multimodal_jpeg_progressive_stats",
+    "multimodal_jpeg_multiscan_stats",
+    "multimodal_jpeg_cmyk_stats",
+    "multimodal_jpeg_rgb_stats",
+    "multimodal_wav_loudness",
+    "multimodal_phash_dup_groups",
+    "multimodal_gif_palette_stats",
+    "multimodal_gif_timesample_stats",
+    "multimodal_gif_composed_stats",
+    "multimodal_gif_frame_stats",
+    # executed-code changes: the byte-level BPE family
+    "text_bpe_train_merges",
+    "text_bpe_encode_lengths",
+    "text_tokenize_ids",
+    "pipeline_pack_tokenized_blocks",
+    # executed-code changes: the parallel-prefix NULL guard
+    "parts_pareto_classes",
+    "orders_rfm_segments",
+    # r9-green tail retirement (verdict task #4)
+    "dedup_minhash_cluster_keepers",
+    "er_fuzzy_name_clusters",
+    "graph_scc_condensation_levels",
+    "recursive_hierarchy_rollup",
+    # stalest greens: 22 r10-last-green entries, registration order
+    "graph_pagerank",
+    "graph_louvain_communities",
+    "graph_modularity_score",
+    "graph_kcore_members",
+    "graph_ktruss_edges",
+    "graph_personalized_pagerank",
+    "graph_hits_authorities",
+    "sim_knn_label_accuracy",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_neardup_pairs",
+    "events_late_arrival_audit",
+    "repeat_buyers_intersect",
+    "lapsed_buyers_except_all",
+    "priority_union_all",
+    "scalar_function_showcase",
+    "json_event_extraction",
+    "priciest_parts_topk",
+    "grouping_sets_revenue",
+    "customer_order_gaps",
+    "pivot_orders_priority_by_year",
+    "repeat_buyers_intersect_all",
+    "skew_salted_segment_revenue",
+]
 
 
 #: The exact first-50 list for the r13 driver gate.

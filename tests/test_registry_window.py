@@ -9,7 +9,7 @@ import glob
 import json
 import os
 
-from edgy_spark.catalog import QUERIES, R13_WINDOW, load_all_registrations
+from edgy_spark.catalog import QUERIES, R14_WINDOW, load_all_registrations
 
 load_all_registrations()
 
@@ -42,13 +42,13 @@ def test_first_50_registrations_match_the_intended_window_exactly():
     must equal the explicit intended list, position for position — so a
     future module reorder or early registration cannot silently evict an
     entry the round's rotation plan depends on."""
-    assert len(R13_WINDOW) == WINDOW
-    assert len(set(R13_WINDOW)) == WINDOW, "duplicates in the window list"
+    assert len(R14_WINDOW) == WINDOW
+    assert len(set(R14_WINDOW)) == WINDOW, "duplicates in the window list"
     names = list(QUERIES)[:WINDOW]
-    assert names == R13_WINDOW, (
+    assert names == R14_WINDOW, (
         "driver window drifted from the plan: "
-        f"unexpected={sorted(set(names) - set(R13_WINDOW))} "
-        f"evicted={sorted(set(R13_WINDOW) - set(names))}"
+        f"unexpected={sorted(set(names) - set(R14_WINDOW))} "
+        f"evicted={sorted(set(R14_WINDOW) - set(names))}"
     )
 
 
