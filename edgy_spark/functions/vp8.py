@@ -1576,7 +1576,6 @@ def yuv420_to_rgba(
 # ---------------------------------------------------------------------------
 # encoder — exact flat-macroblock key frames
 # ---------------------------------------------------------------------------
-
 def encode_vp8_flat(
     mb_w: int,
     mb_h: int,
@@ -1585,6 +1584,9 @@ def encode_vp8_flat(
     q_index: int = 0,
     filter_level: int = 0,
     filter_type: int = 0,
+    token_partitions: int = 1,
+    mb_skip: bool = False,
+    segments: list[int] | None = None,
 ) -> bytes:
     """Encode a key frame of flat 16x16 macroblocks (luma ``lumas[mb]`` in
     raster order, chroma 128 everywhere) that the §14 integer transforms
@@ -1600,14 +1602,25 @@ def encode_vp8_flat(
     cannot disagree.  Requires q_index == 0 (dc quant 4).  Returns the raw
     VP8 payload (no RIFF container).
 
-    ``filter_level``/``filter_type`` select the in-loop deblocker (§15);
-    nonzero levels smooth block edges, so bit-exactness holds only at the
-    default 0 (the gate fixture's setting) — nonzero exists to exercise
-    the filter path deterministically in tests."""
+    Coverage knobs (each exercises a decoder path real encoders use):
+
+    - ``filter_level``/``filter_type``: the §15 in-loop deblocker; nonzero
+      levels smooth block edges, so bit-exactness holds only at the
+      default 0 (the gate fixture's setting).
+    - ``token_partitions`` (1/2/4/8): rows of macroblocks round-robin
+      across N token partitions with the 3-byte size table (§9.5).
+    - ``mb_skip``: enables mb_no_coeff_skip; an MB whose every residual
+      is zero is coded as a skip flag and NO token data (§9.10/§11.1).
+    - ``segments``: per-MB segment ids (0..3) coded through the segment
+      tree with update_map on (quantizer/loop-filter deltas stay zero, so
+      exactness is unaffected while the map-parse path executes).
+    """
     if q_index != 0:
         raise ValueError("exact flat coding requires q_index 0")
     if not (0 <= filter_level <= 63 and filter_type in (0, 1)):
         raise ValueError("bad loop filter parameters")
+    if token_partitions not in (1, 2, 4, 8):
+        raise ValueError("token_partitions must be 1, 2, 4, or 8")
     if len(lumas) != mb_w * mb_h:
         raise ValueError("lumas must have mb_w*mb_h entries")
     if not all(0 <= v <= 255 for v in lumas):
@@ -1620,17 +1633,30 @@ def encode_vp8_flat(
         m in (DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED) for m in modes
     ):
         raise ValueError("bad mode list")
+    if segments is not None and (
+        len(segments) != mb_w * mb_h or not all(0 <= s <= 3 for s in segments)
+    ):
+        raise ValueError("bad segment list")
 
-    # --- header partition (also carries the mode records) ---
+    skip_prob = 128
+
+    # --- header (first partition) ---
     be = BoolEncoder()
     be.write_literal(0, 1)  # color space
     be.write_literal(0, 1)  # clamping
-    be.write_bool(128, 0)  # segmentation disabled
+    if segments is None:
+        be.write_bool(128, 0)  # segmentation disabled
+    else:
+        be.write_bool(128, 1)  # segmentation enabled
+        be.write_bool(128, 1)  # update the MB segmentation map
+        be.write_bool(128, 0)  # no feature data (quant/lf deltas stay 0)
+        for _ in range(3):  # keep default 255 segment tree probs
+            be.write_bool(128, 0)
     be.write_literal(filter_type, 1)
     be.write_literal(filter_level, 6)  # 0 (the default) keeps exactness
     be.write_literal(0, 3)  # sharpness
     be.write_bool(128, 0)  # lf delta disabled
-    be.write_literal(0, 2)  # 1 token partition
+    be.write_literal(token_partitions.bit_length() - 1, 2)
     be.write_literal(q_index, 7)
     for _ in range(5):  # y1dc / y2dc / y2ac / uvdc / uvac deltas absent
         be.write_bool(128, 0)
@@ -1640,46 +1666,26 @@ def encode_vp8_flat(
             for c in range(3):
                 for pi in range(11):
                     be.write_bool(COEF_UPDATE_PROBS[t][b][c][pi], 0)
-    be.write_bool(128, 0)  # mb_no_coeff_skip off
+    be.write_bool(128, 1 if mb_skip else 0)
+    if mb_skip:
+        be.write_literal(skip_prob, 8)
 
     def submode_for(mb: int, sb: int) -> int:
         return B_TM_PRED if (mb + sb) % 2 else B_DC_PRED
 
-    above_bmodes = [[B_DC_PRED] * 4 for _ in range(mb_w)]
-    all_bmodes: list[list[int]] = []
-    for mb_row in range(mb_h):
-        left_bmodes = [B_DC_PRED] * 4
-        for mb_col in range(mb_w):
-            mb = mb_row * mb_w + mb_col
-            m = modes[mb]
-            be.write_tree(KF_YMODE_TREE, KF_YMODE_PROB, m)
-            if m == B_PRED:
-                bmodes = [submode_for(mb, sb) for sb in range(16)]
-                for sb in range(16):
-                    sr, sc = sb // 4, sb % 4
-                    above_m = bmodes[sb - 4] if sr else above_bmodes[mb_col][sc]
-                    left_m = bmodes[sb - 1] if sc else left_bmodes[sr]
-                    be.write_tree(
-                        BMODE_TREE, KF_BMODE_PROBS[above_m][left_m], bmodes[sb]
-                    )
-            else:
-                bmodes = [_IMPLIED_B[m]] * 16
-            above_bmodes[mb_col] = bmodes[12:16]
-            left_bmodes = [bmodes[3], bmodes[7], bmodes[11], bmodes[15]]
-            be.write_tree(UV_MODE_TREE, KF_UV_MODE_PROB, DC_PRED)
-            all_bmodes.append(bmodes)
-    part1 = be.done()
-
-    # --- token partition: DC-only residuals against the decoder's own
-    # predictors run over a model plane of the exact reconstruction ---
-    te = BoolEncoder()
+    # --- single pass: mode records into part1, residual tokens into the
+    # round-robin token partitions, predictions against the model plane ---
+    tes = [BoolEncoder() for _ in range(token_partitions)]
     y_model = _Plane(mb_w * 16, mb_h * 16)
     above_y = [0] * (mb_w * 4)
     above_u = [0] * (mb_w * 2)
     above_v = [0] * (mb_w * 2)
     above_y2 = [0] * mb_w
+    above_bmodes = [[B_DC_PRED] * 4 for _ in range(mb_w)]
     probs = DEFAULT_COEF_PROBS
     for mb_row in range(mb_h):
+        te = tes[mb_row % token_partitions]
+        left_bmodes = [B_DC_PRED] * 4
         left_y = [0] * 4
         left_u = [0] * 2
         left_v = [0] * 2
@@ -1689,30 +1695,22 @@ def encode_vp8_flat(
             target = lumas[mb]
             m = modes[mb]
             x0, y0 = mb_col * 16, mb_row * 16
+
+            # compute the per-block residual levels first (skip needs them
+            # before the mode record is written)
             if m != B_PRED:
                 pred = _PRED_16[m](y_model, x0, y0, 16)
                 if len(set(pred)) != 1:
                     raise AssertionError(
                         "flat-content 16x16 prediction not constant"
                     )
-                r = target - pred[0]
-                level = 8 * r  # Y2 dequant 8 -> WHT DC 64r -> residual r
-                ctx = above_y2[mb_col] + left_y2
-                nz = encode_block_coeffs(
-                    te, probs[1], 0, ctx, [level] if level else []
-                )
-                above_y2[mb_col] = left_y2 = nz
-                for sb in range(16):
-                    sr, sc = sb // 4, sb % 4
-                    ctx = above_y[mb_col * 4 + sc] + left_y[sr]
-                    nz = encode_block_coeffs(te, probs[0], 1, ctx, [])
-                    above_y[mb_col * 4 + sc] = left_y[sr] = nz
-                # reconstruction == target everywhere
-                for j in range(16):
-                    for i in range(16):
-                        y_model.set(x0 + i, y0 + j, target)
+                y2_level = 8 * (target - pred[0])
+                sub_levels = None
+                all_zero = y2_level == 0
+                bmodes = [_IMPLIED_B[m]] * 16
             else:
-                bmodes = all_bmodes[mb]
+                bmodes = [submode_for(mb, sb) for sb in range(16)]
+                sub_levels = []
                 for sb in range(16):
                     sr, sc = sb // 4, sb % 4
                     bx, by = x0 + sc * 4, y0 + sr * 4
@@ -1721,31 +1719,88 @@ def encode_vp8_flat(
                         raise AssertionError(
                             "flat-content 4x4 prediction not constant"
                         )
-                    r = target - pred[0]
-                    level = 2 * r  # y1dc 4 -> DCT DC 8r -> residual r
-                    ctx = above_y[mb_col * 4 + sc] + left_y[sr]
-                    nz = encode_block_coeffs(
-                        te, probs[3], 0, ctx, [level] if level else []
-                    )
-                    above_y[mb_col * 4 + sc] = left_y[sr] = nz
+                    sub_levels.append(2 * (target - pred[0]))
+                    # fill as we go: later subblocks predict from earlier
                     for j in range(4):
                         for i in range(4):
                             y_model.set(bx + i, by + j, target)
-                # a B_PRED macroblock has no Y2 block; its Y2 entropy
-                # context carries through unchanged (§13.4)
-            for a_ctx, l_ctx in ((above_u, left_u), (above_v, left_v)):
-                for sb in range(4):
-                    sr, sc = sb // 2, sb % 2
-                    ctx = a_ctx[mb_col * 2 + sc] + l_ctx[sr]
-                    nz = encode_block_coeffs(te, probs[2], 0, ctx, [])
-                    a_ctx[mb_col * 2 + sc] = l_ctx[sr] = nz
+                y2_level = 0
+                all_zero = all(lv == 0 for lv in sub_levels)
+            skip = 1 if (mb_skip and all_zero) else 0
+
+            # ---- mode record (first partition) ----
+            if segments is not None:
+                be.write_tree(_SEG_TREE, [255, 255, 255], segments[mb])
+            if mb_skip:
+                be.write_bool(skip_prob, skip)
+            be.write_tree(KF_YMODE_TREE, KF_YMODE_PROB, m)
+            if m == B_PRED:
+                for sb in range(16):
+                    sr, sc = sb // 4, sb % 4
+                    above_m = bmodes[sb - 4] if sr else above_bmodes[mb_col][sc]
+                    left_m = bmodes[sb - 1] if sc else left_bmodes[sr]
+                    be.write_tree(
+                        BMODE_TREE, KF_BMODE_PROBS[above_m][left_m], bmodes[sb]
+                    )
+            above_bmodes[mb_col] = bmodes[12:16]
+            left_bmodes = [bmodes[3], bmodes[7], bmodes[11], bmodes[15]]
+            be.write_tree(UV_MODE_TREE, KF_UV_MODE_PROB, DC_PRED)
+
+            # ---- token record (round-robin partition) ----
+            if skip:
+                # §13.4 context reset: y/u/v zeroed; y2 too when present
+                for i in range(4):
+                    above_y[mb_col * 4 + i] = left_y[i] = 0
+                for i in range(2):
+                    above_u[mb_col * 2 + i] = left_u[i] = 0
+                    above_v[mb_col * 2 + i] = left_v[i] = 0
+                if m != B_PRED:
+                    above_y2[mb_col] = left_y2 = 0
+            elif m != B_PRED:
+                ctx = above_y2[mb_col] + left_y2
+                nz = encode_block_coeffs(
+                    te, probs[1], 0, ctx, [y2_level] if y2_level else []
+                )
+                above_y2[mb_col] = left_y2 = nz
+                for sb in range(16):
+                    sr, sc = sb // 4, sb % 4
+                    ctx = above_y[mb_col * 4 + sc] + left_y[sr]
+                    nz = encode_block_coeffs(te, probs[0], 1, ctx, [])
+                    above_y[mb_col * 4 + sc] = left_y[sr] = nz
+            else:
+                for sb in range(16):
+                    sr, sc = sb // 4, sb % 4
+                    lv = sub_levels[sb]
+                    ctx = above_y[mb_col * 4 + sc] + left_y[sr]
+                    nz = encode_block_coeffs(
+                        te, probs[3], 0, ctx, [lv] if lv else []
+                    )
+                    above_y[mb_col * 4 + sc] = left_y[sr] = nz
+                # B_PRED MB: no Y2 block, its context carries through
+            if not skip:
+                for a_ctx, l_ctx in ((above_u, left_u), (above_v, left_v)):
+                    for sb in range(4):
+                        sr, sc = sb // 2, sb % 2
+                        ctx = a_ctx[mb_col * 2 + sc] + l_ctx[sr]
+                        nz = encode_block_coeffs(te, probs[2], 0, ctx, [])
+                        a_ctx[mb_col * 2 + sc] = l_ctx[sr] = nz
+
+            if m != B_PRED:
+                # reconstruction == target everywhere
+                for j in range(16):
+                    for i in range(16):
+                        y_model.set(x0 + i, y0 + j, target)
         for j in range(16):
             y_model.finish_row_padding(mb_row * 16 + j)
-    part2 = te.done()
+    part1 = be.done()
+    token_parts = [te.done() for te in tes]
 
     w, h = mb_w * 16, mb_h * 16
     tag = (len(part1) << 5) | (1 << 4) | 0  # show_frame, version 0, keyframe
     head = bytes(
         (tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF)
     ) + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
-    return head + part1 + part2
+    sizes = b"".join(
+        struct.pack("<I", len(p))[:3] for p in token_parts[:-1]
+    )
+    return head + part1 + sizes + b"".join(token_parts)

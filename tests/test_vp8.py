@@ -302,3 +302,74 @@ def test_planes_decoder_rejects_lossless():
     data = encode_webp_lossless(2, 2, rgba)
     with pytest.raises(ValueError, match="no YUV planes"):
         decode_webp_planes(data)
+
+
+# ---------------------------------------------------------------------------
+# r14 second wave: decoder paths real encoders use — token partitions,
+# mb_no_coeff_skip, segmentation map
+# ---------------------------------------------------------------------------
+
+
+def test_multiple_token_partitions_roundtrip():
+    lumas = [(i * 53) % 256 for i in range(16)]
+    modes = [i % 5 for i in range(16)]
+    base = vp8.decode_vp8(vp8.encode_vp8_flat(4, 4, lumas, modes=modes))
+    for n in (2, 4, 8):
+        payload = vp8.encode_vp8_flat(
+            4, 4, lumas, modes=modes, token_partitions=n
+        )
+        assert vp8.decode_vp8(payload) == base, n
+        # the size table really is 3 bytes per partition except the last
+        first_part = payload[0] | (payload[1] << 8) | (payload[2] << 16)
+        assert len(payload) > 10 + (first_part >> 5) + 3 * (n - 1)
+
+
+def test_mb_skip_flags_roundtrip_and_shrink():
+    # all-equal lumas in DC mode: every MB after the first predicts
+    # exactly and codes as a skip — the stream must shrink and still
+    # reconstruct bit-identically
+    lumas = [100] * 12
+    plain = vp8.encode_vp8_flat(4, 3, lumas)
+    skippy = vp8.encode_vp8_flat(4, 3, lumas, mb_skip=True)
+    assert vp8.decode_vp8(plain) == vp8.decode_vp8(skippy)
+    assert len(skippy) < len(plain)
+    w = 64
+    y = vp8.decode_vp8(skippy)[2]
+    assert set(y) == {100}
+    # and skip interacts correctly with B_PRED rows (no Y2 context reset)
+    modes = [vp8.B_PRED if i % 3 == 0 else vp8.DC_PRED for i in range(12)]
+    a = vp8.decode_vp8(vp8.encode_vp8_flat(4, 3, lumas, modes=modes))
+    b = vp8.decode_vp8(
+        vp8.encode_vp8_flat(4, 3, lumas, modes=modes, mb_skip=True)
+    )
+    assert a == b
+
+
+def test_segmentation_map_roundtrip():
+    lumas = [(i * 37 + 5) % 256 for i in range(9)]
+    segs = [i % 4 for i in range(9)]
+    base = vp8.decode_vp8(vp8.encode_vp8_flat(3, 3, lumas))
+    seg = vp8.decode_vp8(vp8.encode_vp8_flat(3, 3, lumas, segments=segs))
+    # zero per-segment deltas: identical reconstruction, map path executed
+    assert base == seg
+
+
+def test_all_knobs_combined_exact():
+    import random as _random
+
+    rng = _random.Random(77)
+    lumas = [rng.choice([7, 7, 200, 133]) for _ in range(20)]
+    modes = [rng.randrange(5) for _ in range(20)]
+    payload = vp8.encode_vp8_flat(
+        5, 4, lumas, modes=modes, token_partitions=4, mb_skip=True,
+        segments=[i % 4 for i in range(20)],
+    )
+    w, h, y, u, v = vp8.decode_vp8(payload)
+    for mb in range(20):
+        mr, mc = mb // 5, mb % 5
+        vals = {
+            y[(mr * 16 + j) * w + mc * 16 + i]
+            for j in range(16)
+            for i in range(16)
+        }
+        assert vals == {lumas[mb]}, mb
