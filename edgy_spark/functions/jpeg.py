@@ -222,12 +222,15 @@ def _idct_block(coef: list[int]) -> list[int]:
     return out
 
 
-def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline/extended-sequential (SOF0/SOF1) or progressive
-    (SOF2) JPEG into ``(width, height, channels, pixels)`` — 8-bit
-    samples, row-major, interleaved (RGB for 3-component JFIF images,
-    luma for grayscale).  Raises ValueError on malformed input and
-    NotImplementedError on out-of-scope features."""
+def _decode_jpeg(data: bytes, raw_lossless: bool = False):
+    """Decode a baseline/extended-sequential (SOF0/SOF1), progressive
+    (SOF2), or lossless (SOF3) JPEG into ``(width, height, channels,
+    pixels)`` — 8-bit samples, row-major, interleaved (RGB for
+    3-component JFIF images, luma for grayscale).  With ``raw_lossless``
+    a lossless frame returns ``(w, h, nc, precision, samples)`` with
+    full-precision integer samples instead (the 2..16-bit API).  Raises
+    ValueError on malformed input and NotImplementedError on
+    out-of-scope features."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, list[int]] = {}
@@ -289,7 +292,23 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 )
             frame = {"w": w, "h": h, "comps": comps,
                      "progressive": marker == 0xC2}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # SOF3: lossless sequential (T.81 Annex H)
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if not 2 <= prec <= 16:
+                raise ValueError(f"bad lossless precision {prec}")
+            if nc < 1 or nc > 4:
+                raise NotImplementedError(f"{nc} components")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + c * 3:9 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            if w * h > MAX_PIXELS:
+                raise ValueError(
+                    f"implausible dimensions {w}x{h} (> MAX_PIXELS)"
+                )
+            frame = {"w": w, "h": h, "comps": comps, "progressive": False,
+                     "lossless": True, "prec": prec}
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -318,6 +337,20 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 if ci is None:
                     raise ValueError("scan references unknown component")
                 scan.append((ci, frame["comps"][ci], tt >> 4, tt & 0xF))
+            if frame.get("lossless"):
+                ss, se, ahal = seg[1 + ns * 2:4 + ns * 2]
+                w, h, nc, prec, samples = _lossless_scan(
+                    data, i + 2 + seglen, frame, scan,
+                    ss, ahal & 0xF, huff_dc, restart_interval,
+                )
+                if raw_lossless:
+                    return w, h, nc, prec, samples
+                if prec != 8:
+                    raise ValueError(
+                        f"{prec}-bit lossless samples exceed the 8-bit "
+                        "pixel API — use decode_jpeg_lossless"
+                    )
+                return w, h, nc, bytes(samples)
             if frame["progressive"]:
                 ss, se, ahal = seg[1 + ns * 2:4 + ns * 2]
                 if store is None:
@@ -1280,3 +1313,204 @@ def encode_jpeg_flat_cmyk(
             w.put(eob_code, eob_len)
 
     return b"\xff\xd8" + app14 + dqt + sof + dht + sos + w.flush() + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# lossless JPEG (SOF3, T.81 Annex H) — r14: the integer-exact DCT-free
+# process (DNG/DICOM lineage).  Predictive coding: each sample's
+# difference from one of seven neighbor predictors is Huffman-coded as
+# (SSSS, magnitude bits), all arithmetic mod 2^16.
+# ---------------------------------------------------------------------------
+
+
+def _lossless_scan(data, pos, frame, scan, psv, pt, huff_dc, ri):
+    """Decode one full-frame lossless scan.  Returns (w, h, nc,
+    effective_precision, samples) with ``samples`` interleaved raster
+    ints (already shifted left by the point transform Pt, per H.2.3's
+    output rule)."""
+    if not 1 <= psv <= 7:
+        raise ValueError(f"bad predictor selector {psv}")
+    w, h = frame["w"], frame["h"]
+    nc = len(scan)
+    if nc != len(frame["comps"]):
+        raise NotImplementedError("multi-scan lossless JPEG")
+    if any(c["h"] != 1 or c["v"] != 1 for c in frame["comps"]):
+        raise NotImplementedError("subsampled lossless JPEG")
+    prec = frame["prec"]
+    if pt >= prec:
+        raise ValueError("point transform exceeds precision")
+    tables = []
+    for _, _c, tdc, _ta in scan:
+        if tdc not in huff_dc:
+            raise ValueError("scan references missing Huffman table")
+        tables.append(huff_dc[tdc])
+    default_pred = 1 << (prec - pt - 1)
+    mask = 0xFFFF
+    samples = [0] * (w * h * nc)
+    r = _BitReader(data, pos)
+    next_rst = 0
+    since_restart = 0
+    fresh = [True] * nc  # next sample of comp c starts a restart interval
+    for y in range(h):
+        for x in range(w):
+            for c in range(nc):
+                if ri and since_restart == ri * nc:
+                    r.align_to_marker()
+                    # consume the expected RSTn marker
+                    p = r.pos
+                    while p + 1 < len(data) and data[p] == 0xFF and data[p + 1] == 0xFF:
+                        p += 1
+                    if not (
+                        p + 1 < len(data)
+                        and data[p] == 0xFF
+                        and data[p + 1] == 0xD0 + next_rst
+                    ):
+                        raise ValueError("missing restart marker")
+                    next_rst = (next_rst + 1) & 7
+                    r.pos = p + 2
+                    r.nbits = 0
+                    since_restart = 0
+                    fresh = [True] * nc
+                try:
+                    t = r.decode_huff(tables[c])
+                except _RestartMarker:
+                    raise ValueError("unexpected restart marker")
+                if t > 16:
+                    raise ValueError(f"bad lossless SSSS {t}")
+                diff = 32768 if t == 16 else _extend(r.receive(t), t)
+                idx = (y * w + x) * nc + c
+                if fresh[c]:
+                    pred = default_pred
+                    fresh[c] = False
+                elif y == 0:
+                    pred = samples[idx - nc]  # first line: left (H.1.1)
+                elif x == 0:
+                    pred = samples[idx - w * nc]  # first column: above
+                else:
+                    ra = samples[idx - nc]
+                    rb = samples[idx - w * nc]
+                    rc = samples[idx - w * nc - nc]
+                    if psv == 1:
+                        pred = ra
+                    elif psv == 2:
+                        pred = rb
+                    elif psv == 3:
+                        pred = rc
+                    elif psv == 4:
+                        pred = ra + rb - rc
+                    elif psv == 5:
+                        pred = ra + ((rb - rc) >> 1)
+                    elif psv == 6:
+                        pred = rb + ((ra - rc) >> 1)
+                    else:  # 7
+                        pred = (ra + rb) >> 1
+                samples[idx] = (pred + diff) & mask
+                since_restart += 1
+    if pt:
+        samples = [s << pt for s in samples]
+    return w, h, nc, prec, samples
+
+
+def decode_jpeg_lossless(data: bytes) -> tuple[int, int, int, int, list[int]]:
+    """Decode a LOSSLESS (SOF3) JPEG to ``(width, height, n_components,
+    precision, samples)`` with full-precision (2..16-bit) integer
+    samples, interleaved raster order — the API for >8-bit content
+    (:func:`decode_jpeg` serves 8-bit lossless frames as ordinary pixel
+    bytes).  ValueError on malformed input, like every decode lane."""
+    try:
+        out = _decode_jpeg(data, raw_lossless=True)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, OverflowError, MemoryError) as e:
+        raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+    if len(out) != 5:
+        raise ValueError("not a lossless (SOF3) JPEG")
+    return out
+
+
+#: 17 SSSS symbols (0..16), all coded at 5 bits — a valid canonical table
+#: (codes 0..16 of 32; the all-ones code stays unused, per the T.81
+#: convention) that covers every lossless difference class at any
+#: precision.
+_LOSSLESS_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_LOSSLESS_VALS = bytes(range(17))
+
+
+def encode_jpeg_lossless(
+    width: int,
+    height: int,
+    samples: list[int],
+    precision: int = 8,
+    predictor: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a single-component lossless (SOF3) JPEG: genuine marker
+    stream (SOF3/DHT/SOS), Huffman-coded mod-2^16 differences against
+    the selected predictor (1..7).  Lossless by construction — decode
+    returns ``samples`` bit-identically at any precision 2..16 — which
+    makes this family hash-gateable without any DC-only device."""
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if len(samples) != width * height or width < 1 or height < 1:
+        raise ValueError("samples must have width*height entries")
+    top = 1 << precision
+    if not all(0 <= s < top for s in samples):
+        raise ValueError("sample out of range for precision")
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    sof = struct.pack(">BHHB", precision, height, width, 1) + bytes((1, 0x11, 0))
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(_LOSSLESS_BITS) + _LOSSLESS_VALS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([1, 1, 0x00, predictor, 0, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    codes = {s: (5, s) for s in range(17)}  # canonical: value s -> code s
+    bw = _BitWriter()
+    default_pred = 1 << (precision - 1)
+    next_rst = 0
+    since = 0
+    fresh = True
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and since == restart_interval:
+                out += bw.flush() + bytes((0xFF, 0xD0 + next_rst))
+                bw = _BitWriter()
+                next_rst = (next_rst + 1) & 7
+                since = 0
+                fresh = True
+            idx = y * width + x
+            if fresh:
+                pred = default_pred
+                fresh = False
+            elif y == 0:
+                pred = samples[idx - 1]
+            elif x == 0:
+                pred = samples[idx - width]
+            else:
+                ra, rb = samples[idx - 1], samples[idx - width]
+                rc = samples[idx - width - 1]
+                pred = {
+                    1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                    5: ra + ((rb - rc) >> 1), 6: rb + ((ra - rc) >> 1),
+                    7: (ra + rb) >> 1,
+                }[predictor]
+            diff = (samples[idx] - pred) & 0xFFFF
+            if diff > 32768:
+                diff -= 65536
+            if diff == 32768:
+                t = 16
+            else:
+                t = abs(diff).bit_length()
+            length, code = codes[t]
+            bw.put(code, length)
+            if 0 < t < 16:
+                v = diff if diff > 0 else diff + (1 << t) - 1
+                bw.put(v, t)
+            since += 1
+    out += bw.flush() + b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -3014,3 +3014,166 @@ def multimodal_mp3_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# lossless JPEG (SOF3) — r14: the DCT-free integer-exact process
+# (DNG/DICOM lineage) and the repo's first >8-bit-precision image lane
+# ---------------------------------------------------------------------------
+
+
+def decode_features_jpeg_lossless(
+    media_df: DataFrame, on_error: str = "raise"
+) -> DataFrame:
+    """REAL lossless-JPEG decode inside Python workers via the from-spec
+    SOF3 path (functions/jpeg.py — seven-predictor predictive coding,
+    Huffman-coded mod-2^16 differences, 2..16-bit sample precision,
+    restart-interval prediction resets).  Emits (width, height,
+    n_components, precision, mean_sample) — the sample mean is over the
+    FULL-precision integers (no 8-bit squeeze), exact because the
+    process is lossless by construction.  Crawl contract
+    (``on_error='null'``) as every decode lane."""
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import jpeg as _jpeg
+
+    cloudpickle.register_pickle_by_value(_jpeg)
+    decode_lossless = _jpeg.decode_jpeg_lossless
+    tolerant = _check_on_error(on_error)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            err_rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None:
+                    if not tolerant:
+                        raise ValueError("NULL media payload")
+                    err_rows.append(
+                        (doc_id, None, None)
+                        + (None,) * 5
+                        + ("NULL media payload",)
+                    )
+                    continue
+                data = bytes(payload)
+                try:
+                    w, h, nc, prec, samples = decode_lossless(data)
+                except (ValueError, NotImplementedError) as e:
+                    if not tolerant:
+                        raise
+                    err_rows.append(
+                        (doc_id, len(data), hashlib.md5(data).hexdigest())
+                        + (None,) * 5
+                        + (str(e),)
+                    )
+                    continue
+                mean_sample = sum(samples) // (w * h * nc)
+                rows.append(
+                    (doc_id, len(data), hashlib.md5(data).hexdigest(),
+                     w, h, nc, prec, mean_sample)
+                )
+            cols = [
+                "doc_id", "n_bytes", "content_md5", "width", "height",
+                "n_components", "precision", "mean_sample",
+            ]
+            if tolerant:
+                yield pd.DataFrame(
+                    [r + (None,) for r in rows] + err_rows,
+                    columns=cols + ["decode_error"],
+                )
+            else:
+                yield pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        "doc_id long, n_bytes long, content_md5 string, width long, "
+        "height long, n_components long, precision long, mean_sample long"
+    )
+    if tolerant:
+        schema += ", decode_error string"
+    return media_df.mapInPandas(decode, schema)
+
+
+@register(
+    "multimodal_jpeg_lossless_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      doc_id % 9 + 2 AS w,
+                      (doc_id * 5) % 7 + 2 AS h,
+                      CASE doc_id % 3 WHEN 0 THEN 256 WHEN 1 THEN 4096
+                           ELSE 65536 END AS top
+               FROM documents),
+    s AS (SELECT d.doc_id, d.w, d.h, d.top,
+                 SUM((d.doc_id * 7 + (t.i % d.w) * 3 + (t.i // d.w) * 11)
+                     % d.top) AS total
+          FROM d, generate_series(0, 10 * 8 - 1) AS t(i)
+          WHERE t.i < d.w * d.h
+          GROUP BY d.doc_id, d.w, d.h, d.top)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(CASE top WHEN 256 THEN 8 WHEN 4096 THEN 12 ELSE 16 END
+                AS BIGINT) AS precision,
+           CAST(total // (w * h) AS BIGINT) AS mean_sample
+    FROM s
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "decode", "jpeg", "lossless"),
+)
+def multimodal_jpeg_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS (SOF3) JPEG decode under the driver's value-hash gate —
+    the r13 verdict's rare-variants item, and the repo's first image lane
+    whose samples exceed 8 bits: each document id defines a grayscale
+    image (w = doc_id%9+2, h = (doc_id*5)%7+2; sample(x,y) =
+    (doc_id*7 + x*3 + y*11) mod 2^P) at a precision that ROTATES
+    8/12/16 bits with doc_id%3, ENCODED with predictor doc_id%7+1 (all
+    seven Annex H predictors under the hash) and DECODED back through
+    the full from-spec path (marker walk, canonical Huffman SSSS +
+    magnitude bits, mod-2^16 predictive reconstruction) inside
+    Arrow-batched ``mapInPandas``.  Lossless by construction — decoded
+    samples equal the formula EXACTLY at full precision, so the oracle
+    recomputes width/height/precision/mean-sample in closed form and any
+    predictor, EXTEND, or Huffman slip breaks the hash.
+
+    Scale: the codec-gate shape — samples never leave the executors;
+    exchanged rows are (doc_id, 4 small ints); the fixture scan is
+    spread by ``_parallel_doc_ids``.
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import jpeg as _jpeg
+
+    cloudpickle.register_pickle_by_value(_jpeg)
+    encode_lossless = _jpeg.encode_jpeg_lossless
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = i % 9 + 2, (i * 5) % 7 + 2
+                prec = (8, 12, 16)[i % 3]
+                top = 1 << prec
+                src = [
+                    (i * 7 + x * 3 + y * 11) % top
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                media.append(
+                    encode_lossless(
+                        w, h, src, precision=prec, predictor=i % 7 + 1
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    media_df = _parallel_doc_ids(spark, sf_dir).mapInPandas(
+        synth, "doc_id long, media binary"
+    )
+    return (
+        decode_features_jpeg_lossless(media_df)
+        .select(
+            "doc_id", "width", "height", "precision", "mean_sample"
+        )
+        .orderBy("doc_id")
+    )

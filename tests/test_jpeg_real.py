@@ -713,3 +713,140 @@ def test_jpeg_3comp_rgb_component_ids_passthrough():
         by, bx = divmod(b, 3)
         o = ((by * 8 + 3) * w + bx * 8 + 3) * 3
         assert tuple(px[o:o + 3]) == (s, 128, 128), b
+
+
+# ---------------------------------------------------------------------------
+# lossless JPEG (SOF3, T.81 Annex H) — r14.  The JDK's javax.imageio
+# reader has no SOF3 support, so (uniquely in this file) the lane is
+# anchored on round-trips across every predictor/precision, a
+# hand-coded stream pin, and the crawl-robustness contract.
+# ---------------------------------------------------------------------------
+
+
+def test_lossless_roundtrip_all_predictors_and_precisions():
+    import random
+
+    from edgy_spark.functions.jpeg import (
+        decode_jpeg_lossless,
+        encode_jpeg_lossless,
+    )
+
+    rng = random.Random(41)
+    for prec in (2, 4, 8, 12, 16):
+        for psv in range(1, 8):
+            w, h = rng.randint(1, 8), rng.randint(1, 8)
+            src = [rng.randrange(1 << prec) for _ in range(w * h)]
+            data = encode_jpeg_lossless(
+                w, h, src, precision=prec, predictor=psv
+            )
+            assert decode_jpeg_lossless(data) == (w, h, 1, prec, src)
+
+
+def test_lossless_restart_interval_resets_prediction():
+    from edgy_spark.functions.jpeg import (
+        decode_jpeg_lossless,
+        encode_jpeg_lossless,
+    )
+
+    src = [(i * 89) % 4096 for i in range(6 * 5)]
+    plain = encode_jpeg_lossless(6, 5, src, precision=12, predictor=7)
+    rst = encode_jpeg_lossless(
+        6, 5, src, precision=12, predictor=7, restart_interval=7
+    )
+    assert decode_jpeg_lossless(plain) == decode_jpeg_lossless(rst)
+    assert b"\xff\xd0" in rst or b"\xff\xd1" in rst  # real RSTn markers
+
+
+def test_lossless_8bit_flows_through_pixel_api():
+    from edgy_spark.functions.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    src = [1, 255, 77, 0, 128, 9]
+    data = encode_jpeg_lossless(3, 2, src, precision=8, predictor=4)
+    assert decode_jpeg(data) == (3, 2, 1, bytes(src))
+
+
+def test_lossless_high_precision_guards_pixel_api():
+    import pytest as _pytest
+
+    from edgy_spark.functions.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    data = encode_jpeg_lossless(2, 2, [0, 1, 2, 3], precision=12)
+    with _pytest.raises(ValueError, match="decode_jpeg_lossless"):
+        decode_jpeg(data)
+
+
+def test_lossless_truncation_and_corruption_never_crash():
+    import random
+
+    from edgy_spark.functions.jpeg import (
+        decode_jpeg_lossless,
+        encode_jpeg_lossless,
+    )
+
+    data = bytearray(
+        encode_jpeg_lossless(
+            5, 4, [(i * 13) % 65536 for i in range(20)], precision=16,
+            predictor=5,
+        )
+    )
+    for k in range(len(data)):
+        try:
+            decode_jpeg_lossless(bytes(data[:k]))
+        except (ValueError, NotImplementedError):
+            pass
+    rng = random.Random(8)
+    for _ in range(150):
+        i = rng.randrange(len(data))
+        orig = data[i]
+        data[i] = rng.randrange(256)
+        try:
+            decode_jpeg_lossless(bytes(data))
+        except (ValueError, NotImplementedError):
+            pass
+        data[i] = orig
+
+
+def test_lossless_encoder_validates_inputs():
+    import pytest as _pytest
+
+    from edgy_spark.functions.jpeg import encode_jpeg_lossless
+
+    with _pytest.raises(ValueError):
+        encode_jpeg_lossless(2, 1, [0, 1], precision=17)
+    with _pytest.raises(ValueError):
+        encode_jpeg_lossless(2, 1, [0, 256], precision=8)
+    with _pytest.raises(ValueError):
+        encode_jpeg_lossless(2, 1, [0, 1], predictor=8)
+    with _pytest.raises(ValueError):
+        encode_jpeg_lossless(2, 1, [0], precision=8)
+
+
+def test_decode_features_jpeg_lossless_on_error_null(spark):
+    import pytest as _pytest
+
+    from edgy_spark.functions.jpeg import (
+        encode_jpeg_flat,
+        encode_jpeg_lossless,
+    )
+    from edgy_spark.operators.multimodal import decode_features_jpeg_lossless
+
+    good = encode_jpeg_lossless(
+        2, 2, [100, 4000, 0, 4095], precision=12, predictor=2
+    )
+    dct = encode_jpeg_flat(8, 8, [50])  # SOF0: not a lossless frame
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(good[:25])), (3, None),
+         (4, bytearray(dct))],
+        "doc_id long, media binary",
+    )
+    with _pytest.raises(Exception):
+        decode_features_jpeg_lossless(df).collect()
+    rows = {
+        r["doc_id"]: r
+        for r in decode_features_jpeg_lossless(df, on_error="null").collect()
+    }
+    assert rows[1]["precision"] == 12 and rows[1]["decode_error"] is None
+    assert rows[1]["mean_sample"] == (100 + 4000 + 0 + 4095) // 4
+    assert rows[2]["precision"] is None and rows[2]["decode_error"]
+    assert rows[3]["decode_error"] == "NULL media payload"
+    assert "lossless" in rows[4]["decode_error"]
