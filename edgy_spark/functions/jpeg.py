@@ -277,6 +277,10 @@ def _decode_jpeg(data: bytes, raw_lossless: bool = False):
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
                 p += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            if raw_lossless:
+                # the lossless API must not pay a full DCT decode just to
+                # reject a baseline/progressive input (review r14)
+                raise ValueError("not a lossless (SOF3) JPEG")
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit samples (only 8)")
@@ -1351,6 +1355,12 @@ def _lossless_scan(data, pos, frame, scan, psv, pt, huff_dc, ri):
     next_rst = 0
     since_restart = 0
     fresh = [True] * nc  # next sample of comp c starts a restart interval
+    # H.1.1: prediction may not reach across a restart boundary, so the
+    # line a restart lands on uses the 1-D (Ra) rule — exactly like the
+    # scan's first line — and the selected predictor resumes on the line
+    # after (the row-provenance model every mainstream lossless
+    # implementation uses; review r14)
+    line1d_row = [0] * nc
     for y in range(h):
         for x in range(w):
             for c in range(nc):
@@ -1371,6 +1381,7 @@ def _lossless_scan(data, pos, frame, scan, psv, pt, huff_dc, ri):
                     r.nbits = 0
                     since_restart = 0
                     fresh = [True] * nc
+                    line1d_row = [y] * nc
                 try:
                     t = r.decode_huff(tables[c])
                 except _RestartMarker:
@@ -1382,8 +1393,10 @@ def _lossless_scan(data, pos, frame, scan, psv, pt, huff_dc, ri):
                 if fresh[c]:
                     pred = default_pred
                     fresh[c] = False
-                elif y == 0:
-                    pred = samples[idx - nc]  # first line: left (H.1.1)
+                elif y == line1d_row[c]:
+                    pred = samples[idx - nc]  # 1-D rule on the interval's
+                    # first line (covers the scan's first line, where
+                    # line1d_row is 0)
                 elif x == 0:
                     pred = samples[idx - w * nc]  # first column: above
                 else:
@@ -1475,6 +1488,7 @@ def encode_jpeg_lossless(
     next_rst = 0
     since = 0
     fresh = True
+    line1d_row = 0  # H.1.1 1-D rule on the interval's first line
     for y in range(height):
         for x in range(width):
             if restart_interval and since == restart_interval:
@@ -1483,11 +1497,12 @@ def encode_jpeg_lossless(
                 next_rst = (next_rst + 1) & 7
                 since = 0
                 fresh = True
+                line1d_row = y
             idx = y * width + x
             if fresh:
                 pred = default_pred
                 fresh = False
-            elif y == 0:
+            elif y == line1d_row:
                 pred = samples[idx - 1]
             elif x == 0:
                 pred = samples[idx - width]

@@ -1062,6 +1062,12 @@ def decode_webp_planes(data: bytes) -> tuple[int, int, bytes, bytes, bytes]:
                 return _vp8.decode_vp8(payload)
             if tag == b"VP8L":
                 raise ValueError("lossless WebP has no YUV planes")
+            if tag == b"ALPH":
+                # same honest boundary as the RGBA lane: skipping it
+                # would return planes whose alpha is silently dropped
+                raise NotImplementedError(
+                    "lossy alpha (ALPH) not implemented"
+                )
             if tag in (b"ANIM", b"ANMF"):
                 raise NotImplementedError("animated WebP not implemented")
             pos += 8 + size + (size & 1)
@@ -1271,6 +1277,10 @@ def encode_webp_anim(
         raise ValueError("animation needs at least one frame")
     if canvas_w < 1 or canvas_h < 1 or canvas_w * canvas_h > MAX_PIXELS:
         raise ValueError("bad canvas dimensions")
+    if canvas_w > (1 << 24) or canvas_h > (1 << 24):
+        # each VP8X dimension field is 24 bits; _pack24 would silently
+        # wrap (the encode_flac STREAMINFO lesson: refuse loudly)
+        raise ValueError("canvas dimension exceeds the 24-bit VP8X field")
     if not 0 <= loop_count <= 0xFFFF:
         raise ValueError("loop_count out of range")
     chunks = []

@@ -290,6 +290,15 @@ def decode_features_jpeg(media_df: DataFrame, on_error: str = "raise") -> DataFr
                 data = bytes(payload)
                 try:
                     w, h, ch, px = decode_jpeg(data)
+                    if ch not in (1, 3):
+                        # reachable via 8-bit MULTI-component SOF3: the
+                        # components are not color channels, so a summed
+                        # "luma" would be silently wrong — route to the
+                        # lossless lane instead (review r14)
+                        raise ValueError(
+                            f"{ch}-component pixel buffer: use "
+                            "decode_features_jpeg_lossless"
+                        )
                 except (ValueError, NotImplementedError) as e:
                     if not tolerant:
                         raise
@@ -2093,9 +2102,11 @@ def _parallel_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# WebP (VP8L lossless) — the highest-frequency web image format (r12
-# verdict missing-list #1); lossy VP8 frames surface as honest
-# decode_error rows through on_error='null'
+# WebP — the highest-frequency web image format (r12 verdict missing-list
+# #1).  VP8L lossless decodes natively; since r14 lossy "VP8 " key frames
+# decode too (functions/vp8.py, BT.601 RGBA presentation here, native
+# planes via the lossy lane below); standalone ALPH surfaces as an honest
+# decode_error row through on_error='null'
 # ---------------------------------------------------------------------------
 
 

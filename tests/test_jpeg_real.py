@@ -850,3 +850,115 @@ def test_decode_features_jpeg_lossless_on_error_null(spark):
     assert rows[2]["precision"] is None and rows[2]["decode_error"]
     assert rows[3]["decode_error"] == "NULL media payload"
     assert "lossless" in rows[4]["decode_error"]
+
+
+def _two_component_sof3(w, h, comp_a, comp_b, psv=1):
+    """Hand-assemble an 8-bit TWO-component interleaved SOF3 stream (the
+    encoder is single-component; this pins the decoder's multi-component
+    lane and the pixel-API guard)."""
+    import struct as _struct
+
+    from edgy_spark.functions.jpeg import (
+        _LOSSLESS_BITS,
+        _LOSSLESS_VALS,
+        _BitWriter,
+    )
+
+    out = bytearray(b"\xff\xd8")
+    sof = _struct.pack(">BHHB", 8, h, w, 2) + bytes((1, 0x11, 0, 2, 0x11, 0))
+    out += b"\xff\xc3" + _struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(_LOSSLESS_BITS) + _LOSSLESS_VALS
+    out += b"\xff\xc4" + _struct.pack(">H", 2 + len(dht)) + dht
+    sos = bytes([2, 1, 0x00, 2, 0x00, psv, 0, 0])
+    out += b"\xff\xda" + _struct.pack(">H", 2 + len(sos)) + sos
+    bw = _BitWriter()
+    planes = (comp_a, comp_b)
+    fresh = [True, True]
+    for y in range(h):
+        for x in range(w):
+            for c in range(2):
+                idx = y * w + x
+                if fresh[c]:
+                    pred = 128
+                    fresh[c] = False
+                elif y == 0:
+                    pred = planes[c][idx - 1]
+                elif x == 0:
+                    pred = planes[c][idx - w]
+                else:
+                    pred = planes[c][idx - 1]  # psv 1
+                diff = (planes[c][idx] - pred) & 0xFFFF
+                if diff > 32768:
+                    diff -= 65536
+                t = 16 if diff == 32768 else abs(diff).bit_length()
+                bw.put(t, 5)
+                if 0 < t < 16:
+                    v = diff if diff > 0 else diff + (1 << t) - 1
+                    bw.put(v, t)
+    out += bw.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_lossless_two_component_interleave_roundtrip():
+    from edgy_spark.functions.jpeg import decode_jpeg_lossless
+
+    a = [10, 20, 30, 40, 50, 60]
+    b = [200, 190, 180, 170, 160, 150]
+    data = _two_component_sof3(3, 2, a, b)
+    w, h, nc, prec, samples = decode_jpeg_lossless(data)
+    assert (w, h, nc, prec) == (3, 2, 2, 8)
+    assert samples[0::2] == a and samples[1::2] == b
+
+
+def test_multi_component_lossless_guarded_out_of_luma_lane(spark):
+    """Review r14: an 8-bit MULTI-component SOF3 must not silently sum
+    unrelated planes into a 'luma' — decode_features_jpeg routes it to a
+    visible decode_error pointing at the lossless lane."""
+    from edgy_spark.operators.multimodal import decode_features_jpeg
+
+    data = _two_component_sof3(3, 2, [10] * 6, [80] * 6)
+    df = spark.createDataFrame(
+        [(1, bytearray(data))], "doc_id long, media binary"
+    )
+    rows = decode_features_jpeg(df, on_error="null").collect()
+    assert rows[0]["mean_luma"] is None
+    assert "decode_features_jpeg_lossless" in rows[0]["decode_error"]
+
+
+def test_lossless_api_rejects_dct_frames_cheaply():
+    import pytest as _pytest
+
+    from edgy_spark.functions.jpeg import (
+        decode_jpeg_lossless,
+        encode_jpeg_flat,
+    )
+
+    with _pytest.raises(ValueError, match="not a lossless"):
+        decode_jpeg_lossless(encode_jpeg_flat(8, 8, [50]))
+
+
+def test_webp_planes_alph_is_honest():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from edgy_spark.functions.webp import decode_webp_planes
+
+    data = (
+        b"RIFF" + _struct.pack("<I", 4 + 8 + 2) + b"WEBP"
+        + b"ALPH" + _struct.pack("<I", 2) + b"\x00\x00"
+    )
+    with _pytest.raises(NotImplementedError, match="ALPH"):
+        decode_webp_planes(data)
+
+
+def test_anim_canvas_24bit_field_guard():
+    import pytest as _pytest
+
+    from edgy_spark.functions.webp import encode_webp_anim
+
+    with _pytest.raises(ValueError, match="24-bit"):
+        encode_webp_anim(
+            1 << 25, 1,
+            [{"x": 0, "y": 0, "w": 2, "h": 1, "rgba": bytes(8)}],
+        )
