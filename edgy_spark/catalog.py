@@ -139,12 +139,12 @@ def load_all_registrations() -> None:
 #: The exact first-50 list for the r14 driver gate.
 #: ``tests/test_registry_window.py`` pins this against the live registry.
 #:
-#: R14 rotation rationale: (1) the four queries NEW in r14, never
+#: R14 rotation rationale: (1) the five queries NEW in r14, never
 #: driver-verified (lossy-VP8 WebP decode, animated-WebP composition,
-#: MP3 frame-stream parsing, lossless SOF3 JPEG — the fourth landed in
-#: a later wave and took the 22nd backfill slot,
-#: evicting skew_salted_segment_revenue, an r10 green on unchanged
-#: code); (2) every query whose EXECUTED code
+#: MP3 frame-stream parsing, lossless SOF3 JPEG, APNG composition — the
+#: last two landed in later waves and took the final backfill slots,
+#: evicting skew_salted_segment_revenue and repeat_buyers_intersect_all,
+#: both r10 greens on unchanged code); (2) every query whose EXECUTED code
 #: changed after its last driver green — the thirteen older codec synth
 #: gates that adopted the ``_parallel_doc_ids`` round-robin spread after
 #: the r13 gate ran (the r13 verdict's task #1: png_pixel/png_palette,
@@ -166,17 +166,18 @@ def load_all_registrations() -> None:
 #: recursive_hierarchy_rollup; after this window no entry's last driver
 #: green predates r10); (4) backfill with the 22 stalest greens — the
 #: r10-last-green families in registration order (graph fixpoints,
-#: simhash pair family, relational/set-op tail).  The 22 r10-green
+#: simhash pair family, relational/set-op tail).  The 23 r10-green
 #: TPC-H/relational entries that remain outside (q2/q4/q7-q22 tail,
-#: market-basket, nation-revenue-trend, variant rollup, and the
-#: lossless-gate-evicted skew_salted_segment_revenue) are green on
-#: code untouched since their check — next round's backfill.
+#: market-basket, nation-revenue-trend, variant rollup, and the two
+#: gate-evicted entries named in (1)) are green on code untouched since
+#: their check — next round's backfill.
 R14_WINDOW: list[str] = [
     # new in r14 — never driver-verified
     "multimodal_webp_lossy_stats",
     "multimodal_webp_anim_stats",
     "multimodal_mp3_frame_stats",
     "multimodal_jpeg_lossless_stats",
+    "multimodal_apng_stats",
     # executed-code changes after the last driver green: codec gates
     "multimodal_webp_stats",
     "multimodal_flac_loudness",
@@ -227,7 +228,6 @@ R14_WINDOW: list[str] = [
     "grouping_sets_revenue",
     "customer_order_gaps",
     "pivot_orders_priority_by_year",
-    "repeat_buyers_intersect_all",
 ]
 
 

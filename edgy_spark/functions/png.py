@@ -400,3 +400,268 @@ def _unfilter(raw: bytes, pos: int, n_rows: int, stride: int, bpp: int):
         out[y * stride:(y + 1) * stride] = line
         prev = line
     return out, end
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG — acTL/fcTL/fdAT, PNG specification third edition) —
+# r14: the third animation family, reusing this module's still decoder
+# per frame and the GIF/WebP composition conventions.  APNG adds the
+# DISPOSE-PREVIOUS operation (revert the frame's rect to the canvas
+# state before the frame rendered) the WebP container lacks.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload)) + tag + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _to_rgba(w: int, h: int, ch: int, px: bytes) -> bytes:
+    """Normalize a still-decoder result to interleaved RGBA."""
+    if ch == 4:
+        return px
+    out = bytearray(w * h * 4)
+    if ch == 3:
+        for i in range(w * h):
+            out[4 * i : 4 * i + 3] = px[3 * i : 3 * i + 3]
+            out[4 * i + 3] = 255
+    elif ch == 2:  # grey + alpha
+        for i in range(w * h):
+            g = px[2 * i]
+            out[4 * i] = out[4 * i + 1] = out[4 * i + 2] = g
+            out[4 * i + 3] = px[2 * i + 1]
+    else:  # greyscale
+        for i in range(w * h):
+            g = px[i]
+            out[4 * i] = out[4 * i + 1] = out[4 * i + 2] = g
+            out[4 * i + 3] = 255
+    return bytes(out)
+
+
+def iter_apng_frames_composed(data: bytes, with_delay: bool = False):
+    """Yield each APNG frame COMPOSED onto the canvas as
+    ``(width, height, 4, rgba)`` (prefixed with the frame's delay in
+    milliseconds when ``with_delay``; the rational delay_num/delay_den is
+    floored to ms, denominator 0 meaning 100 per spec), honoring frame
+    rects, blend_op SOURCE/OVER, and dispose_op NONE/BACKGROUND/PREVIOUS.
+    Per spec the default image (IDAT) joins the animation only when an
+    fcTL precedes it.  Decode is lazy — head frames bank before a
+    mid-stream corruption raises (the GIF/WebP iterators' contract).
+    A plain PNG with no acTL raises ValueError."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    # first pass over the chunk stream: header/palette state and the
+    # ordered animation records
+    i, n = 8, len(data)
+    ihdr_payload = None
+    width = height = None
+    palette = trns = None
+    saw_actl = False
+    records: list[tuple] = []  # ("fctl", seq, fields) / ("data", seq|None, payload, is_idat)
+    while i + 8 <= n:
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        payload = data[i + 8 : i + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated chunk")
+        if tag == b"IHDR":
+            ihdr_payload = payload
+            width, height = struct.unpack(">II", payload[:8])
+            if width == 0 or height == 0:
+                raise ValueError("zero-dimension PNG")
+            if width * height > MAX_PIXELS:
+                raise ValueError("implausible dimensions (> MAX_PIXELS)")
+        elif tag == b"acTL":
+            if len(payload) < 8:
+                raise ValueError("truncated acTL")
+            saw_actl = True
+        elif tag == b"PLTE":
+            palette = payload
+        elif tag == b"tRNS":
+            trns = payload
+        elif tag == b"fcTL":
+            if len(payload) < 26:
+                raise ValueError("truncated fcTL")
+            records.append(("fctl", struct.unpack(">I", payload[:4])[0], payload))
+        elif tag == b"IDAT":
+            records.append(("data", None, payload, True))
+        elif tag == b"fdAT":
+            if len(payload) < 4:
+                raise ValueError("truncated fdAT")
+            records.append(
+                ("data", struct.unpack(">I", payload[:4])[0], payload[4:], False)
+            )
+        elif tag == b"IEND":
+            break
+        i += 12 + length
+    if ihdr_payload is None:
+        raise ValueError("missing IHDR")
+    if not saw_actl:
+        raise ValueError("not an animated PNG (no acTL)")
+    return _iter_apng_compose(
+        ihdr_payload, width, height, palette, trns, records, with_delay
+    )
+
+
+def _iter_apng_compose(ihdr, cw, ch_, palette, trns, records, with_delay):
+    # group records into frames: each fcTL owns the data chunks up to the
+    # next fcTL.  Sequence numbers must be consecutive from 0 (spec).
+    seqs = [r[1] for r in records if r[1] is not None]
+    if seqs != list(range(len(seqs))):
+        raise ValueError("APNG sequence numbers not consecutive")
+    frames: list[tuple[bytes, list[bytes], bool]] = []
+    cur_fctl = None
+    cur_data: list[bytes] = []
+    cur_idat = False
+    for rec in records:
+        if rec[0] == "fctl":
+            if cur_fctl is not None:
+                if not cur_data:
+                    raise ValueError("fcTL with no frame data")
+                frames.append((cur_fctl, cur_data, cur_idat))
+            cur_fctl, cur_data, cur_idat = rec[2], [], False
+        else:
+            _kind, _seq, payload, is_idat = rec
+            if cur_fctl is None:
+                # IDAT before any fcTL: the default image is NOT part of
+                # the animation — skip its data
+                if not is_idat:
+                    raise ValueError("fdAT before any fcTL")
+                continue
+            cur_data.append(payload)
+            cur_idat = cur_idat or is_idat
+    if cur_fctl is not None:
+        if not cur_data:
+            raise ValueError("fcTL with no frame data")
+        frames.append((cur_fctl, cur_data, cur_idat))
+    if not frames:
+        raise ValueError("animated PNG with no frames")
+
+    canvas = bytearray(cw * ch_ * 4)
+    for fctl, data_parts, is_idat in frames:
+        (_seq, fw, fh, fx, fy, dnum, dden, dispose, blend) = struct.unpack(
+            ">IIIIIHHBB", fctl[:26]
+        )
+        if fx + fw > cw or fy + fh > ch_:
+            raise ValueError("frame rect outside canvas")
+        if dispose > 2 or blend > 1:
+            raise ValueError("bad fcTL dispose/blend op")
+        # each frame's data is an independent zlib stream structured like
+        # IDAT data — rebuild a standalone still PNG at the frame's size.
+        # Interlacing applies only to the default (IDAT) image; fdAT
+        # frames are never interlaced (spec), so force method 0 there.
+        sub_ihdr = struct.pack(">II", fw, fh) + ihdr[8:]
+        if not is_idat:
+            sub_ihdr = sub_ihdr[:-1] + b"\x00"
+        body = _png_chunk(b"IHDR", sub_ihdr)
+        if palette is not None:
+            body += _png_chunk(b"PLTE", palette)
+        if trns is not None:
+            body += _png_chunk(b"tRNS", trns)
+        for part in data_parts:
+            body += _png_chunk(b"IDAT", part)
+        still = _SIGNATURE + body + _png_chunk(b"IEND", b"")
+        w, h, nch, px = _decode_png(still)
+        rgba = _to_rgba(w, h, nch, px)
+        saved = bytes(canvas) if dispose == 2 else None
+        for j in range(fh):
+            crow = ((fy + j) * cw + fx) * 4
+            frow = j * fw * 4
+            for k in range(fw):
+                co = crow + 4 * k
+                fo = frow + 4 * k
+                fa = rgba[fo + 3]
+                if blend == 0 or fa == 255:  # SOURCE (or opaque OVER)
+                    canvas[co : co + 4] = rgba[fo : fo + 4]
+                elif fa == 0:
+                    pass  # fully transparent OVER: canvas shows through
+                else:
+                    ca = canvas[co + 3]
+                    oa = fa + ca * (255 - fa) // 255
+                    if oa == 0:
+                        canvas[co : co + 4] = b"\x00\x00\x00\x00"
+                    else:
+                        for c in range(3):
+                            canvas[co + c] = (
+                                rgba[fo + c] * fa * 255
+                                + canvas[co + c] * ca * (255 - fa)
+                            ) // (oa * 255)
+                        canvas[co + 3] = oa
+        out = (cw, ch_, 4, bytes(canvas))
+        if with_delay:
+            ms = dnum * 1000 // (dden if dden else 100)
+            yield (ms,) + out
+        else:
+            yield out
+        if dispose == 1:  # background: transparent black within the rect
+            for j in range(fh):
+                crow = ((fy + j) * cw + fx) * 4
+                for k in range(fw):
+                    canvas[crow + 4 * k : crow + 4 * k + 4] = b"\x00\x00\x00\x00"
+        elif dispose == 2 and saved is not None:  # previous: revert rect
+            for j in range(fh):
+                crow = ((fy + j) * cw + fx) * 4
+                canvas[crow : crow + 4 * fw] = saved[crow : crow + 4 * fw]
+
+
+def encode_apng(
+    canvas_w: int,
+    canvas_h: int,
+    frames: list[dict],
+    num_plays: int = 0,
+) -> bytes:
+    """Encode an APNG whose frames are RGBA SUB-RECTS of the canvas —
+    the fixture generator for the composed decode path (the GIF/WebP
+    analogue).  Frame 0 is the default image and must cover the full
+    canvas (the spec's rule when IDAT participates in the animation).
+    Each frame dict: ``x``/``y``, ``w``, ``h``, ``rgba`` (w*h*4 bytes),
+    ``delay`` ((num, den) tuple, default (1, 10)), ``dispose`` (0 none /
+    1 background / 2 previous), ``blend`` (0 source / 1 over)."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    if canvas_w < 1 or canvas_h < 1 or canvas_w * canvas_h > MAX_PIXELS:
+        raise ValueError("bad canvas dimensions")
+    f0 = frames[0]
+    if (
+        f0.get("x", 0) or f0.get("y", 0)
+        or f0["w"] != canvas_w or f0["h"] != canvas_h
+    ):
+        raise ValueError("frame 0 (the default image) must cover the canvas")
+    ihdr = struct.pack(">IIBBBBB", canvas_w, canvas_h, 8, 6, 0, 0, 0)
+    body = _png_chunk(b"IHDR", ihdr)
+    body += _png_chunk(
+        b"acTL", struct.pack(">II", len(frames), num_plays)
+    )
+    seq = 0
+    for fi, f in enumerate(frames):
+        x, y, w, h = f.get("x", 0), f.get("y", 0), f["w"], f["h"]
+        if x + w > canvas_w or y + h > canvas_h:
+            raise ValueError("frame rect outside canvas")
+        rgba = f["rgba"]
+        if len(rgba) != w * h * 4:
+            raise ValueError("rgba does not match frame dimensions")
+        dnum, dden = f.get("delay", (1, 10))
+        dispose, blend = f.get("dispose", 0), f.get("blend", 0)
+        if dispose > 2 or blend > 1:
+            raise ValueError("bad dispose/blend op")
+        if not (0 <= dnum <= 0xFFFF and 0 <= dden <= 0xFFFF):
+            raise ValueError("delay out of range")
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, x, y, dnum, dden, dispose, blend
+        )
+        seq += 1
+        body += _png_chunk(b"fcTL", fctl)
+        raw = b"".join(
+            b"\x00" + rgba[j * w * 4 : (j + 1) * w * 4] for j in range(h)
+        )
+        comp = zlib.compress(raw)
+        if fi == 0:
+            body += _png_chunk(b"IDAT", comp)
+        else:
+            body += _png_chunk(
+                b"fdAT", struct.pack(">I", seq) + comp
+            )
+            seq += 1
+    return _SIGNATURE + body + _png_chunk(b"IEND", b"")

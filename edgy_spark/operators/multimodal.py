@@ -3188,3 +3188,190 @@ def multimodal_jpeg_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG) — r14: the third animation family; adds the
+# DISPOSE-PREVIOUS operation (revert to the pre-frame canvas) that the
+# WebP container lacks
+# ---------------------------------------------------------------------------
+
+
+def decode_frames_apng_composed(
+    media_df: DataFrame, max_frames: int = 8, on_error: str = "raise"
+) -> DataFrame:
+    """COMPOSED APNG frame sampling (r14): each emitted row is an fcTL
+    frame composed onto the canvas — rects, blend_op SOURCE/OVER, and
+    dispose_op NONE/BACKGROUND/PREVIOUS applied (functions/png.py
+    iter_apng_frames_composed; per-frame payloads decode through the
+    SAME still PNG decoder, rebuilt as standalone streams).  Dimensions
+    are the canvas's; mean_luma is the shared Rec.601 convention
+    (functions/gif.py rec601_mean — transparent canvas pixels contribute
+    RGB 0).  Same Arrow-batched ``mapInPandas`` shape, per-asset
+    on_error capture, and mid-stream banking as the GIF/WebP composed
+    operators."""
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import gif as _gif
+    from edgy_spark.functions import png as _png
+
+    cloudpickle.register_pickle_by_value(_gif)
+    cloudpickle.register_pickle_by_value(_png)
+    iter_composed = _png.iter_apng_frames_composed
+    rec601 = _gif.rec601_mean
+    tolerant = _check_on_error(on_error)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            media = zip(pdf["doc_id"], pdf["media"]) if max_frames > 0 else ()
+            for doc_id, payload in media:
+                if payload is None:
+                    if not tolerant:
+                        raise ValueError("NULL media payload")
+                    rows.append(
+                        (doc_id, None, None, None, None, "NULL media payload")
+                    )
+                    continue
+                fi = 0
+                try:
+                    for w, h, ch, px in iter_composed(bytes(payload)):
+                        luma = rec601(px, ch, w, h)
+                        rows.append((doc_id, fi, w, h, luma, None))
+                        fi += 1
+                        if fi >= max_frames:
+                            break
+                except (ValueError, NotImplementedError) as e:
+                    if not tolerant:
+                        raise
+                    rows.append((doc_id, None, None, None, None, str(e)))
+                    continue
+            if tolerant:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "frame_idx", "width", "height",
+                        "mean_luma", "decode_error",
+                    ],
+                )
+            else:
+                yield pd.DataFrame(
+                    [r[:-1] for r in rows],
+                    columns=["doc_id", "frame_idx", "width", "height", "mean_luma"],
+                )
+
+    schema = "doc_id long, frame_idx long, width long, height long, mean_luma long"
+    if tolerant:
+        schema += ", decode_error string"
+    return media_df.mapInPandas(decode, schema)
+
+
+@register(
+    "multimodal_apng_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      (doc_id * 3) % 5 + 2 AS a,
+                      (doc_id * 7) % 5 + 2 AS h,
+                      (doc_id * 31) % 255 AS c0,
+                      (doc_id * 37) % 255 AS c1,
+                      (doc_id * 41) % 255 AS c2,
+                      doc_id % 3 AS disp
+               FROM documents),
+    s AS (SELECT doc_id, a, h, disp,
+                 2 * a AS w,
+                 (a + 1) // 2 AS even_cols,
+                 a // 2 AS odd_cols,
+                 c0, c1, c2
+          FROM d),
+    fr AS (
+      SELECT doc_id, 0 AS f, w, h, 2 * a * c0 AS rowsum FROM s
+      UNION ALL
+      SELECT doc_id, 1, w, h,
+             even_cols * c0 + odd_cols * c1 + a * c0
+      FROM s
+      UNION ALL
+      SELECT doc_id, 2, w, h,
+             CASE disp
+               WHEN 1 THEN a * c2          -- background: transparent black
+               WHEN 2 THEN a * c0 + a * c2 -- previous: frame-1 rect reverts
+               ELSE even_cols * c0 + odd_cols * c1 + a * c2
+             END
+      FROM s)
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST((rowsum * h) // (w * h) AS BIGINT) AS mean_luma
+    FROM fr
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "decode", "png", "animation"),
+)
+def multimodal_apng_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED PNG composition under the driver's value-hash gate: each
+    document id defines a three-frame APNG on a (2a x h) canvas
+    (a = (doc_id*3)%5+2, h = (doc_id*7)%5+2; gray levels c0/c1/c2 =
+    (doc_id*{31,37,41})%255) — ENCODED as genuine acTL/fcTL/IDAT/fdAT
+    chunks (frame 0 the full-canvas default image, per spec) and DECODED
+    back composed (functions/png.py iter_apng_frames_composed, each
+    frame through the real still-PNG decoder):
+
+    - frame 0: full canvas, c0, SOURCE blend;
+    - frame 1: LEFT half, alternating transparent/c1 columns, OVER
+      blend (c0 shows through the even columns), dispose_op rotating
+      doc_id%3 over NONE / BACKGROUND / PREVIOUS — PREVIOUS (revert to
+      the pre-frame canvas) is the operation the WebP container lacks;
+    - frame 2: RIGHT half, c2, SOURCE — its row reads the disposed left
+      half: the persisted composite (NONE), transparent black
+      (BACKGROUND, contributing 0 luma), or restored c0 (PREVIOUS).
+
+    Gray pixels make Rec.601 luma the gray level exactly, so the oracle
+    reproduces every composed mean in closed form; an error in the chunk
+    walk, fdAT reassembly, blend math, or any disposal op breaks the
+    hash.
+
+    Scale: identical to the other codec gates — composition happens
+    executor-side inside Arrow-batched ``mapInPandas``; exchanged rows
+    are (doc_id, 4 small ints); the fixture scan is spread by
+    ``_parallel_doc_ids``.
+    """
+    from pyspark import cloudpickle
+
+    from edgy_spark.functions import png as _png
+
+    cloudpickle.register_pickle_by_value(_png)
+    encode_apng = _png.encode_apng
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def gray(v: int, alpha: int = 255) -> bytes:
+            return bytes((v, v, v, alpha))
+
+        for pdf in batches:
+            media = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                a, h = (i * 3) % 5 + 2, (i * 7) % 5 + 2
+                c0, c1, c2 = (
+                    (i * 31) % 255, (i * 37) % 255, (i * 41) % 255,
+                )
+                f0 = gray(c0) * (2 * a * h)
+                f1 = b"".join(
+                    gray(0, 0) if x % 2 == 0 else gray(c1)
+                    for _ in range(h)
+                    for x in range(a)
+                )
+                f2 = gray(c2) * (a * h)
+                frames = [
+                    {"x": 0, "y": 0, "w": 2 * a, "h": h, "rgba": f0,
+                     "blend": 0},
+                    {"x": 0, "y": 0, "w": a, "h": h, "rgba": f1,
+                     "blend": 1, "dispose": i % 3},
+                    {"x": a, "y": 0, "w": a, "h": h, "rgba": f2,
+                     "blend": 0},
+                ]
+                media.append(encode_apng(2 * a, h, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = _parallel_doc_ids(spark, sf_dir)
+    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    return decode_frames_apng_composed(media_df).orderBy("doc_id", "frame_idx")

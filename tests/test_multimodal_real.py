@@ -1427,3 +1427,122 @@ def test_decode_features_flac_on_error_null(spark):
     assert rows[2]["peak_amplitude"] is None and rows[2]["decode_error"]
     assert rows[3]["decode_error"] == "NULL media payload"
     assert rows[4]["peak_amplitude"] is None and rows[4]["decode_error"]
+
+
+# ---------------------------------------------------------------------------
+# APNG (acTL/fcTL/fdAT) — r14: composition, all three dispose ops,
+# sequence validation, crawl robustness
+# ---------------------------------------------------------------------------
+
+
+def _apng_fixture(dispose: int):
+    from edgy_spark.functions.png import encode_apng
+
+    c0 = bytes((10, 10, 10, 255)) * 16
+    f1 = bytes(
+        b
+        for i in range(8)
+        for b in ((0, 0, 0, 0) if i % 2 == 0 else (200, 200, 200, 255))
+    )
+    f2 = bytes((99, 99, 99, 255)) * 8
+    return encode_apng(
+        4, 4,
+        [
+            {"x": 0, "y": 0, "w": 4, "h": 4, "rgba": c0, "blend": 0,
+             "delay": (5, 100)},
+            {"x": 0, "y": 0, "w": 2, "h": 4, "rgba": f1, "blend": 1,
+             "dispose": dispose},
+            {"x": 2, "y": 0, "w": 2, "h": 4, "rgba": f2, "blend": 0},
+        ],
+    )
+
+
+def test_apng_composition_all_three_dispose_ops():
+    from edgy_spark.functions.png import iter_apng_frames_composed
+
+    for dispose, left_after in ((0, [10, 200]), (1, [0, 0]), (2, [10, 10])):
+        frames = list(iter_apng_frames_composed(_apng_fixture(dispose)))
+        assert len(frames) == 3
+        reds = [[px[4 * k] for k in range(16)] for (_w, _h, _c, px) in frames]
+        assert reds[0] == [10] * 16
+        # OVER blend: transparent even columns show frame 0 through
+        assert reds[1] == [10, 200, 10, 10] * 4
+        assert reds[2] == (left_after + [99, 99]) * 4, dispose
+
+
+def test_apng_delays_and_default_denominator():
+    from edgy_spark.functions.png import iter_apng_frames_composed
+
+    delays = [
+        d for d, *_ in iter_apng_frames_composed(
+            _apng_fixture(0), with_delay=True
+        )
+    ]
+    # frame 0: 5/100 s = 50 ms; frames 1-2 default (1, 10) = 100 ms
+    assert delays == [50, 100, 100]
+
+
+def test_apng_still_decoder_serves_default_image():
+    from edgy_spark.functions.png import decode_png
+
+    w, h, ch, px = decode_png(_apng_fixture(0))
+    assert (w, h, ch) == (4, 4, 4)
+    assert set(px[0::4]) == {10}  # the full-canvas default image
+
+
+def test_apng_rejects_plain_png_and_bad_sequences():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from edgy_spark.functions.png import (
+        encode_png,
+        iter_apng_frames_composed,
+    )
+
+    with _pytest.raises(ValueError, match="no acTL"):
+        list(iter_apng_frames_composed(encode_png(2, 1, [bytes(6)])))
+    # corrupt a sequence number: consecutive-from-0 validation fires
+    data = bytearray(_apng_fixture(0))
+    idx = data.find(b"fdAT")
+    seq = _struct.unpack(">I", data[idx + 4 : idx + 8])[0]
+    data[idx + 4 : idx + 8] = _struct.pack(">I", seq + 7)
+    # fix the chunk CRC so only the SEQUENCE is wrong
+    import zlib as _zlib
+
+    (length,) = _struct.unpack(">I", data[idx - 4 : idx])
+    payload = bytes(data[idx + 4 : idx + 4 + length])
+    data[idx + 4 + length : idx + 8 + length] = _struct.pack(
+        ">I", _zlib.crc32(b"fdAT" + payload) & 0xFFFFFFFF
+    )
+    with _pytest.raises(ValueError, match="consecutive"):
+        list(iter_apng_frames_composed(bytes(data)))
+
+
+def test_apng_truncation_never_crashes():
+    from edgy_spark.functions.png import iter_apng_frames_composed
+
+    data = _apng_fixture(2)
+    for cut in range(8, len(data), 3):
+        try:
+            list(iter_apng_frames_composed(data[:cut]))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_apng_encoder_validates():
+    import pytest as _pytest
+
+    from edgy_spark.functions.png import encode_apng
+
+    rgba = bytes((1, 1, 1, 255)) * 4
+    with _pytest.raises(ValueError, match="cover the canvas"):
+        encode_apng(4, 4, [{"x": 0, "y": 0, "w": 2, "h": 2, "rgba": rgba}])
+    with _pytest.raises(ValueError, match="outside"):
+        encode_apng(
+            2, 2,
+            [{"x": 0, "y": 0, "w": 2, "h": 2, "rgba": rgba},
+             {"x": 2, "y": 0, "w": 2, "h": 2, "rgba": rgba}],
+        )
+    with _pytest.raises(ValueError, match="at least one"):
+        encode_apng(2, 2, [])

@@ -819,6 +819,7 @@ def test_codec_gates_decode_in_parallel(spark):
         "multimodal_webp_anim_stats",
         "multimodal_mp3_frame_stats",
         "multimodal_jpeg_lossless_stats",
+        "multimodal_apng_stats",
     ):
         plan = _plan(spark, name)
         assert "Arguments: roundrobinpartitioning" in plan.lower() or \
