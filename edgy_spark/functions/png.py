@@ -24,10 +24,19 @@ Scope (deliberately bounded, stated loudly):
 - Adam7 interlacing (r10): the seven reduced sub-images are unfiltered
   independently and scattered back, per spec 8.2 (each pass's scanlines
   are bit-packed and padded independently for palette depths);
-- no ancillary-chunk interpretation beyond tRNS (skipped, per spec).
+- no ancillary-chunk interpretation beyond tRNS (skipped, per spec) —
+  EXCEPT the APNG animation chunks (r14): ``iter_apng_frames_composed``
+  walks acTL/fcTL/fdAT with consecutive-sequence validation, rebuilds
+  each frame's independent zlib stream as a standalone still decoded by
+  this same decoder, and composes with blend_op SOURCE/OVER and all
+  three dispose ops (none / background / PREVIOUS);
+  ``iter_time_sampled_composed_apng_frames`` adds the GIF/WebP
+  time-sampling contract.  The plain :func:`decode_png` still serves an
+  APNG's default image, per spec.
 
-The encoder (filter 0 rows, one IDAT) exists so tests can fabricate valid
-PNGs without any external library; PIL remains the full-format path
+The encoder (filter 0 rows, one IDAT; :func:`encode_apng` for animation
+fixtures) exists so tests can fabricate valid PNGs without any external
+library; PIL remains the full-format path
 (operators/multimodal.decode_features_real) wherever it is installed.
 """
 
@@ -665,3 +674,47 @@ def encode_apng(
             )
             seq += 1
     return _SIGNATURE + body + _png_chunk(b"IEND", b"")
+
+
+def iter_time_sampled_composed_apng_frames(
+    data: bytes, every_ms: int = 100, max_samples: int | None = 8
+):
+    """TIME-BASED sampling over the composed APNG — the GIF/WebP
+    contract in milliseconds: frame i is visible during
+    [start_i, start_i + delay_i) with the last frame visible from its
+    start onward (exactly one final sample); delays <= 10 ms are clamped
+    to 100 ms (the browser convention).  Yields
+    ``(sample_idx, t_ms, frame_idx, (w, h, 4, rgba))`` lazily (head
+    samples bank before a mid-stream corruption raises)."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+    return _iter_apng_time_samples(data, every_ms, max_samples)
+
+
+def _iter_apng_time_samples(data: bytes, every_ms: int, max_samples: int | None):
+    if max_samples is not None and max_samples <= 0:
+        return
+
+    def clamped(ms: int) -> int:
+        return 100 if ms <= 10 else ms
+
+    emitted = 0
+    gen = iter_apng_frames_composed(data, with_delay=True)
+    prev = next(gen)
+    start = 0
+    fi = 0
+    k = 0
+    for nxt in gen:
+        stop = start + clamped(prev[0])
+        while (
+            max_samples is None or emitted < max_samples
+        ) and k * every_ms < stop:
+            yield (k, k * every_ms, fi, prev[1:])
+            emitted += 1
+            k += 1
+        if max_samples is not None and emitted >= max_samples:
+            return  # stop DECODING, not just emitting
+        prev = nxt
+        fi += 1
+        start = stop
+    yield (k, k * every_ms, fi, prev[1:])

@@ -1546,3 +1546,39 @@ def test_apng_encoder_validates():
         )
     with _pytest.raises(ValueError, match="at least one"):
         encode_apng(2, 2, [])
+
+
+def test_apng_time_sampling_windows_and_clamp():
+    from edgy_spark.functions.png import (
+        iter_time_sampled_composed_apng_frames,
+    )
+
+    # delays 50 / 100 (default 1/10) / 100: windows [0,50), [50,150),
+    # [150, inf) at 30 ms ticks — same contract as the GIF/WebP lanes
+    got = [
+        (k, t, fi)
+        for k, t, fi, _f in iter_time_sampled_composed_apng_frames(
+            _apng_fixture(0), every_ms=30
+        )
+    ]
+    assert got == [
+        (0, 0, 0), (1, 30, 0),
+        (2, 60, 1), (3, 90, 1), (4, 120, 1),
+        (5, 150, 2),
+    ]
+
+
+def test_apng_time_sampling_banks_head_before_corruption():
+    from edgy_spark.functions.png import (
+        iter_time_sampled_composed_apng_frames,
+    )
+
+    data = bytearray(_apng_fixture(0))
+    data[-20] ^= 0xFF  # corrupt the tail
+    head = [
+        s[:3]
+        for s in iter_time_sampled_composed_apng_frames(
+            bytes(data), every_ms=30, max_samples=2
+        )
+    ]
+    assert head == [(0, 0, 0), (1, 30, 0)]
