@@ -579,15 +579,28 @@ def iter_time_sampled_composed_frames(
     return _iter_time_samples(data, every_cs, max_samples)
 
 
-def _iter_time_samples(data: bytes, every_cs: int, max_samples: int | None):
+def iter_time_samples_shared(gen, every: int, max_samples: int | None,
+                             clamp_le: int, clamp_to: int):
+    """THE one time-sampling engine shared by all three animation
+    families (GIF in centiseconds, animated WebP and APNG in
+    milliseconds — extracted in review r14 so the visibility-window /
+    final-sample / clamp / lazy-banking contract cannot drift between
+    codecs, the rec601_mean precedent).  ``gen`` yields
+    ``(delay, *frame)`` tuples; frame i is visible during
+    [start_i, start_i + clamped(delay_i)) with the LAST frame visible
+    from its start onward (exactly one final sample); delays <=
+    ``clamp_le`` are clamped to ``clamp_to`` (the browser convention for
+    zero-delay animations).  Samples yield as each frame's window
+    completes, so head samples bank before a mid-stream corruption
+    raises; once ``max_samples`` ticks are emitted no further frame is
+    decoded."""
     if max_samples is not None and max_samples <= 0:
         return
 
     def clamped(delay: int) -> int:
-        return 10 if delay <= 1 else delay
+        return clamp_to if delay <= clamp_le else delay
 
     emitted = 0
-    gen = iter_gif_frames_composed(data, with_delay=True)
     prev = next(gen)  # no-frame streams raise inside the iterator
     start = 0
     fi = 0
@@ -596,8 +609,8 @@ def _iter_time_samples(data: bytes, every_cs: int, max_samples: int | None):
         end = start + clamped(prev[0])
         while (
             max_samples is None or emitted < max_samples
-        ) and k * every_cs < end:
-            yield (k, k * every_cs, fi, prev[1:])
+        ) and k * every < end:
+            yield (k, k * every, fi, prev[1:])
             emitted += 1
             k += 1
         if max_samples is not None and emitted >= max_samples:
@@ -607,7 +620,59 @@ def _iter_time_samples(data: bytes, every_cs: int, max_samples: int | None):
         start = end
     # prev is the last frame: visible from `start` onward — one final
     # sample at the first remaining tick (all later ticks are identical)
-    yield (k, k * every_cs, fi, prev[1:])
+    yield (k, k * every, fi, prev[1:])
+
+
+def blend_rgba_rect(
+    canvas: bytearray,
+    canvas_w: int,
+    rgba: bytes,
+    fx: int,
+    fy: int,
+    fw: int,
+    fh: int,
+    over: bool,
+) -> None:
+    """Composite an RGBA frame rect onto an RGBA canvas in place — THE
+    one SOURCE/OVER alpha math shared by the animated-WebP and APNG
+    composers (review r14; both specs define the identical integer
+    compositing formula).  ``over=False`` replaces the rect; ``over``
+    alpha-blends with oa = fa + ca*(255-fa)//255 and the rational color
+    formula, exact for the fixture alpha values {0, 255}."""
+    for j in range(fh):
+        crow = ((fy + j) * canvas_w + fx) * 4
+        frow = j * fw * 4
+        if not over:
+            canvas[crow : crow + 4 * fw] = rgba[frow : frow + 4 * fw]
+            continue
+        for i in range(fw):
+            co = crow + 4 * i
+            fo = frow + 4 * i
+            fa = rgba[fo + 3]
+            if fa == 255:
+                canvas[co : co + 4] = rgba[fo : fo + 4]
+            elif fa == 0:
+                pass  # fully transparent: canvas shows through
+            else:
+                ca = canvas[co + 3]
+                oa = fa + ca * (255 - fa) // 255
+                if oa == 0:
+                    canvas[co : co + 4] = b"\x00\x00\x00\x00"
+                else:
+                    for c in range(3):
+                        canvas[co + c] = (
+                            rgba[fo + c] * fa * 255
+                            + canvas[co + c] * ca * (255 - fa)
+                        ) // (oa * 255)
+                    canvas[co + 3] = oa
+
+
+def _iter_time_samples(data: bytes, every_cs: int, max_samples: int | None):
+    # GIF's GCE delay track is centiseconds; browsers clamp <=1 cs to 10
+    yield from iter_time_samples_shared(
+        iter_gif_frames_composed(data, with_delay=True),
+        every_cs, max_samples, clamp_le=1, clamp_to=10,
+    )
 
 
 def encode_gif_animation_rects(

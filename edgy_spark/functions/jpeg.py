@@ -298,6 +298,10 @@ def _decode_jpeg(data: bytes, raw_lossless: bool = False):
                      "progressive": marker == 0xC2}
         elif marker == 0xC3:  # SOF3: lossless sequential (T.81 Annex H)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if w == 0 or h == 0:
+                # same loud refusal as _decode_scan: downstream sample
+                # math divides by w*h (review r14 pass 2)
+                raise ValueError("zero-dimension JPEG")
             if not 2 <= prec <= 16:
                 raise ValueError(f"bad lossless precision {prec}")
             if nc < 1 or nc > 4:
@@ -1365,30 +1369,22 @@ def _lossless_scan(data, pos, frame, scan, psv, pt, huff_dc, ri):
         for x in range(w):
             for c in range(nc):
                 if ri and since_restart == ri * nc:
-                    r.align_to_marker()
-                    # consume the expected RSTn marker
-                    p = r.pos
-                    while p + 1 < len(data) and data[p] == 0xFF and data[p + 1] == 0xFF:
-                        p += 1
-                    if not (
-                        p + 1 < len(data)
-                        and data[p] == 0xFF
-                        and data[p + 1] == 0xD0 + next_rst
-                    ):
-                        raise ValueError("missing restart marker")
-                    next_rst = (next_rst + 1) & 7
-                    r.pos = p + 2
-                    r.nbits = 0
+                    # the sequential/progressive scans' shared helper:
+                    # align, skip fill bytes, verify the RSTn sequence
+                    r, next_rst = _consume_restart(data, r, next_rst)
                     since_restart = 0
                     fresh = [True] * nc
                     line1d_row = [y] * nc
                 try:
                     t = r.decode_huff(tables[c])
+                    if t > 16:
+                        raise ValueError(f"bad lossless SSSS {t}")
+                    diff = 32768 if t == 16 else _extend(r.receive(t), t)
                 except _RestartMarker:
+                    # a marker anywhere inside the sample's code or its
+                    # magnitude bits is malformed here (restarts are
+                    # consumed above, at interval boundaries only)
                     raise ValueError("unexpected restart marker")
-                if t > 16:
-                    raise ValueError(f"bad lossless SSSS {t}")
-                diff = 32768 if t == 16 else _extend(r.receive(t), t)
                 idx = (y * w + x) * nc + c
                 if fresh[c]:
                     pred = default_pred
@@ -1434,7 +1430,10 @@ def decode_jpeg_lossless(data: bytes) -> tuple[int, int, int, int, list[int]]:
         out = _decode_jpeg(data, raw_lossless=True)
     except (ValueError, NotImplementedError):
         raise
-    except (struct.error, IndexError, OverflowError, MemoryError) as e:
+    except (struct.error, IndexError, KeyError, OverflowError,
+            ZeroDivisionError, MemoryError) as e:
+        # the same normalization set as decode_jpeg (both run the shared
+        # marker walk), plus MemoryError for header-implied allocations
         raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
     if len(out) != 5:
         raise ValueError("not a lossless (SOF3) JPEG")

@@ -45,6 +45,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+from edgy_spark.functions.gif import blend_rgba_rect, iter_time_samples_shared
+
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 #: Decode-side resource bound: a malformed header must raise, never
@@ -476,6 +478,8 @@ def iter_apng_frames_composed(data: bytes, with_delay: bool = False):
         if len(payload) != length:
             raise ValueError("truncated chunk")
         if tag == b"IHDR":
+            if len(payload) < 13:
+                raise ValueError("truncated IHDR")
             ihdr_payload = payload
             width, height = struct.unpack(">II", payload[:8])
             if width == 0 or height == 0:
@@ -575,29 +579,8 @@ def _iter_apng_compose(ihdr, cw, ch_, palette, trns, records, with_delay):
         w, h, nch, px = _decode_png(still)
         rgba = _to_rgba(w, h, nch, px)
         saved = bytes(canvas) if dispose == 2 else None
-        for j in range(fh):
-            crow = ((fy + j) * cw + fx) * 4
-            frow = j * fw * 4
-            for k in range(fw):
-                co = crow + 4 * k
-                fo = frow + 4 * k
-                fa = rgba[fo + 3]
-                if blend == 0 or fa == 255:  # SOURCE (or opaque OVER)
-                    canvas[co : co + 4] = rgba[fo : fo + 4]
-                elif fa == 0:
-                    pass  # fully transparent OVER: canvas shows through
-                else:
-                    ca = canvas[co + 3]
-                    oa = fa + ca * (255 - fa) // 255
-                    if oa == 0:
-                        canvas[co : co + 4] = b"\x00\x00\x00\x00"
-                    else:
-                        for c in range(3):
-                            canvas[co + c] = (
-                                rgba[fo + c] * fa * 255
-                                + canvas[co + c] * ca * (255 - fa)
-                            ) // (oa * 255)
-                        canvas[co + 3] = oa
+        # the shared SOURCE/OVER compositor (gif.py, review r14)
+        blend_rgba_rect(canvas, cw, rgba, fx, fy, fw, fh, over=blend == 1)
         out = (cw, ch_, 4, bytes(canvas))
         if with_delay:
             ms = dnum * 1000 // (dden if dden else 100)
@@ -692,29 +675,8 @@ def iter_time_sampled_composed_apng_frames(
 
 
 def _iter_apng_time_samples(data: bytes, every_ms: int, max_samples: int | None):
-    if max_samples is not None and max_samples <= 0:
-        return
-
-    def clamped(ms: int) -> int:
-        return 100 if ms <= 10 else ms
-
-    emitted = 0
-    gen = iter_apng_frames_composed(data, with_delay=True)
-    prev = next(gen)
-    start = 0
-    fi = 0
-    k = 0
-    for nxt in gen:
-        stop = start + clamped(prev[0])
-        while (
-            max_samples is None or emitted < max_samples
-        ) and k * every_ms < stop:
-            yield (k, k * every_ms, fi, prev[1:])
-            emitted += 1
-            k += 1
-        if max_samples is not None and emitted >= max_samples:
-            return  # stop DECODING, not just emitting
-        prev = nxt
-        fi += 1
-        start = stop
-    yield (k, k * every_ms, fi, prev[1:])
+    # fcTL delays floor to milliseconds; browsers clamp <=10 ms to 100
+    yield from iter_time_samples_shared(
+        iter_apng_frames_composed(data, with_delay=True),
+        every_ms, max_samples, clamp_le=10, clamp_to=100,
+    )

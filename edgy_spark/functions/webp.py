@@ -43,6 +43,7 @@ from __future__ import annotations
 import struct
 
 from edgy_spark.functions import vp8 as _vp8
+from edgy_spark.functions.gif import blend_rgba_rect, iter_time_samples_shared
 
 MAX_PIXELS = 64_000_000
 
@@ -1174,29 +1175,10 @@ def iter_webp_frames_composed(data: bytes, with_duration: bool = False):
             w, h, px = _decode_frame_payload(payload[16:])
             if (w, h) != (fw, fh):
                 raise ValueError("frame dimensions disagree with ANMF header")
-            for j in range(fh):
-                crow = ((fy + j) * canvas_w + fx) * 4
-                frow = j * fw * 4
-                for i in range(fw):
-                    co = crow + 4 * i
-                    fo = frow + 4 * i
-                    fa = px[fo + 3]
-                    if no_blend or fa == 255:
-                        canvas[co : co + 4] = px[fo : fo + 4]
-                    elif fa == 0:
-                        pass  # fully transparent: canvas shows through
-                    else:
-                        ca = canvas[co + 3]
-                        oa = fa + ca * (255 - fa) // 255
-                        if oa == 0:
-                            canvas[co : co + 4] = b"\x00\x00\x00\x00"
-                        else:
-                            for c in range(3):
-                                canvas[co + c] = (
-                                    px[fo + c] * fa * 255
-                                    + canvas[co + c] * ca * (255 - fa)
-                                ) // (oa * 255)
-                            canvas[co + 3] = oa
+            # the shared SOURCE/OVER compositor (gif.py, review r14)
+            blend_rgba_rect(
+                canvas, canvas_w, px, fx, fy, fw, fh, over=not no_blend
+            )
             out = (canvas_w, canvas_h, 4, bytes(canvas))
             yield (dur,) + out if with_duration else out
             n_frames += 1
@@ -1230,32 +1212,11 @@ def iter_time_sampled_composed_webp_frames(
 
 
 def _iter_webp_time_samples(data: bytes, every_ms: int, max_samples: int | None):
-    if max_samples is not None and max_samples <= 0:
-        return
-
-    def clamped(dur: int) -> int:
-        return 100 if dur <= 10 else dur
-
-    emitted = 0
-    gen = iter_webp_frames_composed(data, with_duration=True)
-    prev = next(gen)
-    start = 0
-    fi = 0
-    k = 0
-    for nxt in gen:
-        stop = start + clamped(prev[0])
-        while (
-            max_samples is None or emitted < max_samples
-        ) and k * every_ms < stop:
-            yield (k, k * every_ms, fi, prev[1:])
-            emitted += 1
-            k += 1
-        if max_samples is not None and emitted >= max_samples:
-            return  # stop DECODING, not just emitting
-        prev = nxt
-        fi += 1
-        start = stop
-    yield (k, k * every_ms, fi, prev[1:])
+    # ANMF durations are milliseconds; browsers clamp <=10 ms to 100
+    yield from iter_time_samples_shared(
+        iter_webp_frames_composed(data, with_duration=True),
+        every_ms, max_samples, clamp_le=10, clamp_to=100,
+    )
 
 
 def encode_webp_anim(

@@ -175,9 +175,12 @@ def decode_features_png(media_df: DataFrame, on_error: str = "raise") -> DataFra
     """
     from pyspark import cloudpickle
 
+    from edgy_spark.functions import gif as _gif
     from edgy_spark.functions import png as _png
 
     cloudpickle.register_pickle_by_value(_png)
+    # webp/png reference gif's shared animation helpers (r14)
+    cloudpickle.register_pickle_by_value(_gif)
     decode_png = _png.decode_png
     tolerant = _check_on_error(on_error)
 
@@ -602,9 +605,12 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import cloudpickle
 
+    from edgy_spark.functions import gif as _gif
     from edgy_spark.functions import png as _png
 
     cloudpickle.register_pickle_by_value(_png)
+    # webp/png reference gif's shared animation helpers (r14)
+    cloudpickle.register_pickle_by_value(_gif)
     encode_png = _png.encode_png
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1063,9 +1069,12 @@ def multimodal_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import cloudpickle
 
+    from edgy_spark.functions import gif as _gif
     from edgy_spark.functions import png as _png
 
     cloudpickle.register_pickle_by_value(_png)
+    # webp/png reference gif's shared animation helpers (r14)
+    cloudpickle.register_pickle_by_value(_gif)
     encode_png = _png.encode_png
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1345,9 +1354,12 @@ def multimodal_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import cloudpickle
     from pyspark.sql import Window
 
+    from edgy_spark.functions import gif as _gif
     from edgy_spark.functions import png as _png
 
     cloudpickle.register_pickle_by_value(_png)
+    # webp/png reference gif's shared animation helpers (r14)
+    cloudpickle.register_pickle_by_value(_gif)
     encode_png = _png.encode_png
     decode_png = _png.decode_png
     groups, salt = PH_GROUPS, PH_SHIFT_SALT
@@ -2132,9 +2144,12 @@ def decode_features_webp(media_df: DataFrame, on_error: str = "raise") -> DataFr
     """
     from pyspark import cloudpickle
 
+    from edgy_spark.functions import gif as _gif
     from edgy_spark.functions import webp as _webp
 
     cloudpickle.register_pickle_by_value(_webp)
+    # webp/png reference gif's shared animation helpers (r14)
+    cloudpickle.register_pickle_by_value(_gif)
     decode_webp = _webp.decode_webp
     tolerant = _check_on_error(on_error)
 
@@ -2254,9 +2269,12 @@ def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import cloudpickle
 
+    from edgy_spark.functions import gif as _gif
     from edgy_spark.functions import webp as _webp
 
     cloudpickle.register_pickle_by_value(_webp)
+    # webp/png reference gif's shared animation helpers (r14)
+    cloudpickle.register_pickle_by_value(_gif)
     encode_webp = _webp.encode_webp_lossless
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2329,10 +2347,13 @@ def decode_features_webp_lossy(
     from pyspark import cloudpickle
 
     from edgy_spark.functions import vp8 as _vp8
+    from edgy_spark.functions import gif as _gif
     from edgy_spark.functions import webp as _webp
 
     cloudpickle.register_pickle_by_value(_vp8)
     cloudpickle.register_pickle_by_value(_webp)
+    # webp/png reference gif's shared animation helpers (r14)
+    cloudpickle.register_pickle_by_value(_gif)
     decode_planes = _webp.decode_webp_planes
     tolerant = _check_on_error(on_error)
 
@@ -2445,10 +2466,13 @@ def multimodal_webp_lossy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import cloudpickle
 
     from edgy_spark.functions import vp8 as _vp8
+    from edgy_spark.functions import gif as _gif
     from edgy_spark.functions import webp as _webp
 
     cloudpickle.register_pickle_by_value(_vp8)
     cloudpickle.register_pickle_by_value(_webp)
+    # webp/png reference gif's shared animation helpers (r14)
+    cloudpickle.register_pickle_by_value(_gif)
     encode_lossy = _webp.encode_webp_lossy_flat
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2615,9 +2639,12 @@ def multimodal_webp_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import cloudpickle
 
+    from edgy_spark.functions import gif as _gif
     from edgy_spark.functions import webp as _webp
 
     cloudpickle.register_pickle_by_value(_webp)
+    # webp/png reference gif's shared animation helpers (r14)
+    cloudpickle.register_pickle_by_value(_gif)
     encode_anim = _webp.encode_webp_anim
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3337,9 +3364,12 @@ def multimodal_apng_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import cloudpickle
 
+    from edgy_spark.functions import gif as _gif
     from edgy_spark.functions import png as _png
 
     cloudpickle.register_pickle_by_value(_png)
+    # webp/png reference gif's shared animation helpers (r14)
+    cloudpickle.register_pickle_by_value(_gif)
     encode_apng = _png.encode_apng
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -962,3 +962,42 @@ def test_anim_canvas_24bit_field_guard():
             1 << 25, 1,
             [{"x": 0, "y": 0, "w": 2, "h": 1, "rgba": bytes(8)}],
         )
+
+
+def test_lossless_marker_in_magnitude_bits_is_value_error():
+    """Review r14 pass 2: a restart marker landing inside a sample's
+    magnitude bits must surface as ValueError (the crawl contract), not
+    a raw _RestartMarker escaping the per-row catch."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from edgy_spark.functions.jpeg import (
+        _LOSSLESS_BITS,
+        _LOSSLESS_VALS,
+        decode_jpeg_lossless,
+    )
+
+    out = bytearray(b"\xff\xd8")
+    sof = _struct.pack(">BHHB", 8, 1, 4, 1) + bytes((1, 0x11, 0))
+    out += b"\xff\xc3" + _struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(_LOSSLESS_BITS) + _LOSSLESS_VALS
+    out += b"\xff\xc4" + _struct.pack(">H", 2 + len(dht)) + dht
+    out += b"\xff\xda" + _struct.pack(">H", 8) + bytes([1, 1, 0, 1, 0, 0])
+    out += bytes([0b01000000]) + b"\xff\xd0"  # SSSS=8 then a marker
+    with _pytest.raises(ValueError):
+        decode_jpeg_lossless(bytes(out))
+
+
+def test_lossless_zero_dimension_rejected():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from edgy_spark.functions.jpeg import decode_jpeg_lossless
+
+    out = bytearray(b"\xff\xd8")
+    sof = _struct.pack(">BHHB", 8, 0, 0, 1) + bytes((1, 0x11, 0))
+    out += b"\xff\xc3" + _struct.pack(">H", 2 + len(sof)) + sof
+    with _pytest.raises(ValueError, match="zero-dimension"):
+        decode_jpeg_lossless(bytes(out))

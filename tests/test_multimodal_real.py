@@ -1582,3 +1582,18 @@ def test_apng_time_sampling_banks_head_before_corruption():
         )
     ]
     assert head == [(0, 0, 0), (1, 30, 0)]
+
+
+def test_apng_short_ihdr_is_value_error():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from edgy_spark.functions.png import iter_apng_frames_composed
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _struct.pack(">I", 4) + b"IHDR" + b"\x00" * 4 + b"\x00" * 4
+    )
+    with _pytest.raises(ValueError, match="truncated IHDR"):
+        list(iter_apng_frames_composed(data))
