@@ -493,20 +493,26 @@ def test_bpe_trainer_property_random_corpora(spark, tmp_path):
         assert got == want, f"seed {seed}"
 
 
-def _naive_tokenize_ids(text: str, merges) -> list[int]:
-    """Reference frozen-vocab tokenizer: naive per-word greedy leftmost
-    re-scan of each trained merge in rank order, then the vocab id
-    convention ('a'..'z' → 1..26, merge r's surface → 26+r, earliest merge
-    wins a surface collision) — shares no code shape with the engine's
-    fold/when-chain formulation."""
+def _naive_words(text: str) -> list[str]:
     import re as _re
 
-    vocab = {chr(96 + i): i for i in range(1, 27)}
+    return _re.findall(r"[^ \t\n\r]+", text)
+
+
+def _naive_tokenize_ids(text: str, merges) -> list[int]:
+    """Reference frozen-vocab tokenizer: naive per-word greedy leftmost
+    re-scan of each trained merge in rank order over the r14 BYTE-LEVEL
+    alphabet (UTF-8 bytes as hex-pair symbols via Python's own codec),
+    then the vocab id convention (byte b → b+1, merge r's surface →
+    256+r, earliest merge wins a surface collision) — shares no code
+    shape with the engine's fold/when-chain formulation."""
+    vocab = {}
     for rank, a, b, _ in merges:
-        vocab.setdefault(a + b, 26 + rank)
+        vocab.setdefault(a + b, 256 + rank)
     ids: list[int] = []
-    for w in _re.findall("[a-z]+", text.lower()):
-        syms = list(w)
+    for w in _naive_words(text):
+        h = w.encode("utf-8").hex().upper()
+        syms = [h[i : i + 2] for i in range(0, len(h), 2)]
         for _, a, b, _tot in merges:
             out, i = [], 0
             while i < len(syms):
@@ -517,14 +523,17 @@ def _naive_tokenize_ids(text: str, merges) -> list[int]:
                     out.append(syms[i])
                     i += 1
             syms = out
-        ids.extend(vocab[s] for s in syms)
+        ids.extend(
+            vocab[s] if len(s) > 2 else int(s, 16) + 1 for s in syms
+        )
     return ids
 
 
 def test_tokenize_ids_equal_reference_scan(spark, tmp_path):
     """The zero-shuffle in-row tokenizer must emit exactly the token-id
     sequence the textbook re-scan produces — including merged symbols
-    spanning later merges and the self-overlap greedy-leftmost case."""
+    spanning later merges, the self-overlap greedy-leftmost case, and
+    (r14) digit/punctuation words the byte-level alphabet now keeps."""
     from edgy_spark.operators.text import bpe_token_ids
 
     docs = [
@@ -533,16 +542,14 @@ def test_tokenize_ids_equal_reference_scan(spark, tmp_path):
         (3, "an anna banana ban 123 !!"),
         (4, "naan naan naan a"),
         (5, "mixed 42 digits and words 7"),
-        (6, "1234 %%% 99"),  # wordless → empty sequence
+        (6, "   \t  "),  # whitespace-only → empty sequence
     ]
     spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
         str(tmp_path / "documents.parquet")
     )
     counts: dict[str, int] = {}
-    import re as _re
-
     for _, t in docs:
-        for w in _re.findall("[a-z]+", t.lower()):
+        for w in _naive_words(t):
             counts[w] = counts.get(w, 0) + 1
     merges = _naive_bpe(counts, 4)
     got = {
@@ -556,24 +563,30 @@ def test_tokenize_ids_equal_reference_scan(spark, tmp_path):
 
 def test_tokenize_ids_query_scalars_pin_the_sequence(spark, tmp_path):
     """The gated projection (count / endpoints / position-weighted
-    checksum) must derive from the reference sequence; wordless documents
-    emit (0, NULL, NULL, 0)."""
+    checksum) must derive from the reference sequence; whitespace-only
+    documents emit (0, NULL, NULL, 0).  Punctuation/digit documents are
+    REAL sequences under the r14 byte-level alphabet and pin the same
+    scalars."""
     from edgy_spark.operators.text import text_tokenize_ids
 
-    docs = [(1, "abab abab baba"), (2, "??? 88 ---")]
+    docs = [(1, "abab abab baba"), (2, "??? 88 ---"), (3, " \t ")]
     spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
         str(tmp_path / "documents.parquet")
     )
-    counts = {"abab": 2, "baba": 1}
+    counts: dict[str, int] = {}
+    for _, t in docs:
+        for w in _naive_words(t):
+            counts[w] = counts.get(w, 0) + 1
     merges = _naive_bpe(counts, 4)
-    seq = _naive_tokenize_ids(docs[0][1], merges)
     rows = {r.doc_id: r for r in text_tokenize_ids(spark, str(tmp_path)).collect()}
-    r1 = rows[1]
-    assert r1.n_tokens == len(seq)
-    assert r1.first_id == seq[0] and r1.last_id == seq[-1]
-    assert r1.id_checksum == sum(v * (i + 1) for i, v in enumerate(seq))
-    r2 = rows[2]
-    assert (r2.n_tokens, r2.first_id, r2.last_id, r2.id_checksum) == (0, None, None, 0)
+    for doc_id, text in docs[:2]:
+        seq = _naive_tokenize_ids(text, merges)
+        r = rows[doc_id]
+        assert r.n_tokens == len(seq) > 0, doc_id
+        assert r.first_id == seq[0] and r.last_id == seq[-1], doc_id
+        assert r.id_checksum == sum(v * (i + 1) for i, v in enumerate(seq))
+    r3 = rows[3]
+    assert (r3.n_tokens, r3.first_id, r3.last_id, r3.id_checksum) == (0, None, None, 0)
 
 
 def test_hits_scores_are_positive_and_sum_normalized(spark):
