@@ -139,12 +139,14 @@ def load_all_registrations() -> None:
 #: The exact first-50 list for the r14 driver gate.
 #: ``tests/test_registry_window.py`` pins this against the live registry.
 #:
-#: R14 rotation rationale: (1) the five queries NEW in r14, never
+#: R14 rotation rationale: (1) the six queries NEW in r14, never
 #: driver-verified (lossy-VP8 WebP decode, animated-WebP composition,
-#: MP3 frame-stream parsing, lossless SOF3 JPEG, APNG composition — the
-#: last two landed in later waves and took the final backfill slots,
-#: evicting skew_salted_segment_revenue and repeat_buyers_intersect_all,
-#: both r10 greens on unchanged code); (2) every query whose EXECUTED code
+#: MP3 frame-stream parsing, lossless SOF3 JPEG, APNG composition, and
+#: per-language tokenizer fertility — the last three landed in later
+#: waves and took the final backfill slots, evicting
+#: skew_salted_segment_revenue, repeat_buyers_intersect_all, and
+#: pivot_orders_priority_by_year, all r10 greens on unchanged code);
+#: (2) every query whose EXECUTED code
 #: changed after its last driver green — the thirteen older codec synth
 #: gates that adopted the ``_parallel_doc_ids`` round-robin spread after
 #: the r13 gate ran (the r13 verdict's task #1: png_pixel/png_palette,
@@ -166,9 +168,9 @@ def load_all_registrations() -> None:
 #: recursive_hierarchy_rollup; after this window no entry's last driver
 #: green predates r10); (4) backfill with the 22 stalest greens — the
 #: r10-last-green families in registration order (graph fixpoints,
-#: simhash pair family, relational/set-op tail).  The 23 r10-green
+#: simhash pair family, relational/set-op tail).  The 24 r10-green
 #: TPC-H/relational entries that remain outside (q2/q4/q7-q22 tail,
-#: market-basket, nation-revenue-trend, variant rollup, and the two
+#: market-basket, nation-revenue-trend, variant rollup, and the three
 #: gate-evicted entries named in (1)) are green on code untouched since
 #: their check — next round's backfill.
 R14_WINDOW: list[str] = [
@@ -178,6 +180,7 @@ R14_WINDOW: list[str] = [
     "multimodal_mp3_frame_stats",
     "multimodal_jpeg_lossless_stats",
     "multimodal_apng_stats",
+    "text_tokenizer_fertility",
     # executed-code changes after the last driver green: codec gates
     "multimodal_webp_stats",
     "multimodal_flac_loudness",
@@ -227,7 +230,6 @@ R14_WINDOW: list[str] = [
     "priciest_parts_topk",
     "grouping_sets_revenue",
     "customer_order_gaps",
-    "pivot_orders_priority_by_year",
 ]
 
 

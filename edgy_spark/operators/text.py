@@ -1665,3 +1665,88 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get(ids, F.size(ids) - 1).alias("last_id"),
         checksum.alias("id_checksum"),
     ).orderBy("doc_id")
+
+
+def _fertility_oracle() -> str:
+    """Trainer CTEs + the shared word-type encode chain, aggregated per
+    labeled language."""
+    cte = _bpe_train_ctes()
+    cte.append(
+        f"""w AS (SELECT doc_id, lang, unnest({BPE_WORDS_SQL}) AS word
+         FROM documents)"""
+    )
+    cte.extend(_bpe_type_chain_ctes())
+    return (
+        "WITH " + ",\n".join(cte) + f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(octet_length(encode(word))) AS BIGINT) AS n_bytes,
+           CAST(SUM(len(syms)) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(octet_length(encode(word))) * 1000
+                // SUM(len(syms)) AS BIGINT) AS bytes_per_token_e3,
+           CAST(SUM(len(syms)) * 1000 // COUNT(*) AS BIGINT)
+               AS tokens_per_word_e3
+    FROM w JOIN t{BPE_TRAIN_ROUNDS} USING (word)
+    GROUP BY lang ORDER BY lang"""
+    )
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=_fertility_oracle(),
+    tags=("text", "tokenizer", "evaluation"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY evaluation per language — the metric tokenizer
+    designers actually track (tokens per word, bytes per token): a vocab
+    trained mostly on one language fragments the others into near-byte
+    sequences, and this per-language profile is how that inequity is
+    measured and fixed (the multilingual-tokenizer literature's standard
+    diagnostic).  Uses the corpus-trained frozen byte-level vocab
+    (:func:`trained_merges`) and the labeled ``lang`` column; emits
+    word/byte/token totals plus both ratios in exact e3 fixed point.
+
+    Scale: the encode-lengths shape — merges fold over the word-TYPE
+    table in one constant-depth in-row expression, the per-type token
+    length joins back to the (word, lang) stream, and the final
+    aggregate is language-cardinality-sized (map-side combinable).  No
+    floats anywhere: both ratios are integer fixed-point, bit-identical
+    across engines.
+    """
+    merge_rows = trained_merges(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    w = d.select("lang", F.explode(bpe_words(F.col("text"))).alias("word"))
+    types = w.select("word").distinct().select(
+        "word", bpe_syms(F.col("word")).alias("syms")
+    )
+    enc = types.select(
+        "word",
+        F.octet_length("word").alias("wb"),
+        F.size(fold_merges_expr(F.col("syms"), merge_rows)).alias("n_toks"),
+    )
+    return (
+        w.join(enc, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wb").alias("n_bytes"),
+            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bytes",
+            "n_bpe_tokens",
+            # integer DIV, not float division + cast: an IEEE quotient a
+            # hair above an exact integer would truncate differently
+            # than DuckDB's // (both engines' integer div truncate
+            # toward zero — exact for these positive sums)
+            F.expr("n_bytes * 1000 DIV n_bpe_tokens").alias(
+                "bytes_per_token_e3"
+            ),
+            F.expr("n_bpe_tokens * 1000 DIV n_words").alias(
+                "tokens_per_word_e3"
+            ),
+        )
+        .orderBy("lang")
+    )
