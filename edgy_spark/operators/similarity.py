@@ -128,47 +128,116 @@ def _cos2(x: str, y: str) -> str:
     return cosine_sql(x, y)
 
 
-def _assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, cell): assign every corpus vector to its max-cosine cell
-    (broadcast nested-loop + map-side partial max_by — the one wide shuffle
-    carries a single (vec_id, cell) row per vector).
+def _py_l2_norm(vec: list[float]) -> float:
+    """Driver-side twin of :func:`l2_norm`'s fold: same IEEE doubles, same
+    left-to-right accumulation order, same correctly-rounded sqrt — so a
+    centroid norm precomputed here is BIT-IDENTICAL to the expression
+    ``l2_norm(cemb_literal)`` both engines would evaluate (division and
+    sqrt are correctly rounded; sums reassociate only if the order
+    changes, which this fold forbids)."""
+    import math
 
-    argmax(cos, tie -> smallest cell) via struct-ordered max_by: same
-    selection the oracle's ROW_NUMBER(ORDER BY cos DESC, cell) makes."""
-    cs = cosine_similarity(F.col("embedding"), F.col("cemb"))
-    return (
-        e.crossJoin(F.broadcast(cent))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cell", F.struct(cs.alias("cs"), (-F.col("cell")).alias("nc"))
-            ).alias("cell")
-        )
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _scored_cells(cents: list[tuple[int, list[float]]], emb, ne):
+    """array<struct<cs,nc,cell>> scoring ``emb`` against every centroid,
+    IN-ROW: the centroid table rides as one flat literal (constant-folded
+    to a single array value — NOT the r08 per-term unrolled arithmetic
+    whose 16×DIM expression trees cost ~2.4s of planning per round; here
+    the arithmetic is one ``transform`` lambda regardless of K), so
+    assignment needs no join and no shuffle at all — at 100 TB the cell
+    assignment becomes scan → project, embarrassingly parallel.
+
+    ``ne`` is the row vector's norm column, hoisted by the caller so the
+    per-centroid work is ONE dot-product fold instead of the full cosine
+    (which would re-fold the row norm K times and the centroid norm every
+    row); centroid norms are precomputed driver-side (:func:`_py_l2_norm`,
+    bit-identical to the in-plan fold).  cs = dot/(ne*nc) multiplies and
+    divides in exactly :func:`cosine_similarity`'s order, so scores —
+    and therefore every argmax/tie decision the oracle replays — are
+    unchanged to the last bit.  Struct order (cs, nc=-cell) makes
+    ``array_max`` pick max-cos with ties to the smallest cell: the same
+    selection as the oracle's ROW_NUMBER(ORDER BY cos DESC, cell)."""
+    # ONE F.expr over a SQL literal string, not K×(DIM+2) F.lit calls:
+    # per-element Column construction costs a py4j round-trip each
+    # (~1,000 driver-side calls ≈ 0.4s PER build at K=16/DIM=64 — r14
+    # measurement), while one parse of the equivalent literal text is
+    # milliseconds.  repr(float) round-trips through the SQL parser's
+    # Double.parseDouble exactly, so the centroid doubles are unchanged.
+    def _d(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    tab = F.expr(
+        "array(" + ", ".join(
+            "named_struct('cell', {c}L, 'nc', {nc}, 'cemb', array({emb}))".format(
+                c=int(c),
+                nc=_d(_py_l2_norm(ce)),
+                emb=", ".join(_d(x) for x in ce),
+            )
+            for c, ce in cents
+        ) + ")"
+    )
+    return F.transform(
+        tab,
+        lambda c: F.struct(
+            (dot(emb, c["cemb"]) / (ne * c["nc"])).alias("cs"),
+            (-c["cell"]).alias("nc"),
+            c["cell"].alias("cell"),
+        ),
     )
 
 
-def _probe_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """(query_id, qemb, cell): each query's N_PROBE nearest cells."""
+def _assign_cells(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """(vec_id, cell): assign every corpus vector to its max-cosine cell —
+    scan → project via the in-row literal scorer (:func:`_scored_cells`),
+    ZERO shuffles (r14: the r13 broadcast nested-loop + max_by shape
+    materialized K copies of every embedding row and paid a corpus-wide
+    groupBy exchange for what is a pure per-row computation)."""
+    return e.select(
+        "vec_id",
+        F.col("embedding"),
+        l2_norm(F.col("embedding")).alias("__ne"),
+    ).select(
+        "vec_id",
+        F.array_max(_scored_cells(cents, F.col("embedding"), F.col("__ne")))[
+            "cell"
+        ].alias("cell"),
+    )
+
+
+def _probe_cells(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """(query_id, qemb, cell): each query's N_PROBE nearest cells — the
+    in-row scorer sorted descending and sliced (struct order (cs, -cell)
+    descending == the oracle's ORDER BY cos DESC, cell ASC)."""
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        l2_norm(F.col("embedding")).alias("__ne"),
     )
-    qcs = cosine_similarity(F.col("qemb"), F.col("cemb"))
-    wprobe = Window.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cell"))
-    return (
-        q.crossJoin(F.broadcast(cent))
-        .select("query_id", "qemb", "cell", qcs.alias("qc"))
-        .withColumn("rn", F.row_number().over(wprobe))
-        .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", "qemb", "cell")
+    top = F.slice(
+        F.reverse(
+            F.array_sort(_scored_cells(cents, F.col("qemb"), F.col("__ne")))
+        ),
+        1,
+        N_PROBE,
+    )
+    return q.select(
+        "query_id",
+        "qemb",
+        F.explode(F.transform(top, lambda s: s["cell"])).alias("cell"),
     )
 
 
-def _ivf_search(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """IVF search given a (cell, cemb) centroid table: assign the corpus to
+def _ivf_search(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """IVF search given the driver-side centroid list: assign the corpus to
     nearest cells, probe each query's N_PROBE nearest cells, exact cosine
     re-rank inside them."""
-    asg = _assign_cells(e, cent)
-    probe = _probe_cells(e, cent)
+    asg = _assign_cells(e, cents)
+    probe = _probe_cells(e, cents)
     n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nemb"))
     sim = cosine_similarity(F.col("qemb"), F.col("nemb"))
     wrank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -234,11 +303,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan per query sub-linear — the classic IVF trade: recall vs probes is
     checked in tests/test_similarity.py.
     """
-    e = load(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") < K_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("cemb")
-    )
-    return _ivf_search(e, cent)
+    from edgy_spark.plans.spread import spread_if_narrow
+
+    e = spread_if_narrow(load(spark, sf_dir, "embeddings"))
+    cents = _seed_centroids(e)
+    return _ivf_search(e, cents)
 
 
 # -- trained IVF (fixed-seed Lloyd k-means) ---------------------------------
@@ -288,24 +357,16 @@ def _train_sample_sql() -> str:
     )
 
 
-def _round_centroids(
-    spark: SparkSession, cents: list[tuple[int, list[float]]]
-) -> DataFrame:
-    """One Lloyd round's centroids as a broadcastable (cell, cemb) table.
-
-    r09: assignment joins this instead of folding the centroids into a
-    literal expression tree — the r08 in-row argmax built 16 x DIM-term
-    Catalyst trees whose analysis + codegen cost ~2.4s PER ROUND at any
-    data size (planning, not execution, dominated the ivfpq bench).  The
-    broadcast join evaluates the one cosine expression per (vector,
-    centroid) row — the same selection, a constant-size plan, and the
-    exact shape `_assign_cells` already uses for the full corpus.
-    """
-    return F.broadcast(
-        spark.createDataFrame(
-            [(c, emb) for c, emb in cents], schema="cell bigint, cemb array<double>"
-        )
-    )
+def _seed_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
+    """The deterministic first-K seed centroids, collected driver-side
+    (K_CELLS rows — dimension-sized, the same collect the Lloyd trainer
+    has always made)."""
+    return [
+        (int(r["cell"]), [float(x) for x in r["cemb"]])
+        for r in e.filter(F.col("vec_id") < K_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cemb"))
+        .collect()
+    ]
 
 
 def train_ivf_centroids(
@@ -321,10 +382,12 @@ def train_ivf_centroids(
     reassigns every SAMPLED vector (1/TRAIN_SAMPLE_MOD of the corpus — the
     r09 change: training a coarse quantizer needs a sample, not the corpus,
     and the full-corpus scan per Lloyd round was the single most expensive
-    term in the r08 bench) to its max-cosine cell (broadcast join against
-    the round's centroid table + struct-ordered ``max_by`` — also r09: the
-    old in-row argmax over literal centroids cost ~2.4s of Catalyst
-    planning per round) and recomputes cell means.  Only the k tiny
+    term in the r08 bench) to its max-cosine cell (r14: the in-row
+    FLAT-LITERAL scorer ``_scored_cells`` — one constant-folded centroid
+    array consumed by a single transform lambda, NOT the r08 per-term
+    unrolled trees whose 16×DIM arithmetic cost ~2.4s of planning per
+    round, and without r09-r13's broadcast crossJoin + per-vector groupBy
+    exchange) and recomputes cell means.  Only the k tiny
     centroid rows are collected per round; the corpus never leaves the
     executors, and the full corpus is still assigned to the trained cells
     exactly once by the caller's search.
@@ -342,8 +405,10 @@ def train_ivf_centroids(
     Empty cells drop out (both engines drop them identically); k shrinks
     rather than resampling, keeping the unrolled oracle expressible.
     """
-    e = load(spark, sf_dir, "embeddings")
-    cents = [
+    from edgy_spark.plans.spread import spread_if_narrow
+
+    e = spread_if_narrow(load(spark, sf_dir, "embeddings"))
+    cents = _seed_centroids(e) if k == K_CELLS else [
         (int(r["cell"]), [float(x) for x in r["cemb"]])
         for r in e.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cemb"))
@@ -352,20 +417,18 @@ def train_ivf_centroids(
     dim = len(cents[0][1])
     et = _train_sample(e)
     for _ in range(rounds):
-        cs = cosine_similarity(F.col("embedding"), F.col("cemb"))
-        # argmax(cos, tie -> smallest cell) via struct-ordered max_by:
-        # identical selection to the oracle's ROW_NUMBER(ORDER BY cos
-        # DESC, cell); first("embedding") is deterministic (every row in
-        # a vec_id group carries the same vector)
-        asg = (
-            et.crossJoin(_round_centroids(spark, cents))
-            .groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    "cell", F.struct(cs.alias("cs"), (-F.col("cell")).alias("nc"))
-                ).alias("cell"),
-                F.first("embedding").alias("embedding"),
-            )
+        # in-row argmax against the round's centroid literal
+        # (_scored_cells: same cos values and tie order as the r13
+        # broadcast crossJoin + max_by, with no row replication and no
+        # per-vector groupBy exchange — each round is now ONE stage of
+        # scan → project feeding the per-cell mean aggregation)
+        asg = et.select(
+            "embedding", l2_norm(F.col("embedding")).alias("__ne")
+        ).select(
+            F.array_max(
+                _scored_cells(cents, F.col("embedding"), F.col("__ne"))
+            )["cell"].alias("cell"),
+            "embedding",
         )
         aggs = [F.count(F.lit(1)).alias("n")] + [
             F.sum(
@@ -460,12 +523,11 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k x DIM-long shuffle); search probes N_PROBE/k of the corpus.  Recall
     vs brute force is pinned in tests/test_similarity.py.
     """
-    e = load(spark, sf_dir, "embeddings")
+    from edgy_spark.plans.spread import spread_if_narrow
+
+    e = spread_if_narrow(load(spark, sf_dir, "embeddings"))
     cents = train_ivf_centroids(spark, sf_dir)
-    cent = spark.createDataFrame(
-        [(c, emb) for c, emb in cents], schema="cell bigint, cemb array<double>"
-    )
-    return _ivf_search(e, cent)
+    return _ivf_search(e, cents)
 
 
 # -- IVF-PQ: trained cells + int8 asymmetric scoring + exact re-rank --------
@@ -543,13 +605,12 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines; ties break by vec_id.  Quantization recall vs brute
     force is pinned in tests/test_similarity.py.
     """
-    e = load(spark, sf_dir, "embeddings")
+    from edgy_spark.plans.spread import spread_if_narrow
+
+    e = spread_if_narrow(load(spark, sf_dir, "embeddings"))
     cents = train_ivf_centroids(spark, sf_dir)
-    cent = spark.createDataFrame(
-        [(c, emb) for c, emb in cents], schema="cell bigint, cemb array<double>"
-    )
-    asg = _assign_cells(e, cent)
-    probe = _probe_cells(e, cent)
+    asg = _assign_cells(e, cents)
+    probe = _probe_cells(e, cents)
 
     from edgy_spark.functions.vectors import int8_codes, int8_scale
 
