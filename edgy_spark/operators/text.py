@@ -1015,10 +1015,20 @@ def text_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     BYTE-LEVEL (``BPE_WORD_RE``/``bpe_syms``); ``n_bytes`` is the word
     stream's total UTF-8 length.
     """
+    from edgy_spark.plans.spread import spread_if_narrow
+
     merge_rows = trained_merges(spark, sf_dir)
-    d = load(spark, sf_dir, "documents")
+    d = spread_if_narrow(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     w = d.select("doc_id", F.explode(bpe_words(F.col("text"))).alias("word"))
-    types = w.select("word").distinct().select(
+    # pre-aggregate occurrences to (doc_id, word, count) before the type
+    # join (guide §2.3): the join input shrinks by the within-document
+    # repetition factor and the count combines map-side; weighted sums
+    # reproduce the per-occurrence totals exactly (multiplication
+    # distributes over the occurrence sum — same integers)
+    wc = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    types = wc.select("word").distinct().select(
         "word", bpe_syms(F.col("word")).alias("syms")
     )
     enc = types.select(
@@ -1026,12 +1036,12 @@ def text_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(fold_merges_expr(F.col("syms"), merge_rows)).alias("n_toks"),
     )
     return (
-        w.join(enc, "word")
+        wc.join(enc, "word")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.octet_length("word")).alias("n_bytes"),
-            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.octet_length("word")).alias("n_bytes"),
+            F.sum(F.col("cnt") * F.col("n_toks")).cast("long").alias("n_bpe_tokens"),
         )
         .orderBy("doc_id")
     )
@@ -1746,10 +1756,23 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats anywhere: both ratios are integer fixed-point, bit-identical
     across engines.
     """
+    from edgy_spark.plans.spread import spread_if_narrow
+
     merge_rows = trained_merges(spark, sf_dir)
-    d = load(spark, sf_dir, "documents")
+    d = spread_if_narrow(
+        load(spark, sf_dir, "documents").select("lang", "text")
+    )
     w = d.select("lang", F.explode(bpe_words(F.col("text"))).alias("word"))
-    types = w.select("word").distinct().select(
+    # pre-aggregate the corpus word stream to (lang, word, count) BEFORE
+    # the type join (guide §2.3, aggregate before you shuffle): the join
+    # and everything after it now move one row per (lang, word TYPE)
+    # instead of one per word OCCURRENCE — at 100 TB that is the
+    # 10^13-tokens → 10^8-types collapse applied to the join input, and
+    # the count aggregation combines map-side.  Weighted sums over the
+    # collapsed rows are the same integers (multiplication distributes
+    # over the occurrence sum), so the result is bit-identical.
+    wc = w.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    types = wc.select("word").distinct().select(
         "word", bpe_syms(F.col("word")).alias("syms")
     )
     enc = types.select(
@@ -1758,12 +1781,12 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(fold_merges_expr(F.col("syms"), merge_rows)).alias("n_toks"),
     )
     return (
-        w.join(enc, "word")
+        wc.join(enc, "word")
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("wb").alias("n_bytes"),
-            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("wb")).alias("n_bytes"),
+            F.sum(F.col("cnt") * F.col("n_toks")).cast("long").alias("n_bpe_tokens"),
         )
         .select(
             "lang",
