@@ -1244,15 +1244,29 @@ def semantic_prune(
     so cells stay O(10^4) rows (the paper uses 50k clusters for LAION),
     exactly how this plan keeps every task bounded at 100 TB.
     """
+    from edgy_spark.functions.vectors import l2_norm
     from edgy_spark.operators.similarity import (
-        _assign_cells,
-        _round_centroids,
+        _scored_cells,
         train_ivf_centroids,
     )
+    from edgy_spark.plans.spread import spread_if_narrow
 
-    e = load(spark, sf_dir, "embeddings")
-    cent = _round_centroids(spark, train_ivf_centroids(spark, sf_dir))
-    members = _assign_cells(e, cent).join(e, "vec_id")
+    e = spread_if_narrow(load(spark, sf_dir, "embeddings"))
+    cents = train_ivf_centroids(spark, sf_dir)
+    # r14: in-row assignment against the flat centroid literal (the
+    # similarity module's scorer): the membership table is ONE
+    # scan → project — no broadcast join for the argmax and no
+    # (vec_id, cell) ⋈ embeddings self-join to re-attach the vector,
+    # because the scorer keeps the embedding in the same row
+    members = e.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__ne")
+    ).select(
+        "vec_id",
+        F.array_max(_scored_cells(cents, F.col("embedding"), F.col("__ne")))[
+            "cell"
+        ].alias("cell"),
+        "embedding",
+    )
     a = members.select(
         F.col("vec_id"), F.col("cell"), F.col("embedding").alias("ea")
     )
