@@ -203,6 +203,11 @@ def main() -> None:
         "multimodal_webp_stats",
         "multimodal_flac_loudness",
     ]
+    # r14 widened the set by one (the build wave's flagship addition: the
+    # from-spec lossy-VP8 WebP decode gate)
+    added_r14 = [
+        "multimodal_webp_lossy_stats",
+    ]
     additions = {
         6: added_r06,
         8: added_r08,
@@ -211,9 +216,10 @@ def main() -> None:
         11: added_r11,
         12: added_r12,
         13: added_r13,
+        14: added_r14,
     }
     comparable = {}
-    for base in (5, 7, 8, 9, 10, 11, 12):
+    for base in (5, 7, 8, 9, 10, 11, 12, 13):
         later = {
             name
             for rnd, names in additions.items()
@@ -232,7 +238,7 @@ def main() -> None:
     # headline if they would push it past the window.
     for pass_no, this_pass in enumerate(pass_times):
         print(json.dumps({"detail": "pass_times", "pass": pass_no, "times": this_pass}))
-    print(json.dumps({"detail": "set_history", "added_in_r06": added_r06, "added_in_r08": added_r08, "added_in_r09": added_r09, "added_in_r10": added_r10, "added_in_r11": added_r11, "added_in_r12": added_r12, "added_in_r13": added_r13}))
+    print(json.dumps({"detail": "set_history", "added_in_r06": added_r06, "added_in_r08": added_r08, "added_in_r09": added_r09, "added_in_r10": added_r10, "added_in_r11": added_r11, "added_in_r12": added_r12, "added_in_r13": added_r13, "added_in_r14": added_r14}))
     vs_floor = _regressions_vs_floor(timings)
     # full floor diff goes on a detail line; the final line carries only
     # the names (the 2,000-byte recorder-window rule)
@@ -251,6 +257,7 @@ def main() -> None:
         "comparable_r10_set_total": comparable[10],
         "comparable_r11_set_total": comparable[11],
         "comparable_r12_set_total": comparable[12],
+        "comparable_r13_set_total": comparable[13],
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "regressions": _regressions_vs_prev_round(timings),
         "regressions_vs_floor_named": sorted(vs_floor["named"]),

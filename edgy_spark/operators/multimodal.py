@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from edgy_spark.catalog import register
+from edgy_spark.plans.spread import sort_once
 from edgy_spark.sources import load
 
 FRAME_BYTES = 256  # fake "frame" size for the video-sampling path
@@ -631,7 +632,7 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         decode_features_png(media_df)
         .select("doc_id", "width", "height", "mean_luma")
-        .orderBy("doc_id")
+        .transform(sort_once, "doc_id")
     )
 
 
@@ -699,7 +700,7 @@ def multimodal_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         decode_features_jpeg(media_df)
         .select("doc_id", "width", "height", "mean_luma")
-        .orderBy("doc_id")
+        .transform(sort_once, "doc_id")
     )
 
 
@@ -767,7 +768,7 @@ def multimodal_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataF
     return (
         decode_features_jpeg(media_df)
         .select("doc_id", "width", "height", "mean_luma")
-        .orderBy("doc_id")
+        .transform(sort_once, "doc_id")
     )
 
 
@@ -833,7 +834,7 @@ def multimodal_jpeg_multiscan_stats(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         decode_features_jpeg(media_df)
         .select("doc_id", "width", "height", "mean_luma")
-        .orderBy("doc_id")
+        .transform(sort_once, "doc_id")
     )
 
 
@@ -904,7 +905,7 @@ def multimodal_jpeg_cmyk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         decode_features_jpeg(media_df)
         .select("doc_id", "width", "height", "mean_luma")
-        .orderBy("doc_id")
+        .transform(sort_once, "doc_id")
     )
 
 
@@ -1014,7 +1015,7 @@ def multimodal_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         decode_features_jpeg(media_df)
         .select("doc_id", "width", "height", "mean_luma")
-        .orderBy("doc_id")
+        .transform(sort_once, "doc_id")
     )
 
 
@@ -1116,7 +1117,7 @@ def multimodal_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         decode_features_png(media_df)
         .select("doc_id", "width", "height", "mean_luma")
-        .orderBy("doc_id")
+        .transform(sort_once, "doc_id")
     )
 
 
@@ -1285,7 +1286,7 @@ def multimodal_wav_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
-    return decode_features_wav(media_df).orderBy("doc_id")
+    return decode_features_wav(media_df).transform(sort_once, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1583,7 +1584,7 @@ def multimodal_gif_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         decode_features_gif(media_df)
         .select("doc_id", "width", "height", "mean_luma")
-        .orderBy("doc_id")
+        .transform(sort_once, "doc_id")
     )
 
 
@@ -1906,8 +1907,8 @@ def multimodal_gif_timesample_stats(spark: SparkSession, sf_dir: str) -> DataFra
 
     docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
-    return decode_frames_gif_timesampled(media_df).orderBy(
-        "doc_id", "sample_idx"
+    return decode_frames_gif_timesampled(media_df).transform(
+        sort_once, "doc_id", "sample_idx"
     )
 
 
@@ -2011,7 +2012,7 @@ def multimodal_gif_composed_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
-    return decode_frames_gif_composed(media_df).orderBy("doc_id", "frame_idx")
+    return decode_frames_gif_composed(media_df).transform(sort_once, "doc_id", "frame_idx")
 
 
 @register(
@@ -2092,7 +2093,7 @@ def multimodal_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
-    return decode_frames_gif(media_df).orderBy("doc_id", "frame_idx")
+    return decode_frames_gif(media_df).transform(sort_once, "doc_id", "frame_idx")
 
 
 def _parallel_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2324,7 +2325,7 @@ def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         decode_features_webp(media_df)
         .select("doc_id", "width", "height", "mean_luma")
-        .orderBy("doc_id")
+        .transform(sort_once, "doc_id")
     )
 
 
@@ -2492,7 +2493,7 @@ def multimodal_webp_lossy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         decode_features_webp_lossy(media_df)
         .select("doc_id", "width", "height", "mean_luma")
-        .orderBy("doc_id")
+        .transform(sort_once, "doc_id")
     )
 
 
@@ -2682,7 +2683,7 @@ def multimodal_webp_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
-    return decode_frames_webp_composed(media_df).orderBy("doc_id", "frame_idx")
+    return decode_frames_webp_composed(media_df).transform(sort_once, "doc_id", "frame_idx")
 
 
 # ---------------------------------------------------------------------------
@@ -2867,7 +2868,7 @@ def multimodal_flac_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_df = _parallel_doc_ids(spark, sf_dir).mapInPandas(
         synth, "doc_id long, media binary"
     )
-    return decode_features_flac(media_df).orderBy("doc_id")
+    return decode_features_flac(media_df).transform(sort_once, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -3050,7 +3051,7 @@ def multimodal_mp3_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_frames", "sample_rate", "channel_mode",
             "total_samples", "sum_bitrate_kbps", "audio_bytes",
         )
-        .orderBy("doc_id")
+        .transform(sort_once, "doc_id")
     )
 
 
@@ -3213,7 +3214,7 @@ def multimodal_jpeg_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFram
         .select(
             "doc_id", "width", "height", "precision", "mean_sample"
         )
-        .orderBy("doc_id")
+        .transform(sort_once, "doc_id")
     )
 
 
@@ -3404,4 +3405,4 @@ def multimodal_apng_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _parallel_doc_ids(spark, sf_dir)
     media_df = docs.mapInPandas(synth, "doc_id long, media binary")
-    return decode_frames_apng_composed(media_df).orderBy("doc_id", "frame_idx")
+    return decode_frames_apng_composed(media_df).transform(sort_once, "doc_id", "frame_idx")

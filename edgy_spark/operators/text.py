@@ -1701,13 +1701,18 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda acc: acc["s"],
     )
+    # sort_once: the fold chain below the presentation sort is narrow and
+    # expensive — without the hash barrier the range-sampling pass would
+    # tokenize the whole corpus twice (plans/spread.py, r14)
+    from edgy_spark.plans.spread import sort_once
+
     return t.select(
         "doc_id",
         F.size(ids).alias("n_tokens"),
         F.get(ids, F.lit(0)).alias("first_id"),
         F.get(ids, F.size(ids) - 1).alias("last_id"),
         checksum.alias("id_checksum"),
-    ).orderBy("doc_id")
+    ).transform(sort_once, "doc_id")
 
 
 def _fertility_oracle() -> str:

@@ -19,8 +19,9 @@ the (fixture-sized) shuffle narrow.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-__all__ = ["spread_if_narrow"]
+__all__ = ["spread_if_narrow", "sort_once"]
 
 
 def spread_if_narrow(df: DataFrame, factor: int = 1) -> DataFrame:
@@ -35,3 +36,28 @@ def spread_if_narrow(df: DataFrame, factor: int = 1) -> DataFrame:
     if df._jdf.rdd().getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def sort_once(df: DataFrame, *keys: str) -> DataFrame:
+    """Global sort that executes an expensive narrow child exactly ONCE.
+
+    A global ``orderBy`` plans a range exchange whose partition bounds
+    come from SAMPLING the exchange's input: Spark runs one extra job
+    over the child subtree to collect sample keys, then the real
+    shuffle-map pass runs the same subtree again.  Shuffle stages below
+    are reused across the two jobs, so the double execution covers only
+    the segment between the last exchange and the sort — but when that
+    segment is the expensive part (a codec decode ``mapInPandas``, a
+    tokenizer fold) the whole computation runs twice (measured exactly
+    2.0x on the webp-lossy gate, r14).
+
+    Interposing a hash exchange on the sort keys materializes the child
+    as shuffle output once: the DAG scheduler feeds BOTH the sampling
+    job and the sort's own map stage from that shuffle, so the heavy
+    work executes once and the added exchange moves only the final
+    scalar rows (the decode gates emit a handful of ints per document —
+    at 100 TB this is the cheap decision-table shuffle of guide §8, not
+    a payload move).  Results are identical: repartition changes only
+    placement, and the final ``orderBy`` is the same total order.
+    """
+    return df.repartition(*[F.col(k) for k in keys]).orderBy(*keys)

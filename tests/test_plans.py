@@ -411,10 +411,12 @@ def test_quality_percentile_filter_one_shuffle_for_both_windows(spark):
 
 def test_semantic_prune_broadcasts_centroids(spark):
     plan = _plan(spark, "dedup_semantic_prune")
-    # centroid assignment is a broadcast nested-loop over k tiny rows;
-    # the prune self-join shuffles on cell only — never an unkeyed
-    # corpus x corpus cartesian
-    assert "BroadcastNestedLoopJoin" in plan
+    # r14: centroid assignment is IN-ROW (the flat centroid literal +
+    # transform scorer — similarity._scored_cells), so the membership
+    # table needs NO join at all; the prune self-join shuffles on cell
+    # only — never an unkeyed corpus x corpus cartesian, and never the
+    # pre-r14 broadcast nested-loop centroid join
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     # and at runtime the a/b sides of the prune join must REUSE the one
     # assignment exchange (the jaccard lesson: a self-join that executes
