@@ -162,24 +162,36 @@ def _scored_cells(cents: list[tuple[int, list[float]]], emb, ne):
     unchanged to the last bit.  Struct order (cs, nc=-cell) makes
     ``array_max`` pick max-cos with ties to the smallest cell: the same
     selection as the oracle's ROW_NUMBER(ORDER BY cos DESC, cell)."""
-    # ONE F.expr over a SQL literal string, not K×(DIM+2) F.lit calls:
+    # ONE string literal, decoded in-plan, not K×(DIM+2) literal NODES:
     # per-element Column construction costs a py4j round-trip each
     # (~1,000 driver-side calls ≈ 0.4s PER build at K=16/DIM=64 — r14
-    # measurement), while one parse of the equivalent literal text is
-    # milliseconds.  repr(float) round-trips through the SQL parser's
+    # measurement), and even a single-parse F.expr of the equivalent
+    # array(named_struct(...)) text leaves ~1,000 literal nodes for the
+    # ANALYZER to type-check on every build (~0.4s per Lloyd round).
+    # Packing the table into one string and splitting/casting it back
+    # keeps the AST a dozen nodes; every input is a literal and every
+    # function deterministic, so ConstantFolding collapses the whole
+    # expression to the identical array<struct> VALUE before codegen.
+    # repr(float) round-trips through CAST(... AS DOUBLE)'s
     # Double.parseDouble exactly, so the centroid doubles are unchanged.
-    def _d(x: float) -> str:
-        return repr(float(x)) + "D"
-
-    tab = F.expr(
-        "array(" + ", ".join(
-            "named_struct('cell', {c}L, 'nc', {nc}, 'cemb', array({emb}))".format(
-                c=int(c),
-                nc=_d(_py_l2_norm(ce)),
-                emb=", ".join(_d(x) for x in ce),
-            )
-            for c, ce in cents
-        ) + ")"
+    packed = ";".join(
+        "{c}:{nc}:{emb}".format(
+            c=int(c),
+            nc=repr(float(_py_l2_norm(ce))),
+            emb=",".join(repr(float(x)) for x in ce),
+        )
+        for c, ce in cents
+    )
+    tab = F.transform(
+        F.split(F.lit(packed), ";"),
+        lambda row: F.struct(
+            F.split(row, ":")[0].cast("long").alias("cell"),
+            F.split(row, ":")[1].cast("double").alias("nc"),
+            F.transform(
+                F.split(F.split(row, ":")[2], ","),
+                lambda x: x.cast("double"),
+            ).alias("cemb"),
+        ),
     )
     return F.transform(
         tab,
@@ -327,13 +339,25 @@ _FPQ = 1 << FP_BITS
 # via the same count predicate, so tiny fixtures keep r08-identical
 # centroids while any corpus of real size trains on the sample.
 TRAIN_SAMPLE_MOD = 4
+#: Lloyd training-sample materialization ceiling (rows): samples at or
+#: under this localCheckpoint once and every training round scans the
+#: in-memory blocks; larger samples keep the per-round columnar re-scan
+#: (materializing TBs of executor memory is the worse trade there).
+TRAIN_CACHE_ROWS_CONF = "spark.edgy.kmeans.cacheSampleRows"
+TRAIN_CACHE_ROWS_DEFAULT = 2_000_000
 TRAIN_SALT = "|ivftrain"
 TRAIN_MIN_ROWS = 30 * K_CELLS
 
 
-def _train_sample(e: DataFrame) -> DataFrame:
+def _train_sample_with_count(e: DataFrame) -> tuple[DataFrame, int | None]:
     """The deterministic Lloyd training sample (see TRAIN_SAMPLE_MOD),
-    with the full corpus as the small-fixture fallback."""
+    with the full corpus as the small-fixture fallback.  Returns
+    ``(sample, n_rows)`` where ``n_rows`` is the sample's size when the
+    sampled branch is taken and ``None`` on the (tiny, fixture-scale)
+    full-corpus fallback — the count already runs to decide the branch,
+    so threading it out costs nothing and lets the trainer decide
+    whether the sample is small enough to materialize as iteration
+    state."""
     in_sample = (
         F.pmod(
             h60(F.concat(F.col("vec_id").cast("string"), F.lit(TRAIN_SALT))),
@@ -344,7 +368,15 @@ def _train_sample(e: DataFrame) -> DataFrame:
     sampled = e.filter(in_sample)
     # one metadata-cheap count decides the branch; a pure function of the
     # data, mirrored by the oracle's COUNT(*) subquery
-    return sampled if sampled.count() >= TRAIN_MIN_ROWS else e
+    n = sampled.count()
+    if n >= TRAIN_MIN_ROWS:
+        return sampled, n
+    return e, None
+
+
+def _train_sample(e: DataFrame) -> DataFrame:
+    """Sample-only view of :func:`_train_sample_with_count`."""
+    return _train_sample_with_count(e)[0]
 
 
 def _train_sample_sql() -> str:
@@ -415,7 +447,22 @@ def train_ivf_centroids(
         .collect()
     ]
     dim = len(cents[0][1])
-    et = _train_sample(e)
+    et, n_sample = _train_sample_with_count(e)
+    # Materialize the training set ONCE when it is small enough to hold
+    # as iteration state (guide §5: cache what is reused and expensive
+    # to recompute): every Lloyd round then scans in-memory checkpoint
+    # blocks instead of re-reading the corpus, re-paying the conditional
+    # spread exchange, and re-hashing the sample filter — at fixture
+    # scale this removed ~0.5s per round.  Above the threshold
+    # (production: a sample in the TBs) rounds keep the scan-per-round
+    # shape — re-reading a columnar scan beats pinning TBs of executor
+    # memory; threshold overridable per session for clusters where the
+    # memory trade goes the other way.
+    cache_rows = int(
+        spark.conf.get(TRAIN_CACHE_ROWS_CONF, str(TRAIN_CACHE_ROWS_DEFAULT))
+    )
+    if n_sample is None or n_sample <= cache_rows:
+        et = et.localCheckpoint(eager=True)
     for _ in range(rounds):
         # in-row argmax against the round's centroid literal
         # (_scored_cells: same cos values and tie order as the r13
@@ -430,19 +477,43 @@ def train_ivf_centroids(
             )["cell"].alias("cell"),
             "embedding",
         )
-        aggs = [F.count(F.lit(1)).alias("n")] + [
-            F.sum(
-                F.round(F.col("embedding")[i].cast("double") * _FPQ, 0).cast("long")
-            ).alias(f"s{i}")
-            for i in range(dim)
-        ]
-        rows = asg.groupBy("cell").agg(*aggs).collect()
-        cents = sorted(
-            (
-                int(r["cell"]),
-                [(float(r[f"s{i}"]) / _FPQ) / r["n"] for i in range(dim)],
+        # per-cell elementwise sums via explode-by-position, NOT a
+        # dim-wide agg list: 1 + dim aggregate expressions cost ~1s of
+        # Catalyst ANALYSIS per round at dim=64 (r14 measurement) while
+        # this fixed half-dozen-node plan analyzes in milliseconds.  The
+        # position sequence is constant-folded; F.get mirrors the old
+        # embedding[i] element access (NULL beyond the array, summed as
+        # NULL-skipped) and n counts every assigned row per position —
+        # exactly the old per-cell count — so the quantized sums, the
+        # counts, and therefore every centroid mean are bit-identical.
+        expl = asg.select(
+            "cell",
+            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("pos"),
+            "embedding",
+        )
+        rows = (
+            expl.groupBy("cell", "pos")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(
+                        F.get(F.col("embedding"), F.col("pos")).cast("double")
+                        * _FPQ,
+                        0,
+                    ).cast("long")
+                ).alias("s"),
             )
-            for r in rows
+            .collect()
+        )
+        sums: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            c = int(r["cell"])
+            sums.setdefault(c, [0.0] * dim)[int(r["pos"])] = float(r["s"])
+            counts[c] = int(r["n"])
+        cents = sorted(
+            (c, [(s / _FPQ) / counts[c] for s in svals])
+            for c, svals in sums.items()
         )
     return cents
 
