@@ -381,6 +381,15 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.groupBy("hs")
         .agg(F.collect_list("doc_id").alias("docs"))
         .filter(F.size("docs") <= JACC_MAX_DF)
+        # keyed barrier (guide §2.4): the posting table feeds BOTH the
+        # per-doc size branch and the pair-emission branch; without it
+        # runtime exchange reuse shares only the PRE-aggregation shuffle
+        # and each branch re-runs the collect_list aggregation over the
+        # full shingle stream.  Re-keying the aggregated (and DF-capped —
+        # orders of magnitude smaller than the shingle stream) posting
+        # rows materializes the aggregation once; both branches read the
+        # reused exchange (r14, measured −0.2-0.4s at sf0.1).
+        .repartition(F.col("hs"))
     )
     nsz = (
         posting.select(F.explode("docs").alias("doc_id"))
