@@ -229,11 +229,7 @@ R14_WINDOW: list[str] = [
     "json_event_extraction",
     "priciest_parts_topk",
     "grouping_sets_revenue",
-    # r14 OPTIMIZATION rotation: dedup_ngram_jaccard_pairs re-keyed its
-    # posting table (the §2.4 shared-exchange barrier) — executed code
-    # changed after its r13 green, so it re-verifies; customer_order_gaps
-    # (r10-green, code unchanged) defers to next round's backfill.
-    "dedup_ngram_jaccard_pairs",
+    "customer_order_gaps",
 ]
 
 

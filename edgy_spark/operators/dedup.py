@@ -381,16 +381,16 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.groupBy("hs")
         .agg(F.collect_list("doc_id").alias("docs"))
         .filter(F.size("docs") <= JACC_MAX_DF)
-        # keyed barrier (guide §2.4): the posting table feeds BOTH the
-        # per-doc size branch and the pair-emission branch; without it
-        # runtime exchange reuse shares only the PRE-aggregation shuffle
-        # and each branch re-runs the collect_list aggregation over the
-        # full shingle stream.  Re-keying the aggregated (and DF-capped —
-        # orders of magnitude smaller than the shingle stream) posting
-        # rows materializes the aggregation once; both branches read the
-        # reused exchange (r14, measured −0.2-0.4s at sf0.1).
-        .repartition(F.col("hs"))
     )
+    # NOTE (r14 optimization round): the posting table feeds both the
+    # size branch and the pair branch, and only the PRE-aggregation
+    # exchange is runtime-reused — each consumer stage re-runs the
+    # collect_list aggregation.  A .repartition(F.col("hs")) barrier is
+    # NOT a fix: the child already satisfies hashpartitioning(hs) at the
+    # same width, so the optimizer removes it (verified: plan unchanged),
+    # and a materializing barrier (persist/localCheckpoint) would pin a
+    # data-sized table — the duplicated reduce-side agg is the cheaper
+    # evil at scale.
     nsz = (
         posting.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")

@@ -162,36 +162,30 @@ def _scored_cells(cents: list[tuple[int, list[float]]], emb, ne):
     unchanged to the last bit.  Struct order (cs, nc=-cell) makes
     ``array_max`` pick max-cos with ties to the smallest cell: the same
     selection as the oracle's ROW_NUMBER(ORDER BY cos DESC, cell)."""
-    # ONE string literal, decoded in-plan, not K×(DIM+2) literal NODES:
+    # ONE F.expr over a SQL literal string, not K×(DIM+2) F.lit calls:
     # per-element Column construction costs a py4j round-trip each
     # (~1,000 driver-side calls ≈ 0.4s PER build at K=16/DIM=64 — r14
-    # measurement), and even a single-parse F.expr of the equivalent
-    # array(named_struct(...)) text leaves ~1,000 literal nodes for the
-    # ANALYZER to type-check on every build (~0.4s per Lloyd round).
-    # Packing the table into one string and splitting/casting it back
-    # keeps the AST a dozen nodes; every input is a literal and every
-    # function deterministic, so ConstantFolding collapses the whole
-    # expression to the identical array<struct> VALUE before codegen.
-    # repr(float) round-trips through CAST(... AS DOUBLE)'s
+    # measurement), while one parse of the equivalent literal text is
+    # milliseconds.  repr(float) round-trips through the SQL parser's
     # Double.parseDouble exactly, so the centroid doubles are unchanged.
-    packed = ";".join(
-        "{c}:{nc}:{emb}".format(
-            c=int(c),
-            nc=repr(float(_py_l2_norm(ce))),
-            emb=",".join(repr(float(x)) for x in ce),
-        )
-        for c, ce in cents
-    )
-    tab = F.transform(
-        F.split(F.lit(packed), ";"),
-        lambda row: F.struct(
-            F.split(row, ":")[0].cast("long").alias("cell"),
-            F.split(row, ":")[1].cast("double").alias("nc"),
-            F.transform(
-                F.split(F.split(row, ":")[2], ","),
-                lambda x: x.cast("double"),
-            ).alias("cemb"),
-        ),
+    # The ~0.3s the ANALYZER spends type-checking the K×DIM literal
+    # nodes per build is the price of a true fold-to-literal: a
+    # string-packed table decoded by split/cast analyzes in ms but the
+    # lambda-bearing decode is NOT foldable, so it would re-execute per
+    # CORPUS row on the assignment path (review r14) — per-row zero
+    # cost wins at scale.
+    def _d(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    tab = F.expr(
+        "array(" + ", ".join(
+            "named_struct('cell', {c}L, 'nc', {nc}, 'cemb', array({emb}))".format(
+                c=int(c),
+                nc=_d(_py_l2_norm(ce)),
+                emb=", ".join(_d(x) for x in ce),
+            )
+            for c, ce in cents
+        ) + ")"
     )
     return F.transform(
         tab,
@@ -450,8 +444,8 @@ def train_ivf_centroids(
     et, n_sample = _train_sample_with_count(e)
     # Materialize the training set ONCE when it is small enough to hold
     # as iteration state (guide §5: cache what is reused and expensive
-    # to recompute): every Lloyd round then scans in-memory checkpoint
-    # blocks instead of re-reading the corpus, re-paying the conditional
+    # to recompute): every Lloyd round then scans the cached blocks
+    # instead of re-reading the corpus, re-paying the conditional
     # spread exchange, and re-hashing the sample filter — at fixture
     # scale this removed ~0.5s per round.  Above the threshold
     # (production: a sample in the TBs) rounds keep the scan-per-round
@@ -461,8 +455,31 @@ def train_ivf_centroids(
     cache_rows = int(
         spark.conf.get(TRAIN_CACHE_ROWS_CONF, str(TRAIN_CACHE_ROWS_DEFAULT))
     )
-    if n_sample is None or n_sample <= cache_rows:
-        et = et.localCheckpoint(eager=True)
+    cached = n_sample is None or n_sample <= cache_rows
+    if cached:
+        # persist (NOT localCheckpoint): lineage survives, so an
+        # executor loss mid-training recomputes the lost blocks instead
+        # of failing the job, and the blocks are RELEASED in the finally
+        # below rather than lingering until driver GC (review r14).  The
+        # first round's job materializes the cache.
+        from pyspark import StorageLevel
+
+        et = et.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cents = _lloyd_rounds(et, cents, dim, rounds)
+    finally:
+        if cached:
+            et.unpersist()
+    return cents
+
+
+def _lloyd_rounds(
+    et: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    dim: int,
+    rounds: int,
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd refinement loop (see :func:`train_ivf_centroids`)."""
     for _ in range(rounds):
         # in-row argmax against the round's centroid literal
         # (_scored_cells: same cos values and tie order as the r13
@@ -477,30 +494,26 @@ def train_ivf_centroids(
             )["cell"].alias("cell"),
             "embedding",
         )
-        # per-cell elementwise sums via explode-by-position, NOT a
-        # dim-wide agg list: 1 + dim aggregate expressions cost ~1s of
-        # Catalyst ANALYSIS per round at dim=64 (r14 measurement) while
-        # this fixed half-dozen-node plan analyzes in milliseconds.  The
-        # position sequence is constant-folded; F.get mirrors the old
-        # embedding[i] element access (NULL beyond the array, summed as
-        # NULL-skipped) and n counts every assigned row per position —
-        # exactly the old per-cell count — so the quantized sums, the
-        # counts, and therefore every centroid mean are bit-identical.
+        # per-cell elementwise sums via posexplode, NOT a dim-wide agg
+        # list: 1 + dim aggregate expressions cost ~1s of Catalyst
+        # ANALYSIS per round at dim=64 (r14 measurement) while this
+        # fixed half-dozen-node plan analyzes in milliseconds, and
+        # posexplode emits bare (cell, pos, v) rows — no copy of the
+        # full embedding array per generated row (review r14).
+        # Embeddings are fixed-dimension (the contract every consumer
+        # and the unrolled oracle already assume), so n per (cell, pos)
+        # equals the old per-cell row count and the quantized sums,
+        # counts, and centroid means are bit-identical.
         expl = asg.select(
             "cell",
-            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("pos"),
-            "embedding",
+            F.posexplode(F.col("embedding")).alias("pos", "v"),
         )
         rows = (
             expl.groupBy("cell", "pos")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(
-                    F.round(
-                        F.get(F.col("embedding"), F.col("pos")).cast("double")
-                        * _FPQ,
-                        0,
-                    ).cast("long")
+                    F.round(F.col("v").cast("double") * _FPQ, 0).cast("long")
                 ).alias("s"),
             )
             .collect()
