@@ -684,23 +684,29 @@ def multimodal_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cloudpickle.register_pickle_by_value(_jpeg)
     encode_flat = _jpeg.encode_jpeg_flat
+    decode_jpeg = _jpeg.decode_jpeg
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            media = []
-            for doc_id in pdf["doc_id"]:
-                i = int(doc_id)
-                bw, bh = i % 5 + 1, (i * 3) % 4 + 1
-                blocks = [(i * 37 + b * 19) % 256 for b in range(bw * bh)]
-                media.append(encode_flat(bw * 8, bh * 8, blocks))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+    # one fused Python stage (synth + decode, _fused_media_gate): the
+    # luma math is decode_features_jpeg's, the decoder entry point is the
+    # same decode_jpeg, and the gate's rows are pinned identical to the
+    # composed decode_features_jpeg pipeline by the oracle hash
+    def row_of(i: int):
+        import numpy as np
 
-    docs = _parallel_doc_ids(spark, sf_dir)
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
-    return (
-        decode_features_jpeg(media_df)
-        .select("doc_id", "width", "height", "mean_luma")
-        .transform(sort_once, "doc_id")
+        bw, bh = i % 5 + 1, (i * 3) % 4 + 1
+        blocks = [(i * 37 + b * 19) % 256 for b in range(bw * bh)]
+        w, h, ch, px = decode_jpeg(encode_flat(bw * 8, bh * 8, blocks))
+        arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+        if ch == 3:
+            luma = int(
+                (arr.reshape(-1, 3) * np.array([299, 587, 114])).sum()
+            ) // (1000 * w * h)
+        else:
+            luma = int(arr.sum()) // (w * h)
+        return (w, h, luma)
+
+    return _fused_media_gate(
+        spark, sf_dir, row_of, ("width", "height", "mean_luma")
     )
 
 
@@ -752,23 +758,27 @@ def multimodal_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataF
 
     cloudpickle.register_pickle_by_value(_jpeg)
     encode_prog = _jpeg.encode_jpeg_flat_progressive
+    decode_jpeg = _jpeg.decode_jpeg
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            media = []
-            for doc_id in pdf["doc_id"]:
-                i = int(doc_id)
-                bw, bh = (i * 7) % 5 + 1, i % 3 + 1
-                blocks = [(i * 53 + b * 29) % 256 for b in range(bw * bh)]
-                media.append(encode_prog(bw * 8, bh * 8, blocks))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+    # one fused Python stage — same decoder entry point and luma math as
+    # decode_features_jpeg (see multimodal_jpeg_block_stats)
+    def row_of(i: int):
+        import numpy as np
 
-    docs = _parallel_doc_ids(spark, sf_dir)
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
-    return (
-        decode_features_jpeg(media_df)
-        .select("doc_id", "width", "height", "mean_luma")
-        .transform(sort_once, "doc_id")
+        bw, bh = (i * 7) % 5 + 1, i % 3 + 1
+        blocks = [(i * 53 + b * 29) % 256 for b in range(bw * bh)]
+        w, h, ch, px = decode_jpeg(encode_prog(bw * 8, bh * 8, blocks))
+        arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+        if ch == 3:
+            luma = int(
+                (arr.reshape(-1, 3) * np.array([299, 587, 114])).sum()
+            ) // (1000 * w * h)
+        else:
+            luma = int(arr.sum()) // (w * h)
+        return (w, h, luma)
+
+    return _fused_media_gate(
+        spark, sf_dir, row_of, ("width", "height", "mean_luma")
     )
 
 
@@ -886,26 +896,30 @@ def multimodal_jpeg_cmyk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cloudpickle.register_pickle_by_value(_jpeg)
     encode_cmyk = _jpeg.encode_jpeg_flat_cmyk
+    decode_jpeg = _jpeg.decode_jpeg
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            media = []
-            for doc_id in pdf["doc_id"]:
-                i = int(doc_id)
-                bw, bh = (i * 13) % 5 + 1, (i * 5) % 3 + 1
-                lum = [(i * 47 + b * 31) % 256 for b in range(bw * bh)]
-                kk = [(i * 19 + b * 17) % 256 for b in range(bw * bh)]
-                media.append(
-                    encode_cmyk(bw * 8, bh * 8, lum, kk, transform=(i % 2) * 2)
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+    # one fused Python stage — same decoder entry point and luma math as
+    # decode_features_jpeg (see multimodal_jpeg_block_stats)
+    def row_of(i: int):
+        import numpy as np
 
-    docs = _parallel_doc_ids(spark, sf_dir)
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
-    return (
-        decode_features_jpeg(media_df)
-        .select("doc_id", "width", "height", "mean_luma")
-        .transform(sort_once, "doc_id")
+        bw, bh = (i * 13) % 5 + 1, (i * 5) % 3 + 1
+        lum = [(i * 47 + b * 31) % 256 for b in range(bw * bh)]
+        kk = [(i * 19 + b * 17) % 256 for b in range(bw * bh)]
+        w, h, ch, px = decode_jpeg(
+            encode_cmyk(bw * 8, bh * 8, lum, kk, transform=(i % 2) * 2)
+        )
+        arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+        if ch == 3:
+            luma = int(
+                (arr.reshape(-1, 3) * np.array([299, 587, 114])).sum()
+            ) // (1000 * w * h)
+        else:
+            luma = int(arr.sum()) // (w * h)
+        return (w, h, luma)
+
+    return _fused_media_gate(
+        spark, sf_dir, row_of, ("width", "height", "mean_luma")
     )
 
 
@@ -2114,6 +2128,43 @@ def _parallel_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fused_media_gate(
+    spark: SparkSession, sf_dir: str, row_of_id, columns: tuple[str, ...]
+) -> DataFrame:
+    """Single Python stage for the synthetic codec gates: synthesize the
+    media bytes and decode them in the SAME Arrow batch loop (guide §4 —
+    as two chained ``mapInPandas`` stages the payload crossed the
+    JVM<->Python boundary twice, once out of the synth stage and once
+    into the decode stage, for bytes that exist only to be decoded;
+    fusing halves the boundary cost — interleaved A/B on the webp_lossy
+    gate at sf0.1: 2.63 -> 2.36 s/pass, identical rows).
+
+    ``row_of_id`` maps a doc_id to its feature tuple and MUST route
+    through the same ``functions/*`` codec entry points as the family's
+    ``decode_features_*`` operator, so the gate still drives the full
+    from-spec decode path under the driver's value hash.  With a real
+    media corpus the synth lane disappears entirely and
+    ``decode_features_*`` over the binary column remains the production
+    operator (unchanged by this fusion).  Strict decode contract: these
+    are self-generated payloads, so a decode failure raises loudly —
+    the crawl-tolerant ``on_error='null'`` lane lives on the operators.
+    """
+    cols = ["doc_id", *columns]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(int(i), *row_of_id(int(i))) for i in pdf["doc_id"]]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    schema = ", ".join(f"{c} long" for c in cols)
+    return (
+        _parallel_doc_ids(spark, sf_dir)
+        .mapInPandas(run, schema)
+        .transform(sort_once, "doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # WebP — the highest-frequency web image format (r12 verdict missing-list
 # #1).  VP8L lossless decodes natively; since r14 lossy "VP8 " key frames
@@ -2277,55 +2328,53 @@ def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # webp/png reference gif's shared animation helpers (r14)
     cloudpickle.register_pickle_by_value(_gif)
     encode_webp = _webp.encode_webp_lossless
+    decode_webp = _webp.decode_webp
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            media = []
-            for doc_id in pdf["doc_id"]:
-                i = int(doc_id)
-                w, h = i % 14 + 2, (i * 5) % 11 + 2
-                rgba = bytes(
-                    v
-                    for p in range(w * h)
-                    for v in (
-                        (i * 11 + p * 7) % 256,
-                        (i * 13 + p * 5) % 256,
-                        (i * 17 + p * 3) % 256,
-                        255,
-                    )
-                )
-                # mode cycles on i//4 — gcd(4,14)=2, so an i%14 mode would
-                # alias with the %4 rotation and each branch would only
-                # ever see half the predictor modes (review r13)
-                if i % 4 == 0:
-                    media.append(encode_webp(w, h, rgba, palette=True))
-                elif i % 4 == 1:
-                    media.append(
-                        encode_webp(
-                            w, h, rgba, subtract_green=True,
-                            predictor_mode=(i // 4) % 14,
-                        )
-                    )
-                elif i % 4 == 2:
-                    media.append(
-                        encode_webp(w, h, rgba, predictor_mode=(i // 4) % 14)
-                    )
-                else:
-                    media.append(
-                        encode_webp(
-                            w, h, rgba, subtract_green=True,
-                            color_cte=((i * 7) % 256, (i * 11) % 256, (i * 13) % 256),
-                        )
-                    )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+    # one fused Python stage (synth + decode, _fused_media_gate) — same
+    # decoder entry point and Rec.601 luma math as decode_features_webp
+    def row_of(i: int):
+        import numpy as np
 
-    media_df = _parallel_doc_ids(spark, sf_dir).mapInPandas(
-        synth, "doc_id long, media binary"
-    )
-    return (
-        decode_features_webp(media_df)
-        .select("doc_id", "width", "height", "mean_luma")
-        .transform(sort_once, "doc_id")
+        w, h = i % 14 + 2, (i * 5) % 11 + 2
+        rgba = bytes(
+            v
+            for p in range(w * h)
+            for v in (
+                (i * 11 + p * 7) % 256,
+                (i * 13 + p * 5) % 256,
+                (i * 17 + p * 3) % 256,
+                255,
+            )
+        )
+        # mode cycles on i//4 — gcd(4,14)=2, so an i%14 mode would
+        # alias with the %4 rotation and each branch would only
+        # ever see half the predictor modes (review r13)
+        if i % 4 == 0:
+            data = encode_webp(w, h, rgba, palette=True)
+        elif i % 4 == 1:
+            data = encode_webp(
+                w, h, rgba, subtract_green=True, predictor_mode=(i // 4) % 14
+            )
+        elif i % 4 == 2:
+            data = encode_webp(w, h, rgba, predictor_mode=(i // 4) % 14)
+        else:
+            data = encode_webp(
+                w, h, rgba, subtract_green=True,
+                color_cte=((i * 7) % 256, (i * 11) % 256, (i * 13) % 256),
+            )
+        dw, dh, ch, px = decode_webp(data)
+        luma = int(
+            (
+                np.frombuffer(px, dtype=np.uint8)
+                .astype(np.int64)
+                .reshape(-1, ch)[:, :3]
+                * np.array([299, 587, 114])
+            ).sum()
+        ) // (1000 * dw * dh)
+        return (dw, dh, luma)
+
+    return _fused_media_gate(
+        spark, sf_dir, row_of, ("width", "height", "mean_luma")
     )
 
 
@@ -2475,25 +2524,22 @@ def multimodal_webp_lossy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # webp/png reference gif's shared animation helpers (r14)
     cloudpickle.register_pickle_by_value(_gif)
     encode_lossy = _webp.encode_webp_lossy_flat
+    decode_planes = _webp.decode_webp_planes
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            media = []
-            for doc_id in pdf["doc_id"]:
-                i = int(doc_id)
-                mw, mh = i % 4 + 1, (i * 3) % 4 + 1
-                lumas = [(i * 29 + b * 23) % 256 for b in range(mw * mh)]
-                modes = [(i + b) % 5 for b in range(mw * mh)]
-                media.append(encode_lossy(mw, mh, lumas, modes=modes))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+    # one fused Python stage (synth + decode, _fused_media_gate) — same
+    # decoder entry point and native-Y mean as decode_features_webp_lossy
+    def row_of(i: int):
+        import numpy as np
 
-    media_df = _parallel_doc_ids(spark, sf_dir).mapInPandas(
-        synth, "doc_id long, media binary"
-    )
-    return (
-        decode_features_webp_lossy(media_df)
-        .select("doc_id", "width", "height", "mean_luma")
-        .transform(sort_once, "doc_id")
+        mw, mh = i % 4 + 1, (i * 3) % 4 + 1
+        lumas = [(i * 29 + b * 23) % 256 for b in range(mw * mh)]
+        modes = [(i + b) % 5 for b in range(mw * mh)]
+        w, h, y, _u, _v = decode_planes(encode_lossy(mw, mh, lumas, modes=modes))
+        luma = int(np.frombuffer(y, dtype=np.uint8).sum(dtype=np.int64)) // (w * h)
+        return (w, h, luma)
+
+    return _fused_media_gate(
+        spark, sf_dir, row_of, ("width", "height", "mean_luma")
     )
 
 
@@ -2836,39 +2882,49 @@ def multimodal_flac_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cloudpickle.register_pickle_by_value(_flac)
     encode_flac = _flac.encode_flac
+    decode_flac = _flac.decode_flac
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            media = []
-            for doc_id in pdf["doc_id"]:
-                i = int(doc_id)
-                ch = i % 2 + 1
-                rate = 8000 + (i % 3) * 4000
-                n = (i % 120 + 4) * ch
-                samples = []
-                for k in range(n):
-                    v = (i * 131 + k * 997) % 65536
-                    samples.append(v - 65536 if v >= 32768 else v)
-                mode = "independent"
-                if ch == 2:
-                    # ch == 2 ⇔ odd id, so rotate on id//2 (odd ids mod 4
-                    # alone would only ever hit two of the four layouts)
-                    mode = (
-                        "independent", "mid_side", "left_side", "right_side"
-                    )[(i // 2) % 4]
-                method = ("fixed", "lpc")[(i // 3) % 2]
-                media.append(
-                    encode_flac(
-                        rate, ch, samples, block_size=64,
-                        stereo_mode=mode, method=method,
-                    )
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+    # one fused Python stage (synth + decode, _fused_media_gate) — same
+    # decoder entry point and loudness math as decode_features_flac
+    def row_of(i: int):
+        ch = i % 2 + 1
+        rate = 8000 + (i % 3) * 4000
+        n = (i % 120 + 4) * ch
+        samples = []
+        for k in range(n):
+            v = (i * 131 + k * 997) % 65536
+            samples.append(v - 65536 if v >= 32768 else v)
+        mode = "independent"
+        if ch == 2:
+            # ch == 2 ⇔ odd id, so rotate on id//2 (odd ids mod 4
+            # alone would only ever hit two of the four layouts)
+            mode = (
+                "independent", "mid_side", "left_side", "right_side"
+            )[(i // 2) % 4]
+        method = ("fixed", "lpc")[(i // 3) % 2]
+        drate, dch, dsamples = decode_flac(
+            encode_flac(
+                rate, ch, samples, block_size=64,
+                stereo_mode=mode, method=method,
+            )
+        )
+        n_frames = len(dsamples) // dch
+        return (
+            drate,
+            dch,
+            n_frames,
+            n_frames * 1_000_000 // drate,
+            max((abs(s) for s in dsamples), default=0),
+            sum(s * s for s in dsamples) // len(dsamples) if dsamples else 0,
+        )
 
-    media_df = _parallel_doc_ids(spark, sf_dir).mapInPandas(
-        synth, "doc_id long, media binary"
+    return _fused_media_gate(
+        spark, sf_dir, row_of,
+        (
+            "sample_rate", "channels", "n_frames",
+            "duration_us", "peak_amplitude", "mean_square",
+        ),
     )
-    return decode_features_flac(media_df).transform(sort_once, "doc_id")
 
 
 # ---------------------------------------------------------------------------

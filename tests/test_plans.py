@@ -355,12 +355,13 @@ def test_er_pairs_broadcast_dictionary_no_cartesian(spark):
 
 def test_jpeg_block_stats_scans_one_column(spark):
     """The JPEG decode pipeline exchanges only (doc_id, 3 small ints):
-    the documents scan must prune to doc_id alone, and both synth and
-    decode run as Arrow-batched MapInPandas stages."""
+    the documents scan must prune to doc_id alone, and synth+decode run
+    as ONE fused Arrow-batched MapInPandas stage (r14: the media bytes
+    never cross the Arrow boundary at all — _fused_media_gate)."""
     import re
 
     plan = _plan(spark, "multimodal_jpeg_block_stats")
-    assert plan.count("MapInPandas") >= 2
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and m.group(1).split(":")[0] == "doc_id", m and m.group(1)
 
@@ -714,21 +715,24 @@ def test_codec_queries_scan_doc_id_only(spark):
     column) through the Python stages would multiply the exchanged bytes
     at 100 TB.  (r10 verdict: multimodal_jpeg_block_stats sat in the
     bench top-5 without a plan pin.)"""
-    for q in (
-        "multimodal_jpeg_block_stats",
-        "multimodal_jpeg_progressive_stats",
-        "multimodal_jpeg_multiscan_stats",
-        "multimodal_png_palette_stats",
-        "multimodal_gif_palette_stats",
-        "multimodal_gif_frame_stats",
+    # r14: the six BENCH gates fuse synth+decode into ONE Python stage
+    # (_fused_media_gate — the media bytes cross the Arrow boundary zero
+    # times instead of twice); the non-bench gates keep the composed
+    # synth -> decode_features_* two-stage shape
+    for q, stages in (
+        ("multimodal_jpeg_block_stats", 1),
+        ("multimodal_jpeg_progressive_stats", 1),
+        ("multimodal_jpeg_multiscan_stats", 2),
+        ("multimodal_png_palette_stats", 2),
+        ("multimodal_gif_palette_stats", 2),
+        ("multimodal_gif_frame_stats", 2),
     ):
         plan = _plan(spark, q)
         m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
         assert m, q
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols == {"doc_id"}, (q, cols)
-        # exactly two Python stages: synth + decode
-        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, q
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == stages, q
 
 
 def test_anf_superstep_bitor_combines_mapside_no_wide_shuffle(spark):
@@ -858,6 +862,29 @@ def test_codec_gates_decode_in_parallel(spark):
         assert m and {c.split(":")[0] for c in m.group(1).split(",") if c} == {
             "doc_id"
         }, name
+
+
+def test_bench_codec_gates_fuse_synth_and_decode(spark):
+    """The six BENCH codec gates run synth+decode as ONE fused Python
+    stage (r14 _fused_media_gate): as two chained mapInPandas stages the
+    synthesized media crossed the JVM<->Python Arrow boundary twice per
+    batch — serialize out of synth, deserialize into decode — for bytes
+    that exist only to be decoded (interleaved A/B on webp_lossy at
+    sf0.1: 2.63 -> 2.36 s/pass, identical rows).  The sort_once hash
+    barrier must still sit between the Python stage and the presentation
+    sort so the fused stage executes once, not per sort-sampling job."""
+    for q in (
+        "multimodal_jpeg_block_stats",
+        "multimodal_jpeg_progressive_stats",
+        "multimodal_jpeg_cmyk_stats",
+        "multimodal_webp_stats",
+        "multimodal_webp_lossy_stats",
+        "multimodal_flac_loudness",
+    ):
+        plan = _plan(spark, q)
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, q
+        assert "roundrobinpartitioning" in plan.lower(), q
+        assert "Arguments: hashpartitioning" in plan, q
 
 
 def test_token_budget_prefix_parallel_by_chunk(spark):
