@@ -687,3 +687,20 @@ def encode_flac(
         out += struct.pack(">H", crc16)
         frame_no += 1
     return bytes(out)
+
+
+def loudness_stats(rate: int, ch: int, samples: list[int]) -> tuple:
+    """The loudness profile of a decoded sample stream — the ONE shared
+    implementation for the decode_features_flac operator loop and the
+    fused flac gate (review r14): (sample_rate, channels, n_frames,
+    duration_us, peak_amplitude, mean_square), every term integer-exact
+    so the statistic is cross-engine hashable."""
+    n_frames = len(samples) // ch
+    return (
+        rate,
+        ch,
+        n_frames,
+        n_frames * 1_000_000 // rate,
+        max((abs(s) for s in samples), default=0),
+        sum(s * s for s in samples) // len(samples) if samples else 0,
+    )

@@ -1528,3 +1528,28 @@ def encode_jpeg_lossless(
             since += 1
     out += bw.flush() + b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def mean_luma(px: bytes, ch: int, w: int, h: int) -> int:
+    """Integer mean luma of a decoded pixel buffer — the ONE shared
+    implementation of the Rec.601 statistic for every JPEG decode lane
+    (the decode_features_jpeg operator loop and the fused synth gates
+    alike, review r14): grayscale samples ARE luma; 3-channel buffers
+    take the integer Rec.601 dot; any other component count is not a
+    color buffer and must fail loudly (the 8-bit multi-component SOF3
+    case belongs to the lossless lane).  numpy is a lazy import so the
+    from-spec decoder itself stays stdlib-only (gif.py precedent,
+    review r12); the int64 accumulation is exact.
+    """
+    if ch not in (1, 3):
+        raise ValueError(
+            f"{ch}-component pixel buffer: use decode_features_jpeg_lossless"
+        )
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+    if ch == 3:  # Rec.601 integer luma over RGB
+        return int(
+            (arr.reshape(-1, 3) * np.array([299, 587, 114])).sum()
+        ) // (1000 * w * h)
+    return int(arr.sum()) // (w * h)  # grayscale: samples ARE luma

@@ -1280,3 +1280,29 @@ def encode_webp_anim(
     vp8x = b"VP8X" + struct.pack("<I", 10) + vp8x_payload
     body = b"WEBP" + vp8x + anim + b"".join(chunks)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def mean_luma_rgba(px: bytes, ch: int, w: int, h: int) -> int:
+    """Rec.601 integer mean luma over a decoded RGB(A) buffer — the ONE
+    shared implementation for the decode_features_webp operator loop and
+    the fused webp gate (review r14).  Lazy numpy (gif.py precedent);
+    exact int64 accumulation; alpha is excluded from the dot."""
+    import numpy as np
+
+    return int(
+        (
+            np.frombuffer(px, dtype=np.uint8)
+            .astype(np.int64)
+            .reshape(-1, ch)[:, :3]
+            * np.array([299, 587, 114])
+        ).sum()
+    ) // (1000 * w * h)
+
+
+def mean_luma_y(y: bytes, w: int, h: int) -> int:
+    """Integer mean of a native Y plane (exact int64 sum) — shared by the
+    decode_features_webp_lossy operator loop and the fused lossy gate
+    (review r14)."""
+    import numpy as np
+
+    return int(np.frombuffer(y, dtype=np.uint8).sum(dtype=np.int64)) // (w * h)

@@ -275,6 +275,7 @@ def decode_features_jpeg(media_df: DataFrame, on_error: str = "raise") -> DataFr
 
     cloudpickle.register_pickle_by_value(_jpeg)
     decode_jpeg = _jpeg.decode_jpeg
+    mean_luma = _jpeg.mean_luma
     tolerant = _check_on_error(on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -294,15 +295,12 @@ def decode_features_jpeg(media_df: DataFrame, on_error: str = "raise") -> DataFr
                 data = bytes(payload)
                 try:
                     w, h, ch, px = decode_jpeg(data)
-                    if ch not in (1, 3):
-                        # reachable via 8-bit MULTI-component SOF3: the
-                        # components are not color channels, so a summed
-                        # "luma" would be silently wrong — route to the
-                        # lossless lane instead (review r14)
-                        raise ValueError(
-                            f"{ch}-component pixel buffer: use "
-                            "decode_features_jpeg_lossless"
-                        )
+                    # mean_luma raises on a non-(1|3)-component buffer —
+                    # reachable via 8-bit MULTI-component SOF3, whose
+                    # components are not color channels (route to the
+                    # lossless lane instead, review r14); numpy int64
+                    # luma — exact, severalfold faster (review r13)
+                    luma = mean_luma(px, ch, w, h)
                 except (ValueError, NotImplementedError) as e:
                     if not tolerant:
                         raise
@@ -311,16 +309,6 @@ def decode_features_jpeg(media_df: DataFrame, on_error: str = "raise") -> DataFr
                          None, None, None, str(e))
                     )
                     continue
-                # numpy int64 luma — exact, severalfold faster (review r13)
-                import numpy as np
-
-                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
-                if ch == 3:  # Rec.601 integer luma over RGB
-                    luma = int(
-                        (arr.reshape(-1, 3) * np.array([299, 587, 114])).sum()
-                    ) // (1000 * w * h)
-                else:  # grayscale: samples ARE luma
-                    luma = int(arr.sum()) // (w * h)
                 rows.append(
                     (doc_id, len(data), hashlib.md5(data).hexdigest(), w, h, luma)
                 )
@@ -685,25 +673,17 @@ def multimodal_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cloudpickle.register_pickle_by_value(_jpeg)
     encode_flat = _jpeg.encode_jpeg_flat
     decode_jpeg = _jpeg.decode_jpeg
+    mean_luma = _jpeg.mean_luma
 
     # one fused Python stage (synth + decode, _fused_media_gate): the
-    # luma math is decode_features_jpeg's, the decoder entry point is the
-    # same decode_jpeg, and the gate's rows are pinned identical to the
-    # composed decode_features_jpeg pipeline by the oracle hash
+    # decoder entry point and luma statistic (jpeg.mean_luma) are the
+    # SAME code decode_features_jpeg runs, and the gate's rows are
+    # pinned identical to the composed pipeline by the oracle hash
     def row_of(i: int):
-        import numpy as np
-
         bw, bh = i % 5 + 1, (i * 3) % 4 + 1
         blocks = [(i * 37 + b * 19) % 256 for b in range(bw * bh)]
         w, h, ch, px = decode_jpeg(encode_flat(bw * 8, bh * 8, blocks))
-        arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
-        if ch == 3:
-            luma = int(
-                (arr.reshape(-1, 3) * np.array([299, 587, 114])).sum()
-            ) // (1000 * w * h)
-        else:
-            luma = int(arr.sum()) // (w * h)
-        return (w, h, luma)
+        return (w, h, mean_luma(px, ch, w, h))
 
     return _fused_media_gate(
         spark, sf_dir, row_of, ("width", "height", "mean_luma")
@@ -759,23 +739,15 @@ def multimodal_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataF
     cloudpickle.register_pickle_by_value(_jpeg)
     encode_prog = _jpeg.encode_jpeg_flat_progressive
     decode_jpeg = _jpeg.decode_jpeg
+    mean_luma = _jpeg.mean_luma
 
-    # one fused Python stage — same decoder entry point and luma math as
-    # decode_features_jpeg (see multimodal_jpeg_block_stats)
+    # one fused Python stage — same decoder entry point and shared luma
+    # statistic as decode_features_jpeg (see multimodal_jpeg_block_stats)
     def row_of(i: int):
-        import numpy as np
-
         bw, bh = (i * 7) % 5 + 1, i % 3 + 1
         blocks = [(i * 53 + b * 29) % 256 for b in range(bw * bh)]
         w, h, ch, px = decode_jpeg(encode_prog(bw * 8, bh * 8, blocks))
-        arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
-        if ch == 3:
-            luma = int(
-                (arr.reshape(-1, 3) * np.array([299, 587, 114])).sum()
-            ) // (1000 * w * h)
-        else:
-            luma = int(arr.sum()) // (w * h)
-        return (w, h, luma)
+        return (w, h, mean_luma(px, ch, w, h))
 
     return _fused_media_gate(
         spark, sf_dir, row_of, ("width", "height", "mean_luma")
@@ -897,26 +869,18 @@ def multimodal_jpeg_cmyk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cloudpickle.register_pickle_by_value(_jpeg)
     encode_cmyk = _jpeg.encode_jpeg_flat_cmyk
     decode_jpeg = _jpeg.decode_jpeg
+    mean_luma = _jpeg.mean_luma
 
-    # one fused Python stage — same decoder entry point and luma math as
-    # decode_features_jpeg (see multimodal_jpeg_block_stats)
+    # one fused Python stage — same decoder entry point and shared luma
+    # statistic as decode_features_jpeg (see multimodal_jpeg_block_stats)
     def row_of(i: int):
-        import numpy as np
-
         bw, bh = (i * 13) % 5 + 1, (i * 5) % 3 + 1
         lum = [(i * 47 + b * 31) % 256 for b in range(bw * bh)]
         kk = [(i * 19 + b * 17) % 256 for b in range(bw * bh)]
         w, h, ch, px = decode_jpeg(
             encode_cmyk(bw * 8, bh * 8, lum, kk, transform=(i % 2) * 2)
         )
-        arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
-        if ch == 3:
-            luma = int(
-                (arr.reshape(-1, 3) * np.array([299, 587, 114])).sum()
-            ) // (1000 * w * h)
-        else:
-            luma = int(arr.sum()) // (w * h)
-        return (w, h, luma)
+        return (w, h, mean_luma(px, ch, w, h))
 
     return _fused_media_gate(
         spark, sf_dir, row_of, ("width", "height", "mean_luma")
@@ -2203,6 +2167,7 @@ def decode_features_webp(media_df: DataFrame, on_error: str = "raise") -> DataFr
     # webp/png reference gif's shared animation helpers (r14)
     cloudpickle.register_pickle_by_value(_gif)
     decode_webp = _webp.decode_webp
+    mean_luma_rgba = _webp.mean_luma_rgba
     tolerant = _check_on_error(on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2230,17 +2195,9 @@ def decode_features_webp(media_df: DataFrame, on_error: str = "raise") -> DataFr
                          None, None, None, str(e))
                     )
                     continue
-                # numpy int64 luma — exact, severalfold faster (review r13)
-                import numpy as np
-
-                luma = int(
-                    (
-                        np.frombuffer(px, dtype=np.uint8)
-                        .astype(np.int64)
-                        .reshape(-1, ch)[:, :3]
-                        * np.array([299, 587, 114])
-                    ).sum()
-                ) // (1000 * w * h)
+                # shared Rec.601 statistic (webp.mean_luma_rgba) — exact
+                # int64 numpy accumulation (review r13/r14)
+                luma = mean_luma_rgba(px, ch, w, h)
                 rows.append(
                     (doc_id, len(data), hashlib.md5(data).hexdigest(), w, h, luma)
                 )
@@ -2329,12 +2286,12 @@ def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cloudpickle.register_pickle_by_value(_gif)
     encode_webp = _webp.encode_webp_lossless
     decode_webp = _webp.decode_webp
+    mean_luma_rgba = _webp.mean_luma_rgba
 
     # one fused Python stage (synth + decode, _fused_media_gate) — same
-    # decoder entry point and Rec.601 luma math as decode_features_webp
+    # decoder entry point and shared Rec.601 statistic
+    # (webp.mean_luma_rgba) as decode_features_webp
     def row_of(i: int):
-        import numpy as np
-
         w, h = i % 14 + 2, (i * 5) % 11 + 2
         rgba = bytes(
             v
@@ -2363,15 +2320,7 @@ def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 color_cte=((i * 7) % 256, (i * 11) % 256, (i * 13) % 256),
             )
         dw, dh, ch, px = decode_webp(data)
-        luma = int(
-            (
-                np.frombuffer(px, dtype=np.uint8)
-                .astype(np.int64)
-                .reshape(-1, ch)[:, :3]
-                * np.array([299, 587, 114])
-            ).sum()
-        ) // (1000 * dw * dh)
-        return (dw, dh, luma)
+        return (dw, dh, mean_luma_rgba(px, ch, dw, dh))
 
     return _fused_media_gate(
         spark, sf_dir, row_of, ("width", "height", "mean_luma")
@@ -2405,6 +2354,7 @@ def decode_features_webp_lossy(
     # webp/png reference gif's shared animation helpers (r14)
     cloudpickle.register_pickle_by_value(_gif)
     decode_planes = _webp.decode_webp_planes
+    mean_luma_y = _webp.mean_luma_y
     tolerant = _check_on_error(on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2432,10 +2382,9 @@ def decode_features_webp_lossy(
                          None, None, None, str(e))
                     )
                     continue
-                # numpy int64 sum — exact (review r13 finding #3)
-                import numpy as np
-
-                luma = int(np.frombuffer(y, dtype=np.uint8).sum(dtype=np.int64)) // (w * h)
+                # shared exact-int64 Y mean (webp.mean_luma_y, review
+                # r13 finding #3 / r14)
+                luma = mean_luma_y(y, w, h)
                 rows.append(
                     (doc_id, len(data), hashlib.md5(data).hexdigest(), w, h, luma)
                 )
@@ -2525,18 +2474,17 @@ def multimodal_webp_lossy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cloudpickle.register_pickle_by_value(_gif)
     encode_lossy = _webp.encode_webp_lossy_flat
     decode_planes = _webp.decode_webp_planes
+    mean_luma_y = _webp.mean_luma_y
 
     # one fused Python stage (synth + decode, _fused_media_gate) — same
-    # decoder entry point and native-Y mean as decode_features_webp_lossy
+    # decoder entry point and shared native-Y mean (webp.mean_luma_y)
+    # as decode_features_webp_lossy
     def row_of(i: int):
-        import numpy as np
-
         mw, mh = i % 4 + 1, (i * 3) % 4 + 1
         lumas = [(i * 29 + b * 23) % 256 for b in range(mw * mh)]
         modes = [(i + b) % 5 for b in range(mw * mh)]
         w, h, y, _u, _v = decode_planes(encode_lossy(mw, mh, lumas, modes=modes))
-        luma = int(np.frombuffer(y, dtype=np.uint8).sum(dtype=np.int64)) // (w * h)
-        return (w, h, luma)
+        return (w, h, mean_luma_y(y, w, h))
 
     return _fused_media_gate(
         spark, sf_dir, row_of, ("width", "height", "mean_luma")
@@ -2758,6 +2706,7 @@ def decode_features_flac(media_df: DataFrame, on_error: str = "raise") -> DataFr
 
     cloudpickle.register_pickle_by_value(_flac)
     decode_flac = _flac.decode_flac
+    loudness_stats = _flac.loudness_stats
     tolerant = _check_on_error(on_error)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2782,22 +2731,8 @@ def decode_features_flac(media_df: DataFrame, on_error: str = "raise") -> DataFr
                         (doc_id, None, None, None, None, None, None, str(e))
                     )
                     continue
-                n_frames = len(samples) // ch
-                rows.append(
-                    (
-                        doc_id,
-                        rate,
-                        ch,
-                        n_frames,
-                        n_frames * 1_000_000 // rate,
-                        max((abs(s) for s in samples), default=0),
-                        (
-                            sum(s * s for s in samples) // len(samples)
-                            if samples
-                            else 0
-                        ),
-                    )
-                )
+                # shared loudness profile (flac.loudness_stats, r14)
+                rows.append((doc_id,) + loudness_stats(rate, ch, samples))
             if tolerant:
                 yield pd.DataFrame(
                     [r + (None,) for r in rows] + err_rows,
@@ -2883,9 +2818,11 @@ def multimodal_flac_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     cloudpickle.register_pickle_by_value(_flac)
     encode_flac = _flac.encode_flac
     decode_flac = _flac.decode_flac
+    loudness_stats = _flac.loudness_stats
 
     # one fused Python stage (synth + decode, _fused_media_gate) — same
-    # decoder entry point and loudness math as decode_features_flac
+    # decoder entry point and shared loudness profile
+    # (flac.loudness_stats) as decode_features_flac
     def row_of(i: int):
         ch = i % 2 + 1
         rate = 8000 + (i % 3) * 4000
@@ -2908,15 +2845,7 @@ def multimodal_flac_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stereo_mode=mode, method=method,
             )
         )
-        n_frames = len(dsamples) // dch
-        return (
-            drate,
-            dch,
-            n_frames,
-            n_frames * 1_000_000 // drate,
-            max((abs(s) for s in dsamples), default=0),
-            sum(s * s for s in dsamples) // len(dsamples) if dsamples else 0,
-        )
+        return loudness_stats(drate, dch, dsamples)
 
     return _fused_media_gate(
         spark, sf_dir, row_of,
