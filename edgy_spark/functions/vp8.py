@@ -315,6 +315,13 @@ COEF_UPDATE_PROBS = [
     ],
 ]
 
+# The 4*8*3*11 = 1,056 update probabilities flattened in stream order —
+# both the header parser and the flat encoder walk this per frame, so the
+# walk runs as one tight local-variable loop instead of 1,056 method calls.
+_COEF_UPDATE_FLAT = tuple(
+    p for btype in COEF_UPDATE_PROBS for band in btype for cx in band for p in cx
+)
+
 # ---------------------------------------------------------------------------
 # §11.2 key-frame intra mode coding
 # ---------------------------------------------------------------------------
@@ -795,13 +802,9 @@ class _Plane:
         self.h = h
         self.stride = w + 1 + 4  # left border + above-right extension
         buf = bytearray(self.stride * (h + 1))
-        for x in range(self.stride):
-            buf[x] = 127  # above row (incl. corner and above-right ext)
+        buf[: self.stride] = b"\x7f" * self.stride  # above row (+corner/ext)
         for y in range(1, h + 1):
-            row = y * self.stride
-            buf[row] = 129  # left border
-            for x in range(w + 1, self.stride):
-                buf[row + x] = 0  # right padding, filled as rows complete
+            buf[y * self.stride] = 129  # left border (right padding stays 0)
         self.buf = buf
 
     def get(self, x: int, y: int) -> int:
@@ -816,12 +819,18 @@ class _Plane:
         see the RFC's replicated value."""
         row = (y + 1) * self.stride
         last = self.buf[row + self.w]
-        for x in range(self.w + 1, self.stride):
-            self.buf[row + x] = last
+        self.buf[row + self.w + 1 : row + self.stride] = bytes(
+            (last,)
+        ) * (self.stride - self.w - 1)
 
 
 def _clamp255(v: int) -> int:
     return 0 if v < 0 else (255 if v > 255 else v)
+
+
+# clamp lookup for TM-style pred sums: left + above - corner in [-255, 510];
+# index with v + 255.  bytes indexing returns int, no function call.
+_CL = bytes(_clamp255(v - 255) for v in range(766))
 
 
 def _pred_dc(plane: _Plane, x0: int, y0: int, size: int) -> list[int]:
@@ -859,9 +868,10 @@ def _pred_tm(plane: _Plane, x0: int, y0: int, size: int) -> list[int]:
     tl = plane.get(x0 - 1, y0 - 1)
     above = [plane.get(x0 + i, y0 - 1) for i in range(size)]
     out = []
+    cl = _CL
     for j in range(size):
-        left = plane.get(x0 - 1, y0 + j)
-        out.extend(_clamp255(left + a - tl) for a in above)
+        base = plane.get(x0 - 1, y0 + j) - tl + 255
+        out.extend(cl[base + a] for a in above)
     return out
 
 
@@ -898,9 +908,14 @@ def _pred_b(
         dc = (s + 4) >> 3
         return [dc] * 16
     if mode == B_TM_PRED:
+        cl = _CL
         for j in range(4):
-            for i in range(4):
-                out[4 * j + i] = _clamp255(left[j] + a[i] - p)
+            base = left[j] - p + 255
+            r = 4 * j
+            out[r] = cl[base + a[0]]
+            out[r + 1] = cl[base + a[1]]
+            out[r + 2] = cl[base + a[2]]
+            out[r + 3] = cl[base + a[3]]
         return out
     if mode == B_VE_PRED:
         row = [
@@ -1077,12 +1092,48 @@ def _parse_header(bd: BoolDecoder, hdr: FrameHeader) -> None:
         [[row[:] for row in band] for band in btype]
         for btype in DEFAULT_COEF_PROBS
     ]
+    # §13.4 coefficient probability updates: 1,056 conditional bools per
+    # frame.  The boolean-decoder state rides in locals through the loop
+    # (identical arithmetic to read_bool, including the past-the-end
+    # zero-byte convention) and is written back at the end; the rare
+    # update literal re-enters through the method path.
+    data, dlen = bd.data, len(bd.data)
+    pos, rng, value, bits = bd.pos, bd.range, bd.value, bd.bit_count
+    flat_i = 0
     for t in range(4):
+        probs_t = hdr.coef_probs[t]
         for b in range(8):
             for c in range(3):
+                row = probs_t[b][c]
                 for pi in range(11):
-                    if bd.read_bool(COEF_UPDATE_PROBS[t][b][c][pi]):
-                        hdr.coef_probs[t][b][c][pi] = bd.read_literal(8)
+                    prob = _COEF_UPDATE_FLAT[flat_i]
+                    flat_i += 1
+                    split = 1 + (((rng - 1) * prob) >> 8)
+                    big = split << 8
+                    if value >= big:
+                        bit = 1
+                        rng -= split
+                        value -= big
+                    else:
+                        bit = 0
+                        rng = split
+                    while rng < 128:
+                        value <<= 1
+                        rng <<= 1
+                        bits += 1
+                        if bits == 8:
+                            bits = 0
+                            value |= data[pos] if pos < dlen else 0
+                            pos += 1
+                    if bit:
+                        bd.pos, bd.range, bd.value, bd.bit_count = (
+                            pos, rng, value, bits,
+                        )
+                        row[pi] = bd.read_literal(8)
+                        pos, rng, value, bits = (
+                            bd.pos, bd.range, bd.value, bd.bit_count,
+                        )
+    bd.pos, bd.range, bd.value, bd.bit_count = pos, rng, value, bits
     hdr.no_skip = bd.read_bool(128)
     hdr.skip_prob = bd.read_literal(8) if hdr.no_skip else 0
 
@@ -1416,9 +1467,12 @@ def _decode_vp8(payload: bytes) -> tuple[int, int, bytes, bytes, bytes]:
             x0, y0 = mb_col * 16, mb_row * 16
             cx0, cy0 = mb_col * 8, mb_row * 8
             y2_out = None
-            blocks: list[list[int]] = []
+            blocks: list[list[int]] | None = None
+            eobs: list[int] | None = None
             has_coeffs = False
             if skip:
+                # no residual tokens: every block reconstructs as pure
+                # prediction (§11.1), contexts reset (§13.4)
                 for i in range(4):
                     above_y[mb_col * 4 + i] = left_y[i] = 0
                 for i in range(2):
@@ -1426,10 +1480,9 @@ def _decode_vp8(payload: bytes) -> tuple[int, int, bytes, bytes, bytes]:
                     above_v[mb_col * 2 + i] = left_v[i] = 0
                 if has_y2:
                     above_y2[mb_col] = left_y2 = 0
-                blocks = [[0] * 16 for _ in range(24)]
-                if has_y2:
-                    y2_out = [0] * 16
             else:
+                blocks = []
+                eobs = []
                 probs = hdr.coef_probs
                 if has_y2:
                     ctx = above_y2[mb_col] + left_y2
@@ -1452,6 +1505,7 @@ def _decode_vp8(payload: bytes) -> tuple[int, int, bytes, bytes, bytes]:
                     above_y[mb_col * 4 + sc] = left_y[sr] = nz
                     has_coeffs = has_coeffs or nz
                     blocks.append(coeffs)
+                    eobs.append(eob)
                 for plane_i, (a_ctx, l_ctx) in enumerate(
                     ((above_u, left_u), (above_v, left_v))
                 ):
@@ -1465,23 +1519,58 @@ def _decode_vp8(payload: bytes) -> tuple[int, int, bytes, bytes, bytes]:
                         a_ctx[mb_col * 2 + sc] = l_ctx[sr] = nz
                         has_coeffs = has_coeffs or nz
                         blocks.append(coeffs)
+                        eobs.append(eob)
 
             # ---- reconstruct luma ----
-            if has_y2 and y2_out is not None:
+            # Rows write as 4-px slices into the plane buffer.  An eob at
+            # or before scan position 1 means every AC coefficient is zero
+            # (for has_y2 blocks the DC arrives from the Y2 transform), so
+            # the inverse DCT of the block is the lone-DC constant
+            # (dc + 4) >> 3 in all 16 cells — the same identity
+            # test_inverse_dct_lone_dc_is_uniform pins.  A skip MB is the
+            # r == 0 case of that path.
+            ybuf, ystride = y_plane.buf, y_plane.stride
+            if has_y2 and y2_out is not None and blocks is not None:
                 for sb in range(16):
                     blocks[sb][0] = y2_out[sb]
             if ymode != B_PRED:
                 pred = _PRED_16[ymode](y_plane, x0, y0, 16)
                 for sb in range(16):
                     sr, sc = sb // 4, sb % 4
-                    res = inverse_dct4x4(blocks[sb])
-                    for j in range(4):
-                        for i in range(4):
-                            px = pred[(sr * 4 + j) * 16 + sc * 4 + i]
-                            y_plane.set(
-                                x0 + sc * 4 + i, y0 + sr * 4 + j,
-                                _clamp255(px + res[4 * j + i]),
-                            )
+                    prow = sr * 64 + sc * 4  # (sr*4)*16 + sc*4
+                    row0 = (y0 + sr * 4 + 1) * ystride + x0 + sc * 4 + 1
+                    if skip:
+                        r = (y2_out[sb] + 4) >> 3 if y2_out is not None else 0
+                        dc_only = True
+                    else:
+                        dc_only = eobs[sb] <= 1
+                        r = (blocks[sb][0] + 4) >> 3 if dc_only else 0
+                    if dc_only:
+                        if r == 0:
+                            for j in range(4):
+                                p0 = prow + j * 16
+                                rj = row0 + j * ystride
+                                ybuf[rj : rj + 4] = pred[p0 : p0 + 4]
+                        else:
+                            for j in range(4):
+                                p0 = prow + j * 16
+                                rj = row0 + j * ystride
+                                ybuf[rj : rj + 4] = [
+                                    0 if (v := p + r) < 0
+                                    else (255 if v > 255 else v)
+                                    for p in pred[p0 : p0 + 4]
+                                ]
+                    else:
+                        res = inverse_dct4x4(blocks[sb])
+                        for j in range(4):
+                            p0 = prow + j * 16
+                            r0 = 4 * j
+                            rj = row0 + j * ystride
+                            ybuf[rj : rj + 4] = [
+                                0 if (v := pred[p0 + i] + res[r0 + i]) < 0
+                                else (255 if v > 255 else v)
+                                for i in range(4)
+                            ]
             else:
                 # above-right pixels for column-3 subblocks come from the
                 # row above the MACROBLOCK for every subblock row (§12.3)
@@ -1495,26 +1584,74 @@ def _decode_vp8(payload: bytes) -> tuple[int, int, bytes, bytes, bytes]:
                         y_plane, bx, by, bmodes[sb],
                         ar if sc == 3 and sr > 0 else None,
                     )
-                    res = inverse_dct4x4(blocks[sb])
-                    for j in range(4):
-                        for i in range(4):
-                            y_plane.set(
-                                bx + i, by + j,
-                                _clamp255(pred[4 * j + i] + res[4 * j + i]),
-                            )
+                    row0 = (by + 1) * ystride + bx + 1
+                    if skip:
+                        dc_only, r = True, 0
+                    else:
+                        dc_only = eobs[sb] <= 1
+                        r = (blocks[sb][0] + 4) >> 3 if dc_only else 0
+                    if dc_only:
+                        if r == 0:
+                            for j in range(4):
+                                rj = row0 + j * ystride
+                                ybuf[rj : rj + 4] = pred[4 * j : 4 * j + 4]
+                        else:
+                            for j in range(4):
+                                rj = row0 + j * ystride
+                                ybuf[rj : rj + 4] = [
+                                    0 if (v := p + r) < 0
+                                    else (255 if v > 255 else v)
+                                    for p in pred[4 * j : 4 * j + 4]
+                                ]
+                    else:
+                        res = inverse_dct4x4(blocks[sb])
+                        for j in range(4):
+                            rj = row0 + j * ystride
+                            ybuf[rj : rj + 4] = [
+                                0 if (v := pred[4 * j + i] + res[4 * j + i]) < 0
+                                else (255 if v > 255 else v)
+                                for i in range(4)
+                            ]
             # ---- reconstruct chroma ----
             for pi, plane in ((0, u_plane), (1, v_plane)):
                 pred = _PRED_16[uvmode](plane, cx0, cy0, 8)
+                cbuf, cstride = plane.buf, plane.stride
                 for sb in range(4):
                     sr, sc = sb // 2, sb % 2
-                    res = inverse_dct4x4(blocks[16 + pi * 4 + sb])
-                    for j in range(4):
-                        for i in range(4):
-                            px = pred[(sr * 4 + j) * 8 + sc * 4 + i]
-                            plane.set(
-                                cx0 + sc * 4 + i, cy0 + sr * 4 + j,
-                                _clamp255(px + res[4 * j + i]),
-                            )
+                    bidx = 16 + pi * 4 + sb
+                    prow = sr * 32 + sc * 4  # (sr*4)*8 + sc*4
+                    row0 = (cy0 + sr * 4 + 1) * cstride + cx0 + sc * 4 + 1
+                    if skip:
+                        dc_only, r = True, 0
+                    else:
+                        dc_only = eobs[bidx] <= 1
+                        r = (blocks[bidx][0] + 4) >> 3 if dc_only else 0
+                    if dc_only:
+                        if r == 0:
+                            for j in range(4):
+                                p0 = prow + j * 8
+                                rj = row0 + j * cstride
+                                cbuf[rj : rj + 4] = pred[p0 : p0 + 4]
+                        else:
+                            for j in range(4):
+                                p0 = prow + j * 8
+                                rj = row0 + j * cstride
+                                cbuf[rj : rj + 4] = [
+                                    0 if (v := p + r) < 0
+                                    else (255 if v > 255 else v)
+                                    for p in pred[p0 : p0 + 4]
+                                ]
+                    else:
+                        res = inverse_dct4x4(blocks[bidx])
+                        for j in range(4):
+                            p0 = prow + j * 8
+                            r0 = 4 * j
+                            rj = row0 + j * cstride
+                            cbuf[rj : rj + 4] = [
+                                0 if (v := pred[p0 + i] + res[r0 + i]) < 0
+                                else (255 if v > 255 else v)
+                                for i in range(4)
+                            ]
             mb_info.append((seg, ymode, has_coeffs))
         for j in range(16):
             y_plane.finish_row_padding(mb_row * 16 + j)
@@ -1661,11 +1798,29 @@ def encode_vp8_flat(
     for _ in range(5):  # y1dc / y2dc / y2ac / uvdc / uvac deltas absent
         be.write_bool(128, 0)
     be.write_bool(128, 1)  # refresh entropy probs
-    for t in range(4):
-        for b in range(8):
-            for c in range(3):
-                for pi in range(11):
-                    be.write_bool(COEF_UPDATE_PROBS[t][b][c][pi], 0)
+    # 1,056 zero update flags in one tight loop — same arithmetic as
+    # write_bool(prob, 0) (value 0 never adds to bottom, so the only carry
+    # source is the renormalization shift), state in locals.
+    out = be.out
+    rng, bottom, bits = be.range, be.bottom, be.bit_count
+    for prob in _COEF_UPDATE_FLAT:
+        rng = 1 + (((rng - 1) * prob) >> 8)
+        while rng < 128:
+            rng <<= 1
+            if bottom & 0x80000000:
+                i = len(out) - 1
+                while i >= 0 and out[i] == 0xFF:
+                    out[i] = 0
+                    i -= 1
+                if i >= 0:
+                    out[i] += 1
+            bottom = (bottom << 1) & 0xFFFFFFFF
+            bits -= 1
+            if bits == 0:
+                out.append((bottom >> 24) & 0xFF)
+                bottom &= 0xFFFFFF
+                bits = 8
+    be.range, be.bottom, be.bit_count = rng, bottom, bits
     be.write_bool(128, 1 if mb_skip else 0)
     if mb_skip:
         be.write_literal(skip_prob, 8)
@@ -1721,9 +1876,11 @@ def encode_vp8_flat(
                         )
                     sub_levels.append(2 * (target - pred[0]))
                     # fill as we go: later subblocks predict from earlier
+                    mbuf, mstride = y_model.buf, y_model.stride
+                    tgt4 = bytes((target,)) * 4
                     for j in range(4):
-                        for i in range(4):
-                            y_model.set(bx + i, by + j, target)
+                        rj = (by + j + 1) * mstride + bx + 1
+                        mbuf[rj : rj + 4] = tgt4
                 y2_level = 0
                 all_zero = all(lv == 0 for lv in sub_levels)
             skip = 1 if (mb_skip and all_zero) else 0
@@ -1787,9 +1944,11 @@ def encode_vp8_flat(
 
             if m != B_PRED:
                 # reconstruction == target everywhere
+                mbuf, mstride = y_model.buf, y_model.stride
+                tgt16 = bytes((target,)) * 16
                 for j in range(16):
-                    for i in range(16):
-                        y_model.set(x0 + i, y0 + j, target)
+                    rj = (y0 + j + 1) * mstride + x0 + 1
+                    mbuf[rj : rj + 16] = tgt16
         for j in range(16):
             y_model.finish_row_padding(mb_row * 16 + j)
     part1 = be.done()

@@ -373,3 +373,115 @@ def test_all_knobs_combined_exact():
             for i in range(16)
         }
         assert vals == {lumas[mb]}, mb
+
+
+# ---------------------------------------------------------------------------
+# 5. general (AC-coefficient) reconstruction pin — the r14 fast-path split
+# ---------------------------------------------------------------------------
+
+
+def test_general_ac_reconstruction_hand_frame():
+    """Hand-written one-macroblock key frame whose luma blocks carry an AC
+    coefficient and whose U blocks are lone-DC: pins the r14 reconstruction
+    split (DC-only shortcut vs full inverse DCT, row-slice writes) against
+    a naive pred + transform reference built from the public §14 functions.
+    encode_vp8_flat can only emit DC-only blocks, so this is the one frame
+    in the suite that drives the general branch end-to-end."""
+    import struct as _struct
+
+    probs = vp8.DEFAULT_COEF_PROBS
+    # --- header (mirrors encode_vp8_flat: q_index 0, no filter, 1 part) ---
+    be = vp8.BoolEncoder()
+    be.write_literal(0, 1)          # color space
+    be.write_literal(0, 1)          # clamping
+    be.write_bool(128, 0)           # segmentation disabled
+    be.write_literal(0, 1)          # filter type
+    be.write_literal(0, 6)          # filter level 0
+    be.write_literal(0, 3)          # sharpness
+    be.write_bool(128, 0)           # lf delta disabled
+    be.write_literal(0, 2)          # 1 token partition
+    be.write_literal(0, 7)          # q_index 0
+    for _ in range(5):              # quantizer deltas absent
+        be.write_bool(128, 0)
+    be.write_bool(128, 1)           # refresh entropy probs
+    for t in range(4):              # no coef prob updates
+        for b in range(8):
+            for c in range(3):
+                for pi in range(11):
+                    be.write_bool(vp8.COEF_UPDATE_PROBS[t][b][c][pi], 0)
+    be.write_bool(128, 0)           # mb_no_coeff_skip off
+    # --- mode record: one MB, DC_PRED luma + DC_PRED chroma ---
+    be.write_tree(vp8.KF_YMODE_TREE, vp8.KF_YMODE_PROB, vp8.DC_PRED)
+    be.write_tree(vp8.UV_MODE_TREE, vp8.KF_UV_MODE_PROB, vp8.DC_PRED)
+    part1 = be.done()
+
+    # --- tokens: Y2 lone DC, Y blocks with an AC coeff (zero then nonzero
+    # token — general branch), U lone DC (fast path with nonzero residual),
+    # V blocks zero+AC (general branch at chroma geometry) ---
+    te = vp8.BoolEncoder()
+    nz = vp8.encode_block_coeffs(te, probs[1], 0, 0, [6])      # Y2: level 6
+    assert nz == 1
+    above_y, left_y = [0] * 4, [0] * 4
+    for sb in range(16):
+        sr, sc = sb // 4, sb % 4
+        ctx = above_y[sc] + left_y[sr]
+        nz = vp8.encode_block_coeffs(te, probs[0], 1, ctx, [0, 7])
+        above_y[sc] = left_y[sr] = nz
+    for levels in ([5], [0, 3]):   # U then V
+        a_ctx, l_ctx = [0] * 2, [0] * 2
+        for sb in range(4):
+            sr, sc = sb // 2, sb % 2
+            ctx = a_ctx[sc] + l_ctx[sr]
+            nz = vp8.encode_block_coeffs(te, probs[2], 0, ctx, levels)
+            a_ctx[sc] = l_ctx[sr] = nz
+    tokens = te.done()
+
+    tag = (len(part1) << 5) | (1 << 4) | 0
+    payload = (
+        bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+        + b"\x9d\x01\x2a"
+        + _struct.pack("<HH", 16, 16)
+        + part1
+        + tokens
+    )
+    w, h, y, u, v = vp8.decode_vp8(payload)
+    assert (w, h) == (16, 16)
+
+    # --- naive reference: pred 128 everywhere (no neighbors), Y2 WHT DC
+    # distribution, per-block inverse DCT, arithmetic clamp ---
+    def clamp(x):
+        return 0 if x < 0 else (255 if x > 255 else x)
+
+    # q_index 0 factors: y1ac=4, y2dc=8, uvdc=4, uvac=4 (RFC tables)
+    y2_out = vp8.inverse_wht4x4([6 * 8] + [0] * 15)
+    exp_y = [[0] * 16 for _ in range(16)]
+    for sb in range(16):
+        sr, sc = sb // 4, sb % 4
+        block = [0] * 16
+        block[0] = y2_out[sb]
+        # levels [0, 7] at scan positions 1, 2 -> natural ZIGZAG[2] = 4
+        block[vp8.ZIGZAG[2]] = 7 * 4
+        res = vp8.inverse_dct4x4(block)
+        for j in range(4):
+            for i in range(4):
+                exp_y[sr * 4 + j][sc * 4 + i] = clamp(128 + res[4 * j + i])
+    for j in range(16):
+        got = list(y[j * 16 : (j + 1) * 16])
+        assert got == exp_y[j], f"luma row {j}"
+
+    res_u = vp8.inverse_dct4x4([5 * 4] + [0] * 15)
+    assert set(res_u) == {(20 + 4) >> 3}
+    assert set(u) == {clamp(128 + res_u[0])}
+
+    block_v = [0] * 16
+    block_v[vp8.ZIGZAG[1]] = 3 * 4
+    res_v = vp8.inverse_dct4x4(block_v)
+    exp_v = [[0] * 8 for _ in range(8)]
+    for sb in range(4):
+        sr, sc = sb // 2, sb % 2
+        for j in range(4):
+            for i in range(4):
+                exp_v[sr * 4 + j][sc * 4 + i] = clamp(128 + res_v[4 * j + i])
+    for j in range(8):
+        got = list(v[j * 8 : (j + 1) * 8])
+        assert got == exp_v[j], f"V row {j}"
