@@ -92,15 +92,22 @@ class _BitReader:
         self.bit = 0
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            if self.pos >= len(self.data):
-                raise ValueError("truncated VP8L stream")
-            v |= ((self.data[self.pos] >> self.bit) & 1) << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
+        # batched form of the per-bit loop: raises exactly when any of the
+        # n bits would come from a byte past the end of the payload
+        if n == 0:
+            return 0
+        data = self.data
+        idx = (self.pos << 3) + self.bit
+        last = idx + n - 1
+        if (last >> 3) >= len(data):
+            raise ValueError("truncated VP8L stream")
+        v = (
+            int.from_bytes(data[idx >> 3 : (last >> 3) + 1], "little")
+            >> (idx & 7)
+        ) & ((1 << n) - 1)
+        idx += n
+        self.pos = idx >> 3
+        self.bit = idx & 7
         return v
 
 
@@ -118,7 +125,7 @@ class _Tree:
             raise ValueError("empty prefix code")
         if len(used) == 1:
             self.single = next(iter(used))
-            self.codes: dict[tuple[int, int], int] = {}
+            self.codes: dict[int, int] = {}
             self.max_len = 0
             return
         self.single = None
@@ -132,7 +139,7 @@ class _Tree:
         for sym in sorted(used, key=lambda s: (used[s], s)):
             length = used[sym]
             code <<= length - prev_len
-            self.codes[(length, code)] = sym
+            self.codes[(length << 16) | code] = sym  # int key: no tuple alloc per bit
             code += 1
             prev_len = length
         self.max_len = max(used.values())
@@ -140,12 +147,25 @@ class _Tree:
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        # bit-by-bit walk with the reader state in locals (one state
+        # write-back per symbol instead of one read() call per bit)
+        data = br.data
+        idx = (br.pos << 3) + br.bit
+        end = len(data) << 3
         code = 0
+        codes = self.codes
         for length in range(1, self.max_len + 1):
-            code = (code << 1) | br.read(1)
-            sym = self.codes.get((length, code))
+            if idx >= end:
+                raise ValueError("truncated VP8L stream")
+            code = (code << 1) | ((data[idx >> 3] >> (idx & 7)) & 1)
+            idx += 1
+            sym = codes.get((length << 16) | code)
             if sym is not None:
+                br.pos = idx >> 3
+                br.bit = idx & 7
                 return sym
+        br.pos = idx >> 3
+        br.bit = idx & 7
         raise ValueError("invalid prefix code bits")
 
 
@@ -676,18 +696,25 @@ class _BitWriter:
         self.bit = 0
 
     def write(self, v: int, n: int) -> None:
-        for i in range(n):
-            self.cur |= ((v >> i) & 1) << self.bit
-            self.bit += 1
-            if self.bit == 8:
-                self.out.append(self.cur)
-                self.cur = 0
-                self.bit = 0
+        # batched form of the per-bit loop (low n bits of v, LSB first)
+        cur = self.cur | ((v & ((1 << n) - 1)) << self.bit)
+        bit = self.bit + n
+        out = self.out
+        while bit >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            bit -= 8
+        self.cur = cur
+        self.bit = bit
 
     def write_code(self, code: int, length: int) -> None:
-        """Prefix codes go MSB-first into the LSB-first stream (DEFLATE)."""
-        for i in range(length - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        """Prefix codes go MSB-first into the LSB-first stream (DEFLATE):
+        reverse the code's bits, then emit them as one LSB-first write."""
+        r = 0
+        for _ in range(length):
+            r = (r << 1) | (code & 1)
+            code >>= 1
+        self.write(r, length)
 
     def done(self) -> bytes:
         if self.bit:
