@@ -56,23 +56,51 @@ _RATE_CODES = {
 _RATE_FROM_CODE = {v: k for k, v in _RATE_CODES.items()}
 
 
-def _crc8(data: bytes) -> int:
-    """CRC-8, polynomial x^8 + x^2 + x^1 + x^0 (0x07), init 0."""
-    crc = 0
-    for b in data:
-        crc ^= b
+def _crc8_table() -> list[int]:
+    table = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        table.append(crc)
+    return table
+
+
+def _crc16_table() -> list[int]:
+    table = []
+    for b in range(256):
+        crc = b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _crc8_table()
+_CRC16_TABLE = _crc16_table()
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x^1 + x^0 (0x07), init 0
+    (table-driven; the table is built from the same bitwise recurrence)."""
+    crc = 0
+    table = _CRC8_TABLE
+    for b in data:
+        crc = table[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
-    """CRC-16, polynomial x^16 + x^15 + x^2 + x^0 (0x8005), init 0."""
+    """CRC-16, polynomial x^16 + x^15 + x^2 + x^0 (0x8005), init 0
+    (table-driven; the table is built from the same bitwise recurrence)."""
     crc = 0
+    table = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ table[(crc >> 8) ^ b]
     return crc
 
 
@@ -87,15 +115,22 @@ class _BitReader:
         self.bit = 0
 
     def read(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            if self.pos >= len(self.data):
-                raise ValueError("truncated FLAC stream")
-            v = (v << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
+        # batched form of the per-bit loop: raises exactly when any of the
+        # n bits would come from a byte past the end of the payload
+        if n == 0:
+            return 0
+        data = self.data
+        idx = (self.pos << 3) + self.bit
+        last = idx + n - 1
+        if (last >> 3) >= len(data):
+            raise ValueError("truncated FLAC stream")
+        v = (
+            int.from_bytes(data[idx >> 3 : (last >> 3) + 1], "big")
+            >> (7 - (last & 7))
+        ) & ((1 << n) - 1)
+        idx += n
+        self.pos = idx >> 3
+        self.bit = idx & 7
         return v
 
     def read_signed(self, n: int) -> int:
@@ -103,12 +138,28 @@ class _BitReader:
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def read_unary(self) -> int:
+        # bit-scan with the reader state in locals (one write-back per
+        # code); same truncation and runaway guards as the read(1) loop
+        data = self.data
+        idx = (self.pos << 3) + self.bit
+        end = len(data) << 3
         q = 0
-        while self.read(1) == 0:
+        while True:
+            if idx >= end:
+                self.pos = idx >> 3
+                self.bit = idx & 7
+                raise ValueError("truncated FLAC stream")
+            bit = (data[idx >> 3] >> (7 - (idx & 7))) & 1
+            idx += 1
+            if bit:
+                self.pos = idx >> 3
+                self.bit = idx & 7
+                return q
             q += 1
             if q > 1 << 20:
+                self.pos = idx >> 3
+                self.bit = idx & 7
                 raise ValueError("runaway unary code")
-        return q
 
     def align(self) -> None:
         if self.bit:
@@ -392,21 +443,22 @@ class _BitWriter:
         self.bit = 0
 
     def write(self, v: int, n: int) -> None:  # MSB-first
-        for i in range(n - 1, -1, -1):
-            self.cur = (self.cur << 1) | ((v >> i) & 1)
-            self.bit += 1
-            if self.bit == 8:
-                self.out.append(self.cur)
-                self.cur = 0
-                self.bit = 0
+        # batched form of the per-bit loop (low n bits of v, MSB first)
+        cur = (self.cur << n) | (v & ((1 << n) - 1))
+        bit = self.bit + n
+        out = self.out
+        while bit >= 8:
+            bit -= 8
+            out.append((cur >> bit) & 0xFF)
+        self.cur = cur & ((1 << bit) - 1)
+        self.bit = bit
 
     def write_signed(self, v: int, n: int) -> None:
         self.write(v & ((1 << n) - 1), n)
 
     def write_unary(self, q: int) -> None:
-        for _ in range(q):
-            self.write(0, 1)
-        self.write(1, 1)
+        # q zeros then a one == the integer 1 in q+1 bits, MSB first
+        self.write(1, q + 1)
 
     def align(self) -> None:
         while self.bit:
