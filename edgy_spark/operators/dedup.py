@@ -385,12 +385,18 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE (r14 optimization round): the posting table feeds both the
     # size branch and the pair branch, and only the PRE-aggregation
     # exchange is runtime-reused — each consumer stage re-runs the
-    # collect_list aggregation.  A .repartition(F.col("hs")) barrier is
-    # NOT a fix: the child already satisfies hashpartitioning(hs) at the
-    # same width, so the optimizer removes it (verified: plan unchanged),
-    # and a materializing barrier (persist/localCheckpoint) would pin a
-    # data-sized table — the duplicated reduce-side agg is the cheaper
-    # evil at scale.
+    # collect_list aggregation.  Both candidate fixes were tried and
+    # MEASURED WORSE: (a) a .repartition(F.col("hs")) barrier is
+    # optimized out (the child already satisfies hashpartitioning(hs) at
+    # the same width — plan verified unchanged) and a materializing
+    # barrier would pin a data-sized table; (b) a single-consumer
+    # formulation emitting size markers and pairs from ONE
+    # flatten/transform generator into one shared (a, b) exchange
+    # regressed 2.68 → 3.71 s at sf0.1 (paired A/B, min of 3): the
+    # generator MATERIALIZES each bucket's O(L²) struct array where the
+    # double explode streams it, and the count aggregation above the
+    # shared exchange re-executes once per consumer anyway.  The
+    # duplicated reduce-side agg stands as the cheapest evil.
     nsz = (
         posting.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
@@ -809,6 +815,9 @@ def dedup_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.collect_list("doc_id").alias("docs"))
         .filter((F.size("docs") >= 2) & (F.size("docs") <= CONT_MAX_DF))
     )
+    # r14: the single-consumer marker-generator formulation regressed here
+    # too (2.91 → 4.11 s at sf0.1, paired A/B — see the NOTE in
+    # dedup_ngram_jaccard_pairs); the duplicated posting aggregation stays.
     kept = posting.select(F.explode("docs").alias("doc_id"), "hs")
     nsz = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     common = (
@@ -970,19 +979,28 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _spread(spark, load(spark, sf_dir, "documents"))
-    per = (
-        d.select("doc_id", F.explode(_kgrams(SPAN_K)).alias("g"))
-        .select("doc_id", h60(F.col("g")).alias("hs"))
-        .groupBy("doc_id", "hs")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # r14: the corpus count windows over the RAW span stream — the old
+    # per-(doc_id, hs) pre-aggregation forced its own (doc_id, hs)
+    # exchange BEFORE the window's hs exchange, so the span rows shuffled
+    # twice to be counted once.  Windowing the raw (doc_id, hs) rows
+    # directly drops that exchange (3 data shuffles → 2); the bytes the
+    # one remaining hs exchange carries grow only by each document's
+    # INTERNAL span repetition (the part map-side combining deduped,
+    # ~1.1-1.3x on text), far less than a whole second exchange, and a
+    # single document's multiplicity is bounded by its length so no hash
+    # partition can balloon.  gcnt over raw rows == the old SUM(c), and
+    # the per-doc sums count identical integers, so results are
+    # bit-identical.
+    g = d.select("doc_id", F.explode(_kgrams(SPAN_K)).alias("g")).select(
+        "doc_id", h60(F.col("g")).alias("hs")
     )
-    gcnt = F.sum("c").over(Window.partitionBy("hs"))
-    dup_c = F.when(F.col("gcnt") >= 2, F.col("c")).otherwise(F.lit(0))
+    gcnt = F.count(F.lit(1)).over(Window.partitionBy("hs"))
+    dup_c = F.when(F.col("gcnt") >= 2, F.lit(1)).otherwise(F.lit(0))
     return (
-        per.withColumn("gcnt", gcnt)
+        g.withColumn("gcnt", gcnt)
         .groupBy("doc_id")
         .agg(
-            F.sum("c").alias("n_spans"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
             F.sum(dup_c).alias("n_dup_spans"),
         )
         .select(

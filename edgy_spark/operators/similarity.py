@@ -431,17 +431,33 @@ def train_ivf_centroids(
     Empty cells drop out (both engines drop them identically); k shrinks
     rather than resampling, keeping the unrolled oracle expressible.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from edgy_spark.plans.spread import spread_if_narrow
 
     e = spread_if_narrow(load(spark, sf_dir, "embeddings"))
-    cents = _seed_centroids(e) if k == K_CELLS else [
-        (int(r["cell"]), [float(x) for x in r["cemb"]])
-        for r in e.filter(F.col("vec_id") < k)
-        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cemb"))
-        .collect()
-    ]
+
+    def _seed() -> list[tuple[int, list[float]]]:
+        if k == K_CELLS:
+            return _seed_centroids(e)
+        return [
+            (int(r["cell"]), [float(x) for x in r["cemb"]])
+            for r in e.filter(F.col("vec_id") < k)
+            .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cemb"))
+            .collect()
+        ]
+
+    # The seed collect and the training-sample count are INDEPENDENT
+    # driver jobs (guide §2.6: actions are only sequential because the
+    # driver calls them sequentially) — submit both and let the scheduler
+    # overlap them; each is dimension-/metadata-sized driver latency, so
+    # the overlap trims a whole job's wall time off every trainer call.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        seed_f = pool.submit(_seed)
+        sample_f = pool.submit(_train_sample_with_count, e)
+        cents = seed_f.result()
+        et, n_sample = sample_f.result()
     dim = len(cents[0][1])
-    et, n_sample = _train_sample_with_count(e)
     # Materialize the training set ONCE when it is small enough to hold
     # as iteration state (guide §5: cache what is reused and expensive
     # to recompute): every Lloyd round then scans the cached blocks

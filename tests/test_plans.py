@@ -214,10 +214,14 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
 def test_duplicate_spans_uses_window_not_join(spark):
     """The span-dedup corpus count rides a Window over the hash partition —
     the per-doc counts must NOT be shuffled a second time through a
-    groupBy+self-join (one Window operator, zero Join nodes)."""
+    groupBy+self-join (one Window operator, zero Join nodes) — and the
+    window consumes the RAW span stream (r14): exactly two hash exchanges
+    (hs for the window, doc_id for the per-doc sums), no third
+    per-(doc, hs) pre-aggregation exchange below the window."""
     plan = _plan(spark, "dedup_duplicate_spans")
     assert "Window" in plan
     assert "Join" not in plan, "span counting regressed to a join"
+    assert plan.count("Arguments: hashpartitioning") == 2, plan
 
 
 def test_token_rarity_window_and_broadcast_totals(spark):
