@@ -234,20 +234,29 @@ def main() -> None:
     # parses the FINAL line (r06-r08 lesson: one oversized line carrying
     # the per-pass dicts overflowed that window and three rounds of BENCH
     # artifacts recorded "parsed": null).  Detail lines go first; the
-    # final line stays compact — per-query minima are dropped before the
-    # headline if they would push it past the window.
+    # final line stays compact.  r15 contract fix (r14 verdict task #1):
+    # the per-query timings are the one payload the driver's PERF/scaling
+    # machinery parses, so they must NEVER leave the final line — r14's
+    # guard popped "queries" when the 35-query set crossed 1,800 bytes and
+    # blinded the driver (n_common: 0, phantom dropped_from_bench list).
+    # Keep them under the window by rounding to centiseconds on the final
+    # line (full 4-dp detail stays on the pass_times/BENCH_DETAIL lines)
+    # and by shedding the HISTORY keys first if the line ever grows past
+    # the guard again.
     for pass_no, this_pass in enumerate(pass_times):
         print(json.dumps({"detail": "pass_times", "pass": pass_no, "times": this_pass}))
     print(json.dumps({"detail": "set_history", "added_in_r06": added_r06, "added_in_r08": added_r08, "added_in_r09": added_r09, "added_in_r10": added_r10, "added_in_r11": added_r11, "added_in_r12": added_r12, "added_in_r13": added_r13, "added_in_r14": added_r14}))
     vs_floor = _regressions_vs_floor(timings)
-    # full floor diff goes on a detail line; the final line carries only
-    # the names (the 2,000-byte recorder-window rule)
+    vs_prev = _regressions_vs_prev_round(timings)
+    # full floor/prev-round diffs go on detail lines; the final line
+    # carries only the names (the 2,000-byte recorder-window rule)
     print(json.dumps({"detail": "regressions_vs_floor", **vs_floor}))
+    print(json.dumps({"detail": "regressions_vs_prev_round", **vs_prev}))
     final = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "passes": len(pass_times),
         "estimator": "min",
         "comparable_r05_set_total": comparable[5],
@@ -259,7 +268,7 @@ def main() -> None:
         "comparable_r12_set_total": comparable[12],
         "comparable_r13_set_total": comparable[13],
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-        "regressions": _regressions_vs_prev_round(timings),
+        "regressions_vs_prev_named": sorted(vs_prev["named"]),
         "regressions_vs_floor_named": sorted(vs_floor["named"]),
     }
     # Persist the FULL per-query detail to a committed artifact so drift
@@ -278,7 +287,7 @@ def main() -> None:
         "sf": final["sf"],
         "timings_min": timings,
         "pass_times": pass_times,
-        "regressions_vs_prev_round": final["regressions"],
+        "regressions_vs_prev_round": vs_prev,
         "regressions_vs_floor": vs_floor,
         "comparable_set_totals": {f"r{b:02d}": v for b, v in comparable.items()},
         "set_additions": {f"r{r:02d}": names for r, names in additions.items()},
@@ -286,9 +295,20 @@ def main() -> None:
     with open(os.path.join(here, f"BENCH_DETAIL_r{next_round:02d}.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
+    # Recorder-window guard, r15 shape: shed the round-history extras
+    # FIRST and the per-query timings NEVER (the driver parses them; r14's
+    # pop("queries") is what blinded PERF_r14).  At 35 queries x ~18 bytes
+    # the full line is ~1.6 KB; the shed order only matters if the set
+    # grows a lot.
+    shed_order = (
+        [f"comparable_r{b:02d}_set_total" for b in (5, 7, 8, 9, 10, 11, 12, 13)]
+        + ["regressions_vs_prev_named", "regressions_vs_floor_named"]
+    )
     line = json.dumps(final)
-    if len(line) > 1800:
-        final.pop("queries")
+    for key in shed_order:
+        if len(line) <= 1800:
+            break
+        final.pop(key, None)
         line = json.dumps(final)
     print(line)
 
