@@ -288,6 +288,7 @@ def run_fixpoint(
     detect_removals: bool = False,
     iter_partitions: int | None = None,
     require_converged: bool = False,
+    monotone: bool = False,
 ) -> DataFrame:
     """Iterate ``state = step(state)`` with per-round checkpointing and
     optional change-set convergence — the loop shared by every iterative
@@ -326,9 +327,32 @@ def run_fixpoint(
     The one remaining per-converged-run probe is the optional
     ``detect_removals`` anti-join, which runs only on the round that would
     otherwise terminate.
+
+    - ``monotone`` (r15, guide §2.4/§2.6 — remove per-round work outright):
+      the CALLER asserts that between consecutive rounds (a) every
+      per-row change to a ``compare_cols`` value moves in one direction
+      within the round (all decreases or all increases — e.g. hash-min CC
+      labels only decrease, BFS/SSSP distances only relax downward,
+      peeling supports only drop), (b) the node set only grows or only
+      shrinks, and (c) compare columns are non-null.  Under that contract
+      "nothing changed" is exactly "the state's (row count, per-column
+      sums) signature is unchanged", so convergence needs NO join with the
+      previous round's state at all: the signature rides the checkpoint's
+      own ``observe`` metric and is compared driver-side.  This removes
+      one broadcast build + one join from EVERY round (the join-based
+      change-set remains the default for steps without a monotonicity
+      argument).  Removed rows change the row count, so ``monotone``
+      subsumes ``detect_removals`` (the anti-join probe never runs).
+      Sums accumulate in DECIMAL(38,0) — overflow-proof at any scale.
     """
     state, parts = _materialize(state, iter_partitions)
     converged = compare_cols is None  # fixed-round loops are complete by definition
+    if monotone and compare_cols is not None:
+        return _run_fixpoint_monotone(
+            state, step, parts,
+            max_iter=max_iter, compare_cols=compare_cols, substeps=substeps,
+            require_converged=require_converged,
+        )
     for _ in range(max_iter):
         new = state
         for _ in range(substeps):
@@ -380,6 +404,98 @@ def run_fixpoint(
         if changed == 0:
             converged = True
             break
+    if require_converged and not converged:
+        raise RuntimeError(
+            f"run_fixpoint: no fixpoint within max_iter={max_iter} rounds"
+            f" (x{substeps} substeps) — raise the budget; the caller"
+            " declared truncated state unusable"
+        )
+    return state
+
+
+def _sig_exprs(compare_cols: Sequence[str]) -> list[Column]:
+    """Aggregate signature of a monotone fixpoint state: row count plus,
+    per compare column, its exact DECIMAL(38,0) sum and its null count.
+    Under the ``monotone`` contract a round changed the state iff this
+    signature changed (single-direction per-row moves cannot cancel; the
+    null count keeps a value<->NULL flip visible even when the contract
+    is violated on nullability)."""
+    exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, c in enumerate(compare_cols):
+        col = F.col(c)
+        exprs.append(F.sum(col.cast("decimal(38,0)")).alias(f"s_{i}"))
+        exprs.append(
+            F.sum(F.when(col.isNull(), F.lit(1)).otherwise(F.lit(0))).alias(f"z_{i}")
+        )
+    return exprs
+
+
+def _observed_sig(obs, fields: Sequence[str], fallback, timeout_s: float = 5.0):
+    """Read the whole signature row an eager localCheckpoint just
+    delivered — the multi-field twin of :func:`_observed_long`, with the
+    same bounded poll + recompute fallback."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while True:
+        opt = obs._jo.getRowOrEmpty()
+        if opt.isDefined():
+            jrow = opt.get()
+            return tuple(
+                _sig_long(jrow.get(jrow.fieldIndex(f))) for f in fields
+            )
+        if time.monotonic() >= deadline:
+            return fallback()
+        time.sleep(0.05)
+
+
+def _sig_long(v) -> int:
+    """NULL-safe integer view of a signature field (DECIMAL sums arrive
+    as Decimal/BigDecimal; an empty state's SUM is NULL)."""
+    return 0 if v is None else int(v)
+
+
+def _run_fixpoint_monotone(
+    state: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    parts: int,
+    *,
+    max_iter: int,
+    compare_cols: Sequence[str],
+    substeps: int,
+    require_converged: bool,
+) -> DataFrame:
+    """The ``monotone=True`` loop of :func:`run_fixpoint` (contract there):
+    convergence by signature comparison — no per-round join with the old
+    state, no broadcast build, no removal probe.  Costs ONE extra
+    state-sized aggregation job up front (the initial signature); every
+    round after that is exactly one checkpoint job whose metrics ride the
+    materialization."""
+    from pyspark.sql import Observation
+
+    fields = ["n_rows"] + [
+        name for i in range(len(compare_cols)) for name in (f"s_{i}", f"z_{i}")
+    ]
+    exprs = _sig_exprs(compare_cols)
+
+    def _agg_sig(df: DataFrame) -> tuple:
+        row = df.agg(*exprs).collect()[0]
+        return tuple(_sig_long(row[f]) for f in fields)
+
+    prev_sig = _agg_sig(state)
+    converged = False
+    for _ in range(max_iter):
+        new = state
+        for _ in range(substeps):
+            new = step(new)
+        obs = Observation()
+        ck = _checkpoint(new.observe(obs, *exprs), parts)
+        sig = _observed_sig(obs, fields, lambda ck=ck: _agg_sig(ck))
+        state = ck
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
     if require_converged and not converged:
         raise RuntimeError(
             f"run_fixpoint: no fixpoint within max_iter={max_iter} rounds"
@@ -450,6 +566,9 @@ def connected_components(
         max_iter=max_iter, compare_cols=["label"], substeps=2,
         broadcast_state=broadcast_state,
         iter_partitions=iter_partitions,
+        # hash-min labels only ever DECREASE and the node set is fixed,
+        # so convergence = unchanged (count, sum(label)) signature
+        monotone=True,
     )
     return labels.select("node", F.col("label").alias("component"))
 
@@ -523,6 +642,9 @@ def bfs_distances(
         max_iter=max_depth, compare_cols=["dist"],
         broadcast_state=broadcast_state,
         iter_partitions=iter_partitions,
+        # distances only relax DOWNWARD and nodes are only ever added,
+        # so the (count, sum(dist)) signature detects every change
+        monotone=True,
     )
     return dist
 
@@ -624,6 +746,8 @@ def closeness_sampled(
         state0, step,
         max_iter=max_depth, compare_cols=["dist"],
         broadcast_state=broadcast_state, iter_partitions=iter_partitions,
+        # per-(node, seed) distances only relax DOWNWARD; rows only appear
+        monotone=True,
     )
     return (
         res.select(F.col("node.n").alias("node"), "dist")
@@ -761,6 +885,9 @@ def stress_centrality_sampled(
         state0, step,
         max_iter=max_depth, compare_cols=["dist"],
         broadcast_state=broadcast_state, iter_partitions=iter_partitions,
+        # settled rows are immutable (dist/sigma coalesce keeps the old
+        # value); the state only GROWS, so the row count alone changes
+        monotone=True,
     )
     fwd = fwd_res.select(
         F.col("node.n").alias("n"), F.col("node.s").alias("s"),
@@ -800,6 +927,9 @@ def stress_centrality_sampled(
         t0, rstep,
         max_iter=max_depth, compare_cols=["tau"],
         broadcast_state=broadcast_state, iter_partitions=iter_partitions,
+        # tau = 1 + sum over successors is non-DECREASING round-over-round
+        # (induction from tau_0 = 1) on a fixed node set
+        monotone=True,
     ).select(F.col("node.n").alias("n"), F.col("node.s").alias("s"), "tau")
     return (
         fwd.join(taus, ["n", "s"])
@@ -1087,6 +1217,8 @@ def sssp_weighted(
         max_iter=max_iter, compare_cols=["dist"],
         broadcast_state=broadcast_state,
         iter_partitions=iter_partitions,
+        # weighted distances only relax DOWNWARD; nodes are only added
+        monotone=True,
     )
     return dist
 
@@ -1613,8 +1745,10 @@ def k_core(
         max_iter=max_iter,
         compare_cols=["deg"],
         broadcast_state=broadcast_state,
-        detect_removals=True,
+        detect_removals=True,  # subsumed by monotone (count sees removals)
         iter_partitions=iter_partitions,
+        # peeling only REMOVES nodes and surviving degrees only DROP
+        monotone=True,
     )
 
 
@@ -1697,8 +1831,10 @@ def k_truss(
         max_iter=max_iter,
         compare_cols=["sup"],
         broadcast_state=broadcast_state,
-        detect_removals=True,
+        detect_removals=True,  # subsumed by monotone (count sees removals)
         iter_partitions=iter_partitions,
+        # peeling only REMOVES edges and surviving supports only DROP
+        monotone=True,
     )
 
 
@@ -2235,6 +2371,9 @@ def scc_members(
             broadcast_state=broadcast_state,
             iter_partitions=iter_partitions,
             require_converged=True,
+            # f and b are each min-propagations: per-column DECREASING
+            # on a fixed node set
+            monotone=True,
         )
         done = st.filter(F.col("f") == F.col("b")).select(
             "node", F.col("f").alias("scc")
@@ -2364,6 +2503,8 @@ def condensation_levels(
         broadcast_state=broadcast_state,
         iter_partitions=iter_partitions,
         require_converged=True,
+        # levels are a max-propagation: per-row INCREASING, fixed node set
+        monotone=True,
     )
     members = scc.groupBy("scc").agg(F.count(F.lit(1)).alias("n_members"))
     return levels.select(F.col("node").alias("scc"), "level").join(

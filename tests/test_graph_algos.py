@@ -104,6 +104,76 @@ def test_run_fixpoint_converges_and_stops(spark):
     assert {(r.node, r.v) for r in out.collect()} == {(1, 0), (2, 0)}
 
 
+def test_run_fixpoint_monotone_matches_join_convergence(spark):
+    """r15: the monotone signature convergence (no per-round join) must
+    stop at the same round and return the same rows as the join-based
+    change-set, on a decreasing-value loop, a shrinking-state peel, and a
+    growing-state frontier."""
+    # decreasing values, fixed node set
+    state = spark.createDataFrame([(1, 3), (2, 1)], "node long, v long")
+
+    def dec(s):
+        return s.select("node", F.greatest(F.col("v") - 1, F.lit(0)).alias("v"))
+
+    a = run_fixpoint(state, dec, max_iter=50, compare_cols=["v"])
+    b = run_fixpoint(state, dec, max_iter=50, compare_cols=["v"], monotone=True)
+    assert sorted((r.node, r.v) for r in a.collect()) == sorted(
+        (r.node, r.v) for r in b.collect()
+    ) == [(1, 0), (2, 0)]
+
+    # shrinking state: drop the max node each round until one row is left
+    # (legacy needs detect_removals to see a removals-only round; monotone
+    # sees it through the row count)
+    st2 = spark.createDataFrame([(1, 7), (2, 7), (3, 7)], "node long, v long")
+
+    def peel(s):
+        mx = s.agg(F.max("node").alias("m"))
+        n = s.count()
+        if n <= 1:
+            return s
+        return s.join(F.broadcast(mx), s.node == F.col("m"), "left_anti")
+
+    a2 = run_fixpoint(
+        st2, peel, max_iter=10, compare_cols=["v"], detect_removals=True
+    )
+    b2 = run_fixpoint(st2, peel, max_iter=10, compare_cols=["v"], monotone=True)
+    assert sorted(r.node for r in a2.collect()) == sorted(
+        r.node for r in b2.collect()
+    ) == [1]
+
+    # growing state: add node n+1 each round up to 5
+    st3 = spark.createDataFrame([(1, 0)], "node long, v long")
+
+    def grow(s):
+        nxt = s.agg((F.max("node") + 1).alias("node")).filter(
+            F.col("node") <= 5
+        ).select("node", F.lit(0).alias("v"))
+        return s.unionByName(nxt)
+
+    a3 = run_fixpoint(st3, grow, max_iter=20, compare_cols=["v"])
+    b3 = run_fixpoint(st3, grow, max_iter=20, compare_cols=["v"], monotone=True)
+    assert sorted(r.node for r in a3.collect()) == sorted(
+        r.node for r in b3.collect()
+    ) == [1, 2, 3, 4, 5]
+
+
+def test_run_fixpoint_monotone_require_converged_raises(spark):
+    """The monotone loop honors require_converged: a loop still moving at
+    the budget must raise, not return truncated state."""
+    import pytest
+
+    state = spark.createDataFrame([(1, 100)], "node long, v long")
+
+    def dec(s):
+        return s.select("node", F.greatest(F.col("v") - 1, F.lit(0)).alias("v"))
+
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        run_fixpoint(
+            state, dec, max_iter=3, compare_cols=["v"],
+            monotone=True, require_converged=True,
+        )
+
+
 def test_sssp_weighted_nearest_hub(spark):
     """Hand-checkable weighted distances: hub = degree>=3 node (only 3)."""
     wedges = spark.createDataFrame(
