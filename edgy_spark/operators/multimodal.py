@@ -59,6 +59,27 @@ def _check_on_error(on_error: str) -> bool:
     return on_error == "null"
 
 
+def _maybe_fuse_synth(decode, synth):
+    """Compose an in-stage ``synth`` batch transformer with a decode batch
+    function — identity when ``synth`` is None.
+
+    This is the r15 generalization of the r14 ``_fused_media_gate`` fusion
+    (guide §4) to the multi-row-per-doc decode lanes: a synthetic codec
+    gate passes its synth mapInPandas body as ``synth=`` and the decode
+    operator runs it inside its OWN Python stage, so the synthesized media
+    bytes never cross the JVM<->Arrow boundary (as two chained mapInPandas
+    stages every payload was serialized out of the synth stage and back
+    into the decode stage).  With a real media corpus ``synth`` stays None
+    and the decode operators are byte-for-byte unchanged."""
+    if synth is None:
+        return decode
+
+    def fused(batches):
+        return decode(synth(batches))
+
+    return fused
+
+
 def with_media_column(docs: DataFrame) -> DataFrame:
     """Attach a binary payload + typed metadata struct to each document."""
     payload = F.col("text").cast("binary")
@@ -153,7 +174,7 @@ def decode_features_real(media_df: DataFrame) -> DataFrame:
     )
 
 
-def decode_features_png(media_df: DataFrame, on_error: str = "raise") -> DataFrame:
+def decode_features_png(media_df: DataFrame, on_error: str = "raise", synth=None) -> DataFrame:
     """ACTUALLY-executing real decode (r08): full PNG pixel decode — zlib
     inflate + all five scanline unfilters — via the pure-stdlib codec
     (functions/png.py, written from the public PNG spec), so the "real
@@ -251,10 +272,10 @@ def decode_features_png(media_df: DataFrame, on_error: str = "raise") -> DataFra
     )
     if tolerant:
         schema += ", decode_error string"
-    return media_df.mapInPandas(decode, schema)
+    return media_df.mapInPandas(_maybe_fuse_synth(decode, synth), schema)
 
 
-def decode_features_jpeg(media_df: DataFrame, on_error: str = "raise") -> DataFrame:
+def decode_features_jpeg(media_df: DataFrame, on_error: str = "raise", synth=None) -> DataFrame:
     """REAL baseline-JPEG decode inside Python workers via the from-spec
     pure-stdlib codec (functions/jpeg.py — Huffman + dequantize + exact
     IDCT + chroma upsampling, cross-validated against javax.imageio in
@@ -335,7 +356,7 @@ def decode_features_jpeg(media_df: DataFrame, on_error: str = "raise") -> DataFr
     )
     if tolerant:
         schema += ", decode_error string"
-    return media_df.mapInPandas(decode, schema)
+    return media_df.mapInPandas(_maybe_fuse_synth(decode, synth), schema)
 
 
 @register(
@@ -616,9 +637,11 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
     docs = _parallel_doc_ids(spark, sf_dir)
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    # r15: synth runs INSIDE the decode's own Python stage (one
+    # MapInPandas, guide §4 — _maybe_fuse_synth); the synthesized bytes
+    # never cross the JVM<->Arrow boundary
     return (
-        decode_features_png(media_df)
+        decode_features_png(docs, synth=synth)
         .select("doc_id", "width", "height", "mean_luma")
         .transform(sort_once, "doc_id")
     )
@@ -812,9 +835,11 @@ def multimodal_jpeg_multiscan_stats(spark: SparkSession, sf_dir: str) -> DataFra
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
     docs = _parallel_doc_ids(spark, sf_dir)
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    # r15: synth runs INSIDE the decode's own Python stage (one
+    # MapInPandas, guide §4 — _maybe_fuse_synth); the synthesized bytes
+    # never cross the JVM<->Arrow boundary
     return (
-        decode_features_jpeg(media_df)
+        decode_features_jpeg(docs, synth=synth)
         .select("doc_id", "width", "height", "mean_luma")
         .transform(sort_once, "doc_id")
     )
@@ -989,9 +1014,11 @@ def multimodal_jpeg_rgb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
     docs = _parallel_doc_ids(spark, sf_dir)
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    # r15: synth runs INSIDE the decode's own Python stage (one
+    # MapInPandas, guide §4 — _maybe_fuse_synth); the synthesized bytes
+    # never cross the JVM<->Arrow boundary
     return (
-        decode_features_jpeg(media_df)
+        decode_features_jpeg(docs, synth=synth)
         .select("doc_id", "width", "height", "mean_luma")
         .transform(sort_once, "doc_id")
     )
@@ -1091,9 +1118,11 @@ def multimodal_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
     docs = _parallel_doc_ids(spark, sf_dir)
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    # r15: synth runs INSIDE the decode's own Python stage (one
+    # MapInPandas, guide §4 — _maybe_fuse_synth); the synthesized bytes
+    # never cross the JVM<->Arrow boundary
     return (
-        decode_features_png(media_df)
+        decode_features_png(docs, synth=synth)
         .select("doc_id", "width", "height", "mean_luma")
         .transform(sort_once, "doc_id")
     )
@@ -1106,7 +1135,7 @@ def multimodal_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WAV_MAX_FRAMES = 123  # doc_id % 120 + 4 ∈ [4, 123]; 2 channels → ≤246 samples
 
 
-def decode_features_wav(media_df: DataFrame, on_error: str = "raise") -> DataFrame:
+def decode_features_wav(media_df: DataFrame, on_error: str = "raise", synth=None) -> DataFrame:
     """ACTUALLY-executing real audio decode: parse genuine RIFF/WAVE bytes
     back to PCM16 samples with the from-spec stdlib codec
     (functions/wav.py) inside Arrow-batched ``mapInPandas`` and emit the
@@ -1191,7 +1220,7 @@ def decode_features_wav(media_df: DataFrame, on_error: str = "raise") -> DataFra
     )
     if tolerant:
         schema += ", decode_error string"
-    return media_df.mapInPandas(decode, schema)
+    return media_df.mapInPandas(_maybe_fuse_synth(decode, synth), schema)
 
 
 @register(
@@ -1263,8 +1292,10 @@ def multimodal_wav_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
     docs = _parallel_doc_ids(spark, sf_dir)
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
-    return decode_features_wav(media_df).transform(sort_once, "doc_id")
+    # r15: synth runs INSIDE the decode's own Python stage (one
+    # MapInPandas, guide §4 — _maybe_fuse_synth); the synthesized bytes
+    # never cross the JVM<->Arrow boundary
+    return decode_features_wav(docs, synth=synth).transform(sort_once, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1399,7 +1430,7 @@ def multimodal_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # real GIF decode (pure-stdlib LZW codec, functions/gif.py — r11)
 # ---------------------------------------------------------------------------
 
-def decode_features_gif(media_df: DataFrame, on_error: str = "raise") -> DataFrame:
+def decode_features_gif(media_df: DataFrame, on_error: str = "raise", synth=None) -> DataFrame:
     """Real GIF first-frame decode — Appendix F variable-width LZW +
     color-table expansion + 4-pass de-interlacing — via the pure-stdlib
     codec (functions/gif.py, written from the GIF89a spec), in the same
@@ -1477,7 +1508,7 @@ def decode_features_gif(media_df: DataFrame, on_error: str = "raise") -> DataFra
     )
     if tolerant:
         schema += ", decode_error string"
-    return media_df.mapInPandas(decode, schema)
+    return media_df.mapInPandas(_maybe_fuse_synth(decode, synth), schema)
 
 
 @register(
@@ -1558,16 +1589,19 @@ def multimodal_gif_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
     docs = _parallel_doc_ids(spark, sf_dir)
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
+    # r15: synth runs INSIDE the decode's own Python stage (one
+    # MapInPandas, guide §4 — _maybe_fuse_synth); the synthesized bytes
+    # never cross the JVM<->Arrow boundary
     return (
-        decode_features_gif(media_df)
+        decode_features_gif(docs, synth=synth)
         .select("doc_id", "width", "height", "mean_luma")
         .transform(sort_once, "doc_id")
     )
 
 
 def decode_frames_gif(
-    media_df: DataFrame, max_frames: int = 8, on_error: str = "raise"
+    media_df: DataFrame, max_frames: int = 8, on_error: str = "raise",
+    synth=None,
 ) -> DataFrame:
     """REAL animation frame sampling (r11) — the genuine-decode upgrade of
     :func:`sample_frames`' byte-slice stand-in: each GIF's first
@@ -1635,11 +1669,12 @@ def decode_frames_gif(
     schema = "doc_id long, frame_idx long, width long, height long, mean_luma long"
     if tolerant:
         schema += ", decode_error string"
-    return media_df.mapInPandas(decode, schema)
+    return media_df.mapInPandas(_maybe_fuse_synth(decode, synth), schema)
 
 
 def decode_frames_gif_composed(
-    media_df: DataFrame, max_frames: int = 8, on_error: str = "raise"
+    media_df: DataFrame, max_frames: int = 8, on_error: str = "raise",
+    synth=None,
 ) -> DataFrame:
     """COMPOSED animation frame sampling (r12): like
     :func:`decode_frames_gif` but each emitted row is a frame composed
@@ -1703,7 +1738,7 @@ def decode_frames_gif_composed(
     schema = "doc_id long, frame_idx long, width long, height long, mean_luma long"
     if tolerant:
         schema += ", decode_error string"
-    return media_df.mapInPandas(decode, schema)
+    return media_df.mapInPandas(_maybe_fuse_synth(decode, synth), schema)
 
 
 def decode_frames_gif_timesampled(
@@ -1711,6 +1746,7 @@ def decode_frames_gif_timesampled(
     every_cs: int = 2,
     max_samples: int = 8,
     on_error: str = "raise",
+    synth=None,
 ) -> DataFrame:
     """TIME-BASED animation sampling (r12): one row per regular tick —
     the composed frame VISIBLE at t = 0, every_cs, 2*every_cs, ...
@@ -1777,7 +1813,7 @@ def decode_frames_gif_timesampled(
     )
     if tolerant:
         schema += ", decode_error string"
-    return media_df.mapInPandas(decode, schema)
+    return media_df.mapInPandas(_maybe_fuse_synth(decode, synth), schema)
 
 
 @register(
@@ -1884,8 +1920,10 @@ def multimodal_gif_timesample_stats(spark: SparkSession, sf_dir: str) -> DataFra
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
     docs = _parallel_doc_ids(spark, sf_dir)
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
-    return decode_frames_gif_timesampled(media_df).transform(
+    # r15: synth runs INSIDE the decode's own Python stage (one
+    # MapInPandas, guide §4 — _maybe_fuse_synth); the synthesized bytes
+    # never cross the JVM<->Arrow boundary
+    return decode_frames_gif_timesampled(docs, synth=synth).transform(
         sort_once, "doc_id", "sample_idx"
     )
 
@@ -1989,8 +2027,10 @@ def multimodal_gif_composed_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
     docs = _parallel_doc_ids(spark, sf_dir)
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
-    return decode_frames_gif_composed(media_df).transform(sort_once, "doc_id", "frame_idx")
+    # r15: synth runs INSIDE the decode's own Python stage (one
+    # MapInPandas, guide §4 — _maybe_fuse_synth); the synthesized bytes
+    # never cross the JVM<->Arrow boundary
+    return decode_frames_gif_composed(docs, synth=synth).transform(sort_once, "doc_id", "frame_idx")
 
 
 @register(
@@ -2070,8 +2110,10 @@ def multimodal_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
     docs = _parallel_doc_ids(spark, sf_dir)
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
-    return decode_frames_gif(media_df).transform(sort_once, "doc_id", "frame_idx")
+    # r15: synth runs INSIDE the decode's own Python stage (one
+    # MapInPandas, guide §4 — _maybe_fuse_synth); the synthesized bytes
+    # never cross the JVM<->Arrow boundary
+    return decode_frames_gif(docs, synth=synth).transform(sort_once, "doc_id", "frame_idx")
 
 
 def _parallel_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2492,7 +2534,8 @@ def multimodal_webp_lossy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_frames_webp_composed(
-    media_df: DataFrame, max_frames: int = 8, on_error: str = "raise"
+    media_df: DataFrame, max_frames: int = 8, on_error: str = "raise",
+    synth=None,
 ) -> DataFrame:
     """COMPOSED animated-WebP frame sampling (r14): each emitted row is an
     ANMF frame composed onto the canvas — offsets, alpha blending vs
@@ -2560,7 +2603,7 @@ def decode_frames_webp_composed(
     schema = "doc_id long, frame_idx long, width long, height long, mean_luma long"
     if tolerant:
         schema += ", decode_error string"
-    return media_df.mapInPandas(decode, schema)
+    return media_df.mapInPandas(_maybe_fuse_synth(decode, synth), schema)
 
 
 @register(
@@ -2676,8 +2719,10 @@ def multimodal_webp_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
     docs = _parallel_doc_ids(spark, sf_dir)
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
-    return decode_frames_webp_composed(media_df).transform(sort_once, "doc_id", "frame_idx")
+    # r15: synth runs INSIDE the decode's own Python stage (one
+    # MapInPandas, guide §4 — _maybe_fuse_synth); the synthesized bytes
+    # never cross the JVM<->Arrow boundary
+    return decode_frames_webp_composed(docs, synth=synth).transform(sort_once, "doc_id", "frame_idx")
 
 
 # ---------------------------------------------------------------------------
@@ -2865,7 +2910,7 @@ def multimodal_flac_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def decode_features_mp3(media_df: DataFrame, on_error: str = "raise") -> DataFrame:
+def decode_features_mp3(media_df: DataFrame, on_error: str = "raise", synth=None) -> DataFrame:
     """REAL MPEG-audio frame-stream parsing inside Python workers via the
     from-spec pure-stdlib parser (functions/mp3.py — sync walk, header
     field decode against the published bitrate/sample-rate tables, spec-
@@ -2936,7 +2981,7 @@ def decode_features_mp3(media_df: DataFrame, on_error: str = "raise") -> DataFra
     )
     if tolerant:
         schema += ", decode_error string"
-    return media_df.mapInPandas(decode, schema)
+    return media_df.mapInPandas(_maybe_fuse_synth(decode, synth), schema)
 
 
 def _mp3_oracle() -> str:
@@ -3027,11 +3072,11 @@ def multimodal_mp3_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    media_df = _parallel_doc_ids(spark, sf_dir).mapInPandas(
-        synth, "doc_id long, media binary"
-    )
+    # r15: synth runs INSIDE the decode's own Python stage (one
+    # MapInPandas, guide §4 — _maybe_fuse_synth); the synthesized bytes
+    # never cross the JVM<->Arrow boundary
     return (
-        decode_features_mp3(media_df)
+        decode_features_mp3(_parallel_doc_ids(spark, sf_dir), synth=synth)
         .select(
             "doc_id", "n_frames", "sample_rate", "channel_mode",
             "total_samples", "sum_bitrate_kbps", "audio_bytes",
@@ -3047,7 +3092,8 @@ def multimodal_mp3_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_features_jpeg_lossless(
-    media_df: DataFrame, on_error: str = "raise"
+    media_df: DataFrame, on_error: str = "raise",
+    synth=None,
 ) -> DataFrame:
     """REAL lossless-JPEG decode inside Python workers via the from-spec
     SOF3 path (functions/jpeg.py — seven-predictor predictive coding,
@@ -3116,7 +3162,7 @@ def decode_features_jpeg_lossless(
     )
     if tolerant:
         schema += ", decode_error string"
-    return media_df.mapInPandas(decode, schema)
+    return media_df.mapInPandas(_maybe_fuse_synth(decode, synth), schema)
 
 
 @register(
@@ -3191,11 +3237,11 @@ def multimodal_jpeg_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFram
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    media_df = _parallel_doc_ids(spark, sf_dir).mapInPandas(
-        synth, "doc_id long, media binary"
-    )
+    # r15: synth runs INSIDE the decode's own Python stage (one
+    # MapInPandas, guide §4 — _maybe_fuse_synth); the synthesized bytes
+    # never cross the JVM<->Arrow boundary
     return (
-        decode_features_jpeg_lossless(media_df)
+        decode_features_jpeg_lossless(_parallel_doc_ids(spark, sf_dir), synth=synth)
         .select(
             "doc_id", "width", "height", "precision", "mean_sample"
         )
@@ -3211,7 +3257,8 @@ def multimodal_jpeg_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def decode_frames_apng_composed(
-    media_df: DataFrame, max_frames: int = 8, on_error: str = "raise"
+    media_df: DataFrame, max_frames: int = 8, on_error: str = "raise",
+    synth=None,
 ) -> DataFrame:
     """COMPOSED APNG frame sampling (r14): each emitted row is an fcTL
     frame composed onto the canvas — rects, blend_op SOURCE/OVER, and
@@ -3276,7 +3323,7 @@ def decode_frames_apng_composed(
     schema = "doc_id long, frame_idx long, width long, height long, mean_luma long"
     if tolerant:
         schema += ", decode_error string"
-    return media_df.mapInPandas(decode, schema)
+    return media_df.mapInPandas(_maybe_fuse_synth(decode, synth), schema)
 
 
 @register(
@@ -3389,5 +3436,7 @@ def multimodal_apng_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
     docs = _parallel_doc_ids(spark, sf_dir)
-    media_df = docs.mapInPandas(synth, "doc_id long, media binary")
-    return decode_frames_apng_composed(media_df).transform(sort_once, "doc_id", "frame_idx")
+    # r15: synth runs INSIDE the decode's own Python stage (one
+    # MapInPandas, guide §4 — _maybe_fuse_synth); the synthesized bytes
+    # never cross the JVM<->Arrow boundary
+    return decode_frames_apng_composed(docs, synth=synth).transform(sort_once, "doc_id", "frame_idx")

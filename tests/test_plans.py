@@ -221,7 +221,24 @@ def test_duplicate_spans_uses_window_not_join(spark):
     plan = _plan(spark, "dedup_duplicate_spans")
     assert "Window" in plan
     assert "Join" not in plan, "span counting regressed to a join"
-    assert plan.count("Arguments: hashpartitioning") == 2, plan
+    # assert the two expected partitioning KEYS rather than counting the
+    # exact "Arguments: hashpartitioning" wording (ADVICE r14: explain
+    # formatting / AQE shape drift would silently under-count): exactly
+    # one hash exchange keyed on hs, one on doc_id, and none on the old
+    # per-(doc, hs) pre-aggregation key.
+    import re
+
+    keys = sorted(
+        m.group(1).strip()
+        for m in re.finditer(r"hashpartitioning\(([^)]*?), \d+\)", plan)
+    )
+    hs_keys = [k for k in keys if k.startswith("hs")]
+    doc_keys = [k for k in keys if k.startswith("doc_id")]
+    assert len(hs_keys) == 1, plan
+    assert len(doc_keys) == 1, plan
+    assert not any("," in k for k in keys), (
+        "composite pre-aggregation exchange reappeared: " + plan
+    )
 
 
 def test_token_rarity_window_and_broadcast_totals(spark):
@@ -721,15 +738,16 @@ def test_codec_queries_scan_doc_id_only(spark):
     bench top-5 without a plan pin.)"""
     # r14: the six BENCH gates fuse synth+decode into ONE Python stage
     # (_fused_media_gate — the media bytes cross the Arrow boundary zero
-    # times instead of twice); the non-bench gates keep the composed
-    # synth -> decode_features_* two-stage shape
+    # times instead of twice); r15 fuses the non-bench gates too
+    # (decode_features_*(docs, synth=...) via _maybe_fuse_synth), so every
+    # gate is ONE Python stage
     for q, stages in (
         ("multimodal_jpeg_block_stats", 1),
         ("multimodal_jpeg_progressive_stats", 1),
-        ("multimodal_jpeg_multiscan_stats", 2),
-        ("multimodal_png_palette_stats", 2),
-        ("multimodal_gif_palette_stats", 2),
-        ("multimodal_gif_frame_stats", 2),
+        ("multimodal_jpeg_multiscan_stats", 1),
+        ("multimodal_png_palette_stats", 1),
+        ("multimodal_gif_palette_stats", 1),
+        ("multimodal_gif_frame_stats", 1),
     ):
         plan = _plan(spark, q)
         m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
@@ -861,7 +879,11 @@ def test_codec_gates_decode_in_parallel(spark):
         plan = _plan(spark, name)
         assert "Arguments: roundrobinpartitioning" in plan.lower() or \
             "roundrobinpartitioning" in plan.lower(), name
-        assert re.search(r"\(\d+\) MapInPandas", plan), name
+        # r15: EVERY synth gate (bench and non-bench, single- and
+        # multi-row-per-doc) now fuses synth+decode into ONE Python stage
+        # (_maybe_fuse_synth) — two MapInPandas nodes means the payload
+        # crosses the Arrow boundary twice again
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, name
         m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
         assert m and {c.split(":")[0] for c in m.group(1).split(",") if c} == {
             "doc_id"
