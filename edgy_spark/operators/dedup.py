@@ -965,16 +965,22 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal (docs above a threshold get span-pruned or dropped).
 
     Scale (100 TB): NO pair emission anywhere — unlike the pairwise dedup
-    family above, span counting is one map-side-combinable aggregation
-    (per-(doc, span-hash) counts) plus a windowed corpus sum over the hash
-    partition — a window instead of a groupBy+self-join, saving the join's
-    second shuffle of the per-doc counts; every shuffle row is a (60-bit
-    hash, id, count) triple and text never leaves the scan stage.  Hash
-    partitions are count-sized (a span seen 10^9 times is still one row
-    per holding doc), so no window partition can balloon.  A stop-span
-    needs no DF cap because nothing explodes per posting.  The cross-engine
-    tokenization contract is the module docstring's; determinism is
-    exact-integer (counts and count-ratios).
+    family above, corpus span counting is a window over the RAW span
+    stream partitioned by span hash (r14: one hs exchange instead of a
+    pre-aggregation exchange plus the window's — see the inline note) —
+    a window instead of a groupBy+self-join, saving the join's second
+    shuffle of the per-doc counts; every shuffle row is a narrow
+    (60-bit hash, doc id) pair and text never leaves the scan stage.
+    The hs partition holds one row per OCCURRENCE, so a span seen 10^9
+    times across the corpus is 10^9 rows in its partition — bounded per
+    document by that document's length (the within-doc multiplicity map-
+    side combining used to dedup, ~1.1-1.3x on natural text), but a
+    degenerate corpus-wide hot span can still make its window partition
+    large; if that profile ever appears, reintroduce the per-(doc, hs)
+    pre-count for the hot keys only (two-level skew aggregation).  A
+    stop-span needs no DF cap because nothing explodes per posting.  The
+    cross-engine tokenization contract is the module docstring's;
+    determinism is exact-integer (counts and count-ratios).
     """
     from pyspark.sql import Window
 

@@ -452,9 +452,18 @@ def train_ivf_centroids(
     # driver calls them sequentially) — submit both and let the scheduler
     # overlap them; each is dimension-/metadata-sized driver latency, so
     # the overlap trims a whole job's wall time off every trainer call.
+    # inheritable_thread_target (ADVICE r14): under pyspark's pinned
+    # thread mode, bare pool threads do NOT inherit the caller's local
+    # properties (job group/tags, scheduler pool — used for cancellation)
+    # and each leaves a lazily-reclaimed companion JVM thread; the wrapper
+    # propagates the properties and cleans the JVM thread up on exit.
+    from pyspark.util import inheritable_thread_target
+
     with ThreadPoolExecutor(max_workers=2) as pool:
-        seed_f = pool.submit(_seed)
-        sample_f = pool.submit(_train_sample_with_count, e)
+        seed_f = pool.submit(inheritable_thread_target(_seed))
+        sample_f = pool.submit(
+            inheritable_thread_target(lambda: _train_sample_with_count(e))
+        )
         cents = seed_f.result()
         et, n_sample = sample_f.result()
     dim = len(cents[0][1])
