@@ -12,6 +12,11 @@ from edgy_spark.demo import big_bang, demo_schema
 from edgy_spark.graph import Engine
 from edgy_spark.storage import GraphStore
 
+# r15 (driver verify budget): clone/fsck/vacuum lifecycle integration —
+# multi-second Spark/store wall time per test; excluded from the default
+# run by pyproject's `-m 'not slow'`, run explicitly with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 
 def _names(store, t="Person"):
     return sorted(r["name"] for r in store.snapshot().nodes(t).collect())

@@ -27,6 +27,11 @@ def engine(spark, tmp_path):
 # exercise the same functions the CLI runs
 from edgy_spark.demo import big_bang  # noqa: E402, F401
 
+# r15 (driver verify budget): transactional graph-store integration —
+# multi-second Spark/store wall time per test; excluded from the default
+# run by pyproject's `-m 'not slow'`, run explicitly with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def populated(engine):

@@ -169,6 +169,7 @@ def test_null_group_keys_merge_null_safely(spark, tmp_path):
     assert len(nulls) == 1 and (nulls[0]["n"], nulls[0]["sum_balance"]) == (2, 12)
 
 
+@pytest.mark.slow  # r15: ~45-50s wall; see pyproject addopts
 def test_stream_maintained_rollup_is_live_and_exactly_once(spark, tmp_path):
     """foreachBatch materialized view over the upsert stream, seeded with
     the recompute at an explicit version and started with the matching

@@ -21,6 +21,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from edgy_spark.functions.exact import dec, to_dbl
+import pytest
 
 bag = st.lists(st.integers(min_value=0, max_value=5), max_size=12)
 
@@ -216,6 +217,7 @@ _edge_ops = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_edge_ops)
+@pytest.mark.slow  # r15: ~45-50s wall; see pyproject addopts
 def test_edge_log_matches_list_model(spark, tmp_path_factory, ops):
     """Model-based pin of the reference's adjacency-list semantics under
     ARBITRARY interleavings of point and bulk edge ops in one transaction:

@@ -11,6 +11,12 @@ from pyspark.sql import functions as F
 from edgy_spark.demo import big_bang, demo_schema
 from edgy_spark.graph import Engine
 from edgy_spark.sources.pysource import register_edgy_source
+import pytest
+
+# r15 (driver verify budget): the edgy DataSource end-to-end suite —
+# multi-second Spark/store wall time per test; excluded from the default
+# run by pyproject's `-m 'not slow'`, run explicitly with `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 
 def _store(spark, tmp_path):

@@ -13,6 +13,12 @@ from edgy_spark.streaming.events import (
     tumbling_stream,
 )
 from tests.conftest import SF_SMOKE
+import pytest
+
+# r15 (driver verify budget): stateful-streaming equals-batch suites —
+# multi-second Spark/store wall time per test; excluded from the default
+# run by pyproject's `-m 'not slow'`, run explicitly with `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 load_all_registrations()
 

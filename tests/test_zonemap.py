@@ -23,6 +23,13 @@ from edgy_spark.sources.pysource import (
     register_edgy_source,
 )
 
+import pytest
+
+# r15 (driver verify budget): zone-map sidecar write/prune integration —
+# multi-second Spark/store wall time per test; excluded from the default
+# run by pyproject's `-m 'not slow'`, run explicitly with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 
 def _store(spark, tmp_path):
     engine = Engine(spark, str(tmp_path / "db"), demo_schema())
